@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.HealthCheckFunctions._
+import graft.sources.Tables
+
+/** Batch twins of the health-check pipeline operators (SURVEY.md §2) over the
+  * driver's `events` table, used by the DuckDB-oracle correctness gate.
+  *
+  * Each method is the Spark side of a `SparkEntry.queries` entry; the matching
+  * oracle SQL lives in [[graft.SparkEntry.oracleSql]]. All queries end in a
+  * deterministic total ORDER BY so row order matches the oracle exactly.
+  *
+  * Scale notes: every query here is a scan -> projection/agg pipeline whose
+  * shuffle keys are the grouping keys; nothing collects to the driver. The
+  * global-"now" queries broadcast a 1-row aggregate rather than windowing over
+  * an empty partition (which would serialize the table through one task).
+  */
+object HealthCheckBatch {
+
+  /** Deterministic "now" for batch latency math: max event ts, broadcast. */
+  private def withNow(events: DataFrame): DataFrame =
+    events.crossJoin(broadcast(events.agg(max("ts").as("now_ts"))))
+
+  /** P1+P2+P6 — tracer construction: ISO-8601 UTC second-truncated string and
+    * the exact producer JSON payload (Producer.java:49-54).
+    */
+  def tracerEncode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        isoUtc(col("ts")).as("current_instant"),
+        tracerJson(col("ts")).as("tracer_json"))
+      .orderBy("event_id")
+
+  /** P4+P5 — binary->UTF-8 decode round-trip and JSON field extraction
+    * (Consumer.java:65-68). `props` plays the payload; `$.k` the pointer read.
+    */
+  def decodeExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        decodeUtf8(encode(col("props"), "UTF-8")).as("decoded"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  /** P9 — ARN parsing: build a Kinesis ARN from the event type, then recover
+    * the stream name exactly as Consumer.java:97-99 does.
+    */
+  def arnParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val arn = concat(
+      lit("arn:aws:kinesis:us-east-1:123456789012:stream/"), col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        arn.as("arn"),
+        streamNameFromArn(arn).as("stream_name"))
+      .orderBy("event_id")
+  }
+
+  /** P7+P8+B3 — whole-second latency, arrival-time mode (Consumer.java:67,71):
+    * now - ts where now is the table-max timestamp.
+    */
+  def latencyArrival(spark: SparkSession, sfDir: String): DataFrame =
+    withNow(Tables.events(spark, sfDir))
+      .select(
+        col("event_id"),
+        isoUtc(col("ts")).as("iso_ts"),
+        latencySeconds(col("now_ts"), col("ts")).as("latency_s"))
+      .orderBy("event_id")
+
+  /** B2 event-time mode — full producer->consumer chain: ts -> tracer JSON ->
+    * extract `/currentInstant` -> parse -> whole-second latency
+    * (P2 -> P5 -> P7 -> P8; the commented Consumer.java:68 variant).
+    */
+  def latencyEventTime(spark: SparkSession, sfDir: String): DataFrame =
+    withNow(Tables.events(spark, sfDir))
+      .select(
+        col("event_id"),
+        parseIso(extractInstant(tracerJson(col("ts")))).as("event_ts"),
+        latencySeconds(col("now_ts"),
+          parseIso(extractInstant(tracerJson(col("ts"))))).as("latency_s"))
+      .orderBy("event_id")
+
+  /** P10+P11 — the consumer's metric-datum projection (Consumer.java:72-79). */
+  def metricProjectionQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(metricProjection(col("event_type"), col("ts"), col("value")): _*)
+      .orderBy("streamName", "ts", "value")
+
+  /** P13 — threshold predicate (GREATER_THAN_THRESHOLD, Stack.java:175-177). */
+  def thresholdFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(breachesThreshold(col("value"), 100.0))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  /** P12+B1 — first-record-per-batch short-circuit: one row per
+    * (key, minute) micro-batch, earliest (ts, event_id).
+    */
+  def firstRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val minuteCol = date_trunc("minute", col("ts"))
+    val w = Window.partitionBy(col("event_type"), minuteCol)
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("event_type"),
+        minuteCol.as("window_start"), col("value"))
+      .orderBy("event_type", "window_start")
+  }
+
+  /** A1 — keyed 1-minute tumbling-window MAX aggregation
+    * (Stack.java:165-171). The shuffle key is (window, key) — exactly the
+    * partitioning a 1000-executor run needs; map-side partial max applies.
+    */
+  def windowMax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(max("value").as("max_value"), count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("max_value"),
+        col("n"))
+      .orderBy("window_start", "event_type")
+
+  /** O1 batch twin — missing-data (gap) detection: minutes in each key's
+    * [min,max] span with no datapoint (TreatMissingData.BREACHING,
+    * Stack.java:179). `sequence`+`explode` generates the expected tick grid
+    * distributed per key; the anti-join finds the gaps.
+    */
+  def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val grid = events
+      .groupBy(col("event_type"))
+      .agg(
+        date_trunc("minute", min(col("ts"))).as("mn"),
+        date_trunc("minute", max(col("ts"))).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 minute")))
+          .as("minute"))
+    val present = events
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .distinct()
+    grid.join(present, Seq("event_type", "minute"), "left_anti")
+      .orderBy("event_type", "minute")
+  }
+
+  /** O2 batch twin — alarm state machine over the full evaluation grid:
+    * per key per minute, state = ALARM iff the window max breaches the
+    * threshold OR the window is empty (missing data), emitting only the
+    * transition rows (Stack.java:172-183 semantics, replayed in batch).
+    */
+  def alarmTransitions(spark: SparkSession, sfDir: String,
+      threshold: Double = 150.0): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val grid = events
+      .groupBy(col("event_type"))
+      .agg(
+        date_trunc("minute", min(col("ts"))).as("mn"),
+        date_trunc("minute", max(col("ts"))).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 minute")))
+          .as("minute"))
+    val perMinute = events
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(max("value").as("max_value"))
+    val evaluated = grid.join(perMinute, Seq("event_type", "minute"), "left")
+      .select(
+        col("event_type"), col("minute"), col("max_value"),
+        when(col("max_value").isNull, lit("ALARM"))
+          .when(col("max_value") > threshold, lit("ALARM"))
+          .otherwise(lit("OK")).as("state"),
+        when(col("max_value").isNull, lit("missing_data"))
+          .when(col("max_value") > threshold, lit("threshold"))
+          .otherwise(lit("none")).as("reason"))
+    val w = Window.partitionBy("event_type").orderBy("minute")
+    evaluated
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .select(col("event_type"), col("minute"), col("state"), col("reason"),
+        col("max_value"))
+      .orderBy("event_type", "minute")
+  }
+}

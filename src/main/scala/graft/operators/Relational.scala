@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Relational coverage queries over the TPC-H-ish tables (TESTDATA.md).
+  *
+  * The reference's own relational surface is tiny (SURVEY §2.3: one windowed
+  * max, no joins); the engine inherits the full relational algebra from Spark
+  * SQL and these queries pin its correctness against the DuckDB oracle and
+  * feed the benchmark.
+  *
+  * Determinism policy for the oracle hash-compare:
+  *  - monetary aggregates are computed in DECIMAL (exact, order-independent)
+  *    and cast to DOUBLE at the end — both engines produce bit-identical
+  *    doubles from the same exact decimal;
+  *  - averages are expressed as exact-decimal sum / count (double division)
+  *    rather than engine-native avg (whose internal rounding differs);
+  *  - every query ends in a total ORDER BY.
+  *
+  * Scale notes: joins keep their natural shuffle keys; dimension tables
+  * (region/nation/supplier/customer at these SFs) are broadcast — at 100 TB
+  * the fact-side stays shuffle-free on those joins. AQE handles skew.
+  */
+object Relational {
+
+  private val dec12 = DecimalType(12, 2)
+  private val dec4 = DecimalType(4, 2)
+
+  /** l_extendedprice * (1 - l_discount), exact decimal. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec12) * (lit(1).cast(dec4) - col("l_discount").cast(dec4))
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash agg (map-side
+    * partial agg; shuffle only 6 groups).
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec12)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec12)).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice * (lit(1).cast(dec4) + col("l_tax").cast(dec4)))
+          .cast(DoubleType).as("sum_charge"),
+        (sum(col("l_quantity").cast(dec12)).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join + agg + top-k. customer is broadcast;
+    * orders↔lineitem shuffle on the order key.
+    */
+  def q3TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5-style: 6-way join (4 broadcast dims) + agg. */
+  def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1997-01-01").cast(TimestampType)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local self-check mirroring the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs
+<verifyOutDir>/oracle_sql.json[name] in DuckDB with every testdata table
+registered as a view. Compares column names (sorted), row counts, and a
+hash of all values (rows in result order AND row-sorted, so we catch both
+kinds of mismatch).
+"""
+import sys, os, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = ["\x01".join(norm_cell(r[i]) for i in order) for r in rows]
+    h_ordered = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    h_sorted = hashlib.md5("\n".join(sorted(lines)).encode()).hexdigest()
+    return h_ordered, h_sorted, lines
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            s = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            s_cols = [d[0] for d in s.description]
+            s_rows = s.fetchall()
+            o = con.execute(oracle[name])
+            o_cols = [d[0] for d in o.description]
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(o_cols):
+            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rows spark={len(s_rows)} oracle={len(o_rows)}")
+        if not problems:
+            sh_o, sh_s, sl = table_digest(s_cols, s_rows)
+            oh_o, oh_s, ol = table_digest(o_cols, o_rows)
+            if sh_o != oh_o:
+                kind = "VALUES" if sh_s != oh_s else "ROW ORDER"
+                problems.append(f"hash mismatch ({kind})")
+                for i, (a, b) in enumerate(zip(sl, ol)):
+                    if a != b:
+                        problems.append(f"  first diff row {i}:\n   spark : {a[:300]}\n   oracle: {b[:300]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(p for p in problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
