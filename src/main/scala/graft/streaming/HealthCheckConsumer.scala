@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HealthCheckFunctions._
+import graft.model.{HealthCheckConfig, LatencyMode}
+
+/** The consumer stage (SURVEY §2 S2/S3, P3-P12; reference
+  * HealthCheckConsumerHandler.java:58-95): record batches -> keyed
+  * whole-second latency metric points.
+  *
+  * The whole stage is a single codegen'd projection chain — Catalyst fuses
+  * decode -> validate -> parse -> latency -> project into one pass over each
+  * partition, the distributed equivalent of the reference's one `for` loop.
+  */
+object HealthCheckConsumer {
+
+  /** Flatten the Kinesis event envelope (S3 shape, fixture
+    * kinesis-event.json): explode records[], base64-decode payloads.
+    * P3 — `explode` replaces the reference's per-record Java loop.
+    */
+  def fromEnvelope(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(explode(col("records")).as("r"))
+      .select(
+        col("r.kinesis.partitionKey").as("partitionKey"),
+        col("r.kinesis.sequenceNumber").as("sequenceNumber"),
+        unbase64(col("r.kinesis.data")).as("data"),
+        col("r.kinesis.approximateArrivalTimestamp")
+          .as("approximateArrivalTimestamp"),
+        col("r.eventSourceARN").as("eventSourceARN"))
+
+  /** Records -> metric points.
+    *
+    * Input columns: data (binary), approximateArrivalTimestamp (long epoch
+    * seconds), eventSourceARN (string). `now` defaults to
+    * `current_timestamp()` (fixed per micro-batch = per "invocation", SURVEY
+    * §7.4-2); tests inject a deterministic clock column.
+    *
+    * B4 — records whose payload is not valid UTF-8 are dropped (the
+    * reference's strict decoder throws, the batch yields no metric, and the
+    * resulting gap IS the alarm signal). B1 — `firstRecordOnly` mirrors the
+    * reference's early `return` after records[0]; default processes all.
+    */
+  def metrics(records: DataFrame, cfg: HealthCheckConfig = HealthCheckConfig(),
+      now: Column = current_timestamp()): DataFrame = {
+    val arrivalTs = fromEpochSeconds(col("approximateArrivalTimestamp"))
+    val since = cfg.latencyMode match {
+      case LatencyMode.ArrivalTime => arrivalTs
+      case LatencyMode.EventTime =>
+        parseIso(extractInstant(decodeUtf8(col("data"))))
+    }
+    val base = records.filter(utf8IsValid(col("data")))
+    val limited =
+      if (!cfg.firstRecordOnly) base
+      else {
+        // B1 compatibility mode: one metric per (stream, arrival second)
+        // batch, by earliest sequence number — the deployed batchSize=1
+        // behavior. Streaming-safe: deterministic within a micro-batch.
+        val w = Window
+          .partitionBy(col("eventSourceARN"), col("approximateArrivalTimestamp"))
+          .orderBy(col("sequenceNumber"))
+        base.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    limited.select(
+      metricProjection(
+        streamNameFromArn(col("eventSourceARN")),
+        arrivalTs,
+        latencySeconds(now, since),
+        cfg.metricName): _*)
+  }
+}
