@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.model.HealthCheckConfig
 import graft.operators.{HealthCheckBatch, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +19,14 @@ object SparkEntry {
     * alarm transitions (SURVEY §2 A1/O1/O2/P13). Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    HealthCheckBatch.alarmTransitions(spark, "/root/testdata/sf0.001")
+    HealthCheckBatch.alarmTransitions(spark, "/root/testdata/sf0.001",
+      SyntheticCfg)
+
+  /** Reference defaults are threshold=1s / period=1min (HealthCheckConfig());
+    * the synthetic `events.value` column is ~uniform(0,200), so oracle
+    * queries pin an explicit mid-range threshold instead.
+    */
+  private val SyntheticCfg = HealthCheckConfig(thresholdSeconds = 150.0)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -29,11 +37,13 @@ object SparkEntry {
     "hc_latency_arrival" -> ((s, d) => HealthCheckBatch.latencyArrival(s, d)),
     "hc_latency_event_time" -> ((s, d) => HealthCheckBatch.latencyEventTime(s, d)),
     "hc_metric_projection" -> ((s, d) => HealthCheckBatch.metricProjectionQ(s, d)),
-    "hc_threshold_filter" -> ((s, d) => HealthCheckBatch.thresholdFilter(s, d)),
+    "hc_threshold_filter" -> ((s, d) => HealthCheckBatch.thresholdFilter(s, d,
+      HealthCheckConfig(thresholdSeconds = 100.0))),
     "hc_first_record" -> ((s, d) => HealthCheckBatch.firstRecord(s, d)),
     "hc_window_max" -> ((s, d) => HealthCheckBatch.windowMax(s, d)),
     "hc_gap_detect" -> ((s, d) => HealthCheckBatch.gapDetect(s, d)),
-    "hc_alarm_transitions" -> ((s, d) => HealthCheckBatch.alarmTransitions(s, d)),
+    "hc_alarm_transitions" -> ((s, d) =>
+      HealthCheckBatch.alarmTransitions(s, d, SyntheticCfg)),
     // Relational coverage
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),

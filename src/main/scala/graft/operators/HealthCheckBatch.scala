@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.HealthCheckFunctions._
+import graft.model.HealthCheckConfig
 import graft.sources.Tables
 
 /** Batch twins of the health-check pipeline operators (SURVEY.md §2) over the
@@ -25,6 +26,17 @@ object HealthCheckBatch {
   /** Deterministic "now" for batch latency math: max event ts, broadcast. */
   private def withNow(events: DataFrame): DataFrame =
     events.crossJoin(broadcast(events.agg(max("ts").as("now_ts"))))
+
+  /** Evaluation-period start for a timestamp: floor to `periodMinutes`
+    * boundaries (Stack.java:170 `period(1 min)`; == date_trunc("minute", ts)
+    * when periodMinutes=1, but honors HealthCheckConfig.periodMinutes
+    * generally). Pure codegen'd integer arithmetic.
+    */
+  def periodStart(ts: org.apache.spark.sql.Column, periodMinutes: Int)
+      : org.apache.spark.sql.Column = {
+    val secs = periodMinutes * 60L
+    timestamp_seconds((unix_timestamp(ts) / secs).cast(LongType) * secs)
+  }
 
   /** P1+P2+P6 — tracer construction: ISO-8601 UTC second-truncated string and
     * the exact producer JSON payload (Producer.java:49-54).
@@ -92,10 +104,14 @@ object HealthCheckBatch {
       .select(metricProjection(col("event_type"), col("ts"), col("value")): _*)
       .orderBy("streamName", "ts", "value")
 
-  /** P13 — threshold predicate (GREATER_THAN_THRESHOLD, Stack.java:175-177). */
-  def thresholdFilter(spark: SparkSession, sfDir: String): DataFrame =
+  /** P13 — threshold predicate (GREATER_THAN_THRESHOLD, Stack.java:175-177).
+    * The config default is the reference's threshold=1; the query entry
+    * passes the synthetic-data override (100.0) explicitly.
+    */
+  def thresholdFilter(spark: SparkSession, sfDir: String,
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame =
     Tables.events(spark, sfDir)
-      .filter(breachesThreshold(col("value"), 100.0))
+      .filter(breachesThreshold(col("value"), cfg.thresholdSeconds))
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
 
@@ -134,18 +150,20 @@ object HealthCheckBatch {
     * Stack.java:179). `sequence`+`explode` generates the expected tick grid
     * distributed per key; the anti-join finds the gaps.
     */
-  def gapDetect(spark: SparkSession, sfDir: String): DataFrame = {
+  def gapDetect(spark: SparkSession, sfDir: String,
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
     val events = Tables.events(spark, sfDir)
     val grid = events
       .groupBy(col("event_type"))
       .agg(
-        date_trunc("minute", min(col("ts"))).as("mn"),
-        date_trunc("minute", max(col("ts"))).as("mx"))
+        periodStart(min(col("ts")), cfg.periodMinutes).as("mn"),
+        periodStart(max(col("ts")), cfg.periodMinutes).as("mx"))
       .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 minute")))
-          .as("minute"))
+        explode(sequence(col("mn"), col("mx"),
+          expr(s"interval ${cfg.periodMinutes} minute"))).as("minute"))
     val present = events
-      .select(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .select(col("event_type"),
+        periodStart(col("ts"), cfg.periodMinutes).as("minute"))
       .distinct()
     grid.join(present, Seq("event_type", "minute"), "left_anti")
       .orderBy("event_type", "minute")
@@ -157,18 +175,20 @@ object HealthCheckBatch {
     * transition rows (Stack.java:172-183 semantics, replayed in batch).
     */
   def alarmTransitions(spark: SparkSession, sfDir: String,
-      threshold: Double = 150.0): DataFrame = {
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
+    val threshold = cfg.thresholdSeconds
+    val period = expr(s"interval ${cfg.periodMinutes} minute")
     val events = Tables.events(spark, sfDir)
     val grid = events
       .groupBy(col("event_type"))
       .agg(
-        date_trunc("minute", min(col("ts"))).as("mn"),
-        date_trunc("minute", max(col("ts"))).as("mx"))
+        periodStart(min(col("ts")), cfg.periodMinutes).as("mn"),
+        periodStart(max(col("ts")), cfg.periodMinutes).as("mx"))
       .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 minute")))
-          .as("minute"))
+        explode(sequence(col("mn"), col("mx"), period)).as("minute"))
     val perMinute = events
-      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("event_type"),
+        periodStart(col("ts"), cfg.periodMinutes).as("minute"))
       .agg(max("value").as("max_value"))
     val evaluated = grid.join(perMinute, Seq("event_type", "minute"), "left")
       .select(

@@ -52,8 +52,12 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-style: 3-way join + agg + top-k. customer is broadcast;
-    * orders↔lineitem shuffle on the order key.
+  /** TPC-H Q3-style: 3-way join + agg + top-k.
+    *
+    * customer is FACT-sized at real TPC-H scale (~15B rows at 100 TB), so no
+    * broadcast hint — AQE picks broadcast vs shuffle from runtime stats (at
+    * sf0.1 the filtered side is tiny and AQE broadcasts it anyway; at 100 TB
+    * it shuffle-hash-joins on the key without OOMing anything).
     */
   def q3TopK(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast(TimestampType)
@@ -67,27 +71,36 @@ object Relational {
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(discPrice).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
   }
 
-  /** TPC-H Q5-style: 6-way join (4 broadcast dims) + agg. */
+  /** TPC-H Q5-style: 6-way join + agg.
+    *
+    * Broadcast hints only on the genuinely tiny dimensions (region: 5 rows,
+    * nation: 25 rows at every scale). customer/supplier grow with the fact
+    * tables, so their joins carry no hint — AQE decides at runtime. lineitem
+    * is pruned to the 4 needed columns before the join so the shuffle moves
+    * a quarter of the bytes.
+    */
   def q5Join(spark: SparkSession, sfDir: String): DataFrame = {
     val lo = lit("1996-01-01").cast(TimestampType)
     val hi = lit("1997-01-01").cast(TimestampType)
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, sfDir)
-    val c = Tables.customer(spark, sfDir)
-    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
     val o = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -20,13 +20,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for. We read nanos as long (legacy conf) and convert to a
-    * micros timestamp — lossless here (the generator emits micro-precision
-    * values) and cheap (one codegen'd integer divide per row).
+  /** Conf every session touching `events.parquet` needs: its `ts` column is
+    * parquet TIMESTAMP(NANOS), which Spark has no native type for. Session
+    * builders (Verify/Bench/tests) call this once at startup; [[events]]
+    * re-asserts it only when absent so a driver-owned session still works.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** We read nanos as long (legacy conf) and convert to a micros timestamp —
+    * lossless here (the generator emits micro-precision values) and cheap
+    * (one codegen'd integer divide per row).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val raw = load(spark, sfDir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -52,7 +52,15 @@ object HealthCheckConsumer {
       case LatencyMode.EventTime =>
         parseIso(extractInstant(decodeUtf8(col("data"))))
     }
-    val base = records.filter(utf8IsValid(col("data")))
+    // B4 (UTF-8 validity) for both modes; in EventTime mode a payload that is
+    // valid UTF-8 but not the expected JSON must also yield NO metric (the
+    // reference throws on parse -> the gap IS the signal), so drop null
+    // `since` rather than emitting a null-valued latency.
+    val valid = cfg.latencyMode match {
+      case LatencyMode.ArrivalTime => utf8IsValid(col("data"))
+      case LatencyMode.EventTime => utf8IsValid(col("data")) && since.isNotNull
+    }
+    val base = records.filter(valid)
     val limited =
       if (!cfg.firstRecordOnly) base
       else {
