@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{HealthCheckBatch, Relational}
+import graft.operators.{HealthCheckBatch, Relational, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,20 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
     "q5_join" -> ((s, d) => Relational.q5Join(s, d)),
+    // LLM-data-pipeline: text analysis over `documents`
+    "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
+    "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
+    "text_lang_id" -> ((s, d) => TextPipeline.textLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextPipeline.textFingerprint(s, d)),
+    // LLM-data-pipeline: deduplication over `documents`
+    "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
+    "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
+    "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
+    "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
+    // LLM-data-pipeline: similarity search over `embeddings`
+    "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
+    "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
+    "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL for each key in [[queries]]. */
@@ -158,5 +172,135 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "text_stats" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(text) AS n_chars,
+  len(toks) AS n_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
+  len(list_distinct(toks)) AS n_distinct,
+  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+  round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+FROM w ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM w)
+SELECT doc_id, round(q, 4) AS quality, q >= 0.5 AS is_quality FROM s ORDER BY doc_id""",
+    "text_lang_id" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS s_de,
+  len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS s_en,
+  len(list_filter(toks, t -> t IN ('el','la','los','de','y','es'))) AS s_es,
+  len(list_filter(toks, t -> t IN ('le','les','des','et','est','ne'))) AS s_fr,
+  len(list_filter(toks, t -> t IN ('de5','le5','shi4','bu4','wo3','ni3'))) AS s_zh
+FROM w)
+SELECT doc_id,
+  CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred,
+  CAST(greatest(s_de,s_en,s_es,s_fr,s_zh) AS BIGINT) AS best_score
+FROM s ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """WITH 
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)
+,
+h AS (SELECT doc_id, list_transform(sg, x -> md5(x)) AS hs FROM sh),
+m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+  ELSE list_transform(range(len(hs)-3), i -> list_min(hs[i+1:i+4])) END AS mins FROM h)
+SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m
+ORDER BY doc_id, fingerprint""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
+FROM documents GROUP BY 2 ORDER BY doc_id""",
+    "dedup_minhash" ->
+      """WITH 
+
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)
+,
+sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
+  FROM sig, (SELECT unnest(range(4)) AS band) b)
+,
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_jaccard" ->
+      """WITH 
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)
+,
+k AS (SELECT doc_id, list_min(list_transform(s, x -> md5('99:' || x))) AS block FROM ss),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_simhash" ->
+      """WITH 
+th AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+    list_sum(list_transform(range(8), d -> CAST(strpos('0123456789abcdef', md5(t)[d+1:d+1]) - 1 AS BIGINT) * (1::BIGINT << (4*(7-d)))))) AS hs
+  FROM documents),
+sh AS (SELECT doc_id,
+  list_sum(list_transform(range(32), b -> CASE WHEN
+    list_sum(list_transform(hs, h -> CAST((h >> b) & 1 AS INTEGER) * 2 - 1)) > 0
+    THEN (1::BIGINT << b) ELSE 0 END)) AS sim
+  FROM th)
+,
+bands AS (SELECT doc_id, sim, b.band, (sim >> (b.band*8)) & 255 AS val
+  FROM sh, (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id, label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings, q WHERE vec_id <> 0),
+t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, label, round(c, 4) AS sim FROM t WHERE rank <= 20 ORDER BY rank""",
+    "sim_topk_ivf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT label, unnest(embedding) AS v, unnest(range(64)) AS pos FROM embeddings),
+cent AS (SELECT label, list(avg ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS avg FROM e GROUP BY label, pos) GROUP BY label),
+probe AS (SELECT label FROM cent, q
+  ORDER BY (list_sum(list_transform(range(64), i -> CAST(centroid[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(centroid[i+1] AS DOUBLE) * CAST(centroid[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) DESC, label LIMIT 2),
+s AS (SELECT vec_id, embeddings.label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings JOIN probe ON embeddings.label = probe.label, q WHERE vec_id <> 0),
+t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, label, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
+    "emb_neardup" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bv a JOIN bv b ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id),
+v AS (SELECT vec_a, vec_b, round((list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))), 4) AS sim
+  FROM cand JOIN embeddings x ON cand.vec_a = x.vec_id JOIN embeddings y ON cand.vec_b = y.vec_id)
+SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
   )
 }

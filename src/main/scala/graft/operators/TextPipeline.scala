@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** LLM-training-data text operators over the `documents` table: stats,
+  * quality scoring, language-ID, fingerprinting, and the dedup family
+  * (exact, MinHash-LSH, SimHash, min-hash-blocked exact Jaccard).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - Per-document feature extraction (tokens, shingles, signatures) is a
+  *    stateless codegen'd projection — embarrassingly parallel, no shuffle.
+  *  - Every pairwise operator is BUCKETED: candidates come from an equi-join
+  *    on a content-derived key (LSH band digest / SimHash band / global
+  *    min-hash), so the shuffle is keyed by bucket and the cross product only
+  *    happens within a bucket. There is no all-pairs `crossJoin` anywhere.
+  *  - Expensive verification (exact Jaccard) runs only on candidate pairs,
+  *    joined back to the shingle sets by doc_id (hash-partitioned join).
+  *  - Skew: a degenerate bucket (e.g. thousands of copies of one page) would
+  *    concentrate one key; AQE skew-join handles it, and the band digest
+  *    domain (md5) is uniform otherwise.
+  */
+object TextPipeline {
+
+  private val JaccardThreshold = 0.8
+
+  /** docs with tokenized text — shared scan head. */
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** Per-document statistics: token counts (whitespace + BPE-ish regex),
+    * char length, distinct-token count, mean token length, stopword ratio.
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      size(toks).cast(LongType).as("n_tokens"),
+      regexTokenCount(col("text")).cast(LongType).as("n_tokens_bpe"),
+      size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+      round(aggregate(toks, lit(0), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks), 4).as("avg_token_len"),
+      round(stopwordHits(toks, LangProfiles.toMap.apply("en"))
+        .cast(DoubleType) / size(toks), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score in [0,1]: length, stopword presence, lexical
+    * diversity — the usual cheap pre-filters before expensive dedup/training.
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast(DoubleType)
+    val lengthScore = least(lit(1.0), nTokens / 50.0)
+    val stopScore = least(lit(1.0),
+      stopwordHits(toks, LangProfiles.toMap.apply("en")).cast(DoubleType)
+        / nTokens * 5.0)
+    val diversity = size(array_distinct(toks)).cast(DoubleType) / nTokens
+    val quality = lengthScore * 0.4 + stopScore * 0.3 + diversity * 0.3
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      round(quality, 4).as("quality"),
+      (quality >= 0.5).as("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID (argmax over [[LangProfiles]]). */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      langId(col("text")).as("lang_pred"),
+      greatest(LangProfiles.map { case (_, p) => stopwordHits(toks, p) }: _*)
+        .cast(LongType).as("best_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): positional k-gram
+    * hashes, MIN per sliding window of w=4, distinct survivors — one row per
+    * (doc, fingerprint). Guarantees any shared run of >= w+k-1 tokens yields
+    * a shared fingerprint.
+    *
+    * Plan shape: posexplode the per-doc hash array, then a window MIN
+    * partitioned by doc — each md5 is computed once and the sliding window
+    * is a streaming frame inside one partition. A document's hashes stay in
+    * one task, so at 100 TB this parallelizes per-document (partition count
+    * = doc count, no giant keys unless a single doc is huge).
+    */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 4
+    val positional = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(shingleHashes(col("text"))).as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    positional
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("m", min("h").over(win))
+      // full windows only; a doc shorter than w keeps its single pos-0 window
+      .filter(col("pos") <= col("n") - w || col("pos") === 0)
+      .select(col("doc_id"), col("m").as("fingerprint"))
+      .distinct()
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
+    * hash. One hash-partitioned aggregation; at 100 TB this is the standard
+    * shuffle-on-digest dedup (map-side partial min/count applies).
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("text_hash"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Near-dup candidate pairs that agree on >= 1 MinHash LSH band, verified
+    * with exact Jaccard >= 0.8. The join key is the band digest — bucketed,
+    * never all-pairs (see class doc).
+    */
+  def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = docs(spark, sfDir)
+      .select(col("doc_id"), shingleSet(col("text")).as("s"))
+    // repartition on the join key = an explicit exchange: the self-join's two
+    // sides canonicalize to the same plan and Spark reuses ONE shuffle
+    // (ReusedExchange), so the 16 min-hashes per doc are computed once, and
+    // the join itself needs no further shuffle.
+    val bands = sets
+      .select(col("doc_id"),
+        posexplode(lshBandDigests(col("s"))).as(Seq("band", "digest")))
+      .repartition(col("band"), col("digest"))
+    val cands = bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sets).orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs blocked on the single global min-hash (prefix-filter
+    * style: a pair with Jaccard J shares its min w.p. J), verified with
+    * exact Jaccard >= 0.8. Cheaper signature than banded MinHash, lower
+    * recall at mid similarity — the other classic point in the space.
+    */
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = docs(spark, sfDir)
+      .select(col("doc_id"), shingleSet(col("text")).as("s"))
+    val keyed = sets.select(col("doc_id"), minHash(col("s"), 99).as("block"))
+      .repartition(col("block"))
+    val cands = keyed.hint("shuffle_hash").as("a")
+      .join(keyed.hint("shuffle_hash").as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sets).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle sets
+    * (two hash joins by doc_id; arrays only materialize per-pair here).
+    */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+
+  /** SimHash near-dup: pairs sharing >= 1 of 4 8-bit SimHash bands with
+    * Hamming distance <= 3 over the full 32-bit signature. The 8-byte
+    * signature travels through the band join, so verification needs no
+    * re-join — constant-width state per row regardless of document size.
+    */
+  def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    // The repartition is an optimization fence: without it Catalyst inlines
+    // the token-hash array into the 32-reference bit loop and re-runs md5
+    // 32x per token; with it the array is a materialized attribute, hashed
+    // once. The tiny shuffle is also reused by both join sides. Same plan
+    // you want at 100 TB: hash once, shuffle constant-width signatures.
+    val sims = docs(spark, sfDir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), simHashFromHashes(col("hs")).as("sh"))
+    val bands = sims.select(col("doc_id"), col("sh"),
+      posexplode(simHashBands(col("sh"))).as(Seq("band", "val")))
+    bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+}
