@@ -44,6 +44,9 @@ object SparkEntry {
     "hc_gap_detect" -> ((s, d) => HealthCheckBatch.gapDetect(s, d)),
     "hc_alarm_transitions" -> ((s, d) =>
       HealthCheckBatch.alarmTransitions(s, d, SyntheticCfg)),
+    "hc_alarm_m_of_n" -> ((s, d) =>
+      HealthCheckBatch.alarmTransitions(s, d, SyntheticCfg.copy(
+        evaluationPeriods = 3, datapointsToAlarm = 2))),
     // Relational coverage
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -135,6 +138,26 @@ object SparkEntry {
         |             WHEN m.max_value > 150.0 THEN 'threshold' ELSE 'none' END AS reason
         |      FROM g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute),
         |t AS (SELECT *, lag(state) OVER (PARTITION BY event_type ORDER BY minute) AS prev_state FROM e)
+        |SELECT event_type, minute, state, reason, max_value FROM t
+        |WHERE prev_state IS NULL OR prev_state <> state
+        |ORDER BY event_type, minute""".stripMargin,
+    "hc_alarm_m_of_n" ->
+      """WITH b AS (SELECT event_type, date_trunc('minute', min(ts)) AS mn,
+        |                  date_trunc('minute', max(ts)) AS mx
+        |           FROM events GROUP BY event_type),
+        |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM b),
+        |m AS (SELECT event_type, date_trunc('minute', ts) AS minute, max(value) AS max_value
+        |      FROM events GROUP BY 1, 2),
+        |e AS (SELECT g.event_type, g.minute, m.max_value,
+        |        CASE WHEN m.max_value IS NULL OR m.max_value > 150.0 THEN 1 ELSE 0 END AS breach,
+        |        CASE WHEN m.max_value IS NULL THEN 'missing_data'
+        |             WHEN m.max_value > 150.0 THEN 'threshold' ELSE 'none' END AS reason
+        |      FROM g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute),
+        |s AS (SELECT *, CASE WHEN
+        |        sum(breach) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |        >= least(2, count(*) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |        THEN 'ALARM' ELSE 'OK' END AS state FROM e),
+        |t AS (SELECT *, lag(state) OVER (PARTITION BY event_type ORDER BY minute) AS prev_state FROM s)
         |SELECT event_type, minute, state, reason, max_value FROM t
         |WHERE prev_state IS NULL OR prev_state <> state
         |ORDER BY event_type, minute""".stripMargin,

@@ -42,18 +42,22 @@ object HealthCheckFunctions {
   /** K1 — tracer payload as UTF-8 bytes (the on-stream form). */
   def tracerBytes(ts: Column): Column = encode(tracerJson(ts), "UTF-8")
 
-  /** P4 — binary -> UTF-8 string decode (reference strict CharsetDecoder,
-    * Consumer.java:41,65). Spark's decode is lenient (replacement chars);
-    * strictness is layered separately — see [[utf8IsValid]] / SURVEY B4.
+  /** P4 — binary -> UTF-8 string decode. Spark 4's `decode` throws
+    * MALFORMED_CHARACTER_CODING on invalid bytes — the same strictness as
+    * the reference's CharsetDecoder (Consumer.java:41,65). Pipelines that
+    * must drop poisoned records instead of failing the batch guard it with
+    * [[decodeUtf8Safe]] (SURVEY B4/B5: the gap IS the signal).
     */
   def decodeUtf8(bin: Column): Column = decode(bin, "UTF-8")
 
-  /** B4 — validity check standing in for the reference's strict decoder:
-    * a malformed byte sequence must surface (reference throws -> batch yields
-    * no metric -> gap alarm). true iff `bin` round-trips UTF-8 losslessly.
+  /** P4+B4 — decode yielding NULL for malformed input (conditional branch:
+    * the strict decode only evaluates on valid rows).
     */
-  def utf8IsValid(bin: Column): Column =
-    encode(decode(bin, "UTF-8"), "UTF-8") === bin
+  def decodeUtf8Safe(bin: Column): Column =
+    when(utf8IsValid(bin), decode(bin, "UTF-8"))
+
+  /** B4 — strict validity check (true iff `bin` is well-formed UTF-8). */
+  def utf8IsValid(bin: Column): Column = call_function("is_valid_utf8", bin)
 
   /** P5 — JSON field extraction `/currentInstant` (reference JSON-pointer read,
     * Consumer.java:68).

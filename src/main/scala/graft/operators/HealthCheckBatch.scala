@@ -169,10 +169,17 @@ object HealthCheckBatch {
       .orderBy("event_type", "minute")
   }
 
-  /** O2 batch twin — alarm state machine over the full evaluation grid:
-    * per key per minute, state = ALARM iff the window max breaches the
-    * threshold OR the window is empty (missing data), emitting only the
-    * transition rows (Stack.java:172-183 semantics, replayed in batch).
+  /** O2+A2 batch twin — alarm state machine over the full evaluation grid:
+    * per key per period, breach iff the window max exceeds the threshold OR
+    * the window is empty (missing data = BREACHING, Stack.java:179); alarm
+    * status = ALARM iff >= datapointsToAlarm of the last evaluationPeriods
+    * evaluations breached (Stack.java:176,181 — M of N; partial history at
+    * the start of a key requires only the evaluations that exist). Emits
+    * only transition rows. Defaults (1 of 1) degenerate to "state follows
+    * the current evaluation" — the reference's deployed configuration.
+    *
+    * Mirrors [[graft.streaming.AlarmStateProcessor]] exactly; this replay is
+    * what the DuckDB oracle can check.
     */
   def alarmTransitions(spark: SparkSession, sfDir: String,
       cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
@@ -190,15 +197,22 @@ object HealthCheckBatch {
       .groupBy(col("event_type"),
         periodStart(col("ts"), cfg.periodMinutes).as("minute"))
       .agg(max("value").as("max_value"))
-    val evaluated = grid.join(perMinute, Seq("event_type", "minute"), "left")
+    val breached = grid.join(perMinute, Seq("event_type", "minute"), "left")
       .select(
         col("event_type"), col("minute"), col("max_value"),
-        when(col("max_value").isNull, lit("ALARM"))
-          .when(col("max_value") > threshold, lit("ALARM"))
-          .otherwise(lit("OK")).as("state"),
+        (col("max_value").isNull || col("max_value") > threshold)
+          .cast(IntegerType).as("breach"),
         when(col("max_value").isNull, lit("missing_data"))
           .when(col("max_value") > threshold, lit("threshold"))
           .otherwise(lit("none")).as("reason"))
+    // M-of-N over the trailing evaluation window (fewer at key start)
+    val mofn = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(-(cfg.evaluationPeriods - 1), Window.currentRow)
+    val evaluated = breached
+      .withColumn("state",
+        when(sum("breach").over(mofn) >=
+          least(lit(cfg.datapointsToAlarm), count(lit(1)).over(mofn)),
+          lit("ALARM")).otherwise(lit("OK")))
     val w = Window.partitionBy("event_type").orderBy("minute")
     evaluated
       .withColumn("prev_state", lag(col("state"), 1).over(w))

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+import graft.model.{AlarmTransition, HealthCheckConfig}
+
+/** Wires the metric stream into the stateful gap/alarm operator — the
+  * engine's answer to the reference's metric -> 1-min-max -> alarm -> SNS
+  * chain (SURVEY §3 E3, §7.2).
+  *
+  * The 1-minute MAX aggregation happens INSIDE [[AlarmStateProcessor]]
+  * (MapState per open period) rather than as a separate
+  * `groupBy(window(...))`: one stateful operator instead of two chained
+  * ones — fewer watermark interactions, one state store, one shuffle on
+  * `streamName`, and the gap timers see every period directly.
+  */
+object AlarmPipeline {
+
+  /** metric points (streamName, ts timestamp, value double) -> alarm
+    * transitions. Event-time mode: evaluation (including missing-data
+    * breaches) advances with the watermark, which makes it deterministic
+    * under replay and in MemoryStream tests. `watermarkDelay` is the
+    * lateness bound for metric points (SURVEY A1's 2-minute guidance).
+    */
+  def transitions(metrics: DataFrame, cfg: HealthCheckConfig = HealthCheckConfig(),
+      watermarkDelay: String = "2 minutes"): Dataset[TransitionEvent] = {
+    implicit val te = Encoders.product[TransitionEvent]
+    implicit val me = Encoders.product[MetricInput]
+    metrics
+      .withWatermark("ts", watermarkDelay)
+      .select(col("streamName"),
+        (unix_millis(col("ts"))).as("tsMs"),
+        col("value"))
+      .as[MetricInput]
+      .groupByKey(_.streamName)(Encoders.STRING)
+      .transformWithState(new AlarmStateProcessor(cfg),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Transition events with timestamp typed back for sinks/oracles (O3). */
+  def transitionRows(transitions: Dataset[TransitionEvent]): Dataset[AlarmTransition] = {
+    implicit val enc = Encoders.product[AlarmTransition]
+    transitions.map(t => AlarmTransition(
+      t.streamName, new java.sql.Timestamp(t.atMs), t.from, t.to, t.reason,
+      t.observedValue))
+  }
+}

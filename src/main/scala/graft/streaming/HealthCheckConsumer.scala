@@ -50,7 +50,7 @@ object HealthCheckConsumer {
     val since = cfg.latencyMode match {
       case LatencyMode.ArrivalTime => arrivalTs
       case LatencyMode.EventTime =>
-        parseIso(extractInstant(decodeUtf8(col("data"))))
+        parseIso(extractInstant(decodeUtf8Safe(col("data"))))
     }
     // B4 (UTF-8 validity) for both modes; in EventTime mode a payload that is
     // valid UTF-8 but not the expected JSON must also yield NO metric (the
@@ -63,10 +63,22 @@ object HealthCheckConsumer {
     val base = records.filter(valid)
     val limited =
       if (!cfg.firstRecordOnly) base
-      else {
-        // B1 compatibility mode: one metric per (stream, arrival second)
-        // batch, by earliest sequence number — the deployed batchSize=1
-        // behavior. Streaming-safe: deterministic within a micro-batch.
+      else if (records.isStreaming) {
+        // B1 compatibility mode, streaming path: non-time window functions
+        // are unsupported on streams, so the one-record-per-(stream, arrival
+        // second) cut uses dropDuplicatesWithinWatermark keyed on
+        // (ARN, arrival second) — state expires with the watermark instead
+        // of growing forever. With the reference's deployed batchSize=1 the
+        // early return is a per-batch no-op anyway (SURVEY B1).
+        base
+          .withColumn("__arrival", arrivalTs)
+          .withWatermark("__arrival", "2 minutes")
+          .dropDuplicatesWithinWatermark(
+            "eventSourceARN", "approximateArrivalTimestamp")
+          .drop("__arrival")
+      } else {
+        // batch twin: deterministic earliest-(sequenceNumber) per
+        // (stream, arrival second)
         val w = Window
           .partitionBy(col("eventSourceARN"), col("approximateArrivalTimestamp"))
           .orderBy(col("sequenceNumber"))

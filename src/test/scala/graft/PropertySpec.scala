@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.HealthCheckFunctions._
+import graft.functions.TextFunctions._
+import graft.operators.HealthCheckBatch
+
+/** ScalaCheck properties (SURVEY §5.4). Each property evaluates a batch of
+  * generated cases through ONE Spark job to keep the suite fast.
+  */
+class PropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  test("latency is non-negative and truncates like Duration.toSeconds (B3)") {
+    val cases = Gen.listOfN(60, for {
+      base <- Gen.choose(0L, 4102444800L)
+      delta <- Gen.choose(0L, 100000L)
+    } yield (base, base + delta)).sample.get
+    val out = cases.toDF("a", "b")
+      .select($"a", $"b",
+        latencySeconds(fromEpochSeconds($"b"), fromEpochSeconds($"a")).as("l"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, l) => l shouldBe (b - a) }
+  }
+
+  test("isoUtc/parseIso round-trip is identity on whole-second timestamps") {
+    val cases = Gen.listOfN(60, Gen.choose(0L, 4102444800L)).sample.get
+    val out = cases.toDF("e")
+      .select($"e", unix_timestamp(parseIso(isoUtc(fromEpochSeconds($"e")))).as("r"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (e, r) => r shouldBe e }
+  }
+
+  test("periodStart is idempotent and total: every ts lands in its own period") {
+    val cases = Gen.listOfN(60, for {
+      epoch <- Gen.choose(0L, 4102444800L)
+      period <- Gen.oneOf(1, 2, 5, 15)
+    } yield (epoch, period)).sample.get
+    cases.groupBy(_._2).foreach { case (p, group) =>
+      val out = group.map(_._1).toDF("e")
+        .select($"e",
+          unix_timestamp(HealthCheckBatch.periodStart(fromEpochSeconds($"e"), p))
+            .as("w"))
+        .as[(Long, Long)].collect()
+      out.foreach { case (e, w) =>
+        w % (p * 60L) shouldBe 0
+        w should be <= e
+        (e - w) should be < (p * 60L)
+      }
+    }
+  }
+
+  test("jaccard is bounded in [0,1], symmetric, and 1 iff equal sets") {
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val text = Gen.listOfN(10, word).map(_.mkString(" "))
+    val cases = Gen.listOfN(40, Gen.zip(text, text)).sample.get
+    val out = cases.toDF("ta", "tb")
+      .select(
+        jaccard(shingleSet($"ta", 1), shingleSet($"tb", 1)).as("jab"),
+        jaccard(shingleSet($"tb", 1), shingleSet($"ta", 1)).as("jba"),
+        (array_sort(shingleSet($"ta", 1)) === array_sort(shingleSet($"tb", 1)))
+          .as("eq"))
+      .as[(Double, Double, Boolean)].collect()
+    out.foreach { case (jab, jba, eq) =>
+      jab should (be >= 0.0 and be <= 1.0)
+      jab shouldBe jba
+      if (eq) jab shouldBe 1.0 else jab should be < 1.0
+    }
+  }
+
+  test("simhash is invariant under token permutation") {
+    val word = Gen.oneOf((1 to 20).map(i => s"w$i"))
+    val tokens = Gen.nonEmptyListOf(word).map(_.take(30))
+    val cases = Gen.listOfN(30, tokens).sample.get
+    val pairs = cases.map(t => (t.mkString(" "),
+      scala.util.Random.shuffle(t).mkString(" ")))
+    val out = pairs.toDF("ta", "tb")
+      .select(simHash($"ta"), simHash($"tb")).as[(Long, Long)].collect()
+    out.foreach { case (a, b) => a shouldBe b }
+  }
+
+  test("alarm transitions: states alternate and reasons are consistent") {
+    // replayed on the real sf0.001 table — an invariant check of the batch
+    // alarm operator rather than a generated-input property
+    val df = HealthCheckBatch.alarmTransitions(spark, "/root/testdata/sf0.001",
+      graft.model.HealthCheckConfig(thresholdSeconds = 150.0))
+    val rows = df.collect()
+    rows should not be empty
+    rows.groupBy(_.getString(0)).foreach { case (_, ts) =>
+      val states = ts.sortBy(_.getTimestamp(1).getTime).map(_.getString(2))
+      states.sliding(2).foreach {
+        case Array(a, b) => a should not be b // transitions only on change
+        case _ =>
+      }
+      ts.foreach { r =>
+        val (state, reason) = (r.getString(2), r.getString(3))
+        if (reason == "missing_data") r.isNullAt(4) shouldBe true
+        if (state == "OK") reason shouldBe "none"
+      }
+    }
+  }
+}

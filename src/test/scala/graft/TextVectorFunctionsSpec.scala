@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Unit semantics of the LLM-pipeline building blocks (exact values — the
+  * corpus-level behavior is pinned by the DuckDB oracle queries).
+  */
+class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: ordered word 3-grams; short docs collapse to one shingle") {
+    val out = Seq("a b c d e", "a b").toDF("text")
+      .select(shingles($"text").as("s")).as[Seq[String]].collect()
+    out(0) shouldBe Seq("a b c", "b c d", "c d e")
+    out(1) shouldBe Seq("a b")
+  }
+
+  test("jaccard: identical sets 1.0, disjoint 0.0, half overlap computed exactly") {
+    val df = Seq(
+      ("x y z", "x y z"),
+      ("x y z", "p q r"),
+      ("a b c d", "c d e f")).toDF("ta", "tb")
+    val out = df.select(
+      jaccard(shingleSet($"ta", 1), shingleSet($"tb", 1))).as[Double].collect()
+    out(0) shouldBe 1.0
+    out(1) shouldBe 0.0
+    out(2) shouldBe 2.0 / 6.0
+  }
+
+  test("minhash is permutation-invariant over the shingle set") {
+    val out = Seq("a b c d e f", "f e d c b a").toDF("text")
+      .select(minHash(shingleSet($"text", 1), 7)).as[String].collect()
+    out(0) shouldBe out(1) // same token SET => same min over md5s
+  }
+
+  test("simhash: identical token multisets agree; one-token change stays close") {
+    val out = Seq(
+      "spark table join window agg batch",
+      "batch agg window join table spark",  // permutation
+      "spark table join window agg merge")  // one substitution
+      .toDF("text").select(simHash($"text")).as[Long].collect()
+    out(0) shouldBe out(1)
+    java.lang.Long.bitCount(out(0) ^ out(2)) should be <= 16
+    out(0) should not be out(2)
+  }
+
+  test("langId picks the profile with most hits; en text classifies en") {
+    val out = Seq("the cat is a fast animal", "der hund ist nicht da")
+      .toDF("text").select(langId($"text")).as[String].collect()
+    out(0) shouldBe "en"
+    out(1) shouldBe "de"
+  }
+
+  test("regexTokenCount splits letter runs, digit runs, other chars") {
+    val out = Seq("abc 123 x!y").toDF("text")
+      .select(regexTokenCount($"text")).as[Int].head()
+    out shouldBe 5 // abc, 123, x, !, y
+  }
+
+  test("dot and cosine: exact on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    df.select(dot($"a", $"b")).as[Double].head() shouldBe 32.0
+    val cos = df.select(cosine($"a", $"a")).as[Double].head()
+    cos shouldBe 1.0 +- 1e-12
+  }
+
+  test("hyperplaneBit is the sign of the dot product") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),
+      (Seq(-1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("v", "h")
+    df.select(hyperplaneBit($"v", $"h")).as[Int].collect() shouldBe Array(1, 0)
+  }
+
+  test("lshBandDigests: near-identical shingle sets share a band; disjoint do not") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    val out = Seq(base, near, far).toDF("text")
+      .select(lshBandDigests(shingleSet($"text")).as("b")).as[Seq[String]].collect()
+    out(0).intersect(out(1)) should not be empty
+    out(0).intersect(out(2)) shouldBe empty
+  }
+}
