@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{HealthCheckBatch, Relational, SimilarityPipeline, TextPipeline}
+import graft.operators.{HealthCheckBatch, MultimodalPipeline, Relational, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
+    // Multimodal binary columns (payload synthesis -> header parse -> frames)
+    "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
+    "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     // LLM-data-pipeline: similarity search over `embeddings`
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
@@ -296,6 +299,21 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "media_meta" ->
+      """SELECT doc_id AS media_id, 'GR' AS magic,
+  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+  CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+  CAST(len(text) AS BIGINT) AS body_bytes,
+  md5(text) AS body_md5
+FROM documents ORDER BY media_id""",
+    "media_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+  CAST((len(text)+15)//16 AS BIGINT) AS n_frames FROM documents)
+SELECT media_id, n_frames,
+  unnest(range((n_frames-1)//4 + 1)) AS sample_idx,
+  unnest(list_transform(range((n_frames-1)//4 + 1), i -> md5(substr(text, CAST(i*64+1 AS INT), 16)))) AS frame_md5
+FROM f ORDER BY media_id, sample_idx""",
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id, label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c

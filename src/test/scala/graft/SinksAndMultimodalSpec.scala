@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model.{AlarmTransition, HealthCheckConfig}
+import graft.operators.MultimodalPipeline
+import graft.streaming.{AlarmPipeline, StreamSinks, TracerProducer, TransitionEvent}
+
+/** Sinks (K1 partitioned append, O3 transition delivery) and the multimodal
+  * binary-column plumbing.
+  */
+class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("K1: tracer stream appends partitioned by key bucket and round-trips") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Timestamp]
+    val tracer = TracerProducer.fromTicks(
+      input.toDF().toDF("timestamp"), HealthCheckConfig())
+    val out = Files.createTempDirectory("tracer-sink").toString
+    input.addData((0 until 10).map(m => new Timestamp(m * 60000L)))
+    val q = StreamSinks.tracerAppend(tracer, s"$out/data",
+      s"$out/chk").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(s"$out/data")
+    back.count() shouldBe 10
+    back.select("partitionKey").distinct().count() shouldBe 10 // B6 spread
+    back.columns should contain("bucket") // partitioned layout
+  }
+
+  test("O3: transitions deliver through foreachBatch exactly once per change") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val metrics = input.toDF().toDF("streamName", "ts", "value")
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[AlarmTransition]
+    val q = StreamSinks.transitionsForeach(
+      AlarmPipeline.transitionRows(AlarmPipeline.transitions(metrics)),
+      Files.createTempDirectory("o3-chk").toString) { (batch, _) =>
+      delivered.synchronized { delivered ++= batch }
+    }.start()
+    try {
+      input.addData(Seq(("s", new Timestamp(0L), 0.5),
+        ("s", new Timestamp(60000L), 9.0)))
+      q.processAllAvailable()
+      input.addData(Seq(("s", new Timestamp(600000L), 0.5)))
+      q.processAllAvailable()
+      input.addData(Seq.empty)
+      q.processAllAvailable()
+    } finally q.stop()
+    val alarms = delivered.filter(_.to == "ALARM")
+    alarms.map(_.reason) should contain("threshold")
+    alarms.head.observedValue shouldBe Some(9.0)
+  }
+
+  test("multimodal: header parse round-trips the synthesized payload exactly") {
+    val meta = MultimodalPipeline.mediaMeta(spark, sf).collect()
+    meta.length shouldBe 500
+    meta.foreach { r =>
+      r.getAs[String]("magic") shouldBe "GR"
+      Set("image", "audio", "video") should contain(r.getAs[String]("kind"))
+      // width derives from n_chars == body length (round-trip through header)
+      r.getAs[Long]("width") shouldBe (r.getAs[Long]("body_bytes") % 64) + 1
+      r.getAs[Long]("height") shouldBe (r.getAs[Long]("media_id") % 48) + 1
+    }
+  }
+
+  test("multimodal: frame sampling keeps every 4th 16-byte frame") {
+    val frames = MultimodalPipeline.mediaFrameSample(spark, sf)
+    val one = frames.filter($"media_id" === 0).collect()
+    val nChars = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === 0).select("n_chars").as[Long].head()
+    val nFrames = (nChars + 15) / 16
+    one.head.getAs[Long]("n_frames") shouldBe nFrames
+    one.length shouldBe ((nFrames - 1) / 4 + 1)
+    one.map(_.getAs[Long]("sample_idx")).toSeq shouldBe (0L until one.length)
+  }
+
+  test("multimodal: stubbed decode emits deterministic features via mapPartitions") {
+    val f1 = MultimodalPipeline.decodeFeatures(spark, sf).collect()
+      .sortBy(_.media_id)
+    val f2 = MultimodalPipeline.decodeFeatures(spark, sf).collect()
+      .sortBy(_.media_id)
+    f1.length shouldBe 500
+    f1.map(_.luma_mean).toSeq shouldBe f2.map(_.luma_mean).toSeq // deterministic
+    f1.foreach { f =>
+      f.luma_mean should (be >= 32.0 and be <= 127.0) // printable-ASCII body
+      f.n_frames should be > 0
+    }
+  }
+}
