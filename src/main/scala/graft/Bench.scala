@@ -30,12 +30,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.expressions.VectorExpressions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the JVM + parquet footer caches so the first measured query is
-    // not charged for classloading/codegen bring-up.
-    Tables.load(spark, sfDir, "region").write.format("noop")
-      .mode("overwrite").save()
+    // Warm the JVM, parquet footer caches, codegen, and the shuffle stack so
+    // the first measured query (alphabetical order) is not charged for
+    // session bring-up.
+    Seq("region", "documents", "embeddings").foreach(t =>
+      Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
+    Tables.load(spark, sfDir, "region").groupBy("r_name").count()
+      .write.format("noop").mode("overwrite").save()
 
     def esc(s: String): String =
       s.flatMap {

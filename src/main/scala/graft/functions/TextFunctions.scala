@@ -99,6 +99,12 @@ object TextFunctions {
     * higher-order functions) — bit-identical in the DuckDB oracle, no UDFs.
     */
   def simHashFromHashes(hashes: Column): Column =
+    graft.expressions.VectorExpressions.simHash32Native(hashes)
+
+  /** HOF reference formulation of [[simHashFromHashes]] (semantics spec the
+    * native expression is tested against).
+    */
+  def simHashFromHashesHof(hashes: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(31)), b => {
         val vote = aggregate(

@@ -20,8 +20,17 @@ object VectorFunctions {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-order dot product in double precision. */
+  /** Sequential-order dot product in double precision — the native codegen'd
+    * [[graft.expressions.DotProduct]] (registered by the pipelines /
+    * GraftExtensions). Bit-identical to the HOF formulation below.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotNative(a, b)
+
+  /** HOF reference formulation of [[dot]] (kept as the semantics spec the
+    * native expression is tested against).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)

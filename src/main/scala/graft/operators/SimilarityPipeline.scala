@@ -44,6 +44,7 @@ object SimilarityPipeline {
 
   /** Brute-force exact cosine top-k against the fixed query vector. */
   def simTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
     val scored = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(e)))
@@ -66,6 +67,7 @@ object SimilarityPipeline {
     * oracle replicates the same probe decision.
     */
   def simTopKIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
     // Elementwise mean per label: posexplode -> (label, pos) partial sums ->
     // re-assembled array. Two small shuffles keyed by (label, pos) / label;
@@ -104,6 +106,7 @@ object SimilarityPipeline {
     * verified at cosine >= [[NearDupThreshold]].
     */
   def embNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
     val hyper = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("h_idx"), col("embedding").as("h"))

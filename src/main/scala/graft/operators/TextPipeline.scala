@@ -125,8 +125,11 @@ object TextPipeline {
     * never all-pairs (see class doc).
     */
   def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    // doc_id fence: shingle sets computed once; the band explode and both
+    // jaccard-verify joins read the same reused exchange
     val sets = docs(spark, sfDir)
       .select(col("doc_id"), shingleSet(col("text")).as("s"))
+      .repartition(col("doc_id"))
     // repartition on the join key = an explicit exchange: the self-join's two
     // sides canonicalize to the same plan and Spark reuses ONE shuffle
     // (ReusedExchange), so the 16 min-hashes per doc are computed once, and
@@ -150,8 +153,10 @@ object TextPipeline {
     * recall at mid similarity — the other classic point in the space.
     */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // doc_id fence: one shingle-set computation shared by blocker + verify
     val sets = docs(spark, sfDir)
       .select(col("doc_id"), shingleSet(col("text")).as("s"))
+      .repartition(col("doc_id"))
     val keyed = sets.select(col("doc_id"), minHash(col("s"), 99).as("block"))
       .repartition(col("block"))
     val cands = keyed.hint("shuffle_hash").as("a")
@@ -180,6 +185,7 @@ object TextPipeline {
     * re-join — constant-width state per row regardless of document size.
     */
   def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     // The repartition is an optimization fence: without it Catalyst inlines
     // the token-hash array into the 32-reference bit loop and re-runs md5
     // 32x per token; with it the array is a materialized attribute, hashed

@@ -19,7 +19,8 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 }
 
 object SparkTestBase {
-  lazy val session: SparkSession = SparkSession.builder()
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
@@ -30,4 +31,7 @@ object SparkTestBase {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.sql.streaming.checkpointLocation.deleteOnExit", "true")
     .getOrCreate()
+    graft.expressions.VectorExpressions.register(s)
+    s
+  }
 }

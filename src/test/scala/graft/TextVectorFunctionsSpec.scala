@@ -69,6 +69,26 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     cos shouldBe 1.0 +- 1e-12
   }
 
+  test("native DotProduct / SimHash32 expressions are bit-identical to the HOF forms") {
+    graft.expressions.VectorExpressions.register(spark)
+    val vecs = (0 until 50).map(i => (
+      (0 until 64).map(j => (math.sin(i * 64 + j) * 2).toFloat),
+      (0 until 64).map(j => (math.cos(i * 64 + j) * 3).toFloat)))
+    val dots = vecs.toDF("a", "b")
+      .select(dot($"a", $"b").as("n"), dotHof($"a", $"b").as("h"))
+      .as[(Double, Double)].collect()
+    dots.foreach { case (n, h) =>
+      java.lang.Double.doubleToLongBits(n) shouldBe
+        java.lang.Double.doubleToLongBits(h) // bit-identical, not approx
+    }
+    val texts = (0 until 30).map(i => (0 to i + 3).map(j => s"w${(i * 7 + j) % 23}").mkString(" "))
+    val sims = texts.toDF("text")
+      .select(simHashFromHashes(tokenHashes($"text")).as("n"),
+        simHashFromHashesHof(tokenHashes($"text")).as("h"))
+      .as[(Long, Long)].collect()
+    sims.foreach { case (n, h) => n shouldBe h }
+  }
+
   test("hyperplaneBit is the sign of the dot product") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),
