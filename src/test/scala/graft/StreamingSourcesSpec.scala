@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model.{HealthCheckConfig, Schemas}
+import graft.streaming.{HealthCheckConsumer, StreamingDedup, TracerProducer}
+
+/** Source coverage (SURVEY §2.1): S1 the deterministic rate-micro-batch tick
+  * source, S2 the envelope stream through explode/decode on a real streaming
+  * DataFrame, S3 the golden fixture read from a FILE with the declared
+  * envelope schema — plus the watermarked streaming dedup operators.
+  */
+class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  test("S1: rate-micro-batch tracer stream emits deterministic ticks") {
+    val q = TracerProducer.tracerStream(spark, HealthCheckConfig(),
+      rowsPerBatch = 1, startTimestampMs = Some(0L))
+      .writeStream.format("memory").queryName("s1_tracer")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-s1").toString)
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("s1_tracer").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val rows = spark.table("s1_tracer").collect()
+      rows should not be empty
+      val first = rows.minBy(_.getAs[Timestamp]("producedAt").getTime)
+      // startTimestamp=0 makes the first tick the epoch — deterministic (P1)
+      first.getAs[String]("partitionKey") shouldBe "1970-01-01T00:00:00Z"
+      first.getAs[String]("type") shouldBe "KinesisHealthCheckCanary"
+      new String(first.getAs[Array[Byte]]("data"), "UTF-8") shouldBe
+        """{"currentInstant":"1970-01-01T00:00:00Z"}"""
+    } finally q.stop()
+  }
+
+  test("S2: envelope batches flow through explode/decode as a real stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelopes = input.toDF()
+      .select(from_json(col("value"), Schemas.kinesisEnvelope).as("env"))
+      .select(col("env.records").as("records"))
+    val metrics = HealthCheckConsumer.metrics(
+      HealthCheckConsumer.fromEnvelope(envelopes),
+      HealthCheckConfig(),
+      now = graft.functions.HealthCheckFunctions
+        .fromEpochSeconds(col("approximateArrivalTimestamp") + 3))
+    val q = metrics.writeStream.format("memory").queryName("s2_metrics")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-s2").toString)
+      .outputMode("append").start()
+    try {
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        """{"currentInstant":"2022-10-17T10:00:00Z"}""".getBytes("UTF-8"))
+      input.addData(
+        s"""{"records":[{"kinesis":{"kinesisSchemaVersion":"1.0","partitionKey":"pk",
+           |"sequenceNumber":"1","data":"$b64","approximateArrivalTimestamp":1666014770},
+           |"eventSource":"aws:kinesis","eventVersion":"1.0","eventID":"e1",
+           |"eventName":"aws:kinesis:record","invokeIdentityArn":"arn","awsRegion":"eu-west-1",
+           |"eventSourceARN":"arn:aws:kinesis:eu-west-1:1:stream/health-check-stream"}]}"""
+          .stripMargin.replaceAll("\n", ""))
+      q.processAllAvailable()
+      val m = spark.table("s2_metrics").collect()
+      m.length shouldBe 1
+      m.head.getAs[String]("streamName") shouldBe "health-check-stream"
+      m.head.getAs[Double]("value") shouldBe 3.0 // injected now = arrival+3
+    } finally q.stop()
+  }
+
+  test("S3: golden fixture envelope read from a file with the declared schema") {
+    val dir = Files.createTempDirectory("fixture")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"currentInstant": "2022-10-17T10:00:00Z"}""".getBytes("UTF-8"))
+    // multi-line JSON file, the reference fixture's shape (kinesis-event.json)
+    Files.writeString(dir.resolve("kinesis-event.json"),
+      s"""{
+         |  "records": [
+         |    {
+         |      "kinesis": {
+         |        "kinesisSchemaVersion": "1.0",
+         |        "partitionKey": "2022-10-17T10:00:00Z",
+         |        "sequenceNumber": "49533603912491631504635834245441018458760798439001555074",
+         |        "data": "$b64",
+         |        "approximateArrivalTimestamp": 1666014770
+         |      },
+         |      "eventSource": "aws:kinesis",
+         |      "eventVersion": "1.0",
+         |      "eventID": "shardId-000000000000:49533603912491631504635834245441018458760798439001555074",
+         |      "eventName": "aws:kinesis:record",
+         |      "invokeIdentityArn": "arn:aws:iam::123456789012:role/role",
+         |      "awsRegion": "eu-west-1",
+         |      "eventSourceARN": "arn:aws:kinesis:eu-west-1:123456789012:stream/health-check-stream"
+         |    }
+         |  ]
+         |}""".stripMargin)
+    val env = spark.read.schema(Schemas.kinesisEnvelope)
+      .option("multiLine", true).json(dir.toString)
+    val records = HealthCheckConsumer.fromEnvelope(env)
+    val r = records.collect().head
+    r.getAs[Long]("approximateArrivalTimestamp") shouldBe 1666014770L
+    new String(r.getAs[Array[Byte]]("data"), "UTF-8") shouldBe
+      """{"currentInstant": "2022-10-17T10:00:00Z"}"""
+  }
+
+  test("streaming exact dedup keeps one representative per digest within watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.dedupExactStream(docs, "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-dd").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "alpha beta gamma", new Timestamp(0L)),
+        (2L, "alpha beta gamma", new Timestamp(1000L)), // dup of 1
+        (3L, "delta epsilon", new Timestamp(2000L))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (4L, "ALPHA BETA GAMMA", new Timestamp(3000L)))) // dup modulo case
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id").as[Long]
+        .collect().sorted
+      // within one micro-batch the surviving representative is arbitrary
+      // (1 or 2); the later-batch duplicate (4) must be suppressed
+      ids.length shouldBe 2
+      Set(1L, 2L) should contain(ids.head)
+      ids.last shouldBe 3L
+    } finally q.stop()
+  }
+
+  test("streaming near-dedup suppresses LSH-band duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.dedupNearStream(docs, "ts")
+      .writeStream.format("memory").queryName("neardedup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-nd").toString)
+      .outputMode("append").start()
+    try {
+      val base = (1 to 40).map(i => s"w$i").mkString(" ")
+      input.addData(Seq(
+        (1L, base, new Timestamp(0L)),
+        (2L, base, new Timestamp(1000L)), // identical => same band digest
+        (3L, (100 to 140).map(i => s"w$i").mkString(" "), new Timestamp(2000L))))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_stream").select("doc_id").as[Long]
+        .collect().sorted
+      ids.length shouldBe 2
+      Set(1L, 2L) should contain(ids.head)
+      ids.last shouldBe 3L
+    } finally q.stop()
+  }
+}
