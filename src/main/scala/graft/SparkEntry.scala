@@ -51,11 +51,15 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
     "q5_join" -> ((s, d) => Relational.q5Join(s, d)),
+    "q6_filter" -> ((s, d) => Relational.q6Filter(s, d)),
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
     "text_lang_id" -> ((s, d) => TextPipeline.textLangId(s, d)),
     "text_fingerprint" -> ((s, d) => TextPipeline.textFingerprint(s, d)),
+    "text_vocab" -> ((s, d) => TextPipeline.textVocab(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -68,6 +72,7 @@ object SparkEntry {
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
+    "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL for each key in [[queries]]. */
@@ -299,6 +304,80 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "q6_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND l_quantity < 24""",
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_big_orders" ->
+      """WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big, orders, customer
+WHERE big.l_orderkey = o_orderkey AND o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "text_vocab" ->
+      """SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n_total DESC, token LIMIT 20""",
+    "emb_centroid_stats" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(64)) AS pos FROM embeddings),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
+  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS cnt FROM e GROUP BY label, pos)
+  GROUP BY label)
+SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
+FROM cent ORDER BY label""",
+    "q6_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND l_quantity < 24""",
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_big_orders" ->
+      """WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big, orders, customer
+WHERE big.l_orderkey = o_orderkey AND o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "text_vocab" ->
+      """SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n_total DESC, token LIMIT 20""",
+    "emb_centroid_stats" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(64)) AS pos FROM embeddings),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
+  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS cnt FROM e GROUP BY label, pos)
+  GROUP BY label)
+SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
+FROM cent ORDER BY label""",
     "media_meta" ->
       """SELECT doc_id AS media_id, 'GR' AS magic,
   ['image','audio','video'][(doc_id % 3) + 1] AS kind,

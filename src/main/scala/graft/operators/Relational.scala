@@ -78,6 +78,68 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6-style: pure scan + tight filter + global agg — the pushdown
+    * showcase (every predicate reaches the parquet scan; zero shuffle beyond
+    * the single-row final agg).
+    */
+  def q6Filter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").cast(dec4).between(
+            lit(0.05).cast(dec4), lit(0.07).cast(dec4)) &&
+          col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec12) * col("l_discount").cast(dec4))
+        .cast(DoubleType).as("revenue"))
+
+  /** TPC-H Q10-style: returned-item revenue by customer — 4-way join +
+    * group + top-k. customer/orders/lineitem all fact-sized: no hints,
+    * natural shuffle keys; nation broadcast.
+    */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-07-01").cast(TimestampType)
+    val hi = lit("1996-10-01").cast(TimestampType)
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18-style: large-volume orders — aggregate-then-semijoin shape.
+    * The HAVING-style pre-aggregation keys the join to a small filtered set
+    * before touching orders/customer (classic shuffle-minimizing order).
+    */
+  def q18BigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec12)).cast(DoubleType).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q5-style: 6-way join + agg.
     *
     * Broadcast hints only on the genuinely tiny dimensions (region: 5 rows,

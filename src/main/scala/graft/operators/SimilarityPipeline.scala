@@ -101,6 +101,27 @@ object SimilarityPipeline {
       .orderBy("rank")
   }
 
+  /** Per-cluster (label) statistics: member count and centroid L2 norm —
+    * the IVF index-build summary. Centroid assembly reuses the posexplode
+    * aggregation path; output norms rounded for cross-engine float parity.
+    */
+  def embCentroidStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("m"), count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+        first(col("cnt")).as("n"))
+      .select(col("label"), col("n"),
+        transform(col("pm"), x => x.getField("m")).as("centroid"))
+    centroids.select(col("label"), col("n"),
+      round(l2Norm(col("centroid")), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Embedding near-duplicate pairs: 16 hyperplane sign bits (normals =
     * vec_id 0..15), 4 bands x 4 bits; pairs sharing a band bucket are
     * verified at cosine >= [[NearDupThreshold]].

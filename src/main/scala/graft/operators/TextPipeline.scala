@@ -109,6 +109,20 @@ object TextPipeline {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Corpus vocabulary: token -> total count + document frequency, top 20 —
+    * the vocab-building pass of a tokenizer/BPE pipeline. explode -> two-level
+    * agg; at 100 TB the token key-space is small (vocab), so the final
+    * aggregation is tiny after map-side partial aggregation.
+    */
+  def textVocab(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(20)
+
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * hash. One hash-partitioned aggregation; at 100 TB this is the standard
     * shuffle-on-digest dedup (map-side partial min/count applies).
