@@ -163,7 +163,8 @@ object VectorExpressions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args => DotProduct(args(0), args(1)) },
-    "graft_simhash32" -> { args => SimHash32(args(0)) })
+    "graft_simhash32" -> { args => SimHash32(args(0)) },
+    "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -178,6 +179,8 @@ object VectorExpressions {
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def simHash32Native(hashes: Column): Column =
     call_function("graft_simhash32", hashes)
+  def minHashBandsNative(shingleSet: Column): Column =
+    call_function("graft_minhash_bands", shingleSet)
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -192,5 +195,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (args: Seq[Expression]) => SimHash32(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandDigests].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => MinHashBandDigests(args(0))))
   }
 }

@@ -139,6 +139,7 @@ object TextPipeline {
     * never all-pairs (see class doc).
     */
   def dedupMinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     // doc_id fence: shingle sets computed once; the band explode and both
     // jaccard-verify joins read the same reused exchange
     val sets = docs(spark, sfDir)
@@ -150,7 +151,8 @@ object TextPipeline {
     // the join itself needs no further shuffle.
     val bands = sets
       .select(col("doc_id"),
-        posexplode(lshBandDigests(col("s"))).as(Seq("band", "digest")))
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
       .repartition(col("band"), col("digest"))
     val cands = bands.hint("shuffle_hash").as("a")
       .join(bands.hint("shuffle_hash").as("b"),

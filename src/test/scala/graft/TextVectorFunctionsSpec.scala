@@ -89,6 +89,19 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     sims.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native MinHashBandDigests matches the HOF lshBandDigests exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = (0 until 30).map(i =>
+      (0 to 20 + i).map(j => s"w${(i * 13 + j) % 37}").mkString(" "))
+    val out = texts.toDF("text")
+      .select(
+        graft.expressions.VectorExpressions
+          .minHashBandsNative(shingleSet($"text")).as("n"),
+        lshBandDigests(shingleSet($"text")).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
   test("hyperplaneBit is the sign of the dot product") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),
