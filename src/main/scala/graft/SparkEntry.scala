@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
+    "dedup_pipeline" -> ((s, d) => TextPipeline.dedupPipeline(s, d)),
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
@@ -393,6 +394,25 @@ SELECT media_id, n_frames,
   unnest(range((n_frames-1)//4 + 1)) AS sample_idx,
   unnest(list_transform(range((n_frames-1)//4 + 1), i -> md5(substr(text, CAST(i*64+1 AS INT), 16)))) AS frame_md5
 FROM f ORDER BY media_id, sample_idx""",
+    "dedup_pipeline" ->
+      """WITH reps AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS n_copies
+  FROM documents GROUP BY md5(lower(trim(text)))),
+sh AS (
+  SELECT doc_id, n_copies, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, n_copies, string_split(text, ' ') AS toks FROM reps)),
+ss AS (SELECT doc_id, n_copies, list_distinct(sg) AS s FROM sh),
+sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
+  FROM sig, (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard,
+    x.n_copies AS copies_a, y.n_copies AS copies_b
+  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard, copies_a, copies_b FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id, label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c

@@ -184,6 +184,45 @@ object TextPipeline {
     verifyJaccard(cands, sets).orderBy("doc_a", "doc_b")
   }
 
+  /** The production dedup shape: exact dedup FIRST (identical texts collapse
+    * to one representative, carrying its copy count), then MinHash-LSH
+    * near-dup among representatives only. Besides being what a real corpus
+    * pipeline runs, the exact pre-collapse is the skew defense for the band
+    * join: a page duplicated a million times contributes ONE row to its LSH
+    * bucket instead of a quadratic candidate explosion.
+    */
+  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val reps = docs(spark, sfDir)
+      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        count(lit(1)).as("n_copies"))
+    val sets = reps
+      .select(col("doc_id"), col("n_copies"), shingleSet(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    val bands = sets
+      .select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+      .repartition(col("band"), col("digest"))
+    val cands = bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+        col("n_copies").as("copies_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+        col("n_copies").as("copies_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sa"), col("sb")), 4).as("jaccard"),
+        col("copies_a"), col("copies_b"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the shingle sets
     * (two hash joins by doc_id; arrays only materialize per-pair here).
     */

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model.HealthCheckConfig
+import graft.streaming.{AlarmPipeline, TransitionEvent}
+
+/** The bridge between the engine's two halves: the SAME event data replayed
+  * through the streaming `transformWithState` alarm operator must produce
+  * the transitions the batch replay (the DuckDB-oracle-checked
+  * `alarmTransitions`) computes.
+  *
+  * Reconciliation rules (documented divergences, not bugs):
+  *  - batch emits each key's INITIAL state row (prev_state IS NULL); the
+  *    streaming operator starts keys at implicit OK and emits only changes,
+  *    so batch initial rows with state OK are dropped from the expectation;
+  *  - batch evaluates through each key's own max minute; streaming
+  *    evaluation advances with the GLOBAL watermark, so a sentinel key
+  *    pushes the watermark past every real key's last minute and the
+  *    comparison window is capped at each key's batch horizon.
+  */
+class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  test("streaming alarm transitions match the batch replay on real events data") {
+    val cfg = HealthCheckConfig(thresholdSeconds = 150.0)
+    val sf = "/root/testdata/sf0.001"
+
+    // two real keys keep the stream small; full data goes through batch too
+    val keys = Seq("click", "purchase")
+    val events = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin(keys: _*))
+      .select($"event_type".as("streamName"), $"ts", $"value")
+      .as[(String, Timestamp, Double)]
+      .collect().sortBy(_._2.getTime)
+    events should not be empty
+
+    // batch expectation, capped per key at its own horizon, initial-OK dropped
+    val batch = operators.HealthCheckBatch
+      .alarmTransitions(spark, sf, cfg)
+      .filter($"event_type".isin(keys: _*))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getString(2),
+        r.getString(3)))
+    val horizons = events.groupBy(_._1).map { case (k, es) =>
+      k -> (es.map(_._2.getTime).max / 60000) * 60000 // key's max minute start
+    }
+    val expected = batch
+      .filter { case (k, at, state, _) =>
+        // drop the synthetic initial row if it reports OK (streaming's
+        // implicit start); keep everything up to the key's horizon
+        !(at == batch.filter(_._1 == k).map(_._2).min && state == "OK") &&
+          at <= horizons(k)
+      }
+      .map { case (k, at, state, reason) => (k, at, state, reason) }.sorted
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val metrics = input.toDF().toDF("streamName", "ts", "value")
+    val q = AlarmPipeline.transitions(metrics, cfg)
+      .writeStream.format("memory").queryName("equiv")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-eq").toString)
+      .outputMode("append").start()
+    try {
+      // replay in arrival order across a few micro-batches
+      events.grouped(math.max(1, events.length / 3)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // sentinel key advances the global watermark past every horizon
+      val flushTs = events.map(_._2.getTime).max + 10 * 60000L
+      input.addData(Seq(("__sentinel__", new Timestamp(flushTs), 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq.empty); q.processAllAvailable()
+
+      val got = spark.table("equiv").as[TransitionEvent].collect()
+        .filter(t => keys.contains(t.streamName))
+        .filter(t => t.atMs <= horizons(t.streamName) + 60000)
+        // batch stamps the evaluated minute; streaming stamps its end
+        .map(t => (t.streamName, t.atMs - 60000, t.to, t.reason)).sorted
+        .filter { case (_, at, _, _) => at <= horizons.values.max }
+        .filter { case (k, at, _, _) => at <= horizons(k) }
+      expected.length should be > 3 // non-vacuous comparison
+      got shouldBe expected
+    } finally q.stop()
+  }
+}
