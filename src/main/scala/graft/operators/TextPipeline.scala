@@ -191,9 +191,13 @@ object TextPipeline {
     * join: a page duplicated a million times contributes ONE row to its LSH
     * bucket instead of a quadratic candidate explosion.
     */
-  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    dedupPipelineFrom(spark, docs(spark, sfDir))
+
+  /** [[dedupPipeline]] over an arbitrary (doc_id, text) corpus. */
+  def dedupPipelineFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val reps = docs(spark, sfDir)
+    val reps = corpus
       .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
       .agg(min("doc_id").as("doc_id"), min("text").as("text"),
         count(lit(1)).as("n_copies"))
