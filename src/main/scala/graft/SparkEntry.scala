@@ -60,6 +60,7 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) => TextPipeline.textLangId(s, d)),
     "text_fingerprint" -> ((s, d) => TextPipeline.textFingerprint(s, d)),
     "text_vocab" -> ((s, d) => TextPipeline.textVocab(s, d)),
+    "corpus_stats" -> ((s, d) => TextPipeline.corpusStats(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -305,6 +306,20 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang""",
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang""",
     "q6_filter" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
 FROM lineitem
@@ -342,6 +357,20 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang""",
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang""",
     "q6_filter" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
 FROM lineitem

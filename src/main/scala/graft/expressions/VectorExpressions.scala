@@ -164,7 +164,8 @@ object VectorExpressions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args => DotProduct(args(0), args(1)) },
     "graft_simhash32" -> { args => SimHash32(args(0)) },
-    "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) })
+    "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) },
+    "graft_shingle_set" -> { args => ShingleSet(args(0)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -181,6 +182,8 @@ object VectorExpressions {
     call_function("graft_simhash32", hashes)
   def minHashBandsNative(shingleSet: Column): Column =
     call_function("graft_minhash_bands", shingleSet)
+  def shingleSetNative(text: Column): Column =
+    call_function("graft_shingle_set", text)
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -198,5 +201,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBandDigests].getName, "graft_minhash_bands"),
       (args: Seq[Expression]) => MinHashBandDigests(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+      (args: Seq[Expression]) => ShingleSet(args(0))))
   }
 }

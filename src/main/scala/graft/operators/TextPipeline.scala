@@ -123,6 +123,27 @@ object TextPipeline {
       .orderBy(col("n_total").desc, col("token"))
       .limit(20)
 
+  /** Per-language corpus profile: doc counts, token/char totals and ranges,
+    * mean tokens per doc — the partition-planning stats a corpus pipeline
+    * computes before sharding work by language. All-integer aggregation
+    * (exact), one tiny shuffle on the language key.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(tokens(col("text"))).cast(LongType)
+    docs(spark, sfDir)
+      .select(col("lang"), nTokens.as("nt"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("nt")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .orderBy("lang")
+  }
+
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * hash. One hash-partitioned aggregation; at 100 TB this is the standard
     * shuffle-on-digest dedup (map-side partial min/count applies).
@@ -143,7 +164,8 @@ object TextPipeline {
     // doc_id fence: shingle sets computed once; the band explode and both
     // jaccard-verify joins read the same reused exchange
     val sets = docs(spark, sfDir)
-      .select(col("doc_id"), shingleSet(col("text")).as("s"))
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
     // repartition on the join key = an explicit exchange: the self-join's two
     // sides canonicalize to the same plan and Spark reuses ONE shuffle
@@ -169,9 +191,11 @@ object TextPipeline {
     * recall at mid similarity — the other classic point in the space.
     */
   def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     // doc_id fence: one shingle-set computation shared by blocker + verify
     val sets = docs(spark, sfDir)
-      .select(col("doc_id"), shingleSet(col("text")).as("s"))
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
     val keyed = sets.select(col("doc_id"), minHash(col("s"), 99).as("block"))
       .repartition(col("block"))
@@ -202,7 +226,8 @@ object TextPipeline {
       .agg(min("doc_id").as("doc_id"), min("text").as("text"),
         count(lit(1)).as("n_copies"))
     val sets = reps
-      .select(col("doc_id"), col("n_copies"), shingleSet(col("text")).as("s"))
+      .select(col("doc_id"), col("n_copies"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
     val bands = sets
       .select(col("doc_id"),

@@ -89,6 +89,18 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     sims.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native ShingleSet matches the HOF shingleSet exactly (incl. short docs)") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = (0 until 30).map(i =>
+      (0 to i).map(j => s"w${(i * 5 + j) % 11}").mkString(" ")) :+ "a b" :+ "x"
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions
+        .shingleSetNative($"text").as("n"),
+        shingleSet($"text").as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
   test("native MinHashBandDigests matches the HOF lshBandDigests exactly") {
     graft.expressions.VectorExpressions.register(spark)
     val texts = (0 until 30).map(i =>
