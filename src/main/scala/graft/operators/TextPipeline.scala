@@ -70,14 +70,32 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
-  /** Stopword-profile language ID (argmax over [[LangProfiles]]). */
+  /** Stopword-profile language ID (argmax over [[LangProfiles]]).
+    *
+    * The five profile scores are materialized behind a fence before the
+    * argmax: inlined, each score expression is re-evaluated by every
+    * reference in the CASE chain (~15 interpreted passes over the tokens;
+    * see the Catalyst-inlining note on lshBandDigests) — fenced, each
+    * profile is counted exactly once.
+    */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
-    docs(spark, sfDir).select(
+    val scored = docs(spark, sfDir)
+      .select(col("doc_id") +: LangProfiles.map { case (lang, p) =>
+        stopwordHits(toks, p).as(s"s_$lang")
+      }: _*)
+      .repartition(col("doc_id"))
+    val scoreCols = LangProfiles.map { case (lang, _) => col(s"s_$lang") }
+    val best = greatest(scoreCols: _*)
+    val pred = LangProfiles.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (lang, _)) =>
+        when(acc.isNotNull, acc)
+          .when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    scored.select(
       col("doc_id"),
-      langId(col("text")).as("lang_pred"),
-      greatest(LangProfiles.map { case (_, p) => stopwordHits(toks, p) }: _*)
-        .cast(LongType).as("best_score"))
+      pred.as("lang_pred"),
+      best.cast(LongType).as("best_score"))
       .orderBy("doc_id")
   }
 
