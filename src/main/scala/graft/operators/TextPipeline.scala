@@ -112,13 +112,19 @@ object TextPipeline {
     */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val w = 4
+    // hash count derived from the token count (cheap split, no second
+    // evaluation of the md5 chain) — one window pass instead of a second
+    // (unbounded count) window over each partition
+    val nShingles = {
+      val nt = size(tokens(col("text")))
+      when(nt < 3, lit(1)).otherwise(nt - 2)
+    }
     val positional = docs(spark, sfDir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), nShingles.as("n"),
         posexplode(shingleHashes(col("text"))).as(Seq("pos", "h")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     positional
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("m", min("h").over(win))
       // full windows only; a doc shorter than w keeps its single pos-0 window
       .filter(col("pos") <= col("n") - w || col("pos") === 0)
