@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{HealthCheckBatch, MultimodalPipeline, Relational, SimilarityPipeline, TextPipeline}
+import graft.operators.{AsofJoin, HealthCheckBatch, MultimodalPipeline, Relational, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,7 @@ object SparkEntry {
     "q6_filter" -> ((s, d) => Relational.q6Filter(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
+    "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -306,6 +307,12 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "asof_join" ->
+      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -313,6 +320,12 @@ SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b"
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "asof_join" ->
+      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -357,6 +370,12 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "asof_join" ->
+      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -364,6 +383,12 @@ FROM cent ORDER BY label""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "asof_join" ->
+      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** As-of (most-recent-prior) join — an operator Spark SQL lacks natively
+  * (SURVEY preference order (a): composed from existing ops, no custom
+  * physical plan needed).
+  *
+  * For each left row, attach the latest right row with
+  * `right.ts <= left.ts` within the same key. Implementation: union the two
+  * sides tagged, sort per key by (ts, side-tag), and carry the right value
+  * forward with `last_value(..., ignoreNulls)` — one shuffle on the key,
+  * one sort, no join product at all. That union-scan shape is exactly what
+  * scales: at 100 TB both sides hash-partition by key once and each
+  * partition is a single merge pass (no per-row probe, no range explosion).
+  * Right rows at ts == left ts sort BEFORE the left row (tag order), so
+  * exact ties match — the same inclusive semantics as DuckDB's ASOF JOIN,
+  * which the oracle uses.
+  */
+object AsofJoin {
+
+  /** Generic as-of join.
+    *
+    * @param left      probe side
+    * @param right     reference side (its `valueCols` get attached)
+    * @param keyCols   equi-key columns (same names both sides)
+    * @param tsCol     event-time column name (same both sides)
+    * @param valueCols right-side columns to carry (renamed as given)
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = right.select(
+      (keyCols.map(col) :+ col(tsCol) :+ lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // align schemas: right side gets nulls for the left-only columns
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(rAligned)
+      .select((Seq(col("*")) ++ valueCols.map(c =>
+        last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__asof_$c"))): _*)
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Query entry: every `click` event joined to the most recent prior
+    * `purchase` value for the same user (events table; user_id is the key).
+    */
+  def clicksAsofPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    asof(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_purchase_value"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics on a hand-built frame: inclusive tie at equal ts,
+  * null before any match, latest-prior selection, key isolation.
+  */
+class AsofJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(s * 1000L)
+
+  test("asof join picks the latest right row at or before each left ts, per key") {
+    val left = Seq(
+      (1L, "a", ts(5)), (2L, "a", ts(10)), (3L, "a", ts(20)),
+      (4L, "b", ts(10)), (5L, "b", ts(3)))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts(4), 40.0), ("a", ts(10), 100.0), ("a", ts(15), 150.0),
+      ("b", ts(9), 90.0))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asof(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])]
+      .collect().toMap
+    out(1L) shouldBe Some(40.0)   // prior row
+    out(2L) shouldBe Some(100.0)  // inclusive tie at equal ts
+    out(3L) shouldBe Some(150.0)  // latest prior among several
+    out(4L) shouldBe Some(90.0)   // key-isolated
+    out(5L) shouldBe None         // before any right row
+  }
+}

@@ -101,6 +101,19 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native expressions agree with HOF forms on non-ASCII text") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = Seq("你好 世界 こんにちは café über straße",
+      "été à l'école été à nouveau")
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions
+        .shingleSetNative($"text").as("n"), shingleSet($"text").as("h"),
+        simHash($"text").as("sn"),
+        simHashFromHashesHof(tokenHashes($"text")).as("sh"))
+      .as[(Seq[String], Seq[String], Long, Long)].collect()
+    out.foreach { case (n, h, sn, sh) => n shouldBe h; sn shouldBe sh }
+  }
+
   test("native MinHashBandDigests matches the HOF lshBandDigests exactly") {
     graft.expressions.VectorExpressions.register(spark)
     val texts = (0 until 30).map(i =>
