@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{AsofJoin, HealthCheckBatch, MultimodalPipeline, Relational, SimilarityPipeline, TextPipeline}
+import graft.operators.{AsofJoin, HealthCheckBatch, MultimodalPipeline, RangeSession, Relational, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,8 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
+    "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
+    "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -307,6 +309,21 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "range_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
+GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
+    "sessionize" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
+h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
@@ -320,6 +337,21 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "range_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
+GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
+    "sessionize" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
+h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
@@ -370,6 +402,21 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "range_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
+GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
+    "sessionize" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
+h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
@@ -383,6 +430,21 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "range_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
+GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
+    "sessionize" ->
+      """WITH f AS (SELECT user_id, ts, event_id, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
+h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Range (interval) join and sessionization — two more operator classes
+  * Spark either lacks (range join without a cross product) or that deserve
+  * an explicit scale-safe shape.
+  */
+object RangeSession {
+
+  /** Range join via bucketing: for every click, count the same user's
+    * purchases within +-`windowSec`. Each right row is replicated into its
+    * bucket and both neighbors (explode), then an EQUI-join on
+    * (user, bucket) + an exact |dt| filter — the shuffle is keyed, the
+    * candidate set per row is ~3 buckets, and there is no inequality-join
+    * cross product (which Spark would otherwise plan as a nested loop over
+    * the key group). Bucket width = the range bound, so every true match
+    * falls in a neighbor bucket by construction.
+    */
+  def rangeJoinCounts(spark: SparkSession, sfDir: String,
+      windowSec: Long = 300): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("t"))
+      .withColumn("bucket", (col("t") / windowSec).cast(LongType))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("pt"))
+      .withColumn("bucket", explode(array(
+        (col("pt") / windowSec).cast(LongType) - 1,
+        (col("pt") / windowSec).cast(LongType),
+        (col("pt") / windowSec).cast(LongType) + 1)))
+    clicks
+      .join(purchases, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        when(col("pt").isNotNull && abs(col("pt") - col("t")) <= windowSec, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_id"), col("user_id"), col("t"))
+      .agg(sum(col("hit")).as("n_nearby_purchases"))
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("t")).as("ts"), col("n_nearby_purchases"))
+      .orderBy("event_id")
+  }
+
+  /** Sessionization (gaps-and-islands): per-user sessions split on
+    * `gapMinutes` of inactivity; one row per session with bounds and size.
+    * One shuffle on the user key, two window passes (lag -> boundary flags,
+    * running sum -> session ids) — the standard distributed shape; a user's
+    * events stay in one partition.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+            gapMinutes * 60L).cast(IntegerType))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"))
+      .orderBy("user_id", "session_seq")
+  }
+}
