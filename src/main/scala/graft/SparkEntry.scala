@@ -54,6 +54,8 @@ object SparkEntry {
     "q6_filter" -> ((s, d) => Relational.q6Filter(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
+    "q1_rollup" -> ((s, d) => Relational.q1Rollup(s, d)),
+    "pivot_hourly" -> ((s, d) => Relational.pivotHourly(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
@@ -309,6 +311,32 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
     "range_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
@@ -337,6 +365,32 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
     "range_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
@@ -402,6 +456,32 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
     "range_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
@@ -430,6 +510,32 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "pivot_hourly" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY hour""",
     "range_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')

@@ -140,6 +140,37 @@ object Relational {
       .limit(100)
   }
 
+  /** Rollup aggregation: Q1's grouping with subtotal and grand-total rows
+    * (GROUPING SETS lattice; `grouping_id` distinguishes the levels). Same
+    * map-side-partial-agg scale shape as q1 — the lattice multiplies the
+    * tiny group count, not the scan.
+    */
+  def q1Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast(LongType).as("gid"),
+        sum(col("l_quantity").cast(dec12)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: events per (hour-of-day x event_type) as a wide table — the
+    * conditional-aggregation shape (each cell is a filtered count; one
+    * shuffle on the 24-row hour key).
+    */
+  def pivotHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).cast(LongType).as("hour"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0, types)
+      .orderBy("hour")
+  }
+
   /** TPC-H Q5-style: 6-way join + agg.
     *
     * Broadcast hints only on the genuinely tiny dimensions (region: 5 rows,
