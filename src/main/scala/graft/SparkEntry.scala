@@ -56,6 +56,10 @@ object SparkEntry {
     "q18_big_orders" -> ((s, d) => Relational.q18BigOrders(s, d)),
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(s, d)),
     "pivot_hourly" -> ((s, d) => Relational.pivotHourly(s, d)),
+    "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
+    "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
+    "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
@@ -311,6 +315,31 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
   FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -324,6 +353,31 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   count(*) FILTER (event_type = 'signup') AS signup,
   count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY hour""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -365,6 +419,31 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -378,6 +457,31 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   count(*) FILTER (event_type = 'signup') AS signup,
   count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY hour""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -456,6 +560,31 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -469,6 +598,31 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   count(*) FILTER (event_type = 'signup') AS signup,
   count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY hour""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -510,6 +664,31 @@ ORDER BY event_id""",
   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -523,6 +702,31 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   count(*) FILTER (event_type = 'signup') AS signup,
   count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY hour""",
+    "q14_promo" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "except_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+ORDER BY c_custkey""",
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n

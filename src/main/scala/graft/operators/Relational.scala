@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,6 +170,63 @@ object Relational {
       .count()
       .na.fill(0, types)
       .orderBy("hour")
+  }
+
+  /** TPC-H Q14-style: promotion revenue share — lineitem x part join with a
+    * conditional aggregate ratio. part scales with the fact tables, so no
+    * broadcast hint (AQE decides); the ratio is exact-decimal sums divided
+    * once in double.
+    */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast(dec12))).cast(DoubleType) * 100.0 /
+          sum(discPrice).cast(DoubleType)).as("promo_revenue_pct"))
+  }
+
+  /** Ranking window functions: top-3 orders per customer by total price
+    * (row_number over a per-key ordered window — per-key state, single
+    * shuffle on the customer key).
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Set difference: (user, hour) slots with a click but no purchase
+    * (EXCEPT over distinct composite keys — each side shuffles once on the
+    * key; the difference is a hash anti-join).
+    */
+  def exceptUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    def slots(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), hour(col("ts")).cast(LongType).as("hour"))
+      .distinct()
+    slots("click").except(slots("purchase")).orderBy("user_id", "hour")
+  }
+
+  /** Left-semi join: customers having at least one order in 1996 — the
+    * existence-check shape (no row multiplication, key-only shuffle).
+    */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+    Tables.customer(spark, sfDir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
   }
 
   /** TPC-H Q5-style: 6-way join + agg.
