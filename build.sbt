@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Streaming specs share one SparkSession and drive concurrent queries;
+// parallel suite execution makes micro-batch scheduling contend across
+// suites (observed flaky starvation). Run suites sequentially.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output goes straight to stdout (no sbt logger decoration) so
 // the driver can parse Bench's single JSON line.

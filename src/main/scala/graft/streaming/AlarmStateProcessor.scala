@@ -67,14 +67,21 @@ class AlarmStateProcessor(cfg: HealthCheckConfig)
     var snap =
       if (alarm.exists()) alarm.get()
       else AlarmSnapshot(AlarmStatus.Ok, Long.MinValue, 0L, 0)
-    rows.foreach { r =>
-      val m = Math.floorDiv(r.tsMs, periodMs) * periodMs
-      if (snap.nextMinuteMs == Long.MinValue)
-        snap = snap.copy(nextMinuteMs = m)
+    // Rows within a micro-batch arrive in ARBITRARY order (shuffled), so the
+    // key's evaluation origin must be the batch MINIMUM — initializing from
+    // the first row seen would silently drop every earlier minute in the
+    // batch as "late". The buffer is one key's slice of one micro-batch
+    // (bounded by the trigger interval), not unbounded state.
+    val batch = rows.map { r =>
+      (Math.floorDiv(r.tsMs, periodMs) * periodMs, r.value)
+    }.toArray
+    if (snap.nextMinuteMs == Long.MinValue && batch.nonEmpty)
+      snap = snap.copy(nextMinuteMs = batch.iterator.map(_._1).min)
+    batch.foreach { case (m, value) =>
       if (m >= snap.nextMinuteMs) { // on-time (late-beyond-evaluation dropped)
         val cur = if (minuteMax.containsKey(m)) minuteMax.getValue(m)
           else Double.NegativeInfinity
-        if (r.value > cur) minuteMax.updateValue(m, r.value)
+        if (value > cur) minuteMax.updateValue(m, value)
         // evaluate this period once the watermark passes its end
         getHandle.registerTimer(m + periodMs)
       }

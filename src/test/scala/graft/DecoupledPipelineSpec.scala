@@ -61,19 +61,21 @@ class DecoupledPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase
       .outputMode("append").start()
     try {
       cq.processAllAvailable()
-      // second producer round: new files give the consumer a next micro-batch
-      // in which the timers armed by the first batch fire (watermark-driven)
-      ticks.addData(Seq(ts(10), ts(11)))
-      val pq2 = StreamSinks.tracerAppend(tracer, s"$root/stream", s"$root/chk-p")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      pq2.awaitTermination(60000)
-      cq.processAllAvailable()
-      // the no-data batch that fires watermark timers is scheduled
-      // asynchronously; poll until the expected transitions land
-      val deadline = System.currentTimeMillis() + 30000
+      // Timers fire on watermark advance, and the engine only schedules the
+      // extra no-data batch opportunistically — so keep the producer ticking
+      // (each round appends a file, forcing a consumer data batch that
+      // evaluates due timers with the previous batch's watermark) until the
+      // expected transitions land. This mirrors production, where the
+      // 1-minute canary cadence is what keeps evaluation moving.
+      var minute = 10
+      val deadline = System.currentTimeMillis() + 120000
       while (spark.table("decoupled_out").count() < 2 &&
         System.currentTimeMillis() < deadline) {
-        Thread.sleep(200); cq.processAllAvailable()
+        ticks.addData(Seq(ts(minute))); minute += 1
+        val pqN = StreamSinks.tracerAppend(tracer, s"$root/stream", s"$root/chk-p")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        pqN.awaitTermination(60000)
+        cq.processAllAvailable()
       }
       val out = spark.table("decoupled_out").as[TransitionEvent].collect()
         .sortBy(_.atMs)
