@@ -78,8 +78,12 @@ class AlarmPropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
       try {
         val rows = points.sortBy(_._1)
           .map { case (sec, v) => ("s", new Timestamp(sec * 1000L), v) }
+        // batches split by time (watermark semantics), but rows WITHIN a
+        // batch deliberately shuffled — micro-batch row order is arbitrary
+        // in production and the operator must not care
         rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
-          input.addData(b); q.processAllAvailable()
+          input.addData(b.sortBy(r => (r._2.getTime * 2654435761L) % 97))
+          q.processAllAvailable()
         }
         // flush: sentinel far past the horizon + an empty batch for timers
         input.addData(Seq(("__flush__",
