@@ -354,408 +354,6 @@ ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
   count(*) FILTER (event_type = 'signup') AS signup,
   count(*) FILTER (event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY hour""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "range_join" ->
-      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
-p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
-SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
-FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
-GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
-    "sessionize" ->
-      """WITH f AS (SELECT user_id, ts, event_id, value,
-    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
-g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
-h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
-SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events,
-  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
-FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
-    "asof_join" ->
-      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
-FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.ts
-ORDER BY event_id""",
-    "text_normalize" ->
-      """SELECT doc_id,
-  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
-  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
-FROM documents ORDER BY doc_id""",
-    "corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
-FROM documents GROUP BY lang ORDER BY lang""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "range_join" ->
-      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
-p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
-SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
-FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
-GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
-    "sessionize" ->
-      """WITH f AS (SELECT user_id, ts, event_id, value,
-    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
-g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
-h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
-SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events,
-  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
-FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
-    "asof_join" ->
-      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
-FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.ts
-ORDER BY event_id""",
-    "text_normalize" ->
-      """SELECT doc_id,
-  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
-  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
-FROM documents ORDER BY doc_id""",
-    "corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
-FROM documents GROUP BY lang ORDER BY lang""",
-    "q6_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
-  AND l_quantity < 24""",
-    "q10_returns" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-FROM customer, orders, lineitem, nation
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
-  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20""",
-    "q18_big_orders" ->
-      """WITH big AS (
-  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-  FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0)
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-FROM big, orders, customer
-WHERE big.l_orderkey = o_orderkey AND o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-    "text_vocab" ->
-      """SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
-FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-GROUP BY token ORDER BY n_total DESC, token LIMIT 20""",
-    "emb_centroid_stats" ->
-      """WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(64)) AS pos FROM embeddings),
-cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
-  FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m, count(*) AS cnt FROM e GROUP BY label, pos)
-  GROUP BY label)
-SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
-FROM cent ORDER BY label""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "range_join" ->
-      """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
-p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')
-SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearby_purchases
-FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
-GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
-    "sessionize" ->
-      """WITH f AS (SELECT user_id, ts, event_id, value,
-    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
-g AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM f),
-h AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM g)
-SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
-  count(*) AS n_events,
-  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
-FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
-    "asof_join" ->
-      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
-FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.ts
-ORDER BY event_id""",
-    "text_normalize" ->
-      """SELECT doc_id,
-  CAST(len(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
-  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_md5
-FROM documents ORDER BY doc_id""",
-    "corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_tokens
-FROM documents GROUP BY lang ORDER BY lang""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
-    "q14_promo" ->
-      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
-    "window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
-    "except_users" ->
-      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
-EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, hour""",
-    "semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
-ORDER BY c_custkey""",
-    "q1_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
-FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "pivot_hourly" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
-  count(*) FILTER (event_type = 'click') AS click,
-  count(*) FILTER (event_type = 'error') AS error,
-  count(*) FILTER (event_type = 'purchase') AS purchase,
-  count(*) FILTER (event_type = 'signup') AS signup,
-  count(*) FILTER (event_type = 'view') AS view
-FROM events GROUP BY 1 ORDER BY hour""",
     "range_join" ->
       """WITH c AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt FROM events WHERE event_type = 'purchase')

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every declared query has exactly one oracle,
+  * and the `oracleSql` source never re-accumulates duplicate key literals
+  * (round 2 shipped ~450 dead lines of repeated map entries — Scala `Map`
+  * keeps the last binding, so duplicates are silent).
+  */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
+  test("no duplicate oracleSql key literals in the source text") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val body = text.substring(text.indexOf("def oracleSql"))
+    val keyLiteral = """    "([a-z0-9_]+)" ->""".r
+    val keys = keyLiteral.findAllMatchIn(body).map(_.group(1)).toSeq
+    val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty, s"duplicated oracleSql keys: ${dups.mkString(", ")}")
+    assert(keys.size === SparkEntry.oracleSql.size)
+  }
+
+  test("oracle SQL mentions only driver-provided tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val cteNames = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- tables -- cteNames
+      // aliases of inline subqueries also appear; only flag obvious typos of
+      // real table names (edit distance 0 handled above, so just require each
+      // query touches at least one real table)
+      assert(refs.intersect(tables).nonEmpty || cteNames.nonEmpty,
+        s"$name references no known table: $unknown")
+    }
+  }
+}
