@@ -165,7 +165,9 @@ object VectorExpressions {
     "graft_dot" -> { args => DotProduct(args(0), args(1)) },
     "graft_simhash32" -> { args => SimHash32(args(0)) },
     "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) },
-    "graft_shingle_set" -> { args => ShingleSet(args(0)) })
+    "graft_shingle_set" -> { args => ShingleSet(args(0)) },
+    "graft_winnow" -> { args => WinnowFingerprints(args(0)) },
+    "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -174,6 +176,8 @@ object VectorExpressions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_vec_sum")))
+      VecSumAgg.register(spark)
   }
 
   /** Column API over the registered functions. */
@@ -184,6 +188,9 @@ object VectorExpressions {
     call_function("graft_minhash_bands", shingleSet)
   def shingleSetNative(text: Column): Column =
     call_function("graft_shingle_set", text)
+  def winnowNative(text: Column): Column = call_function("graft_winnow", text)
+  def hyperplaneBandsNative(embedding: Column, normals: Column): Column =
+    call_function("graft_hyperplane_bands", embedding, normals)
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -204,5 +211,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
       (args: Seq[Expression]) => ShingleSet(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (args: Seq[Expression]) => WinnowFingerprints(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hyperplane_bands"),
+      (args: Seq[Expression]) => HyperplaneBands(args(0), args(1))))
   }
 }

@@ -69,16 +69,11 @@ object SimilarityPipeline {
   def simTopKIvf(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
-    // Elementwise mean per label: posexplode -> (label, pos) partial sums ->
-    // re-assembled array. Two small shuffles keyed by (label, pos) / label;
+    // Elementwise mean per label via the graft_vec_sum aggregator: ONE
+    // aggregation keyed by label, constant-width array buffer, map-side
+    // partial sums — no 64x posexplode row inflation, no re-assembly join.
     // centroid table = #clusters rows, broadcast from then on.
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val centroids = centroidsByLabel(e)
     val probed = centroids
       .crossJoin(broadcast(queryVec(e)))
       .select(col("label"), cosine(col("centroid"), col("q")).as("ccos"))
@@ -108,19 +103,23 @@ object SimilarityPipeline {
   def embCentroidStats(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("m"), count(lit(1)).as("cnt"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
-        first(col("cnt")).as("n"))
-      .select(col("label"), col("n"),
-        transform(col("pm"), x => x.getField("m")).as("centroid"))
-    centroids.select(col("label"), col("n"),
+    centroidsByLabel(e).select(col("label"), col("n"),
       round(l2Norm(col("centroid")), 4).as("centroid_norm"))
       .orderBy("label")
   }
+
+  /** (label, n, centroid): element-wise mean per cluster via the
+    * [[graft.expressions.VecSumAgg]] array aggregator — one shuffle keyed by
+    * label, no row inflation (the 64x posexplode this replaces survives in
+    * the oracle SQL as the engine-neutral formulation).
+    */
+  private def centroidsByLabel(e: DataFrame): DataFrame =
+    e.groupBy("label")
+      .agg(graft.expressions.VecSumAgg
+        .vecSum(col("embedding").cast("array<double>")).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        transform(col("sums"), x => x / col("n")).as("centroid"))
 
   /** Embedding near-duplicate pairs: 16 hyperplane sign bits (normals =
     * vec_id 0..15), 4 bands x 4 bits; pairs sharing a band bucket are
@@ -129,18 +128,22 @@ object SimilarityPipeline {
   def embNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
-    val hyper = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("h_idx"), col("embedding").as("h"))
-    // (vec, hyperplane) grid -> per-vec 4-bit band values. The hyperplane
-    // side is 16 rows (broadcast); the grid is 16x|table| narrow rows that
-    // immediately re-aggregate by (vec_id, band) — map-side partial sums.
+    // All 16 hyperplane normals as ONE h_idx-ordered array<array<double>>
+    // row, broadcast; the native graft_hyperplane_bands expression computes
+    // the 16 dot products and packs the 4 band values in one pass per row —
+    // no 16x grid inflation, no regroup exchange.
+    val normals = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_idx"),
+        col("embedding").cast("array<double>").as("h"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
+      .select(transform(col("hs"), x => x.getField("h")).as("normals"))
     val bandVals = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(hyper))
+      .crossJoin(broadcast(normals))
       .select(col("vec_id"),
-        (col("h_idx") / 4).cast("int").as("band"),
-        (hyperplaneBit(col("embedding"), col("h")) *
-          pow(lit(2.0), pmod(col("h_idx"), lit(4))).cast("int")).as("bit"))
-      .groupBy("vec_id", "band").agg(sum("bit").as("val"))
+        posexplode(graft.expressions.VectorExpressions.hyperplaneBandsNative(
+          col("embedding").cast("array<double>"), col("normals")))
+          .as(Seq("band", "val")))
       // partition on the join key so the self-join reuses one exchange and
       // needs no further shuffle
       .repartition(col("band"), col("val"))

@@ -104,30 +104,25 @@ object TextPipeline {
     * (doc, fingerprint). Guarantees any shared run of >= w+k-1 tokens yields
     * a shared fingerprint.
     *
-    * Plan shape: posexplode the per-doc hash array, then a window MIN
-    * partitioned by doc — each md5 is computed once and the sliding window
-    * is a streaming frame inside one partition. A document's hashes stay in
-    * one task, so at 100 TB this parallelizes per-document (partition count
-    * = doc count, no giant keys unless a single doc is huge).
+    * Plan shape: a single codegen'd projection via the native
+    * [[graft.expressions.WinnowFingerprints]] expression — each shingle is
+    * hashed exactly once and the rolling min runs in a tight loop per
+    * document. Embarrassingly parallel, no shuffle: at 100 TB this scales
+    * with the scan.
     */
   def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = 4
-    // The hash array is materialized behind a doc_id fence, so the sliding
-    // slice/min windows read an ATTRIBUTE — without the fence Catalyst
-    // inlines the md5 chain into every window position (O(n^2) per doc,
-    // measured 60x). Array-at-a-time beats the posexplode + window-function
-    // shape ~2x at typical document sizes; a corpus of truly giant documents
-    // (arrays too big for one row) would flip back to the window plan.
-    val hashed = docs(spark, sfDir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
-      .repartition(col("doc_id"))
-    val mins = hashed.select(col("doc_id"),
-      when(size(col("hs")) < w, array(array_min(col("hs"))))
-        .otherwise(transform(sequence(lit(0), size(col("hs")) - w),
-          i => array_min(slice(col("hs"), i + 1, lit(w))))).as("mins"))
-    mins
+    graft.expressions.VectorExpressions.register(spark)
+    // One-pass native winnowing (hash each shingle once, rolling min, dedup)
+    // — a stateless projection with NO exchange. The previous HOF sliding
+    // window needed a repartition(doc_id) fence (a full-corpus shuffle of
+    // text + hash arrays) to stop Catalyst re-inlining the md5 chain per
+    // window position; the native expression removes both the fence and the
+    // interpreted slice re-reads. Semantics spec: the HOF formulation kept
+    // in TextVectorFunctionsSpec.
+    docs(spark, sfDir)
       .select(col("doc_id"),
-        explode(array_distinct(col("mins"))).as("fingerprint"))
+        explode(graft.expressions.VectorExpressions.winnowNative(col("text")))
+          .as("fingerprint"))
       .orderBy("doc_id", "fingerprint")
   }
 

@@ -127,6 +127,66 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native WinnowFingerprints matches the HOF sliding-min formulation exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val w = 4
+    val texts = (0 until 40).map(i =>
+      (0 to i).map(j => s"w${(i * 17 + j) % 29}").mkString(" ")) :+
+      "a b" :+ "x" :+ "a b c d" :+ "p q r s t p q r s t p q r s t"
+    val hofMins = {
+      val sz = org.apache.spark.sql.functions.size _
+      val hs = shingleHashes(col("text"))
+      array_distinct(
+        when(sz(hs).lt(lit(w)), array(array_min(hs)))
+          .otherwise(transform(sequence(lit(0), sz(hs).minus(lit(w))),
+            i => array_min(slice(hs, i.plus(lit(1)), lit(w))))))
+    }
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions.winnowNative($"text").as("n"),
+        hofMins.as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
+  test("native HyperplaneBands packs the same sign bits as per-hyperplane dots") {
+    graft.expressions.VectorExpressions.register(spark)
+    val dim = 8
+    val normals: Seq[Seq[Double]] = (0 until 16).map(k =>
+      (0 until dim).map(j => math.sin(k * dim + j + 1) * 2))
+    val vecs: Seq[Seq[Double]] = (0 until 25).map(i =>
+      (0 until dim).map(j => math.cos(i * dim + j) * 3))
+    val expected = vecs.map { v =>
+      (0 until 4).map { b =>
+        (0 until 4).foldLeft(0L) { (acc, j) =>
+          val h = normals(b * 4 + j)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += v(i) * h(i); i += 1 }
+          if (dot > 0) acc | (1L << j) else acc
+        }
+      }
+    }
+    val out = vecs.map(v => (v, normals)).toDF("v", "normals")
+      .select(graft.expressions.VectorExpressions
+        .hyperplaneBandsNative($"v", $"normals"))
+      .as[Seq[Long]].collect()
+    out.toSeq.zip(expected).foreach { case (got, exp) => got shouldBe exp }
+  }
+
+  test("graft_vec_sum aggregator: element-wise sums match a manual fold") {
+    graft.expressions.VectorExpressions.register(spark)
+    val rows = (0 until 30).map(i =>
+      (i % 3, (0 until 5).map(j => (i * 5 + j).toDouble)))
+    val got = rows.toDF("g", "v")
+      .groupBy($"g")
+      .agg(graft.expressions.VecSumAgg.vecSum($"v").as("s"))
+      .as[(Int, Seq[Double])].collect().toMap
+    val exp = rows.groupBy(_._1).view.mapValues(_.map(_._2)
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })).toMap
+    got.keySet shouldBe exp.keySet
+    got.foreach { case (k, s) => s shouldBe exp(k) }
+  }
+
   test("hyperplaneBit is the sign of the dot product") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)),
