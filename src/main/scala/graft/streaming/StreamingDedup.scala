@@ -29,18 +29,52 @@ object StreamingDedup extends Logging {
       .dropDuplicatesWithinWatermark("text_hash")
   }
 
-  /** Near-dup suppression within the watermark horizon: key = the FIRST
-    * MinHash LSH band digest. Cheap single-signature variant of the batch
-    * MinHash dedup — two documents that agree on band 0 are treated as
-    * duplicates (tunable recall/precision by banding config upstream).
+  /** Near-dup suppression within the watermark horizon, using ALL 4 MinHash
+    * LSH bands — the same candidate rule as the batch twin
+    * (TextPipeline.dedupMinHash): a document agreeing with an earlier one on
+    * >= 1 band is a duplicate and is suppressed.
+    *
+    * Plan: explode the 4 band digests, `dropDuplicatesWithinWatermark` on
+    * (band, digest) — keep-first, bounded state — then re-assemble per doc:
+    * a document survives iff ALL of its band digests were first
+    * occurrences. Every digest is registered regardless of whether its doc
+    * survives, so transitive near-dup chains collapse to the first arrival,
+    * like the batch pair set does.
+    *
+    * Two documented divergences from the batch twin:
+    *  - no exact-Jaccard verification (that would need full shingle sets in
+    *    state), so recall is a superset of the batch pairs: everything the
+    *    batch suppresses is suppressed here, plus band-collision false
+    *    positives the batch verify would reject;
+    *  - the re-assembly is a windowed streaming aggregation, so survivors
+    *    emit only once the watermark passes their second — exact multi-band
+    *    semantics in append mode costs the watermark delay in latency
+    *    (dedupExactStream, single-key, still emits immediately).
+    *
+    * Same-micro-batch tie: two identical documents in ONE batch may each win
+    * a subset of the band keys (row order within a batch is arbitrary), in
+    * which case BOTH are suppressed. Run [[dedupExactStream]] upstream —
+    * the streaming analogue of the batch pipeline's exact pre-collapse —
+    * when exact ties must keep a representative.
     */
   def dedupNearStream(docs: DataFrame, eventTimeCol: String,
       delay: String = "10 minutes"): DataFrame = {
-    logInfo(s"streaming near-dedup on LSH band digest, watermark $delay")
-    docs
-      .withColumn("band0",
-        element_at(lshBandDigests(shingleSet(col("text"))), 1))
+    val numBands = 4
+    graft.expressions.VectorExpressions.register(docs.sparkSession)
+    logInfo(s"streaming near-dedup on all $numBands LSH bands, watermark $delay")
+    val survivors = docs
+      .select(col("doc_id"), col("text"), col(eventTimeCol),
+        posexplode(graft.expressions.VectorExpressions.minHashBandsNative(
+          graft.expressions.VectorExpressions.shingleSetNative(col("text"))))
+          .as(Seq("band", "digest")))
       .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark("band0")
+      .dropDuplicatesWithinWatermark("band", "digest")
+    survivors
+      .groupBy(window(col(eventTimeCol), "1 second"), col("doc_id"))
+      .agg(first(col("text")).as("text"),
+        count(lit(1)).as("fresh_bands"))
+      .filter(col("fresh_bands") === numBands)
+      .select(col("doc_id"), col("text"),
+        col("window.start").as(eventTimeCol))
   }
 }

@@ -34,6 +34,41 @@ class RobustnessSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.head.getAs[Long]("copies_b") shouldBe 1L
   }
 
+  test("streaming dedup restarted from checkpoint does not re-emit seen digests") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dd-restart").toString
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // file sink: supports checkpoint recovery with exactly-once commits
+    def start() = graft.streaming.StreamingDedup.dedupExactStream(docs, "ts")
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+
+    // ts offsets start at 100s: event time exactly 0 would be dropped
+    // against the initial watermark (also 0) before reaching the state
+    val q1 = start()
+    input.addData(Seq(
+      (1L, "alpha beta gamma", new Timestamp(100000L)),
+      (2L, "delta epsilon", new Timestamp(101000L))))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: the digest state store must survive,
+    // so the duplicate of doc 1 is suppressed across the restart boundary
+    val q2 = start()
+    input.addData(Seq(
+      (3L, "alpha beta gamma", new Timestamp(102000L)),
+      (4L, "zeta eta", new Timestamp(103000L))))
+    q2.processAllAvailable()
+    try {
+      val ids = spark.read.parquet(s"$root/out").select("doc_id")
+        .as[Long].collect().sorted
+      ids.toSeq shouldBe Seq(1L, 2L, 4L)
+    } finally q2.stop()
+  }
+
   test("alarm stream restarted from checkpoint neither loses nor duplicates transitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cfg = HealthCheckConfig()

@@ -119,13 +119,15 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
         Files.createTempDirectory("chk-dd").toString)
       .outputMode("append").start()
     try {
+      // ts offsets start at 100s: event time exactly 0 is dropped against
+      // the initial watermark (also 0) before it reaches the dedup state
       input.addData(Seq(
-        (1L, "alpha beta gamma", new Timestamp(0L)),
-        (2L, "alpha beta gamma", new Timestamp(1000L)), // dup of 1
-        (3L, "delta epsilon", new Timestamp(2000L))))
+        (1L, "alpha beta gamma", new Timestamp(100000L)),
+        (2L, "alpha beta gamma", new Timestamp(101000L)), // dup of 1
+        (3L, "delta epsilon", new Timestamp(102000L))))
       q.processAllAvailable()
       input.addData(Seq(
-        (4L, "ALPHA BETA GAMMA", new Timestamp(3000L)))) // dup modulo case
+        (4L, "ALPHA BETA GAMMA", new Timestamp(103000L)))) // dup modulo case
       q.processAllAvailable()
       val ids = spark.table("dedup_stream").select("doc_id").as[Long]
         .collect().sorted
@@ -137,7 +139,7 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
-  test("streaming near-dedup suppresses LSH-band duplicates") {
+  test("streaming near-dedup suppresses duplicates agreeing on ANY LSH band") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
     val docs = input.toDF().toDF("doc_id", "text", "ts")
@@ -148,16 +150,28 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
       .outputMode("append").start()
     try {
       val base = (1 to 40).map(i => s"w$i").mkString(" ")
+      val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+      // ts offsets start at 100s: a row at event time exactly 0 is dropped
+      // against the INITIAL watermark (also 0) before it reaches the state
       input.addData(Seq(
-        (1L, base, new Timestamp(0L)),
-        (2L, base, new Timestamp(1000L)), // identical => same band digest
-        (3L, (100 to 140).map(i => s"w$i").mkString(" "), new Timestamp(2000L))))
+        (1L, base, new Timestamp(100000L)),
+        (3L, (100 to 140).map(i => s"w$i").mkString(" "), new Timestamp(102000L))))
       q.processAllAvailable()
+      // later batches: an identical copy (all bands collide) and a near-dup
+      // sharing SOME bands but not all — the single-band variant this
+      // replaces missed the latter whenever band 0 differed
+      input.addData(Seq((2L, base, new Timestamp(101000L))))
+      q.processAllAvailable()
+      input.addData(Seq((4L, near, new Timestamp(103000L))))
+      q.processAllAvailable()
+      // sentinel far past the 10-minute watermark delay flushes the
+      // windowed re-assembly (multi-band survivors emit on watermark)
+      input.addData(Seq((99L, "flush sentinel doc", new Timestamp(20 * 60000L))))
+      q.processAllAvailable()
+      input.addData(Seq.empty); q.processAllAvailable()
       val ids = spark.table("neardedup_stream").select("doc_id").as[Long]
-        .collect().sorted
-      ids.length shouldBe 2
-      Set(1L, 2L) should contain(ids.head)
-      ids.last shouldBe 3L
+        .collect().filter(_ < 99L).sorted
+      ids.toSeq shouldBe Seq(1L, 3L)
     } finally q.stop()
   }
 }
