@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.functions.HealthCheckFunctions._
 import graft.model.{HealthCheckConfig, LatencyMode}
@@ -69,7 +70,8 @@ object HealthCheckConsumer {
         // second) cut uses dropDuplicatesWithinWatermark keyed on
         // (ARN, arrival second) — state expires with the watermark instead
         // of growing forever. With the reference's deployed batchSize=1 the
-        // early return is a per-batch no-op anyway (SURVEY B1).
+        // early return is a per-batch no-op anyway (SURVEY B1). For EXACT
+        // one-metric-per-micro-batch semantics use [[metricsFirstPerBatch]].
         base
           .withColumn("__arrival", arrivalTs)
           .withWatermark("__arrival", "2 minutes")
@@ -92,4 +94,30 @@ object HealthCheckConsumer {
         latencySeconds(now, since),
         cfg.metricName): _*)
   }
+
+  /** B1 EXACT mode — the reference's early `return` emits at most ONE metric
+    * per INVOCATION per stream (Consumer.java:64-85), and the first record is
+    * taken BEFORE decode validation (a poisoned first record means no metric
+    * for the whole batch — the gap is the signal). A micro-batch is the
+    * engine's invocation, so inside `foreachBatch` — where the batch is a
+    * plain DataFrame keyed by its batch id — a window `row_number() === 1`
+    * per ARN picks the earliest (arrival, sequenceNumber) record of the
+    * whole batch exactly, where the streaming `metrics` path can only
+    * approximate per-(ARN, arrival-second).
+    *
+    * Returns the configured writer; callers set checkpoint/trigger and
+    * `start()`. `each` receives the (tiny, <= one row per stream) metric
+    * DataFrame and the micro-batch id.
+    */
+  def metricsFirstPerBatch(records: DataFrame,
+      cfg: HealthCheckConfig = HealthCheckConfig(firstRecordOnly = true),
+      now: Column = current_timestamp())(
+      each: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    records.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val w = Window.partitionBy(col("eventSourceARN"))
+        .orderBy(col("approximateArrivalTimestamp"), col("sequenceNumber"))
+      val first = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      each(metrics(first, cfg.copy(firstRecordOnly = false), now), batchId)
+    }
 }

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.model.{HealthCheckConfig, Schemas}
-import graft.streaming.{HealthCheckConsumer, StreamingDedup, TracerProducer}
+import graft.streaming.{HealthCheckConsumer, StreamSourceConfig, StreamSources, StreamingDedup, TracerProducer}
 
 /** Source coverage (SURVEY §2.1): S1 the deterministic rate-micro-batch tick
   * source, S2 the envelope stream through explode/decode on a real streaming
@@ -107,6 +107,80 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     r.getAs[Long]("approximateArrivalTimestamp") shouldBe 1666014770L
     new String(r.getAs[Array[Byte]]("data"), "UTF-8") shouldBe
       """{"currentInstant": "2022-10-17T10:00:00Z"}"""
+  }
+
+  test("S2 factory: envelope-files source streams through the config seam") {
+    val dir = Files.createTempDirectory("env-src")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"currentInstant":"2022-10-17T10:00:00Z"}""".getBytes("UTF-8"))
+    Files.writeString(dir.resolve("e1.json"),
+      s"""{"records":[{"kinesis":{"kinesisSchemaVersion":"1.0","partitionKey":"pk",
+         |"sequenceNumber":"1","data":"$b64","approximateArrivalTimestamp":1666014770},
+         |"eventSource":"aws:kinesis","eventVersion":"1.0","eventID":"e1",
+         |"eventName":"aws:kinesis:record","invokeIdentityArn":"arn","awsRegion":"eu-west-1",
+         |"eventSourceARN":"arn:aws:kinesis:eu-west-1:1:stream/health-check-stream"}]}"""
+        .stripMargin)
+    // the production swap is this config value (format = aws-kinesis), not
+    // a code change — same record columns, same downstream pipeline
+    val records = StreamSources.recordStream(spark,
+      StreamSourceConfig(path = Some(dir.toString)))
+    val metrics = HealthCheckConsumer.metrics(records, HealthCheckConfig(),
+      now = graft.functions.HealthCheckFunctions
+        .fromEpochSeconds(col("approximateArrivalTimestamp") + 5))
+    val q = metrics.writeStream.format("memory").queryName("s2_factory")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-s2f").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val m = spark.table("s2_factory").collect()
+      m.length shouldBe 1
+      m.head.getAs[String]("streamName") shouldBe "health-check-stream"
+      m.head.getAs[Double]("value") shouldBe 5.0
+    } finally q.stop()
+  }
+
+  test("B1 exact: a micro-batch spanning 3 arrival seconds emits exactly 1 metric") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val arn = "arn:aws:kinesis:eu-west-1:1:stream/health-check-stream"
+    val payload = """{"currentInstant":"2022-10-17T10:00:00Z"}"""
+    val input = MemoryStream[(String, String, String, Long, String)]
+    val records = input.toDF()
+      .toDF("partitionKey", "sequenceNumber", "payload",
+        "approximateArrivalTimestamp", "eventSourceARN")
+      .withColumn("data", col("payload").cast("binary")).drop("payload")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = HealthCheckConsumer.metricsFirstPerBatch(records,
+      now = graft.functions.HealthCheckFunctions
+        .fromEpochSeconds(col("approximateArrivalTimestamp") + 2)) { (m, id) =>
+      m.collect().foreach { r =>
+        got.synchronized {
+          got += ((id, r.getAs[Timestamp]("ts").getTime / 1000))
+        }
+      }
+    }.option("checkpointLocation",
+      Files.createTempDirectory("chk-b1").toString).start()
+    try {
+      // ONE micro-batch spanning 3 arrival seconds: the watermarked
+      // approximation would emit 3 metrics (one per second); the exact
+      // per-batch mode emits exactly 1 — the earliest record's
+      input.addData(Seq(
+        ("pk", "3", payload, 1666014772L, arn),
+        ("pk", "1", payload, 1666014770L, arn),
+        ("pk", "2", payload, 1666014771L, arn)))
+      q.processAllAvailable()
+      got.synchronized {
+        got.size shouldBe 1
+        got.head._2 shouldBe 1666014770L // earliest (arrival, sequence)
+      }
+      // the next invocation emits its own single metric
+      input.addData(Seq(("pk", "4", payload, 1666014773L, arn)))
+      q.processAllAvailable()
+      got.synchronized {
+        got.size shouldBe 2
+        got.last._2 shouldBe 1666014773L
+      }
+    } finally q.stop()
   }
 
   test("streaming exact dedup keeps one representative per digest within watermark") {
