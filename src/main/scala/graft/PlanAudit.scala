@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: dumps scan pruning + codegen stats per SparkEntry query so
+/** Dev harness: dumps scan pruning + exchange stats per SparkEntry query so
   * plan regressions (lost pushdown, interpreted hot paths, surprise
-  * exchanges) show up as diffs. Not part of the driver contract.
+  * exchanges) show up as diffs. Not part of the driver contract — the
+  * CI-enforced subset of these invariants lives in PlanAuditSpec.
+  *
+  * Parses the FORMATTED explain: the compact plan string truncates long
+  * fields, so `PushedFilters` counts from it silently under-report.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -16,19 +20,23 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-    val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan)
+      val plan = fn(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val scans = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan)
         .map(_.group(1).split(",").length).toList
       val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
-        .map(_.group(1)).filter(_.nonEmpty).size
-      val exchanges = "Exchange ".r.findAllIn(plan).size
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+        .flatMap(m => m.group(1).split(",").map(_.trim).filter(_.nonEmpty))
+        .size
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      val reused = "(?m)^\\(\\d+\\) ReusedExchange".r.findAllIn(plan).size
       val bad = Seq(
         if (plan.contains("CartesianProduct")) "CARTESIAN" else "",
         if (plan.contains("BroadcastNestedLoopJoin") &&
-          !Set("sim_topk", "sim_topk_ivf", "emb_neardup").exists(name.startsWith))
+          !Set("sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
+            "hc_latency_arrival", "hc_latency_event_time")
+            .exists(name.startsWith))
           "BNLJ" else "").filter(_.nonEmpty)
-      println(f"$name%-22s scanCols=${scans.mkString("/")}%-12s pushed=$pushed exch=$exchanges wsc=$wsc ${bad.mkString(",")}")
+      println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused ${bad.mkString(",")}")
     }
     spark.stop()
   }

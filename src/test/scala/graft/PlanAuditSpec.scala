@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan invariants as CI: the scale-killer patterns PlanAudit's
+  * human-run dump used to catch now fail the build. Planning only (no
+  * execution) — AQE's initial plan carries every invariant asserted here.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.explainString(FormattedMode)
+    }
+
+  /** Detail-section headers like `(5) Exchange` — one per real exchange
+    * node; ReusedExchange deliberately not counted (it is the optimization).
+    */
+  private def exchanges(plan: String): Int =
+    """(?m)^\(\d+\) Exchange""".r.findAllIn(plan).size
+
+  test("no query plans a cartesian product") {
+    plans.foreach { case (name, p) =>
+      withClue(s"$name: ") { p should not include "CartesianProduct" }
+    }
+  }
+
+  test("broadcast nested-loop joins only where the build side is a 1-row broadcast") {
+    // whitelisted: the global-now crossJoin (1-row max(ts) aggregate) and
+    // the query-vector / centroid-probe broadcasts (1-row / nprobe-row)
+    val whitelist = Set("hc_latency_arrival", "hc_latency_event_time",
+      "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats")
+    plans.foreach { case (name, p) =>
+      if (!whitelist.contains(name))
+        withClue(s"$name: ") { p should not include "BroadcastNestedLoopJoin" }
+    }
+  }
+
+  test("q6 pushes date/quantity predicates into the parquet scan and prunes columns") {
+    val p = plans("q6_filter")
+    p should include("GreaterThanOrEqual(l_shipdate")
+    p should include("LessThan(l_shipdate")
+    p should include("LessThan(l_quantity")
+    val cols = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).get.group(1).split(",").length
+    cols shouldBe 4 // l_quantity, l_extendedprice, l_discount, l_shipdate
+  }
+
+  test("scans are pruned: single-table text/media queries read only needed columns") {
+    // documents has (doc_id, text, lang, n_chars, ...); these operators must
+    // not drag unused columns through the scan
+    Seq("text_fingerprint" -> 2, "text_normalize" -> 2, "dedup_exact" -> 2,
+      "media_meta" -> 3).foreach { case (name, maxCols) =>
+      val cols = """ReadSchema: struct<([^>]*)>""".r
+        .findFirstMatchIn(plans(name)).get.group(1).split(",").length
+      withClue(s"$name: ") { cols should be <= maxCols }
+    }
+  }
+
+  test("exchange ceilings hold for the dedup/similarity/fingerprint family") {
+    // calibrated against the round-3 plans; a regression that re-introduces
+    // the fence shuffle (text_fingerprint), the 16x regroup (emb_neardup) or
+    // an extra join shuffle fails here
+    val ceilings = Map(
+      "text_fingerprint" -> 1, // the final orderBy only
+      "dedup_exact" -> 2,
+      "dedup_simhash" -> 6,
+      "dedup_minhash" -> 10,
+      "dedup_jaccard" -> 10,
+      "dedup_pipeline" -> 14,
+      "emb_neardup" -> 10,
+      "sim_topk" -> 1, // TakeOrdered, no global sort
+      "sim_topk_ivf" -> 4,
+      "emb_centroid_stats" -> 2)
+    ceilings.foreach { case (name, ceiling) =>
+      withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
+    }
+  }
+
+  test("the flagship alarm replay keeps its shuffles keyed (no single-partition funnels)") {
+    // hc_alarm_transitions: grid + per-minute max + two keyed window passes;
+    // every exchange must be hash-partitioned by event_type (+ the final
+    // orderBy range exchange) — a SinglePartition exchange would serialize
+    // the whole table through one task at 100 TB
+    val p = plans("hc_alarm_transitions")
+    val single = """(?m)^Arguments: SinglePartition""".r.findAllIn(p).size
+    single shouldBe 0
+  }
+}
