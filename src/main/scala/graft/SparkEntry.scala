@@ -71,6 +71,9 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextPipeline.textVocab(s, d)),
     "corpus_stats" -> ((s, d) => TextPipeline.corpusStats(s, d)),
     "text_normalize" -> ((s, d) => TextPipeline.textNormalize(s, d)),
+    "text_tfidf" -> ((s, d) => TextPipeline.textTfidf(s, d)),
+    "decontaminate" -> ((s, d) => TextPipeline.decontaminate(s, d)),
+    "stats_quantiles" -> ((s, d) => Relational.statsQuantiles(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -262,6 +265,38 @@ m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
   ELSE list_transform(range(len(hs)-3), i -> list_min(hs[i+1:i+4])) END AS mins FROM h)
 SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m
 ORDER BY doc_id, fingerprint""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, tf.token AS token, tf,
+  round(CAST(tf AS DOUBLE) * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 4) AS tfidf
+FROM tf JOIN df ON tf.token = df.token, n
+ORDER BY tfidf DESC, doc_id, token LIMIT 50""",
+    "decontaminate" ->
+      """WITH
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+h AS (SELECT doc_id, list_transform(sg, x -> md5(x)) AS hs FROM sh),
+m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+  ELSE list_transform(range(len(hs)-3), i -> list_min(hs[i+1:i+4])) END AS mins FROM h),
+fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m),
+tr AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+ev AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+SELECT ev.doc_id AS eval_doc_id, count(DISTINCT ev.fingerprint) AS n_shared
+FROM ev JOIN tr ON ev.fingerprint = tr.fingerprint
+GROUP BY 1 ORDER BY eval_doc_id""",
+    "stats_quantiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.25), 4) AS p25,
+  round(quantile_cont(value, 0.50), 4) AS p50,
+  round(quantile_cont(value, 0.75), 4) AS p75,
+  round(quantile_cont(value, 0.95), 4) AS p95,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",

@@ -41,6 +41,55 @@ case class MinHashBandDigests(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `minhash1(shingleSet, seed)`: ONE seeded min-hash — the lexicographic MIN
+  * of `md5(seed || ':' || shingle)` over the set, in one pass. Bit-identical
+  * to the HOF `array_min(transform(s, md5(seed:s)))` (TextFunctions.minHash,
+  * kept as the tested spec) and to the DuckDB oracle; exists because the HOF
+  * evaluates interpreted with per-element boxing — this is the blocking key
+  * of the global-min-hash dedup (dedup_jaccard), computed for every document.
+  */
+case class MinHashOne(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"minhash1 expects (array<string>, int), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(shingles: Any, seed: Any): Any =
+    MinHashOne.compute(
+      shingles.asInstanceOf[ArrayData], seed.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) =>
+      s"${ev.value} = graft.expressions.MinHashOne$$.MODULE$$.compute($a, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashOne =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashOne {
+  def compute(shingles: ArrayData, seed: Int): UTF8String = {
+    var min: String = null
+    val prefix = seed + ":"
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val h = DigestUtils.md5Hex(prefix + shingles.getUTF8String(i).toString)
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    if (min == null) null else UTF8String.fromString(min)
+  }
+}
+
 object MinHashBandDigests {
   private val NumHashes = 16
   private val Bands = 4

@@ -167,7 +167,8 @@ object VectorExpressions {
     "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) },
     "graft_shingle_set" -> { args => ShingleSet(args(0)) },
     "graft_winnow" -> { args => WinnowFingerprints(args(0)) },
-    "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) })
+    "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) },
+    "graft_minhash1" -> { args => MinHashOne(args(0), args(1)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -191,6 +192,9 @@ object VectorExpressions {
   def winnowNative(text: Column): Column = call_function("graft_winnow", text)
   def hyperplaneBandsNative(embedding: Column, normals: Column): Column =
     call_function("graft_hyperplane_bands", embedding, normals)
+  def minHash1Native(shingleSet: Column, seed: Int): Column =
+    call_function("graft_minhash1", shingleSet,
+      org.apache.spark.sql.functions.lit(seed))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -217,5 +221,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_hyperplane_bands"),
       (args: Seq[Expression]) => HyperplaneBands(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash1"),
+      new ExpressionInfo(classOf[MinHashOne].getName, "graft_minhash1"),
+      (args: Seq[Expression]) => MinHashOne(args(0), args(1))))
   }
 }

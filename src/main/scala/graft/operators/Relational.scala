@@ -260,4 +260,21 @@ object Relational {
       .agg(sum(discPrice).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** Exact interpolated percentiles per key — the distribution profile a
+    * pipeline computes before setting thresholds/buckets. `percentile` is
+    * Spark's exact linear-interpolation aggregate (matches DuckDB's
+    * quantile_cont); at 100 TB swap for approx_percentile when the exactness
+    * isn't worth the per-group sort — same query shape.
+    */
+  def statsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
 }

@@ -126,6 +126,55 @@ object TextPipeline {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** TF-IDF scoring — the classic relevance/quality weight a corpus pipeline
+    * computes before sampling or filtering. tf from one (doc, token)
+    * aggregation, df from one token aggregation, idf = ln((N+1)/(df+1))
+    * (smoothed), N broadcast as a 1-row aggregate. Top 50 weights with a
+    * total tiebreak order. At 100 TB both aggregations are map-side partial
+    * over the explode; the df table is vocab-sized and broadcast back.
+    */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, sfDir).agg(countDistinct(col("doc_id")).as("n"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf").cast(DoubleType) *
+          log((col("n") + 1).cast(DoubleType) / (col("df") + 1)), 4)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+      .limit(50)
+  }
+
+  /** Train/eval decontamination — the overlap check run before evaluation:
+    * eval documents sharing a winnowing fingerprint with ANY train document
+    * (shared >= w+k-1 token run) are contaminated. Split here is doc_id
+    * parity; production passes any split predicate. The join is an
+    * equi-join on the fingerprint hash — the scalable shape (hash shuffle
+    * keyed by fingerprint, distinct-collapsed train side), never a
+    * text-vs-text comparison.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val fp = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.expressions.VectorExpressions.winnowNative(col("text")))
+          .as("fingerprint"))
+    val train = fp.filter(col("doc_id") % 2 === 0)
+      .select(col("fingerprint")).distinct()
+    val eval_ = fp.filter(col("doc_id") % 2 === 1)
+    eval_.join(train, "fingerprint")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fingerprint")).as("n_shared"))
+      .select(col("doc_id").as("eval_doc_id"), col("n_shared"))
+      .orderBy("eval_doc_id")
+  }
+
   /** Normalization pipeline: lowercase, collapse whitespace, strip
     * non-alphanumerics — the canonical text cleaning pass before hashing/
     * dedup, emitted with the digest of the normalized form. Pure codegen'd
@@ -230,7 +279,10 @@ object TextPipeline {
       .select(col("doc_id"), graft.expressions.VectorExpressions
         .shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
-    val keyed = sets.select(col("doc_id"), minHash(col("s"), 99).as("block"))
+    // one-pass native min-hash for the blocking key (the HOF formulation
+    // stays as the tested spec in TextVectorFunctionsSpec)
+    val keyed = sets.select(col("doc_id"), graft.expressions.VectorExpressions
+      .minHash1Native(col("s"), 99).as("block"))
       .repartition(col("block"))
     val cands = keyed.hint("shuffle_hash").as("a")
       .join(keyed.hint("shuffle_hash").as("b"),

@@ -54,6 +54,10 @@ object StreamSinks {
     * deployment calls its notification client once per micro-batch with
     * connection reuse (the reference's constructor-built SDK client pattern,
     * HealthCheckProducerHandler.java:33-39).
+    *
+    * The driver-side `collect` is safe HERE because transitions are emitted
+    * only on state change (bounded, tiny); for anything fatter use
+    * [[notifyPerPartition]], the safe default for general streams.
     */
   def transitionsForeach(transitions: Dataset[AlarmTransition],
       checkpoint: String)(
@@ -63,5 +67,23 @@ object StreamSinks {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[AlarmTransition], id: Long) =>
         onBatch(batch.collect().toSeq, id)
+      }
+
+  /** O3, distributed delivery: each executor partition opens its own
+    * notification channel and delivers its rows — nothing funnels through
+    * the driver, so the sink scales with the stream (the signature
+    * [[transitionsForeach]]'s collect invites misuse for fat streams; this
+    * is the one to reach for by default). `send` runs ON EXECUTORS and must
+    * be serializable; per-partition setup/teardown belongs inside it
+    * (iterator-to-iterator, client per partition — the distributed analogue
+    * of the reference's client reuse).
+    */
+  def notifyPerPartition[T](stream: Dataset[T], checkpoint: String)(
+      send: Iterator[T] => Unit): DataStreamWriter[T] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.foreachPartition(send)
       }
 }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // whitelisted: the global-now crossJoin (1-row max(ts) aggregate) and
     // the query-vector / centroid-probe broadcasts (1-row / nprobe-row)
     val whitelist = Set("hc_latency_arrival", "hc_latency_event_time",
-      "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats")
+      "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
+      "text_tfidf") // 1-row corpus-size broadcast
     plans.foreach { case (name, p) =>
       if (!whitelist.contains(name))
         withClue(s"$name: ") { p should not include "BroadcastNestedLoopJoin" }

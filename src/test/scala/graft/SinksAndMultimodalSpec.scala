@@ -60,6 +60,30 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     alarms.head.observedValue shouldBe Some(9.0)
   }
 
+  test("O3 distributed: notifyPerPartition delivers every row from executors") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val metrics = input.toDF().toDF("streamName", "ts", "value")
+    NotifyProbe.received.clear()
+    val q = StreamSinks.notifyPerPartition(
+      AlarmPipeline.transitionRows(AlarmPipeline.transitions(metrics)),
+      Files.createTempDirectory("o3p-chk").toString) { it =>
+      // runs on executors; the static probe is same-JVM in local mode
+      it.foreach(t => NotifyProbe.received.add(s"${t.to}:${t.reason}"))
+    }.start()
+    try {
+      input.addData(Seq(("s", new Timestamp(0L), 0.5),
+        ("s", new Timestamp(60000L), 9.0)))
+      q.processAllAvailable()
+      input.addData(Seq(("s", new Timestamp(600000L), 0.5)))
+      q.processAllAvailable()
+      input.addData(Seq.empty)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    NotifyProbe.received.asScala.toSeq should contain("ALARM:threshold")
+  }
+
   test("multimodal: header parse round-trips the synthesized payload exactly") {
     val meta = MultimodalPipeline.mediaMeta(spark, sf).collect()
     meta.length shouldBe 500
@@ -95,4 +119,12 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
       f.n_frames should be > 0
     }
   }
+}
+
+/** Static executor-side probe for the distributed-delivery test (closures
+  * serialize per task, so a captured buffer would lose mutations; a
+  * singleton object resolves to the same instance in local mode).
+  */
+object NotifyProbe {
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

@@ -127,6 +127,18 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native MinHashOne matches the HOF minHash exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = (0 until 30).map(i =>
+      (0 to 10 + i).map(j => s"w${(i * 3 + j) % 19}").mkString(" ")) :+ "solo"
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions
+        .minHash1Native(shingleSet($"text"), 99).as("n"),
+        minHash(shingleSet($"text"), 99).as("h"))
+      .as[(String, String)].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
   test("native WinnowFingerprints matches the HOF sliding-min formulation exactly") {
     graft.expressions.VectorExpressions.register(spark)
     val w = 4
