@@ -74,6 +74,9 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextPipeline.textTfidf(s, d)),
     "decontaminate" -> ((s, d) => TextPipeline.decontaminate(s, d)),
     "stats_quantiles" -> ((s, d) => Relational.statsQuantiles(s, d)),
+    "salted_counts" -> ((s, d) => Relational.saltedEventCounts(s, d)),
+    "seq_len_buckets" -> ((s, d) => TextPipeline.seqLenBuckets(s, d)),
+    "emb_normalize" -> ((s, d) => SimilarityPipeline.embNormalize(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -297,6 +300,26 @@ GROUP BY 1 ORDER BY eval_doc_id""",
   round(quantile_cont(value, 0.95), 4) AS p95,
   count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "salted_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "seq_len_buckets" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+b AS (SELECT CASE WHEN n <= 16 THEN 'a_le16' WHEN n <= 32 THEN 'b_le32'
+  WHEN n <= 64 THEN 'c_le64' WHEN n <= 128 THEN 'd_le128'
+  ELSE 'e_gt128' END AS bucket, n FROM t)
+SELECT bucket, count(*) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS total_tokens,
+  CAST(max(n) AS BIGINT) AS max_tokens
+FROM b GROUP BY bucket ORDER BY bucket""",
+    "emb_normalize" ->
+      """WITH n AS (SELECT vec_id,
+  sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS norm,
+  embedding FROM embeddings)
+SELECT vec_id, round(norm, 4) AS norm,
+  list_transform(range(64), i -> round(CAST(embedding[i+1] AS DOUBLE) / norm, 4) + 0.0) AS unit
+FROM n ORDER BY vec_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",

@@ -267,6 +267,26 @@ object Relational {
     * quantile_cont); at 100 TB swap for approx_percentile when the exactness
     * isn't worth the per-group sort — same query shape.
     */
+  /** Skew-defended keyed aggregation — the salting pattern as a first-class
+    * operator: phase 1 aggregates by (key, salt) so a pathological hot key
+    * spreads over `salts` tasks; phase 2 merges the salt partials by key.
+    * Result is IDENTICAL to the direct groupBy (all-exact aggregates:
+    * count/min/max), which is exactly what the oracle checks; only the
+    * shuffle shape differs. At 100 TB this is the drop-in for any keyed agg
+    * whose key histogram is too skewed for AQE's skew handling alone.
+    */
+  def saltedEventCounts(spark: SparkSession, sfDir: String,
+      salts: Int = 16): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(salts)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("c"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .orderBy("event_type")
+
   def statsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))

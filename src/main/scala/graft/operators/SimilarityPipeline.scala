@@ -121,6 +121,24 @@ object SimilarityPipeline {
       .select(col("label"), col("n"),
         transform(col("sums"), x => x / col("n")).as("centroid"))
 
+  /** L2-normalization — the preprocessing pass before cosine ANN indexing
+    * (unit vectors turn cosine into dot). Stateless projection; the norm and
+    * each normalized component are deterministic double math (sequential dot
+    * -> sqrt -> divide) so the oracle matches bit-for-bit after round(4).
+    */
+  def embNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val norm = l2Norm(col("embedding"))
+    emb(spark, sfDir).select(
+      col("vec_id"),
+      round(norm, 4).as("norm"),
+      // + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the sign
+      // of a negative tiny value; Spark's doesn't — same on both sides)
+      transform(col("embedding").cast("array<double>"),
+        x => round(x / norm, 4) + lit(0.0)).as("unit"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-duplicate pairs: 16 hyperplane sign bits (normals =
     * vec_id 0..15), 4 bands x 4 bits; pairs sharing a band bucket are
     * verified at cosine >= [[NearDupThreshold]].

@@ -175,6 +175,25 @@ object TextPipeline {
       .orderBy("eval_doc_id")
   }
 
+  /** Sequence-length bucketing — the packing/batching plan a training
+    * pipeline computes before sharding sequences into fixed-size contexts.
+    * Exact integer boundaries (CASE, not float log2) keep the bucketing
+    * bit-identical across engines. One tiny keyed aggregation.
+    */
+  def seqLenBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast(LongType)
+    val bucket = when(n <= 16, "a_le16").when(n <= 32, "b_le32")
+      .when(n <= 64, "c_le64").when(n <= 128, "d_le128")
+      .otherwise("e_gt128")
+    docs(spark, sfDir)
+      .select(bucket.as("bucket"), n.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("bucket")
+  }
+
   /** Normalization pipeline: lowercase, collapse whitespace, strip
     * non-alphanumerics — the canonical text cleaning pass before hashing/
     * dedup, emitted with the digest of the normalized form. Pure codegen'd
