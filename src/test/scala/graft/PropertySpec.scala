@@ -85,6 +85,24 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.foreach { case (a, b) => a shouldBe b }
   }
 
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a fingerprint") {
+    graft.expressions.VectorExpressions.register(spark)
+    // Schleimer et al. SIGMOD'03: with shingle width k=3 and window w=4,
+    // any shared token run of length >= w+k-1 = 6 produces >= w shared
+    // positional hashes, whose window MIN is selected on both sides.
+    val word = Gen.oneOf((1 to 50).map(i => s"w$i"))
+    val run = Gen.listOfN(6, word) // the planted shared run
+    val pad = Gen.listOfN(12, word)
+    val cases = Gen.listOfN(30, for {
+      r <- run; p1 <- pad; p2 <- pad
+    } yield (p1 ++ r).mkString(" ") -> (r ++ p2).mkString(" ")).sample.get
+    val out = cases.toDF("ta", "tb")
+      .select(graft.expressions.VectorExpressions.winnowNative($"ta").as("fa"),
+        graft.expressions.VectorExpressions.winnowNative($"tb").as("fb"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (fa, fb) => fa.intersect(fb) should not be empty }
+  }
+
   test("alarm transitions: states alternate and reasons are consistent") {
     // replayed on the real sf0.001 table — an invariant check of the batch
     // alarm operator rather than a generated-input property
