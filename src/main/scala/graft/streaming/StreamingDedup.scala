@@ -57,18 +57,40 @@ object StreamingDedup extends Logging {
     * the streaming analogue of the batch pipeline's exact pre-collapse —
     * when exact ties must keep a representative.
     */
+  /** The streaming twin of the batch composite pipeline
+    * (TextPipeline.dedupPipeline): exact digest dedup FIRST, then multi-band
+    * near-dedup among the exact representatives. Besides matching the
+    * production shape (exact collapse is the skew/state defense — a page
+    * duplicated a million times contributes ONE row to every band key), the
+    * pre-collapse resolves [[dedupNearStream]]'s same-micro-batch tie:
+    * identical documents in one batch reduce to a single representative
+    * before any band key is contested.
+    */
+  def dedupPipelineStream(docs: DataFrame, eventTimeCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    dedupNearStream(
+      dedupExactStream(docs, eventTimeCol, delay).drop("text_hash"),
+      eventTimeCol, delay)
+
   def dedupNearStream(docs: DataFrame, eventTimeCol: String,
       delay: String = "10 minutes"): DataFrame = {
     val numBands = 4
     graft.expressions.VectorExpressions.register(docs.sparkSession)
     logInfo(s"streaming near-dedup on all $numBands LSH bands, watermark $delay")
-    val survivors = docs
+    val exploded = docs
       .select(col("doc_id"), col("text"), col(eventTimeCol),
         posexplode(graft.expressions.VectorExpressions.minHashBandsNative(
           graft.expressions.VectorExpressions.shingleSetNative(col("text"))))
           .as(Seq("band", "digest")))
-      .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark("band", "digest")
+    // redefining a watermark is disallowed, so when the input is already
+    // marked (e.g. chained after dedupExactStream in the pipeline) reuse it
+    val alreadyMarked = docs.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    val survivors =
+      (if (alreadyMarked) exploded else exploded.withWatermark(eventTimeCol, delay))
+        .dropDuplicatesWithinWatermark("band", "digest")
     survivors
       .groupBy(window(col(eventTimeCol), "1 second"), col("doc_id"))
       .agg(first(col("text")).as("text"),

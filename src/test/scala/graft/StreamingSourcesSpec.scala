@@ -213,6 +213,36 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
+  test("streaming dedup pipeline keeps one representative for same-batch identical docs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.dedupPipelineStream(docs, "ts")
+      .writeStream.format("memory").queryName("pipededup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-pd").toString)
+      .outputMode("append").start()
+    try {
+      val base = (1 to 40).map(i => s"w$i").mkString(" ")
+      // identical docs in ONE micro-batch: the bare near-dedup can suppress
+      // both (band keys split arbitrarily); the exact pre-collapse reduces
+      // them to one representative before any band key is contested
+      input.addData(Seq(
+        (1L, base, new Timestamp(100000L)),
+        (2L, base, new Timestamp(101000L)),
+        (3L, (100 to 140).map(i => s"w$i").mkString(" "), new Timestamp(102000L))))
+      q.processAllAvailable()
+      input.addData(Seq((99L, "flush sentinel doc", new Timestamp(20 * 60000L))))
+      q.processAllAvailable()
+      input.addData(Seq.empty); q.processAllAvailable()
+      val ids = spark.table("pipededup_stream").select("doc_id").as[Long]
+        .collect().filter(_ < 99L).sorted
+      ids.length shouldBe 2
+      Set(1L, 2L) should contain(ids.head) // exactly one representative
+      ids.last shouldBe 3L
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses duplicates agreeing on ANY LSH band") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
