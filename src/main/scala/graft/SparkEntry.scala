@@ -86,6 +86,7 @@ object SparkEntry {
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
+    "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     // LLM-data-pipeline: similarity search over `embeddings`
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
@@ -497,6 +498,18 @@ SELECT media_id, n_frames,
   unnest(range((n_frames-1)//4 + 1)) AS sample_idx,
   unnest(list_transform(range((n_frames-1)//4 + 1), i -> md5(substr(text, CAST(i*64+1 AS INT), 16)))) AS frame_md5
 FROM f ORDER BY media_id, sample_idx""",
+    "media_resize" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+  CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+  text FROM documents),
+r AS (SELECT media_id, width, height,
+  greatest(1, width * 32 // greatest(width, height)) AS out_w,
+  greatest(1, height * 32 // greatest(width, height)) AS out_h,
+  text FROM d)
+SELECT media_id, width, height, out_w, out_h,
+  md5(text || 'x' || CAST(out_w AS VARCHAR) || 'x' || CAST(out_h AS VARCHAR)) AS resized_md5
+FROM r ORDER BY media_id""",
     "dedup_pipeline" ->
       """WITH reps AS (
   SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS n_copies

@@ -106,6 +106,35 @@ object MultimodalPipeline {
       frameIdx: org.apache.spark.sql.Column, frameLen: Int) =
     body.substr(frameIdx * frameLen + 1, lit(frameLen))
 
+  /** Resize planning + deterministic re-encode digest: fit each medium into
+    * a `target` x `target` box preserving aspect ratio (exact integer
+    * arithmetic — `div`, no float rounding ambiguity cross-engine), and
+    * stamp the output with the digest of (body, out dims) — the shape of a
+    * real resize stage minus the codec (decode itself stays the declared
+    * stub). Dimensions are PARSED back from the binary header, so this also
+    * round-trips the envelope; everything is per-row expressions, payload
+    * bytes never shuffle.
+    */
+  def mediaResize(spark: SparkSession, sfDir: String, target: Int = 32): DataFrame = {
+    val m = mediaTable(spark, sfDir)
+    val header = (i: Int) => ascii(decodeHeaderChar(col("payload"), i))
+    val parsed = m.select(
+      col("media_id"),
+      (header(4) - 32).cast(LongType).as("width"),
+      (header(5) - 32).cast(LongType).as("height"),
+      decodeUtf8Sub(col("payload"), HeaderLen + 1, Int.MaxValue).as("body"))
+    parsed
+      .withColumn("out_w", greatest(lit(1L),
+        expr(s"width * $target div greatest(width, height)")))
+      .withColumn("out_h", greatest(lit(1L),
+        expr(s"height * $target div greatest(width, height)")))
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        md5(concat(col("body"), lit("x"), col("out_w").cast(StringType),
+          lit("x"), col("out_h").cast(StringType))).as("resized_md5"))
+      .orderBy("media_id")
+  }
+
   /** One decoded media record (STUBBED decode — see [[decodeFeatures]]). */
   final case class MediaFeatures(
       media_id: Long, kind: String, width: Int, height: Int,
