@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * fields, so `PushedFilters` counts from it silently under-report.
   */
 object PlanAudit {
+
+  /** Queries whose BroadcastNestedLoopJoin is a deliberate 1-row (or
+    * nprobe-row) broadcast — the global-now aggregate, query vector,
+    * centroid probe, or corpus-size count. Shared with PlanAuditSpec so the
+    * dev dump and the CI gate cannot drift.
+    */
+  val bnljWhitelist: Set[String] = Set(
+    "hc_latency_arrival", "hc_latency_event_time",
+    "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
+    "text_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -32,9 +43,7 @@ object PlanAudit {
       val bad = Seq(
         if (plan.contains("CartesianProduct")) "CARTESIAN" else "",
         if (plan.contains("BroadcastNestedLoopJoin") &&
-          !Set("sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
-            "hc_latency_arrival", "hc_latency_event_time")
-            .exists(name.startsWith))
+          !PlanAudit.bnljWhitelist.contains(name))
           "BNLJ" else "").filter(_.nonEmpty)
       println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused ${bad.mkString(",")}")
     }

@@ -52,14 +52,19 @@ case class HyperplaneBands(left: Expression, right: Expression)
 }
 
 object HyperplaneBands {
-  /** Codegen entry point (static shape for Janino). */
+  /** Codegen entry point (static shape for Janino). A normals array shorter
+    * than 16 (tiny/sparse corpus) contributes 0-bits for the missing
+    * hyperplanes instead of crashing — matching the grid formulation this
+    * replaces, which simply produced fewer bit rows.
+    */
   def computeBands(emb: ArrayData, normals: ArrayData): GenericArrayData = {
+    val have = normals.numElements()
     val vals = new Array[Any](4)
     var b = 0
     while (b < 4) {
       var v = 0L
       var j = 0
-      while (j < 4) {
+      while (j < 4 && b * 4 + j < have) {
         val h = normals.getArray(b * 4 + j)
         val m = math.min(emb.numElements(), h.numElements())
         var acc = 0.0

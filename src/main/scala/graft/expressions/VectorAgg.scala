@@ -20,12 +20,20 @@ object VecSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
 
   override def zero: Array[Double] = Array.emptyDoubleArray
 
+  /** Element-wise add, GROWING the accumulator to the longer length — a
+    * short (corrupt) first vector must not silently truncate every
+    * subsequent one (the posexplode/avg formulation this replaces averaged
+    * whatever existed at each position).
+    */
   private def addInto(acc: Array[Double], v: Seq[Double]): Array[Double] = {
     if (acc.isEmpty) return v.toArray
+    val out =
+      if (v.length <= acc.length) acc
+      else java.util.Arrays.copyOf(acc, v.length)
     var i = 0
-    val n = math.min(acc.length, v.length)
-    while (i < n) { acc(i) += v(i); i += 1 }
-    acc
+    val n = v.length
+    while (i < n) { out(i) += v(i); i += 1 }
+    out
   }
 
   override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =

@@ -186,6 +186,11 @@ object HealthCheckBatch {
     val threshold = cfg.thresholdSeconds
     val period = expr(s"interval ${cfg.periodMinutes} minute")
     val events = Tables.events(spark, sfDir)
+    // Grid scale note: `sequence` materializes one key's whole minute range
+    // from a single aggregated row, so a key spanning years would build its
+    // grid (~525k rows/year) in one task. Irrelevant for stream-name-keyed
+    // health checks (few keys, bounded spans); for long-horizon replays,
+    // pre-split the span into day chunks before exploding.
     val grid = events
       .groupBy(col("event_type"))
       .agg(

@@ -261,12 +261,6 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Exact interpolated percentiles per key — the distribution profile a
-    * pipeline computes before setting thresholds/buckets. `percentile` is
-    * Spark's exact linear-interpolation aggregate (matches DuckDB's
-    * quantile_cont); at 100 TB swap for approx_percentile when the exactness
-    * isn't worth the per-group sort — same query shape.
-    */
   /** Skew-defended keyed aggregation — the salting pattern as a first-class
     * operator: phase 1 aggregates by (key, salt) so a pathological hot key
     * spreads over `salts` tasks; phase 2 merges the salt partials by key.
@@ -287,6 +281,12 @@ object Relational {
         min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
       .orderBy("event_type")
 
+  /** Exact interpolated percentiles per key — the distribution profile a
+    * pipeline computes before setting thresholds/buckets. `percentile` is
+    * Spark's exact linear-interpolation aggregate (matches DuckDB's
+    * quantile_cont); at 100 TB swap for approx_percentile when the exactness
+    * isn't worth the per-group sort — same query shape.
+    */
   def statsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))

@@ -132,10 +132,14 @@ object SimilarityPipeline {
     emb(spark, sfDir).select(
       col("vec_id"),
       round(norm, 4).as("norm"),
-      // + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the sign
-      // of a negative tiny value; Spark's doesn't — same on both sides)
-      transform(col("embedding").cast("array<double>"),
-        x => round(x / norm, 4) + lit(0.0)).as("unit"))
+      // norm is the CHILD of array_repeat, so it evaluates once per row; a
+      // `transform` lambda referencing it directly would re-run the full
+      // dot+sqrt per ELEMENT (the Catalyst re-inlining pitfall — no
+      // cross-lambda CSE). + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's
+      // round keeps the sign of a negative tiny; Spark's doesn't).
+      zip_with(col("embedding").cast("array<double>"),
+        array_repeat(norm, size(col("embedding"))),
+        (x, n) => round(x / n, 4) + lit(0.0)).as("unit"))
       .orderBy("vec_id")
   }
 

@@ -80,10 +80,11 @@ object HealthCheckConsumer {
           .drop("__arrival")
       } else {
         // batch twin: deterministic earliest-(sequenceNumber) per
-        // (stream, arrival second)
+        // (stream, arrival second). Sequence numbers are decimal STRINGS of
+        // varying length — numeric order = (length, lexicographic).
         val w = Window
           .partitionBy(col("eventSourceARN"), col("approximateArrivalTimestamp"))
-          .orderBy(col("sequenceNumber"))
+          .orderBy(seqNumOrder: _*)
         base.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
@@ -115,9 +116,16 @@ object HealthCheckConsumer {
       each: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     records.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val w = Window.partitionBy(col("eventSourceARN"))
-        .orderBy(col("approximateArrivalTimestamp"), col("sequenceNumber"))
+        .orderBy(col("approximateArrivalTimestamp") +: seqNumOrder: _*)
       val first = batch.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
       each(metrics(first, cfg.copy(firstRecordOnly = false), now), batchId)
     }
+
+  /** Numeric order for Kinesis sequence numbers — decimal strings of varying
+    * length, so plain lexicographic order is wrong ("10" < "9"): compare by
+    * (length, string), which is numeric order for non-negative decimals.
+    */
+  private def seqNumOrder: Seq[Column] =
+    Seq(length(col("sequenceNumber")), col("sequenceNumber"))
 }

@@ -56,6 +56,10 @@ object StreamingDedup extends Logging {
     * which case BOTH are suppressed. Run [[dedupExactStream]] upstream —
     * the streaming analogue of the batch pipeline's exact pre-collapse —
     * when exact ties must keep a representative.
+    *
+    * Output contract (narrower than [[dedupExactStream]], which passes all
+    * input columns through): (doc_id, text, eventTimeCol), with the event
+    * time truncated to its 1-second re-assembly window start.
     */
   /** The streaming twin of the batch composite pipeline
     * (TextPipeline.dedupPipeline): exact digest dedup FIRST, then multi-band
@@ -83,9 +87,12 @@ object StreamingDedup extends Logging {
           graft.expressions.VectorExpressions.shingleSetNative(col("text"))))
           .as(Seq("band", "digest")))
     // redefining a watermark is disallowed, so when the input is already
-    // marked (e.g. chained after dedupExactStream in the pipeline) reuse it
+    // marked ON THIS COLUMN (e.g. chained after dedupExactStream in the
+    // pipeline) reuse it; a watermark on some other column doesn't count —
+    // the windowed re-assembly needs one on eventTimeCol
     val alreadyMarked = docs.queryExecution.logical.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w.eventTime.name == eventTimeCol
       case _ => false
     }
     val survivors =

@@ -26,7 +26,7 @@ class EntryContractSpec extends AnyFunSuite {
     assert(keys.size === SparkEntry.oracleSql.size)
   }
 
-  test("oracle SQL mentions only driver-provided tables") {
+  test("oracle SQL references only driver-provided tables and its own CTEs") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
@@ -35,11 +35,10 @@ class EntryContractSpec extends AnyFunSuite {
       val cteNames = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- cteNames
-      // aliases of inline subqueries also appear; only flag obvious typos of
-      // real table names (edit distance 0 handled above, so just require each
-      // query touches at least one real table)
+      assert(unknown.isEmpty,
+        s"$name references unknown relations: ${unknown.mkString(", ")}")
       assert(refs.intersect(tables).nonEmpty || cteNames.nonEmpty,
-        s"$name references no known table: $unknown")
+        s"$name references no known table")
     }
   }
 }

@@ -30,13 +30,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("broadcast nested-loop joins only where the build side is a 1-row broadcast") {
-    // whitelisted: the global-now crossJoin (1-row max(ts) aggregate) and
-    // the query-vector / centroid-probe broadcasts (1-row / nprobe-row)
-    val whitelist = Set("hc_latency_arrival", "hc_latency_event_time",
-      "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
-      "text_tfidf") // 1-row corpus-size broadcast
+    // the whitelist lives on PlanAudit so the dev dump and this gate agree
     plans.foreach { case (name, p) =>
-      if (!whitelist.contains(name))
+      if (!PlanAudit.bnljWhitelist.contains(name))
         withClue(s"$name: ") { p should not include "BroadcastNestedLoopJoin" }
     }
   }
