@@ -96,6 +96,21 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     }
   }
 
+  test("multimodal: resize fits into the 32-box preserving aspect, exact ints") {
+    val out = graft.operators.MultimodalPipeline
+      .mediaResize(spark, "/root/testdata/sf0.001").collect()
+    out should not be empty
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      val mx = math.max(w, h)
+      ow shouldBe math.max(1L, w * 32 / mx)
+      oh shouldBe math.max(1L, h * 32 / mx)
+      math.max(ow, oh) should be <= 32L
+      r.getAs[String]("resized_md5") should have length 32
+    }
+  }
+
   test("multimodal: frame sampling keeps every 4th 16-byte frame") {
     val frames = MultimodalPipeline.mediaFrameSample(spark, sf)
     val one = frames.filter($"media_id" === 0).collect()

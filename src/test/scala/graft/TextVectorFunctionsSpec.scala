@@ -185,6 +185,37 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.toSeq.zip(expected).foreach { case (got, exp) => got shouldBe exp }
   }
 
+  test("graft_vec_sum grows the accumulator on ragged input (no silent truncation)") {
+    graft.expressions.VectorExpressions.register(spark)
+    // the SHORT vector arrives first in doc order: a length-fixing
+    // accumulator would truncate the later full-length vectors
+    val rows = Seq(
+      (0, Seq(1.0, 2.0)),
+      (0, Seq(10.0, 20.0, 30.0, 40.0)),
+      (0, Seq(100.0, 200.0, 300.0, 400.0)))
+    val got = rows.toDF("g", "v").coalesce(1)
+      .groupBy($"g")
+      .agg(graft.expressions.VecSumAgg.vecSum($"v").as("s"))
+      .as[(Int, Seq[Double])].collect().head._2
+    got shouldBe Seq(111.0, 222.0, 330.0, 440.0)
+  }
+
+  test("HyperplaneBands degrades to 0-bits when fewer than 16 normals exist") {
+    graft.expressions.VectorExpressions.register(spark)
+    val normals = (0 until 5).map(k => Seq(1.0, k.toDouble)) // only 5 of 16
+    val out = Seq((Seq(1.0, 1.0), normals)).toDF("v", "normals")
+      .select(graft.expressions.VectorExpressions
+        .hyperplaneBandsNative($"v", $"normals"))
+      .as[Seq[Long]].head()
+    out.length shouldBe 4
+    // band 0 uses normals 0-3 (all positive dot => bits 0-3 set), band 1
+    // has only normal 4 (bit 0), bands 2-3 have none
+    out(0) shouldBe 15L
+    out(1) shouldBe 1L
+    out(2) shouldBe 0L
+    out(3) shouldBe 0L
+  }
+
   test("graft_vec_sum aggregator: element-wise sums match a manual fold") {
     graft.expressions.VectorExpressions.register(spark)
     val rows = (0 until 30).map(i =>
