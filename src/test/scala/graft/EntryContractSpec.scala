@@ -26,6 +26,24 @@ class EntryContractSpec extends AnyFunSuite {
     assert(keys.size === SparkEntry.oracleSql.size)
   }
 
+  test("session registry and GraftExtensions register the same native functions") {
+    // VectorExpressions.register (per-session) and GraftExtensions
+    // (spark.sql.extensions) are two routes to the same function set; a
+    // function added to one but not the other breaks cluster deployments
+    // silently. Source-text check (SparkSessionExtensions exposes no getter).
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/expressions/VectorExpressions.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val name = """"(graft_[a-z0-9_]+)"""".r
+    val Array(registryPart, extensionsPart) = src.split("class GraftExtensions")
+    val registered = name.findAllMatchIn(registryPart).map(_.group(1)).toSet
+    val injected = name.findAllMatchIn(extensionsPart).map(_.group(1)).toSet
+    // graft_vec_sum is a UDAF (spark.udf.register), not injectable the same
+    // way — exempt from the extensions side
+    assert((registered - "graft_vec_sum") === injected)
+  }
+
   test("oracle SQL references only driver-provided tables and its own CTEs") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
