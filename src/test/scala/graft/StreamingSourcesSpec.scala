@@ -213,6 +213,54 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
+  test("streaming vocab: windowed token counts finalize on watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingText.vocabStream(docs, "ts")
+      .writeStream.format("memory").queryName("vocab_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-vs").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "alpha beta alpha", new Timestamp(100000L)),
+        (2L, "beta gamma", new Timestamp(110000L))))
+      q.processAllAvailable()
+      // flush: watermark sentinel far past the 1-min window + 10-min delay
+      input.addData(Seq((9L, "zz", new Timestamp(30 * 60000L))))
+      q.processAllAvailable()
+      input.addData(Seq.empty); q.processAllAvailable()
+      val counts = spark.table("vocab_stream")
+        .select("token", "n").as[(String, Long)].collect().toMap
+      counts("alpha") shouldBe 2L
+      counts("beta") shouldBe 2L
+      counts("gamma") shouldBe 1L
+    } finally q.stop()
+  }
+
+  test("streaming quality gate filters low-quality docs on ingest") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingText.qualityFilterStream(docs)
+      .writeStream.format("memory").queryName("quality_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-qs").toString)
+      .outputMode("append").start()
+    try {
+      val good = "the quick brown fox is a fast animal and it is not slow " +
+        (1 to 40).map(i => s"word$i").mkString(" ")
+      input.addData(Seq(
+        (1L, good, new Timestamp(100000L)),
+        (2L, "x x x x x x x x", new Timestamp(101000L)))) // low diversity, no stopwords
+      q.processAllAvailable()
+      val ids = spark.table("quality_stream").select("doc_id").as[Long]
+        .collect().sorted
+      ids.toSeq shouldBe Seq(1L)
+    } finally q.stop()
+  }
+
   test("streaming dedup pipeline keeps one representative for same-batch identical docs") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
