@@ -60,6 +60,12 @@ object StreamingDedup extends Logging {
     * Output contract (narrower than [[dedupExactStream]], which passes all
     * input columns through): (doc_id, text, eventTimeCol), with the event
     * time truncated to its 1-second re-assembly window start.
+    *
+    * Shuffle note: the band explode carries the text 4x into the dedup
+    * shuffle (dedup state itself stores only (band, digest) + expiry).
+    * Running behind [[dedupExactStream]] (the pipeline shape) bounds that to
+    * distinct documents; if text were huge, explode (doc_id, band, digest)
+    * only and re-join survivors — at the cost of a stream-stream join.
     */
   /** The streaming twin of the batch composite pipeline
     * (TextPipeline.dedupPipeline): exact digest dedup FIRST, then multi-band
