@@ -18,8 +18,8 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
-    "sim_topk", "sim_topk_ivf", "emb_neardup", "emb_centroid_stats",
-    "text_tfidf")
+    "sim_topk", "sim_topk_ivf", "sim_topk_batch", "emb_neardup",
+    "emb_centroid_stats", "text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -77,6 +77,8 @@ object SparkEntry {
     "salted_counts" -> ((s, d) => Relational.saltedEventCounts(s, d)),
     "seq_len_buckets" -> ((s, d) => TextPipeline.seqLenBuckets(s, d)),
     "emb_normalize" -> ((s, d) => SimilarityPipeline.embNormalize(s, d)),
+    "corpus_sample" -> ((s, d) => TextPipeline.corpusSample(s, d)),
+    "sim_topk_batch" -> ((s, d) => SimilarityPipeline.simTopKBatch(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -321,6 +323,19 @@ FROM b GROUP BY bucket ORDER BY bucket""",
 SELECT vec_id, round(norm, 4) AS norm,
   list_transform(range(64), i -> round(CAST(embedding[i+1] AS DOUBLE) / norm, 4) + 0.0) AS unit
 FROM n ORDER BY vec_id""",
+    "corpus_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+  list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('sample:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < 10 ORDER BY doc_id""",
+    "sim_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q_id, vec_id, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings, q WHERE vec_id >= 8),
+t AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT q_id, rank, vec_id, round(c, 4) AS sim FROM t WHERE rank <= 3 ORDER BY q_id, rank""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",

@@ -121,6 +121,33 @@ object SimilarityPipeline {
       .select(col("label"), col("n"),
         transform(col("sums"), x => x / col("n")).as("centroid"))
 
+  /** Batched kNN — top-k neighbors for EACH of a probe set of queries (the
+    * eval-harness shape: nearest training examples per eval embedding). The
+    * probe set broadcasts (8 rows); the per-query ranking is a window
+    * row_number partitioned by query — the fan-out is broadcast x scan, no
+    * shuffle of the table until the (tiny) per-query top-k rows. At 10^9
+    * vectors the same plan holds; swap the scan side for IVF probing when
+    * the probe set grows.
+    */
+  def simTopKBatch(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8, k: Int = 3): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** L2-normalization — the preprocessing pass before cosine ANN indexing
     * (unit vectors turn cosine into dot). Stateless projection; the norm and
     * each normalized component are deterministic double math (sequential dot

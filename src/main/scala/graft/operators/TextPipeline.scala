@@ -175,6 +175,23 @@ object TextPipeline {
       .orderBy("eval_doc_id")
   }
 
+  /** Deterministic hash sampling — the reproducible split selector of a
+    * training-data pipeline: a document is in the `pct`% sample iff its
+    * seeded content hash lands below the cut. No RNG, no state: the same
+    * doc_id samples identically on every run, machine, and engine (the
+    * DuckDB oracle recomputes the same buckets), and the split composes
+    * with any partitioning. Stateless codegen'd filter at any scale.
+    */
+  def corpusSample(spark: SparkSession, sfDir: String, pct: Int = 10): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 4), 16, 10)
+      .cast(LongType) % 100
+    docs(spark, sfDir)
+      .filter(bucket < pct)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence-length bucketing — the packing/batching plan a training
     * pipeline computes before sharding sequences into fixed-size contexts.
     * Exact integer boundaries (CASE, not float log2) keep the bucketing
