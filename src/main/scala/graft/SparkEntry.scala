@@ -79,6 +79,8 @@ object SparkEntry {
     "emb_normalize" -> ((s, d) => SimilarityPipeline.embNormalize(s, d)),
     "corpus_sample" -> ((s, d) => TextPipeline.corpusSample(s, d)),
     "sim_topk_batch" -> ((s, d) => SimilarityPipeline.simTopKBatch(s, d)),
+    "dedup_report" -> ((s, d) => TextPipeline.dedupReport(s, d)),
+    "ngram_counts" -> ((s, d) => TextPipeline.ngramCounts(s, d)),
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
@@ -323,6 +325,21 @@ FROM b GROUP BY bucket ORDER BY bucket""",
 SELECT vec_id, round(norm, 4) AS norm,
   list_transform(range(64), i -> round(CAST(embedding[i+1] AS DOUBLE) / norm, 4) + 0.0) AS unit
 FROM n ORDER BY vec_id""",
+    "dedup_report" ->
+      """WITH c AS (SELECT md5(lower(trim(text))) AS h, count(*) AS c FROM documents GROUP BY 1)
+SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_unique,
+  CAST(max(c) AS BIGINT) AS max_cluster,
+  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4) AS dup_ratio
+FROM c""",
+    "ngram_counts" ->
+      """WITH sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-1), i -> array_to_string(toks[i+1:i+2], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+b AS (SELECT doc_id, unnest(sg) AS bigram FROM sh)
+SELECT bigram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM b WHERE len(string_split(bigram, ' ')) = 2
+GROUP BY bigram ORDER BY n_total DESC, bigram LIMIT 20""",
     "corpus_sample" ->
       """WITH b AS (SELECT doc_id, lang,
   list_sum(list_transform(range(4), d ->

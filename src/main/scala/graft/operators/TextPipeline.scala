@@ -262,6 +262,37 @@ object TextPipeline {
       .orderBy("lang")
   }
 
+  /** Corpus dedup report — the summary a pipeline logs after a dedup pass:
+    * document/unique counts, duplicate ratio, and the largest duplicate
+    * cluster. One digest aggregation + a 1-row rollup; all-exact integers
+    * except the rounded ratio.
+    */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        max(col("c")).as("max_cluster"))
+      .select(col("n_docs"), col("n_unique"), col("max_cluster"),
+        round(lit(1.0) - col("n_unique").cast(DoubleType) / col("n_docs"), 4)
+          .as("dup_ratio"))
+
+  /** Bigram counts, top 20 — the n-gram frequency pass of a language-model /
+    * quality heuristic (the unigram twin is [[textVocab]]). Shingle k=2 via
+    * the same tokenizer; map-side partial counts, vocab-sized final agg.
+    */
+  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2) // drop short-doc collapse
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("bigram"))
+      .limit(20)
+
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * hash. One hash-partitioned aggregation; at 100 TB this is the standard
     * shuffle-on-digest dedup (map-side partial min/count applies).
