@@ -36,6 +36,61 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingles(text, k)`: POSITIONAL word k-gram shingles, duplicates kept —
+  * the non-distinct sibling of [[ShingleSet]] (winnowing/n-gram counting
+  * need positions; Jaccard needs the set). One pass, no interpreted
+  * slice/concat chain; bit-identical to TextFunctions.shingles (the tested
+  * HOF spec): short texts collapse to one whole-text shingle.
+  */
+case class Shingles(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingles expects (string, int), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    Shingles.compute(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expressions.Shingles$$.MODULE$$.compute($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Shingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object Shingles {
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(words.mkString(" "))))
+    val out = new Array[Any](words.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object ShingleSet {
   private val K = 3
 

@@ -168,7 +168,8 @@ object VectorExpressions {
     "graft_shingle_set" -> { args => ShingleSet(args(0)) },
     "graft_winnow" -> { args => WinnowFingerprints(args(0)) },
     "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) },
-    "graft_minhash1" -> { args => MinHashOne(args(0), args(1)) })
+    "graft_minhash1" -> { args => MinHashOne(args(0), args(1)) },
+    "graft_shingles" -> { args => Shingles(args(0), args(1)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -195,6 +196,9 @@ object VectorExpressions {
   def minHash1Native(shingleSet: Column, seed: Int): Column =
     call_function("graft_minhash1", shingleSet,
       org.apache.spark.sql.functions.lit(seed))
+  def shinglesNative(text: Column, k: Int): Column =
+    call_function("graft_shingles", text,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -224,5 +228,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash1"),
       new ExpressionInfo(classOf[MinHashOne].getName, "graft_minhash1"),
       (args: Seq[Expression]) => MinHashOne(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => Shingles(args(0), args(1))))
   }
 }

@@ -283,15 +283,18 @@ object TextPipeline {
     * quality heuristic (the unigram twin is [[textVocab]]). Shingle k=2 via
     * the same tokenizer; map-side partial counts, vocab-sized final agg.
     */
-  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame =
+  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     docs(spark, sfDir)
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+      .select(col("doc_id"), explode(graft.expressions.VectorExpressions
+        .shinglesNative(col("text"), 2)).as("bigram"))
       .filter(size(split(col("bigram"), " ")) === 2) // drop short-doc collapse
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("bigram"))
       .limit(20)
+  }
 
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * hash. One hash-partitioned aggregation; at 100 TB this is the standard

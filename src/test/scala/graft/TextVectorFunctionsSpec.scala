@@ -127,6 +127,20 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native Shingles matches the HOF shingles exactly (k=2 and k=3)") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = (0 until 30).map(i =>
+      (0 to i).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")) :+ "a b" :+ "x"
+    Seq(2, 3).foreach { k =>
+      val out = texts.toDF("text")
+        .select(graft.expressions.VectorExpressions
+          .shinglesNative($"text", k).as("n"),
+          shingles($"text", k).as("h"))
+        .as[(Seq[String], Seq[String])].collect()
+      out.foreach { case (n, h) => n shouldBe h }
+    }
+  }
+
   test("native MinHashOne matches the HOF minHash exactly") {
     graft.expressions.VectorExpressions.register(spark)
     val texts = (0 until 30).map(i =>
