@@ -140,6 +140,35 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
+  test("S2 factory backfill: Trigger.AvailableNow consumes the backlog and terminates") {
+    val dir = Files.createTempDirectory("env-backfill")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"currentInstant":"2022-10-17T10:00:00Z"}""".getBytes("UTF-8"))
+    def envelope(seq: Int, arrival: Long): String =
+      s"""{"records":[{"kinesis":{"kinesisSchemaVersion":"1.0","partitionKey":"pk",
+         |"sequenceNumber":"$seq","data":"$b64","approximateArrivalTimestamp":$arrival},
+         |"eventSource":"aws:kinesis","eventVersion":"1.0","eventID":"e$seq",
+         |"eventName":"aws:kinesis:record","invokeIdentityArn":"arn","awsRegion":"eu-west-1",
+         |"eventSourceARN":"arn:aws:kinesis:eu-west-1:1:stream/health-check-stream"}]}"""
+        .stripMargin
+    Files.writeString(dir.resolve("e1.json"), envelope(1, 1666014770L))
+    Files.writeString(dir.resolve("e2.json"), envelope(2, 1666014830L))
+    val records = StreamSources.recordStream(spark,
+      StreamSourceConfig(path = Some(dir.toString)))
+    val metrics = HealthCheckConsumer.metrics(records, HealthCheckConfig(),
+      now = graft.functions.HealthCheckFunctions
+        .fromEpochSeconds(col("approximateArrivalTimestamp") + 1))
+    val q = metrics.writeStream.format("memory").queryName("s2_backfill")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-bf").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    // AvailableNow drains the existing backlog then STOPS on its own — the
+    // batch-backfill mode of the same streaming pipeline
+    q.awaitTermination(60000) shouldBe true
+    spark.table("s2_backfill").count() shouldBe 2
+  }
+
   test("B1 exact: a micro-batch spanning 3 arrival seconds emits exactly 1 metric") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val arn = "arn:aws:kinesis:eu-west-1:1:stream/health-check-stream"
