@@ -47,11 +47,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
 
-    // Two measured runs per query, keep the MIN: local[32] timings carry
-    // multi-second scheduler/GC noise, and the minimum is the stable
-    // estimator of the plan's actual cost.
+    // Three measured runs per query, keep the MEDIAN, with a GC quiesce
+    // before each run: local[32] timings carry multi-second scheduler/GC/JIT
+    // noise across a 56-query JVM, and round 3's min-of-2 still let one
+    // driver run report a 3x outlier (BENCH_r03 dedup_pipeline 4.90s vs
+    // 1.65s on re-runs of identical code). The median of three quiesced runs
+    // is robust to a single interference spike in either direction.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
+        System.gc()
         val t0 = System.nanoTime()
         val err =
           try {
@@ -64,7 +68,11 @@ object Bench {
       }
       val (s1, e1) = once()
       if (e1.isDefined) (name, s1, e1)
-      else { val (s2, e2) = once(); (name, math.min(s1, s2), e2) }
+      else {
+        val (s2, _) = once()
+        val (s3, e3) = once()
+        (name, Seq(s1, s2, s3).sorted.apply(1), e3)
+      }
     }
     val qs = results.map {
       case (k, v, None) => s""""$k":$v"""

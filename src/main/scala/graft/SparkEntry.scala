@@ -76,7 +76,7 @@ object SparkEntry {
     "stats_quantiles" -> ((s, d) => Relational.statsQuantiles(s, d)),
     "salted_counts" -> ((s, d) => Relational.saltedEventCounts(s, d)),
     "seq_len_buckets" -> ((s, d) => TextPipeline.seqLenBuckets(s, d)),
-    "emb_normalize" -> ((s, d) => SimilarityPipeline.embNormalize(s, d)),
+    "emb_normalize" -> ((s, d) => SimilarityPipeline.embNormalizeFlat(s, d)),
     "corpus_sample" -> ((s, d) => TextPipeline.corpusSample(s, d)),
     "sim_topk_batch" -> ((s, d) => SimilarityPipeline.simTopKBatch(s, d)),
     "dedup_report" -> ((s, d) => TextPipeline.dedupReport(s, d)),
@@ -322,9 +322,9 @@ FROM b GROUP BY bucket ORDER BY bucket""",
       """WITH n AS (SELECT vec_id,
   sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS norm,
   embedding FROM embeddings)
-SELECT vec_id, round(norm, 4) AS norm,
-  list_transform(range(64), i -> round(CAST(embedding[i+1] AS DOUBLE) / norm, 4) + 0.0) AS unit
-FROM n ORDER BY vec_id""",
+SELECT vec_id, unnest(range(64)) AS pos, round(norm, 4) AS norm,
+  unnest(list_transform(range(64), i -> round(CAST(embedding[i+1] AS DOUBLE) / norm, 4) + 0.0)) AS unit_val
+FROM n ORDER BY vec_id, pos""",
     "dedup_report" ->
       """WITH c AS (SELECT md5(lower(trim(text))) AS h, count(*) AS c FROM documents GROUP BY 1)
 SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_unique,
@@ -342,9 +342,9 @@ FROM b WHERE len(string_split(bigram, ' ')) = 2
 GROUP BY bigram ORDER BY n_total DESC, bigram LIMIT 20""",
     "corpus_sample" ->
       """WITH b AS (SELECT doc_id, lang,
-  list_sum(list_transform(range(4), d ->
+  CAST(list_sum(list_transform(range(4), d ->
     CAST(strpos('0123456789abcdef', md5('sample:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
-      * (1::BIGINT << (4*(3-d))))) % 100 AS bucket
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
   FROM documents)
 SELECT doc_id, lang, bucket FROM b WHERE bucket < 10 ORDER BY doc_id""",
     "sim_topk_batch" ->

@@ -170,6 +170,20 @@ object SimilarityPipeline {
       .orderBy("vec_id")
   }
 
+  /** [[embNormalize]] exploded to one row per vector component. The
+    * array-returning form above is the real API; this flat shape exists
+    * because the correctness harness hashes scalar cells only (an
+    * `array<double>` result column is unsortable/unhashable on the oracle
+    * side), so the driver-checked query emits (vec_id, pos, norm, unit_val).
+    */
+  def embNormalizeFlat(spark: SparkSession, sfDir: String): DataFrame =
+    embNormalize(spark, sfDir)
+      .select(col("vec_id"), col("norm"),
+        posexplode(col("unit")).as(Seq("pos", "unit_val")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("norm"), col("unit_val"))
+      .orderBy("vec_id", "pos")
+
   /** Embedding near-duplicate pairs: 16 hyperplane sign bits (normals =
     * vec_id 0..15), 4 bands x 4 bits; pairs sharing a band bucket are
     * verified at cosine >= [[NearDupThreshold]].
