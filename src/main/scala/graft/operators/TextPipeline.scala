@@ -138,11 +138,18 @@ object TextPipeline {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df inline via a token-partitioned window over tf: tf is (doc, token)-
+    // distinct, so count(*) per token partition IS the document frequency.
+    // Round 3 re-exploded the corpus for df and broadcast a vocab-sized
+    // join table back; this shape tokenizes the corpus ONCE (CI:
+    // PlanAuditSpec single-text-scan assertion) and replaces the broadcast
+    // with the window's own token shuffle — no vocab-size ceiling at 100 TB.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    // N touches only the doc_id column (pruned scan, 1-row broadcast) — not
+    // a second pass over the text.
     val n = docs(spark, sfDir).agg(countDistinct(col("doc_id")).as("n"))
-    tf.join(broadcast(df), "token")
-      .crossJoin(broadcast(n))
+    withDf.crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf").cast(DoubleType) *
           log((col("n") + 1).cast(DoubleType) / (col("df") + 1)), 4)
@@ -165,13 +172,23 @@ object TextPipeline {
       .select(col("doc_id"),
         explode(graft.expressions.VectorExpressions.winnowNative(col("text")))
           .as("fingerprint"))
-    val train = fp.filter(col("doc_id") % 2 === 0)
-      .select(col("fingerprint")).distinct()
-    val eval_ = fp.filter(col("doc_id") % 2 === 1)
-    eval_.join(train, "fingerprint")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fingerprint")).as("n_shared"))
-      .select(col("doc_id").as("eval_doc_id"), col("n_shared"))
+    // Tag-and-split in ONE corpus pass (round 3 filtered fp twice, planning
+    // two scan+winnow passes): one aggregation keyed by fingerprint records
+    // both the train-side presence bit and the set of eval docs holding it;
+    // contaminated fingerprints then explode back to (eval_doc, 1) and the
+    // per-doc count is exact-distinct because each group row IS a distinct
+    // fingerprint. The eval_docs set is bounded by the duplication cluster
+    // size of one fingerprint — the same skew envelope as the dedup band
+    // joins, which AQE skew-split covers.
+    fp.groupBy(col("fingerprint"))
+      .agg(
+        max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("in_train"),
+        collect_set(when(col("doc_id") % 2 === 1, col("doc_id")))
+          .as("eval_docs"))
+      .filter(col("in_train") === 1 && size(col("eval_docs")) > 0)
+      .select(explode(col("eval_docs")).as("eval_doc_id"))
+      .groupBy(col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy("eval_doc_id")
   }
 

@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // documents has (doc_id, text, lang, n_chars, ...); these operators must
     // not drag unused columns through the scan
     Seq("text_fingerprint" -> 2, "text_normalize" -> 2, "dedup_exact" -> 2,
-      "media_meta" -> 3).foreach { case (name, maxCols) =>
+      "media_meta" -> 3, "media_resize" -> 3, "dedup_report" -> 1,
+      "ngram_counts" -> 2, "corpus_sample" -> 2, "emb_normalize" -> 2,
+      "seq_len_buckets" -> 1).foreach { case (name, maxCols) =>
       val cols = """ReadSchema: struct<([^>]*)>""".r
         .findFirstMatchIn(plans(name)).get.group(1).split(",").length
       withClue(s"$name: ") { cols should be <= maxCols }
@@ -72,10 +74,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "emb_neardup" -> 10,
       "sim_topk" -> 1, // TakeOrdered, no global sort
       "sim_topk_ivf" -> 4,
-      "emb_centroid_stats" -> 2)
+      "emb_centroid_stats" -> 2,
+      // round-4 additions, calibrated against the current plans
+      "text_tfidf" -> 5, // tf shuffle + df/N derivations + orderBy
+      "decontaminate" -> 3, // fingerprint agg + per-doc count + orderBy
+      "sim_topk_batch" -> 2, // per-query window + orderBy; probe broadcast
+      "corpus_sample" -> 1, // stateless filter; orderBy only
+      "salted_counts" -> 3, // two-phase salted agg + orderBy
+      "stats_quantiles" -> 2,
+      "media_resize" -> 1, // stateless projection; orderBy only
+      "ngram_counts" -> 2,
+      "dedup_report" -> 2, // digest agg + 1-row rollup
+      "emb_normalize" -> 1, // stateless projection + explode; orderBy only
+      "seq_len_buckets" -> 2)
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
+  }
+
+  test("decontaminate and text_tfidf read the corpus text once") {
+    // decontaminate: single winnow subtree by construction (one scan total).
+    // text_tfidf: df comes from a window over tf and N from a doc_id-only
+    // pruned scan, so exactly one scan touches the text column.
+    def textScans(plan: String): Int =
+      """ReadSchema: struct<([^>]*)>""".r.findAllMatchIn(plan)
+        .count(_.group(1).contains("text"))
+    withClue("decontaminate: ") {
+      """(?m)^\(\d+\) Scan parquet""".r
+        .findAllIn(plans("decontaminate")).size shouldBe 1
+    }
+    withClue("text_tfidf: ") { textScans(plans("text_tfidf")) shouldBe 1 }
   }
 
   test("the flagship alarm replay keeps its shuffles keyed (no single-partition funnels)") {
