@@ -150,17 +150,49 @@ object HealthCheckBatch {
     * Stack.java:179). `sequence`+`explode` generates the expected tick grid
     * distributed per key; the anti-join finds the gaps.
     */
-  def gapDetect(spark: SparkSession, sfDir: String,
-      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
-    val events = Tables.events(spark, sfDir)
-    val grid = events
+  /** Expected-tick grid for a keyed event table: every period boundary in
+    * each key's [min, max] span, DAY-CHUNKED so no single task materializes
+    * a key's whole range. A naive one-`sequence`-per-key explode builds a
+    * multi-year key's grid (~525k rows/year) inside one task; here the span
+    * first explodes into ~day-sized chunk starts (tiny: span/1440 rows per
+    * key), those chunk rows are hash-distributed, and only then does each
+    * task expand its chunks into at most a day of periods. The extra
+    * exchange moves #chunk rows — negligible — and the grid generation
+    * itself scales with the cluster (spec: a 3-year key spans many tasks).
+    * All arithmetic is epoch-aligned period math, so the chunk union is
+    * exactly the original `sequence(mn, mx, period)` point set for any
+    * periodMinutes.
+    */
+  private[graft] def tickGrid(events: DataFrame, cfg: HealthCheckConfig)
+      : DataFrame = {
+    val period = expr(s"interval ${cfg.periodMinutes} minute")
+    val chunkPeriods = math.max(1440 / cfg.periodMinutes, 1)
+    val chunkStep = expr(s"interval ${chunkPeriods * cfg.periodMinutes} minute")
+    events
       .groupBy(col("event_type"))
       .agg(
         periodStart(min(col("ts")), cfg.periodMinutes).as("mn"),
         periodStart(max(col("ts")), cfg.periodMinutes).as("mx"))
+      .select(col("event_type"), col("mx"),
+        explode(sequence(col("mn"), col("mx"), chunkStep)).as("chunk_start"))
+      // explicit partition count: AQE would coalesce this byte-tiny chunk
+      // shuffle into one partition (it sizes by bytes, blind to the 1440x
+      // explode each row is about to do); a user-specified count is exempt
+      // from coalescing
+      .repartition(events.sparkSession.sparkContext.defaultParallelism,
+        col("event_type"), col("chunk_start"))
       .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"),
-          expr(s"interval ${cfg.periodMinutes} minute"))).as("minute"))
+        explode(sequence(
+          col("chunk_start"),
+          least(col("mx"), col("chunk_start") +
+            expr(s"interval ${(chunkPeriods - 1) * cfg.periodMinutes} minute")),
+          period)).as("minute"))
+  }
+
+  def gapDetect(spark: SparkSession, sfDir: String,
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val grid = tickGrid(events, cfg)
     val present = events
       .select(col("event_type"),
         periodStart(col("ts"), cfg.periodMinutes).as("minute"))
@@ -184,20 +216,8 @@ object HealthCheckBatch {
   def alarmTransitions(spark: SparkSession, sfDir: String,
       cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
     val threshold = cfg.thresholdSeconds
-    val period = expr(s"interval ${cfg.periodMinutes} minute")
     val events = Tables.events(spark, sfDir)
-    // Grid scale note: `sequence` materializes one key's whole minute range
-    // from a single aggregated row, so a key spanning years would build its
-    // grid (~525k rows/year) in one task. Irrelevant for stream-name-keyed
-    // health checks (few keys, bounded spans); for long-horizon replays,
-    // pre-split the span into day chunks before exploding.
-    val grid = events
-      .groupBy(col("event_type"))
-      .agg(
-        periodStart(min(col("ts")), cfg.periodMinutes).as("mn"),
-        periodStart(max(col("ts")), cfg.periodMinutes).as("mx"))
-      .select(col("event_type"),
-        explode(sequence(col("mn"), col("mx"), period)).as("minute"))
+    val grid = tickGrid(events, cfg)
     val perMinute = events
       .groupBy(col("event_type"),
         periodStart(col("ts"), cfg.periodMinutes).as("minute"))

@@ -53,6 +53,10 @@ object SimilarityPipeline {
     scored
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(TopK)
+      // Rank re-number runs AFTER limit(TopK): the unpartitioned window sees
+      // at most TopK rows (TakeOrdered output), so WindowExec's "No
+      // Partition Defined" warning is harmless here — it is a k-row driver-
+      // side numbering, not a table-wide single-partition sort.
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
           .cast("long"))
@@ -88,6 +92,7 @@ object SimilarityPipeline {
     scored
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(IvfTopK)
+      // post-limit window: <= IvfTopK rows, see the simTopK note
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
           .cast("long"))

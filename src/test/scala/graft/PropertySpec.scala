@@ -103,6 +103,23 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.foreach { case (fa, fb) => fa.intersect(fb) should not be empty }
   }
 
+  test("tick grid day-chunks a multi-year key across multiple tasks") {
+    val cfg = graft.model.HealthCheckConfig()
+    val events = Seq(
+      ("s", Timestamp.valueOf("2020-01-01 00:00:30"), 1.0),
+      ("s", Timestamp.valueOf("2023-01-01 00:00:30"), 1.0))
+      .toDF("event_type", "ts", "value")
+    val grid = HealthCheckBatch.tickGrid(events, cfg)
+    val expected = (Timestamp.valueOf("2023-01-01 00:00:30").getTime -
+      Timestamp.valueOf("2020-01-01 00:00:30").getTime) / 60000 + 1
+    grid.count() shouldBe expected
+    // chunk rows are hash-distributed before the big explode: a multi-year
+    // key's ~1.6M-row grid must not materialize inside one task
+    val perPart = grid.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    perPart.count(_ > 0) should be > 1
+    perPart.max.toLong should be < expected
+  }
+
   test("alarm transitions: states alternate and reasons are consistent") {
     // replayed on the real sf0.001 table — an invariant check of the batch
     // alarm operator rather than a generated-input property
