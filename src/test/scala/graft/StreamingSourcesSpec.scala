@@ -140,6 +140,56 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
+  test("S2 factory Kinesis branch: connector reshape pins ARN rebuild + epoch conversion") {
+    // The fake test-classpath source registers the REAL connector short
+    // name (aws-kinesis) with the connector's column shape, so the
+    // production branch of StreamSources.recordStream — column reshape,
+    // ARN reconstruction from region/account options, timestamp ->
+    // epoch-seconds — executes verbatim, jar or no jar.
+    graft.streaming.testkit.FakeKinesisSource.records = Seq(
+      graft.streaming.testkit.FakeKinesisSource.Rec(
+        """{"currentInstant":"2022-10-17T10:00:00Z"}""".getBytes("UTF-8"),
+        "health-check-stream", "2022-10-17T10:00:00Z",
+        "49533603912491631504635834245441018458760798439001555074",
+        1666014770L))
+    val records = StreamSources.recordStream(spark, StreamSourceConfig(
+      format = StreamSources.Kinesis,
+      options = Map("region" -> "eu-west-1",
+        "awsAccountId" -> "111122223333")))
+    // reshape surface: engine record columns out of connector columns
+    val rq = records.writeStream.format("memory").queryName("s2_kin_records")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-s2kr").toString)
+      .outputMode("append").start()
+    try {
+      rq.processAllAvailable()
+      val r = spark.table("s2_kin_records").collect()
+      r.length shouldBe 1
+      r.head.getAs[String]("eventSourceARN") shouldBe
+        "arn:aws:kinesis:eu-west-1:111122223333:stream/health-check-stream"
+      r.head.getAs[Long]("approximateArrivalTimestamp") shouldBe 1666014770L
+      new String(r.head.getAs[Array[Byte]]("data"), "UTF-8") shouldBe
+        """{"currentInstant":"2022-10-17T10:00:00Z"}"""
+    } finally rq.stop()
+    // end-to-end: the same downstream metric pipeline, P9 parsing the
+    // stream name back OUT of the reconstructed ARN
+    val metrics = HealthCheckConsumer.metrics(records, HealthCheckConfig(),
+      now = graft.functions.HealthCheckFunctions
+        .fromEpochSeconds(col("approximateArrivalTimestamp") + 5))
+    val q = metrics.writeStream.format("memory").queryName("s2_kin_metrics")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-s2km").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val m = spark.table("s2_kin_metrics").collect()
+      m.length shouldBe 1
+      m.head.getAs[String]("streamName") shouldBe "health-check-stream"
+      m.head.getAs[Double]("value") shouldBe 5.0
+      m.head.getAs[Timestamp]("ts").getTime shouldBe 1666014770000L
+    } finally q.stop()
+  }
+
   test("S2 factory backfill: Trigger.AvailableNow consumes the backlog and terminates") {
     val dir = Files.createTempDirectory("env-backfill")
     val b64 = java.util.Base64.getEncoder.encodeToString(
