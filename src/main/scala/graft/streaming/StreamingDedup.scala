@@ -1,10 +1,50 @@
 package graft.streaming
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
 import graft.functions.TextFunctions._
+
+/** One surviving (band, digest) arrival at the near-dedup re-assembly stage;
+  * `text` is non-null ONLY on the band-0 row (the 1x-text shuffle shape).
+  */
+final case class BandArrival(docId: Long, tsMs: Long, band: Int, text: String)
+
+/** A document that won all of its LSH band keys. */
+final case class NearDupSurvivor(doc_id: Long, text: String, tsMs: Long)
+
+/** Emit-immediate re-assembly for [[StreamingDedup.dedupNearStreamImmediate]]:
+  * all band rows of a document are exploded from one input row, travel the
+  * SAME micro-batch through the band dedup, and therefore arrive here
+  * together — so a survivor can be decided (all `numBands` keys won) and
+  * emitted in the batch that delivered the document, no watermark wait. No
+  * persistent state is ever written: the processor is a per-key, per-batch
+  * counter, so the state store holds only the upstream dedup's digests.
+  */
+class NearDupEmitProcessor(numBands: Int)
+    extends StatefulProcessor[Long, BandArrival, NearDupSurvivor] {
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+  override def handleInputRows(key: Long, rows: Iterator[BandArrival],
+      timers: TimerValues): Iterator[NearDupSurvivor] = {
+    var fresh = 0
+    var tsMs = 0L
+    var text: String = null
+    rows.foreach { r =>
+      fresh += 1
+      tsMs = r.tsMs
+      if (r.band == 0) text = r.text
+    }
+    // A document with a stale band has < numBands surviving rows: suppressed.
+    // An emitted document always owns its band-0 row (it is fresh), so its
+    // own text is present.
+    if (fresh == numBands) Iterator.single(NearDupSurvivor(key, text, tsMs))
+    else Iterator.empty
+  }
+}
 
 /** Streaming deduplication for document ingest — the watermarked variant of
   * the batch dedup family (TextPipeline), built on
@@ -92,17 +132,9 @@ object StreamingDedup extends Logging {
         posexplode(graft.expressions.VectorExpressions.minHashBandsNative(
           graft.expressions.VectorExpressions.shingleSetNative(col("text"))))
           .as(Seq("band", "digest")))
-    // redefining a watermark is disallowed, so when the input is already
-    // marked ON THIS COLUMN (e.g. chained after dedupExactStream in the
-    // pipeline) reuse it; a watermark on some other column doesn't count —
-    // the windowed re-assembly needs one on eventTimeCol
-    val alreadyMarked = docs.queryExecution.logical.exists {
-      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
-        w.eventTime.name == eventTimeCol
-      case _ => false
-    }
     val survivors =
-      (if (alreadyMarked) exploded else exploded.withWatermark(eventTimeCol, delay))
+      (if (markedOn(docs, eventTimeCol)) exploded
+       else exploded.withWatermark(eventTimeCol, delay))
         .dropDuplicatesWithinWatermark("band", "digest")
     survivors
       .groupBy(window(col(eventTimeCol), "1 second"), col("doc_id"))
@@ -112,4 +144,80 @@ object StreamingDedup extends Logging {
       .select(col("doc_id"), col("text"),
         col("window.start").as(eventTimeCol))
   }
+
+  /** [[dedupNearStream]] with the two round-3 caveats engineered out:
+    *
+    *  - **1x-text shuffle** (was 4x): the band explode carries the text on
+    *    the band-0 row ONLY (`when(band = 0, text)`); the other three rows
+    *    shuffle (doc_id, band, digest, ts) plus a null. A survivor by
+    *    definition won ALL its band keys, so its own band-0 row — and its
+    *    text — always reaches re-assembly. Dedup state still stores only
+    *    the (band, digest) key fingerprints; text never enters a state
+    *    store, and no stream-stream re-join is needed to restore it.
+    *  - **emit-immediate** (was watermark-delayed): the four band rows of a
+    *    document are exploded from one input row and travel the same
+    *    micro-batch through the band dedup, so [[NearDupEmitProcessor]] —
+    *    keyed by doc_id, persisting nothing — counts the surviving bands
+    *    and emits the survivor in the batch that delivered it. The windowed
+    *    variant above waits for the watermark to close the re-assembly
+    *    window; this one's survivors are visible in the same
+    *    `processAllAvailable` round (latency spec in StreamingSourcesSpec).
+    *
+    * Same candidate rule and suppression set as [[dedupNearStream]]
+    * (equivalence spec), same same-micro-batch tie (run behind
+    * [[dedupExactStream]] — [[dedupPipelineStreamImmediate]] is that shape).
+    * Output: (doc_id, text, eventTimeCol) at full timestamp precision (the
+    * windowed variant truncates to its 1-second window start).
+    */
+  def dedupNearStreamImmediate(docs: DataFrame, eventTimeCol: String,
+      delay: String = "10 minutes"): DataFrame = {
+    val numBands = 4
+    graft.expressions.VectorExpressions.register(docs.sparkSession)
+    logInfo(s"streaming near-dedup (emit-immediate, 1x-text shuffle) on " +
+      s"all $numBands LSH bands, watermark $delay")
+    val exploded = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col(eventTimeCol),
+        posexplode(graft.expressions.VectorExpressions.minHashBandsNative(
+          graft.expressions.VectorExpressions.shingleSetNative(col("text"))))
+          .as(Seq("band", "digest")))
+      .select(col("doc_id"), col(eventTimeCol), col("band"), col("digest"),
+        when(col("band") === 0, col("text")).as("text"))
+    val fresh =
+      (if (markedOn(docs, eventTimeCol)) exploded
+       else exploded.withWatermark(eventTimeCol, delay))
+        .dropDuplicatesWithinWatermark("band", "digest")
+    implicit val ae = Encoders.product[BandArrival]
+    implicit val se = Encoders.product[NearDupSurvivor]
+    fresh
+      .select(col("doc_id").as("docId"),
+        unix_millis(col(eventTimeCol)).as("tsMs"), col("band"), col("text"))
+      .as[BandArrival]
+      .groupByKey(_.docId)(Encoders.scalaLong)
+      .transformWithState(new NearDupEmitProcessor(numBands),
+        TimeMode.None(), OutputMode.Append())
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("tsMs")).as(eventTimeCol))
+  }
+
+  /** Emit-immediate composite pipeline: exact digest collapse (immediate by
+    * nature) feeding the emit-immediate near-dedup — end-to-end, a unique
+    * document is visible in the micro-batch that delivered it.
+    */
+  def dedupPipelineStreamImmediate(docs: DataFrame, eventTimeCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    dedupNearStreamImmediate(
+      dedupExactStream(docs, eventTimeCol, delay).drop("text_hash"),
+      eventTimeCol, delay)
+
+  /** Redefining a watermark is disallowed, so when the input is already
+    * marked ON this column (e.g. chained after dedupExactStream in the
+    * pipeline) reuse it; a watermark on some other column doesn't count.
+    */
+  private def markedOn(docs: DataFrame, eventTimeCol: String): Boolean =
+    docs.queryExecution.logical.exists {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w.eventTime.name == eventTimeCol
+      case _ => false
+    }
 }

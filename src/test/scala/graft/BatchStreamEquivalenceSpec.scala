@@ -135,4 +135,42 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTes
       intact shouldBe empty
     } finally q.stop()
   }
+
+  test("emit-immediate near-dedup covers the batch pairs with NO watermark flush") {
+    val sf = "/root/testdata/sf0.001"
+    val batchPairs = operators.TextPipeline.dedupMinHash(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    batchPairs.length should be > 3 // non-vacuous
+
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingDedup.dedupNearStreamImmediate(docs, "ts")
+      .writeStream.format("memory").queryName("nd_equiv_imm")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-nd-im").toString)
+      .outputMode("append").start()
+    try {
+      corpus.grouped(math.max(1, corpus.length / 4)).foreach { b =>
+        input.addData(b.map { case (id, t) => (id, t, new Timestamp(id * 1000L)) })
+        q.processAllAvailable()
+      }
+      // NO flush sentinel, no empty-batch nudge: survivors were emitted in
+      // the micro-batches that delivered them — the round-3 windowed
+      // variant's watermark-delayed emission is the thing this removes
+      val survivors = spark.table("nd_equiv_imm").select("doc_id").as[Long]
+        .collect().toSet
+      survivors should not be empty
+      val intact = batchPairs.filter { case (a, b) =>
+        survivors.contains(a) && survivors.contains(b)
+      }
+      intact shouldBe empty
+      // text restored on every survivor despite riding only band-0 rows
+      spark.table("nd_equiv_imm").filter($"text".isNull).count() shouldBe 0
+    } finally q.stop()
+  }
 }

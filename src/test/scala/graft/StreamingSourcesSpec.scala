@@ -370,6 +370,46 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers with SparkTestBase 
     } finally q.stop()
   }
 
+  test("emit-immediate near-dedup: same suppression set, survivors visible in the delivering batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val stream = StreamingDedup.dedupNearStreamImmediate(docs, "ts")
+    // 1x-text shuffle shape: the band-dedup input carries text only on the
+    // band-0 row (CASE WHEN band = 0), not on all four
+    """CASE WHEN \(band#\d+ = 0\) THEN text#\d+""".r
+      .findFirstIn(stream.queryExecution.analyzed.toString) should not be empty
+    val q = stream
+      .writeStream.format("memory").queryName("neardedup_imm")
+      .option("checkpointLocation",
+        Files.createTempDirectory("chk-ndi").toString)
+      .outputMode("append").start()
+    try {
+      val base = (1 to 40).map(i => s"w$i").mkString(" ")
+      val near = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+      input.addData(Seq(
+        (1L, base, new Timestamp(100000L)),
+        (3L, (100 to 140).map(i => s"w$i").mkString(" "), new Timestamp(102000L))))
+      q.processAllAvailable()
+      // LATENCY CONTRACT: survivors visible NOW — no watermark advance, no
+      // flush sentinel, no extra batch (the windowed variant's spec needs a
+      // 20-minute sentinel before anything appears)
+      spark.table("neardedup_imm").select("doc_id").as[Long]
+        .collect().sorted.toSeq shouldBe Seq(1L, 3L)
+      // identical copy (all bands stale) and a partial-band near-dup: both
+      // suppressed — the same set the windowed variant's spec pins
+      input.addData(Seq((2L, base, new Timestamp(101000L))))
+      q.processAllAvailable()
+      input.addData(Seq((4L, near, new Timestamp(103000L))))
+      q.processAllAvailable()
+      val rows = spark.table("neardedup_imm")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      rows.map(_._1).sorted.toSeq shouldBe Seq(1L, 3L)
+      // text restored for survivors despite riding only the band-0 row
+      rows.toMap.apply(1L) shouldBe base
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses duplicates agreeing on ANY LSH band") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
