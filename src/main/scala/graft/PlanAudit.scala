@@ -19,7 +19,9 @@ object PlanAudit {
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
     "sim_topk", "sim_topk_ivf", "sim_topk_batch", "emb_neardup",
-    "emb_centroid_stats", "text_tfidf")
+    "emb_centroid_stats", "text_tfidf",
+    // 1-row scalar-subquery broadcasts (max revenue / global average)
+    "q15_top_supplier", "q22_idle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -60,6 +60,16 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
     "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
+    "q4_priority" -> ((s, d) => Relational.q4Priority(s, d)),
+    "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
+    "q13_custdist" -> ((s, d) => Relational.q13CustDist(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
+    "q19_disjunct" -> ((s, d) => Relational.q19Disjunct(s, d)),
+    "q22_idle" -> ((s, d) => Relational.q22Idle(s, d)),
+    "ship_delay" -> ((s, d) => Relational.shipDelay(s, d)),
+    "stratified_sample" -> ((s, d) => TextPipeline.stratifiedSample(s, d)),
+    "pack_chunks" -> ((s, d) => TextPipeline.packChunks(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
@@ -192,6 +202,95 @@ object SparkEntry {
         |SELECT event_type, minute, state, reason, max_value FROM t
         |WHERE prev_state IS NULL OR prev_state <> state
         |ORDER BY event_type, minute""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND n1.n_name IN ('NATION_1','NATION_2')
+    AND n2.n_name IN ('NATION_1','NATION_2')
+    AND n1.n_name <> n2.n_name)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS tr
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE tr = (SELECT max(tr) FROM rev) ORDER BY s_suppkey""",
+    "q17_small_qty" ->
+      """WITH cut AS (
+  SELECT l_partkey AS pa_partkey, SUM(l_quantity) / count(*) * 0.5 AS qty_cut
+  FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l, part, cut
+WHERE p_partkey = l.l_partkey AND pa_partkey = l.l_partkey
+  AND p_brand = 'Brand#3' AND l.l_quantity < qty_cut""",
+    "q19_disjunct" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20))""",
+    "q22_idle" ->
+      """WITH a AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "ship_delay" ->
+      """SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+  count(*) AS total_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('strat:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
+ORDER BY doc_id""",
+    "pack_chunks" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+  FROM t)
+SELECT lang, chunk_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -281,6 +281,167 @@ object Relational {
         min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
       .orderBy("event_type")
 
+  /** TPC-H Q4-style: order-priority checking — orders in a quarter having at
+    * least one line shipped > 30 days after the order date (the synthetic
+    * schema has no commit/receipt dates, so the lateness predicate adapts).
+    * Grouped EXISTS = left-semi join with a cross-table condition; no row
+    * multiplication, counts stay exact under multi-line matches.
+    */
+  def q4Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7-style: volume shipping between two nations, by supplier
+    * nation x customer nation x ship year. The two nation dims are filtered
+    * to the pair BEFORE broadcasting, so the fact join fans out only the
+    * qualifying rows; the disjunctive pair condition reduces to
+    * supp_nation <> cust_nation after the IN filters.
+    */
+  def q7Volume(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, sfDir).filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir).filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q13-style: customer order-count distribution — LEFT OUTER join
+    * (zero-order customers count with c_count = 0) + two chained
+    * aggregations. `count(o_orderkey)` skips the outer join's nulls, which
+    * is the whole point of the shape.
+    */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-style: top supplier by quarterly revenue — aggregate "view"
+    * + scalar max subquery (kept DECIMAL-exact so the equality against the
+    * max is bit-safe in both engines; cast to double only for output).
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice).as("tr"))
+    val top = rev.agg(max(col("tr")).as("max_tr"))
+    Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(top))
+      .filter(col("tr") === col("max_tr"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("tr").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-style: small-quantity revenue for one brand — per-part
+    * average-quantity subquery joined back as the filter cut. Quantities
+    * are integer-valued doubles, so the double sum/count cut is exact and
+    * order-independent; the revenue sum stays DECIMAL.
+    */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1)) * 0.5).as("qty_cut"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(cut, col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((sum(col("l_extendedprice").cast(dec12)).cast(DoubleType) / 7.0)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style: disjunctive brand/size/quantity predicates over the
+    * lineitem x part join — the OR-of-conjunctions shape optimizers must
+    * keep join-key-pushable (the common p_partkey = l_partkey equi-key
+    * stays a hash join; the disjunction evaluates post-join).
+    */
+  def q19Disjunct(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+  }
+
+  /** TPC-H Q22-style: well-funded customers with no orders, by segment —
+    * scalar average subquery (DECIMAL-exact, order-independent) + anti-join.
+    */
+  def q22Idle(spark: SparkSession, sfDir: String): DataFrame = {
+    val avgBal = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(dec12)).cast(DoubleType) /
+        count(lit(1))).as("avg_bal"))
+    Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, sfDir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec12)).cast(DoubleType).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q12-flavored shipping-delay profile: per order priority, how many
+    * lines shipped more than 60 days after their order date (conditional
+    * aggregation over the orders x lineitem join; the synthetic schema has
+    * no ship modes, so priority plays the grouping role).
+    */
+  def shipDelay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
+          .otherwise(0)).as("late_lines"),
+        count(lit(1)).as("total_lines"))
+      .orderBy("o_orderpriority")
+
   /** Exact interpolated percentiles per key — the distribution profile a
     * pipeline computes before setting thresholds/buckets. `percentile` is
     * Spark's exact linear-interpolation aggregate (matches DuckDB's

@@ -209,6 +209,51 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling — per-stratum rates on top of
+    * [[corpusSample]]'s seeded content-hash buckets (the over/under-sampling
+    * step of corpus mixing: downweight the dominant language, keep the
+    * tails). Same properties: no RNG, reproducible on any engine/partition
+    * layout, stateless codegen'd filter.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(lit("strat:"), col("doc_id"))), 1, 4), 16, 10)
+      .cast(LongType) % 100
+    val pct = when(col("lang") === "en", 5).otherwise(20)
+    docs(spark, sfDir)
+      .filter(bucket < pct)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Concat-and-chunk packing plan — the GPT-style preprocessing step that
+    * concatenates a corpus stream into fixed `contextLen`-token chunks:
+    * each document's start offset is the running token count before it, and
+    * its chunk is offset / contextLen. Emits per-chunk packing stats.
+    *
+    * Scale shape: the running sum is a keyed window (here per lang — the
+    * packing is per-stream); a production run cumsums per shard/file the
+    * same way. One shuffle on the stream key; everything else is the
+    * stateless token count.
+    */
+  def packChunks(spark: SparkSession, sfDir: String,
+      contextLen: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          lit(contextLen.toDouble)))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "chunk_id")
+  }
+
   /** Sequence-length bucketing — the packing/batching plan a training
     * pipeline computes before sharding sequences into fixed-size contexts.
     * Exact integer boundaries (CASE, not float log2) keep the bucketing
