@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.TextPipeline
+
+/** Invariants of the corpus-mixing operators that the oracle hash-compare
+  * cannot express: sampling determinism under repartitioning, per-stratum
+  * rate direction, and the packing plan's conservation/monotonicity laws.
+  */
+class PackingSamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample is deterministic and independent of partition layout") {
+    val a = TextPipeline.stratifiedSample(spark, sf).collect().toSeq
+    val b = TextPipeline.stratifiedSample(spark, sf)
+      .repartition(13).orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
+
+  test("stratified sample under-samples the dominant stratum relative to the tails") {
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TextPipeline.stratifiedSample(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en is cut to ~5%, the tails keep ~20%; hash buckets are uniform enough
+    // at this corpus size for a coarse band assertion
+    val enRate = sampled.getOrElse("en", 0L).toDouble / total("en")
+    enRate should be < 0.12
+    (total.keySet - "en").foreach { lang =>
+      val rate = sampled.getOrElse(lang, 0L).toDouble / total(lang)
+      withClue(s"$lang: ") { rate should be > enRate }
+    }
+  }
+
+  test("pack_chunks conserves tokens and docs, and chunks are contiguous per stream") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = TextPipeline.packChunks(spark, sf).collect()
+
+    // every document lands in exactly one chunk
+    chunks.map(_.getAs[Long]("n_docs")).sum shouldBe docs.count()
+
+    // per-lang: chunk ids start at 0, are dense, and doc ranges do not
+    // overlap (first_doc of chunk i+1 is after last_doc of chunk i — packing
+    // is a contiguous split of the doc_id-ordered stream)
+    chunks.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      withClue(s"$lang: ") {
+        sorted.map(_.getAs[Long]("chunk_id")).toSeq shouldBe
+          (0L until sorted.length).toSeq
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            b.getAs[Long]("first_doc") should be > a.getAs[Long]("last_doc")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("pack_chunks chunk token totals bracket the context length") {
+    // a chunk closes once the running count crosses a 512 boundary, so every
+    // non-final chunk holds >= the distance to the boundary and the sum of
+    // chunk_tokens equals the corpus token total
+    val chunks = TextPipeline.packChunks(spark, sf).collect()
+    val totalTokens = TextPipeline.textStats(spark, sf)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    chunks.map(_.getAs[Long]("chunk_tokens")).sum shouldBe totalTokens
+    chunks.foreach { r => r.getAs[Long]("chunk_tokens") should be > 0L }
+  }
+}

@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Seq("text_fingerprint" -> 2, "text_normalize" -> 2, "dedup_exact" -> 2,
       "media_meta" -> 3, "media_resize" -> 3, "dedup_report" -> 1,
       "ngram_counts" -> 2, "corpus_sample" -> 2, "emb_normalize" -> 2,
-      "seq_len_buckets" -> 1).foreach { case (name, maxCols) =>
+      "seq_len_buckets" -> 1, "stratified_sample" -> 2,
+      "pack_chunks" -> 3).foreach { case (name, maxCols) =>
       val cols = """ReadSchema: struct<([^>]*)>""".r
         .findFirstMatchIn(plans(name)).get.group(1).split(",").length
       withClue(s"$name: ") { cols should be <= maxCols }
@@ -86,7 +87,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "ngram_counts" -> 2,
       "dedup_report" -> 2, // digest agg + 1-row rollup
       "emb_normalize" -> 1, // stateless projection + explode; orderBy only
-      "seq_len_buckets" -> 2)
+      "seq_len_buckets" -> 2,
+      // the round-4 relational/pipeline batch, calibrated at sf0.01 (AQE
+      // broadcasts MORE at smaller SFs, so these are safe upper bounds)
+      "q4_priority" -> 2, // semi-join + priority agg
+      "q7_volume" -> 2, // nation dims broadcast; l-o join + group
+      "q13_custdist" -> 3, // outer join + two chained aggs
+      "q15_top_supplier" -> 4, // rev agg + max + supplier join + orderBy
+      "q17_small_qty" -> 2, // per-part cut agg reuses the join exchange
+      "q19_disjunct" -> 1, // part join; single-row final agg
+      "q22_idle" -> 3, // avg broadcast + anti-join + segment agg
+      "ship_delay" -> 2, // o-l join + priority agg
+      "stratified_sample" -> 1, // stateless filter; orderBy only
+      "pack_chunks" -> 2) // one keyed window shuffle + chunk agg
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
