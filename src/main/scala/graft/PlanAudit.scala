@@ -20,8 +20,9 @@ object PlanAudit {
     "hc_latency_arrival", "hc_latency_event_time",
     "sim_topk", "sim_topk_ivf", "sim_topk_batch", "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
-    // 1-row scalar-subquery broadcasts (max revenue / global average)
-    "q15_top_supplier", "q22_idle")
+    // 1-row scalar-subquery broadcasts (max revenue / global average /
+    // corpus-total threshold)
+    "q15_top_supplier", "q22_idle", "q11_important_part")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

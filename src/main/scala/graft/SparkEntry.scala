@@ -68,6 +68,13 @@ object SparkEntry {
     "q19_disjunct" -> ((s, d) => Relational.q19Disjunct(s, d)),
     "q22_idle" -> ((s, d) => Relational.q22Idle(s, d)),
     "ship_delay" -> ((s, d) => Relational.shipDelay(s, d)),
+    "q2_min_cost" -> ((s, d) => Relational.q2MinCost(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q9_profit" -> ((s, d) => Relational.q9Profit(s, d)),
+    "q11_important_part" -> ((s, d) => Relational.q11ImportantPart(s, d)),
+    "q16_supplier_count" -> ((s, d) => Relational.q16SupplierCount(s, d)),
+    "q20_excess" -> ((s, d) => Relational.q20Excess(s, d)),
+    "q21_waiting" -> ((s, d) => Relational.q21Waiting(s, d)),
     "stratified_sample" -> ((s, d) => TextPipeline.stratifiedSample(s, d)),
     "pack_chunks" -> ((s, d) => TextPipeline.packChunks(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
@@ -272,6 +279,98 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   count(*) AS total_lines
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q2_min_cost" ->
+      """WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'),
+euo AS (SELECT * FROM offers JOIN eu ON l_suppkey = s_suppkey),
+mc AS (SELECT l_partkey AS mc_partkey, min(cost) AS min_cost
+  FROM euo GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+  round(cost, 4) AS cost
+FROM euo
+JOIN part ON l_partkey = p_partkey
+JOIN mc ON l_partkey = mc_partkey AND cost = min_cost
+WHERE p_size <= 10 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CASE WHEN ns.n_name = 'NATION_1'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.5
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q11_important_part" ->
+      """WITH vals AS (
+  SELECT l_partkey AS p_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier, nation, region
+    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA')
+  GROUP BY 1),
+tot AS (SELECT SUM(value_dec) AS tot_dec, count(*) AS nparts FROM vals)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM vals, tot
+WHERE CAST(value_dec AS DOUBLE) > CAST(tot_dec AS DOUBLE) / nparts * 2.0
+ORDER BY part_value DESC, p_partkey""",
+    "q16_supplier_count" ->
+      """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""",
+    "q20_excess" ->
+      """SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 300.0)
+ORDER BY s_name""",
+    "q21_waiting" ->
+      """WITH pos AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+po AS (
+  SELECT l_orderkey, count(*) AS ns, sum(is_late) AS nl
+  FROM pos GROUP BY 1)
+SELECT s_name, count(*) AS numwait
+FROM pos JOIN po USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+WHERE pos.is_late = 1 AND po.ns >= 2 AND po.nl = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
   CAST(list_sum(list_transform(range(4), d ->
