@@ -108,6 +108,10 @@ object SparkEntry {
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
+    "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
+    "mixture_sample" -> ((s, d) => TextPipeline.mixtureSample(s, d)),
+    "corpus_shuffle" -> ((s, d) => TextPipeline.corpusShuffle(s, d)),
+    "split_train" -> ((s, d) => TextPipeline.splitTrain(s, d)),
     // LLM-data-pipeline: similarity search over `embeddings`
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
@@ -538,6 +542,45 @@ b AS (SELECT doc_id, unnest(sg) AS bigram FROM sh)
 SELECT bigram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
 FROM b WHERE len(string_split(bigram, ' ')) = 2
 GROUP BY bigram ORDER BY n_total DESC, bigram LIMIT 20""",
+    "media_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_media_id,
+  count(*) AS n_copies,
+  count(DISTINCT ['image','audio','video'][(doc_id % 3) + 1]) AS n_kinds
+FROM documents GROUP BY 1 ORDER BY keep_media_id""",
+    "mixture_sample" ->
+      """WITH w AS (SELECT source AS w_source,
+  CAST(5 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4) * 15 AS BIGINT) AS accept_pct
+  FROM (SELECT DISTINCT source FROM documents)),
+b AS (SELECT doc_id, source,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('mix:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, source, accept_pct, bucket
+FROM b JOIN w ON source = w_source
+WHERE bucket < accept_pct ORDER BY doc_id""",
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents),
+s AS (SELECT doc_id, shuffle_key,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', shuffle_key[29+d:29+d]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 8 AS BIGINT) AS shard_id
+  FROM k)
+SELECT shard_id,
+  row_number() OVER (PARTITION BY shard_id ORDER BY shuffle_key) AS pos,
+  doc_id
+FROM s ORDER BY shard_id, pos""",
+    "split_train" ->
+      """WITH b AS (SELECT doc_id,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
     "corpus_sample" ->
       """WITH b AS (SELECT doc_id, lang,
   CAST(list_sum(list_transform(range(4), d ->

@@ -135,6 +135,25 @@ object MultimodalPipeline {
       .orderBy("media_id")
   }
 
+  /** Exact media dedup — digest the payload BODY, not the container: the
+    * same content re-wrapped with different header metadata (dims, kind
+    * byte) is still a duplicate, which is how a real media-dedup stage
+    * treats re-encodes of identical frames. One shuffle on the 16-byte
+    * digest (map-side partial agg); payload bytes never leave their
+    * partition — only the digest shuffles, exactly like [[dedupExact]] on
+    * text.
+    */
+  def mediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("kind"),
+        md5(decodeUtf8Sub(col("payload"), HeaderLen + 1, Int.MaxValue))
+          .as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("kind")).as("n_kinds"))
+      .orderBy("keep_media_id")
+
   /** One decoded media record (STUBBED decode — see [[decodeFeatures]]). */
   final case class MediaFeatures(
       media_id: Long, kind: String, width: Int, height: Int,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -252,6 +252,68 @@ object TextPipeline {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang", "chunk_id")
+  }
+
+  /** Seeded content-hash bucket in [0, 100) — the shared primitive of the
+    * deterministic sampling/split family (no RNG: reproducible on any
+    * engine and partition layout; the DuckDB oracle recomputes it).
+    */
+  private def hashBucket(seed: String): Column =
+    conv(substring(md5(concat(lit(seed), col("doc_id"))), 1, 4), 16, 10)
+      .cast(LongType) % 100
+
+  /** Mixture sampling — per-source acceptance rates applied as a
+    * broadcast-joined weights table, the way a corpus-mixing config reaches
+    * a 100 TB pipeline (weights live in a tiny table keyed by source, not
+    * in the query text). Rates here derive deterministically from the
+    * source id; swap the `weights` frame for a config-loaded one in
+    * production. Stateless filter after a broadcast hash join.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val weights = docs(spark, sfDir).select(col("source")).distinct()
+      .withColumn("accept_pct",
+        (lit(5) + pmod(
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType),
+          lit(4)) * 15).cast(LongType))
+      .withColumnRenamed("source", "w_source")
+    docs(spark, sfDir)
+      .join(broadcast(weights), col("source") === col("w_source"))
+      .filter(hashBucket("mix:") < col("accept_pct"))
+      .select(col("doc_id"), col("source"), col("accept_pct"),
+        hashBucket("mix:").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle — the global permutation + sharding pass
+    * before training: a seeded content hash is the sort key, documents are
+    * hash-assigned to `shards`, and the position within a shard is a
+    * per-shard window (parallel by shard — no global sort, no single
+    * partition; the permutation is the hash order, which is uniform).
+    */
+  def corpusShuffle(spark: SparkSession, sfDir: String,
+      shards: Int = 8): DataFrame = {
+    val key = md5(concat(lit("shuf:"), col("doc_id")))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("shuffle_key"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), key.as("shuffle_key"),
+        (conv(substring(key, 29, 4), 16, 10).cast(LongType) % shards)
+          .as("shard_id"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("shard_id"), col("pos"), col("doc_id"))
+      .orderBy("shard_id", "pos")
+  }
+
+  /** Train/val/test split — the 90/5/5 reproducible partition of a corpus,
+    * labeled by seeded content-hash bucket. Same determinism contract as
+    * [[corpusSample]]; stateless codegen'd projection.
+    */
+  def splitTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = hashBucket("split:")
+    docs(spark, sfDir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
   }
 
   /** Sequence-length bucketing — the packing/batching plan a training

@@ -62,6 +62,34 @@ class PackingSamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("corpus_shuffle is a permutation: every doc once, dense positions per shard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = TextPipeline.corpusShuffle(spark, sf).collect()
+    rows.map(_.getAs[Long]("doc_id")).distinct.length shouldBe docs.count()
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (shard, rs) =>
+      withClue(s"shard $shard: ") {
+        rs.map(_.getAs[Long]("pos")).sorted.toSeq shouldBe
+          (1L to rs.length).toSeq
+      }
+    }
+  }
+
+  test("split_train covers every doc with ~90/5/5 rates, independent of layout") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count().toDouble
+    val bys = TextPipeline.splitTrain(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bys.values.sum.toDouble shouldBe n
+    bys("train") / n should (be > 0.8 and be < 0.97)
+    bys("val") / n should be < 0.12
+    bys("test") / n should be < 0.12
+    // layout-independence: same assignment after an arbitrary repartition
+    val a = TextPipeline.splitTrain(spark, sf).collect().toSeq
+    val b = TextPipeline.splitTrain(spark, sf)
+      .repartition(7).orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
+
   test("pack_chunks chunk token totals bracket the context length") {
     // a chunk closes once the running count crosses a 512 boundary, so every
     // non-final chunk holds >= the distance to the boundary and the sum of

@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "media_meta" -> 3, "media_resize" -> 3, "dedup_report" -> 1,
       "ngram_counts" -> 2, "corpus_sample" -> 2, "emb_normalize" -> 2,
       "seq_len_buckets" -> 1, "stratified_sample" -> 2,
-      "pack_chunks" -> 3).foreach { case (name, maxCols) =>
+      "pack_chunks" -> 3, "media_dedup" -> 3, "corpus_shuffle" -> 1,
+      "split_train" -> 1).foreach { case (name, maxCols) =>
       val cols = """ReadSchema: struct<([^>]*)>""".r
         .findFirstMatchIn(plans(name)).get.group(1).split(",").length
       withClue(s"$name: ") { cols should be <= maxCols }
@@ -108,7 +109,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "q11_important_part" -> 8,
       "q16_supplier_count" -> 3,
       "q20_excess" -> 2,
-      "q21_waiting" -> 5)
+      "q21_waiting" -> 5,
+      // training-pipeline batch: digest agg / broadcast-weights filter /
+      // per-shard window / stateless split
+      "media_dedup" -> 3,
+      "mixture_sample" -> 2,
+      "corpus_shuffle" -> 2,
+      "split_train" -> 1)
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
