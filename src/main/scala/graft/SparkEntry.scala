@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
     "dedup_pipeline" -> ((s, d) => TextPipeline.dedupPipeline(s, d)),
+    "dedup_clusters" -> ((s, d) => TextPipeline.dedupClusters(s, d)),
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
@@ -118,6 +119,27 @@ object SparkEntry {
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
   )
+
+  /** Shared oracle CTE fragments (dedup family) — one definition, several
+    * queries, so the SQL cannot drift between the pair query and the
+    * operators built on top of it.
+    */
+  private val shingleSetCtes =
+    """sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)"""
+
+  private val minhashPairCtes =
+    """sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
+  FROM sig, (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)"""
 
   /** DuckDB-runnable oracle SQL for each key in [[queries]]. */
   def oracleSql: Map[String, String] = Map(
@@ -598,32 +620,28 @@ SELECT q_id, rank, vec_id, round(c, 4) AS sim FROM t WHERE rank <= 3 ORDER BY q_
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",
     "dedup_minhash" ->
-      """WITH 
-
-sh AS (
-  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)
-,
-sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
-bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
-  FROM sig, (SELECT unnest(range(4)) AS band) b)
-,
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
-v AS (SELECT doc_a, doc_b,
-    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
-  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
+      s"""WITH
+$shingleSetCtes,
+$minhashPairCtes
 SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+$shingleSetCtes,
+$minhashPairCtes,
+pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab ORDER BY doc_id""",
     "dedup_jaccard" ->
-      """WITH 
-sh AS (
-  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-ss AS (SELECT doc_id, list_distinct(sg) AS s FROM sh)
-,
+      s"""WITH
+$shingleSetCtes,
 k AS (SELECT doc_id, list_min(list_transform(s, x -> md5('99:' || x))) AS block FROM ss),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id),

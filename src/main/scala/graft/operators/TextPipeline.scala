@@ -534,6 +534,72 @@ object TextPipeline {
   /** Exact-Jaccard verification of candidate pairs against the shingle sets
     * (two hash joins by doc_id; arrays only materialize per-pair here).
     */
+  /** Connected components over the verified near-dup pair graph — the
+    * canonicalization step after candidate generation: every document in a
+    * duplication cluster gets the cluster's minimum doc_id as its label, so
+    * "keep one per cluster" is a filter on `doc_id = cluster_id`.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * takes the min over neighbor labels, then compresses paths by following
+    * label -> label-of-label; convergence needs O(log diameter) rounds, so
+    * `maxIters` = 6 covers any component a near-dup graph can plausibly
+    * produce (LSH clusters are near-cliques; even a pure path converges up
+    * to length 2^6). The edge list is `localCheckpoint`ed once — it is the
+    * candidate-pair output (tiny relative to the corpus), and truncating
+    * lineage keeps the iterated plan linear instead of exponential; a
+    * production run at 100 TB would checkpoint to reliable storage and add
+    * a convergence counter (one tiny agg per round) the same way.
+    *
+    * Output covers documents that appear in at least one near-dup pair
+    * (singletons are trivially their own cluster and stay out, exactly like
+    * the pair queries).
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+      maxIters: Int = 6): DataFrame =
+    connectedComponents(
+      dedupMinHash(spark, sfDir).select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Min-label-propagation connected components over an undirected pair
+    * list `(doc_a, doc_b)` — see [[dedupClusters]] for the algorithm and
+    * scale notes. Exposed separately so any pair source (minhash, simhash,
+    * embedding near-dup) can be canonicalized.
+    */
+  def connectedComponents(pairList: DataFrame, maxIters: Int = 6): DataFrame = {
+    val pairs = pairList.localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to maxIters) {
+      // min over self + neighbors' labels
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("node", "dst_n"),
+          col("dst") === col("dst_n"))
+        .select(col("src").as("node"), col("label"))
+      val minned = labels.union(viaNbr)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      // pointer jump: follow label -> its own current label. The self-join
+      // references `minned` twice and the loop iterates — without the
+      // per-round localCheckpoint the logical plan doubles every round
+      // (2^maxIters subtrees) and optimization time dwarfs execution; with
+      // it, each round plans against a materialized leaf (measured: Verify
+      // 378 s -> ~90 s). Label tables are candidate-graph sized, not
+      // corpus sized.
+      labels = minned
+        .join(minned.select(col("node").as("l_node"),
+          col("label").as("l_label")),
+          col("label") === col("l_node"))
+        .select(col("node"), col("l_label").as("label"))
+        .localCheckpoint()
+    }
+    val w = Window.partitionBy("cluster_id")
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   private def verifyJaccard(cands: DataFrame, sets: DataFrame): DataFrame =
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")

@@ -113,6 +113,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       // training-pipeline batch: digest agg / broadcast-weights filter /
       // per-shard window / stateless split
       "media_dedup" -> 3,
+      // post-checkpoint plan: cluster-size window + orderBy (the iterated
+      // label joins live behind localCheckpoint leaves)
+      "dedup_clusters" -> 3,
       "mixture_sample" -> 2,
       "corpus_shuffle" -> 2,
       "split_train" -> 1)
