@@ -49,4 +49,18 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** SQL surface: register every table as a temp view (events with its
+    * timestamp conversion applied) and the native graft functions, so
+    * `spark.sql("SELECT graft_simhash32(text) FROM documents")` is a full
+    * user entry point — views stay lazy scans, so pruning/pushdown are
+    * identical to the DataFrame route.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    names.foreach {
+      case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+      case n => load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+  }
 }
