@@ -22,7 +22,7 @@ object PlanAudit {
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
-    "q15_top_supplier", "q22_idle", "q11_important_part")
+    "q15_top_supplier", "q22_idle", "q11_important_part", "heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

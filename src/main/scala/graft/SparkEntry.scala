@@ -58,6 +58,11 @@ object SparkEntry {
     "pivot_hourly" -> ((s, d) => Relational.pivotHourly(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "window_lag" -> ((s, d) => Relational.windowLag(s, d)),
+    "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
+    "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
+    "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
+    "corpus_distinct" -> ((s, d) => TextPipeline.corpusDistinct(s, d)),
     "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
     "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q4_priority" -> ((s, d) => Relational.q4Priority(s, d)),
@@ -685,6 +690,35 @@ WHERE l_partkey = p_partkey
       """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
 EXCEPT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, hour""",
+    "intersect_users" ->
+      """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
+INTERSECT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour""",
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey""",
+    "q1_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT token, n, total FROM c, tot
+WHERE n * 100 > total ORDER BY n DESC, token""",
+    "corpus_distinct" ->
+      """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT lang, count(DISTINCT doc_id) AS n_docs,
+  count(DISTINCT token) AS distinct_tokens,
+  count(*) AS token_occurrences
+FROM t GROUP BY lang ORDER BY lang""",
     "semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders

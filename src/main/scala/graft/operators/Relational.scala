@@ -642,6 +642,51 @@ object Relational {
       .limit(100)
   }
 
+  /** Offset window functions: previous/next order price and quartile bucket
+    * per customer — lag/lead/ntile over one keyed window (single shuffle on
+    * the customer key; ntile is per-key so no global funnel).
+    */
+  def windowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** CUBE lattice over Q1's grouping — all four grouping-set levels with
+    * `grouping_id` labels. Same map-side-partial shape as q1/rollup; the
+    * lattice multiplies the tiny group count only.
+    */
+  def q1Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast(LongType).as("gid"),
+        sum(col("l_quantity").cast(dec12)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Set intersection: (user, hour) slots with BOTH a click and a purchase —
+    * the INTERSECT twin of [[exceptUsers]] (distinct per side, hash
+    * semi-join on the composite key).
+    */
+  def intersectUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    def slots(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), hour(col("ts")).cast(LongType).as("hour"))
+      .distinct()
+    slots("click").intersect(slots("purchase")).orderBy("user_id", "hour")
+  }
+
   /** Exact interpolated percentiles per key — the distribution profile a
     * pipeline computes before setting thresholds/buckets. `percentile` is
     * Spark's exact linear-interpolation aggregate (matches DuckDB's

@@ -316,6 +316,41 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Exact heavy hitters: tokens with frequency above total/k. Two map-side
+    * partial aggregations (token counts, then the 1-row total broadcast);
+    * the threshold compare is integer-exact (`n * k > total`, no division)
+    * so both engines agree bit-wise. At 100 TB the token key-space is
+    * vocabulary-sized, so the shuffled state is small; for a streaming or
+    * one-pass variant swap in a Misra-Gries summary per partition with the
+    * same output contract.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val tokCounts = docs(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val tot = tokCounts.agg(sum(col("n")).as("total"))
+    tokCounts.crossJoin(broadcast(tot))
+      .filter(col("n") * k > col("total"))
+      .select(col("token"), col("n"), col("total"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Exact per-language cardinalities (docs, distinct tokens, token
+    * occurrences). countDistinct dedups (lang, token) map-side before the
+    * shuffle; the approximate HLL twin for 100 TB (same query,
+    * approx_count_distinct) is spec-pinned to its error bound in
+    * SketchSpec.
+    */
+  def corpusDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("token")).as("distinct_tokens"),
+        count(lit(1)).as("token_occurrences"))
+      .orderBy("lang")
+
   /** Sequence-length bucketing — the packing/batching plan a training
     * pipeline computes before sharding sequences into fixed-size contexts.
     * Exact integer boundaries (CASE, not float log2) keep the bucketing

@@ -118,7 +118,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "dedup_clusters" -> 3,
       "mixture_sample" -> 2,
       "corpus_shuffle" -> 2,
-      "split_train" -> 1)
+      "split_train" -> 1,
+      // window/set/sketch batch
+      "window_lag" -> 2, // one keyed window + orderBy
+      "q1_cube" -> 2, // expand + partial agg; lattice is tiny
+      "intersect_users" -> 3, // two distinct sides + semi-join
+      "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
+      "corpus_distinct" -> 3)
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
