@@ -62,6 +62,7 @@ object SparkEntry {
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
+    "chunk_sliding" -> ((s, d) => TextPipeline.chunkSliding(s, d)),
     "corpus_distinct" -> ((s, d) => TextPipeline.corpusDistinct(s, d)),
     "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
     "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
@@ -713,6 +714,17 @@ c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
 SELECT token, n, total FROM c, tot
 WHERE n * 100 > total ORDER BY n DESC, token""",
+    "chunk_sliding" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) <= 32 THEN 1
+    ELSE ((len(toks) - 32 + 23) // 24) + 1 END AS nc FROM t),
+e AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_idx FROM c)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+  CAST(len(toks[chunk_idx*24+1:chunk_idx*24+32]) AS BIGINT) AS n_tokens,
+  md5(array_to_string(toks[chunk_idx*24+1:chunk_idx*24+32], ' ')) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_idx""",
     "corpus_distinct" ->
       """WITH t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 SELECT lang, count(DISTINCT doc_id) AS n_docs,

@@ -316,6 +316,33 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking — the retrieval-prep splitter: overlapping
+    * `win`-token windows every `stride` tokens, with the tail window
+    * allowed to run short. Integer-exact chunk count (no float ceil) keeps
+    * both engines bit-identical. The doc_id repartition is the usual
+    * inlining fence: tokenization runs once per document BEFORE the
+    * explode, and the per-chunk work slices a materialized array.
+    */
+  def chunkSliding(spark: SparkSession, sfDir: String,
+      win: Int = 32, stride: Int = 24): DataFrame = {
+    val n = size(col("toks"))
+    val nChunks = when(n <= win, lit(1L)).otherwise(
+      expr(s"(size(toks) - $win + ${stride - 1}) div $stride")
+        .cast(LongType) + 1)
+    val start = col("chunk_idx") * stride
+    val chunk = slice(col("toks"), start + 1, lit(win))
+    docs(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        start.cast(LongType).as("start_tok"),
+        size(chunk).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Exact heavy hitters: tokens with frequency above total/k. Two map-side
     * partial aggregations (token counts, then the 1-row total broadcast);
     * the threshold compare is integer-exact (`n * k > total`, no division)

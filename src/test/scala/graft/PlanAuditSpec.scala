@@ -55,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "ngram_counts" -> 2, "corpus_sample" -> 2, "emb_normalize" -> 2,
       "seq_len_buckets" -> 1, "stratified_sample" -> 2,
       "pack_chunks" -> 3, "media_dedup" -> 3, "corpus_shuffle" -> 1,
-      "split_train" -> 1).foreach { case (name, maxCols) =>
+      "split_train" -> 1, "chunk_sliding" -> 2).foreach { case (name, maxCols) =>
       val cols = """ReadSchema: struct<([^>]*)>""".r
         .findFirstMatchIn(plans(name)).get.group(1).split(",").length
       withClue(s"$name: ") { cols should be <= maxCols }
@@ -124,7 +124,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "q1_cube" -> 2, // expand + partial agg; lattice is tiny
       "intersect_users" -> 3, // two distinct sides + semi-join
       "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
-      "corpus_distinct" -> 3)
+      "corpus_distinct" -> 3,
+      "chunk_sliding" -> 2) // tokenize fence + orderBy
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
