@@ -63,6 +63,7 @@ object SparkEntry {
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
     "chunk_sliding" -> ((s, d) => TextPipeline.chunkSliding(s, d)),
+    "assign_ids" -> ((s, d) => TextPipeline.assignIds(s, d)),
     "corpus_distinct" -> ((s, d) => TextPipeline.corpusDistinct(s, d)),
     "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
     "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
+    "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -146,6 +148,18 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 v AS (SELECT doc_a, doc_b,
     round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
   FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)"""
+
+  private val hyperplanePairCtes =
+    """hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bv a JOIN bv b ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id),
+v AS (SELECT vec_a, vec_b, round((list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))), 4) AS sim
+  FROM cand JOIN embeddings x ON cand.vec_a = x.vec_id JOIN embeddings y ON cand.vec_b = y.vec_id)"""
 
   /** DuckDB-runnable oracle SQL for each key in [[queries]]. */
   def oracleSql: Map[String, String] = Map(
@@ -714,6 +728,10 @@ c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
 SELECT token, n, total FROM c, tot
 WHERE n * 100 > total ORDER BY n DESC, token""",
+    "assign_ids" ->
+      """SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents ORDER BY doc_id""",
     "chunk_sliding" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 c AS (SELECT doc_id, toks,
@@ -884,16 +902,22 @@ s AS (SELECT vec_id, embeddings.label, (list_sum(list_transform(range(64), i -> 
 t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
 SELECT rank, vec_id, label, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
     "emb_neardup" ->
-      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
-bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
-    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
-      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
-  FROM embeddings e, hyper h),
-bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
-cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bv a JOIN bv b ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id),
-v AS (SELECT vec_a, vec_b, round((list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))), 4) AS sim
-  FROM cand JOIN embeddings x ON cand.vec_a = x.vec_id JOIN embeddings y ON cand.vec_b = y.vec_id)
+      s"""WITH
+$hyperplanePairCtes
 SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
+    "emb_clusters" ->
+      s"""WITH RECURSIVE
+$hyperplanePairCtes,
+pairs AS (SELECT vec_a, vec_b FROM v WHERE sim >= 0.4),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab ORDER BY vec_id""",
   )
 }

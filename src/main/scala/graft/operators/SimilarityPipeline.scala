@@ -229,4 +229,17 @@ object SimilarityPipeline {
     withVecs.filter(col("sim") >= NearDupThreshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Embedding duplication clusters — [[TextPipeline.connectedComponents]]
+    * over the [[embNearDup]] pair graph: each vector labeled with its
+    * cluster's minimum vec_id, so canonicalization is `vec_id =
+    * cluster_id`. Same convergence/checkpoint properties as the text-side
+    * dedup clusters.
+    */
+  def embClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextPipeline.connectedComponents(
+      embNearDup(spark, sfDir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
 }

@@ -303,6 +303,30 @@ object TextPipeline {
       .orderBy("shard_id", "pos")
   }
 
+  /** Dense consecutive global ids (0..N-1 in doc_id order) WITHOUT the
+    * single-partition global window a naive `row_number() OVER (ORDER BY
+    * doc_id)` plans: documents range-shard deterministically on
+    * `doc_id div shardWidth`, each shard numbers its rows in parallel, and
+    * shard offsets come from a prefix sum over the tiny per-shard count
+    * table (the only unpartitioned window, #shards rows) broadcast back.
+    * This is the 100 TB replacement for zipWithIndex-style id assignment.
+    */
+  def assignIds(spark: SparkSession, sfDir: String,
+      shardWidth: Long = 64): DataFrame = {
+    val sharded = docs(spark, sfDir).select(col("doc_id"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val offsets = sharded.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        sum(col("cnt")).over(Window.orderBy("shard")) - col("cnt"))
+      .select("shard", "offset")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    sharded.join(broadcast(offsets), "shard")
+      .select(col("doc_id"),
+        (col("offset") + row_number().over(w) - 1).cast(LongType)
+          .as("global_id"))
+      .orderBy("doc_id")
+  }
+
   /** Train/val/test split — the 90/5/5 reproducible partition of a corpus,
     * labeled by seeded content-hash bucket. Same determinism contract as
     * [[corpusSample]]; stateless codegen'd projection.

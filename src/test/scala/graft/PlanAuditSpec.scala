@@ -125,7 +125,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "intersect_users" -> 3, // two distinct sides + semi-join
       "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
       "corpus_distinct" -> 3,
-      "chunk_sliding" -> 2) // tokenize fence + orderBy
+      "chunk_sliding" -> 2, // tokenize fence + orderBy
+      "emb_clusters" -> 3, // post-checkpoint window + orderBy
+      "assign_ids" -> 4) // shard agg + offsets + per-shard window + orderBy
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
