@@ -64,6 +64,8 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
     "chunk_sliding" -> ((s, d) => TextPipeline.chunkSliding(s, d)),
     "assign_ids" -> ((s, d) => TextPipeline.assignIds(s, d)),
+    "sample_fixed_k" -> ((s, d) => TextPipeline.sampleFixedK(s, d)),
+    "unpivot_stats" -> ((s, d) => TextPipeline.unpivotStats(s, d)),
     "corpus_distinct" -> ((s, d) => TextPipeline.corpusDistinct(s, d)),
     "except_users" -> ((s, d) => Relational.exceptUsers(s, d)),
     "semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
@@ -728,6 +730,20 @@ c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
 SELECT token, n, total FROM c, tot
 WHERE n * 100 > total ORDER BY n DESC, token""",
+    "sample_fixed_k" ->
+      """WITH r AS (SELECT doc_id, lang,
+  CAST(row_number() OVER (PARTITION BY lang
+    ORDER BY md5('fk:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk""",
+    "unpivot_stats" ->
+      """WITH w AS (SELECT doc_id, len(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct FROM documents)
+SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM w
+UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM w
+UNION ALL SELECT doc_id, 'n_distinct', n_distinct FROM w
+ORDER BY doc_id, metric""",
     "assign_ids" ->
       """SELECT doc_id,
   CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id

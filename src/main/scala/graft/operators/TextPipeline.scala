@@ -303,6 +303,33 @@ object TextPipeline {
       .orderBy("shard_id", "pos")
   }
 
+  /** Fixed-size per-stratum sample — exactly `k` documents per language
+    * (fewer if the stratum is smaller), chosen by seeded content-hash order
+    * so the sample is reproducible and partition-layout independent (the
+    * deterministic stand-in for per-key reservoir sampling). One keyed
+    * window; rows beyond k are dropped before any further stage.
+    */
+  def sampleFixedK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("fk:"), col("doc_id"))), col("doc_id"))
+    docs(spark, sfDir).select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
+  /** Wide-to-long reshape of the per-document stats — the melt/unpivot
+    * shape feeding metric stores and plotting layers. Stateless row
+    * explosion (3x), no shuffle beyond the final order.
+    */
+  def unpivotStats(spark: SparkSession, sfDir: String): DataFrame =
+    textStats(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_distinct"))
+      .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("n_tokens"),
+        col("n_distinct")), "metric", "value")
+      .orderBy("doc_id", "metric")
+
   /** Dense consecutive global ids (0..N-1 in doc_id order) WITHOUT the
     * single-partition global window a naive `row_number() OVER (ORDER BY
     * doc_id)` plans: documents range-shard deterministically on

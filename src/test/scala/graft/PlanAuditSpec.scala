@@ -127,7 +127,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "corpus_distinct" -> 3,
       "chunk_sliding" -> 2, // tokenize fence + orderBy
       "emb_clusters" -> 3, // post-checkpoint window + orderBy
-      "assign_ids" -> 4) // shard agg + offsets + per-shard window + orderBy
+      "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
+      "sample_fixed_k" -> 2, // keyed window + orderBy
+      "unpivot_stats" -> 2) // stateless explode; orderBy only
     ceilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
