@@ -54,6 +54,15 @@ object Bench {
     // 1.65s on re-runs of identical code). The median of three quiesced runs
     // is robust to a single interference spike in either direction.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // plan-shape telemetry: shuffle-exchange count from the FORMATTED
+      // explain (planning only, measured outside the timed runs). Written
+      // next to seconds so a plan regression — a new shuffle — is visible in
+      // the BENCH_r{N} history even when timing noise hides it. Same counter
+      // and ceilings as the PlanAuditSpec CI gate (PlanAudit.exchangeCount).
+      val exch =
+        try Some(PlanAudit.exchangeCount(fn(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)))
+        catch { case _: Throwable => None }
       def once(): (Double, Option[String]) = {
         System.gc()
         val t0 = System.nanoTime()
@@ -67,18 +76,24 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val (s1, e1) = once()
-      if (e1.isDefined) (name, s1, e1)
+      if (e1.isDefined) (name, s1, e1, exch)
       else {
-        val (s2, _) = once()
+        // any run's failure is THE result (a flaky query must not report
+        // errors=0), and errored runs' time-to-exception stays out of the
+        // median — only clean timings are measurements
+        val (s2, e2) = once()
         val (s3, e3) = once()
-        (name, Seq(s1, s2, s3).sorted.apply(1), e3)
+        val clean = Seq((s1, e1), (s2, e2), (s3, e3))
+          .collect { case (s, None) => s }.sorted
+        (name, clean(clean.size / 2), e2.orElse(e3), exch)
       }
     }
     val qs = results.map {
-      case (k, v, None) => s""""$k":$v"""
-      case (k, _, Some(e)) => s""""$k":{"err":"${esc(e)}"}"""
+      case (k, v, None, Some(x)) => s""""$k":{"s":$v,"exchanges":$x}"""
+      case (k, v, None, None) => s""""$k":{"s":$v}"""
+      case (k, _, Some(e), _) => s""""$k":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""

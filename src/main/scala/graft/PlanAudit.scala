@@ -24,6 +24,93 @@ object PlanAudit {
     // corpus-total threshold)
     "q15_top_supplier", "q22_idle", "q11_important_part", "heavy_hitters")
 
+  /** Shuffle-exchange count from a FORMATTED explain — detail-section
+    * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
+    * deliberately not counted (it IS the optimization). The single
+    * definition shared by the CI gate (PlanAuditSpec), the dev dump below,
+    * and Bench's per-query plan telemetry.
+    */
+  def exchangeCount(plan: String): Int =
+    "(?m)^\\(\\d+\\) Exchange".r.findAllIn(plan).size
+
+  /** Exchange ceilings per query — the plan-shape budget. A regression that
+    * re-introduces a fence shuffle, a regroup inflation, or an extra join
+    * shuffle breaks the CI gate; Bench writes the measured counts next to
+    * seconds in bench_out.json so the driver's BENCH_r{N} history shows a
+    * plan regression even when timing noise hides it. One source: the spec,
+    * the bench telemetry, and the dev dump cannot drift apart.
+    *
+    * Calibrated against the current plans at sf0.001 planning time (AQE
+    * broadcasts MORE at smaller SFs, so these are safe upper bounds).
+    */
+  val exchangeCeilings: Map[String, Int] = Map(
+    "text_fingerprint" -> 1, // the final orderBy only
+    "dedup_exact" -> 2,
+    "dedup_simhash" -> 6,
+    "dedup_minhash" -> 10,
+    "dedup_jaccard" -> 10,
+    "dedup_pipeline" -> 14,
+    "emb_neardup" -> 10,
+    "sim_topk" -> 1, // TakeOrdered, no global sort
+    "sim_topk_ivf" -> 4,
+    "emb_centroid_stats" -> 2,
+    "text_tfidf" -> 5, // tf shuffle + df/N derivations + orderBy
+    "decontaminate" -> 3, // fingerprint agg + per-doc count + orderBy
+    "sim_topk_batch" -> 2, // per-query window + orderBy; probe broadcast
+    "corpus_sample" -> 1, // stateless filter; orderBy only
+    "salted_counts" -> 3, // two-phase salted agg + orderBy
+    "stats_quantiles" -> 2,
+    "media_resize" -> 1, // stateless projection; orderBy only
+    "ngram_counts" -> 2,
+    "dedup_report" -> 2, // digest agg + 1-row rollup
+    "emb_normalize" -> 1, // stateless projection + explode; orderBy only
+    "seq_len_buckets" -> 2,
+    // the relational/pipeline batch, calibrated at sf0.01 (AQE broadcasts
+    // MORE at smaller SFs, so these are safe upper bounds)
+    "q4_priority" -> 2, // semi-join + priority agg
+    "q7_volume" -> 2, // nation dims broadcast; l-o join + group
+    "q13_custdist" -> 3, // outer join + two chained aggs
+    "q15_top_supplier" -> 4, // rev agg + max + supplier join + orderBy
+    "q17_small_qty" -> 2, // per-part cut agg reuses the join exchange
+    "q19_disjunct" -> 1, // part join; single-row final agg
+    "q22_idle" -> 3, // avg broadcast + anti-join + segment agg
+    "ship_delay" -> 2, // o-l join + priority agg
+    "stratified_sample" -> 1, // stateless filter; orderBy only
+    // two-level prefix sum: ONE corpus-sized exchange (the (lang, shard)
+    // cumsum window's); the other four move #shards/#chunks rows — the
+    // map-side-combined shard-total agg, the per-lang offset prefix window,
+    // the chunk agg, and the orderBy
+    "pack_chunks" -> 5,
+    // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
+    // their shared subtree twice but AQE stage-reuse dedups it at runtime
+    "q2_min_cost" -> 6,
+    "q8_market_share" -> 2,
+    "q9_profit" -> 2,
+    "q11_important_part" -> 8,
+    "q16_supplier_count" -> 3,
+    "q20_excess" -> 2,
+    "q21_waiting" -> 5,
+    // training-pipeline batch: digest agg / broadcast-weights filter /
+    // per-shard window / stateless split
+    "media_dedup" -> 3,
+    // post-checkpoint plan: cluster-size window + orderBy (the iterated
+    // label joins live behind localCheckpoint leaves)
+    "dedup_clusters" -> 3,
+    "mixture_sample" -> 2,
+    "corpus_shuffle" -> 2,
+    "split_train" -> 1,
+    // window/set/sketch batch
+    "window_lag" -> 2, // one keyed window + orderBy
+    "q1_cube" -> 2, // expand + partial agg; lattice is tiny
+    "intersect_users" -> 3, // two distinct sides + semi-join
+    "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
+    "corpus_distinct" -> 3,
+    "chunk_sliding" -> 2, // tokenize fence + orderBy
+    "emb_clusters" -> 3, // post-checkpoint window + orderBy
+    "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
+    "sample_fixed_k" -> 2, // keyed window + orderBy
+    "unpivot_stats" -> 2) // stateless explode; orderBy only
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")

@@ -91,11 +91,16 @@ object HealthCheckBatch {
     */
   def latencyEventTime(spark: SparkSession, sfDir: String): DataFrame =
     withNow(Tables.events(spark, sfDir))
+      // materialize the parse chain ONCE — referencing it from both output
+      // columns in a single select would inline the full
+      // to_json/get_json_object/to_timestamp chain per reference (Catalyst
+      // re-inlines aliases; runtime subexpression elimination is best-effort,
+      // not a plan guarantee)
+      .withColumn("event_ts", parseIso(extractInstant(tracerJson(col("ts")))))
       .select(
         col("event_id"),
-        parseIso(extractInstant(tracerJson(col("ts")))).as("event_ts"),
-        latencySeconds(col("now_ts"),
-          parseIso(extractInstant(tracerJson(col("ts"))))).as("latency_s"))
+        col("event_ts"),
+        latencySeconds(col("now_ts"), col("event_ts")).as("latency_s"))
       .orderBy("event_id")
 
   /** P10+P11 — the consumer's metric-datum projection (Consumer.java:72-79). */

@@ -231,21 +231,40 @@ object TextPipeline {
     * each document's start offset is the running token count before it, and
     * its chunk is offset / contextLen. Emits per-chunk packing stats.
     *
-    * Scale shape: the running sum is a keyed window (here per lang — the
-    * packing is per-stream); a production run cumsums per shard/file the
-    * same way. One shuffle on the stream key; everything else is the
-    * stateless token count.
+    * Scale shape (the [[assignIds]] two-level prefix sum applied to token
+    * offsets): a naive `sum over (partition by lang order by doc_id)` would
+    * serialize the dominant language of a web corpus into ONE window task.
+    * Instead documents range-shard on `doc_id div shardWidth` WITHIN lang,
+    * each (lang, shard) cumsums its own tokens in parallel, and the
+    * cross-shard start offsets come from a prefix sum over the tiny
+    * per-shard token-total table (#shards rows) broadcast back. Because
+    * `shard` is monotonic in `doc_id`, offset(shard) + within-shard running
+    * sum is exactly the per-lang running sum. ONE corpus-sized shuffle — the
+    * (lang, shard) exchange the cumsum window requires; the offsets branch
+    * partial-aggregates map-side and shuffles only #shards rows (it re-reads
+    * the 2-column scan rather than sharing the window's exchange — trading a
+    * second embarrassingly-parallel tokenize pass for NOT pushing the corpus
+    * through a second full shuffle, the same trade [[assignIds]] makes).
     */
   def packChunks(spark: SparkSession, sfDir: String,
-      contextLen: Int = 512): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, sfDir)
+      contextLen: Int = 512, shardWidth: Long = 64): DataFrame = {
+    val base = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val offsets = base.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("tok_offset",
+        sum(col("shard_tokens")).over(
+          Window.partitionBy("lang").orderBy("shard")) - col("shard_tokens"))
+      .select(col("lang"), col("shard"), col("tok_offset"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("lang", "shard"))
       .withColumn("chunk_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
-          lit(contextLen.toDouble)))
+        floor((col("tok_offset") + sum(col("n_tokens")).over(w) -
+          col("n_tokens")) / lit(contextLen.toDouble)))
       .groupBy(col("lang"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("chunk_tokens"),
@@ -654,10 +673,12 @@ object TextPipeline {
     *
     * Algorithm: min-label propagation with pointer jumping. Each round
     * takes the min over neighbor labels, then compresses paths by following
-    * label -> label-of-label; convergence needs O(log diameter) rounds, so
-    * `maxIters` = 6 covers any component a near-dup graph can plausibly
-    * produce (LSH clusters are near-cliques; even a pure path converges up
-    * to length 2^6). The edge list is `localCheckpoint`ed once — it is the
+    * label -> label-of-label; convergence needs O(log diameter) rounds, and
+    * the fixpoint early-exit makes `maxIters` a pure SAFETY CEILING, not a
+    * cost — 20 covers diameter ~2^20 while typical LSH graphs stop after
+    * 2-4 rounds (sf0.1 measured: the embedding band graph chains to 7
+    * productive rounds; exhausting the ceiling un-converged now throws
+    * instead of returning wrong labels). The edge list is checkpointed once — it is the
     * candidate-pair output (tiny relative to the corpus), and truncating
     * lineage keeps the iterated plan linear instead of exponential; a
     * production run at 100 TB would checkpoint to reliable storage the
@@ -669,7 +690,7 @@ object TextPipeline {
     * the pair queries).
     */
   def dedupClusters(spark: SparkSession, sfDir: String,
-      maxIters: Int = 6): DataFrame =
+      maxIters: Int = 20): DataFrame =
     connectedComponents(
       dedupMinHash(spark, sfDir).select(col("doc_a"), col("doc_b")),
       maxIters)
@@ -679,8 +700,18 @@ object TextPipeline {
     * scale notes. Exposed separately so any pair source (minhash, simhash,
     * embedding near-dup) can be canonicalized.
     */
-  def connectedComponents(pairList: DataFrame, maxIters: Int = 6): DataFrame = {
-    val pairs = pairList.localCheckpoint()
+  def connectedComponents(pairList: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Checkpoint strategy: when the session has a checkpoint dir configured
+    // (`spark.sparkContext.setCheckpointDir`), use RELIABLE checkpoints —
+    // executor-local blocks (`localCheckpoint`) are lost on executor death,
+    // which on a 1000-executor 100 TB run is an expected event, not an edge
+    // case. Without a dir, fall back to localCheckpoint (single-JVM tests,
+    // ad-hoc runs). Either way lineage truncates per round, which is what
+    // keeps the iterated plan linear.
+    val reliable = pairList.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val pairs = checkpoint(pairList)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
@@ -689,37 +720,51 @@ object TextPipeline {
     // label sum strictly decreases until the fixpoint — one tiny agg per
     // round on the checkpointed table replaces fixed-iteration overkill
     // (measured: 6 rounds -> 2-3 on LSH graphs, ~5 s -> ~3 s at sf0.1).
-    var prevSum = BigDecimal(-1)
+    // sum() over an EMPTY label table (clean corpus — no near-dup pairs) is
+    // SQL null: treat it as converged-at-zero-nodes instead of letting
+    // BigDecimal(null) throw.
+    def labelSum(): Option[BigDecimal] =
+      Option(labels.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_))
+    var prevSum: Option[BigDecimal] = Some(BigDecimal(-1))
+    var converged = false
     var it = 0
-    while (it < maxIters && {
-      val s = labels.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
-      val changed = BigDecimal(s) != prevSum
-      prevSum = BigDecimal(s)
-      changed
-    }) {
-      it += 1
-      // min over self + neighbors' labels
-      val viaNbr = edges
-        .join(labels.withColumnRenamed("node", "dst_n"),
-          col("dst") === col("dst_n"))
-        .select(col("src").as("node"), col("label"))
-      val minned = labels.union(viaNbr)
-        .groupBy("node").agg(min(col("label")).as("label"))
-      // pointer jump: follow label -> its own current label. The self-join
-      // references `minned` twice and the loop iterates — without the
-      // per-round localCheckpoint the logical plan doubles every round
-      // (2^maxIters subtrees) and optimization time dwarfs execution; with
-      // it, each round plans against a materialized leaf (measured: Verify
-      // 378 s -> ~90 s). Label tables are candidate-graph sized, not
-      // corpus sized.
-      labels = minned
-        .join(minned.select(col("node").as("l_node"),
-          col("label").as("l_label")),
-          col("label") === col("l_node"))
-        .select(col("node"), col("l_label").as("label"))
-        .localCheckpoint()
+    while (it < maxIters && !converged) {
+      val s = labelSum()
+      if (s.isEmpty || s == prevSum) converged = true
+      else {
+        prevSum = s
+        it += 1
+        // min over self + neighbors' labels
+        val viaNbr = edges
+          .join(labels.withColumnRenamed("node", "dst_n"),
+            col("dst") === col("dst_n"))
+          .select(col("src").as("node"), col("label"))
+        val minned = labels.union(viaNbr)
+          .groupBy("node").agg(min(col("label")).as("label"))
+        // pointer jump: follow label -> its own current label. The self-join
+        // references `minned` twice and the loop iterates — without the
+        // per-round checkpoint the logical plan doubles every round
+        // (2^maxIters subtrees) and optimization time dwarfs execution; with
+        // it, each round plans against a materialized leaf (measured: Verify
+        // 378 s -> ~90 s). Label tables are candidate-graph sized, not
+        // corpus sized.
+        labels = checkpoint(minned
+          .join(minned.select(col("node").as("l_node"),
+            col("label").as("l_label")),
+            col("label") === col("l_node"))
+          .select(col("node"), col("l_label").as("label")))
+      }
     }
+    // The ceiling is sized for LSH near-clique graphs (O(log diameter)
+    // rounds); if a pathological graph exhausts it before the fixpoint, the
+    // labels are WRONG for any component with diameter > ~2^maxIters —
+    // surface that loudly instead of returning silently mislabeled clusters.
+    if (!converged && labelSum() != prevSum)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters " +
+          "rounds; labels would be incorrect for large-diameter components. " +
+          "Re-run with a higher maxIters.")
     val w = Window.partitionBy("cluster_id")
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -60,6 +60,39 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers
     got(25L)._2 shouldBe 6L
   }
 
+  test("an empty pair graph returns an empty labeling (no null-sum crash)") {
+    // a clean corpus/batch produces zero near-dup pairs; sum() over the
+    // empty label table is SQL null and must read as converged, not NPE
+    cc(Seq.empty) shouldBe Map.empty
+  }
+
+  test("exhausting maxIters before the fixpoint fails loudly instead of returning wrong labels") {
+    import spark.implicits._
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      TextPipeline.connectedComponents(path.toDF("doc_a", "doc_b"),
+        maxIters = 1).collect()
+    }
+    ex.getMessage should include("did not converge")
+  }
+
+  test("a configured checkpoint dir switches the loop to reliable checkpoints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val path = (0L until 20L).map(i => (i, i + 1))
+      val got = cc(path)
+      got.values.map(_._1).toSet shouldBe Set(0L)
+      // reliable checkpoint files actually landed in the dir
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      wrote shouldBe true
+    } finally {
+      // keep the shared session localCheckpoint-only for other suites
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("random graph matches a union-find reference") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))

@@ -90,6 +90,40 @@ class PackingSamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     a shouldBe b
   }
 
+  test("pack_chunks two-level prefix sum equals the per-lang running sum, with the dominant lang split across shards") {
+    // reference: the O(n)-per-stream single cumsum, computed driver-side.
+    // shardWidth=8 forces the dominant language across MANY (lang, shard)
+    // window partitions — the exact layout the 100 TB design requires —
+    // and the chunk assignment must still be the per-lang running sum.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val assigned = docs.toSeq.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var run = 0L
+      rows.sortBy(_._1).map { case (id, _, nt) =>
+        val chunk = run / 512
+        run += nt
+        ((lang, chunk), (id, nt))
+      }
+    }
+    val expected = assigned.groupBy(_._1).map { case ((lang, chunk), members) =>
+      val ids = members.map(_._2._1)
+      val nts = members.map(_._2._2)
+      (lang, chunk, members.size.toLong, nts.sum, ids.min, ids.max)
+    }.toSet
+    val shardsUsed = TextPipeline.packChunks(spark, sf, shardWidth = 8)
+    val got = shardsUsed.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    got shouldBe expected
+    // and the dominant lang really does span multiple shards at this width
+    val nShards = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(expr("doc_id div 8")).distinct().count()
+    nShards should be > 1L
+  }
+
   test("pack_chunks chunk token totals bracket the context length") {
     // a chunk closes once the running count crosses a 512 boundary, so every
     // non-final chunk holds >= the distance to the boundary and the sum of

@@ -17,11 +17,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       name -> fn(spark, sf).queryExecution.explainString(FormattedMode)
     }
 
-  /** Detail-section headers like `(5) Exchange` — one per real exchange
-    * node; ReusedExchange deliberately not counted (it is the optimization).
-    */
-  private def exchanges(plan: String): Int =
-    """(?m)^\(\d+\) Exchange""".r.findAllIn(plan).size
+  private def exchanges(plan: String): Int = PlanAudit.exchangeCount(plan)
 
   test("no query plans a cartesian product") {
     plans.foreach { case (name, p) =>
@@ -63,76 +59,40 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("exchange ceilings hold for the dedup/similarity/fingerprint family") {
-    // calibrated against the round-3 plans; a regression that re-introduces
-    // the fence shuffle (text_fingerprint), the 16x regroup (emb_neardup) or
-    // an extra join shuffle fails here
-    val ceilings = Map(
-      "text_fingerprint" -> 1, // the final orderBy only
-      "dedup_exact" -> 2,
-      "dedup_simhash" -> 6,
-      "dedup_minhash" -> 10,
-      "dedup_jaccard" -> 10,
-      "dedup_pipeline" -> 14,
-      "emb_neardup" -> 10,
-      "sim_topk" -> 1, // TakeOrdered, no global sort
-      "sim_topk_ivf" -> 4,
-      "emb_centroid_stats" -> 2,
-      // round-4 additions, calibrated against the current plans
-      "text_tfidf" -> 5, // tf shuffle + df/N derivations + orderBy
-      "decontaminate" -> 3, // fingerprint agg + per-doc count + orderBy
-      "sim_topk_batch" -> 2, // per-query window + orderBy; probe broadcast
-      "corpus_sample" -> 1, // stateless filter; orderBy only
-      "salted_counts" -> 3, // two-phase salted agg + orderBy
-      "stats_quantiles" -> 2,
-      "media_resize" -> 1, // stateless projection; orderBy only
-      "ngram_counts" -> 2,
-      "dedup_report" -> 2, // digest agg + 1-row rollup
-      "emb_normalize" -> 1, // stateless projection + explode; orderBy only
-      "seq_len_buckets" -> 2,
-      // the round-4 relational/pipeline batch, calibrated at sf0.01 (AQE
-      // broadcasts MORE at smaller SFs, so these are safe upper bounds)
-      "q4_priority" -> 2, // semi-join + priority agg
-      "q7_volume" -> 2, // nation dims broadcast; l-o join + group
-      "q13_custdist" -> 3, // outer join + two chained aggs
-      "q15_top_supplier" -> 4, // rev agg + max + supplier join + orderBy
-      "q17_small_qty" -> 2, // per-part cut agg reuses the join exchange
-      "q19_disjunct" -> 1, // part join; single-row final agg
-      "q22_idle" -> 3, // avg broadcast + anti-join + segment agg
-      "ship_delay" -> 2, // o-l join + priority agg
-      "stratified_sample" -> 1, // stateless filter; orderBy only
-      "pack_chunks" -> 2, // one keyed window shuffle + chunk agg
-      // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
-      // their shared subtree twice but AQE stage-reuse dedups it at runtime
-      "q2_min_cost" -> 6,
-      "q8_market_share" -> 2,
-      "q9_profit" -> 2,
-      "q11_important_part" -> 8,
-      "q16_supplier_count" -> 3,
-      "q20_excess" -> 2,
-      "q21_waiting" -> 5,
-      // training-pipeline batch: digest agg / broadcast-weights filter /
-      // per-shard window / stateless split
-      "media_dedup" -> 3,
-      // post-checkpoint plan: cluster-size window + orderBy (the iterated
-      // label joins live behind localCheckpoint leaves)
-      "dedup_clusters" -> 3,
-      "mixture_sample" -> 2,
-      "corpus_shuffle" -> 2,
-      "split_train" -> 1,
-      // window/set/sketch batch
-      "window_lag" -> 2, // one keyed window + orderBy
-      "q1_cube" -> 2, // expand + partial agg; lattice is tiny
-      "intersect_users" -> 3, // two distinct sides + semi-join
-      "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
-      "corpus_distinct" -> 3,
-      "chunk_sliding" -> 2, // tokenize fence + orderBy
-      "emb_clusters" -> 3, // post-checkpoint window + orderBy
-      "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
-      "sample_fixed_k" -> 2, // keyed window + orderBy
-      "unpivot_stats" -> 2) // stateless explode; orderBy only
-    ceilings.foreach { case (name, ceiling) =>
+    // the per-query budget lives in PlanAudit.exchangeCeilings — ONE source
+    // shared with Bench's plan telemetry and the dev dump, so a regression
+    // that re-introduces a fence shuffle (text_fingerprint), a regroup
+    // inflation (emb_neardup), or an extra join shuffle fails here AND shows
+    // in the BENCH_r{N} exchange counts
+    PlanAudit.exchangeCeilings.foreach { case (name, ceiling) =>
       withClue(s"$name: ") { exchanges(plans(name)) should be <= ceiling }
     }
+  }
+
+  test("pack_chunks' running sum is sharded — no window partition spans a whole language") {
+    // the 100 TB guard: the cumsum window must key by (lang, shard), never
+    // lang alone — a lang-only window serializes the dominant language of a
+    // web corpus into one task
+    val p = plans("pack_chunks")
+    val windowSpecs = """(?m)^Arguments: \[sum\([^\n]*windowspecdefinition\(([^,]+, [^,]+),""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    windowSpecs should not be empty
+    // the corpus-sized cumsum window partitions by both lang and shard
+    atLeast(1, windowSpecs) should (include("lang") and include("shard"))
+    // and NO sum-window in this plan partitions by a single corpus-keyed
+    // column other than the tiny per-shard offset table's lang window
+    val langOnly = """windowspecdefinition\(lang#\d+, doc_id#\d+ ASC""".r
+      .findAllIn(p).size
+    langOnly shouldBe 0
+  }
+
+  test("hc_latency_event_time parses the tracer JSON exactly once per row") {
+    // event_ts is materialized in its own project before latency math —
+    // referencing the chain from both output columns would re-inline the
+    // full to_json/get_json_object/to_timestamp pipeline per reference
+    val opt = SparkEntry.queries("hc_latency_event_time")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    """get_json_object""".r.findAllIn(opt).size shouldBe 1
   }
 
   test("decontaminate and text_tfidf read the corpus text once") {
