@@ -22,7 +22,9 @@ object PlanAudit {
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
-    "q15_top_supplier", "q22_idle", "q11_important_part", "heavy_hitters")
+    "q15_top_supplier", "q22_idle", "q11_important_part", "heavy_hitters",
+    // 1-row centroid-bundle broadcasts (Lloyd's assignment)
+    "emb_kmeans", "sim_topk_kmeans")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -105,8 +107,14 @@ object PlanAudit {
     "intersect_users" -> 3, // two distinct sides + semi-join
     "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
     "corpus_distinct" -> 3,
-    "chunk_sliding" -> 2, // tokenize fence + orderBy
+    "chunk_sliding" -> 1, // native one-pass expression; orderBy only
+    "text_lang_id" -> 1, // native one-pass expression; orderBy only
     "emb_clusters" -> 3, // post-checkpoint window + orderBy
+    // Lloyd's: per-row native argmin against broadcast centroids — the only
+    // corpus-keyed shuffle-free path; exchanges are the two tiny centroid
+    // bundle aggs, the k-row update agg, and the orderBy
+    "emb_kmeans" -> 4,
+    "sim_topk_kmeans" -> 5, // + the nprobe centroid ranking
     "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
     "sample_fixed_k" -> 2, // keyed window + orderBy
     "unpivot_stats" -> 2) // stateless explode; orderBy only

@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
     "dedup_pipeline" -> ((s, d) => TextPipeline.dedupPipeline(s, d)),
+    "dedup_incremental" -> ((s, d) => TextPipeline.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => TextPipeline.dedupClusters(s, d)),
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
@@ -128,6 +129,8 @@ object SparkEntry {
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
+    "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
+    "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -150,6 +153,25 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 v AS (SELECT doc_a, doc_b,
     round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
   FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)"""
+
+  /** Two unrolled Lloyd rounds, shared by emb_kmeans and sim_topk_kmeans:
+    * seeds = vec_id < 8, squared-L2 assignment with ties to the lowest
+    * cluster, means rounded to 4 decimals (the cross-engine float pin —
+    * see SimilarityPipeline.embKmeans).
+    */
+  private val kmeansCtes =
+    """ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ek WHERE vec_id < 8),
+d1 AS (SELECT ek.vec_id, c0.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c0),
+a1 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
+ux AS (SELECT vec_id, unnest(v) AS x, unnest(range(64)) AS pos FROM ek),
+mm AS (SELECT a1.cluster, ux.pos, round(avg(ux.x), 4) AS mx
+  FROM a1 JOIN ux ON a1.vec_id = ux.vec_id WHERE a1.rn = 1 GROUP BY a1.cluster, ux.pos),
+c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
+d2t AS (SELECT ek.vec_id, c1.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
+a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t)"""
 
   private val hyperplanePairCtes =
     """hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
@@ -900,6 +922,36 @@ v AS (SELECT doc_a, doc_b,
     x.n_copies AS copies_a, y.n_copies AS copies_b
   FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
 SELECT doc_a, doc_b, jaccard, copies_a, copies_b FROM v WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      s"""WITH
+$shingleSetCtes,
+sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
+  FROM sig, (SELECT unnest(range(4)) AS band) b),
+bkt AS (SELECT doc_id, CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('inc:' || CAST(doc_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket FROM documents),
+delta AS (SELECT doc_id FROM bkt WHERE bucket < 10),
+corp AS (SELECT doc_id FROM bkt WHERE bucket >= 10),
+hx AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+cand AS (SELECT DISTINCT d.doc_id AS doc_id, c.doc_id AS corpus_doc
+  FROM bands d JOIN delta ON d.doc_id = delta.doc_id
+  JOIN bands c ON d.band = c.band AND d.digest = c.digest
+  JOIN corp ON c.doc_id = corp.doc_id),
+nearv AS (SELECT cand.doc_id, cand.corpus_doc,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS j
+  FROM cand JOIN ss x ON cand.doc_id = x.doc_id JOIN ss y ON cand.corpus_doc = y.doc_id),
+nearagg AS (SELECT doc_id, count(*) AS n_near FROM nearv WHERE j >= 0.8 GROUP BY doc_id),
+ex AS (SELECT DISTINCT h, TRUE AS dup_exact FROM hx JOIN corp ON hx.doc_id = corp.doc_id)
+SELECT delta.doc_id,
+  coalesce(ex.dup_exact, FALSE) AS dup_exact,
+  CAST(coalesce(nearagg.n_near, 0) AS BIGINT) AS n_near,
+  ((NOT coalesce(ex.dup_exact, FALSE)) AND coalesce(nearagg.n_near, 0) = 0) AS novel
+FROM delta
+JOIN hx dh ON delta.doc_id = dh.doc_id
+LEFT JOIN ex ON dh.h = ex.h
+LEFT JOIN nearagg ON delta.doc_id = nearagg.doc_id
+ORDER BY delta.doc_id""",
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id, label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
@@ -921,6 +973,22 @@ SELECT rank, vec_id, label, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY 
       s"""WITH
 $hyperplanePairCtes
 SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
+    "emb_kmeans" ->
+      s"""WITH
+$kmeansCtes
+SELECT vec_id, cluster, round(d2, 4) AS d2 FROM a2 WHERE rn = 1 ORDER BY vec_id""",
+    "sim_topk_kmeans" ->
+      s"""WITH
+$kmeansCtes,
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cluster FROM c1, q
+  ORDER BY (list_sum(list_transform(range(64), i -> c[i+1] * qv[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> c[i+1] * c[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1]))))) DESC, cluster LIMIT 2),
+s AS (SELECT a2.vec_id, a2.cluster,
+    (list_sum(list_transform(range(64), i -> v[i+1] * qv[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> v[i+1] * v[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1]))))) AS c
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id JOIN probe ON a2.cluster = probe.cluster, q
+  WHERE a2.rn = 1 AND a2.vec_id <> 0),
+t AS (SELECT vec_id, cluster, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
     "emb_clusters" ->
       s"""WITH RECURSIVE
 $hyperplanePairCtes,

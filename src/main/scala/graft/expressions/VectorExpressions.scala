@@ -169,7 +169,10 @@ object VectorExpressions {
     "graft_winnow" -> { args => WinnowFingerprints(args(0)) },
     "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) },
     "graft_minhash1" -> { args => MinHashOne(args(0), args(1)) },
-    "graft_shingles" -> { args => Shingles(args(0), args(1)) })
+    "graft_shingles" -> { args => Shingles(args(0), args(1)) },
+    "graft_sliding_chunks" -> { args => SlidingChunks(args(0), args(1), args(2)) },
+    "graft_lang_id" -> { args => LangIdBest(args(0)) },
+    "graft_nearest_centroid" -> { args => NearestCentroid(args(0), args(1)) })
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -199,6 +202,13 @@ object VectorExpressions {
   def shinglesNative(text: Column, k: Int): Column =
     call_function("graft_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+  def slidingChunksNative(text: Column, win: Int, stride: Int): Column =
+    call_function("graft_sliding_chunks", text,
+      org.apache.spark.sql.functions.lit(win),
+      org.apache.spark.sql.functions.lit(stride))
+  def langIdNative(text: Column): Column = call_function("graft_lang_id", text)
+  def nearestCentroidNative(v: Column, centroids: Column): Column =
+    call_function("graft_nearest_centroid", v, centroids)
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — injects the
@@ -231,5 +241,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => Shingles(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sliding_chunks"),
+      new ExpressionInfo(classOf[SlidingChunks].getName, "graft_sliding_chunks"),
+      (args: Seq[Expression]) => SlidingChunks(args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdBest].getName, "graft_lang_id"),
+      (args: Seq[Expression]) => LangIdBest(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[Expression]) => NearestCentroid(args(0), args(1))))
   }
 }

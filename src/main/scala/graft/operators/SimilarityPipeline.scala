@@ -230,6 +230,117 @@ object SimilarityPipeline {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** K-means IVF index build — Lloyd's iterations composed from the
+    * engine's own primitives, with every step in the 100 TB shape:
+    *
+    *  - **Assignment** is the native [[graft.expressions.NearestCentroid]]
+    *    expression against a BROADCAST centroid bundle: per-row argmin,
+    *    zero row inflation, no shuffle (the explode-k-candidates/min-per-
+    *    vector alternative multiplies and shuffles the corpus every
+    *    iteration).
+    *  - **Update** is one aggregation keyed by cluster via
+    *    [[graft.expressions.VecSumAgg]] — map-side partial sums,
+    *    constant-width array state, k-row output.
+    *  - **Determinism**: seeds are the first k vectors; updated centroid
+    *    components round to 4 decimals each iteration, which pins the
+    *    cross-engine float envelope exactly like the rest of the embedding
+    *    family (partial-sum order differs between engines; 1e-12 error vs
+    *    a 1e-4 grid).
+    *
+    * Iteration count is fixed (default 2) rather than fixpoint-detected:
+    * unlike connectedComponents' label sums, k-means convergence is
+    * asymptotic, and a corpus pipeline runs a budgeted number of rounds.
+    * Emits (vec_id, cluster, d2) — the learned IVF assignment table;
+    * [[simTopKKmeans]] probes it.
+    */
+  def embKmeans(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val (_, assigned) = kmeansModel(spark, sfDir, k, iters)
+    assigned
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 4).as("d2"))
+      .orderBy("vec_id")
+  }
+
+  /** (centroids, assignments) after `iters` Lloyd rounds: centroids as
+    * (cluster, c array<double>), assignments as (vec_id, v, label, cluster,
+    * d2). See [[embKmeans]] for the scale/determinism contract.
+    */
+  private[graft] def kmeansModel(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cluster"), col("v").as("c"))
+    var assigned = assignToCentroids(e, cents)
+    var it = 1
+    while (it < iters) {
+      cents = assigned.groupBy("cluster")
+        .agg(graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("sums"), x => round(x / col("n"), 4)).as("c"))
+      assigned = assignToCentroids(e, cents)
+      it += 1
+    }
+    (cents, assigned)
+  }
+
+  /** Per-row nearest-centroid assignment against a broadcast centroid
+    * bundle (ids + vectors as two parallel arrays sorted by cluster id, so
+    * the expression's lowest-index tie-break IS the lowest-cluster-id
+    * tie-break even when empty clusters leave id gaps).
+    */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+    val bundle = cents
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("cs"))
+      .select(transform(col("cs"), x => x.getField("cluster")).as("ids"),
+        transform(col("cs"), x => x.getField("c")).as("centroids"))
+    e.crossJoin(broadcast(bundle))
+      .select(col("vec_id"), col("label"), col("v"), col("ids"),
+        inline(array(graft.expressions.VectorExpressions
+          .nearestCentroidNative(col("v"), col("centroids")))))
+      .select(col("vec_id"), col("label"), col("v"),
+        element_at(col("ids"), col("idx") + 1).as("cluster"), col("d2"))
+  }
+
+  /** IVF probing over the LEARNED k-means clusters (the [[simTopKIvf]]
+    * twin with the index built by [[embKmeans]] instead of borrowing the
+    * `label` column): rank learned centroids by cosine to the query, scan
+    * only vectors ASSIGNED to the best [[IvfProbe]] clusters. The
+    * assignment table already carries the vectors, so probing is a
+    * broadcast semi-filter — no corpus join.
+    */
+  def simTopKKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val (cents, assigned) = kmeansModel(spark, sfDir, k = 8, iters = 2)
+    val q = queryVec(emb(spark, sfDir))
+    val probed = cents
+      .crossJoin(broadcast(q))
+      .select(col("cluster"),
+        cosine(col("c"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(IvfProbe)
+      .select(col("cluster"))
+    val scored = assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), "cluster")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cluster"),
+        cosine(col("v"), col("q")).as("cos"))
+    scored
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(IvfTopK)
+      // post-limit window: <= IvfTopK rows, see the simTopK note
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("cluster"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
   /** Embedding duplication clusters — [[TextPipeline.connectedComponents]]
     * over the [[embNearDup]] pair graph: each vector labeled with its
     * cluster's minimum vec_id, so canonicalization is `vec_id =

@@ -72,30 +72,22 @@ object TextPipeline {
 
   /** Stopword-profile language ID (argmax over [[LangProfiles]]).
     *
-    * The five profile scores are materialized behind a fence before the
-    * argmax: inlined, each score expression is re-evaluated by every
-    * reference in the CASE chain (~15 interpreted passes over the tokens;
-    * see the Catalyst-inlining note on lshBandDigests) — fenced, each
-    * profile is counted exactly once.
+    * One pass per document via the native
+    * [[graft.expressions.LangIdBest]] expression — all five profile
+    * counters advance in a single token loop and the argmax happens
+    * in-expression, so the operator is a stateless scan-parallel projection
+    * with NO exchange beyond the final orderBy. (The Column formulation it
+    * replaces re-counted every profile per argmax reference unless fenced
+    * behind a full-corpus `repartition(doc_id)` shuffle; `inline` pins
+    * single evaluation structurally — the expression feeds a Generate node,
+    * which Catalyst cannot re-inline per field reference.)
     */
   def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs(spark, sfDir)
-      .select(col("doc_id") +: LangProfiles.map { case (lang, p) =>
-        stopwordHits(toks, p).as(s"s_$lang")
-      }: _*)
-      .repartition(col("doc_id"))
-    val scoreCols = LangProfiles.map { case (lang, _) => col(s"s_$lang") }
-    val best = greatest(scoreCols: _*)
-    val pred = LangProfiles.foldLeft(lit(null).cast(StringType)) {
-      case (acc, (lang, _)) =>
-        when(acc.isNotNull, acc)
-          .when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
-    }
-    scored.select(
-      col("doc_id"),
-      pred.as("lang_pred"),
-      best.cast(LongType).as("best_score"))
+    graft.expressions.VectorExpressions.register(spark)
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        inline(array(graft.expressions.VectorExpressions
+          .langIdNative(col("text")))))
       .orderBy("doc_id")
   }
 
@@ -389,27 +381,24 @@ object TextPipeline {
   /** Sliding-window chunking — the retrieval-prep splitter: overlapping
     * `win`-token windows every `stride` tokens, with the tail window
     * allowed to run short. Integer-exact chunk count (no float ceil) keeps
-    * both engines bit-identical. The doc_id repartition is the usual
-    * inlining fence: tokenization runs once per document BEFORE the
-    * explode, and the per-chunk work slices a materialized array.
+    * both engines bit-identical.
+    *
+    * One pass per document via the native
+    * [[graft.expressions.SlidingChunks]] expression, consumed through
+    * `inline`: each document tokenizes once and emits its chunk structs
+    * from a tight loop — a stateless scan-parallel projection with NO
+    * exchange beyond the final orderBy. (The sequence/slice Column chain it
+    * replaces needed a full-corpus `repartition(doc_id)` fence to stop
+    * Catalyst re-tokenizing per chunk reference, and re-read each window
+    * slice interpreted.)
     */
   def chunkSliding(spark: SparkSession, sfDir: String,
       win: Int = 32, stride: Int = 24): DataFrame = {
-    val n = size(col("toks"))
-    val nChunks = when(n <= win, lit(1L)).otherwise(
-      expr(s"(size(toks) - $win + ${stride - 1}) div $stride")
-        .cast(LongType) + 1)
-    val start = col("chunk_idx") * stride
-    val chunk = slice(col("toks"), start + 1, lit(win))
+    graft.expressions.VectorExpressions.register(spark)
     docs(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        start.cast(LongType).as("start_tok"),
-        size(chunk).cast(LongType).as("n_tokens"),
-        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .select(col("doc_id"),
+        inline(graft.expressions.VectorExpressions
+          .slidingChunksNative(col("text"), win, stride)))
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -661,6 +650,74 @@ object TextPipeline {
         col("copies_a"), col("copies_b"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental (cross-run) dedup — the everyday production shape: dedup
+    * TODAY'S shard against the EXISTING corpus index instead of re-pairing
+    * the whole corpus. The demo entry splits `documents` into "corpus"
+    * (seeded hash bucket >= 10) and "delta" (< 10); production calls
+    * [[dedupIncrementalFrom]] with the new shard and the standing corpus
+    * table directly.
+    *
+    * Per delta document: `dup_exact` (normalized digest already in the
+    * corpus), `n_near` (count of corpus documents sharing an LSH band AND
+    * verified at Jaccard >= 0.8), and `novel` (neither). At 100 TB the
+    * corpus side contributes digest/band/shingle INDEX rows (in a standing
+    * pipeline these are materialized once and reused across days); the
+    * delta side — the only full-text work of the day — is scanned once,
+    * and every join is keyed (digest / band / doc_id), never pairwise.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = hashBucket("inc:")
+    val all = docs(spark, sfDir).select(col("doc_id"), col("text"), bucket.as("b"))
+    dedupIncrementalFrom(spark,
+      all.filter(col("b") >= 10).select(col("doc_id"), col("text")),
+      all.filter(col("b") < 10).select(col("doc_id"), col("text")))
+  }
+
+  /** [[dedupIncremental]] over explicit (doc_id, text) corpus and delta
+    * tables. Each side tokenizes ONCE into (doc_id, digest, shingle set)
+    * behind a doc_id repartition fence — the fence exchange is reused by
+    * the band explode, the exact probe, and the Jaccard verify joins, so
+    * neither side's text is re-scanned per use (the delta fence shuffles
+    * only the day's shard).
+    */
+  def dedupIncrementalFrom(spark: SparkSession, corpus: DataFrame,
+      delta: DataFrame): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    def prep(side: DataFrame): DataFrame = side
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    def bands(prepped: DataFrame): DataFrame = prepped
+      .select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+    val corpusPrep = prep(corpus)
+    val deltaPrep = prep(delta)
+    val cands = bands(deltaPrep).as("d")
+      .join(bands(corpusPrep).as("c"),
+        col("d.band") === col("c.band") && col("d.digest") === col("c.digest"))
+      .select(col("d.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    val near = cands
+      .join(deltaPrep.select(col("doc_id"), col("s").as("sd")), "doc_id")
+      .join(corpusPrep.select(col("doc_id").as("corpus_doc"),
+        col("s").as("sc")), "corpus_doc")
+      .filter(round(jaccard(col("sd"), col("sc")), 4) >= JaccardThreshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val exact = corpusPrep.select(col("h")).distinct()
+      .withColumn("dup_exact", lit(true))
+    deltaPrep.select(col("doc_id"), col("h"))
+      .join(exact, Seq("h"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("dup_exact"), lit(false)) === false &&
+          coalesce(col("n_near"), lit(0L)) === 0).as("novel"))
+      .orderBy("doc_id")
   }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle sets

@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
       "ngram_counts" -> 2, "corpus_sample" -> 2, "emb_normalize" -> 2,
       "seq_len_buckets" -> 1, "stratified_sample" -> 2,
       "pack_chunks" -> 3, "media_dedup" -> 3, "corpus_shuffle" -> 1,
-      "split_train" -> 1, "chunk_sliding" -> 2).foreach { case (name, maxCols) =>
+      "split_train" -> 1, "chunk_sliding" -> 2,
+      "text_lang_id" -> 2).foreach { case (name, maxCols) =>
       val cols = """ReadSchema: struct<([^>]*)>""".r
         .findFirstMatchIn(plans(name)).get.group(1).split(",").length
       withClue(s"$name: ") { cols should be <= maxCols }

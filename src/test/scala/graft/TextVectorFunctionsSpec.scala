@@ -260,4 +260,58 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out(0).intersect(out(1)) should not be empty
     out(0).intersect(out(2)) shouldBe empty
   }
+
+  test("native sliding_chunks matches the sequence/slice HOF formulation") {
+    graft.expressions.VectorExpressions.register(spark)
+    // cases: short doc (single chunk), exact window, window+1, long doc
+    val texts = Seq(
+      (1 to 5).map(i => s"t$i").mkString(" "),
+      (1 to 32).map(i => s"t$i").mkString(" "),
+      (1 to 33).map(i => s"t$i").mkString(" "),
+      (1 to 100).map(i => s"t$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val native = df.select($"doc_id",
+      inline(graft.expressions.VectorExpressions
+        .slidingChunksNative($"text", 32, 24)))
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    // the HOF reference (the pre-native chunkSliding body)
+    val n = org.apache.spark.sql.functions.size($"toks")
+    val nChunks = when(n <= 32, lit(1L)).otherwise(
+      expr(s"(size(toks) - 32 + 23) div 24").cast("long") + 1)
+    val start = $"chunk_idx" * 24
+    val chunk = slice($"toks", start + 1, lit(32))
+    val ref = df
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .repartition($"doc_id")
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        start.cast("long").as("start_tok"),
+        org.apache.spark.sql.functions.size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    native shouldBe ref
+  }
+
+  test("native lang_id matches the greatest/CASE argmax with alphabetical tie-break") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = Seq(
+      "the cat is a fast animal",      // en
+      "der hund ist nicht da",         // de
+      "el la de y es",                 // es
+      "xyz qrs tuv",                   // zero hits everywhere -> first profile (de)
+      "the der")                       // 1-1 tie between de and en -> de (first)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      inline(array(graft.expressions.VectorExpressions.langIdNative($"text"))))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    got(0) shouldBe ("en", 3L) // the, is, a
+    got(1)._1 shouldBe "de"
+    got(2)._1 shouldBe "es"
+    got(3) shouldBe ("de", 0L)
+    got(4) shouldBe ("de", 1L)
+  }
 }
