@@ -267,9 +267,11 @@ object TextPipeline {
 
   /** Seeded content-hash bucket in [0, 100) — the shared primitive of the
     * deterministic sampling/split family (no RNG: reproducible on any
-    * engine and partition layout; the DuckDB oracle recomputes it).
+    * engine and partition layout; the DuckDB oracle recomputes it). Shared
+    * with the streaming twins (graft.streaming.StreamingText): the bucket
+    * derives from content, so batch and stream assign identically.
     */
-  private def hashBucket(seed: String): Column =
+  private[graft] def hashBucket(seed: String): Column =
     conv(substring(md5(concat(lit(seed), col("doc_id"))), 1, 4), 16, 10)
       .cast(LongType) % 100
 

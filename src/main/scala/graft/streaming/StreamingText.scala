@@ -3,6 +3,10 @@ package graft.streaming
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Misra-Gries summary state for [[StreamingText.heavyHittersStream]]. */
+case class MgSummary(counts: Map[String, Long])
 
 /** Streaming twins of the batch text-analysis operators (TextPipeline) for
   * the ingest side of a training-data pipeline.
@@ -46,5 +50,104 @@ object StreamingText extends Logging {
     val quality = lengthScore * 0.4 + stopScore * 0.3 + diversity * 0.3
     docs.withColumn("quality", round(quality, 4))
       .filter(col("quality") >= minQuality)
+  }
+
+  /** Streaming train/val/test split — the ingest twin of
+    * TextPipeline.splitTrain: the SAME seeded content-hash bucket
+    * (TextPipeline.hashBucket "split:"), so a document gets an identical
+    * split label whether it arrives in a batch backfill or on the stream.
+    * Stateless codegen'd projection: no watermark, no state, any rate.
+    */
+  def splitStream(docs: DataFrame): DataFrame = {
+    val bucket = graft.operators.TextPipeline.hashBucket("split:")
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test"))
+  }
+
+  /** Streaming mixture sampling — the ingest twin of
+    * TextPipeline.mixtureSample: per-source acceptance rates arrive as a
+    * static weights table (w_source, accept_pct) broadcast onto the stream
+    * (stream-static broadcast join — no shuffle of the stream side), and
+    * acceptance is the same seeded "mix:" bucket, so batch and stream admit
+    * exactly the same documents.
+    */
+  def mixtureSampleStream(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs
+      .join(broadcast(weights), col("source") === col("w_source"))
+      .filter(graft.operators.TextPipeline.hashBucket("mix:") <
+        col("accept_pct"))
+      .drop("w_source")
+
+  /** Windowed streaming heavy hitters — the Misra-Gries one-pass summary
+    * the batch operator's scaladoc promises (TextPipeline.heavyHitters is
+    * exact two-pass; a stream cannot hold per-token counts for an unbounded
+    * vocabulary, so state must be CONSTANT per window). Per event-time
+    * window, a `flatMapGroupsWithState` keyed by window start folds tokens
+    * into a capacity-`capacity` Misra-Gries summary (hit: +1; miss with
+    * room: insert; miss when full: decrement all, drop zeros) and emits the
+    * surviving candidates once the watermark closes the window.
+    *
+    * Guarantee (Misra-Gries'82): every token with true in-window frequency
+    * > N/capacity IS in the emitted summary, and each emitted mg_count
+    * lower-bounds the true count by at most N/capacity. Candidate counts
+    * depend on fold order (arrival), so downstream either re-counts exactly
+    * over the candidate set or consumes the superset as-is — the standard
+    * sketch contract. State per window is `capacity` entries regardless of
+    * stream length or vocabulary.
+    */
+  def heavyHittersStream(docs: DataFrame, eventTimeCol: String,
+      windowMs: Long = 60000L, delayMs: Long = 600000L,
+      capacity: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    // watermark is declared ON the derived window-start column (projecting
+    // `window(...).start` out of a pre-watermarked struct drops the
+    // event-time tag, and EventTimeTimeout requires a tagged column to
+    // survive into the stateful operator); wstart <= event time, so the
+    // delay contract only loosens by the window length
+    val toks = docs
+      .select(
+        window(col(eventTimeCol), s"$windowMs milliseconds")
+          .getField("start").as("wstart"),
+        col("text"))
+      .withWatermark("wstart", s"$delayMs milliseconds")
+      .select(col("wstart"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .as[(java.sql.Timestamp, String)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[MgSummary, (java.sql.Timestamp, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: java.sql.Timestamp, rows: Iterator[(java.sql.Timestamp, String)],
+            state: GroupState[MgSummary]) =>
+          if (state.hasTimedOut) {
+            val out = state.get.counts.toSeq
+              .sortBy { case (t, c) => (-c, t) }
+              .map { case (t, c) => (wstart, t, c) }
+            state.remove()
+            out.iterator
+          } else {
+            val counts = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(_.counts.foreach { case (t, c) =>
+              counts(t) = c
+            })
+            rows.foreach { case (_, tok) =>
+              counts.get(tok) match {
+                case Some(c) => counts(tok) = c + 1
+                case None if counts.size < capacity => counts(tok) = 1L
+                case None => // full: the decrement step
+                  counts.mapValuesInPlace((_, c) => c - 1)
+                  counts.filterInPlace((_, c) => c > 0)
+              }
+            }
+            state.update(MgSummary(counts.toMap))
+            // fire when the watermark passes the window END; the engine
+            // then delays the callback by the watermark itself
+            state.setTimeoutTimestamp(wstart.getTime + windowMs)
+            Iterator.empty
+          }
+      }
+      .toDF("window_start", "token", "mg_count")
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.TextPipeline
+import graft.streaming.StreamingText
+
+/** Streaming twins of the sampling/split family and the windowed
+  * Misra-Gries heavy hitters: batch/stream equivalence on the
+  * deterministic content-hash buckets, and the sketch's superset+bound
+  * guarantee.
+  */
+class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runStream(build: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    val q = build.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"chk-$name").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("splitStream assigns the same labels the batch splitTrain assigns") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSeq
+    val input = MemoryStream[Long]
+    input.addData(docRows)
+    runStream(StreamingText.splitStream(input.toDF().toDF("doc_id"))
+      .select($"doc_id", $"bucket", $"split"), "split_twin")
+    val streamed = spark.table("split_twin")
+      .orderBy("doc_id").collect().toSeq
+    val batch = TextPipeline.splitTrain(spark, sf).collect().toSeq
+    streamed.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) shouldBe
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+  }
+
+  test("mixtureSampleStream admits exactly the docs the batch mixtureSample admits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docsDf.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toSeq
+    // the same deterministic weights table mixtureSample derives
+    val weights = docsDf.select($"source").distinct()
+      .withColumn("accept_pct",
+        (lit(5) + pmod(regexp_extract($"source", "([0-9]+)$", 1).cast("long"),
+          lit(4)) * 15).cast("long"))
+      .withColumnRenamed("source", "w_source")
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    runStream(StreamingText.mixtureSampleStream(
+      input.toDF().toDF("doc_id", "source"), weights)
+      .select($"doc_id"), "mix_twin")
+    val streamed = spark.table("mix_twin").as[Long].collect().sorted.toSeq
+    val batch = TextPipeline.mixtureSample(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    streamed shouldBe batch
+  }
+
+  test("windowed Misra-Gries heavy hitters: true heavy tokens survive, state stays bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int, sec: Int = 0) = new Timestamp((min * 60 + sec) * 1000L)
+    // window 10:00 (off epoch: a wstart equal to the initial watermark 0
+    // would be filtered as late): 'hot' appears 30x of N=75 tokens;
+    // capacity 5 => threshold N/5 = 15 < 30, so MG must emit it. 45
+    // scattered singletons churn the summary.
+    val hotDocs = Seq.fill(10)(("hot " * 3).trim) // 30 hot tokens
+    val noise = (1 to 45).grouped(5)
+      .map(g => g.map(i => s"n$i").mkString(" ")).toSeq // 45 singletons
+    val input = MemoryStream[(Timestamp, String)]
+    runStreamWith(input) { q =>
+      input.addData((hotDocs ++ noise).map(t => (ts(10, 30), t)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), "later window"))) // advance watermark
+      q.processAllAvailable()
+      // event-time timeouts fire in a TRIGGERED batch after the watermark
+      // moved; an empty add doesn't trigger one, so push another row
+      input.addData(Seq((ts(31), "nudge")))
+      q.processAllAvailable()
+    }
+    val out = spark.table("hh_twin")
+      .as[(Timestamp, String, Long)].collect().filter(_._1 == ts(10))
+    out.map(_._2) should contain("hot")
+    out.length should be <= 5 // capacity bound == state bound
+    // MG lower bound: stored count >= true - N/capacity
+    val hot = out.find(_._2 == "hot").get
+    hot._3 should be >= (30L - 75L / 5)
+  }
+
+  private def runStreamWith(input: MemoryStream[(Timestamp, String)])(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+    val df = StreamingText.heavyHittersStream(
+      input.toDF().toDF("ts", "text"), "ts",
+      windowMs = 60000L, delayMs = 120000L, capacity = 5)
+    val q = df.writeStream.format("memory").queryName("hh_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-hh").toString)
+      .outputMode("append").start()
+    try drive(q) finally q.stop()
+  }
+}
