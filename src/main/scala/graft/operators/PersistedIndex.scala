@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.jaccard
+import graft.functions.VectorFunctions.cosine
+
+/** Persisted-index variants of the ANN and dedup pipelines — the
+  * production "build once, probe many" shape the in-query versions
+  * (simTopKKmeans, dedupIncrementalFrom) rebuild per run.
+  *
+  * The layouts are chosen so the RECURRING job's plan is cheap at 100 TB:
+  *
+  *  - The IVF index partitions vectors BY CLUSTER on disk
+  *    (hive-partitioned parquet). A probe joins the tiny ranked-centroid
+  *    table against the partition column, so Dynamic Partition Pruning
+  *    skips every unprobed cluster directory at the scan — the probe reads
+  *    nprobe/k of the corpus, verified by plan inspection in
+  *    PersistedIndexSpec, with zero driver-side collection.
+  *  - The dedup index persists the three per-corpus artifacts the delta
+  *    join needs (normalized digests, LSH band digests, shingle sets), so
+  *    a daily delta run scans ONLY the day's shard plus the index — the
+  *    corpus text is never re-read, let alone re-shingled.
+  */
+object PersistedIndex {
+
+  // ---------------------------------------------------------------- ANN --
+
+  /** Build the IVF index at `path`: `vectors/` hive-partitioned by the
+    * learned cluster (each directory one posting list, rows sorted by
+    * vec_id for row-group stats), `centroids/` the k-row table.
+    */
+  def buildIvfIndex(spark: SparkSession, sfDir: String, path: String,
+      k: Int = 8, iters: Int = 2): Unit = {
+    val (cents, assigned) = SimilarityPipeline.kmeansModel(spark, sfDir, k, iters)
+    graft.sources.CorpusWriter.writePartitioned(
+      assigned.select(col("vec_id"), col("label"), col("v"), col("cluster")),
+      s"$path/vectors", Seq("cluster"), "vec_id")
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: rank the k centroids by cosine to the
+    * query vector (vec_id `queryId` of the original corpus — kept out of
+    * the results like simTopK), take `nprobe`, and scan ONLY those cluster
+    * partitions via a broadcast join on the partition column (DPP prunes
+    * the rest of the directory tree at runtime).
+    */
+  def probeIvfIndex(spark: SparkSession, sfDir: String, path: String,
+      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("cluster"), cosine(col("c"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    vectors.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cluster")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cluster"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      // post-limit window: <= topK rows (see simTopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("cluster"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  // -------------------------------------------------------------- dedup --
+
+  private val JaccardThreshold = 0.8
+
+  /** Persist the corpus dedup index at `path`: `digests/` (doc_id, h),
+    * `bands/` (doc_id, band, digest), `sets/` (doc_id, s). One corpus
+    * scan builds all three (they share the prep subtree); each is laid
+    * out for its probe join.
+    */
+  def buildDedupIndex(spark: SparkSession, corpus: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val prep = corpus
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    prep.select(col("doc_id"), col("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/digests")
+    prep.select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+    prep.select(col("doc_id"), col("s"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets")
+  }
+
+  /** Index maintenance — fold an ACCEPTED delta into the persisted index
+    * so tomorrow's run dedups against it too. Appends the delta's
+    * digest/band/set rows to the same layouts; cheap (delta-sized) and
+    * idempotent per day-partition in production (wrap in the usual
+    * overwrite-by-partition discipline there).
+    */
+  def appendToDedupIndex(spark: SparkSession, delta: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val prep = delta
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    prep.select(col("doc_id"), col("h"))
+      .write.mode(SaveMode.Append).parquet(s"$path/digests")
+    prep.select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+      .write.mode(SaveMode.Append).parquet(s"$path/bands")
+    prep.select(col("doc_id"), col("s"))
+      .write.mode(SaveMode.Append).parquet(s"$path/sets")
+  }
+
+  /** [[TextPipeline.dedupIncrementalFrom]] against a PERSISTED corpus
+    * index: identical output contract (doc_id, dup_exact, n_near, novel),
+    * but the corpus side reads the materialized digest/band/set tables —
+    * the day's delta is the only text scanned or shingled.
+    */
+  def dedupDeltaAgainstIndex(spark: SparkSession, delta: DataFrame,
+      path: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val deltaPrep = delta
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxSets = spark.read.parquet(s"$path/sets")
+    val idxDigests = spark.read.parquet(s"$path/digests")
+    val cands = deltaPrep
+      .select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+      .join(idxBands.select(col("doc_id").as("corpus_doc"), col("band"),
+        col("digest")), Seq("band", "digest"))
+      .select(col("doc_id"), col("corpus_doc"))
+      .distinct()
+    val near = cands
+      .join(deltaPrep.select(col("doc_id"), col("s").as("sd")), "doc_id")
+      .join(idxSets.select(col("doc_id").as("corpus_doc"), col("s").as("sc")),
+        "corpus_doc")
+      .filter(round(jaccard(col("sd"), col("sc")), 4) >= JaccardThreshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    val exact = idxDigests.select(col("h")).distinct()
+      .withColumn("dup_exact", lit(true))
+    deltaPrep.select(col("doc_id"), col("h"))
+      .join(exact, Seq("h"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("dup_exact"), lit(false)) === false &&
+          coalesce(col("n_near"), lit(0L)) === 0).as("novel"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{PersistedIndex, SimilarityPipeline, TextPipeline}
+
+/** The build-once/probe-many contract: persisted indexes answer exactly
+  * like their in-query twins, and the probe plans touch only the slices
+  * the layout was designed to expose (DPP-pruned cluster partitions;
+  * index tables instead of corpus text).
+  */
+class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("persisted IVF probe returns exactly what the in-query kmeans probe returns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val persisted = PersistedIndex.probeIvfIndex(spark, sf, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[Number](3).doubleValue)).toSeq
+    val inQuery = SimilarityPipeline.simTopKKmeans(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[Number](3).doubleValue)).toSeq
+    persisted shouldBe inQuery
+  }
+
+  test("the IVF probe plan dynamically prunes unprobed cluster partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val plan = PersistedIndex.probeIvfIndex(spark, sf, dir)
+      .queryExecution.explainString(FormattedMode)
+    // the vectors scan must carry a runtime partition filter on `cluster`
+    // fed by the broadcast probe — that is what skips (k - nprobe)/k of
+    // the corpus directories at 100 TB
+    plan should include("dynamicpruning")
+    plan should include("PartitionFilters")
+  }
+
+  test("delta-vs-persisted-index dedup equals the in-query incremental dedup") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docsDf.filter($"doc_id" % 5 =!= 0)
+    val delta = docsDf.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx").toString
+    PersistedIndex.buildDedupIndex(spark, corpus, dir)
+    val persisted = PersistedIndex.dedupDeltaAgainstIndex(spark, delta, dir)
+      .collect().toSeq
+    val inQuery = TextPipeline.dedupIncrementalFrom(spark, corpus, delta)
+      .collect().toSeq
+    persisted shouldBe inQuery
+  }
+
+  test("appending day 1 to the index makes day 2 see day-1 documents as duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx3").toString
+    val corpus = Seq((1L, (101 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val day1 = Seq((10L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val day2 = Seq((20L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text") // same text day-1 ingested
+    PersistedIndex.buildDedupIndex(spark, corpus, dir)
+    // day 1: novel against the original corpus
+    val d1 = PersistedIndex.dedupDeltaAgainstIndex(spark, day1, dir).collect()
+    d1.map(_.getBoolean(3)).toSeq shouldBe Seq(true)
+    PersistedIndex.appendToDedupIndex(spark, day1, dir)
+    // day 2: the identical text is now an exact+near duplicate
+    val d2 = PersistedIndex.dedupDeltaAgainstIndex(spark, day2, dir).collect()
+    d2.length shouldBe 1
+    d2(0).getBoolean(1) shouldBe true // dup_exact
+    d2(0).getLong(2) should be >= 1L // n_near
+    d2(0).getBoolean(3) shouldBe false // not novel
+  }
+
+  test("streaming embeddings are cluster-assigned identically to the batch kmeans assignment") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cents, assigned) = SimilarityPipeline.kmeansModel(spark, sf, k = 8,
+      iters = 2)
+    val batchRows = assigned.select("vec_id", "v", "cluster", "d2")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getSeq[Double](1),
+        r.getLong(2), r.getDouble(3)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    input.addData(batchRows.map(r => (r._1, r._2)).toSeq)
+    val q = graft.streaming.StreamingSimilarity.assignStream(
+      input.toDF().toDF("vec_id", "v"), cents)
+      .select($"vec_id", $"cluster", $"d2")
+      .writeStream.format("memory").queryName("assign_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-assign").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("assign_twin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    streamed shouldBe batchRows.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+  }
+
+  test("the delta probe plan never touches corpus text — only the day's shard and the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx2").toString
+    val sep = java.nio.file.Files.createTempDirectory("graft-didx2-src").toString
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    docsDf.filter($"doc_id" % 5 === 0).write.parquet(s"$sep/delta")
+    PersistedIndex.buildDedupIndex(spark,
+      docsDf.filter($"doc_id" % 5 =!= 0), dir)
+    val plan = PersistedIndex.dedupDeltaAgainstIndex(spark,
+      spark.read.parquet(s"$sep/delta"), dir)
+      .queryExecution.explainString(FormattedMode)
+    val locations = plan.linesIterator.filter(_.contains("Location"))
+      .mkString("\n")
+    withClue(locations) {
+      // every scan resolves to the delta shard or an index table; the
+      // corpus documents table appears nowhere
+      locations should not include "documents.parquet"
+      locations should include("delta")
+      locations should include("bands")
+      locations should include("sets")
+      locations should include("digests")
+    }
+  }
+}
