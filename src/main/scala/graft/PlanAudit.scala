@@ -24,7 +24,11 @@ object PlanAudit {
     // corpus-total threshold)
     "q15_top_supplier", "q22_idle", "q11_important_part", "heavy_hitters",
     // 1-row centroid-bundle broadcasts (Lloyd's assignment)
-    "emb_kmeans", "sim_topk_kmeans")
+    "emb_kmeans", "sim_topk_kmeans",
+    // 1-row normalizer / corpus-total broadcasts
+    "lang_temperature", "curriculum",
+    // 1-row bloom-filter scalar subquery (build side of the prefilter)
+    "decontaminate_bloom")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -117,7 +121,23 @@ object PlanAudit {
     "sim_topk_kmeans" -> 5, // + the nprobe centroid ranking
     "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
     "sample_fixed_k" -> 2, // keyed window + orderBy
-    "unpivot_stats" -> 2) // stateless explode; orderBy only
+    "unpivot_stats" -> 2, // stateless explode; orderBy only
+    // round-5 corpus-curation batch
+    "domain_cap" -> 4, // shard-count agg + offsets prefix + pruned window + orderBy
+    // the 5-row per-lang count subtree plans under both the weights side
+    // and the 1-row normalizer side (4 exchanges total) — every one of
+    // them moves #langs rows, nothing corpus-sized
+    "lang_temperature" -> 4,
+    "boilerplate_ngrams" -> 3, // gram window + per-doc agg + orderBy
+    // bucket agg + offsets prefix + per-bucket window + orderBy, with the
+    // 21-row bucket-count subtree planned again under the 1-row total —
+    // only the window and orderBy move corpus-sized data
+    "curriculum" -> 6,
+    "token_budget_sample" -> 4, // shard-token agg + offsets + pruned window + orderBy
+    "emb_quantize" -> 1, // stateless projection + explode; orderBy only
+    // eval-side agg + bloom build + survivor distinct + final join/agg;
+    // the corpus-sized fingerprint shuffle of plain decontaminate is GONE
+    "decontaminate_bloom" -> 6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

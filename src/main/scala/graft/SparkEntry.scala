@@ -131,6 +131,16 @@ object SparkEntry {
     "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
+    // Round 5: corpus-curation additions (per-domain caps, temperature
+    // mixing, boilerplate signal, curriculum ordering, token budgets,
+    // bloom-prefiltered decontamination, int8 quantization)
+    "domain_cap" -> ((s, d) => TextPipeline.domainCap(s, d)),
+    "lang_temperature" -> ((s, d) => TextPipeline.langTemperature(s, d)),
+    "boilerplate_ngrams" -> ((s, d) => TextPipeline.boilerplateNgrams(s, d)),
+    "curriculum" -> ((s, d) => TextPipeline.curriculum(s, d)),
+    "token_budget_sample" -> ((s, d) => TextPipeline.tokenBudgetSample(s, d)),
+    "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
+    "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -184,6 +194,26 @@ cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bv a JOIN bv b ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id),
 v AS (SELECT vec_a, vec_b, round((list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))), 4) AS sim
   FROM cand JOIN embeddings x ON cand.vec_a = x.vec_id JOIN embeddings y ON cand.vec_b = y.vec_id)"""
+
+  /** Winnowing decontamination oracle — shared verbatim by `decontaminate`
+    * and `decontaminate_bloom` (the bloom run is a prefilter + exact
+    * confirm, so its answer is identical by construction).
+    */
+  private val decontaminateOracle =
+    """WITH
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+h AS (SELECT doc_id, list_transform(sg, x -> md5(x)) AS hs FROM sh),
+m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+  ELSE list_transform(range(len(hs)-3), i -> list_min(hs[i+1:i+4])) END AS mins FROM h),
+fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m),
+tr AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+ev AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+SELECT ev.doc_id AS eval_doc_id, count(DISTINCT ev.fingerprint) AS n_shared
+FROM ev JOIN tr ON ev.fingerprint = tr.fingerprint
+GROUP BY 1 ORDER BY eval_doc_id"""
 
   /** DuckDB-runnable oracle SQL for each key in [[queries]]. */
   def oracleSql: Map[String, String] = Map(
@@ -550,21 +580,10 @@ SELECT doc_id, tf.token AS token, tf,
   round(CAST(tf AS DOUBLE) * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 4) AS tfidf
 FROM tf JOIN df ON tf.token = df.token, n
 ORDER BY tfidf DESC, doc_id, token LIMIT 50""",
-    "decontaminate" ->
-      """WITH
-sh AS (
-  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS sg
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-h AS (SELECT doc_id, list_transform(sg, x -> md5(x)) AS hs FROM sh),
-m AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)]
-  ELSE list_transform(range(len(hs)-3), i -> list_min(hs[i+1:i+4])) END AS mins FROM h),
-fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m),
-tr AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
-ev AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
-SELECT ev.doc_id AS eval_doc_id, count(DISTINCT ev.fingerprint) AS n_shared
-FROM ev JOIN tr ON ev.fingerprint = tr.fingerprint
-GROUP BY 1 ORDER BY eval_doc_id""",
+    "decontaminate" -> decontaminateOracle,
+    // Same oracle by construction: the bloom prefilter is exact-join
+    // confirmed, so false positives cannot change the answer.
+    "decontaminate_bloom" -> decontaminateOracle,
     "stats_quantiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.25), 4) AS p25,
@@ -1003,5 +1022,60 @@ lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
 SELECT vec_id, cluster_id,
   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab ORDER BY vec_id""",
+    "domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 30 ORDER BY source, rk""",
+    "lang_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+  sum(pow(n_docs, 0.3)) AS z FROM c)
+SELECT lang, n_docs,
+  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share,
+  round(pow(n_docs, 0.3) / z, 6) AS weight,
+  round((pow(n_docs, 0.3) / z) / (CAST(n_docs AS DOUBLE) / n_total), 4) AS boost
+FROM c, t ORDER BY lang""",
+    "boilerplate_ngrams" ->
+      s"""WITH
+$shingleSetCtes,
+g AS (SELECT doc_id, unnest(s) AS gram FROM ss),
+d AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM g),
+a AS (SELECT doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM d GROUP BY doc_id)
+SELECT doc_id, n_grams, n_common,
+  round(CAST(n_common AS DOUBLE) / n_grams, 4) AS common_frac,
+  CAST(n_common AS DOUBLE) / n_grams >= 0.5 AS is_boilerplate
+FROM a ORDER BY doc_id""",
+    "curriculum" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, round(
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3, 4) AS quality
+FROM w)
+SELECT doc_id, quality,
+  CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS shard
+FROM s ORDER BY doc_id""",
+    "token_budget_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+c AS (SELECT lang, doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM b)
+SELECT lang, doc_id, n_tokens, start_offset
+FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    "emb_quantize" ->
+      """WITH a AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+    ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS sc FROM a)
+SELECT vec_id, unnest(range(64)) AS pos, round(sc, 6) AS scale,
+  unnest(list_transform(v, x -> CAST(floor(x * sc + 0.5) AS BIGINT))) AS q_val
+FROM s ORDER BY vec_id, pos""",
   )
 }

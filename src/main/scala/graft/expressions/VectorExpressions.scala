@@ -161,7 +161,9 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   */
 object VectorExpressions {
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  // lazy: refers to the builder vals below (object vals initialize in
+  // declaration order)
+  private lazy val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args => DotProduct(args(0), args(1)) },
     "graft_simhash32" -> { args => SimHash32(args(0)) },
     "graft_minhash_bands" -> { args => MinHashBandDigests(args(0)) },
@@ -172,7 +174,39 @@ object VectorExpressions {
     "graft_shingles" -> { args => Shingles(args(0), args(1)) },
     "graft_sliding_chunks" -> { args => SlidingChunks(args(0), args(1), args(2)) },
     "graft_lang_id" -> { args => LangIdBest(args(0)) },
-    "graft_nearest_centroid" -> { args => NearestCentroid(args(0), args(1)) })
+    "graft_nearest_centroid" -> { args => NearestCentroid(args(0), args(1)) },
+    "graft_bloom_agg" -> bloomAggBuilder,
+    "graft_might_contain" -> mightContainBuilder)
+
+  /** Spark's own runtime-filter bloom pair, surfaced as SQL functions (it
+    * registers neither): build-side aggregate + codegen'd probe, keyed by
+    * xxhash64 on BOTH sides so the bits always agree. The bloom argument to
+    * might_contain must be a scalar subquery (Spark enforces this), which
+    * is exactly the build-once/probe-everywhere broadcast shape we want.
+    * One builder shared by the session registry and [[GraftExtensions]].
+    */
+  private[expressions] val bloomAggBuilder: Seq[Expression] => Expression =
+    { args =>
+      val items = args.lift(1).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(131072L))
+      val bits = org.apache.spark.sql.catalyst.expressions.Literal(
+        items match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            v * 10L // ~1% false-positive rate
+          case _ => 1L << 21
+        })
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(args(0))), items, bits)
+    }
+
+  private[expressions] val mightContainBuilder: Seq[Expression] => Expression =
+    { args =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+    }
 
   /** Idempotently register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -250,5 +284,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (args: Seq[Expression]) => NearestCentroid(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      VectorExpressions.bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      VectorExpressions.mightContainBuilder))
   }
 }

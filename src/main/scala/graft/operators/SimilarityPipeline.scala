@@ -175,6 +175,40 @@ object SimilarityPipeline {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization — the storage/bandwidth workhorse of a
+    * 100 TB vector store (4x smaller than float32, and SIMD-friendly for
+    * the IVF probe's distance loop): per-vector symmetric scale
+    * 127/max|x|, values round-half-up into [-127, 127]. Stateless
+    * codegen'd projection, no shuffle; pairs with [[PersistedIndex]]'s
+    * cluster-partitioned layout for a quantized ANN index.
+    */
+  def embQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
+    emb(spark, sfDir).select(
+      col("vec_id"),
+      round(scale, 6).as("scale"),
+      // scale is the CHILD of array_repeat so it computes once per row —
+      // same re-inlining defense as [[embNormalize]] (a lambda referencing
+      // it directly would re-run the array_max per element). floor(x*s+0.5)
+      // is round-half-up in exact double math on both engines.
+      zip_with(v, array_repeat(scale, size(col("embedding"))),
+        (x, s) => floor(x * s + lit(0.5)).cast("long")).as("q"))
+      .orderBy("vec_id")
+  }
+
+  /** [[embQuantize]] exploded to one row per component (the harness hashes
+    * scalar cells only — see [[embNormalizeFlat]]).
+    */
+  def embQuantizeFlat(spark: SparkSession, sfDir: String): DataFrame =
+    embQuantize(spark, sfDir)
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("q")).as(Seq("pos", "q_val")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("scale"), col("q_val"))
+      .orderBy("vec_id", "pos")
+
   /** [[embNormalize]] exploded to one row per vector component. The
     * array-returning form above is the real API; this flat shape exists
     * because the correctness harness hashes scalar cells only (an

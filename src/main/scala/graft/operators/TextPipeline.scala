@@ -51,10 +51,12 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
-  /** Composite quality score in [0,1]: length, stopword presence, lexical
-    * diversity — the usual cheap pre-filters before expensive dedup/training.
+  /** The composite quality score in [0,1] over a `text` column: length,
+    * stopword presence, lexical diversity. Shared by [[textQuality]] (which
+    * reports it) and [[curriculum]] (which sorts by it) so the two can never
+    * disagree about what "quality" means.
     */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def qualityCol: Column = {
     val toks = tokens(col("text"))
     val nTokens = size(toks).cast(DoubleType)
     val lengthScore = least(lit(1.0), nTokens / 50.0)
@@ -62,7 +64,14 @@ object TextPipeline {
       stopwordHits(toks, LangProfiles.toMap.apply("en")).cast(DoubleType)
         / nTokens * 5.0)
     val diversity = size(array_distinct(toks)).cast(DoubleType) / nTokens
-    val quality = lengthScore * 0.4 + stopScore * 0.3 + diversity * 0.3
+    lengthScore * 0.4 + stopScore * 0.3 + diversity * 0.3
+  }
+
+  /** Composite quality score in [0,1]: length, stopword presence, lexical
+    * diversity — the usual cheap pre-filters before expensive dedup/training.
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = qualityCol
     docs(spark, sfDir).select(
       col("doc_id"),
       round(quality, 4).as("quality"),
@@ -867,5 +876,208 @@ object TextPipeline {
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-domain document cap — the crawl-corpus defense against a single
+    * site dominating the training mix: keep only the first `k` documents
+    * (by doc_id) of every source.
+    *
+    * Scale shape: the naive `row_number() OVER (PARTITION BY source ORDER
+    * BY doc_id) <= k` serializes a dominant domain (most of a web crawl)
+    * into one window task. Instead documents range-shard on
+    * `doc_id div shardWidth` and a tiny per-(source, shard) count table is
+    * prefix-summed per source: because `shard` is monotonic in `doc_id`,
+    * only shards whose cumulative predecessor count is still `< k` can
+    * contribute — every other shard is pruned BEFORE the window by the
+    * broadcast join, so the per-(source, shard) rank runs over at most
+    * `k + shardWidth` rows per source no matter how large the domain is.
+    * `offset + within-shard row_number` is exactly the per-source rank.
+    */
+  def domainCap(spark: SparkSession, sfDir: String, k: Int = 30,
+      shardWidth: Long = 64): DataFrame = {
+    val base = docs(spark, sfDir).select(col("doc_id"), col("source"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val offsets = base.groupBy("source", "shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        sum(col("cnt")).over(
+          Window.partitionBy("source").orderBy("shard")) - col("cnt"))
+      .filter(col("offset") < k) // shards already past the cap never shuffle
+      .select(col("source").as("o_source"), col("shard").as("o_shard"),
+        col("offset"))
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    base.join(broadcast(offsets),
+        col("source") === col("o_source") && col("shard") === col("o_shard"))
+      .withColumn("rk", (col("offset") + row_number().over(w)).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** Temperature-based language mixture weights (the multilingual sampling
+    * rule of mBERT/XLM-R-style pipelines): resampling weight for language l
+    * is n_l^alpha normalized over languages, so alpha < 1 upweights tail
+    * languages relative to their natural share. Two tiny aggregations — a
+    * per-lang count and a 1-row normalizer broadcast back; nothing here
+    * scales with the corpus beyond the map-side-combined count.
+    */
+  def langTemperature(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.3): DataFrame = {
+    val counts = docs(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val norm = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs"), alpha)).as("z"))
+    counts.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast(DoubleType) / col("n_total"), 6)
+          .as("doc_share"),
+        round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"),
+        round((pow(col("n_docs"), alpha) / col("z")) /
+          (col("n_docs").cast(DoubleType) / col("n_total")), 4).as("boost"))
+      .orderBy("lang")
+  }
+
+  /** Boilerplate n-gram signal (the CCNet-style shared-shingle fraction):
+    * for each document, the fraction of its distinct 3-grams that occur in
+    * at least `minDocs` documents corpus-wide. High fractions mark
+    * template/boilerplate pages worth dropping before training.
+    *
+    * Plan shape mirrors [[textTfidf]]'s df trick: the corpus tokenizes and
+    * shingles ONCE (native one-pass [[graft.expressions.ShingleSet]]), and
+    * because the per-doc shingle list is distinct, `count(*)` over a
+    * gram-partitioned window IS the document frequency — no second corpus
+    * pass, no vocab-sized broadcast. Shuffles: the gram-keyed window
+    * exchange and the per-doc re-aggregation.
+    */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String,
+      minDocs: Int = 5): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.expressions.VectorExpressions
+          .shingleSetNative(col("text"))).as("gram"))
+    val withDf = grams.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    withDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        round(col("n_common").cast(DoubleType) / col("n_grams"), 4)
+          .as("common_frac"),
+        (col("n_common").cast(DoubleType) / col("n_grams") >= 0.5)
+          .as("is_boilerplate"))
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum sharding — exact ntile(nShards) over (quality DESC, doc_id),
+    * the "easy/clean data first" ordering pass of curriculum training.
+    *
+    * Scale shape: `ntile() OVER (ORDER BY ...)` plans a SinglePartition
+    * window — one task sorts the corpus. Instead the [[assignIds]] two-level
+    * prefix sum is applied to a VALUE-range shard: quality lives in [0,1],
+    * so `floor(quality * qBuckets)` is a deterministic range bucket that is
+    * monotonic in the sort key; per-bucket counts prefix-sum (descending)
+    * into start offsets, each bucket ranks its own rows in parallel, and
+    * `floor((pos-1) * nShards / N) + 1` reproduces ntile's
+    * remainder-to-early-buckets split exactly. At 100 TB the bucket count is
+    * the parallelism knob (finer buckets, same tiny offsets table).
+    */
+  def curriculum(spark: SparkSession, sfDir: String, nShards: Int = 10,
+      qBuckets: Int = 20): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), round(qualityCol, 4).as("quality"))
+      .withColumn("qb",
+        least(floor(col("quality") * qBuckets), lit(qBuckets - 1))
+          .cast(LongType))
+    val offsets = base.groupBy("qb").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        sum(col("cnt")).over(Window.orderBy(col("qb").desc)) - col("cnt"))
+    val total = offsets.agg(sum(col("cnt")).as("n_total"))
+    val w = Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id"))
+    base.join(broadcast(offsets.select(col("qb"), col("offset"))), "qb")
+      .withColumn("pos", col("offset") + row_number().over(w))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"),
+        (floor((col("pos") - 1) * nShards / col("n_total")) + 1)
+          .cast(LongType).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget sampling — admit documents in seeded-hash order until each
+    * language's running token total reaches `budget` (the "give me the first
+    * N tokens per language" cut of a training-mix builder). A document is
+    * admitted iff its START offset is inside the budget, so the last
+    * admitted document may straddle the boundary — the packing stage
+    * truncates, mirroring [[packChunks]] semantics.
+    *
+    * Scale shape: the per-lang running sum uses the [[packChunks]] two-level
+    * prefix sum, with the shard = the first byte of the seeded md5 sort key
+    * (a prefix of the sort key, hence monotonic in it — hex string order and
+    * numeric order agree). Shards whose start offset already exceeds the
+    * budget are pruned by the broadcast offsets join BEFORE their rows
+    * shuffle: the window only ever sees ~budget worth of documents per
+    * language, no matter the corpus size.
+    */
+  def tokenBudgetSample(spark: SparkSession, sfDir: String,
+      budget: Long = 2000): DataFrame = {
+    val key = md5(concat(lit("tb:"), col("doc_id")))
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        key.as("skey"))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast(LongType))
+    val offsets = base.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("tok_offset",
+        sum(col("shard_tokens")).over(
+          Window.partitionBy("lang").orderBy("shard")) - col("shard_tokens"))
+      .filter(col("tok_offset") < budget) // later shards can't contribute
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"),
+        col("tok_offset"))
+    val w = Window.partitionBy("lang", "shard")
+      .orderBy(col("skey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets),
+        col("lang") === col("o_lang") && col("shard") === col("o_shard"))
+      .withColumn("start_offset",
+        col("tok_offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("start_offset") < budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("start_offset"))
+      .orderBy("lang", "start_offset", "doc_id")
+  }
+
+  /** Bloom-prefiltered decontamination — same answer as [[decontaminate]],
+    * different 100 TB shape. [[decontaminate]] shuffles EVERY fingerprint in
+    * the corpus once (one group-by-fingerprint pass). Here the eval side's
+    * fingerprints (the small side: benchmarks, not the crawl) aggregate into
+    * a bloom filter via Spark's native `BloomFilterAggregate` (a scalar
+    * subquery — the same build-side role as a broadcast hash join), train
+    * fingerprints stream through the codegen'd `might_contain` prefilter,
+    * and only the survivors — bounded by |eval| + false positives — reach
+    * the exact equi-join that removes bloom false positives. The corpus-
+    * sized shuffle disappears; the trade is re-winnowing the scan (stateless,
+    * scan-parallel) instead of materializing it, the same trade
+    * [[packChunks]] documents.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    docs(spark, sfDir).createOrReplaceTempView("graft_bloom_docs")
+    spark.sql("""
+      WITH fp AS (
+        SELECT doc_id, fingerprint
+        FROM graft_bloom_docs
+        LATERAL VIEW explode(graft_winnow(text)) t AS fingerprint),
+      ev AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1),
+      tr AS (
+        SELECT DISTINCT fingerprint FROM fp
+        WHERE doc_id % 2 = 0
+          AND graft_might_contain(
+            (SELECT graft_bloom_agg(fingerprint, 131072L) FROM ev),
+            fingerprint))
+      SELECT ev.doc_id AS eval_doc_id, count(*) AS n_shared
+      FROM ev JOIN tr ON ev.fingerprint = tr.fingerprint
+      GROUP BY ev.doc_id ORDER BY eval_doc_id""")
   }
 }

@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Misra-Gries summary state for [[StreamingText.heavyHittersStream]]. */
 case class MgSummary(counts: Map[String, Long])
 
+/** Per-source admitted-count state for [[StreamingText.domainCapStream]]. */
+case class CapState(admitted: Long)
+
 /** Streaming twins of the batch text-analysis operators (TextPipeline) for
   * the ingest side of a training-data pipeline.
   */
@@ -149,5 +152,46 @@ object StreamingText extends Logging {
           }
       }
       .toDF("window_start", "token", "mg_count")
+  }
+
+  /** Streaming per-domain cap — the ingest twin of
+    * TextPipeline.domainCap: admit at most `k` documents per source, in
+    * arrival order (doc_id-ordered within a micro-batch so replays are
+    * deterministic). State per source is ONE long — the admitted count —
+    * so state size is #sources regardless of stream length; a source that
+    * reached its cap costs a counter read per subsequent row, never
+    * buffering. Emits (source, doc_id, rk) in Update mode the moment a
+    * document is admitted.
+    *
+    * Batch/stream agreement: when the stream delivers documents in global
+    * doc_id order (a backfill replay), the admitted set and ranks equal
+    * the batch operator's exactly (spec-proven); under out-of-order
+    * arrival the cap still holds but admission is arrival-order — the
+    * standard streaming-cap contract.
+    */
+  def domainCapStream(docs: DataFrame, k: Int = 30): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CapState, (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long)],
+            state: GroupState[CapState]) =>
+          val admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = (k - admitted).max(0L).toInt
+          if (room == 0) {
+            rows.foreach(_ => ()) // drain; the cap is already reached
+            Iterator.empty
+          } else {
+            // one micro-batch's rows for one source; ordered so a replay
+            // admits identically
+            val take = rows.map(_._2).toSeq.sorted.take(room)
+            state.update(CapState(admitted + take.size))
+            take.iterator.zipWithIndex.map { case (docId, i) =>
+              (source, docId, admitted + i + 1)
+            }
+          }
+      }
+      .toDF("source", "doc_id", "rk")
   }
 }

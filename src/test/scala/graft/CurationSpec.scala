@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{SimilarityPipeline, TextPipeline}
+
+/** Invariants of the round-5 corpus-curation operators that the oracle
+  * hash-compare cannot express: exact equivalence of the funnel-free
+  * two-level formulations with their naive single-window definitions,
+  * the bloom prefilter's exactness, and quantization error bounds.
+  */
+class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("domain_cap equals the naive per-source window and caps at k") {
+    val capped = TextPipeline.domainCap(spark, sf, k = 30)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .filter(col("rk") <= 30)
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+    capped.collect().toSeq shouldBe naive.collect().toSeq
+
+    val perSource = capped.groupBy("source").count().collect()
+    perSource.foreach(r => r.getLong(1) should be <= 30L)
+  }
+
+  test("domain_cap prunes shards past the cap before the window") {
+    // With shardWidth 4 and k 3, only the shards holding the first 3 docs
+    // of each source may reach the join; the pruning filter (offset < k)
+    // must appear in the plan against the tiny offsets table.
+    val plan = TextPipeline.domainCap(spark, sf, k = 3, shardWidth = 4)
+      .queryExecution.optimizedPlan.toString
+    plan should include("offset")
+    // and the result still matches the naive definition
+    val got = TextPipeline.domainCap(spark, sf, k = 3, shardWidth = 4)
+      .collect().toSeq
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "source", "rk").orderBy("source", "rk")
+      .collect().toSeq
+    got shouldBe naive
+  }
+
+  test("lang_temperature weights normalize and upweight tail languages") {
+    val rows = TextPipeline.langTemperature(spark, sf).collect()
+    val weights = rows.map(_.getAs[Double]("weight"))
+    weights.sum shouldBe 1.0 +- 1e-4
+    // alpha < 1 compresses the range: every boost is pulled toward 1 from
+    // the natural share, so the largest language's boost <= the smallest's
+    val byShare = rows.sortBy(_.getAs[Double]("doc_share"))
+    byShare.last.getAs[Double]("boost") should be <=
+      byShare.head.getAs[Double]("boost")
+  }
+
+  test("boilerplate fraction is a valid ratio and duplicated docs score high") {
+    val rows = TextPipeline.boilerplateNgrams(spark, sf, minDocs = 2).collect()
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("common_frac")
+      frac should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("n_common") should be <= r.getAs[Long]("n_grams")
+    }
+    // the synthetic corpus contains exact duplicate clusters (dedup_exact
+    // proves it); a doc with an exact twin shares EVERY 3-gram with >= 2 docs
+    val dupIds = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(md5(lower(trim(col("text")))))
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (dupIds.nonEmpty) {
+      rows.filter(r => dupIds.contains(r.getAs[Long]("doc_id")))
+        .foreach(_.getAs[Double]("common_frac") shouldBe 1.0)
+    }
+  }
+
+  test("curriculum equals the naive global ntile exactly") {
+    val got = TextPipeline.curriculum(spark, sf, nShards = 10)
+    // the naive definition: one global ntile window (fine at test scale)
+    val q = TextPipeline.textQuality(spark, sf).select("doc_id", "quality")
+    val naive = q.withColumn("shard",
+        ntile(10).over(Window.orderBy(col("quality").desc, col("doc_id")))
+          .cast("long"))
+      .orderBy("doc_id")
+    got.collect().toSeq shouldBe naive.collect().toSeq
+  }
+
+  test("curriculum shard sizes are balanced to within one document") {
+    val sizes = TextPipeline.curriculum(spark, sf, nShards = 10)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    sizes.length shouldBe 10
+    (sizes.max - sizes.min) should be <= 1L
+  }
+
+  test("token budget admits exactly the prefix of the per-lang hash order") {
+    val got = TextPipeline.tokenBudgetSample(spark, sf, budget = 1000)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val naive = docs.select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(Window.partitionBy("lang")
+          .orderBy("skey", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      .filter(col("start_offset") < 1000)
+      .select("lang", "doc_id", "n_tokens", "start_offset")
+      .orderBy("lang", "start_offset", "doc_id")
+    got.collect().toSeq shouldBe naive.collect().toSeq
+    // every admitted doc STARTS inside the budget
+    got.collect().foreach(_.getAs[Long]("start_offset") should be < 1000L)
+  }
+
+  test("bloom decontamination equals the exact single-pass answer") {
+    val exact = TextPipeline.decontaminate(spark, sf).collect().toSeq
+    val bloom = TextPipeline.decontaminateBloom(spark, sf).collect().toSeq
+    bloom shouldBe exact
+  }
+
+  test("bloom prefilter plans a scalar-subquery build, not a corpus shuffle of train fingerprints") {
+    val plan = TextPipeline.decontaminateBloom(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    plan should include("bloom_filter_agg")
+    plan should include("might_contain")
+  }
+
+  test("int8 quantization stays in range and bounds reconstruction error") {
+    val rows = SimilarityPipeline.embQuantize(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Long]]("q")
+      q.foreach(v => math.abs(v) should be <= 127L)
+      if (scale > 0) {
+        val orig = emb(r.getAs[Long]("vec_id"))
+        q.zip(orig).foreach { case (qv, x) =>
+          // round-half-up error is at most half a quantization step
+          math.abs(qv / scale - x) should be <= (0.5 / scale + 1e-9)
+        }
+      }
+    }
+  }
+}

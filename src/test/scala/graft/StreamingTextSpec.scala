@@ -96,6 +96,34 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     hot._3 should be >= (30L - 75L / 5)
   }
 
+  test("domainCapStream admits the batch answer on a doc_id-ordered replay, and holds the cap across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docsDf.select($"source", $"doc_id")
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(String, Long)]
+    val df = StreamingText.domainCapStream(
+      input.toDF().toDF("source", "doc_id"), k = 30)
+    val q = df.writeStream.format("memory").queryName("cap_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-cap").toString)
+      .outputMode("update").start()
+    try {
+      // two micro-batches: the counter must carry across them
+      input.addData(first); q.processAllAvailable()
+      input.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cap_twin")
+      .select($"doc_id", $"source", $"rk")
+      .orderBy("source", "rk")
+      .as[(Long, String, Long)].collect().toSeq
+    val batch = TextPipeline.domainCap(spark, sf, k = 30)
+      .as[(Long, String, Long)].collect().toSeq
+    streamed shouldBe batch
+    streamed.groupBy(_._2).values.foreach(_.size should be <= 30)
+  }
+
   private def runStreamWith(input: MemoryStream[(Timestamp, String)])(
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
     val df = StreamingText.heavyHittersStream(
