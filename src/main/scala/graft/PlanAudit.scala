@@ -28,7 +28,9 @@ object PlanAudit {
     // 1-row normalizer / corpus-total broadcasts
     "lang_temperature", "curriculum",
     // 1-row bloom-filter scalar subquery (build side of the prefilter)
-    "decontaminate_bloom")
+    "decontaminate_bloom",
+    // 1-row quantized-query + float-query broadcasts
+    "sim_topk_q8")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -135,6 +137,8 @@ object PlanAudit {
     "curriculum" -> 6,
     "token_budget_sample" -> 4, // shard-token agg + offsets + pruned window + orderBy
     "emb_quantize" -> 1, // stateless projection + explode; orderBy only
+    // TakeOrdered stage-1 (no global sort) + k-row rerank window + orderBy
+    "sim_topk_q8" -> 3,
     // eval-side agg + bloom build + survivor distinct + final join/agg;
     // the corpus-sized fingerprint shuffle of plain decontaminate is GONE
     "decontaminate_bloom" -> 6)

@@ -141,6 +141,7 @@ object SparkEntry {
     "token_budget_sample" -> ((s, d) => TextPipeline.tokenBudgetSample(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
+    "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -1077,5 +1078,30 @@ s AS (SELECT vec_id, v,
 SELECT vec_id, unnest(range(64)) AS pos, round(sc, 6) AS scale,
   unnest(list_transform(v, x -> CAST(floor(x * sc + 0.5) AS BIGINT))) AS q_val
 FROM s ORDER BY vec_id, pos""",
+    "sim_topk_q8" ->
+      """WITH a AS (SELECT vec_id, embedding,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, embedding,
+  list_transform(v, x -> x / (CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0 THEN 1.0
+    ELSE sqrt(list_sum(list_transform(v, y -> y*y))) END)) AS u FROM a),
+s AS (SELECT vec_id, embedding, u,
+  CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0 THEN 0.0
+    ELSE 127.0 / list_max(list_transform(u, x -> abs(x))) END AS sc FROM n),
+qt AS (SELECT vec_id, embedding,
+  list_transform(u, x -> floor(x * sc + 0.5)) AS qv FROM s),
+qq AS (SELECT qv AS qqv FROM qt WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding,
+  CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qqv[i+1])) AS BIGINT) AS q8_dot
+  FROM qt, qq WHERE vec_id <> 0),
+t AS (SELECT vec_id, embedding, q8_dot,
+  row_number() OVER (ORDER BY q8_dot DESC, vec_id) AS q8_rank FROM d),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+r AS (SELECT vec_id, q8_dot,
+  (list_sum(list_transform(range(64), i -> CAST(t.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(t.embedding[i+1] AS DOUBLE) * CAST(t.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS sim_raw
+  FROM t, qe WHERE q8_rank <= 80),
+f AS (SELECT vec_id, q8_dot, sim_raw,
+  row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM r)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, q8_dot, round(sim_raw, 4) AS sim
+FROM f WHERE rank <= 20 ORDER BY rank""",
   )
 }

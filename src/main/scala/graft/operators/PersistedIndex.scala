@@ -36,9 +36,28 @@ object PersistedIndex {
       k: Int = 8, iters: Int = 2): Unit = {
     val (cents, assigned) = SimilarityPipeline.kmeansModel(spark, sfDir, k, iters)
     graft.sources.CorpusWriter.writePartitioned(
-      assigned.select(col("vec_id"), col("label"), col("v"), col("cluster")),
+      assigned.select(col("vec_id"), col("label"), col("v"), col("cluster"))
+        .withColumn("qv", q8Codes(col("v"))),
       s"$path/vectors", Seq("cluster"), "vec_id")
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Unit-normalized int8 codes for a double vector column — the same
+    * normalize-then-quantize recipe as [[SimilarityPipeline.simTopKQ8]]
+    * (on unit vectors the integer dot is a monotone cosine proxy). Stored
+    * as `array<tinyint>`: 8x narrower than the float64 column on disk, and
+    * the probe's stage 1 reads ONLY this column (parquet column pruning —
+    * plan-asserted in PersistedIndexSpec).
+    */
+  private def q8Codes(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val norm = sqrt(graft.expressions.VectorExpressions.dotNative(v, v))
+    val safeNorm = when(norm === 0.0, lit(1.0)).otherwise(norm)
+    val unit = zip_with(v, array_repeat(safeNorm, size(v)), (x, n) => x / n)
+    val amax = array_max(transform(unit, x => abs(x)))
+    val scale = when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
+    zip_with(unit, array_repeat(scale, size(v)),
+      (x, s) => floor(x * s + lit(0.5)).cast("byte"))
   }
 
   /** Probe a persisted IVF index: rank the k centroids by cosine to the
@@ -72,6 +91,53 @@ object PersistedIndex {
           .cast("long"))
       .select(col("rank"), col("vec_id"), col("cluster"),
         round(col("cos"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  /** Probe the persisted IVF index through its int8 codes — the
+    * bandwidth-optimal recurring query: stage 1 scans ONLY the `qv` int8
+    * column of the probed cluster partitions (8x less I/O than the float64
+    * vectors; the float column never appears in the stage-1 scan schema —
+    * plan-asserted) and over-retrieves 4x by integer dot against the
+    * quantized query; stage 2 re-reads the float vectors for just those
+    * candidates and returns the true cosine top k. Same DPP partition
+    * pruning as [[probeIvfIndex]].
+    */
+  def probeIvfIndexQ8(spark: SparkSession, sfDir: String, path: String,
+      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val qq = q.select(q8Codes(col("q")).cast("array<double>").as("qq"))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("cluster"), cosine(col("c"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val candidates = vectors
+      .select(col("vec_id"), col("cluster"), col("qv")) // int8 column ONLY
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cluster")
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"), col("cluster"),
+        graft.expressions.VectorExpressions
+          .dotNative(col("qv").cast("array<double>"), col("qq"))
+          .cast("long").as("q8_dot"))
+      .orderBy(col("q8_dot").desc, col("vec_id"))
+      .limit(topK * 4)
+    candidates
+      .join(vectors.select(col("vec_id"), col("v")), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", cosine(col("v"), col("q")))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim_raw").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("vec_id"), col("cluster"), col("q8_dot"),
+        round(col("sim_raw"), 4).as("sim"))
       .orderBy("rank")
   }
 

@@ -209,6 +209,61 @@ object SimilarityPipeline {
         col("scale"), col("q_val"))
       .orderBy("vec_id", "pos")
 
+  /** Two-stage retrieval over the int8 index — the production pairing of
+    * [[embQuantize]]: stage 1 ranks EVERY vector by the integer dot product
+    * of its unit-normalized quantized form against the quantized query (4x
+    * less memory bandwidth than float32, exact integer math so both engines
+    * agree bit-for-bit) and OVER-RETRIEVES `overFetch`x the answer size
+    * (TakeOrdered, no global sort); stage 2 re-scores only those candidates
+    * with exact float cosine and keeps the true top k. Over-retrieval is
+    * what makes int8 rank noise harmless: a near-tie flipped by
+    * quantization still lands inside the 4x candidate pool (recall vs
+    * brute force is spec-floored at 0.95). At 100 TB stage 1 is the whole
+    * scan cost and stage 2 is constant.
+    */
+  def simTopKQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val v = col("embedding").cast("array<double>")
+    // normalize BEFORE quantizing (unlike [[embQuantize]]'s raw storage
+    // form): on unit vectors the integer dot product is a monotone proxy
+    // for cosine, which is what stage 1 must rank by. Zero vectors map to
+    // zero units (divide by 1), then to all-zero codes.
+    val norm = l2Norm(col("embedding"))
+    val safeNorm = when(norm === 0.0, lit(1.0)).otherwise(norm)
+    val unit = zip_with(v, array_repeat(safeNorm, size(col("embedding"))),
+      (x, n) => x / n)
+    val amax = array_max(transform(unit, x => abs(x)))
+    val scale = when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
+    val qArr = zip_with(unit, array_repeat(scale, size(col("embedding"))),
+      // back to double: int8-ranged values are exact in doubles and feed
+      // the native dot expression (floor's SQL return type is BIGINT)
+      (x, s) => floor(x * s + lit(0.5)).cast("double"))
+    val quant = e.select(col("vec_id"), qArr.as("qv"))
+    val query = quant.filter(col("vec_id") === 0).select(col("qv").as("qq"))
+    val overFetch = 4
+    val candidates = quant.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        graft.expressions.VectorExpressions.dotNative(col("qv"), col("qq"))
+          .cast("long").as("q8_dot"))
+      .orderBy(col("q8_dot").desc, col("vec_id"))
+      .limit(TopK * overFetch)
+    // exact rerank on the 4k survivors only (post-limit windows: <= 4k
+    // rows), final answer is the true top k by float cosine
+    candidates
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(queryVec(e)))
+      .withColumn("sim_raw", cosine(col("embedding"), col("q")))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim_raw").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("vec_id"), col("q8_dot"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
   /** [[embNormalize]] exploded to one row per vector component. The
     * array-returning form above is the real API; this flat shape exists
     * because the correctness harness hashes scalar cells only (an

@@ -11,6 +11,9 @@ case class MgSummary(counts: Map[String, Long])
 /** Per-source admitted-count state for [[StreamingText.domainCapStream]]. */
 case class CapState(admitted: Long)
 
+/** Per-language used-token state for [[StreamingText.tokenBudgetStream]]. */
+case class BudgetState(used: Long)
+
 /** Streaming twins of the batch text-analysis operators (TextPipeline) for
   * the ingest side of a training-data pipeline.
   */
@@ -193,5 +196,48 @@ object StreamingText extends Logging {
           }
       }
       .toDF("source", "doc_id", "rk")
+  }
+
+  /** Streaming token budget — the ingest twin of
+    * TextPipeline.tokenBudgetSample: admit documents until each language's
+    * running token total reaches `budget`. A document is admitted iff its
+    * START offset (tokens used before it) is inside the budget, exactly the
+    * batch rule, so a replay in the batch operator's seeded-hash order
+    * admits the identical set with identical offsets (spec-proven). State
+    * per language is ONE long; within a micro-batch rows order by the same
+    * seeded md5 key so replays are deterministic. Emits
+    * (lang, doc_id, n_tokens, start_offset) in Update mode.
+    */
+  def tokenBudgetStream(docs: DataFrame, budget: Long = 2000): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"),
+        md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState, (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long, Long, String)],
+            state: GroupState[BudgetState]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          if (used >= budget) {
+            rows.foreach(_ => ()) // budget spent; counter read only
+            Iterator.empty
+          } else {
+            val out = rows.toSeq.sortBy(r => (r._4, r._2)).flatMap {
+              case (_, docId, nTokens, _) =>
+                if (used < budget) {
+                  val start = used
+                  used += nTokens
+                  Some((lang, docId, nTokens, start))
+                } else None
+            }
+            state.update(BudgetState(used))
+            out.iterator
+          }
+      }
+      .toDF("lang", "doc_id", "n_tokens", "start_offset")
   }
 }

@@ -132,6 +132,24 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("might_contain")
   }
 
+  test("quantized two-stage retrieval recalls the exact top-k") {
+    val exact = SimilarityPipeline.simTopK(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val q8 = SimilarityPipeline.simTopKQ8(spark, sf).collect()
+    val q8Ids = q8.map(_.getAs[Long]("vec_id")).toSet
+    // stage 1 over-retrieves 4x before the exact rerank, so int8 rank
+    // noise on near-ties stays inside the candidate pool
+    (q8Ids.intersect(exact).size.toDouble / exact.size) should be >= 0.95
+    // stage-2 sims are the EXACT cosines: each recalled id must carry the
+    // same rounded similarity the brute-force query reports
+    val exactSims = SimilarityPipeline.simTopK(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim"))
+      .toMap
+    q8.filter(r => exactSims.contains(r.getAs[Long]("vec_id")))
+      .foreach(r => r.getAs[Double]("sim") shouldBe
+        exactSims(r.getAs[Long]("vec_id")))
+  }
+
   test("int8 quantization stays in range and bounds reconstruction error") {
     val rows = SimilarityPipeline.embQuantize(spark, sf).collect()
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -41,6 +41,43 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("PartitionFilters")
   }
 
+  test("q8 probe recalls the float probe's answer with exact final sims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq8").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val float = PersistedIndex.probeIvfIndex(spark, sf, dir).collect()
+    val q8 = PersistedIndex.probeIvfIndexQ8(spark, sf, dir).collect()
+    val floatIds = float.map(_.getAs[Long]("vec_id")).toSet
+    val q8Ids = q8.map(_.getAs[Long]("vec_id")).toSet
+    // same probed clusters + 4x over-retrieval before the exact rerank
+    (q8Ids.intersect(floatIds).size.toDouble / floatIds.size) should be >= 0.9
+    // stage 2 rescored with the same float cosine: shared ids agree exactly
+    val floatSims = float
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim")).toMap
+    q8.filter(r => floatSims.contains(r.getAs[Long]("vec_id")))
+      .foreach(r => r.getAs[Double]("sim") shouldBe
+        floatSims(r.getAs[Long]("vec_id")))
+  }
+
+  test("the q8 probe's stage-1 scan reads only the int8 codes, never the float vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq8p").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val plan = PersistedIndex.probeIvfIndexQ8(spark, sf, dir)
+      .queryExecution.explainString(FormattedMode)
+    // two scans of vectors/: stage 1 must project qv WITHOUT v (that is
+    // the 8x bandwidth claim), stage 2 reads v for the candidates only
+    val vectorScans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(s => s.contains("qv") || s.contains("v:"))
+      .toList
+    def fields(s: String): Set[String] =
+      s.split(",").map(_.takeWhile(_ != ':')).toSet
+    withClue(s"no qv-only scan in: $vectorScans ") {
+      vectorScans.exists(s =>
+        fields(s).contains("qv") && !fields(s).contains("v")) shouldBe true
+    }
+    // and the partition pruning survives the q8 path
+    plan should include("dynamicpruning")
+  }
+
   test("delta-vs-persisted-index dedup equals the in-query incremental dedup") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
