@@ -141,7 +141,12 @@ object PlanAudit {
     "sim_topk_q8" -> 3,
     // eval-side agg + bloom build + survivor distinct + final join/agg;
     // the corpus-sized fingerprint shuffle of plain decontaminate is GONE
-    "decontaminate_bloom" -> 6)
+    "decontaminate_bloom" -> 6,
+    // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift
+    // adds the 5-row lang join and its share windows
+    "data_profile" -> 3,
+    "quality_checks" -> 3,
+    "dist_drift" -> 7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

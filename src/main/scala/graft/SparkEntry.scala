@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{AsofJoin, HealthCheckBatch, MultimodalPipeline, RangeSession, Relational, SimilarityPipeline, TextPipeline}
+import graft.operators.{AsofJoin, DataQuality, HealthCheckBatch, MultimodalPipeline, RangeSession, Relational, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,6 +142,10 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
+    // Data-validation / monitoring gates (DataQuality)
+    "data_profile" -> ((s, d) => DataQuality.dataProfile(s, d)),
+    "quality_checks" -> ((s, d) => DataQuality.qualityChecks(s, d)),
+    "dist_drift" -> ((s, d) => DataQuality.distDrift(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -1103,5 +1107,50 @@ f AS (SELECT vec_id, q8_dot, sim_raw,
   row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM r)
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, q8_dot, round(sim_raw, 4) AS sim
 FROM f WHERE rank <= 20 ORDER BY rank""",
+    "data_profile" ->
+      """WITH w AS (SELECT CAST(count(*) AS DOUBLE) AS rows_n,
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS text_nulls,
+  CAST(count(DISTINCT lang) AS DOUBLE) AS lang_distinct,
+  CAST(count(DISTINCT source) AS DOUBLE) AS source_distinct,
+  CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
+  CAST(max(n_chars) AS DOUBLE) AS n_chars_max,
+  CAST(sum(n_chars) AS DOUBLE) / count(*) AS n_chars_mean,
+  CAST(min(doc_id) AS DOUBLE) AS doc_id_min,
+  CAST(max(doc_id) AS DOUBLE) AS doc_id_max FROM documents)
+SELECT 'rows' AS "column", 'n' AS metric, round(rows_n, 4) AS value FROM w
+UNION ALL SELECT 'text', 'nulls', round(text_nulls, 4) FROM w
+UNION ALL SELECT 'lang', 'distinct', round(lang_distinct, 4) FROM w
+UNION ALL SELECT 'source', 'distinct', round(source_distinct, 4) FROM w
+UNION ALL SELECT 'n_chars', 'min', round(n_chars_min, 4) FROM w
+UNION ALL SELECT 'n_chars', 'max', round(n_chars_max, 4) FROM w
+UNION ALL SELECT 'n_chars', 'mean', round(n_chars_mean, 4) FROM w
+UNION ALL SELECT 'doc_id', 'min', round(doc_id_min, 4) FROM w
+UNION ALL SELECT 'doc_id', 'max', round(doc_id_max, 4) FROM w
+ORDER BY "column", metric""",
+    "quality_checks" ->
+      """WITH w AS (SELECT
+  CAST(sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+  CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+  CAST(sum(CASE WHEN n_chars < 0 OR n_chars > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS bad_len
+  FROM documents)
+SELECT 'bad_lang' AS "check", bad_lang = 0 AS passed, bad_lang AS observed FROM w
+UNION ALL SELECT 'bad_len', bad_len = 0, bad_len FROM w
+UNION ALL SELECT 'dup_ids', dup_ids = 0, dup_ids FROM w
+UNION ALL SELECT 'empty_text', empty_text = 0, empty_text FROM w
+ORDER BY "check"""",
+    "dist_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+b AS (SELECT lang, count(*) AS n_b FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b FROM a FULL JOIN b ON a.lang = b.lang),
+s AS (SELECT lang, n_a, n_b,
+  CAST(n_a AS DOUBLE) / sum(n_a) OVER () AS sa,
+  CAST(n_b AS DOUBLE) / sum(n_b) OVER () AS sb FROM j)
+SELECT lang, n_a, n_b, round(sa, 6) AS share_a, round(sb, 6) AS share_b,
+  round((greatest(sa, 0.000001) - greatest(sb, 0.000001))
+    * ln(greatest(sa, 0.000001) / greatest(sb, 0.000001)), 6) AS psi_term
+FROM s ORDER BY lang""",
   )
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Data-validation and distribution-monitoring operators — the acceptance
+  * gates a training-data pipeline runs before a corpus snapshot is allowed
+  * near a training job (the Deequ/GreatExpectations role, Spark-first).
+  *
+  * Scale design: every operator here is ONE map-side-combined aggregation
+  * pass over the table — constant-width state per metric regardless of
+  * corpus size, no windows, no joins beyond a tiny result reshape. At
+  * 100 TB these are the cheapest queries in the engine: they scale with
+  * the scan and shuffle only metric rows.
+  */
+object DataQuality {
+
+  /** Column-profile metrics over `documents` in long form
+    * (column, metric, value) — row counts, null counts, distinct
+    * cardinalities, and numeric min/max/mean. One aggregation computes
+    * every metric (a single wide agg row, unpivoted after), so the corpus
+    * is scanned exactly once.
+    */
+  def dataProfile(spark: SparkSession, sfDir: String): DataFrame =
+    dataProfileFrom(Tables.documents(spark, sfDir))
+
+  /** [[dataProfile]] over any frame with the documents schema. */
+  def dataProfileFrom(docs: DataFrame): DataFrame = {
+    val wide = docs.agg(
+      count(lit(1)).cast(DoubleType).as("rows_n"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).cast(DoubleType)
+        .as("text_nulls"),
+      countDistinct(col("lang")).cast(DoubleType).as("lang_distinct"),
+      countDistinct(col("source")).cast(DoubleType).as("source_distinct"),
+      min(col("n_chars")).cast(DoubleType).as("n_chars_min"),
+      max(col("n_chars")).cast(DoubleType).as("n_chars_max"),
+      // mean as sum/count: associative partial aggregation AND the exact
+      // division order the oracle uses (see Relational's avg discipline)
+      (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("n_chars_mean"),
+      min(col("doc_id")).cast(DoubleType).as("doc_id_min"),
+      max(col("doc_id")).cast(DoubleType).as("doc_id_max"))
+    wide
+      .unpivot(Array.empty, wide.columns.map(col), "metric", "value")
+      .select(
+        // metric names are "<column>_<stat>"; split on the LAST underscore
+        regexp_extract(col("metric"), "^(.*)_([a-z]+)$", 1).as("column"),
+        regexp_extract(col("metric"), "^(.*)_([a-z]+)$", 2).as("metric"),
+        round(col("value"), 4).as("value"))
+      .orderBy("column", "metric")
+  }
+
+  /** Constraint checks over `documents` — the pass/fail acceptance row a
+    * pipeline gates a snapshot on: completeness (no null text), id
+    * uniqueness, domain membership of `lang`, and a length-bounds check.
+    * One aggregation pass; emits (check, passed, observed) so the failure
+    * diagnostics travel with the verdict.
+    */
+  def qualityChecks(spark: SparkSession, sfDir: String): DataFrame =
+    qualityChecksFrom(Tables.documents(spark, sfDir))
+
+  /** [[qualityChecks]] over any frame with the documents schema. */
+  def qualityChecksFrom(docs: DataFrame): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val agg = docs.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("empty_text"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+      sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L))
+        .as("bad_lang"),
+      sum(when(col("n_chars") < 0 || col("n_chars") > 1000000, 1L)
+        .otherwise(0L)).as("bad_len"))
+    agg
+      .unpivot(Array.empty, agg.columns.map(col), "check", "observed")
+      .select(col("check"), (col("observed") === 0L).as("passed"),
+        col("observed").cast(LongType).as("observed"))
+      .orderBy("check")
+  }
+
+  /** Population-stability-index drift between two halves of the corpus
+    * (doc_id parity stands in for yesterday/today snapshots; production
+    * passes two real frames via [[distDriftFrom]]). Per-language shares of
+    * each side plus the PSI contribution ln-weighted — the standard
+    * monitoring gate for "did the mixture shift". Two tiny keyed
+    * aggregations + a #langs-row join: nothing corpus-sized shuffles.
+    */
+  def distDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    distDriftFrom(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** [[distDrift]] between any two corpus frames. Unseen-on-one-side
+    * languages get the standard epsilon floor so the PSI stays finite.
+    */
+  def distDriftFrom(a: DataFrame, b: DataFrame): DataFrame = {
+    def shares(df: DataFrame, side: String) = df
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val eps = 1e-6
+    shares(a, "a").join(shares(b, "b"), Seq("lang"), "full")
+      .select(col("lang"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("share_a",
+        col("n_a").cast(DoubleType) / sum(col("n_a")).over())
+      .withColumn("share_b",
+        col("n_b").cast(DoubleType) / sum(col("n_b")).over())
+      .select(col("lang"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round((greatest(col("share_a"), lit(eps)) -
+          greatest(col("share_b"), lit(eps))) *
+          log(greatest(col("share_a"), lit(eps)) /
+            greatest(col("share_b"), lit(eps))), 6).as("psi_term"))
+      .orderBy("lang")
+  }
+}

@@ -983,8 +983,13 @@ object TextPipeline {
     * the parallelism knob (finer buckets, same tiny offsets table).
     */
   def curriculum(spark: SparkSession, sfDir: String, nShards: Int = 10,
-      qBuckets: Int = 20): DataFrame = {
-    val base = docs(spark, sfDir)
+      qBuckets: Int = 20): DataFrame =
+    curriculumFrom(spark, docs(spark, sfDir), nShards, qBuckets)
+
+  /** [[curriculum]] over any (doc_id, text) frame. */
+  def curriculumFrom(spark: SparkSession, corpus: DataFrame,
+      nShards: Int = 10, qBuckets: Int = 20): DataFrame = {
+    val base = corpus
       .select(col("doc_id"), round(qualityCol, 4).as("quality"))
       .withColumn("qb",
         least(floor(col("quality") * qBuckets), lit(qBuckets - 1))

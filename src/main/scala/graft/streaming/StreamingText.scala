@@ -157,6 +157,34 @@ object StreamingText extends Logging {
       .toDF("window_start", "token", "mg_count")
   }
 
+  /** Streaming data-quality monitor — the ingest twin of
+    * graft.operators.DataQuality.qualityChecks: per event-time window,
+    * count arriving documents and each violation class (empty text,
+    * out-of-domain language, out-of-bounds length). Append-mode windowed
+    * aggregation, state = one counter row per in-flight window; alert
+    * logic downstream filters `n_violations > 0`. Uniqueness is the one
+    * check that cannot be windowed statelessly — that is
+    * [[graft.streaming.StreamingDedup]]'s job.
+    */
+  def qualityMonitorStream(docs: DataFrame, eventTimeCol: String,
+      windowLen: String = "1 minute", delay: String = "10 minutes",
+      langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("empty_text"),
+        sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L))
+          .as("bad_lang"),
+        sum(when(col("n_chars") < 0 || col("n_chars") > 1000000, 1L)
+          .otherwise(0L)).as("bad_len"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("empty_text"), col("bad_lang"), col("bad_len"),
+        (col("empty_text") + col("bad_lang") + col("bad_len"))
+          .as("n_violations"))
+
   /** Streaming per-domain cap — the ingest twin of
     * TextPipeline.domainCap: admit at most `k` documents per source, in
     * arrival order (doc_id-ordered within a micro-batch so replays are
@@ -177,7 +205,7 @@ object StreamingText extends Logging {
     docs.select(col("source"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[CapState, (String, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(String, Long)],
             state: GroupState[CapState]) =>
           val admitted = state.getOption.map(_.admitted).getOrElse(0L)
@@ -218,7 +246,7 @@ object StreamingText extends Logging {
       .as[(String, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[BudgetState, (String, Long, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (lang: String, rows: Iterator[(String, Long, Long, String)],
             state: GroupState[BudgetState]) =>
           var used = state.getOption.map(_.used).getOrElse(0L)

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.DataQuality
+
+/** The validation gates must DETECT violations, not just pass clean data
+  * (the oracle pins the clean-corpus output; these specs corrupt the input
+  * and assert the checks trip with exact observed counts), and the drift
+  * monitor must stay finite when a language exists on only one side.
+  */
+class DataQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  import spark.implicits._
+
+  test("quality checks trip on duplicate ids, empty text, and unknown languages") {
+    val bad = Seq(
+      (1L, "ok text", "en", "src0", 7L),
+      (1L, "dup id", "en", "src0", 6L),   // dup_ids
+      (2L, "", "en", "src0", 0L),          // empty_text
+      (3L, "tok tok", "xx", "src0", 7L),   // bad_lang
+      (4L, "fine", "fr", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val checks = DataQuality.qualityChecksFrom(bad)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    checks("dup_ids") shouldBe (false, 1L)
+    checks("empty_text") shouldBe (false, 1L)
+    checks("bad_lang") shouldBe (false, 1L)
+    checks("bad_len") shouldBe (true, 0L)
+  }
+
+  test("profile reports nulls and bounds the corrupted column") {
+    val withNulls = Seq(
+      (1L, Some("a"), "en", "s", 1L),
+      (2L, None, "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val prof = DataQuality.dataProfileFrom(withNulls)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    prof(("text", "nulls")) shouldBe 1.0
+    prof(("rows", "n")) shouldBe 2.0
+    prof(("n_chars", "max")) shouldBe 9.0
+    prof(("n_chars", "mean")) shouldBe 5.0
+  }
+
+  test("drift stays finite when a language exists on only one side") {
+    val a = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    val b = Seq((4L, "en"), (5L, "zh")).toDF("doc_id", "lang")
+    val rows = DataQuality.distDriftFrom(a, b).collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("en", "fr", "zh")
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi_term")
+      psi.isNaN shouldBe false
+      psi.isInfinite shouldBe false
+      psi should be >= 0.0
+    }
+    // the one-sided languages carry the epsilon floor, not a zero share
+    val fr = rows.find(_.getString(0) == "fr").get
+    fr.getAs[Long]("n_b") shouldBe 0L
+    fr.getAs[Double]("psi_term") should be > 0.0
+  }
+
+  test("identical distributions report zero total PSI") {
+    val a = Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")
+    val rows = DataQuality.distDriftFrom(a, a).collect()
+    rows.map(_.getAs[Double]("psi_term")).sum shouldBe 0.0
+  }
+
+  test("streaming quality monitor counts violations per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, String, Long)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val df = graft.streaming.StreamingText.qualityMonitorStream(
+      input.toDF().toDF("ts", "text", "lang", "n_chars"), "ts")
+    val q = df.writeStream.format("memory").queryName("qmon")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-qmon").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (ts(10), "good text", "en", 9L),
+        (ts(10), "", "en", 0L),          // empty_text
+        (ts(10), "bad lang", "xx", 8L))) // bad_lang
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), "closes the window", "en", 17L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = spark.table("qmon")
+      .filter(col("window_start") === ts(10)).collect()
+    w.length shouldBe 1
+    w.head.getAs[Long]("n_docs") shouldBe 3L
+    w.head.getAs[Long]("empty_text") shouldBe 1L
+    w.head.getAs[Long]("bad_lang") shouldBe 1L
+    w.head.getAs[Long]("n_violations") shouldBe 2L
+  }
+}

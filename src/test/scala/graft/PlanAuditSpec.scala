@@ -87,6 +87,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     langOnly shouldBe 0
   }
 
+  test("domain_cap and token_budget_sample shard their corpus-keyed windows") {
+    // same 100 TB guard as pack_chunks: the per-source rank and per-lang
+    // running sum must key by (stream, shard) — a stream-only window
+    // serializes a dominant domain/language into one task
+    val capPlan = plans("domain_cap")
+    val sourceOnlyRank = """windowspecdefinition\(source#\d+, doc_id#\d+ ASC""".r
+      .findAllIn(capPlan).size
+    sourceOnlyRank shouldBe 0
+    capPlan should include("row_number()")
+
+    val budgetPlan = plans("token_budget_sample")
+    val langOnlySum = """windowspecdefinition\(lang#\d+, skey#\d+ ASC""".r
+      .findAllIn(budgetPlan).size
+    langOnlySum shouldBe 0
+  }
+
   test("hc_latency_event_time parses the tracer JSON exactly once per row") {
     // event_ts is materialized in its own project before latency math —
     // referencing the chain from both output columns would re-inline the

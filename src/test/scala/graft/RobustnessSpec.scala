@@ -112,4 +112,37 @@ class RobustnessSpec extends AnyFunSuite with Matchers with SparkTestBase {
         (6L, "ALARM", "missing_data"))
     } finally q2.stop()
   }
+
+  test("domain-cap stream restarted from checkpoint keeps its admitted counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cap-restart").toString
+    val input = MemoryStream[(String, Long)]
+    // file sink: supports checkpoint recovery with exactly-once commits
+    def start() = graft.streaming.StreamingText
+      .domainCapStream(input.toDF().toDF("source", "doc_id"), k = 2)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+
+    // batch 1 fills source s to its cap of 2
+    val q1 = start()
+    input.addData(Seq(("s", 1L), ("s", 2L)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: the per-source counter must
+    // survive, so batch 2's arrival for s is rejected and a new source
+    // starts fresh
+    val q2 = start()
+    input.addData(Seq(("s", 3L), ("t", 4L)))
+    q2.processAllAvailable()
+    try {
+      val out = spark.read.parquet(s"$root/out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._3))
+      out.toSeq shouldBe Seq(
+        ("s", 1L, 1L), ("s", 2L, 2L), ("t", 4L, 1L))
+    } finally q2.stop()
+  }
 }

@@ -108,7 +108,7 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val q = df.writeStream.format("memory").queryName("cap_twin")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("chk-cap").toString)
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       // two micro-batches: the counter must carry across them
       input.addData(first); q.processAllAvailable()
@@ -141,7 +141,7 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val q = df.writeStream.format("memory").queryName("budget_twin")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("chk-budget").toString)
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       input.addData(first); q.processAllAvailable()
       input.addData(rest); q.processAllAvailable()
