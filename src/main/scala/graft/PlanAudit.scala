@@ -30,7 +30,9 @@ object PlanAudit {
     // 1-row bloom-filter scalar subquery (build side of the prefilter)
     "decontaminate_bloom",
     // 1-row quantized-query + float-query broadcasts
-    "sim_topk_q8")
+    "sim_topk_q8",
+    // 1-row total-token normalizer broadcast
+    "lm_perplexity")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -142,6 +144,9 @@ object PlanAudit {
     // eval-side agg + bloom build + survivor distinct + final join/agg;
     // the corpus-sized fingerprint shuffle of plain decontaminate is GONE
     "decontaminate_bloom" -> 6,
+    // token window + per-doc regroup + 1-row total + orderBy — the tfidf
+    // shuffle class
+    "lm_perplexity" -> 5,
     // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift
     // adds the 5-row lang join and its share windows
     "data_profile" -> 3,

@@ -142,6 +142,12 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
+    "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    // Iterative trainer: no ANSI-SQL oracle can express the per-round
+    // argmax+rewrite loop, so the driver records its rows-only check
+    // (merge-sequence exactness is pinned by BpeTrainerSpec instead);
+    // declared in EntryContractSpec.oracleExempt
+    "bpe_merges" -> ((s, d) => graft.operators.BpeTrainer.bpeMerges(s, d)),
     // Data-validation / monitoring gates (DataQuality)
     "data_profile" -> ((s, d) => DataQuality.dataProfile(s, d)),
     "quality_checks" -> ((s, d) => DataQuality.qualityChecks(s, d)),
@@ -1107,6 +1113,19 @@ f AS (SELECT vec_id, q8_dot, sim_raw,
   row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM r)
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, q8_dot, round(sim_raw, 4) AS sim
 FROM f WHERE rank <= 20 ORDER BY rank""",
+    "lm_perplexity" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY token) AS freq FROM tp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tp),
+d AS (SELECT doc_id,
+  list(ln(CAST(freq AS DOUBLE) / n_total) ORDER BY pos) AS lps
+  FROM f, tot GROUP BY doc_id)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+  round(-list_sum(lps) / len(lps), 4) AS avg_nll,
+  round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
+FROM d ORDER BY doc_id""",
     "data_profile" ->
       """WITH w AS (SELECT CAST(count(*) AS DOUBLE) AS rows_n,
   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS text_nulls,

@@ -1053,6 +1053,49 @@ object TextPipeline {
       .orderBy("lang", "start_offset", "doc_id")
   }
 
+  /** Unigram LM perplexity — the CCNet-style quality filter: score each
+    * document by the perplexity of a unigram language model estimated from
+    * the corpus itself (P(t) = corpus frequency / total tokens). High
+    * perplexity marks out-of-distribution/garbage pages; the standard
+    * pre-training filter alongside [[textQuality]]'s heuristics.
+    *
+    * Plan shape: the corpus tokenizes ONCE; global token frequencies come
+    * from a token-partitioned window over the exploded rows (the
+    * [[textTfidf]] df trick — no vocab-sized broadcast), the total-token
+    * normalizer is a 1-row broadcast, and each document's log-prob sum
+    * folds its POSITION-ORDERED array sequentially — bit-identical
+    * accumulation order on both engines, so the oracle hash-matches
+    * (a bare float SUM across rows would be partial-aggregation-order
+    * dependent).
+    */
+  def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    lmPerplexityFrom(spark, docs(spark, sfDir))
+
+  /** [[lmPerplexity]] over any (doc_id, text) frame. */
+  def lmPerplexityFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val withFreq = toksPos.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy("token")))
+    // total tokens: exact integer aggregate, 1-row broadcast
+    val total = corpus
+      .agg(sum(size(tokens(col("text")))).cast(LongType).as("n_total"))
+    withFreq.crossJoin(broadcast(total))
+      .withColumn("lnp", log(col("freq").cast(DoubleType) / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n_tokens"),
+        aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, b) => a + b).as("sum_lnp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("sum_lnp") / col("n_tokens"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_tokens")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same answer as [[decontaminate]],
     * different 100 TB shape. [[decontaminate]] shuffles EVERY fingerprint in
     * the corpus once (one group-by-fingerprint pass). Here the eval side's

@@ -119,6 +119,30 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got.collect().foreach(_.getAs[Long]("start_offset") should be < 1000L)
   }
 
+  test("lm perplexity ranks common-token documents below rare-token ones") {
+    val rows = TextPipeline.lmPerplexity(spark, sf).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("avg_nll"), r.getAs[Double]("perplexity"))).toMap
+    // internal consistency: perplexity = exp(avg_nll) after rounding
+    rows.foreach { r =>
+      r.getAs[Double]("perplexity") shouldBe
+        math.exp(r.getAs[Double]("avg_nll")) +- 0.01
+    }
+    byDoc.size should be > 0 // corpus path exercised above
+    // a document of only the corpus's most frequent token must score lower
+    // perplexity than one containing a rare token — drive the OPERATOR on
+    // a crafted corpus where the ranking is known
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare"))
+      .toDF("doc_id", "text")
+    val scored = TextPipeline.lmPerplexityFrom(spark, crafted)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("perplexity"))
+      .toMap
+    scored(1L) should be < scored(2L)
+  }
+
   test("bloom decontamination equals the exact single-pass answer") {
     val exact = TextPipeline.decontaminate(spark, sf).collect().toSeq
     val bloom = TextPipeline.decontaminateBloom(spark, sf).collect().toSeq

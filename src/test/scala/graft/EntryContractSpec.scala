@@ -9,8 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EntryContractSpec extends AnyFunSuite {
 
+  /** Queries with no ANSI-SQL-expressible oracle (iterative trainers): the
+    * driver records a rows-only check; correctness is pinned by dedicated
+    * specs (BpeTrainerSpec's hand-computed merge sequence).
+    */
+  private val oracleExempt = Set("bpe_merges")
+
   test("every query has an oracle and every oracle has a query") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+    assert(SparkEntry.oracleSql.keySet ===
+      SparkEntry.queries.keySet -- oracleExempt)
   }
 
   test("no duplicate oracleSql key literals in the source text") {
