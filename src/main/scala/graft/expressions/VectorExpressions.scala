@@ -187,18 +187,27 @@ object VectorExpressions {
     */
   private[expressions] val bloomAggBuilder: Seq[Expression] => Expression =
     { args =>
-      val items = args.lift(1).getOrElse(
-        org.apache.spark.sql.catalyst.expressions.Literal(131072L))
-      val bits = org.apache.spark.sql.catalyst.expressions.Literal(
-        items match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-            v * 10L // ~1% false-positive rate
-          case _ => 1L << 21
-        })
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      // BloomFilterAggregate wants a LONG estimatedNumItems; accept any
+      // integral literal (an unsuffixed 131072 parses as INT) and refuse
+      // anything non-foldable-integral outright — a silent default here
+      // would size the bit array inconsistently with the passed estimate.
+      val nItems: Long = args.lift(1) match {
+        case None                       => 131072L
+        case Some(Literal(v: Long, _))  => v
+        case Some(Literal(v: Int, _))   => v.toLong
+        case Some(Literal(v: Short, _)) => v.toLong
+        case Some(Literal(v: Byte, _))  => v.toLong
+        case Some(other) => throw new IllegalArgumentException(
+          "graft_bloom_agg: expected items as an integral literal, got " +
+            other.sql)
+      }
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(
           new org.apache.spark.sql.catalyst.expressions.XxHash64(
-            Seq(args(0))), items, bits)
+            Seq(args(0))),
+          Literal(nItems),
+          Literal(nItems * 10L)) // ~1% false-positive rate
     }
 
   private[expressions] val mightContainBuilder: Seq[Expression] => Expression =

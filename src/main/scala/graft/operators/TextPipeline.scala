@@ -978,9 +978,11 @@ object TextPipeline {
     * so `floor(quality * qBuckets)` is a deterministic range bucket that is
     * monotonic in the sort key; per-bucket counts prefix-sum (descending)
     * into start offsets, each bucket ranks its own rows in parallel, and
-    * `floor((pos-1) * nShards / N) + 1` reproduces ntile's
-    * remainder-to-early-buckets split exactly. At 100 TB the bucket count is
-    * the parallelism knob (finer buckets, same tiny offsets table).
+    * the closed form of ntile's remainder-to-early-buckets rule (with
+    * q = N div nShards, r = N mod nShards, the first r tiles hold q+1 rows
+    * and the rest hold q) maps the global position to its tile exactly —
+    * for any N, not just multiples of nShards. At 100 TB the bucket count
+    * is the parallelism knob (finer buckets, same tiny offsets table).
     */
   def curriculum(spark: SparkSession, sfDir: String, nShards: Int = 10,
       qBuckets: Int = 20): DataFrame =
@@ -999,11 +1001,21 @@ object TextPipeline {
         sum(col("cnt")).over(Window.orderBy(col("qb").desc)) - col("cnt"))
     val total = offsets.agg(sum(col("cnt")).as("n_total"))
     val w = Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id"))
+    // ntile's exact rule: the first r tiles hold q+1 rows, the rest hold q
+    // (q = N div nShards, r = N mod nShards). ceil(a/b) in integer form is
+    // floor((a + b - 1) / b); the else branch (divide by q) is only reached
+    // when pos > (q+1)*r, which with q = 0 covers all rows, so q is nonzero
+    // whenever that branch evaluates.
+    val q = floor(col("n_total") / nShards)
+    val r = col("n_total") % nShards
+    val bigRows = (q + 1) * r // rows covered by the oversized tiles
     base.join(broadcast(offsets.select(col("qb"), col("offset"))), "qb")
       .withColumn("pos", col("offset") + row_number().over(w))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("quality"),
-        (floor((col("pos") - 1) * nShards / col("n_total")) + 1)
+        when(col("pos") <= bigRows,
+            floor((col("pos") + q) / (q + 1)))
+          .otherwise(r + floor((col("pos") - bigRows + q - 1) / q))
           .cast(LongType).as("shard"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
+
+/** Driver-coordinated spent-key set for the streaming cap/budget twins.
+  *
+  * Problem it solves: `groupByKey(source)` ships EVERY row of a dominant
+  * key to a single task per micro-batch forever, even after that key's
+  * cap/budget is exhausted and the state side will only drain it. The
+  * state-per-key defense (one counter, drain on arrival) bounds memory but
+  * not the shuffle — at ingest scale the shuffle itself is the cost.
+  *
+  * Mechanism — all standard Spark machinery, nothing local-mode-only:
+  *  - executors report exhausted keys through a [[CollectionAccumulator]]
+  *    (executor→driver, merged on task completion);
+  *  - the driver folds the accumulator into the `known` set between
+  *    micro-batches ([[refresh]] — called by the [[attach]]ed
+  *    StreamingQueryListener after every batch, or explicitly in tests);
+  *  - the NEXT batch's task closures are serialized on the driver at task
+  *    submission, so the map-side prefilter [[admit]] carries the current
+  *    `known` set to executors with zero extra plumbing — rows of spent
+  *    keys are dropped in place and never enter the shuffle.
+  *
+  * The set only ever grows (a spent cap stays spent), so one-batch
+  * staleness is purely a missed optimization, never a correctness issue:
+  * a row that slips through shuffles once and is drained by the state
+  * side exactly as before. After a checkpoint restart the accumulator is
+  * empty; the first drained arrival per spent key re-reports it, so the
+  * set repopulates without any state-store coupling.
+  *
+  * One instance per logical stream — cap keys (sources) and budget keys
+  * (languages) must not share an instance.
+  *
+  * [[shuffledRows]] counts rows that SURVIVED the prefilter (i.e. entered
+  * the shuffle) — the observability hook the drop-happened-map-side spec
+  * asserts on.
+  */
+final class SpentKeys(@transient spark: SparkSession) extends Serializable {
+  private val reported: CollectionAccumulator[String] =
+    spark.sparkContext.collectionAccumulator[String]("graft.spent_keys")
+  private val survived: LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.spent_keys.shuffled_rows")
+  @volatile private var known: Set[String] = Set.empty
+
+  /** Executor-side: mark a key as exhausted (idempotent, re-reported on
+    * every drained arrival so a restart heals the set).
+    */
+  def report(key: String): Unit = reported.add(key)
+
+  /** Map-side prefilter: true iff the key was not known spent when this
+    * batch's tasks were serialized. Counts surviving rows.
+    */
+  def admit(key: String): Boolean = {
+    val pass = !known.contains(key)
+    if (pass) survived.add(1L)
+    pass
+  }
+
+  /** Driver-side: fold reported keys into the set the next batch sees. */
+  def refresh(): Unit = { known = reported.value.asScala.toSet }
+
+  /** Rows that entered the shuffle so far (driver-side read). */
+  def shuffledRows: Long = survived.value
+
+  /** Keys currently known spent (driver-side read). */
+  def spentSet: Set[String] = known
+
+  /** Production wiring: refresh after every micro-batch completes. */
+  def attach(session: SparkSession): SpentKeys = {
+    session.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = refresh()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    this
+  }
+}

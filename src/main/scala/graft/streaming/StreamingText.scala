@@ -191,18 +191,28 @@ object StreamingText extends Logging {
     * deterministic). State per source is ONE long — the admitted count —
     * so state size is #sources regardless of stream length; a source that
     * reached its cap costs a counter read per subsequent row, never
-    * buffering. Emits (source, doc_id, rk) in Update mode the moment a
-    * document is admitted.
+    * buffering. Emits (source, doc_id, rk) in Append mode — each admitted
+    * row is emitted exactly once and never revised.
     *
     * Batch/stream agreement: when the stream delivers documents in global
     * doc_id order (a backfill replay), the admitted set and ranks equal
     * the batch operator's exactly (spec-proven); under out-of-order
     * arrival the cap still holds but admission is arrival-order — the
     * standard streaming-cap contract.
+    *
+    * Scale shape: pass a [[SpentKeys]] and rows of a source whose cap is
+    * already spent are dropped MAP-SIDE before the `groupByKey` shuffle —
+    * a capped dominant domain stops funneling its whole micro-batch
+    * through one task (the set is tiny, one string per spent source, and
+    * rides to executors in the task closure each batch). Without it the
+    * cap still holds; the rows just shuffle to be drained.
     */
-  def domainCapStream(docs: DataFrame, k: Int = 30): DataFrame = {
+  def domainCapStream(docs: DataFrame, k: Int = 30,
+      spent: Option[SpentKeys] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+    val base = docs.select(col("source"), col("doc_id")).as[(String, Long)]
+    val prefiltered = spent.fold(base)(s => base.filter(r => s.admit(r._1)))
+    prefiltered
       .groupByKey(_._1)
       .flatMapGroupsWithState[CapState, (String, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -212,12 +222,16 @@ object StreamingText extends Logging {
           val room = (k - admitted).max(0L).toInt
           if (room == 0) {
             rows.foreach(_ => ()) // drain; the cap is already reached
+            // re-report every drained arrival: idempotent, and it heals
+            // the prefilter set after a checkpoint restart
+            spent.foreach(_.report(source))
             Iterator.empty
           } else {
             // one micro-batch's rows for one source; ordered so a replay
             // admits identically
             val take = rows.map(_._2).toSeq.sorted.take(room)
             state.update(CapState(admitted + take.size))
+            if (admitted + take.size >= k) spent.foreach(_.report(source))
             take.iterator.zipWithIndex.map { case (docId, i) =>
               (source, docId, admitted + i + 1)
             }
@@ -234,16 +248,24 @@ object StreamingText extends Logging {
     * admits the identical set with identical offsets (spec-proven). State
     * per language is ONE long; within a micro-batch rows order by the same
     * seeded md5 key so replays are deterministic. Emits
-    * (lang, doc_id, n_tokens, start_offset) in Update mode.
+    * (lang, doc_id, n_tokens, start_offset) in Append mode — each
+    * admitted row is emitted exactly once and never revised.
+    *
+    * Scale shape: pass a [[SpentKeys]] and rows of a language whose
+    * budget is already spent drop MAP-SIDE before the shuffle (see
+    * [[domainCapStream]] — same discipline, budget keys are languages).
     */
-  def tokenBudgetStream(docs: DataFrame, budget: Long = 2000): DataFrame = {
+  def tokenBudgetStream(docs: DataFrame, budget: Long = 2000,
+      spent: Option[SpentKeys] = None): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    val base = docs
       .select(col("lang"), col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("n_tokens"),
         md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
       .as[(String, Long, Long, String)]
+    val prefiltered = spent.fold(base)(s => base.filter(r => s.admit(r._1)))
+    prefiltered
       .groupByKey(_._1)
       .flatMapGroupsWithState[BudgetState, (String, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -252,6 +274,7 @@ object StreamingText extends Logging {
           var used = state.getOption.map(_.used).getOrElse(0L)
           if (used >= budget) {
             rows.foreach(_ => ()) // budget spent; counter read only
+            spent.foreach(_.report(lang)) // heal the prefilter on restart
             Iterator.empty
           } else {
             val out = rows.toSeq.sortBy(r => (r._4, r._2)).flatMap {
@@ -263,6 +286,7 @@ object StreamingText extends Logging {
                 } else None
             }
             state.update(BudgetState(used))
+            if (used >= budget) spent.foreach(_.report(lang))
             out.iterator
           }
       }

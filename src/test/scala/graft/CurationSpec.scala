@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got.collect().toSeq shouldBe naive.collect().toSeq
   }
 
+  test("curriculum matches ntile when N is not a multiple of nShards") {
+    // 505 % 10 == 5: ntile front-loads the five oversized tiles
+    // (51,51,51,51,51,50,...), which an even-spread formula would miss on
+    // exactly ten positions — this pins the exact remainder rule.
+    import spark.implicits._
+    val docs = (1L to 505L)
+      .map(i => (i, ("w " * (5 + (i * 37 % 91)).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.curriculumFrom(spark, docs, nShards = 10)
+    val naive = got.select("doc_id", "quality")
+      .withColumn("shard",
+        ntile(10).over(Window.orderBy(col("quality").desc, col("doc_id")))
+          .cast("long"))
+      .orderBy("doc_id")
+    got.collect().toSeq shouldBe naive.collect().toSeq
+    val sizes = got.groupBy("shard").count()
+      .orderBy("shard").collect().map(_.getLong(1)).toSeq
+    sizes shouldBe Seq(51L, 51L, 51L, 51L, 51L, 50L, 50L, 50L, 50L, 50L)
+  }
+
   test("curriculum shard sizes are balanced to within one document") {
     val sizes = TextPipeline.curriculum(spark, sf, nShards = 10)
       .groupBy("shard").count().collect().map(_.getLong(1))
@@ -147,6 +167,26 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val exact = TextPipeline.decontaminate(spark, sf).collect().toSeq
     val bloom = TextPipeline.decontaminateBloom(spark, sf).collect().toSeq
     bloom shouldBe exact
+  }
+
+  test("graft_bloom_agg accepts an INT items literal and rejects non-integral ones") {
+    import spark.implicits._
+    graft.expressions.VectorExpressions.register(spark)
+    Seq("x", "y", "x").toDF("v").createOrReplaceTempView("bloom_lit_in")
+    // unsuffixed 131072 parses as INT; it must size the filter, not fall
+    // back to a silent default inconsistent with the estimate
+    val hit = spark.sql(
+      """SELECT graft_might_contain(
+        |  (SELECT graft_bloom_agg(v, 131072) FROM bloom_lit_in), 'x')""".stripMargin)
+      .collect()(0).getBoolean(0)
+    hit shouldBe true
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_might_contain(
+          |  (SELECT graft_bloom_agg(v, 'many') FROM bloom_lit_in), 'x')""".stripMargin)
+        .collect()
+    }
+    err.getMessage should include("integral literal")
   }
 
   test("bloom prefilter plans a scalar-subquery build, not a corpus shuffle of train fingerprints") {

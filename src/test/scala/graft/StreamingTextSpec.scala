@@ -124,6 +124,63 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed.groupBy(_._2).values.foreach(_.size should be <= 30)
   }
 
+  test("domainCapStream spent-key prefilter drops exhausted sources map-side, admission unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val spent = new graft.streaming.SpentKeys(spark)
+    val df = StreamingText.domainCapStream(
+      input.toDF().toDF("source", "doc_id"), k = 2, spent = Some(spent))
+    val q = df.writeStream.format("memory").queryName("cap_prefilter")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-cap-pf").toString)
+      .outputMode("append").start()
+    try {
+      // batch 1: 5 rows of "a" exhaust its cap of 2; the spent set is
+      // still empty, so all 5 enter the shuffle
+      input.addData(Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L)))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 5L
+      spent.refresh() // what the attached listener does after each batch
+      spent.spentSet shouldBe Set("a")
+      // batch 2: 4 more "a" rows must be dropped BEFORE the shuffle; only
+      // the lone "b" row may pass the prefilter
+      input.addData(Seq(("a", 6L), ("a", 7L), ("a", 8L), ("a", 9L), ("b", 10L)))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 6L
+    } finally q.stop()
+    // admission output identical to the unfiltered operator's contract:
+    // first two "a" docs and the "b" doc, ranks per source
+    val out = spark.table("cap_prefilter")
+      .orderBy("source", "rk").as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 10L, 1L))
+  }
+
+  test("tokenBudgetStream spent-key prefilter drops exhausted languages map-side") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val spent = new graft.streaming.SpentKeys(spark)
+    val df = StreamingText.tokenBudgetStream(
+      input.toDF().toDF("lang", "doc_id", "text"), budget = 5,
+      spent = Some(spent))
+    val q = df.writeStream.format("memory").queryName("budget_prefilter")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-budget-pf").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(("en", 1L, "a b c d e f g h"))) // 8 tokens > 5
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 1L
+      spent.refresh()
+      spent.spentSet shouldBe Set("en")
+      input.addData(Seq(("en", 2L, "x y z"), ("fr", 3L, "u v")))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 2L // only the fr row shuffled
+    } finally q.stop()
+    val out = spark.table("budget_prefilter")
+      .orderBy("lang", "doc_id").as[(String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(("en", 1L, 8L, 0L), ("fr", 3L, 2L, 0L))
+  }
+
   test("tokenBudgetStream admits the batch answer on a hash-ordered replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
