@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -38,6 +39,49 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val first = BpeTrainer.bpeMergesFrom(spark, corpus, nMerges = 1)
       .collect().head
     (first.getString(1), first.getString(2)) shouldBe ("x", "y")
+  }
+
+  test("local and distributed merge loops learn the byte-identical sequence") {
+    // the hybrid's promise: engine selection never changes the result.
+    // 30 rounds over a real corpus slice exercises ties, multi-char
+    // symbols, and incremental-count maintenance against the full-recount
+    // distributed loop.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val local = BpeTrainer.bpeMergesFrom(spark, corpus, nMerges = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val dist = BpeTrainer.bpeMergesDistributedFrom(spark, corpus, nMerges = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    local shouldBe dist
+  }
+
+  test("hybrid trainer sustains a production-scale merge count in seconds") {
+    // the round-5 weakness: 2 Spark jobs + a localCheckpoint per merge
+    // made ~32k-merge training hours of scheduler overhead. The local
+    // loop must clear 1,000+ merges on a real corpus in seconds. The raw
+    // synthetic vocab is only 31 words (exhausts at 89 merges), so derive
+    // a 7k-word vocab from the SAME testdata by compounding adjacent word
+    // triples — deterministic, and the trainer sees realistic shared
+    // prefixes/suffixes.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(regexp_replace(col("text"),
+        "(\\w+) (\\w+) (\\w+)", "$1$2$3").as("text"))
+    val t0 = System.nanoTime()
+    val merges = BpeTrainer.bpeMergesFrom(spark, corpus, nMerges = 2000)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    merges.length shouldBe 2000
+    info(f"2000 merges in $secs%.1f s")
+    secs should be < 60.0
+    // the sequence is well-formed: rounds are 1..2000, every merge
+    // concatenates its pair, counts are positive
+    merges.map(_.getLong(0)).toSeq shouldBe (1L to 2000L)
+    merges.foreach { r =>
+      r.getString(3) shouldBe r.getString(1) + r.getString(2)
+      r.getLong(4) should be > 0L
+    }
   }
 
   test("encode round-trips: symbols concatenate back to the word and shrink monotonically") {
