@@ -86,6 +86,7 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) => Relational.q21Waiting(s, d)),
     "stratified_sample" -> ((s, d) => TextPipeline.stratifiedSample(s, d)),
     "pack_chunks" -> ((s, d) => TextPipeline.packChunks(s, d)),
+    "pack_chunks_bpe" -> ((s, d) => TextPipeline.packChunksBpe(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> ((s, d) => TextPipeline.boilerplateNgrams(s, d)),
     "curriculum" -> ((s, d) => TextPipeline.curriculum(s, d)),
     "token_budget_sample" -> ((s, d) => TextPipeline.tokenBudgetSample(s, d)),
+    "token_budget_bpe" -> ((s, d) => TextPipeline.tokenBudgetSampleBpe(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
@@ -493,6 +495,36 @@ WHERE bucket < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
 ORDER BY doc_id""",
     "pack_chunks" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
+  FROM t)
+SELECT lang, chunk_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // pack_chunks denominated in frozen-tokenizer tokens — same replay
+    // chain as token_budget_bpe, same packer as pack_chunks
+    "pack_chunks_bpe" ->
+      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (SELECT word,
+  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+    regexp_replace(word, '(.)', '<\1>', 'g'),
+    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
+    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
+    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
+    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
+    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
+    '<colu><m>', '<colum>') AS s
+  FROM words WHERE length(word) > 0),
+nsym AS (SELECT word,
+  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym FROM enc),
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+t AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_sym) AS BIGINT) AS n_tokens
+  FROM tok t JOIN nsym e USING (word) WHERE length(t.word) > 0
+  GROUP BY t.doc_id, t.lang),
 c AS (SELECT doc_id, lang, n_tokens,
   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS chunk_id
@@ -1074,6 +1106,37 @@ FROM s ORDER BY doc_id""",
       """WITH b AS (SELECT doc_id, lang,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+c AS (SELECT lang, doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM b)
+SELECT lang, doc_id, n_tokens, start_offset
+FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    // replays the FROZEN 16-merge tokenizer (BpeTrainer.FrozenMerges):
+    // each word's chars wrap as <c> symbols, the merge chain applies in
+    // order via left-to-right non-overlapping replace (DuckDB replace and
+    // the Spark fold share that rule), and n_sym = count of '<'
+    "token_budget_bpe" ->
+      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (SELECT word,
+  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+    regexp_replace(word, '(.)', '<\1>', 'g'),
+    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
+    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
+    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
+    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
+    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
+    '<colu><m>', '<colum>') AS s
+  FROM words WHERE length(word) > 0),
+nsym AS (SELECT word,
+  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym FROM enc),
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+cnt AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_sym) AS BIGINT) AS n_tokens
+  FROM tok t JOIN nsym e USING (word) WHERE length(t.word) > 0
+  GROUP BY t.doc_id, t.lang),
+b AS (SELECT doc_id, lang, n_tokens,
+  md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM cnt),
 c AS (SELECT lang, doc_id, n_tokens,
   CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS start_offset
   FROM b)

@@ -44,6 +44,19 @@ object BpeTrainer {
     */
   val DefaultLocalVocabLimit: Long = 4L * 1024 * 1024
 
+  /** A FROZEN merge table — the "released tokenizer" the token-accounting
+    * operators replay (production budgets are denominated in a fixed
+    * tokenizer's tokens, not one retrained per query). These are the first
+    * 16 merges the trainer learns on the sf0.001 `documents` corpus;
+    * provenance is spec-pinned (BpeTrainerSpec asserts this list equals
+    * the trainer's output), so the list cannot drift from the trainer.
+    */
+  val FrozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"))
+
   /** Learn `nMerges` merges over the `documents` table; returns one row per
     * learned merge: (round, sym_a, sym_b, merged, pair_count).
     */

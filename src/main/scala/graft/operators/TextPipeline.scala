@@ -248,10 +248,39 @@ object TextPipeline {
     * through a second full shuffle, the same trade [[assignIds]] makes).
     */
   def packChunks(spark: SparkSession, sfDir: String,
-      contextLen: Int = 512, shardWidth: Long = 64): DataFrame = {
-    val base = docs(spark, sfDir)
+      contextLen: Int = 512, shardWidth: Long = 64): DataFrame =
+    packChunksCore(
+      docs(spark, sfDir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      contextLen, shardWidth)
+
+  /** [[packChunks]] denominated in TOKENIZER tokens via the frozen merge
+    * table — context windows hold model tokens, not whitespace words (see
+    * [[tokenBudgetSampleBpe]] for the broadcast word→n_symbols counting
+    * shape; the packing machinery is byte-identical after the count).
+    */
+  def packChunksBpe(spark: SparkSession, sfDir: String,
+      contextLen: Int = 512, shardWidth: Long = 64,
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
+    val corpus = docs(spark, sfDir)
+    val wordSyms = BpeTrainer.bpeEncode(spark, corpus, merges)
+      .select(col("word"), col("n_symbols"))
+    val counts = corpus
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordSyms), "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n_symbols")).as("n_tokens"))
+    packChunksCore(counts, contextLen, shardWidth)
+  }
+
+  /** The two-level sharded prefix-sum packer shared by the whitespace and
+    * BPE accountants (scale notes on [[packChunks]]).
+    */
+  private def packChunksCore(counts: DataFrame, contextLen: Int,
+      shardWidth: Long): DataFrame = {
+    val base = counts
       .withColumn("shard", expr(s"doc_id div $shardWidth"))
     val offsets = base.groupBy("lang", "shard")
       .agg(sum(col("n_tokens")).as("shard_tokens"))
@@ -1036,12 +1065,47 @@ object TextPipeline {
     * language, no matter the corpus size.
     */
   def tokenBudgetSample(spark: SparkSession, sfDir: String,
-      budget: Long = 2000): DataFrame = {
-    val key = md5(concat(lit("tb:"), col("doc_id")))
-    val base = docs(spark, sfDir)
+      budget: Long = 2000): DataFrame =
+    tokenBudgetCore(
+      docs(spark, sfDir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      budget)
+
+  /** [[tokenBudgetSample]] counting TOKENIZER tokens instead of whitespace
+    * words — production budgets are denominated in the tokens the model
+    * will actually see. Counting replays a FROZEN merge table
+    * ([[BpeTrainer.FrozenMerges]] by default — a released tokenizer, not
+    * one retrained per query): the corpus's distinct words encode once
+    * through the merge chain ([[BpeTrainer.bpeEncode]], vocab-sized), and
+    * per-document token counts come from a BROADCAST word→n_symbols
+    * lookup join — the corpus scans once and never shuffles on text; only
+    * (doc_id, lang, count) rows enter the budget prefix sum, which is the
+    * same shard-pruned two-level machinery as the whitespace variant.
+    */
+  def tokenBudgetSampleBpe(spark: SparkSession, sfDir: String,
+      budget: Long = 2000,
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
+    val corpus = docs(spark, sfDir)
+    val wordSyms = BpeTrainer.bpeEncode(spark, corpus, merges)
+      .select(col("word"), col("n_symbols"))
+    val perDoc = corpus
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        key.as("skey"))
+        explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordSyms), "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n_symbols")).as("n_tokens"))
+    tokenBudgetCore(perDoc, budget)
+  }
+
+  /** The budget prefix-sum core shared by the whitespace and BPE token
+    * accountants: seeded-hash admission order, shard = first byte of the
+    * md5 sort key (monotonic prefix), under-budget shard pruning BEFORE
+    * the per-shard window (see [[tokenBudgetSample]] scaladoc).
+    */
+  private def tokenBudgetCore(counts: DataFrame, budget: Long): DataFrame = {
+    val base = counts
+      .withColumn("skey", md5(concat(lit("tb:"), col("doc_id"))))
       .withColumn("shard",
         conv(substring(col("skey"), 1, 2), 16, 10).cast(LongType))
     val offsets = base.groupBy("lang", "shard")

@@ -84,6 +84,16 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("FrozenMerges is exactly what the trainer learns on its provenance corpus") {
+    // the frozen tokenizer the token-accounting operators (and their
+    // DuckDB oracles) replay — pin it to the trainer so the hard-coded
+    // list can never drift from what training actually produces
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val learned = BpeTrainer.bpeMergesFrom(spark, corpus, nMerges = 16)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    learned shouldBe BpeTrainer.FrozenMerges
+  }
+
   test("encode round-trips: symbols concatenate back to the word and shrink monotonically") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
