@@ -128,8 +128,14 @@ object PersistedIndex {
           .cast("long").as("q8_dot"))
       .orderBy(col("q8_dot").desc, col("vec_id"))
       .limit(topK * 4)
+    // stage 2 re-reads the float column THROUGH the same broadcast cluster
+    // join, so its scan is partition-pruned to the nprobe directories too —
+    // a bare vec_id join would scan every cluster's float column
+    val stage2Vectors = vectors
+      .join(broadcast(probed), "cluster")
+      .select(col("vec_id"), col("v"))
     candidates
-      .join(vectors.select(col("vec_id"), col("v")), "vec_id")
+      .join(stage2Vectors, "vec_id")
       .crossJoin(broadcast(q))
       .withColumn("sim_raw", cosine(col("v"), col("q")))
       .withColumn("rank",
@@ -139,6 +145,62 @@ object PersistedIndex {
       .select(col("rank"), col("vec_id"), col("cluster"), col("q8_dot"),
         round(col("sim_raw"), 4).as("sim"))
       .orderBy("rank")
+  }
+
+  // -------------------------------------------------- decontamination --
+
+  /** Persist the eval-side decontamination artifacts at `path` — built
+    * ONCE per benchmark release, not per training run (the
+    * [[TextPipeline.decontaminateBloom]] in-query shape rebuilds the
+    * bloom from eval text every run):
+    *
+    *  - `bloom/`: the winnowed-fingerprint bloom filter, ONE binary row
+    *    (~160 KB at the default sizing) — the map-side prefilter;
+    *  - `fingerprints/`: (doc_id, fingerprint) rows — the exact-verify
+    *    side that removes bloom false positives, so probes never re-read
+    *    (or re-winnow) eval TEXT.
+    */
+  def buildEvalBloom(spark: SparkSession, eval: DataFrame, path: String,
+      expectedItems: Long = 131072L): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val fp = eval.select(col("doc_id"),
+      explode(graft.expressions.VectorExpressions.winnowNative(col("text")))
+        .as("fingerprint"))
+    fp.write.mode(SaveMode.Overwrite).parquet(s"$path/fingerprints")
+    fp.createOrReplaceTempView("graft_eval_bloom_build")
+    spark.sql(
+      s"""SELECT graft_bloom_agg(fingerprint, ${expectedItems}L) AS bloom
+         |FROM graft_eval_bloom_build""".stripMargin)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+  }
+
+  /** Decontaminate a training corpus against a persisted eval bloom:
+    * same output contract as [[TextPipeline.decontaminateBloom]]
+    * (eval_doc_id, n_shared), but the eval side is entirely the persisted
+    * index. The bloom blob is read ONCE driver-side (one tiny row) and
+    * embedded as a literal, so the probe plan is: scan train text →
+    * winnow → codegen'd might_contain prefilter (map-side, no shuffle of
+    * non-matching fingerprints) → exact join against `fingerprints/` to
+    * kill false positives. Eval text is never scanned — plan-asserted.
+    */
+  def probeEvalBloom(spark: SparkSession, train: DataFrame,
+      path: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bloomBytes = spark.read.parquet(s"$path/bloom")
+      .head.getAs[Array[Byte]]("bloom")
+    val evalFps = spark.read.parquet(s"$path/fingerprints")
+    val trainFps = train
+      .select(explode(
+        graft.expressions.VectorExpressions.winnowNative(col("text")))
+        .as("fingerprint"))
+      .filter(call_function("graft_might_contain",
+        lit(bloomBytes), col("fingerprint")))
+      .distinct()
+    evalFps.join(trainFps, "fingerprint")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id").as("eval_doc_id"), col("n_shared"))
+      .orderBy("eval_doc_id")
   }
 
   // -------------------------------------------------------------- dedup --

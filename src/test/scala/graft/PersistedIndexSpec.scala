@@ -78,6 +78,61 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("dynamicpruning")
   }
 
+  test("every vectors scan in the q8 probe is cluster-pruned, stage 2 included") {
+    // the round-5 finding: stage 2 joined candidates against the full
+    // vectors read on vec_id only, scanning every cluster's float column.
+    // Now BOTH scans go through the broadcast cluster join, so both carry
+    // the runtime partition filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq8s2").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val plan = PersistedIndex.probeIvfIndexQ8(spark, sf, dir)
+      .queryExecution.explainString(FormattedMode)
+    val scanBlocks = """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+      .findAllIn(plan).toList
+    val vectorScans = scanBlocks.filter(_.contains("/vectors"))
+    vectorScans.length should be >= 2 // stage 1 (qv) and stage 2 (v)
+    vectorScans.foreach { b =>
+      withClue(s"unpruned vectors scan:\n$b\n") {
+        b should include("dynamicpruning")
+      }
+    }
+  }
+
+  test("persisted eval bloom probe equals the in-query bloom decontamination") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // the in-query operator's split: odd doc_ids are eval, even are train
+    val evalDf = docsDf.filter($"doc_id" % 2 === 1)
+    val train = docsDf.filter($"doc_id" % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ebloom").toString
+    PersistedIndex.buildEvalBloom(spark, evalDf, dir)
+    val probed = PersistedIndex.probeEvalBloom(spark, train, dir)
+      .collect().toSeq
+    val inQuery = TextPipeline.decontaminateBloom(spark, sf)
+      .collect().toSeq
+    probed shouldBe inQuery
+  }
+
+  test("the eval-bloom probe plan never scans eval text") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ebloom2").toString
+    PersistedIndex.buildEvalBloom(spark, docsDf.filter($"doc_id" % 2 === 1),
+      dir)
+    val probe = PersistedIndex.probeEvalBloom(spark,
+      docsDf.filter($"doc_id" % 2 === 0), dir)
+    val plan = probe.queryExecution.explainString(FormattedMode)
+    // eval side = the persisted fingerprint table; only the TRAIN side
+    // winnows text, and the bloom blob rides as a literal, not a scan
+    plan should include("/fingerprints")
+    plan should not include "/bloom"
+    val docScans = """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+      .findAllIn(plan).toList.filter(_.contains("documents.parquet"))
+    docScans.length shouldBe 1 // train only; eval text never read
+    // and the prefilter really is the codegen'd bloom might_contain
+    plan should include("might_contain")
+  }
+
   test("delta-vs-persisted-index dedup equals the in-query incremental dedup") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
