@@ -91,6 +91,14 @@ object PlanAudit {
     // map-side-combined shard-total agg, the per-lang offset prefix window,
     // the chunk agg, and the orderBy
     "pack_chunks" -> 5,
+    // BPE-denominated twins: + the distinct-word agg feeding the broadcast
+    // vocab (ReusedExchange at runtime) and the per-doc count agg — which,
+    // like the rest of the prefix-sum family, the offsets branch re-derives
+    // from the scan rather than sharing the window branch's exchange (the
+    // documented assignIds trade; the count agg is map-side combined, so a
+    // doc's exploded tokens collapse to one row before each shuffle)
+    "token_budget_bpe" -> 8,
+    "pack_chunks_bpe" -> 9,
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

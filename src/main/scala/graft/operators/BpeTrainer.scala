@@ -276,6 +276,14 @@ object BpeTrainer {
     * chain; the corpus encodes in one scan-parallel pass.
     */
   def bpeEncode(spark: SparkSession, corpus: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeWordSymbols(corpus, merges).orderBy("word")
+
+  /** [[bpeEncode]] without the presentation sort — the join-input shape
+    * the token accountants consume (a broadcast build side has no use for
+    * a global order; the orderBy would cost an exchange).
+    */
+  private[operators] def bpeWordSymbols(corpus: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val encoded = merges.foldLeft(split(col("word"), "").as("syms")) {
       case (arr, (a, b)) => mergePair(arr, a, b).as("syms")
@@ -290,6 +298,5 @@ object BpeTrainer {
       .select(col("word"), encoded)
       .select(col("word"), col("syms"),
         size(col("syms")).cast(LongType).as("n_symbols"))
-      .orderBy("word")
   }
 }

@@ -263,7 +263,7 @@ object TextPipeline {
       contextLen: Int = 512, shardWidth: Long = 64,
       merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
     val corpus = docs(spark, sfDir)
-    val wordSyms = BpeTrainer.bpeEncode(spark, corpus, merges)
+    val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
       .select(col("word"), col("n_symbols"))
     val counts = corpus
       .select(col("doc_id"), col("lang"),
@@ -1086,7 +1086,7 @@ object TextPipeline {
       budget: Long = 2000,
       merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
     val corpus = docs(spark, sfDir)
-    val wordSyms = BpeTrainer.bpeEncode(spark, corpus, merges)
+    val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
       .select(col("word"), col("n_symbols"))
     val perDoc = corpus
       .select(col("doc_id"), col("lang"),
