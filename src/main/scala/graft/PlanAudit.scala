@@ -99,6 +99,8 @@ object PlanAudit {
     // doc's exploded tokens collapse to one row before each shuffle)
     "token_budget_bpe" -> 8,
     "pack_chunks_bpe" -> 9,
+    "rep_stats" -> 1, // stateless in-expression sort/count; orderBy only
+    "bpe_stats" -> 3, // distinct-word agg + map-side-combined lang rollup
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

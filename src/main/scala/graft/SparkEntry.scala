@@ -145,6 +145,8 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
+    "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     // Iterative trainer: no ANSI-SQL oracle can express the per-round
     // argmax+rewrite loop, so the driver records its rows-only check
     // (merge-sequence exactness is pinned by BpeTrainerSpec instead);
@@ -1111,6 +1113,55 @@ c AS (SELECT lang, doc_id, n_tokens,
   FROM b)
 SELECT lang, doc_id, n_tokens, start_offset
 FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    // Gopher-style repetition: duplicate-occurrence fractions by
+    // sorted-adjacency (out-of-range list reads are NULL on both engines,
+    // and NULL equality folds false in a filter/when)
+    "rep_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+  list_sort(toks) AS s1,
+  list_sort(list_transform(range(len(toks) - 1),
+    i -> toks[i+1] || ' ' || toks[i+2])) AS s2,
+  list_sort(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s3
+  FROM t),
+d AS (SELECT doc_id, n_words,
+  CASE WHEN len(s1) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(range(len(s1)),
+    i -> s1[i+1] = s1[i] OR s1[i+1] = s1[i+2])) AS DOUBLE) / len(s1), 4) END AS dup_word_frac,
+  CASE WHEN len(s2) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(range(len(s2)),
+    i -> s2[i+1] = s2[i] OR s2[i+1] = s2[i+2])) AS DOUBLE) / len(s2), 4) END AS dup_2gram_frac,
+  CASE WHEN len(s3) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(range(len(s3)),
+    i -> s3[i+1] = s3[i] OR s3[i+1] = s3[i+2])) AS DOUBLE) / len(s3), 4) END AS dup_3gram_frac
+  FROM s)
+SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+  (dup_word_frac > 0.6 OR dup_2gram_frac > 0.4 OR dup_3gram_frac > 0.3) AS is_repetitive
+FROM d ORDER BY doc_id""",
+    // frozen-tokenizer fertility/compression per language (same replay
+    // chain as token_budget_bpe)
+    "bpe_stats" ->
+      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (SELECT word,
+  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+    regexp_replace(word, '(.)', '<\1>', 'g'),
+    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
+    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
+    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
+    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
+    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
+    '<colu><m>', '<colum>') AS s
+  FROM words WHERE length(word) > 0),
+nsym AS (SELECT word,
+  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym,
+  CAST(length(word) AS BIGINT) AS word_chars FROM enc),
+tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT t.lang, count(*) AS n_words,
+  CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+  CAST(sum(e.word_chars) AS BIGINT) AS n_chars,
+  round(CAST(sum(e.n_sym) AS DOUBLE) / count(*), 4) AS tokens_per_word,
+  round(CAST(sum(e.word_chars) AS DOUBLE) / sum(e.n_sym), 4) AS chars_per_token
+FROM tok t JOIN nsym e USING (word) WHERE length(t.word) > 0
+GROUP BY t.lang ORDER BY t.lang""",
     // replays the FROZEN 16-merge tokenizer (BpeTrainer.FrozenMerges):
     // each word's chars wrap as <c> symbols, the merge chain applies in
     // order via left-to-right non-overlapping replace (DuckDB replace and

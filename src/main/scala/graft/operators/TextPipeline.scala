@@ -998,6 +998,57 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals (Rae et al. '21 adapted): for
+    * n = 1, 2, 3, the fraction of n-gram OCCURRENCES whose n-gram appears
+    * at least twice in the document, plus the combined repetition gate —
+    * the standard "degenerate/templated page" pre-training filter next to
+    * [[textQuality]]'s length/stopword heuristics.
+    *
+    * Plan shape: ONE stateless scan-parallel projection, no explode and no
+    * shuffle. Each document's gram lists sort in-expression and duplicate
+    * occurrences are counted by sorted-adjacency (`get` reads off either
+    * end return null, which the equality folds to false — no boundary
+    * branches). The sorted arrays materialize ONCE per row behind an
+    * `inline(array(struct(...)))` Generate fence (the [[textLangId]]
+    * discipline — a bare multi-reference would re-inline the sort per
+    * `get`, the documented Catalyst no-cross-lambda-CSE pitfall).
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStatsFrom(spark, docs(spark, sfDir))
+
+  /** [[repetitionStats]] over any (doc_id, text) frame. */
+  def repetitionStatsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def sortedGrams(n: Int): Column =
+      if (n == 1) array_sort(toks)
+      else array_sort(
+        when(size(toks) < n, array().cast(ArrayType(StringType)))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    def dupFrac(sorted: Column): Column = {
+      val n = size(sorted)
+      val dups = aggregate(sequence(lit(0), n - 1), lit(0),
+        (acc, i) => acc + when(
+          get(sorted, i) === get(sorted, i - 1) ||
+          get(sorted, i) === get(sorted, i + 1), 1).otherwise(0))
+      when(n === 0, lit(0.0))
+        .otherwise(round(dups.cast(DoubleType) / n.cast(DoubleType), 4))
+    }
+    corpus
+      .select(col("doc_id"), inline(array(struct(
+        size(toks).cast(LongType).as("n_words"),
+        sortedGrams(1).as("s1"), sortedGrams(2).as("s2"),
+        sortedGrams(3).as("s3")))))
+      .select(col("doc_id"), col("n_words"),
+        dupFrac(col("s1")).as("dup_word_frac"),
+        dupFrac(col("s2")).as("dup_2gram_frac"),
+        dupFrac(col("s3")).as("dup_3gram_frac"))
+      .withColumn("is_repetitive",
+        col("dup_word_frac") > 0.6 || col("dup_2gram_frac") > 0.4 ||
+          col("dup_3gram_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
   /** Curriculum sharding — exact ntile(nShards) over (quality DESC, doc_id),
     * the "easy/clean data first" ordering pass of curriculum training.
     *
@@ -1096,6 +1147,39 @@ object TextPipeline {
       .groupBy("doc_id", "lang")
       .agg(sum(col("n_symbols")).as("n_tokens"))
     tokenBudgetCore(perDoc, budget)
+  }
+
+  /** Frozen-tokenizer fertility and compression per language — the
+    * accounting a mixture designer reads before setting per-language
+    * budgets (a language the tokenizer fragments 2x pays 2x the context
+    * per word; the standard argument for tokenizer-aware sampling).
+    * `tokens_per_word` is fertility, `chars_per_token` compression.
+    *
+    * Same counting shape as [[tokenBudgetSampleBpe]]: distinct words
+    * encode once, a broadcast lookup join prices each occurrence, the
+    * per-lang rollup is map-side combined — the corpus scans once and
+    * the shuffle carries #langs rows per partition.
+    */
+  def bpeStats(spark: SparkSession, sfDir: String,
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
+    val corpus = docs(spark, sfDir)
+    val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
+      .select(col("word"), col("n_symbols"),
+        length(col("word")).cast(LongType).as("word_chars"))
+    corpus
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordSyms), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_tokens"),
+        sum(col("word_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast(DoubleType) / col("n_words"), 4)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast(DoubleType) / col("n_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
   }
 
   /** The budget prefix-sum core shared by the whitespace and BPE token

@@ -169,6 +169,24 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     bloom shouldBe exact
   }
 
+  test("repetition stats match hand-computed fractions and gate degenerate docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a b"),       // words: 2/3 dup; 2-grams "a a","a b": none dup
+      (2L, "x x x x"),     // fully degenerate: every signal 1.0
+      (3L, "p q r s"),     // all distinct: every signal 0.0
+      (4L, "one")          // single word: no 2/3-grams -> 0.0, not a crash
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionStatsFrom(spark, crafted)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toList
+    got shouldBe List(
+      (1L, 0.6667, 0.0, 0.0, true),
+      (2L, 1.0, 1.0, 1.0, true),
+      (3L, 0.0, 0.0, 0.0, false),
+      (4L, 0.0, 0.0, 0.0, false))
+  }
+
   test("graft_bloom_agg accepts an INT items literal and rejects non-integral ones") {
     import spark.implicits._
     graft.expressions.VectorExpressions.register(spark)
