@@ -101,6 +101,9 @@ object PlanAudit {
     "pack_chunks_bpe" -> 9,
     "rep_stats" -> 1, // stateless in-expression sort/count; orderBy only
     "bpe_stats" -> 3, // distinct-word agg + map-side-combined lang rollup
+    // post-checkpoint plan: cluster-keyed self-join + dup distinct +
+    // vec_id left join + orderBy (Lloyd lives behind the checkpoint leaf)
+    "semantic_dedup" -> 6,
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

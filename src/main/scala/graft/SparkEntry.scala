@@ -132,6 +132,7 @@ object SparkEntry {
     "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
+    "semantic_dedup" -> ((s, d) => SimilarityPipeline.semanticDedup(s, d)),
     // Round 5: corpus-curation additions (per-domain caps, temperature
     // mixing, boilerplate signal, curriculum ordering, token budgets,
     // bloom-prefiltered decontamination, int8 quantization)
@@ -1053,6 +1054,23 @@ s AS (SELECT a2.vec_id, a2.cluster,
   WHERE a2.rn = 1 AND a2.vec_id <> 0),
 t AS (SELECT vec_id, cluster, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
 SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
+    // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
+    // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
+    "semantic_dedup" ->
+      s"""WITH
+$kmeansCtes,
+asg AS (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+dup AS (SELECT DISTINCT x.vec_id
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+  WHERE round(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))), 4) >= 0.4)
+SELECT asg.vec_id, asg.cluster,
+  (dup.vec_id IS NOT NULL) AS is_dup,
+  (dup.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+ORDER BY asg.vec_id""",
     "emb_clusters" ->
       s"""WITH RECURSIVE
 $hyperplanePairCtes,

@@ -350,6 +350,42 @@ object SimilarityPipeline {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. '23): semantic near-duplicate removal through
+    * the learned cluster index — a vector is a duplicate iff a LOWER-id
+    * vector in the SAME k-means cluster has cosine >= `tau` (the greedy
+    * keep-first rule, deterministic by vec_id). Returns every vector with
+    * its cluster, the duplicate verdict, and the keep flag.
+    *
+    * Scale shape: pairwise comparison happens ONLY within a cluster — the
+    * self-join is a keyed equi-join on the learned cluster id, never an
+    * all-pairs product, so the comparison volume is sum(|cluster|^2)
+    * instead of N^2. k is the knob: SemDeDup at corpus scale runs
+    * k ~ sqrt(N) so clusters stay bounded; the demo k matches the
+    * oracle's replayable 8-centroid model. Threshold compares on
+    * round(sim, 4) — engine-stable like the Jaccard verify.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String, tau: Double = 0.4,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val (_, assigned) = kmeansModel(spark, sfDir, k, iters)
+    // the self-join consumes the assignment twice; checkpoint it once so
+    // the Lloyd subtree doesn't recompute per side (the dedup_clusters
+    // discipline — in the recurring shape this is PersistedIndex's
+    // cluster-partitioned layout instead)
+    val a = assigned.select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    val dups = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") > col("y.vec_id"))
+      .filter(round(cosine(col("x.v"), col("y.v")), 4) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    a.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_dup"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** (centroids, assignments) after `iters` Lloyd rounds: centroids as
     * (cluster, c array<double>), assignments as (vec_id, v, label, cluster,
     * d2). See [[embKmeans]] for the scale/determinism contract.
