@@ -121,6 +121,7 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
+    "media_shards" -> ((s, d) => MultimodalPipeline.mediaShardPlan(s, d)),
     "mixture_sample" -> ((s, d) => TextPipeline.mixtureSample(s, d)),
     "corpus_shuffle" -> ((s, d) => TextPipeline.corpusShuffle(s, d)),
     "split_train" -> ((s, d) => TextPipeline.splitTrain(s, d)),
@@ -678,6 +679,20 @@ GROUP BY bigram ORDER BY n_total DESC, bigram LIMIT 20""",
   count(*) AS n_copies,
   count(DISTINCT ['image','audio','video'][(doc_id % 3) + 1]) AS n_kinds
 FROM documents GROUP BY 1 ORDER BY keep_media_id""",
+    // WebDataset shard plan: per-modality byte-budget packing, START-offset
+    // admission (payload = 5-byte header + utf8 text body)
+    "media_shards" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+  CAST(5 + length(text) AS BIGINT) AS n_bytes FROM documents),
+c AS (SELECT media_id, kind, n_bytes,
+  CAST(floor((sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes) / 4096.0) AS BIGINT) AS shard_id
+  FROM m)
+SELECT kind, shard_id, count(*) AS n_items,
+  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+  min(media_id) AS first_id, max(media_id) AS last_id
+FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "mixture_sample" ->
       """WITH w AS (SELECT source AS w_source,
   CAST(5 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4) * 15 AS BIGINT) AS accept_pct

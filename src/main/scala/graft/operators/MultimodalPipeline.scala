@@ -154,6 +154,32 @@ object MultimodalPipeline {
         countDistinct(col("kind")).as("n_kinds"))
       .orderBy("keep_media_id")
 
+  /** WebDataset-style shard planner: pack each modality's media records,
+    * in media_id order, into shards of ~`shardBytes` payload bytes — the
+    * manifest a tar-shard writer consumes. A record lands in the shard its
+    * cumulative START offset falls in (the [[TextPipeline.packChunks]]
+    * admission rule, byte-denominated), so shards may straddle by one
+    * record, never split one.
+    *
+    * Plan shape: only (media_id, kind, n_bytes) rows enter the
+    * [[TextPipeline.packChunksCore]] two-level prefix sum — payload bytes
+    * never shuffle, and no per-kind window spans a modality (the shard key
+    * subdivides it). At 100 TB this plans a million-shard layout with the
+    * corpus-sized exchange carrying 24-byte rows.
+    */
+  def mediaShardPlan(spark: SparkSession, sfDir: String,
+      shardBytes: Int = 4096, shardWidth: Long = 64): DataFrame =
+    TextPipeline.packChunksCore(
+      mediaTable(spark, sfDir).select(
+        col("media_id").as("doc_id"),
+        col("kind").as("lang"),
+        length(col("payload")).cast(LongType).as("n_tokens")),
+      shardBytes, shardWidth)
+      .select(col("lang").as("kind"), col("chunk_id").as("shard_id"),
+        col("n_docs").as("n_items"), col("chunk_tokens").as("shard_bytes"),
+        col("first_doc").as("first_id"), col("last_doc").as("last_id"))
+      .orderBy("kind", "shard_id")
+
   /** One decoded media record (STUBBED decode — see [[decodeFeatures]]). */
   final case class MediaFeatures(
       media_id: Long, kind: String, width: Int, height: Int,

@@ -276,9 +276,10 @@ object TextPipeline {
   }
 
   /** The two-level sharded prefix-sum packer shared by the whitespace and
-    * BPE accountants (scale notes on [[packChunks]]).
+    * BPE accountants — and by [[MultimodalPipeline.mediaShardPlan]]'s byte
+    * denomination (scale notes on [[packChunks]]).
     */
-  private def packChunksCore(counts: DataFrame, contextLen: Int,
+  private[operators] def packChunksCore(counts: DataFrame, contextLen: Int,
       shardWidth: Long): DataFrame = {
     val base = counts
       .withColumn("shard", expr(s"doc_id div $shardWidth"))

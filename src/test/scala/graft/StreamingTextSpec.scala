@@ -155,6 +155,31 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 10L, 1L))
   }
 
+  test("attach() refreshes the spent set from the listener after each batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val spent = new graft.streaming.SpentKeys(spark).attach(spark)
+    val df = StreamingText.domainCapStream(
+      input.toDF().toDF("source", "doc_id"), k = 1, spent = Some(spent))
+    val q = df.writeStream.format("memory").queryName("cap_listener")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-cap-ls").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(("a", 1L), ("a", 2L)))
+      q.processAllAvailable()
+      // the listener fires asynchronously after the batch commits
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spent.spentSet.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      spent.spentSet shouldBe Set("a")
+      val shuffledBefore = spent.shuffledRows
+      input.addData(Seq(("a", 3L), ("a", 4L), ("a", 5L)))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe shuffledBefore // all dropped map-side
+    } finally q.stop()
+  }
+
   test("tokenBudgetStream spent-key prefilter drops exhausted languages map-side") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Long, String)]
