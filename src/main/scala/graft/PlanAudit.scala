@@ -105,6 +105,7 @@ object PlanAudit {
     // vec_id left join + orderBy (Lloyd lives behind the checkpoint leaf)
     "semantic_dedup" -> 6,
     "media_shards" -> 5, // the packChunks budget, byte-denominated
+    "pii_scrub" -> 1, // stateless regexp projection; orderBy only
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

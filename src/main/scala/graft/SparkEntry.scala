@@ -149,6 +149,7 @@ object SparkEntry {
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
+    "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
     // Iterative trainer: no ANSI-SQL oracle can express the per-round
     // argmax+rewrite loop, so the driver records its rows-only check
     // (merge-sequence exactness is pinned by BpeTrainerSpec instead);
@@ -1146,6 +1147,23 @@ c AS (SELECT lang, doc_id, n_tokens,
   FROM b)
 SELECT lang, doc_id, n_tokens, start_offset
 FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    // PII scrub over deterministically-enriched text: email -> ip -> phone
+    // replacement order, counts from the ORIGINAL text
+    "pii_scrub" ->
+      """WITH e AS (SELECT doc_id,
+  'user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' ||
+  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' ||
+  CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+    '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones
+FROM e ORDER BY doc_id""",
     // Gopher-style repetition: duplicate-occurrence fractions by
     // sorted-adjacency (out-of-range list reads are NULL on both engines,
     // and NULL equality folds false in a filter/when)

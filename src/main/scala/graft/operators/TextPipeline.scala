@@ -999,6 +999,51 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the scrub operator and its demo query —
+    * email, IPv4, and a NANP-style 555 phone stub. RE2-safe syntax (no
+    * backtracking constructs), so Spark's Java regex and DuckDB's RE2
+    * match identically.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrubbing (the C4/CCNet redaction pass): replace emails, IPv4
+    * addresses, and phone numbers with typed placeholders and count each
+    * category. A stateless scan-parallel projection — three codegen'd
+    * regexp passes per row, no UDF, no shuffle beyond the orderBy.
+    * Category counts come from the ORIGINAL text, so `<EMAIL>` insertion
+    * cannot mask a following IP match.
+    */
+  def piiScrubFrom(spark: SparkSession, corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))
+        .cast(LongType).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast(LongType).as("n_phones"))
+      .orderBy("doc_id")
+
+  /** [[piiScrubFrom]] demo over `documents` ENRICHED with synthetic PII
+    * derived deterministically from doc fields (the raw synthetic corpus
+    * contains none, which would make the redaction path vacuous; the
+    * oracle performs the identical enrichment, so every replacement and
+    * count is hash-checked against real matches).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubFrom(spark, docs(spark, sfDir).select(col("doc_id"),
+      concat(
+        lit("user"), col("doc_id"), lit("@example.com call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)), lit(".0.1 "),
+        col("text")).as("text")))
+
   /** Gopher-style repetition signals (Rae et al. '21 adapted): for
     * n = 1, 2, 3, the fraction of n-gram OCCURRENCES whose n-gram appears
     * at least twice in the document, plus the combined repetition gate —

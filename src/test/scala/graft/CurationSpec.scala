@@ -187,6 +187,27 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (4L, 0.0, 0.0, 0.0, false))
   }
 
+  test("pii scrub redacts every category, counts from original text, leaves clean text alone") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "mail me at a.b_c%d@mail-host.org now"),
+      (2L, "two ips 192.168.0.1 and 10.0.0.255 one phone 555-1234"),
+      (3L, "nothing sensitive here"),
+      (4L, "email inside url http://x@site.io/555-0000 and 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.piiScrubFrom(spark, crafted)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    got(0) shouldBe ((1L, "mail me at <EMAIL> now", 1L, 0L, 0L))
+    got(1) shouldBe ((2L,
+      "two ips <IP> and <IP> one phone <PHONE>", 0L, 2L, 1L))
+    got(2) shouldBe ((3L, "nothing sensitive here", 0L, 0L, 0L))
+    // the url case: the x@site.io/555-0000 email-ish span and the bare ip
+    got(3)._3 should be >= 1L // at least the email matched
+    got(3)._4 shouldBe 1L
+    got(3)._2 should not include "1.2.3.4"
+  }
+
   test("graft_bloom_agg accepts an INT items literal and rejects non-integral ones") {
     import spark.implicits._
     graft.expressions.VectorExpressions.register(spark)
