@@ -253,6 +253,23 @@ object BpeTrainer {
     out.toArray
   }
 
+  /** Per-row BPE token count under a merge table, as a single Column — the
+    * streaming-ingest shape: each arriving document prices itself with no
+    * vocab join and no broadcast (the merge chain is a fixed expression).
+    * Costs a re-encode per word OCCURRENCE; the batch accountants'
+    * distinct-word broadcast join ([[bpeWordSymbols]]) amortizes that and
+    * stays the right shape for corpus-wide passes.
+    */
+  def bpeTokenCount(text: Column,
+      merges: Seq[(String, String)] = FrozenMerges): Column =
+    aggregate(
+      transform(
+        filter(tokens(text), w => length(w) > 0),
+        w => size(merges.foldLeft(split(w, "")) {
+          case (arr, (a, b)) => mergePair(arr, a, b)
+        })),
+      lit(0L), (acc, n) => acc + n)
+
   /** Greedy left-to-right merge of adjacent (a, b) into a+b within a symbol
     * array: fold each symbol onto the accumulator, replacing the
     * accumulator's tail when it is `a` and the incoming symbol is `b`

@@ -256,12 +256,30 @@ object StreamingText extends Logging {
     * [[domainCapStream]] — same discipline, budget keys are languages).
     */
   def tokenBudgetStream(docs: DataFrame, budget: Long = 2000,
-      spent: Option[SpentKeys] = None): DataFrame = {
+      spent: Option[SpentKeys] = None): DataFrame =
+    tokenBudgetStreamCounted(docs, budget, spent,
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+
+  /** [[tokenBudgetStream]] denominated in FROZEN-tokenizer tokens — the
+    * ingest twin of TextPipeline.tokenBudgetSampleBpe. Each arriving row
+    * prices itself through the merge-chain expression
+    * ([[graft.operators.BpeTrainer.bpeTokenCount]] — no vocab join on the
+    * ingest path); admission state and replay determinism are identical
+    * to the whitespace twin, and an ordered replay admits exactly the
+    * batch operator's set (spec-proven).
+    */
+  def tokenBudgetStreamBpe(docs: DataFrame, budget: Long = 2000,
+      spent: Option[SpentKeys] = None): DataFrame =
+    tokenBudgetStreamCounted(docs, budget, spent,
+      graft.operators.BpeTrainer.bpeTokenCount(col("text")))
+
+  private def tokenBudgetStreamCounted(docs: DataFrame, budget: Long,
+      spent: Option[SpentKeys], countTokens: org.apache.spark.sql.Column)
+      : DataFrame = {
     import docs.sparkSession.implicits._
     val base = docs
       .select(col("lang"), col("doc_id"),
-        size(graft.functions.TextFunctions.tokens(col("text")))
-          .cast("long").as("n_tokens"),
+        countTokens.as("n_tokens"),
         md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
       .as[(String, Long, Long, String)]
     val prefiltered = spent.fold(base)(s => base.filter(r => s.admit(r._1)))

@@ -84,6 +84,28 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("property: local and distributed loops agree on random corpora") {
+    // ScalaCheck over small random corpora — ties, repeated chars, and
+    // early exhaustion all land in the generated space; the two engines
+    // must agree everywhere, not just on the curated cases
+    import org.scalacheck.Gen
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpora = Gen.listOfN(6,
+      Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, docGen)))
+      .sample.get
+    corpora.foreach { texts =>
+      val corpus = texts.toDF("text")
+      val local = BpeTrainer.bpeMergesFrom(spark, corpus, nMerges = 12)
+        .collect().map(_.toSeq).toSeq
+      val dist = BpeTrainer.bpeMergesDistributedFrom(spark, corpus,
+        nMerges = 12).collect().map(_.toSeq).toSeq
+      withClue(s"corpus: $texts\n") { local shouldBe dist }
+    }
+  }
+
   test("FrozenMerges is exactly what the trainer learns on its provenance corpus") {
     // the frozen tokenizer the token-accounting operators (and their
     // DuckDB oracles) replay — pin it to the trainer so the hard-coded

@@ -238,6 +238,35 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed.foreach(_._4 should be < 1000L)
   }
 
+  test("tokenBudgetStreamBpe admits the batch BPE-budget answer on an ordered replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docsDf
+      .select($"lang", $"doc_id", $"text",
+        md5(concat(lit("tb:"), $"doc_id")).as("skey"))
+      .orderBy("skey", "doc_id")
+      .select($"lang", $"doc_id", $"text")
+      .as[(String, Long, String)].collect().toSeq
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(String, Long, String)]
+    val df = StreamingText.tokenBudgetStreamBpe(
+      input.toDF().toDF("lang", "doc_id", "text"), budget = 1000)
+    val q = df.writeStream.format("memory").queryName("budget_bpe_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-budget-bpe").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(rest); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("budget_bpe_twin")
+      .orderBy("lang", "start_offset", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batch = TextPipeline.tokenBudgetSampleBpe(spark, sf, budget = 1000)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    streamed shouldBe batch
+  }
+
   private def runStreamWith(input: MemoryStream[(Timestamp, String)])(
       drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
     val df = StreamingText.heavyHittersStream(
