@@ -106,6 +106,10 @@ object PlanAudit {
     "semantic_dedup" -> 6,
     "media_shards" -> 5, // the packChunks budget, byte-denominated
     "pii_scrub" -> 1, // stateless regexp projection; orderBy only
+    "split_by_source" -> 1, // stateless group-hash projection
+    // post-checkpoint plan: label left-join + bucket + orderBy (the CC
+    // loop lives behind the checkpoint leaves, as in dedup_clusters)
+    "split_leakage_safe" -> 3,
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

@@ -125,6 +125,8 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => TextPipeline.mixtureSample(s, d)),
     "corpus_shuffle" -> ((s, d) => TextPipeline.corpusShuffle(s, d)),
     "split_train" -> ((s, d) => TextPipeline.splitTrain(s, d)),
+    "split_by_source" -> ((s, d) => TextPipeline.splitBySource(s, d)),
+    "split_leakage_safe" -> ((s, d) => TextPipeline.splitLeakageSafe(s, d)),
     // LLM-data-pipeline: similarity search over `embeddings`
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
@@ -725,6 +727,44 @@ FROM s ORDER BY shard_id, pos""",
       * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
   FROM documents)
 SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
+    // group split: the bucket hashes the SOURCE, so a domain never
+    // straddles train/test
+    "split_by_source" ->
+      """WITH b AS (SELECT doc_id, source,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('gsplit:' || source)[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
+  FROM documents)
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
+    // near-dup-safe split: CC labels over the MinHash pair graph (the
+    // dedup_clusters CTEs), singletons label themselves, bucket hashes
+    // the cluster id
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE
+$shingleSetCtes,
+$minhashPairCtes,
+pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+full_lab AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+b AS (SELECT doc_id, cluster_id,
+  CAST(list_sum(list_transform(range(4), d ->
+    CAST(strpos('0123456789abcdef', md5('csplit:' || CAST(cluster_id AS VARCHAR))[d+1:d+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-d))))) % 100 AS BIGINT) AS bucket
+  FROM full_lab)
+SELECT doc_id, cluster_id, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM b ORDER BY doc_id""",

@@ -60,6 +60,36 @@ object PersistedIndex {
       (x, s) => floor(x * s + lit(0.5)).cast("byte"))
   }
 
+  /** Index maintenance — assign a DELTA of vectors to the EXISTING
+    * centroids and append them to the cluster-partitioned layout, so the
+    * daily embedding ingest extends the index without re-running Lloyd or
+    * touching the corpus. The centroid table is k rows (broadcast bundle,
+    * native per-row argmin — the same assignment the build used); the
+    * delta writes only its own cluster directories (dynamic partition
+    * overwrite is the production refinement; Append keeps the demo
+    * idempotence contract with the dedup index's).
+    *
+    * Re-centering drift is the documented trade: appended vectors do not
+    * move centroids. Rebuild cadence (weekly rebuild, daily append) is the
+    * standard IVF maintenance schedule.
+    */
+  def appendToIvfIndex(spark: SparkSession, delta: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = SimilarityPipeline.assignToCentroids(
+      delta.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")),
+      cents)
+    assigned
+      .select(col("vec_id"), col("label"), col("v"), col("cluster"))
+      .withColumn("qv", q8Codes(col("v")))
+      .repartition(col("cluster"))
+      .sortWithinPartitions("vec_id")
+      .write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$path/vectors")
+  }
+
   /** Probe a persisted IVF index: rank the k centroids by cosine to the
     * query vector (vec_id `queryId` of the original corpus — kept out of
     * the results like simTopK), take `nprobe`, and scan ONLY those cluster

@@ -417,7 +417,8 @@ object SimilarityPipeline {
     * the expression's lowest-index tie-break IS the lowest-cluster-id
     * tie-break even when empty clusters leave id gaps).
     */
-  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def assignToCentroids(e: DataFrame,
+      cents: DataFrame): DataFrame = {
     val bundle = cents
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cluster"), col("c")))).as("cs"))

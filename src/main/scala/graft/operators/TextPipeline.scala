@@ -311,7 +311,14 @@ object TextPipeline {
     * derives from content, so batch and stream assign identically.
     */
   private[graft] def hashBucket(seed: String): Column =
-    conv(substring(md5(concat(lit(seed), col("doc_id"))), 1, 4), 16, 10)
+    hashBucketOf(seed, col("doc_id"))
+
+  /** [[hashBucket]] over an arbitrary key column — the group-split
+    * primitive (bucket by SOURCE or CLUSTER instead of doc, so a whole
+    * group lands in one split).
+    */
+  private[graft] def hashBucketOf(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed), key)), 1, 4), 16, 10)
       .cast(LongType) % 100
 
   /** Mixture sampling — per-source acceptance rates applied as a
@@ -414,6 +421,45 @@ object TextPipeline {
     val bucket = hashBucket("split:")
     docs(spark, sfDir)
       .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Group split by SOURCE — the leakage defense [[splitTrain]]'s per-doc
+    * hash cannot give: documents from one domain are near-duplicates of
+    * each other often enough that splitting them across train/test
+    * contaminates evaluation, so the split key is the source, and every
+    * document of a source lands in the same split. Stateless projection,
+    * same seeded-hash determinism as the rest of the split family.
+    */
+  def splitBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = hashBucketOf("gsplit:", col("source"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate-safe split: connected components over the MinHash
+    * candidate graph label each near-dup cluster, singletons label
+    * themselves, and the split key is the CLUSTER id — so a document and
+    * its near-duplicates can never straddle train/test (the leakage the
+    * per-doc hash split cannot prevent and the source split only
+    * approximates). The CC labels come from the same pointer-jumping loop
+    * as [[dedupClusters]]; the split itself is a left join against those
+    * labels plus a stateless bucket.
+    */
+  def splitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val withCluster = docs(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = hashBucketOf("csplit:", col("cluster_id"))
+    withCluster
+      .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")

@@ -187,6 +187,29 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (4L, 0.0, 0.0, 0.0, false))
   }
 
+  test("group splits never leak: one split per source, one split per near-dup cluster") {
+    val bySource = TextPipeline.splitBySource(spark, sf)
+    bySource.groupBy("source")
+      .agg(countDistinct("split").as("n")).collect()
+      .foreach(_.getLong(1) shouldBe 1L)
+
+    val safe = TextPipeline.splitLeakageSafe(spark, sf)
+    safe.count() shouldBe
+      spark.read.parquet(s"$sf/documents.parquet").count() // total coverage
+    safe.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).collect()
+      .foreach(_.getLong(1) shouldBe 1L)
+    // and the invariant that MOTIVATES it: every near-dup PAIR shares a split
+    val splits = safe.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = TextPipeline.dedupMinHash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    pairs should not be empty
+    pairs.foreach { r =>
+      splits(r.getLong(0)) shouldBe splits(r.getLong(1))
+    }
+  }
+
   test("pii scrub redacts every category, counts from original text, leaves clean text alone") {
     import spark.implicits._
     val crafted = Seq(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -96,6 +97,23 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
         b should include("dynamicpruning")
       }
     }
+  }
+
+  test("appending an embedding delta makes it probe-visible without a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val before = spark.read.parquet(s"$dir/vectors").count()
+    // the delta: a clone of the query vector under a fresh id — after
+    // append it must be assigned to the query's nearest cluster and come
+    // back at rank 1 with cosine exactly 1
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0)
+      .select(lit(9999L).as("vec_id"), $"label", $"embedding")
+    PersistedIndex.appendToIvfIndex(spark, delta, dir)
+    spark.read.parquet(s"$dir/vectors").count() shouldBe before + 1
+    val top = PersistedIndex.probeIvfIndex(spark, sf, dir).collect().head
+    top.getAs[Long]("vec_id") shouldBe 9999L
+    top.getAs[Double]("sim") shouldBe 1.0
   }
 
   test("persisted eval bloom probe equals the in-query bloom decontamination") {
