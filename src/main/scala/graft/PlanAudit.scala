@@ -110,6 +110,7 @@ object PlanAudit {
     // post-checkpoint plan: label left-join + bucket + orderBy (the CC
     // loop lives behind the checkpoint leaves, as in dedup_clusters)
     "split_leakage_safe" -> 3,
+    "pack_manifest" -> 4, // pack_chunks minus the summary agg
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

@@ -87,6 +87,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextPipeline.stratifiedSample(s, d)),
     "pack_chunks" -> ((s, d) => TextPipeline.packChunks(s, d)),
     "pack_chunks_bpe" -> ((s, d) => TextPipeline.packChunksBpe(s, d)),
+    "pack_manifest" -> ((s, d) => TextPipeline.packManifest(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
@@ -510,6 +511,20 @@ SELECT lang, chunk_id, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-document packing manifest: chunk id, in-chunk offset, and the
+    // boundary-straddle flag the packed-dataset writer consumes
+    "pack_manifest" ->
+      """WITH t AS (SELECT doc_id, lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start
+  FROM t)
+SELECT lang, doc_id, n_tokens,
+  CAST(floor(start / 512.0) AS BIGINT) AS chunk_id,
+  CAST(start % 512 AS BIGINT) AS chunk_offset,
+  (floor(start / 512.0) <> floor((start + n_tokens - 1) / 512.0)) AS spans_boundary
+FROM c ORDER BY lang, doc_id""",
     // pack_chunks denominated in frozen-tokenizer tokens — same replay
     // chain as token_budget_bpe, same packer as pack_chunks
     "pack_chunks_bpe" ->

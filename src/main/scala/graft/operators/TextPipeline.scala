@@ -275,11 +275,49 @@ object TextPipeline {
     packChunksCore(counts, contextLen, shardWidth)
   }
 
+  /** Per-document packing MANIFEST — the artifact a packed-dataset writer
+    * actually consumes: for every document, the chunk it starts in, its
+    * offset inside that chunk, and whether it straddles a chunk boundary
+    * (the truncation/continuation the writer must handle). Same admission
+    * rule and prefix-sum machinery as [[packChunks]]; the summary query is
+    * this manifest's groupBy.
+    */
+  def packManifest(spark: SparkSession, sfDir: String,
+      contextLen: Int = 512, shardWidth: Long = 64): DataFrame =
+    packOffsets(
+      docs(spark, sfDir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      shardWidth)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        floor(col("start") / lit(contextLen.toDouble)).cast(LongType)
+          .as("chunk_id"),
+        (col("start") % contextLen).as("chunk_offset"),
+        (floor(col("start") / lit(contextLen.toDouble)) =!=
+          floor((col("start") + col("n_tokens") - 1) /
+            lit(contextLen.toDouble))).as("spans_boundary"))
+      .orderBy("lang", "doc_id")
+
   /** The two-level sharded prefix-sum packer shared by the whitespace and
     * BPE accountants — and by [[MultimodalPipeline.mediaShardPlan]]'s byte
     * denomination (scale notes on [[packChunks]]).
     */
   private[operators] def packChunksCore(counts: DataFrame, contextLen: Int,
+      shardWidth: Long): DataFrame =
+    packOffsets(counts, shardWidth)
+      .withColumn("chunk_id",
+        floor(col("start") / lit(contextLen.toDouble)))
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "chunk_id")
+
+  /** Per-document cumulative START offsets via the two-level sharded
+    * prefix sum — the shared engine under [[packChunksCore]] and
+    * [[packManifest]] (scale notes on [[packChunks]]).
+    */
+  private def packOffsets(counts: DataFrame,
       shardWidth: Long): DataFrame = {
     val base = counts
       .withColumn("shard", expr(s"doc_id div $shardWidth"))
@@ -293,15 +331,8 @@ object TextPipeline {
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(broadcast(offsets), Seq("lang", "shard"))
-      .withColumn("chunk_id",
-        floor((col("tok_offset") + sum(col("n_tokens")).over(w) -
-          col("n_tokens")) / lit(contextLen.toDouble)))
-      .groupBy(col("lang"), col("chunk_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("chunk_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("lang", "chunk_id")
+      .withColumn("start",
+        col("tok_offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
   }
 
   /** Seeded content-hash bucket in [0, 100) — the shared primitive of the
