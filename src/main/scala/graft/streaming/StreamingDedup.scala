@@ -214,6 +214,40 @@ object StreamingDedup extends Logging {
     * marked ON this column (e.g. chained after dedupExactStream in the
     * pipeline) reuse it; a watermark on some other column doesn't count.
     */
+  /** Streaming decontamination against a PERSISTED eval bloom
+    * (PersistedIndex.buildEvalBloom's artifacts) — the ingest twin of the
+    * batch probe: each arriving document winnows map-side, its
+    * fingerprints pass through the codegen'd `might_contain` prefilter
+    * with the bloom blob embedded as a LITERAL (read once, driver-side,
+    * ~160 KB — no per-batch scan, no broadcast join), and survivors
+    * exact-verify via a STREAM-STATIC join against the persisted eval
+    * fingerprint table, so bloom false positives cannot flag a document.
+    * Emits (doc_id, n_shared) for contaminated arrivals only; eval text
+    * is never read on the ingest path. Run in Update mode: a document's
+    * fingerprints travel inside its own input row (array_distinct before
+    * the explode — no dedup state), so its count finalizes in the batch
+    * that delivered it; the per-doc aggregation state is one long per
+    * CONTAMINATED doc (production runs bound it with the usual
+    * event-time watermark).
+    */
+  def decontaminateStream(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, indexPath: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bloomBytes = spark.read.parquet(s"$indexPath/bloom")
+      .head.getAs[Array[Byte]]("bloom")
+    val evalFps = spark.read.parquet(s"$indexPath/fingerprints")
+      .select(col("fingerprint")).distinct()
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.expressions.VectorExpressions
+          .winnowNative(col("text")))).as("fingerprint"))
+      .filter(call_function("graft_might_contain",
+        lit(bloomBytes), col("fingerprint")))
+      .join(evalFps, "fingerprint") // stream-static exact verify
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   private def markedOn(docs: DataFrame, eventTimeCol: String): Boolean =
     docs.queryExecution.logical.exists {
       case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>

@@ -131,6 +131,49 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     probed shouldBe inQuery
   }
 
+  test("streaming decontamination over the persisted bloom flags exactly the batch answer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val evalDf = docsDf.filter($"doc_id" % 2 === 1)
+    val train = docsDf.filter($"doc_id" % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbloom").toString
+    PersistedIndex.buildEvalBloom(spark, evalDf, dir)
+
+    // batch expectation, computed independently: per TRAIN doc, distinct
+    // fingerprints shared with the eval set
+    graft.expressions.VectorExpressions.register(spark)
+    val winnow = (c: org.apache.spark.sql.Column) =>
+      graft.expressions.VectorExpressions.winnowNative(c)
+    val fps = docsDf.select($"doc_id",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array_distinct(winnow($"text")))
+        .as("fingerprint"))
+    val evalSet = fps.filter($"doc_id" % 2 === 1)
+      .select($"fingerprint").distinct()
+    val expected = fps.filter($"doc_id" % 2 === 0)
+      .join(evalSet, "fingerprint")
+      .groupBy($"doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.decontaminateStream(spark,
+        input.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.format("memory").queryName("deconta_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-deconta").toString)
+      .outputMode("update").start()
+    try {
+      input.addData(train.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("deconta_stream")
+      .as[(Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    streamed shouldBe expected
+    expected should not be empty // the corpus genuinely overlaps
+  }
+
   test("the eval-bloom probe plan never scans eval text") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
