@@ -60,8 +60,16 @@ final class SpentKeys(@transient spark: SparkSession) extends Serializable {
     pass
   }
 
-  /** Driver-side: fold reported keys into the set the next batch sees. */
-  def refresh(): Unit = { known = reported.value.asScala.toSet }
+  /** Driver-side: fold reported keys into the set the next batch sees,
+    * then RESET the accumulator — spent keys re-report on every drained
+    * arrival (that is what heals the set after a restart), so without the
+    * reset the driver-side list would grow by one entry per spent key per
+    * micro-batch forever. `known` itself only ever grows.
+    */
+  def refresh(): Unit = synchronized {
+    known = known ++ reported.value.asScala
+    reported.reset()
+  }
 
   /** Rows that entered the shuffle so far (driver-side read). */
   def shuffledRows: Long = survived.value
