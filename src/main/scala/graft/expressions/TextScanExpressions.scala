@@ -152,3 +152,82 @@ object LangIdBest {
     new GenericInternalRow(Array[Any](profiles(best)._1, scores(best)))
   }
 }
+
+/** `graft_rep_stats(text)`: Gopher-style repetition signals in ONE token
+  * pass — for n = 1, 2, 3, the fraction of n-gram occurrences whose n-gram
+  * appears at least twice in the document, as
+  * (n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac), fractions
+  * rounded HALF_UP to 4 dp exactly like the Column round / DuckDB oracle.
+  * Replaces a sort+adjacency HOF chain whose interpreted per-element
+  * lambdas made rep_stats the slowest bench query (7.1 s -> native).
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"rep_stats expects string, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RepStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.RepStats$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+object RepStats {
+  val schema: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_3gram_frac", DoubleType, nullable = false)))
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Duplicate-occurrence fraction of the n-grams of `toks`: occurrences
+    * belonging to a gram with count >= 2, over total gram count.
+    */
+  private def dupFrac(toks: Array[String], n: Int): Double = {
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val key = sb.toString
+      counts.put(key, counts.getOrDefault(key, 0) + 1)
+      i += 1
+    }
+    var dups = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c >= 2) dups += c
+    }
+    round4(dups.toDouble / total)
+  }
+
+  def compute(text: UTF8String): GenericInternalRow = {
+    val toks = text.toString.split(" ", -1)
+    new GenericInternalRow(Array[Any](
+      toks.length.toLong,
+      dupFrac(toks, 1), dupFrac(toks, 2), dupFrac(toks, 3)))
+  }
+}

@@ -174,6 +174,7 @@ object VectorExpressions {
     "graft_shingles" -> { args => Shingles(args(0), args(1)) },
     "graft_sliding_chunks" -> { args => SlidingChunks(args(0), args(1), args(2)) },
     "graft_lang_id" -> { args => LangIdBest(args(0)) },
+    "graft_rep_stats" -> { args => RepStats(args(0)) },
     "graft_nearest_centroid" -> { args => NearestCentroid(args(0), args(1)) },
     "graft_bloom_agg" -> bloomAggBuilder,
     "graft_might_contain" -> mightContainBuilder)
@@ -290,6 +291,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_lang_id"),
       new ExpressionInfo(classOf[LangIdBest].getName, "graft_lang_id"),
       (args: Seq[Expression]) => LangIdBest(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
+      (args: Seq[Expression]) => RepStats(args(0))))
     ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (args: Seq[Expression]) => NearestCentroid(args(0), args(1))))

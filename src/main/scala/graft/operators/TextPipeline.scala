@@ -1128,44 +1128,22 @@ object TextPipeline {
     * [[textQuality]]'s length/stopword heuristics.
     *
     * Plan shape: ONE stateless scan-parallel projection, no explode and no
-    * shuffle. Each document's gram lists sort in-expression and duplicate
-    * occurrences are counted by sorted-adjacency (`get` reads off either
-    * end return null, which the equality folds to false — no boundary
-    * branches). The sorted arrays materialize ONCE per row behind an
-    * `inline(array(struct(...)))` Generate fence (the [[textLangId]]
-    * discipline — a bare multi-reference would re-inline the sort per
-    * `get`, the documented Catalyst no-cross-lambda-CSE pitfall).
+    * shuffle — the native [[graft.expressions.RepStats]] expression counts
+    * all three gram sizes in a single token pass (hash-count, no sort),
+    * consumed through `inline` so each document tokenizes exactly once
+    * (the [[textLangId]] discipline; the sort-adjacency HOF chain it
+    * replaces ran interpreted per element and was the slowest bench
+    * query at 7.1 s).
     */
   def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
     repetitionStatsFrom(spark, docs(spark, sfDir))
 
   /** [[repetitionStats]] over any (doc_id, text) frame. */
   def repetitionStatsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    def sortedGrams(n: Int): Column =
-      if (n == 1) array_sort(toks)
-      else array_sort(
-        when(size(toks) < n, array().cast(ArrayType(StringType)))
-          .otherwise(transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-    def dupFrac(sorted: Column): Column = {
-      val n = size(sorted)
-      val dups = aggregate(sequence(lit(0), n - 1), lit(0),
-        (acc, i) => acc + when(
-          get(sorted, i) === get(sorted, i - 1) ||
-          get(sorted, i) === get(sorted, i + 1), 1).otherwise(0))
-      when(n === 0, lit(0.0))
-        .otherwise(round(dups.cast(DoubleType) / n.cast(DoubleType), 4))
-    }
+    graft.expressions.VectorExpressions.register(spark)
     corpus
-      .select(col("doc_id"), inline(array(struct(
-        size(toks).cast(LongType).as("n_words"),
-        sortedGrams(1).as("s1"), sortedGrams(2).as("s2"),
-        sortedGrams(3).as("s3")))))
-      .select(col("doc_id"), col("n_words"),
-        dupFrac(col("s1")).as("dup_word_frac"),
-        dupFrac(col("s2")).as("dup_2gram_frac"),
-        dupFrac(col("s3")).as("dup_3gram_frac"))
+      .select(col("doc_id"), inline(array(
+        call_function("graft_rep_stats", col("text")))))
       .withColumn("is_repetitive",
         col("dup_word_frac") > 0.6 || col("dup_2gram_frac") > 0.4 ||
           col("dup_3gram_frac") > 0.3)
