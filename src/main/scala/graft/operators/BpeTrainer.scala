@@ -270,6 +270,81 @@ object BpeTrainer {
         })),
       lit(0L), (acc, n) => acc + n)
 
+  /** One encoded word from [[bpeEncodeRanked]]. */
+  final case class EncodedWord(word: String, syms: Seq[String],
+      n_symbols: Long)
+
+  /** The merge-count-scalable APPLY side — [[bpeEncode]]'s expression
+    * chain replays merges as a fixed fold per merge, which is the right
+    * shape for a frozen demo table but builds a 32k-deep expression tree
+    * for a production tokenizer. This encoder is the standard rank-map
+    * algorithm instead: the merge table broadcasts as pair→rank (one map,
+    * any size), and each word iteratively merges its LOWEST-RANK adjacent
+    * pair until none remains — `mapPartitions` over distinct words, so
+    * the cost is vocab-sized and independent of merge count.
+    *
+    * This lowest-rank-first rule is what production tokenizers execute at
+    * inference; it agrees with the trainer's sequential replay whenever no
+    * later merge re-creates a string an earlier pair consumes (true of
+    * trainer-learned tables in practice, and spec-pinned against
+    * [[bpeEncode]] on the frozen table).
+    */
+  def bpeEncodeRanked(spark: SparkSession, corpus: DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Dataset[EncodedWord] = {
+    import spark.implicits._
+    val mergeArr = merges.toArray
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast((mergeArr, ranks))
+    corpus
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .as[String]
+      .mapPartitions { words =>
+        val (arr, r) = bc.value
+        words.map { w =>
+          val syms = encodeWordRanked(w, arr, r)
+          EncodedWord(w, syms, syms.length.toLong)
+        }
+      }
+      .orderBy("word")
+  }
+
+  /** Iteratively merge the lowest-rank adjacent pair (all its occurrences,
+    * left-to-right non-overlapping) until no learned pair remains.
+    */
+  private def encodeWordRanked(word: String,
+      mergeArr: Array[(String, String)],
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.split("").filter(_.nonEmpty).toVector
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) best = rk
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = mergeArr(best)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else {
+            out += syms(j); j += 1
+          }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
   /** Greedy left-to-right merge of adjacent (a, b) into a+b within a symbol
     * array: fold each symbol onto the accumulator, replacing the
     * accumulator's tail when it is `a` and the incoming symbol is `b`

@@ -116,6 +116,39 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with SparkTestBase {
     learned shouldBe BpeTrainer.FrozenMerges
   }
 
+  test("ranked encoder (production apply) matches the fold replay, at any merge count") {
+    // the apply-side twin of the hybrid trainer fix: the fold chain is a
+    // 1-expression-per-merge replay (fine at 16 merges, a 32k-deep tree at
+    // production size); the rank-map mapPartitions encoder must produce
+    // identical symbols on the frozen table — and keep working with a
+    // 1,000-merge learned table the fold could not reasonably express
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val foldEnc = BpeTrainer.bpeEncode(spark, corpus,
+        BpeTrainer.FrozenMerges)
+      .collect().map(r => (r.getString(0),
+        r.getAs[scala.collection.Seq[String]]("syms").toList)).toList
+    val rankEnc = BpeTrainer.bpeEncodeRanked(spark, corpus,
+        BpeTrainer.FrozenMerges)
+      .collect().map(e => (e.word, e.syms.toList)).toList
+    rankEnc shouldBe foldEnc
+
+    // a big learned table: round-trip + lossless at 1000 merges
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(regexp_replace(col("text"),
+        "(\\w+) (\\w+) (\\w+)", "$1$2$3").as("text"))
+    val merges1k = BpeTrainer.bpeMergesFrom(spark, big, nMerges = 1000)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc1k = BpeTrainer.bpeEncodeRanked(spark, big, merges1k).collect()
+    enc1k.foreach { e =>
+      e.syms.mkString("") shouldBe e.word
+      e.n_symbols should be <= e.word.length.toLong
+    }
+    // 1000 merges genuinely compress the compound words
+    val totalSyms = enc1k.map(_.n_symbols).sum
+    val totalChars = enc1k.map(_.word.length.toLong).sum
+    totalSyms.toDouble / totalChars should be < 0.5
+  }
+
   test("encode round-trips: symbols concatenate back to the word and shrink monotonically") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
