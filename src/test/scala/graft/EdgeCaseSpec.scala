@@ -38,6 +38,28 @@ class EdgeCaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
       emptyDocs.select($"doc_id", $"text"), dir).count() shouldBe 0L
   }
 
+  test("round-6 curation operators are total on empty corpora and degenerate text") {
+    // empty corpora: empty results, never a throw
+    TextPipeline.repetitionStatsFrom(spark,
+      emptyDocs.select($"doc_id", $"text")).count() shouldBe 0L
+    TextPipeline.piiScrubFrom(spark,
+      emptyDocs.select($"doc_id", $"text")).count() shouldBe 0L
+    graft.operators.BpeTrainer.bpeMergesFrom(spark,
+      emptyDocs.select($"text"), nMerges = 5).count() shouldBe 0L
+    graft.operators.BpeTrainer.bpeEncodeRanked(spark,
+      emptyDocs.select($"text"),
+      graft.operators.BpeTrainer.FrozenMerges).count() shouldBe 0L
+
+    // degenerate text: empty string and a single char survive every path
+    val weird = Seq((1L, ""), (2L, "q")).toDF("doc_id", "text")
+    val rep = TextPipeline.repetitionStatsFrom(spark, weird).collect()
+    rep.length shouldBe 2
+    rep.foreach(_.getBoolean(5) shouldBe false)
+    val enc = graft.operators.BpeTrainer.bpeEncodeRanked(spark, weird,
+      graft.operators.BpeTrainer.FrozenMerges).collect()
+    enc.map(_.word).toSeq shouldBe Seq("q") // the empty word is filtered
+  }
+
   test("connected components on an empty pair list returns the empty labeling") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     TextPipeline.connectedComponents(pairs).count() shouldBe 0L
