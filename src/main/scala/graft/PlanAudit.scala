@@ -111,6 +111,24 @@ object PlanAudit {
     // loop lives behind the checkpoint leaves, as in dedup_clusters)
     "split_leakage_safe" -> 3,
     "pack_manifest" -> 4, // pack_chunks minus the summary agg
+    // Completeness batch (round 6): every remaining query pinned at its
+    // measured sf0.001 planning-time count, so ANY new exchange in ANY
+    // query fails CI (PlanAuditSpec also asserts the table covers every
+    // SparkEntry query)
+    "asof_join" -> 2, "bpe_merges" -> 1, "corpus_stats" -> 2,
+    "dedup_incremental" -> 8, "except_users" -> 3,
+    "hc_alarm_m_of_n" -> 5, "hc_alarm_transitions" -> 5,
+    "hc_arn_parse" -> 1, "hc_decode_extract" -> 1, "hc_first_record" -> 2,
+    "hc_gap_detect" -> 4, "hc_latency_arrival" -> 2,
+    "hc_latency_event_time" -> 2, "hc_metric_projection" -> 1,
+    "hc_threshold_filter" -> 1, "hc_tracer_encode" -> 1,
+    "hc_window_max" -> 2, "media_frame_sample" -> 1, "media_meta" -> 1,
+    "pivot_hourly" -> 3, "q10_returns" -> 1, "q14_promo" -> 1,
+    "q18_big_orders" -> 1, "q1_agg" -> 2, "q1_rollup" -> 2,
+    "q3_topk" -> 1, "q5_join" -> 2, "q6_filter" -> 1, "range_join" -> 2,
+    "semi_join" -> 1, "sessionize" -> 2, "text_normalize" -> 1,
+    "text_quality" -> 1, "text_stats" -> 1, "text_vocab" -> 2,
+    "window_rank" -> 2,
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
     // their shared subtree twice but AQE stage-reuse dedups it at runtime
     "q2_min_cost" -> 6,

@@ -70,6 +70,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("every driver query declares an exchange ceiling") {
+    // completeness of the budget table: a new query cannot land without
+    // pinning its plan shape (and a removed query cannot leave a stale row)
+    val queries = SparkEntry.queries.keySet
+    val budgeted = PlanAudit.exchangeCeilings.keySet
+    withClue("queries without a ceiling: ") {
+      (queries -- budgeted) shouldBe empty
+    }
+    withClue("stale ceiling rows: ") {
+      (budgeted -- queries) shouldBe empty
+    }
+  }
+
   test("pack_chunks' running sum is sharded — no window partition spans a whole language") {
     // the 100 TB guard: the cumsum window must key by (lang, shard), never
     // lang alone — a lang-only window serializes the dominant language of a
