@@ -137,6 +137,9 @@ object SparkEntry {
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
     "semantic_dedup" -> ((s, d) => SimilarityPipeline.semanticDedup(s, d)),
+    // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
+    // vs brute force over an (nprobe x over_fetch) grid
+    "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
     // Round 5: corpus-curation additions (per-domain caps, temperature
     // mixing, boilerplate signal, curriculum ordering, token budgets,
     // bloom-prefiltered decontamination, int8 quantization)
@@ -190,6 +193,30 @@ v AS (SELECT doc_a, doc_b,
     * cluster, means rounded to 4 decimals (the cross-engine float pin —
     * see SimilarityPipeline.embKmeans).
     */
+  /** FrozenMerges replayed as a DuckDB left-to-right non-overlapping
+    * replace chain over <sym>-wrapped characters — ONE definition shared
+    * by the three BPE-denominated oracles (token_budget_bpe,
+    * pack_chunks_bpe, bpe_stats), so the frozen table cannot drift
+    * between them. n_sym = count of '<'; word_chars rides along for the
+    * stats query (harmless elsewhere).
+    */
+  private val bpeReplayCtes =
+    """words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents),
+enc AS (SELECT word,
+  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+    regexp_replace(word, '(.)', '<\1>', 'g'),
+    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
+    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
+    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
+    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
+    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
+    '<colu><m>', '<colum>') AS s
+  FROM words WHERE length(word) > 0),
+nsym AS (SELECT word,
+  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym,
+  CAST(length(word) AS BIGINT) AS word_chars FROM enc)"""
+
   private val kmeansCtes =
     """ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ek WHERE vec_id < 8),
@@ -528,20 +555,8 @@ FROM c ORDER BY lang, doc_id""",
     // pack_chunks denominated in frozen-tokenizer tokens — same replay
     // chain as token_budget_bpe, same packer as pack_chunks
     "pack_chunks_bpe" ->
-      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-  FROM documents),
-enc AS (SELECT word,
-  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
-    regexp_replace(word, '(.)', '<\1>', 'g'),
-    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
-    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
-    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
-    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
-    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
-    '<colu><m>', '<colum>') AS s
-  FROM words WHERE length(word) > 0),
-nsym AS (SELECT word,
-  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym FROM enc),
+      s"""WITH
+$bpeReplayCtes,
 tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
   FROM documents),
 t AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_sym) AS BIGINT) AS n_tokens
@@ -698,11 +713,12 @@ GROUP BY bigram ORDER BY n_total DESC, bigram LIMIT 20""",
   count(DISTINCT ['image','audio','video'][(doc_id % 3) + 1]) AS n_kinds
 FROM documents GROUP BY 1 ORDER BY keep_media_id""",
     // WebDataset shard plan: per-modality byte-budget packing, START-offset
-    // admission (payload = 5-byte header + utf8 text body)
+    // admission (payload = 5-byte header + utf8 text body; octet_length of
+    // the encoded text, NOT character length — they differ on non-ASCII)
     "media_shards" ->
       """WITH m AS (SELECT doc_id AS media_id,
   ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-  CAST(5 + length(text) AS BIGINT) AS n_bytes FROM documents),
+  CAST(5 + octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
 c AS (SELECT media_id, kind, n_bytes,
   CAST(floor((sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes) / 4096.0) AS BIGINT) AS shard_id
@@ -1142,6 +1158,60 @@ SELECT asg.vec_id, asg.cluster,
   (dup.vec_id IS NULL) AS keep
 FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
 ORDER BY asg.vec_id""",
+    // Recall grid: replay the full two-stage retrieval (label-IVF probe ->
+    // normalized-int8 stage 1 -> exact rerank) per (nprobe, over_fetch)
+    // cell and compare against brute-force top-10 per panel query
+    "ann_recall_grid" ->
+      """WITH e AS (SELECT vec_id, label,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, label,
+  list_transform(v, x -> x / (CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0 THEN 1.0
+    ELSE sqrt(list_sum(list_transform(v, y -> y*y))) END)) AS u FROM e),
+sq AS (SELECT vec_id, label, u,
+  CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0 THEN 0.0
+    ELSE 127.0 / list_max(list_transform(u, x -> abs(x))) END AS sc FROM n),
+qt AS (SELECT vec_id, label, list_transform(u, x -> floor(x * sc + 0.5)) AS qv FROM sq),
+pan AS (SELECT vec_id AS qid, v AS q FROM e WHERE vec_id < 8),
+pq8 AS (SELECT vec_id AS qid, qv AS qq FROM qt WHERE vec_id < 8),
+ex0 AS (SELECT label, unnest(v) AS x, unnest(range(64)) AS pos FROM e),
+cent AS (SELECT label, list(a ORDER BY pos) AS c
+  FROM (SELECT label, pos, avg(x) AS a FROM ex0 GROUP BY label, pos) GROUP BY label),
+cr AS (SELECT qid, label, row_number() OVER (PARTITION BY qid
+    ORDER BY (list_sum(list_transform(range(64), i -> c[i+1] * q[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> c[i+1] * c[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> q[i+1] * q[i+1]))))) DESC, label) AS crank
+  FROM cent, pan),
+pm AS (SELECT cr.qid, cr.label, cr.crank, pq8.qq
+  FROM cr JOIN pq8 ON cr.qid = pq8.qid WHERE crank <= 4),
+s1 AS (SELECT pm.qid, pm.crank, qt.vec_id,
+  CAST(list_sum(list_transform(range(64), i -> qt.qv[i+1] * pm.qq[i+1])) AS BIGINT) AS q8_dot
+  FROM qt JOIN pm ON qt.label = pm.label WHERE qt.vec_id <> pm.qid),
+np AS (SELECT CAST(unnest([1,2,4]) AS BIGINT) AS nprobe),
+ofs AS (SELECT CAST(unnest([1,2,4]) AS BIGINT) AS over_fetch),
+s1r AS (SELECT np.nprobe, s1.qid, s1.vec_id,
+  row_number() OVER (PARTITION BY np.nprobe, s1.qid ORDER BY s1.q8_dot DESC, s1.vec_id) AS s1rank
+  FROM s1, np WHERE s1.crank <= np.nprobe),
+surv AS (SELECT * FROM s1r WHERE s1rank <= 40),
+sc2 AS (SELECT surv.nprobe, surv.qid, surv.vec_id, surv.s1rank,
+  (list_sum(list_transform(range(64), i -> e.v[i+1] * pan.q[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> e.v[i+1] * e.v[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> pan.q[i+1] * pan.q[i+1]))))) AS sim
+  FROM surv JOIN e ON surv.vec_id = e.vec_id JOIN pan ON pan.qid = surv.qid),
+r2 AS (SELECT ofs.over_fetch, sc2.nprobe, sc2.qid, sc2.vec_id,
+  row_number() OVER (PARTITION BY sc2.nprobe, ofs.over_fetch, sc2.qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sc2, ofs WHERE sc2.s1rank <= ofs.over_fetch * 10),
+retr AS (SELECT nprobe, over_fetch, qid, vec_id FROM r2 WHERE rk <= 10),
+bt AS (SELECT pan.qid, e.vec_id, row_number() OVER (PARTITION BY pan.qid
+    ORDER BY (list_sum(list_transform(range(64), i -> e.v[i+1] * pan.q[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> e.v[i+1] * e.v[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> pan.q[i+1] * pan.q[i+1]))))) DESC, e.vec_id) AS rk
+  FROM e, pan WHERE e.vec_id <> pan.qid),
+truth AS (SELECT qid, vec_id FROM bt WHERE rk <= 10),
+hits AS (SELECT retr.nprobe, retr.over_fetch, retr.qid, count(*) AS h
+  FROM retr JOIN truth ON retr.qid = truth.qid AND retr.vec_id = truth.vec_id
+  GROUP BY 1, 2, 3),
+cells AS (SELECT nprobe, over_fetch, qid FROM np, ofs, pan)
+SELECT c.nprobe, c.over_fetch, CAST(count(*) AS BIGINT) AS n_queries,
+  round(sum(COALESCE(h.h, 0)) / (count(*) * 10.0), 4) AS recall_avg,
+  round(min(COALESCE(h.h, 0)) / 10.0, 4) AS recall_min
+FROM cells c LEFT JOIN hits h ON c.nprobe = h.nprobe
+  AND c.over_fetch = h.over_fetch AND c.qid = h.qid
+GROUP BY c.nprobe, c.over_fetch
+ORDER BY c.nprobe, c.over_fetch""",
     "emb_clusters" ->
       s"""WITH RECURSIVE
 $hyperplanePairCtes,
@@ -1245,21 +1315,8 @@ FROM d ORDER BY doc_id""",
     // frozen-tokenizer fertility/compression per language (same replay
     // chain as token_budget_bpe)
     "bpe_stats" ->
-      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-  FROM documents),
-enc AS (SELECT word,
-  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
-    regexp_replace(word, '(.)', '<\1>', 'g'),
-    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
-    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
-    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
-    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
-    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
-    '<colu><m>', '<colum>') AS s
-  FROM words WHERE length(word) > 0),
-nsym AS (SELECT word,
-  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym,
-  CAST(length(word) AS BIGINT) AS word_chars FROM enc),
+      s"""WITH
+$bpeReplayCtes,
 tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
 SELECT t.lang, count(*) AS n_words,
   CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
@@ -1273,20 +1330,8 @@ GROUP BY t.lang ORDER BY t.lang""",
     // order via left-to-right non-overlapping replace (DuckDB replace and
     // the Spark fold share that rule), and n_sym = count of '<'
     "token_budget_bpe" ->
-      """WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-  FROM documents),
-enc AS (SELECT word,
-  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
-    regexp_replace(word, '(.)', '<\1>', 'g'),
-    '<e><r>', '<er>'), '<o><r>', '<or>'), '<i><n>', '<in>'),
-    '<o><w>', '<ow>'), '<s><t>', '<st>'), '<l><u>', '<lu>'),
-    '<a><r>', '<ar>'), '<p><ar>', '<par>'), '<m><er>', '<mer>'),
-    '<a><t>', '<at>'), '<a><n>', '<an>'), '<c><an>', '<can>'),
-    '<s><can>', '<scan>'), '<c><o>', '<co>'), '<co><lu>', '<colu>'),
-    '<colu><m>', '<colum>') AS s
-  FROM words WHERE length(word) > 0),
-nsym AS (SELECT word,
-  CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym FROM enc),
+      s"""WITH
+$bpeReplayCtes,
 tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
   FROM documents),
 cnt AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_sym) AS BIGINT) AS n_tokens

@@ -190,18 +190,25 @@ object VectorExpressions {
     { args =>
       import org.apache.spark.sql.catalyst.expressions.Literal
       // BloomFilterAggregate wants a LONG estimatedNumItems; accept any
-      // integral literal (an unsuffixed 131072 parses as INT) and refuse
-      // anything non-foldable-integral outright — a silent default here
-      // would size the bit array inconsistently with the passed estimate.
+      // foldable integral expression (an unsuffixed 131072 parses as INT,
+      // and constant folding has not yet run when this builder fires, so
+      // `64 * 1024` arrives as an unfolded Multiply) and refuse anything
+      // non-constant outright — a silent default here would size the bit
+      // array inconsistently with the passed estimate.
+      def asLong(e: Expression): Option[Long] =
+        if (!e.foldable) None
+        else e.eval(null) match {
+          case v: Long  => Some(v)
+          case v: Int   => Some(v.toLong)
+          case v: Short => Some(v.toLong)
+          case v: Byte  => Some(v.toLong)
+          case _        => None
+        }
       val nItems: Long = args.lift(1) match {
-        case None                       => 131072L
-        case Some(Literal(v: Long, _))  => v
-        case Some(Literal(v: Int, _))   => v.toLong
-        case Some(Literal(v: Short, _)) => v.toLong
-        case Some(Literal(v: Byte, _))  => v.toLong
-        case Some(other) => throw new IllegalArgumentException(
+        case None => 131072L
+        case Some(e) => asLong(e).getOrElse(throw new IllegalArgumentException(
           "graft_bloom_agg: expected items as an integral literal, got " +
-            other.sql)
+            e.sql))
       }
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(

@@ -72,8 +72,14 @@ object BpeTrainer {
       localVocabLimit: Long = DefaultLocalVocabLimit): DataFrame = {
     import spark.implicits._
     val vocab = wordFreqs(corpus)
-    if (vocab.count() <= localVocabLimit) {
-      val words = vocab.as[(String, Long)].collect()
+    // ONE corpus pass decides the engine AND feeds the local path: collect
+    // at most limit+1 rows — under the limit means we hold the whole
+    // vocab; over it falls back to the distributed loop (only that rare
+    // huge-vocab path pays a second aggregation)
+    val words = vocab.as[(String, Long)]
+      .limit(math.min(localVocabLimit + 1, Int.MaxValue.toLong - 1).toInt)
+      .collect()
+    if (words.length <= localVocabLimit) {
       localMerges(words, nMerges)
         .toDF("round", "sym_a", "sym_b", "merged", "pair_count")
         .withColumn("round", col("round").cast(LongType))
@@ -167,10 +173,13 @@ object BpeTrainer {
     val counts = mutable.HashMap.empty[Pair, Long]
     val occurs = mutable.HashMap.empty[Pair, mutable.BitSet]
     // (count DESC, sym_a ASC, sym_b ASC) — identical to the distributed
-    // orderBy, so the head of the set IS the round's best pair
+    // orderBy, so the head of the set IS the round's best pair. Symbol
+    // order must be Spark's BINARY (UTF-8 byte) order, not Java's UTF-16
+    // code-unit order: the two disagree between supplementary characters
+    // and chars in U+E000..U+FFFF, and a tie broken differently would
+    // silently diverge the engines' merge sequences.
     implicit val bestFirst: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
-        Ordering[String])
+      Ordering.Tuple3(Ordering[Long].reverse, utf8Ordering, utf8Ordering)
     val queue = mutable.TreeSet.empty[(Long, String, String)]
 
     def bump(p: Pair, delta: Long): Unit = {
@@ -226,6 +235,23 @@ object BpeTrainer {
     }
     learned.toSeq
   }
+
+  /** Unsigned lexicographic UTF-8 byte order — what Spark's UTF8String
+    * comparison (hence the distributed loop's orderBy) uses.
+    */
+  private[operators] val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var res = 0
+      while (res == 0 && i < n) {
+        res = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        i += 1
+      }
+      if (res != 0) res else java.lang.Integer.compare(a.length, b.length)
+    }
 
   private def containsPair(s: Array[String], a: String, b: String): Boolean = {
     var j = 0

@@ -197,7 +197,10 @@ object PersistedIndex {
       explode(graft.expressions.VectorExpressions.winnowNative(col("text")))
         .as("fingerprint"))
     fp.write.mode(SaveMode.Overwrite).parquet(s"$path/fingerprints")
-    fp.createOrReplaceTempView("graft_eval_bloom_build")
+    // aggregate the bloom from the rows just persisted — re-deriving from
+    // the eval frame would winnow all eval text a second time
+    spark.read.parquet(s"$path/fingerprints")
+      .createOrReplaceTempView("graft_eval_bloom_build")
     spark.sql(
       s"""SELECT graft_bloom_agg(fingerprint, ${expectedItems}L) AS bloom
          |FROM graft_eval_bloom_build""".stripMargin)

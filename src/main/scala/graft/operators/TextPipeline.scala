@@ -261,19 +261,9 @@ object TextPipeline {
     */
   def packChunksBpe(spark: SparkSession, sfDir: String,
       contextLen: Int = 512, shardWidth: Long = 64,
-      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
-    val corpus = docs(spark, sfDir)
-    val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
-      .select(col("word"), col("n_symbols"))
-    val counts = corpus
-      .select(col("doc_id"), col("lang"),
-        explode(tokens(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(wordSyms), "word")
-      .groupBy("doc_id", "lang")
-      .agg(sum(col("n_symbols")).as("n_tokens"))
-    packChunksCore(counts, contextLen, shardWidth)
-  }
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame =
+    packChunksCore(bpePerDocTokenCounts(docs(spark, sfDir), merges),
+      contextLen, shardWidth)
 
   /** Per-document packing MANIFEST — the artifact a packed-dataset writer
     * actually consumes: for every document, the chunk it starts in, its
@@ -1236,18 +1226,28 @@ object TextPipeline {
     */
   def tokenBudgetSampleBpe(spark: SparkSession, sfDir: String,
       budget: Long = 2000,
-      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
-    val corpus = docs(spark, sfDir)
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame =
+    tokenBudgetCore(bpePerDocTokenCounts(docs(spark, sfDir), merges), budget)
+
+  /** Per-document frozen-tokenizer token counts — the counting chain
+    * shared by [[tokenBudgetSampleBpe]] and [[packChunksBpe]]: distinct
+    * words encode once through the merge chain, a broadcast
+    * word→n_symbols join prices each occurrence, and the per-doc rollup
+    * is map-side combined (a doc's exploded tokens collapse to one row
+    * before the shuffle). Documents with no countable words produce NO
+    * row (the inner join) — the BPE accountants' documented contract.
+    */
+  private def bpePerDocTokenCounts(corpus: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
       .select(col("word"), col("n_symbols"))
-    val perDoc = corpus
+    corpus
       .select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(wordSyms), "word")
       .groupBy("doc_id", "lang")
       .agg(sum(col("n_symbols")).as("n_tokens"))
-    tokenBudgetCore(perDoc, budget)
   }
 
   /** Frozen-tokenizer fertility and compression per language — the

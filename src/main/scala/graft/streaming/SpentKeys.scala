@@ -25,12 +25,18 @@ import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
   *    `known` set to executors with zero extra plumbing — rows of spent
   *    keys are dropped in place and never enter the shuffle.
   *
-  * The set only ever grows (a spent cap stays spent), so one-batch
-  * staleness is purely a missed optimization, never a correctness issue:
-  * a row that slips through shuffles once and is drained by the state
-  * side exactly as before. After a checkpoint restart the accumulator is
-  * empty; the first drained arrival per spent key re-reports it, so the
-  * set repopulates without any state-store coupling.
+  * The set only ever grows (a spent cap stays spent), so staleness is
+  * purely a missed optimization, never a correctness issue: a row that
+  * slips through shuffles once and is drained by the state side exactly
+  * as before. Retry safety comes from WHERE the operators report:
+  * only the drain branch, whose exhausted-ness was read from the
+  * previous COMMITTED state version — the batch that first reaches a cap
+  * does NOT report, because its admissions are uncommitted and a
+  * failed+retried batch must not find its own rows prefiltered (the set
+  * therefore lags exhaustion by one drained arrival). After a
+  * checkpoint restart the accumulator is empty; the first drained
+  * arrival per spent key re-reports it, so the set repopulates without
+  * any state-store coupling.
   *
   * One instance per logical stream — cap keys (sources) and budget keys
   * (languages) must not share an instance.
@@ -77,16 +83,34 @@ final class SpentKeys(@transient spark: SparkSession) extends Serializable {
   /** Keys currently known spent (driver-side read). */
   def spentSet: Set[String] = known
 
-  /** Production wiring: refresh after every micro-batch completes. */
-  def attach(session: SparkSession): SpentKeys = {
-    session.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = refresh()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    })
+  @transient private var listener: StreamingQueryListener = _
+
+  /** Production wiring: refresh after every micro-batch completes.
+    * The listener fires on every query's progress in the session — safe
+    * because reports are drain-only (committed-state-derived, see class
+    * doc) and the fold is monotone; pair with [[detach]] when the stream
+    * is torn down so a long-lived session does not accumulate listeners.
+    */
+  def attach(session: SparkSession): SpentKeys = synchronized {
+    if (listener == null) {
+      listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = refresh()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      session.streams.addListener(listener)
+    }
     this
+  }
+
+  /** Remove the [[attach]]ed listener (idempotent). */
+  def detach(session: SparkSession): Unit = synchronized {
+    if (listener != null) {
+      session.streams.removeListener(listener)
+      listener = null
+    }
   }
 }

@@ -229,9 +229,15 @@ object StreamingText extends Logging {
           } else {
             // one micro-batch's rows for one source; ordered so a replay
             // admits identically
+            // NO report on the batch that reaches the cap: this batch's
+            // admissions are not yet committed, and a failed+retried batch
+            // would otherwise find its rows prefiltered by a spent set
+            // that outlived the state rollback. Only the drain branch
+            // reports — its exhaustion is read from the previous COMMITTED
+            // state version, so it is retry-safe (the set just lags one
+            // batch, a missed optimization, never a lost admission).
             val take = rows.map(_._2).toSeq.sorted.take(room)
             state.update(CapState(admitted + take.size))
-            if (admitted + take.size >= k) spent.foreach(_.report(source))
             take.iterator.zipWithIndex.map { case (docId, i) =>
               (source, docId, admitted + i + 1)
             }
@@ -266,21 +272,26 @@ object StreamingText extends Logging {
     * ([[graft.operators.BpeTrainer.bpeTokenCount]] — no vocab join on the
     * ingest path); admission state and replay determinism are identical
     * to the whitespace twin, and an ordered replay admits exactly the
-    * batch operator's set (spec-proven).
+    * batch operator's set (spec-proven). Zero-token documents (empty /
+    * whitespace-only text) are dropped, matching the batch operator,
+    * whose inner vocab join never produces a row for them.
     */
   def tokenBudgetStreamBpe(docs: DataFrame, budget: Long = 2000,
       spent: Option[SpentKeys] = None): DataFrame =
     tokenBudgetStreamCounted(docs, budget, spent,
-      graft.operators.BpeTrainer.bpeTokenCount(col("text")))
+      graft.operators.BpeTrainer.bpeTokenCount(col("text")),
+      dropEmpty = true)
 
   private def tokenBudgetStreamCounted(docs: DataFrame, budget: Long,
-      spent: Option[SpentKeys], countTokens: org.apache.spark.sql.Column)
-      : DataFrame = {
+      spent: Option[SpentKeys], countTokens: org.apache.spark.sql.Column,
+      dropEmpty: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs
+    val counted = docs
       .select(col("lang"), col("doc_id"),
         countTokens.as("n_tokens"),
         md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
+    val base = (if (dropEmpty) counted.filter(col("n_tokens") > 0)
+      else counted)
       .as[(String, Long, Long, String)]
     val prefiltered = spent.fold(base)(s => base.filter(r => s.admit(r._1)))
     prefiltered
@@ -303,8 +314,9 @@ object StreamingText extends Logging {
                   Some((lang, docId, nTokens, start))
                 } else None
             }
+            // no report here: see domainCapStream — exhaustion reported
+            // only from the drain branch, whose state read is committed
             state.update(BudgetState(used))
-            if (used >= budget) spent.foreach(_.report(lang))
             out.iterator
           }
       }

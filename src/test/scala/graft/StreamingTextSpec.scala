@@ -135,24 +135,32 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
         java.nio.file.Files.createTempDirectory("chk-cap-pf").toString)
       .outputMode("append").start()
     try {
-      // batch 1: 5 rows of "a" exhaust its cap of 2; the spent set is
-      // still empty, so all 5 enter the shuffle
+      // batch 1: 5 rows of "a" exhaust its cap of 2. No report yet —
+      // the cap-reaching batch's admissions are uncommitted, so reporting
+      // here would poison a retry (drain-only reporting is the contract)
       input.addData(Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L)))
       q.processAllAvailable()
       spent.shuffledRows shouldBe 5L
+      spent.refresh()
+      spent.spentSet shouldBe empty
+      // batch 2: drained arrivals report the exhaustion (their spent-ness
+      // is durable in the committed state); rows still shuffle this once
+      input.addData(Seq(("a", 6L), ("a", 7L), ("b", 10L)))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 8L
       spent.refresh() // what the attached listener does after each batch
       spent.spentSet shouldBe Set("a")
-      // batch 2: 4 more "a" rows must be dropped BEFORE the shuffle; only
-      // the lone "b" row may pass the prefilter
-      input.addData(Seq(("a", 6L), ("a", 7L), ("a", 8L), ("a", 9L), ("b", 10L)))
+      // batch 3: now "a" rows drop BEFORE the shuffle; only "b" rows pass
+      input.addData(Seq(("a", 8L), ("a", 9L), ("b", 11L)))
       q.processAllAvailable()
-      spent.shuffledRows shouldBe 6L
+      spent.shuffledRows shouldBe 9L
     } finally q.stop()
     // admission output identical to the unfiltered operator's contract:
-    // first two "a" docs and the "b" doc, ranks per source
+    // first two "a" docs and both "b" docs, ranks per source
     val out = spark.table("cap_prefilter")
       .orderBy("source", "rk").as[(String, Long, Long)].collect().toSeq
-    out shouldBe Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 10L, 1L))
+    out shouldBe Seq(("a", 1L, 1L), ("a", 2L, 2L),
+      ("b", 10L, 1L), ("b", 11L, 2L))
   }
 
   test("attach() refreshes the spent set from the listener after each batch") {
@@ -166,7 +174,9 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
         java.nio.file.Files.createTempDirectory("chk-cap-ls").toString)
       .outputMode("append").start()
     try {
-      input.addData(Seq(("a", 1L), ("a", 2L)))
+      input.addData(Seq(("a", 1L), ("a", 2L))) // cap 1 reached; no report
+      q.processAllAvailable()
+      input.addData(Seq(("a", 3L))) // drained arrival reports
       q.processAllAvailable()
       // the listener fires asynchronously after the batch commits
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -174,9 +184,10 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
         Thread.sleep(50)
       spent.spentSet shouldBe Set("a")
       val shuffledBefore = spent.shuffledRows
-      input.addData(Seq(("a", 3L), ("a", 4L), ("a", 5L)))
+      input.addData(Seq(("a", 4L), ("a", 5L)))
       q.processAllAvailable()
       spent.shuffledRows shouldBe shuffledBefore // all dropped map-side
+      spent.detach(spark)
     } finally q.stop()
   }
 
@@ -196,14 +207,21 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
       q.processAllAvailable()
       spent.shuffledRows shouldBe 1L
       spent.refresh()
-      spent.spentSet shouldBe Set("en")
+      spent.spentSet shouldBe empty // exhausting batch never reports
+      // drained arrival reports; shuffles this once
       input.addData(Seq(("en", 2L, "x y z"), ("fr", 3L, "u v")))
       q.processAllAvailable()
-      spent.shuffledRows shouldBe 2L // only the fr row shuffled
+      spent.shuffledRows shouldBe 3L
+      spent.refresh()
+      spent.spentSet shouldBe Set("en")
+      input.addData(Seq(("en", 4L, "p q"), ("fr", 5L, "w")))
+      q.processAllAvailable()
+      spent.shuffledRows shouldBe 4L // en dropped map-side; fr passes
     } finally q.stop()
     val out = spark.table("budget_prefilter")
       .orderBy("lang", "doc_id").as[(String, Long, Long, Long)].collect().toSeq
-    out shouldBe Seq(("en", 1L, 8L, 0L), ("fr", 3L, 2L, 0L))
+    out shouldBe Seq(("en", 1L, 8L, 0L), ("fr", 3L, 2L, 0L),
+      ("fr", 5L, 1L, 2L))
   }
 
   test("tokenBudgetStream admits the batch answer on a hash-ordered replay") {
