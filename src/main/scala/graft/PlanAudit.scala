@@ -32,7 +32,10 @@ object PlanAudit {
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
     // 1-row total-token normalizer broadcast
-    "lm_perplexity")
+    "lm_perplexity",
+    // 8-row query-panel broadcasts (the simTopKBatch pattern) + the tiny
+    // nprobe/over_fetch axis frames joined on range predicates
+    "ann_recall_grid")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -189,7 +192,13 @@ object PlanAudit {
     // adds the 5-row lang join and its share windows
     "data_profile" -> 3,
     "quality_checks" -> 3,
-    "dist_drift" -> 7)
+    "dist_drift" -> 7,
+    // recall telemetry: the only corpus-sized exchanges are the stage-1
+    // candidate window (cluster-pruned x |nprobes|) and the brute-force
+    // truth window (the simTopKBatch shape); the other 15 move
+    // survivor-/grid-/centroid-sized rows (panel windows, hit aggs, the
+    // cells lattice joins, final orderBy)
+    "ann_recall_grid" -> 17)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

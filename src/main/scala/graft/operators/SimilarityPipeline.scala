@@ -479,4 +479,141 @@ object SimilarityPipeline {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("cluster_size"))
+
+  /** Recall telemetry for the ANN family — recall@k of the production
+    * two-stage retrieval (IVF cluster probing -> int8 stage-1 ranking ->
+    * exact rerank, the [[simTopKIvf]]+[[simTopKQ8]] composition) against
+    * brute-force cosine, over an (nprobe x over_fetch) parameter grid
+    * averaged across a fixed query panel. This is the operational twin of
+    * the spec-level recall floors: run per release, it surfaces recall
+    * regressions (index drift, quantization damage) the way PlanAudit
+    * surfaces plan regressions.
+    *
+    * Scale shape: the expensive stage — int8-scoring the probed fraction
+    * of the corpus against the panel — runs ONCE at the widest nprobe and
+    * is shared by every grid cell (a cell's candidate set is a filter on
+    * `centroid_rank`, not a re-scan). Per-cell ranking then touches only
+    * stage-1 survivors (<= panel x grid x k x max over-fetch rows). The
+    * brute-force truth side is the [[simTopKBatch]] window shape: scan x
+    * broadcast panel, per-query top-k; at production scale truth runs on
+    * a sampled corpus slice — recall estimation does not need the full
+    * corpus, only an unbiased one.
+    *
+    * Determinism: quantization and dot products are exact integer/double
+    * math, ranking ties break on vec_id, recall is a ratio of integer
+    * hit counts — all engine-identical, so the grid is oracle-checkable.
+    */
+  def annRecallGrid(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8, k: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4),
+      overFetches: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val e = emb(spark, sfDir)
+    val maxNp = nprobes.max
+    val maxOf = overFetches.max
+
+    // normalize-then-quantize int8 codes (the simTopKQ8 chain) for the
+    // whole corpus — stage 1 ranks by the integer dot of these codes
+    val v = col("embedding").cast("array<double>")
+    val norm = l2Norm(col("embedding"))
+    val safeNorm = when(norm === 0.0, lit(1.0)).otherwise(norm)
+    val unit = zip_with(v, array_repeat(safeNorm, size(col("embedding"))),
+      (x, n) => x / n)
+    val amax = array_max(transform(unit, x => abs(x)))
+    val scale = when(amax === 0.0, lit(0.0)).otherwise(lit(127.0) / amax)
+    val qArr = zip_with(unit, array_repeat(scale, size(col("embedding"))),
+      (x, s) => floor(x * s + lit(0.5)).cast("double"))
+    val quant = e.select(col("vec_id"), col("label"), qArr.as("qv"))
+
+    // query panel: raw vector for exact scoring, q8 code for stage 1
+    val panel = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), v.as("q"))
+    val panelQ8 = quant.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+
+    // centroid ranking per query (label-IVF, the simTopKIvf index): the
+    // probe map is panel x maxNp rows carrying both query forms — tiny,
+    // broadcast into the one corpus-scan stage below
+    val probeMap = centroidsByLabel(e)
+      .crossJoin(broadcast(panel))
+      .select(col("qid"), col("label"), col("q"),
+        cosine(col("centroid"), col("q")).as("ccos"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ccos").desc, col("label"))).cast("long"))
+      .filter(col("crank") <= maxNp)
+      .join(panelQ8, "qid")
+      .select(col("qid"), col("label"), col("crank"), col("qq"))
+
+    // THE corpus-scan stage, shared by all grid cells: int8-score every
+    // vector in any probed cluster against the probing queries
+    val stage1 = quant
+      .join(broadcast(probeMap), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("crank"), col("vec_id"),
+        graft.expressions.VectorExpressions.dotNative(col("qv"), col("qq"))
+          .cast("long").as("q8_dot"))
+
+    // per-(nprobe, query) stage-1 rank: explode the nprobe axis, rank by
+    // integer dot within each cell's candidate set (crank <= nprobe)
+    val npFrame = nprobes.toDF("nprobe").select(col("nprobe").cast("long"))
+    val s1Ranked = stage1
+      .join(broadcast(npFrame), col("crank") <= col("nprobe"))
+      .withColumn("s1rank",
+        row_number().over(Window.partitionBy(col("nprobe"), col("qid"))
+          .orderBy(col("q8_dot").desc, col("vec_id"))).cast("long"))
+      .filter(col("s1rank") <= k * maxOf)
+
+    // exact rerank on survivors only (<= panel x |nprobes| x k x maxOf
+    // rows): re-read the float vectors through a broadcast semi-filter
+    val survivors = s1Ranked.select("nprobe", "qid", "vec_id", "s1rank")
+    val exact = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(survivors.select("vec_id").distinct()), "vec_id")
+      .crossJoin(broadcast(panel))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("sim"))
+    val ofFrame = overFetches.toDF("over_fetch")
+      .select(col("over_fetch").cast("long"))
+    val retrieved = survivors
+      .join(broadcast(ofFrame), col("s1rank") <= col("over_fetch") * k)
+      .join(exact, Seq("qid", "vec_id"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("nprobe"), col("over_fetch"), col("qid"))
+            .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("nprobe", "over_fetch", "qid", "vec_id")
+
+    // brute-force truth per query (the simTopKBatch window shape)
+    val truth = e
+      .crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select("qid", "vec_id")
+
+    // recall per cell: hits / k, averaged over the panel; cells join back
+    // to the full (nprobe x over_fetch x qid) lattice so a zero-hit query
+    // still counts in the average
+    val hits = retrieved
+      .join(truth, Seq("qid", "vec_id"))
+      .groupBy("nprobe", "over_fetch", "qid")
+      .agg(count(lit(1)).as("h"))
+    val cells = npFrame.crossJoin(ofFrame)
+      .crossJoin(panel.select(col("qid")))
+    cells
+      .join(hits, Seq("nprobe", "over_fetch", "qid"), "left")
+      .na.fill(0L, Seq("h"))
+      .groupBy("nprobe", "over_fetch")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")) / (count(lit(1)) * k.toDouble), 4)
+          .as("recall_avg"),
+        round(min(col("h")) / k.toDouble, 4).as("recall_min"))
+      .orderBy("nprobe", "over_fetch")
+  }
 }

@@ -991,8 +991,16 @@ object TextPipeline {
     * `offset + within-shard row_number` is exactly the per-source rank.
     */
   def domainCap(spark: SparkSession, sfDir: String, k: Int = 30,
+      shardWidth: Long = 64): DataFrame =
+    domainCapFrom(docs(spark, sfDir), k, shardWidth)
+
+  /** [[domainCap]] over an arbitrary (doc_id, source) frame — the
+    * composition form (cap the survivors of an upstream gate/dedup stage,
+    * not the raw snapshot).
+    */
+  def domainCapFrom(corpus: DataFrame, k: Int = 30,
       shardWidth: Long = 64): DataFrame = {
-    val base = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val base = corpus.select(col("doc_id"), col("source"))
       .withColumn("shard", expr(s"doc_id div $shardWidth"))
     val offsets = base.groupBy("source", "shard")
       .agg(count(lit(1)).as("cnt"))
@@ -1288,7 +1296,13 @@ object TextPipeline {
     * md5 sort key (monotonic prefix), under-budget shard pruning BEFORE
     * the per-shard window (see [[tokenBudgetSample]] scaladoc).
     */
-  private def tokenBudgetCore(counts: DataFrame, budget: Long): DataFrame = {
+  /** [[tokenBudgetSample]]'s core over an arbitrary
+    * (doc_id, lang, n_tokens) frame — the composition form (budget the
+    * survivors of an upstream stage). Package-visible so composition specs
+    * can drive the batch chain over intermediate frames.
+    */
+  private[graft] def tokenBudgetCore(counts: DataFrame,
+      budget: Long): DataFrame = {
     val base = counts
       .withColumn("skey", md5(concat(lit("tb:"), col("doc_id"))))
       .withColumn("shard",

@@ -322,4 +322,112 @@ object StreamingText extends Logging {
       }
       .toDF("lang", "doc_id", "n_tokens", "start_offset")
   }
+
+  /** The COMPOSED streaming ingest program — quality gate -> exact dedup
+    * -> per-source cap -> per-language token budget -> train/val/test
+    * split, in ONE streaming query (one checkpoint, one state store, one
+    * restart domain). This is what a production ingest job actually runs;
+    * the single-purpose twins above are its stages exposed for testing
+    * and reuse.
+    *
+    * Stage semantics are EXACTLY the twins': the same quality score and
+    * threshold, the same normalized-text digest state,
+    * doc_id-ordered cap admission, seeded-hash-ordered budget admission
+    * (each within its micro-batch), and the deterministic "split:"
+    * content-hash bucket. The cap and budget stages here carry the row
+    * payload (lang, n_tokens, cap_rk) through their state functions —
+    * the standalone twins emit only their own keys, which is right for a
+    * single-stage job but would force a re-join in a composition.
+    *
+    * State across the whole query: one digest row per distinct document
+    * inside the watermark horizon, ONE long per source, ONE long per
+    * language — restart-safe via the query checkpoint (spec-proven with
+    * a mid-stream stop/start).
+    *
+    * Scale: the gate and split are stateless projections; dedup is the
+    * 1x-text watermark-bounded shuffle; cap/budget shuffle only gate+dedup
+    * survivors, keyed by source/language, each holding a counter. The
+    * [[SpentKeys]] prefilter discipline applies unchanged if a dominant
+    * source/language exhausts its allowance (pass the instances through).
+    *
+    * Emits one row per fully-admitted document:
+    * (lang, source, doc_id, n_tokens, cap_rk, start_offset, bucket, split).
+    */
+  def trainingIngestStream(docs: DataFrame, eventTimeCol: String,
+      minQuality: Double = 0.5, k: Int = 30, budget: Long = 2000,
+      delay: String = "10 minutes",
+      spentSources: Option[SpentKeys] = None,
+      spentLangs: Option[SpentKeys] = None): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gated = qualityFilterStream(docs, minQuality)
+    val deduped = StreamingDedup
+      .dedupExactStream(gated, eventTimeCol, delay).drop("text_hash")
+
+    // per-source cap, payload-carrying: (source, doc_id, lang, n_tokens)
+    val counted = deduped.select(col("source"), col("doc_id"), col("lang"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .as[(String, Long, String, Long)]
+    val capIn = spentSources.fold(counted)(s => counted.filter(r => s.admit(r._1)))
+    val capped = capIn
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CapState, (String, Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, String, Long)],
+            state: GroupState[CapState]) =>
+          val admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = (k - admitted).max(0L).toInt
+          if (room == 0) {
+            rows.foreach(_ => ())
+            spentSources.foreach(_.report(source))
+            Iterator.empty
+          } else {
+            // doc_id order within the batch — the domainCapStream rule
+            val take = rows.toSeq.sortBy(_._2).take(room)
+            state.update(CapState(admitted + take.size))
+            take.iterator.zipWithIndex.map { case ((_, docId, lang, nTok), i) =>
+              (source, docId, lang, nTok, admitted + i + 1)
+            }
+          }
+      }
+      .toDF("source", "doc_id", "lang", "n_tokens", "cap_rk")
+
+    // per-language budget, payload-carrying; same skey rule as the twin
+    val budgetIn = capped.select(col("lang"), col("doc_id"), col("n_tokens"),
+      md5(concat(lit("tb:"), col("doc_id"))).as("skey"),
+      col("source"), col("cap_rk"))
+      .as[(String, Long, Long, String, String, Long)]
+    val budgetPre = spentLangs.fold(budgetIn)(s => budgetIn.filter(r => s.admit(r._1)))
+    budgetPre
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState,
+        (String, String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long, Long, String, String, Long)],
+            state: GroupState[BudgetState]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          if (used >= budget) {
+            rows.foreach(_ => ())
+            spentLangs.foreach(_.report(lang))
+            Iterator.empty
+          } else {
+            val out = rows.toSeq.sortBy(r => (r._4, r._2)).flatMap {
+              case (_, docId, nTokens, _, source, capRk) =>
+                if (used < budget) {
+                  val start = used
+                  used += nTokens
+                  Some((lang, source, docId, nTokens, capRk, start))
+                } else None
+            }
+            state.update(BudgetState(used))
+            out.iterator
+          }
+      }
+      .toDF("lang", "source", "doc_id", "n_tokens", "cap_rk", "start_offset")
+      // deterministic content-hash split — the splitStream projection
+      .withColumn("bucket", graft.operators.TextPipeline.hashBucket("split:"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise("test"))
+  }
 }

@@ -58,4 +58,30 @@ class KmeansSpec extends AnyFunSuite with Matchers with SparkTestBase {
     clusters.size should be <= 8
     clusters.foreach(c => c should (be >= 0L and be < 8L))
   }
+
+  test("recall grid: full lattice, bounded recall, monotone in over_fetch") {
+    val rows = SimilarityPipeline.annRecallGrid(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // one row per (nprobe, over_fetch) cell, every cell over the full panel
+    rows.keySet shouldBe (for {np <- Seq(1L, 2L, 4L); of <- Seq(1L, 2L, 4L)}
+      yield (np, of)).toSet
+    rows.values.foreach { case (nq, avg, min) =>
+      nq shouldBe 8L
+      avg should (be >= 0.0 and be <= 1.0)
+      min should (be >= 0.0 and be <= avg)
+    }
+    // provable: for a fixed nprobe the stage-1 survivor set only grows
+    // with over_fetch, and exact-rerank top-k of a superset can only gain
+    // members of the true top-k (anything outscoring the k-th truth row
+    // IS a truth row), so recall is non-decreasing in over_fetch
+    for (np <- Seq(1L, 2L, 4L)) {
+      val byOf = Seq(1L, 2L, 4L).map(of => rows((np, of))._2)
+      byOf shouldBe byOf.sorted
+    }
+    // the widest cell must beat the narrowest on this corpus: the grid's
+    // whole point is showing what probing wider buys (label-IVF recall is
+    // deliberately mediocre — the learned k-means index exists for that)
+    rows((4L, 4L))._2 should be > rows((1L, 1L))._2
+  }
 }
