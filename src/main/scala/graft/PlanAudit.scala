@@ -35,7 +35,9 @@ object PlanAudit {
     "lm_perplexity",
     // 8-row query-panel broadcasts (the simTopKBatch pattern) + the tiny
     // nprobe/over_fetch axis frames joined on range predicates
-    "ann_recall_grid")
+    "ann_recall_grid",
+    // 1-row n_total/z normalizer broadcast (the langTemperature shape)
+    "temperature_sample")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -198,7 +200,14 @@ object PlanAudit {
     // truth window (the simTopKBatch shape); the other 15 move
     // survivor-/grid-/centroid-sized rows (panel windows, hit aggs, the
     // cells lattice joins, final orderBy)
-    "ann_recall_grid" -> 17)
+    "ann_recall_grid" -> 17,
+    // HLL sketch: the (lang, register) agg is map-side combined (<= 256
+    // rows per lang per partition shuffle), then a #langs-row rollup, the
+    // exact-distinct calibration agg, its join, and the orderBy
+    "hll_distinct" -> 5,
+    // temperatureSample = the domainCap shard-pruned two-level machinery
+    // + the two tiny weights aggs (count, 1-row normalizer) + orderBy
+    "temperature_sample" -> 7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -140,6 +140,9 @@ object SparkEntry {
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
+    // Round 6: HLL distinct-token sketch + temperature resampling applied
+    "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
+    "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Round 5: corpus-curation additions (per-domain caps, temperature
     // mixing, boilerplate signal, curriculum ordering, token budgets,
     // bloom-prefiltered decontamination, int8 quantization)
@@ -188,11 +191,6 @@ v AS (SELECT doc_a, doc_b,
     round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
   FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)"""
 
-  /** Two unrolled Lloyd rounds, shared by emb_kmeans and sim_topk_kmeans:
-    * seeds = vec_id < 8, squared-L2 assignment with ties to the lowest
-    * cluster, means rounded to 4 decimals (the cross-engine float pin —
-    * see SimilarityPipeline.embKmeans).
-    */
   /** FrozenMerges replayed as a DuckDB left-to-right non-overlapping
     * replace chain over <sym>-wrapped characters — ONE definition shared
     * by the three BPE-denominated oracles (token_budget_bpe,
@@ -217,6 +215,11 @@ nsym AS (SELECT word,
   CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym,
   CAST(length(word) AS BIGINT) AS word_chars FROM enc)"""
 
+  /** Two unrolled Lloyd rounds, shared by emb_kmeans and sim_topk_kmeans:
+    * seeds = vec_id < 8, squared-L2 assignment with ties to the lowest
+    * cluster, means rounded to 4 decimals (the cross-engine float pin —
+    * see SimilarityPipeline.embKmeans).
+    */
   private val kmeansCtes =
     """ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ek WHERE vec_id < 8),
@@ -1241,6 +1244,50 @@ SELECT lang, n_docs,
   round(pow(n_docs, 0.3) / z, 6) AS weight,
   round((pow(n_docs, 0.3) / z) / (CAST(n_docs AS DOUBLE) / n_total), 4) AS boost
 FROM c, t ORDER BY lang""",
+    // temperature resampling APPLIED: per-lang first floor(w_l * n_total)
+    // docs in seeded "tmp:" md5 order (weights unrounded, as the operator)
+    "temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+nz AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, sum(pow(n_docs, 0.3)) AS z FROM c),
+tg AS (SELECT lang, CAST(floor(CAST(round(pow(n_docs, 0.3) / z, 6) AS DECIMAL(12,6)) * CAST(n_total AS DECIMAL(20,0))) AS BIGINT) AS target FROM c, nz),
+b AS (SELECT doc_id, lang, md5('tmp:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+r AS (SELECT doc_id, b.lang,
+  CAST(row_number() OVER (PARTITION BY b.lang ORDER BY skey, doc_id) AS BIGINT) AS rk, target
+  FROM b JOIN tg ON b.lang = tg.lang)
+SELECT doc_id, lang, rk, target FROM r WHERE rk <= target ORDER BY lang, rk""",
+    // HLL sketch replayed register-for-register: md5 first byte ->
+    // register, leading 1-bit position of the next 56 bits -> rho, exact
+    // DECIMAL register sum, identical IEEE estimator expression
+    "hll_distinct" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+t AS (SELECT lang, token, md5(token) AS h FROM tok WHERE length(token) > 0),
+r0 AS (SELECT lang, h, ltrim(h[3:16], '0') AS sig FROM t),
+r AS (SELECT lang,
+  CAST((strpos('0123456789abcdef', h[1:1]) - 1) * 16 + (strpos('0123456789abcdef', h[2:2]) - 1) AS BIGINT) AS register,
+  CASE WHEN length(sig) = 0 THEN 57
+    ELSE (14 - length(sig)) * 4 + (CASE
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 8 THEN 0
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 4 THEN 1
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 2 THEN 2
+      ELSE 3 END) + 1 END AS rho
+  FROM r0),
+regs AS (SELECT lang, register, max(rho) AS rho FROM r GROUP BY lang, register),
+s AS (SELECT lang, sum(CAST(1::BIGINT << (57 - rho) AS DECIMAL(38,0))) AS s_present,
+  count(*) AS present FROM regs GROUP BY lang),
+e AS (SELECT lang, present,
+  s_present + CAST(256 - present AS DECIMAL(38,0)) * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total,
+  256 - present AS v_zero FROM s),
+est0 AS (SELECT lang, present, v_zero,
+  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0 / CAST(s_total AS DOUBLE) AS est_raw FROM e),
+est AS (SELECT lang, present,
+  CASE WHEN est_raw <= 640.0 AND v_zero > 0 THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
+  FROM est0),
+ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM t GROUP BY lang)
+SELECT est.lang, CAST(present AS BIGINT) AS n_registers,
+  round(est, 4) AS hll_distinct, exact_distinct,
+  round(abs(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est JOIN ex ON est.lang = ex.lang
+ORDER BY est.lang""",
     "boilerplate_ngrams" ->
       s"""WITH
 $shingleSetCtes,

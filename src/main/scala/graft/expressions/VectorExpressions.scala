@@ -197,7 +197,10 @@ object VectorExpressions {
       // array inconsistently with the passed estimate.
       def asLong(e: Expression): Option[Long] =
         if (!e.foldable) None
-        else e.eval(null) match {
+        else scala.util.Try(e.eval(null)).toOption.flatMap {
+          // Try: a foldable-but-Unevaluable expression (current_date
+          // family, replaced only later by the optimizer) must fall
+          // through to the clear error below, not throw raw here
           case v: Long  => Some(v)
           case v: Int   => Some(v.toLong)
           case v: Short => Some(v.toLong)

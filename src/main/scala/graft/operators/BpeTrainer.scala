@@ -76,9 +76,11 @@ object BpeTrainer {
     // at most limit+1 rows — under the limit means we hold the whole
     // vocab; over it falls back to the distributed loop (only that rare
     // huge-vocab path pays a second aggregation)
-    val words = vocab.as[(String, Long)]
-      .limit(math.min(localVocabLimit + 1, Int.MaxValue.toLong - 1).toInt)
-      .collect()
+    // min BEFORE the +1 so a Long.MaxValue "no limit" cannot overflow to
+    // limit(0); a limit at or above Int.MaxValue-1 clamps to the largest
+    // collectable fetch (the caller asked for a driver-sized vocab)
+    val fetch = (math.min(localVocabLimit, Int.MaxValue.toLong - 2) + 1).toInt
+    val words = vocab.as[(String, Long)].limit(fetch).collect()
     if (words.length <= localVocabLimit) {
       localMerges(words, nMerges)
         .toDF("round", "sym_a", "sym_b", "merged", "pair_count")

@@ -999,24 +999,43 @@ object TextPipeline {
     * not the raw snapshot).
     */
   def domainCapFrom(corpus: DataFrame, k: Int = 30,
-      shardWidth: Long = 64): DataFrame = {
-    val base = corpus.select(col("doc_id"), col("source"))
-      .withColumn("shard", expr(s"doc_id div $shardWidth"))
-    val offsets = base.groupBy("source", "shard")
+      shardWidth: Long = 64): DataFrame =
+    firstKPerKey(
+      corpus.select(col("doc_id"), col("source"))
+        .withColumn("shard", expr(s"doc_id div $shardWidth")),
+      "source", Seq(col("doc_id")), Left(k.toLong))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+
+  /** The shared shard-pruned first-k-per-key machinery behind
+    * [[domainCapFrom]] and [[temperatureSample]] (and, in running-SUM form,
+    * [[tokenBudgetCore]]): per-(key, shard) counts, a per-key prefix-sum
+    * over the TINY shard table, prune shards wholly past the limit (their
+    * rows never shuffle), then rank only surviving shards' rows inside
+    * their (key, shard) window — no key's rows ever funnel through one
+    * task. `base` carries the key column, a `shard` column whose order is
+    * the admission order's leading term, and the within-shard order
+    * columns; `limit` is a constant k or a broadcast (key, target) frame
+    * for per-key allowances.
+    */
+  private def firstKPerKey(base: DataFrame, keyCol: String,
+      orderCols: Seq[Column], limit: Either[Long, DataFrame]): DataFrame = {
+    val counted = base.groupBy(keyCol, "shard")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         sum(col("cnt")).over(
-          Window.partitionBy("source").orderBy("shard")) - col("cnt"))
-      .filter(col("offset") < k) // shards already past the cap never shuffle
-      .select(col("source").as("o_source"), col("shard").as("o_shard"),
-        col("offset"))
-    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          Window.partitionBy(keyCol).orderBy("shard")) - col("cnt"))
+    val offsets = limit.fold(
+      k => counted.withColumn("target", lit(k)),
+      targets => counted.join(targets, keyCol))
+      .filter(col("offset") < col("target")) // pruned: post-limit shards
+      .select(col(keyCol).as("o_key"), col("shard").as("o_shard"),
+        col("offset"), col("target"))
+    val w = Window.partitionBy(keyCol, "shard").orderBy(orderCols: _*)
     base.join(broadcast(offsets),
-        col("source") === col("o_source") && col("shard") === col("o_shard"))
+        col(keyCol) === col("o_key") && col("shard") === col("o_shard"))
       .withColumn("rk", (col("offset") + row_number().over(w)).cast(LongType))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("source"), col("rk"))
-      .orderBy("source", "rk")
+      .filter(col("rk") <= col("target"))
   }
 
   /** Temperature-based language mixture weights (the multilingual sampling
@@ -1040,6 +1059,49 @@ object TextPipeline {
         round((pow(col("n_docs"), alpha) / col("z")) /
           (col("n_docs").cast(DoubleType) / col("n_total")), 4).as("boost"))
       .orderBy("lang")
+  }
+
+  /** Temperature resampling APPLIED — [[langTemperature]] computes the
+    * n^alpha weights; this operator materializes the resampled corpus:
+    * language l keeps its first floor(round(w_l, 6) * n_total) documents
+    * in seeded content-hash order ("tmp:" md5 — deterministic, so batch
+    * re-runs and the oracle admit the identical set). This is the
+    * mBERT/XLM-R corpus-rebalancing step as an executable query rather
+    * than a weights report.
+    *
+    * Determinism at the floor boundary: the weight is pinned to 6
+    * decimals (the [[langTemperature]] report precision) BEFORE the
+    * product, and the product+floor run in exact DECIMAL arithmetic —
+    * so the only cross-engine float exposure is the 6th-decimal rounding
+    * of w itself, the same exposure lang_temperature's oracle has
+    * carried green since round 5. An unrounded double floor(w * N)
+    * would make admission counts flip on a 1-ulp pow/sum difference.
+    *
+    * Plan: [[firstKPerKey]] with the per-language target broadcast —
+    * shards wholly past their language's target never shuffle, and no
+    * language's documents funnel through one task. The weights subtree
+    * is the [[langTemperature]] pair of tiny aggs.
+    */
+  def temperatureSample(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.3): DataFrame = {
+    val counts = docs(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val norm = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs"), alpha)).as("z"))
+    val targets = counts.crossJoin(broadcast(norm))
+      .select(col("lang"),
+        floor(round(pow(col("n_docs"), alpha) / col("z"), 6)
+            .cast("decimal(12,6)")
+          * col("n_total").cast("decimal(20,0)"))
+          .cast(LongType).as("target"))
+    val base = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+      .withColumn("skey", md5(concat(lit("tmp:"), col("doc_id"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast(LongType))
+    firstKPerKey(base, "lang", Seq(col("skey"), col("doc_id")),
+      Right(targets))
+      .select(col("doc_id"), col("lang"), col("rk"), col("target"))
+      .orderBy("lang", "rk")
   }
 
   /** Boilerplate n-gram signal (the CCNet-style shared-shingle fraction):

@@ -84,6 +84,7 @@ final class SpentKeys(@transient spark: SparkSession) extends Serializable {
   def spentSet: Set[String] = known
 
   @transient private var listener: StreamingQueryListener = _
+  @transient private var attachedTo: SparkSession = _
 
   /** Production wiring: refresh after every micro-batch completes.
     * The listener fires on every query's progress in the session — safe
@@ -101,16 +102,23 @@ final class SpentKeys(@transient spark: SparkSession) extends Serializable {
         override def onQueryTerminated(
             e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
+      attachedTo = session
       session.streams.addListener(listener)
     }
     this
   }
 
-  /** Remove the [[attach]]ed listener (idempotent). */
+  /** Remove the [[attach]]ed listener (idempotent). Removal targets the
+    * session the listener was actually registered on — passing a
+    * DIFFERENT session (e.g. a newSession() clone with its own
+    * StreamingQueryManager) is a no-op that leaves the attachment
+    * intact, rather than nulling the handle while the listener leaks.
+    */
   def detach(session: SparkSession): Unit = synchronized {
-    if (listener != null) {
-      session.streams.removeListener(listener)
+    if (listener != null && (session eq attachedTo)) {
+      attachedTo.streams.removeListener(listener)
       listener = null
+      attachedTo = null
     }
   }
 }
