@@ -207,7 +207,16 @@ object PlanAudit {
     "hll_distinct" -> 5,
     // temperatureSample = the domainCap shard-pruned two-level machinery
     // + the two tiny weights aggs (count, 1-row normalizer) + orderBy
-    "temperature_sample" -> 7)
+    "temperature_sample" -> 7,
+    // two per-shard register aggs + the merged register agg + the
+    // #langs-row estimate rollup; every shuffle moves <= #langs x 256 rows
+    "hll_union" -> 4,
+    // d*w-cell sketch agg, exact top-20 agg, the post-broadcast-join
+    // min-agg, and the 20-row orderBy
+    "cms_freq" -> 4,
+    // the (lang, shard) phase-1 window, the survivor-frame (#shards x k)
+    // phase-2 window, the k-per-lang orderBy — the corpus shuffles once
+    "weighted_sample" -> 3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -142,7 +142,16 @@ object SparkEntry {
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
     // Round 6: HLL distinct-token sketch + temperature resampling applied
     "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
+    // two disjoint shards sketched separately, merged, estimated — the
+    // oracle sketches the whole corpus in one pass, so green means the
+    // register merge is lossless (HLL's mergeability, query-proven)
+    "hll_union" -> ((s, d) => graft.operators.Sketches.hllUnion(s, d)),
+    // count-min frequency sketch calibrated against the exact top-20
+    "cms_freq" -> ((s, d) => graft.operators.Sketches.cmsFreq(s, d)),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
+    // Efraimidis-Spirakis weighted sample: k docs per language, drawn
+    // proportional to n_chars without replacement, deterministic keys
+    "weighted_sample" -> ((s, d) => TextPipeline.weightedSample(s, d)),
     // Round 5: corpus-curation additions (per-domain caps, temperature
     // mixing, boilerplate signal, curriculum ordering, token budgets,
     // bloom-prefiltered decontamination, int8 quantization)
@@ -233,6 +242,38 @@ c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
 d2t AS (SELECT ek.vec_id, c1.cluster,
   list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
 a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t)"""
+
+  /** md5-register HLL sketch + estimator, shared by `hll_distinct`
+    * (which joins the exact calibration columns on) and `hll_union`
+    * (whose Spark side merges two shard sketches — the oracle sketches
+    * the whole corpus once, which only matches because HLL merge is
+    * lossless). Mirrors Sketches.hllRegistersFrom/hllEstimate
+    * literal-for-literal.
+    */
+  private val hllEstimateCtes =
+    """tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+t AS (SELECT lang, token, md5(token) AS h FROM tok WHERE length(token) > 0),
+r0 AS (SELECT lang, h, ltrim(h[3:16], '0') AS sig FROM t),
+r AS (SELECT lang,
+  CAST((strpos('0123456789abcdef', h[1:1]) - 1) * 16 + (strpos('0123456789abcdef', h[2:2]) - 1) AS BIGINT) AS register,
+  CASE WHEN length(sig) = 0 THEN 57
+    ELSE (14 - length(sig)) * 4 + (CASE
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 8 THEN 0
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 4 THEN 1
+      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 2 THEN 2
+      ELSE 3 END) + 1 END AS rho
+  FROM r0),
+regs AS (SELECT lang, register, max(rho) AS rho FROM r GROUP BY lang, register),
+s AS (SELECT lang, sum(CAST(1::BIGINT << (57 - rho) AS DECIMAL(38,0))) AS s_present,
+  count(*) AS present FROM regs GROUP BY lang),
+e AS (SELECT lang, present,
+  s_present + CAST(256 - present AS DECIMAL(38,0)) * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total,
+  256 - present AS v_zero FROM s),
+est0 AS (SELECT lang, present, v_zero,
+  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0 / CAST(s_total AS DOUBLE) AS est_raw FROM e),
+est AS (SELECT lang, present,
+  CASE WHEN est_raw <= 640.0 AND v_zero > 0 THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
+  FROM est0)"""
 
   private val hyperplanePairCtes =
     """hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
@@ -1255,39 +1296,73 @@ r AS (SELECT doc_id, b.lang,
   CAST(row_number() OVER (PARTITION BY b.lang ORDER BY skey, doc_id) AS BIGINT) AS rk, target
   FROM b JOIN tg ON b.lang = tg.lang)
 SELECT doc_id, lang, rk, target FROM r WHERE rk <= target ORDER BY lang, rk""",
+    // A-ES weighted sampling replayed key-for-key: u rebuilt from the
+    // first 8 md5 nibbles (exact in a double), key = pow(u, 1/w), global
+    // per-lang rank — the Spark side's two-level top-k must select the
+    // identical k per language
+    "weighted_sample" ->
+      """WITH b AS (SELECT doc_id, lang, CAST(greatest(n_chars, 1) AS DOUBLE) AS w,
+  md5('ws:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+u AS (SELECT doc_id, lang, w,
+  (CAST(strpos('0123456789abcdef', h[1:1]) - 1 AS DOUBLE) * 268435456
+   + (strpos('0123456789abcdef', h[2:2]) - 1) * 16777216
+   + (strpos('0123456789abcdef', h[3:3]) - 1) * 1048576
+   + (strpos('0123456789abcdef', h[4:4]) - 1) * 65536
+   + (strpos('0123456789abcdef', h[5:5]) - 1) * 4096
+   + (strpos('0123456789abcdef', h[6:6]) - 1) * 256
+   + (strpos('0123456789abcdef', h[7:7]) - 1) * 16
+   + (strpos('0123456789abcdef', h[8:8]) - 1)) / 4294967296.0 AS uu
+  FROM b),
+r AS (SELECT doc_id, lang, pow(uu, 1.0 / w) AS es_key FROM u),
+rr AS (SELECT doc_id, lang, es_key,
+  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk FROM r)
+SELECT doc_id, lang, round(es_key, 6) AS es_key, CAST(rk AS BIGINT) AS rk
+FROM rr WHERE rk <= 20 ORDER BY lang, rk""",
     // HLL sketch replayed register-for-register: md5 first byte ->
     // register, leading 1-bit position of the next 56 bits -> rho, exact
     // DECIMAL register sum, identical IEEE estimator expression
     "hll_distinct" ->
-      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
-t AS (SELECT lang, token, md5(token) AS h FROM tok WHERE length(token) > 0),
-r0 AS (SELECT lang, h, ltrim(h[3:16], '0') AS sig FROM t),
-r AS (SELECT lang,
-  CAST((strpos('0123456789abcdef', h[1:1]) - 1) * 16 + (strpos('0123456789abcdef', h[2:2]) - 1) AS BIGINT) AS register,
-  CASE WHEN length(sig) = 0 THEN 57
-    ELSE (14 - length(sig)) * 4 + (CASE
-      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 8 THEN 0
-      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 4 THEN 1
-      WHEN strpos('0123456789abcdef', sig[1:1]) - 1 >= 2 THEN 2
-      ELSE 3 END) + 1 END AS rho
-  FROM r0),
-regs AS (SELECT lang, register, max(rho) AS rho FROM r GROUP BY lang, register),
-s AS (SELECT lang, sum(CAST(1::BIGINT << (57 - rho) AS DECIMAL(38,0))) AS s_present,
-  count(*) AS present FROM regs GROUP BY lang),
-e AS (SELECT lang, present,
-  s_present + CAST(256 - present AS DECIMAL(38,0)) * CAST(144115188075855872 AS DECIMAL(38,0)) AS s_total,
-  256 - present AS v_zero FROM s),
-est0 AS (SELECT lang, present, v_zero,
-  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0 / CAST(s_total AS DOUBLE) AS est_raw FROM e),
-est AS (SELECT lang, present,
-  CASE WHEN est_raw <= 640.0 AND v_zero > 0 THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
-  FROM est0),
+      s"""WITH $hllEstimateCtes,
 ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM t GROUP BY lang)
 SELECT est.lang, CAST(present AS BIGINT) AS n_registers,
   round(est, 4) AS hll_distinct, exact_distinct,
   round(abs(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
 FROM est JOIN ex ON est.lang = ex.lang
 ORDER BY est.lang""",
+    // the merge-losslessness proof: Spark sketches doc_id-parity shards
+    // separately and merges; the oracle sketches the whole corpus ONCE —
+    // the hash can only match because register-wise max over shard
+    // sketches IS the whole-corpus sketch
+    "hll_union" ->
+      s"""WITH $hllEstimateCtes
+SELECT lang, CAST(present AS BIGINT) AS n_registers,
+  round(est, 4) AS hll_distinct
+FROM est ORDER BY lang""",
+    // count-min replayed cell-for-cell: row-seeded md5 ("i:" prefix),
+    // first 3 hex chars mod 512 as the counter index, min over the 4
+    // rows as the estimate for the exact-top-20 calibration tokens
+    "cms_freq" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+t AS (SELECT token FROM tok WHERE length(token) > 0),
+ii AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(i)),
+hc AS (SELECT i, token,
+  ((strpos('0123456789abcdef', h[1:1]) - 1) * 256
+   + (strpos('0123456789abcdef', h[2:2]) - 1) * 16
+   + (strpos('0123456789abcdef', h[3:3]) - 1)) % 512 AS cell
+  FROM (SELECT i, token, md5(CAST(i AS VARCHAR) || ':' || token) AS h FROM t, ii) z),
+sk AS (SELECT i, cell, CAST(count(*) AS BIGINT) AS cnt FROM hc GROUP BY i, cell),
+ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count FROM t
+  GROUP BY token ORDER BY exact_count DESC, token LIMIT 20),
+pr AS (SELECT token, exact_count, i,
+  ((strpos('0123456789abcdef', h[1:1]) - 1) * 256
+   + (strpos('0123456789abcdef', h[2:2]) - 1) * 16
+   + (strpos('0123456789abcdef', h[3:3]) - 1)) % 512 AS cell
+  FROM (SELECT token, exact_count, i, md5(CAST(i AS VARCHAR) || ':' || token) AS h FROM ex, ii) z),
+est AS (SELECT token, exact_count, min(cnt) AS cms_est
+  FROM pr JOIN sk USING (i, cell) GROUP BY token, exact_count)
+SELECT token, exact_count, CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - exact_count AS BIGINT) AS overcount
+FROM est ORDER BY token""",
     "boilerplate_ngrams" ->
       s"""WITH
 $shingleSetCtes,

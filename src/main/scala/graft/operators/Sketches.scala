@@ -1,16 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
 import graft.sources.Tables
 
-/** Cardinality sketches — the one-pass, constant-state summaries a 100 TB
-  * profiling pass runs where exact `COUNT(DISTINCT)` is infeasible. The
-  * sketch family here complements the engine's existing ones: Misra-Gries
-  * (heavy hitters, StreamingText), Bloom (membership, decontaminateBloom),
-  * MinHash/SimHash (similarity, TextPipeline).
+/** Cardinality and frequency sketches — the one-pass, constant-state
+  * summaries a 100 TB profiling pass runs where exact `COUNT(DISTINCT)` /
+  * per-token counts are infeasible. The sketch family here complements
+  * the engine's existing ones: Misra-Gries (heavy hitters, StreamingText),
+  * Bloom (membership, decontaminateBloom), MinHash/SimHash (similarity,
+  * TextPipeline).
   *
   * HyperLogLog (Flajolet-Fusy-Gandouet-Meunier, AofA'07): hash each item,
   * use the first byte as a register index (m=256) and the position of the
@@ -23,13 +24,27 @@ import graft.sources.Tables
   * bit-identical across engines (the same reason the LSH family hashes
   * with md5).
   *
-  * Scale shape: tokenize once; the (lang, register) aggregation is
-  * map-side combined, so each partition contributes at most m rows per
-  * language to the shuffle regardless of row count — the whole sketch
-  * moves #langs x 256 longs. The register sum uses exact DECIMAL
-  * arithmetic on integer-scaled powers of two (2^(57-rho)), so the
-  * reduction is order-independent — no float-summation drift between
-  * engines or between runs.
+  * Count-min (Cormode-Muthukrishnan'05): d independent hash rows of w
+  * counters; an item's estimate is the MIN over its d counters — always
+  * an overcount, within eps*N with probability 1-delta for w=e/eps,
+  * d=ln(1/delta). The frequency-estimation counterpart to Misra-Gries:
+  * MG answers "which items are heavy", CMS answers "how heavy is this
+  * item" for ANY item after one pass.
+  *
+  * Scale shape (both): tokenize once; the register/counter aggregation is
+  * map-side combined, so each partition contributes at most m (resp. d*w)
+  * rows per group to the shuffle regardless of row count — the whole
+  * sketch moves #langs x 256 (resp. 4 x 512) longs. The HLL register sum
+  * uses exact DECIMAL arithmetic on integer-scaled powers of two
+  * (2^(57-rho)), so the reduction is order-independent — no
+  * float-summation drift between engines or between runs.
+  *
+  * The register FRAME (lang, register, rho) is the library's sketch
+  * interchange format: [[hllMerge]] unions frames with register-wise max
+  * (HLL's defining property — merge of shard sketches IS the sketch of
+  * the union), and [[appendHllShard]]/[[estimateHllStore]] persist it,
+  * so a fleet of shard jobs each append ~#langs x 256 rows and a reader
+  * estimates union cardinality without ever re-scanning text.
   */
 object Sketches {
 
@@ -60,31 +75,51 @@ object Sketches {
       .cast("int")
   }
 
-  /** Per-language HLL distinct-token estimate, with the exact count and
-    * relative error alongside — the calibration columns a profiling run
-    * reports at small SF (at 100 TB the exact column is the one you can
-    * no longer afford; the sketch is the product). Estimator: alpha_m *
-    * m^2 / sum_j 2^-M_j with untouched registers contributing 2^0, and
-    * the standard small-range correction m*ln(m/V) when the raw estimate
-    * is under 2.5m and V registers are untouched.
+  /** (lang, register, r) for a token column's md5 — the pre-aggregation
+    * register stream, shared by the batch sketch and the streaming twin
+    * (which must window BEFORE the max-agg, so it asks to `keep` its
+    * event-time column through the projection).
     */
-  def hllDistinctTokens(spark: SparkSession, sfDir: String): DataFrame =
-    hllDistinctTokensFrom(docs(spark, sfDir))
+  private[graft] def registerRows(langTokens: DataFrame,
+      keep: Seq[Column] = Nil): DataFrame = {
+    val h = md5(col("token"))
+    langTokens.select(keep ++ Seq(col("lang"),
+      conv(substring(h, 1, 2), 16, 10).cast("long").as("register"),
+      rho(h).as("r")): _*)
+  }
 
-  def hllDistinctTokensFrom(corpus: DataFrame): DataFrame = {
-    val tok = corpus
+  private def langTokens(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-    val h = md5(col("token"))
-    val reg = conv(substring(h, 1, 2), 16, 10).cast("long")
-    // (lang, register) -> max rho: map-side combine caps each partition's
-    // shuffle contribution at m rows per language
-    val registers = tok
-      .select(col("lang"), reg.as("register"), rho(h).as("r"))
+
+  /** The per-language HLL sketch as a register frame (lang, register,
+    * rho) — at most #langs x 256 rows whatever the corpus size. This is
+    * the artifact shard jobs persist ([[appendHllShard]]) and
+    * [[hllMerge]] combines.
+    */
+  def hllRegistersFrom(corpus: DataFrame): DataFrame =
+    registerRows(langTokens(corpus))
       .groupBy("lang", "register")
       .agg(max(col("r")).as("rho"))
-    // exact-integer register sum: 2^(57-rho) as DECIMAL(38,0); untouched
-    // registers contribute 2^57 each (2^-0 scaled)
+
+  /** Merge register frames: register-wise max. Exact, not approximate —
+    * max is associative/commutative/idempotent, so merging per-shard
+    * sketches gives bit-identically the sketch of the concatenated
+    * corpus (spec-proven), which is why the sketch can be built
+    * shard-by-shard and unioned for free.
+    */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("lang", "register")
+      .agg(max(col("rho")).as("rho"))
+
+  /** Estimate from a register frame: alpha_m * m^2 / sum_j 2^-M_j with
+    * untouched registers contributing 2^0, and the standard small-range
+    * correction m*ln(m/V) when the raw estimate is under 2.5m and V
+    * registers are untouched. Output (lang, n_registers, hll_distinct).
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
     val summed = registers.groupBy("lang")
       .agg(sum(expr("shiftleft(1L, 57 - rho)")
           .cast("decimal(38,0)")).as("s_present"),
@@ -100,14 +135,121 @@ object Sketches {
     val est = when(estRaw <= lit(640.0) && col("v_zero") > 0,
       lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
       .otherwise(estRaw)
+    summed.select(col("lang"), col("present").cast("long").as("n_registers"),
+      round(est, 4).as("hll_distinct"))
+  }
+
+  /** Per-language HLL distinct-token estimate, with the exact count and
+    * relative error alongside — the calibration columns a profiling run
+    * reports at small SF (at 100 TB the exact column is the one you can
+    * no longer afford; the sketch is the product).
+    */
+  def hllDistinctTokens(spark: SparkSession, sfDir: String): DataFrame =
+    hllDistinctTokensFrom(docs(spark, sfDir))
+
+  def hllDistinctTokensFrom(corpus: DataFrame): DataFrame = {
+    val tok = langTokens(corpus)
+    val est = hllEstimate(
+      registerRows(tok).groupBy("lang", "register")
+        .agg(max(col("r")).as("rho")))
     val exact = tok.groupBy("lang")
       .agg(countDistinct(col("token")).as("exact_distinct"))
-    summed
+    est
       .join(exact, Seq("lang"))
-      .select(col("lang"), col("present").cast("long").as("n_registers"),
-        round(est, 4).as("hll_distinct"), col("exact_distinct"),
-        round(abs(est - col("exact_distinct").cast("double"))
+      .select(col("lang"), col("n_registers"), col("hll_distinct"),
+        col("exact_distinct"),
+        round(abs(col("hll_distinct") - col("exact_distinct").cast("double"))
           / col("exact_distinct").cast("double"), 4).as("rel_err"))
       .orderBy("lang")
+  }
+
+  /** Sketch two disjoint shards separately and estimate the union through
+    * [[hllMerge]] — the query-shaped proof that the merge is lossless:
+    * its DuckDB oracle sketches the WHOLE corpus in one pass, and the
+    * hash compare passes only because merged-shard registers equal
+    * whole-corpus registers bit-for-bit.
+    */
+  def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val even = hllRegistersFrom(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val odd = hllRegistersFrom(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+    hllEstimate(hllMerge(Seq(even, odd))).orderBy("lang")
+  }
+
+  // ------------------------------------------------------- HLL store --
+
+  /** Append one shard's register frame to the sketch store at `path`.
+    * Each shard job writes its own ~#langs x 256 rows; nothing is read
+    * or rewritten — the merge happens at estimate time over rows that
+    * total #shards x #langs x 256, which stays driver-trivial at any
+    * corpus size (the whole point of a mergeable sketch).
+    */
+  def appendHllShard(registers: DataFrame, path: String): Unit =
+    registers.select(col("lang"), col("register"), col("rho"))
+      .coalesce(1) // ≤ #langs x 256 rows: one small file per shard append
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** Estimate union cardinality from the store: read register rows (never
+    * text), register-wise max across all appended shards, estimate.
+    */
+  def estimateHllStore(spark: SparkSession, path: String): DataFrame =
+    hllEstimate(
+      spark.read.parquet(path)
+        .groupBy("lang", "register").agg(max(col("rho")).as("rho")))
+      .orderBy("lang")
+
+  // ------------------------------------------------------ Count-min --
+
+  private val CmsDepth = 4 // d hash rows
+  private val CmsWidth = 512 // w counters per row
+
+  /** Counter column for hash row `i`: md5("i:" || token), first 3 hex
+    * chars as an integer (0..4095) mod w. Seeding by prefix makes the d
+    * rows independent while staying a pure string recipe the oracle
+    * replays verbatim.
+    */
+  private def cmsCol(i: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 3),
+      16, 10).cast("long"), lit(CmsWidth.toLong))
+
+  /** Count-min sketch over corpus tokens, reported through its
+    * calibration query: estimate the d x w sketch, then compare the CMS
+    * estimate against the exact count for the corpus's top-`topN` tokens
+    * (count desc, token asc — deterministic). `overcount = cms_est -
+    * exact_count` is CMS's one-sided error, always >= 0 (spec-pinned).
+    *
+    * Plan: one tokenize pass feeds both the sketch agg (map-side
+    * combined, <= d*w rows per partition shuffle) and the exact top-k
+    * (TakeOrdered, no global sort); the 4-rows-per-token probe frame for
+    * topN tokens is broadcast to the d*w-row sketch.
+    */
+  def cmsFreq(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame =
+    cmsFreqFrom(docs(spark, sfDir), topN)
+
+  def cmsFreqFrom(corpus: DataFrame, topN: Int = 20): DataFrame = {
+    val tok = corpus
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val cells = tok.select(explode(array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row"), cmsCol(i).as("cell"))): _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+    val sketch = cells.groupBy("row", "cell")
+      .agg(count(lit(1)).as("cnt"))
+    val top = tok.groupBy("token")
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+      .limit(topN)
+    val probes = top.select(col("token"), col("exact_count"),
+      explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsCol(i).as("cell"))): _*)).as("rc"))
+      .select(col("token"), col("exact_count"),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+    sketch.join(broadcast(probes), Seq("row", "cell"))
+      .groupBy("token", "exact_count")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("token"), col("exact_count"),
+        col("cms_est").cast("long").as("cms_est"),
+        (col("cms_est") - col("exact_count")).cast("long").as("overcount"))
+      .orderBy("token")
   }
 }

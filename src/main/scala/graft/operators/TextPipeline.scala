@@ -398,6 +398,65 @@ object TextPipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Weighted per-language sample without replacement — Efraimidis-
+    * Spirakis (IPL'06) A-ES: each document draws a deterministic uniform
+    * u from md5("ws:" || doc_id) (first 8 hex chars / 2^32 — exact in a
+    * double, and the oracle rebuilds the same integer nibble-by-nibble)
+    * and competes with key u^(1/w); the k largest keys per language are
+    * EXACTLY a weight-proportional without-replacement draw. Weight =
+    * n_chars (floored at 1): longer documents proportionally likelier,
+    * the "sample by content volume, not by row count" shape a curation
+    * pass wants.
+    *
+    * Determinism: keys are pure functions of doc_id, so the sample is
+    * partition-layout- and arrival-order-independent (the property the
+    * streaming twin leans on); ties (u collisions) break by doc_id on
+    * both engines. The only cross-engine exposure is a 1-ulp pow
+    * difference flipping the order of two keys within ~1 ulp of each
+    * other — the emb_kmeans d2-distance class of exposure, carried green
+    * since round 4.
+    *
+    * Scale shape: two-level top-k — per-(lang, shard) winners first (a
+    * 64-doc-wide shard window, k rows survive per shard), then the final
+    * per-language rank over the shard-winner frame (#shards x k rows,
+    * thousands of times smaller than the corpus). No language's full
+    * document set ever sorts in one task, unlike a naive per-lang window.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame =
+    weightedSampleFrom(docs(spark, sfDir), k)
+
+  def weightedSampleFrom(corpus: DataFrame, k: Int = 20,
+      shardWidth: Long = 64): DataFrame = {
+    val base = corpus
+      .select(col("doc_id"), col("lang"), esKey(col("doc_id"),
+        col("n_chars")).as("es_key"))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+    val w1 = Window.partitionBy("lang", "shard")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    val survivors = base
+      .withColumn("srk", row_number().over(w1))
+      .filter(col("srk") <= k)
+    val w2 = Window.partitionBy("lang")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(w2).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), round(col("es_key"), 6)
+        .as("es_key"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** The A-ES competition key u^(1/w) for a document — shared by the
+    * batch operator and the streaming twin so both admit the identical
+    * sample by construction.
+    */
+  private[graft] def esKey(docId: Column, nChars: Column): Column = {
+    val u = conv(substring(md5(concat(lit("ws:"), docId)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    pow(u, lit(1.0) / greatest(nChars, lit(1L)).cast("double"))
+  }
+
   /** Wide-to-long reshape of the per-document stats — the melt/unpivot
     * shape feeding metric stores and plotting layers. Stateless row
     * explosion (3x), no shuffle beyond the final order.

@@ -14,6 +14,13 @@ case class CapState(admitted: Long)
 /** Per-language used-token state for [[StreamingText.tokenBudgetStream]]. */
 case class BudgetState(used: Long)
 
+/** Per-(window, language) weighted-reservoir state for
+  * [[StreamingText.weightedSampleStream]]: the current k winners as
+  * (es_key, doc_id) pairs — bounded at k entries whatever the arrival
+  * volume.
+  */
+case class EsReservoir(entries: Seq[(Double, Long)])
+
 /** Streaming twins of the batch text-analysis operators (TextPipeline) for
   * the ingest side of a training-data pipeline.
   */
@@ -155,6 +162,71 @@ object StreamingText extends Logging {
           }
       }
       .toDF("window_start", "token", "mg_count")
+  }
+
+  /** Streaming weighted sample — the ingest twin of
+    * TextPipeline.weightedSample: per event-time window and language,
+    * the k documents with the largest Efraimidis-Spirakis keys u^(1/w)
+    * (u deterministic from doc_id, w = n_chars floored at 1 — the SAME
+    * [[graft.operators.TextPipeline.esKey]] column as batch). State per
+    * (window, lang) is the current k winners — a true bounded reservoir:
+    * an arriving document either displaces the smallest key or is
+    * dropped, so memory is k pairs per in-flight group regardless of
+    * volume. Emission on event-time timeout, ranked, when the watermark
+    * passes the window end.
+    *
+    * Because the keys are pure functions of the document (not of arrival
+    * time), the admitted set is ARRIVAL-ORDER-INDEPENDENT: any
+    * permutation of the same rows yields the identical sample — a
+    * strictly stronger batch/stream contract than the cap/budget twins'
+    * ordered-replay equivalence (spec-proven on a reversed replay).
+    */
+  def weightedSampleStream(docs: DataFrame, eventTimeCol: String,
+      windowMs: Long = 60000L, delayMs: Long = 600000L,
+      k: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs
+      .select(
+        window(col(eventTimeCol), s"$windowMs milliseconds")
+          .getField("start").as("wstart"),
+        col("lang"), col("doc_id"),
+        graft.operators.TextPipeline.esKey(col("doc_id"), col("n_chars"))
+          .as("es_key"))
+      .withWatermark("wstart", s"$delayMs milliseconds")
+      .as[(java.sql.Timestamp, String, Long, Double)]
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[EsReservoir,
+        (java.sql.Timestamp, String, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (java.sql.Timestamp, String),
+            rows: Iterator[(java.sql.Timestamp, String, Long, Double)],
+            state: GroupState[EsReservoir]) =>
+          val (wstart, lang) = key
+          if (state.hasTimedOut) {
+            val out = state.get.entries
+              .sortBy { case (esk, id) => (-esk, id) }
+              .zipWithIndex
+              .map { case ((esk, id), i) =>
+                // HALF_UP to 6 decimals — Spark round()'s semantics, so
+                // the emitted column is byte-equal to the batch one
+                (wstart, lang, id, BigDecimal(esk)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble, i + 1L) }
+            state.remove()
+            out.iterator
+          } else {
+            // merge the batch's arrivals into the k-element reservoir:
+            // largest keys win, doc_id breaks ties (the batch ordering)
+            val merged = (state.getOption.map(_.entries).getOrElse(Nil)
+                ++ rows.map(r => (r._4, r._3)))
+              .sortBy { case (esk, id) => (-esk, id) }
+              .take(k)
+            state.update(EsReservoir(merged))
+            state.setTimeoutTimestamp(wstart.getTime + windowMs)
+            Iterator.empty
+          }
+      }
+      .toDF("window_start", "lang", "doc_id", "es_key", "rk")
   }
 
   /** Streaming data-quality monitor — the ingest twin of

@@ -124,6 +124,40 @@ class PackingSamplingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     nShards should be > 1L
   }
 
+  test("weighted sample: two-level top-k equals the naive per-lang rank") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val got = TextPipeline.weightedSampleFrom(docsDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // the naive shape the operator refuses to run at scale: one global
+    // per-lang window over the whole corpus; selection must be identical
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    val naive = docsDf
+      .select(col("doc_id"), col("lang"),
+        TextPipeline.esKey(col("doc_id"), col("n_chars")).as("es_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), round(col("es_key"), 6)
+        .as("es_key"), col("rk"))
+      .orderBy("lang", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    got shouldBe naive
+    got.nonEmpty shouldBe true
+  }
+
+  test("weighted sample admits a dominant-weight document a uniform draw would miss") {
+    import spark.implicits._
+    // 1 heavy doc (w = 100000) among 400 single-char docs: its A-ES key
+    // u^(1/100000) ~ 1 beats every unit-weight key u, so it MUST rank 1
+    // (deterministic — keys are fixed functions of doc_id)
+    val corpus = ((1L to 400L).map(id => (id, "en", 1L)) :+ (999L, "en", 100000L))
+      .toDF("doc_id", "lang", "n_chars")
+    val top = TextPipeline.weightedSampleFrom(corpus, k = 1).collect()
+    top.map(_.getLong(0)).toSeq shouldBe Seq(999L)
+  }
+
   test("pack_chunks chunk token totals bracket the context length") {
     // a chunk closes once the running count crosses a 512 boundary, so every
     // non-final chunk holds >= the distance to the boundary and the sum of

@@ -1,14 +1,19 @@
 package graft
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.operators.{Sketches, TextPipeline}
+import graft.streaming.StreamingSketches
 
-/** Semantic invariants of the cardinality sketch and the temperature
+/** Semantic invariants of the sketch family and the temperature
   * resampler (exact values are pinned by their DuckDB oracles; these are
-  * the properties the hash compare can't express).
+  * the properties the hash compare can't express: mergeability,
+  * one-sidedness, linearity, batch/stream frame equality).
   */
 class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
   import spark.implicits._
@@ -58,5 +63,90 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       lang -> rows.length.toDouble / nDocs(lang) }
     val head = nDocs.maxBy(_._2)._1
     shares.values.foreach(_ should be >= shares(head) - 1e-9)
+  }
+
+  test("HLL merge of disjoint shard sketches equals the whole-corpus sketch register-for-register") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val even = Sketches.hllRegistersFrom(corpus.filter(pmod($"doc_id", lit(2)) === 0))
+    val odd = Sketches.hllRegistersFrom(corpus.filter(pmod($"doc_id", lit(2)) === 1))
+    val merged = Sketches.hllMerge(Seq(even, odd))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketches.hllRegistersFrom(corpus)
+      .as[(String, Long, Int)].collect().toSet
+    merged shouldBe whole
+    whole.nonEmpty shouldBe true
+  }
+
+  test("HLL shard store: appended frames estimate identically to the one-pass sketch, reading no text") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("hll-store").toString
+    Sketches.appendHllShard(
+      Sketches.hllRegistersFrom(corpus.filter(pmod($"doc_id", lit(2)) === 0)), dir)
+    Sketches.appendHllShard(
+      Sketches.hllRegistersFrom(corpus.filter(pmod($"doc_id", lit(2)) === 1)), dir)
+    val fromStore = Sketches.estimateHllStore(spark, dir)
+    // the estimate-time plan scans only the register store — never text
+    fromStore.queryExecution.executedPlan.toString should not include "documents.parquet"
+    val got = fromStore.as[(String, Long, Double)].collect().toSeq
+    val direct = Sketches.hllEstimate(Sketches.hllRegistersFrom(corpus))
+      .orderBy("lang").as[(String, Long, Double)].collect().toSeq
+    got shouldBe direct
+  }
+
+  test("count-min is a one-sided overcount and exactly linear under corpus duplication") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val once = Sketches.cmsFreqFrom(corpus)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    once should have size 20
+    once.foreach { case (token, exact, est, over) =>
+      withClue(s"$token: ") {
+        est should be >= exact // CMS never undercounts
+        over shouldBe est - exact
+      }
+    }
+    // every counter doubles when every token count doubles, and min
+    // commutes with scaling — so the estimate is exactly 2x, not ~2x
+    val doubled = Sketches.cmsFreqFrom(
+      corpus.unionByName(corpus.withColumn("doc_id", $"doc_id" + 1000000L)))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    doubled.map(_._1) shouldBe once.map(_._1)
+    doubled.map(_._2) shouldBe once.map(_._2 * 2)
+    doubled.map(_._3) shouldBe once.map(_._3 * 2)
+  }
+
+  test("hllRegisterStream emits per-window frames whose merge is the batch sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = corpus.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingSketches.hllRegisterStream(
+        input.toDF().toDF("ts", "lang", "text"), "ts")
+      .writeStream.format("memory").queryName("hll_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-hll").toString)
+      .outputMode("append").start()
+    try {
+      // two event-time windows (doc_id parity), then a watermark-advancing
+      // row and a nudge batch so both windows close and emit
+      input.addData(rows.map { case (id, lang, text) =>
+        (ts(if (id % 2 == 0) 10 else 11), lang, text) })
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), "en", "flush")))
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), "en", "nudge")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("hll_twin").filter($"window_start" < ts(20))
+    emitted.select(countDistinct($"window_start")).as[Long].head() shouldBe 2L
+    // merged across the two windows == the batch whole-corpus sketch,
+    // register-for-register — the emit-frames-merge-later contract
+    val merged = Sketches.hllMerge(
+      Seq(emitted.select($"lang", $"register", $"rho")))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketches.hllRegistersFrom(corpus)
+      .as[(String, Long, Int)].collect().toSet
+    merged shouldBe whole
   }
 }

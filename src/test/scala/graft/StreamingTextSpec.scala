@@ -224,6 +224,46 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
       ("fr", 5L, 1L, 2L))
   }
 
+  test("weightedSampleStream admits the batch sample under a REVERSED replay") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    // REVERSED doc_id order, split across two micro-batches: the A-ES keys
+    // are functions of the document, so arrival order must not matter —
+    // a strictly stronger contract than the cap/budget twins' ordered-only
+    // equivalence
+    val rows = docsDf.select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)].collect().sortBy(-_._1).toSeq
+    val (first, rest) = rows.splitAt(rows.length / 3)
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val df = StreamingText.weightedSampleStream(
+      input.toDF().toDF("ts", "doc_id", "lang", "n_chars"), "ts",
+      windowMs = 60000L, delayMs = 120000L, k = 20)
+    val q = df.writeStream.format("memory").queryName("ws_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-ws").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(first.map { case (id, l, c) => (ts(10), id, l, c) })
+      q.processAllAvailable()
+      input.addData(rest.map { case (id, l, c) => (ts(10), id, l, c) })
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), 0L, "en", 1L))) // advance watermark
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), 0L, "en", 1L))) // nudge a timeout batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ws_twin")
+      .filter($"window_start" === ts(10))
+      .select($"lang", $"doc_id", $"es_key", $"rk")
+      .orderBy("lang", "rk")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val batch = TextPipeline.weightedSampleFrom(docsDf)
+      .select($"lang", $"doc_id", $"es_key", $"rk")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    streamed shouldBe batch
+  }
+
   test("tokenBudgetStream admits the batch answer on a hash-ordered replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
