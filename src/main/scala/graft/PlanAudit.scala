@@ -37,7 +37,10 @@ object PlanAudit {
     // nprobe/over_fetch axis frames joined on range predicates
     "ann_recall_grid",
     // 1-row n_total/z normalizer broadcast (the langTemperature shape)
-    "temperature_sample")
+    "temperature_sample",
+    // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
+    // class): both sides are the checkpointed sketch's lang list
+    "kmv_intersect")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -216,7 +219,16 @@ object PlanAudit {
     "cms_freq" -> 4,
     // the (lang, shard) phase-1 window, the survivor-frame (#shards x k)
     // phase-2 window, the k-per-lang orderBy — the corpus shuffles once
-    "weighted_sample" -> 3)
+    "weighted_sample" -> 3,
+    // distinct-(lang,shard,h) agg, two bottom-k windows (shard then
+    // survivor frame), the #langs-row estimate agg, the exact
+    // calibration agg + its join/orderBy
+    "kmv_distinct" -> 6,
+    // everything corpus-sized lives behind the two checkpoint fences
+    // (sketch frame, distinct-token frame); the 15 exchanges move
+    // sketch-/pair-/vocab-sized rows (union-distinct, pair window,
+    // theta agg, common join, exact self-join, final joins/orderBy)
+    "kmv_intersect" -> 15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -148,6 +148,13 @@ object SparkEntry {
     "hll_union" -> ((s, d) => graft.operators.Sketches.hllUnion(s, d)),
     // count-min frequency sketch calibrated against the exact top-20
     "cms_freq" -> ((s, d) => graft.operators.Sketches.cmsFreq(s, d)),
+    // bottom-k (KMV/theta) distinct sketch; the uniform-sample-of-the-
+    // distinct-set property also buys pairwise intersections below
+    "kmv_distinct" -> ((s, d) => graft.operators.Sketches.kmvDistinct(s, d)),
+    // theta-sketch intersection between per-language token sets — the
+    // set operation HLL cannot express; exact calibration joined on
+    "kmv_intersect" -> ((s, d) =>
+      graft.operators.Sketches.kmvIntersectLangs(s, d)),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
     // proportional to n_chars without replacement, deterministic keys
@@ -274,6 +281,28 @@ est0 AS (SELECT lang, present, v_zero,
 est AS (SELECT lang, present,
   CASE WHEN est_raw <= 640.0 AND v_zero > 0 THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
   FROM est0)"""
+
+  /** u in [0,1) from a hex column's first 13 nibbles — 52 bits, exact in
+    * a double; the 13-term expansion of Sketches.u13's `conv`.
+    */
+  private def u13Sql(h: String): String = {
+    val terms = (1 to 13).map { i =>
+      val mult = math.pow(16, 13 - i).toLong
+      s"(strpos('0123456789abcdef', $h[$i:$i]) - 1) * $mult"
+    }.mkString("\n   + ")
+    s"(CAST($terms AS DOUBLE) / 4503599627370496.0)"
+  }
+
+  /** Per-language bottom-k (KMV) sketch of distinct token md5s, shared by
+    * `kmv_distinct` and `kmv_intersect` — mirrors Sketches.kmvSketchFrom:
+    * distinct (lang, h), ascending-hash rank, keep rk <= 64.
+    */
+  private val kmvSketchCtes =
+    """tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+tt AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+t AS (SELECT DISTINCT lang, md5(token) AS h FROM tt),
+kr AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM t),
+sk AS (SELECT lang, h, rk FROM kr WHERE rk <= 64)"""
 
   private val hyperplanePairCtes =
     """hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
@@ -1363,6 +1392,58 @@ est AS (SELECT token, exact_count, min(cnt) AS cms_est
 SELECT token, exact_count, CAST(cms_est AS BIGINT) AS cms_est,
   CAST(cms_est - exact_count AS BIGINT) AS overcount
 FROM est ORDER BY token""",
+    // bottom-k replayed rank-for-rank: distinct md5s per language,
+    // ascending order, est = (k-1)/u_k with u_k exact from 13 nibbles;
+    // under k distinct values the sketch is the set and est is exact
+    "kmv_distinct" ->
+      s"""WITH $kmvSketchCtes,
+per AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+  max(CASE WHEN rk = 64 THEN ${u13Sql("h")} END) AS u_k
+  FROM sk GROUP BY lang),
+ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+  FROM tt GROUP BY lang),
+est AS (SELECT lang, k_used,
+  CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE) ELSE 63.0 / u_k END AS est
+  FROM per)
+SELECT est.lang, k_used, round(est, 4) AS kmv_distinct, exact_distinct,
+  round(abs(est - CAST(exact_distinct AS DOUBLE))
+    / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+FROM est JOIN ex ON est.lang = ex.lang
+ORDER BY est.lang""",
+    // theta intersection replayed pair-for-pair: theta = u of the union
+    // sketch's k-th smallest hash (1.0 when the union is under k),
+    // common = hashes in both sketches below theta, est = common/theta
+    "kmv_intersect" ->
+      s"""WITH $kmvSketchCtes,
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (SELECT x.lang AS lang_a, y.lang AS lang_b
+  FROM langs x JOIN langs y ON x.lang < y.lang),
+un AS (SELECT DISTINCT lang_a, lang_b, h FROM (
+  SELECT p.lang_a, p.lang_b, s.h FROM pairs p JOIN sk s ON s.lang = p.lang_a
+  UNION ALL
+  SELECT p.lang_a, p.lang_b, s.h FROM pairs p JOIN sk s ON s.lang = p.lang_b) z),
+ur AS (SELECT lang_a, lang_b, h,
+  row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rk FROM un),
+th AS (SELECT lang_a, lang_b,
+  coalesce(max(CASE WHEN rk = 64 THEN ${u13Sql("h")} END), 1.0) AS theta
+  FROM ur GROUP BY lang_a, lang_b),
+cm AS (SELECT a.lang AS lang_a, b.lang AS lang_b, ${u13Sql("a.h")} AS u
+  FROM sk a JOIN sk b ON a.h = b.h AND a.lang < b.lang),
+nc AS (SELECT cm.lang_a, cm.lang_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cm JOIN th ON cm.lang_a = th.lang_a AND cm.lang_b = th.lang_b
+  WHERE cm.u < th.theta GROUP BY cm.lang_a, cm.lang_b),
+est AS (SELECT th.lang_a, th.lang_b,
+  round(CAST(coalesce(n_common, 0) AS DOUBLE) / theta, 4) AS kmv_intersect
+  FROM th LEFT JOIN nc ON th.lang_a = nc.lang_a AND th.lang_b = nc.lang_b),
+dt AS (SELECT DISTINCT lang, token FROM tt),
+ex AS (SELECT x.lang AS lang_a, y.lang AS lang_b,
+  CAST(count(*) AS BIGINT) AS exact_intersect
+  FROM dt x JOIN dt y ON x.token = y.token AND x.lang < y.lang
+  GROUP BY x.lang, y.lang)
+SELECT est.lang_a, est.lang_b, kmv_intersect,
+  coalesce(exact_intersect, 0) AS exact_intersect
+FROM est LEFT JOIN ex ON est.lang_a = ex.lang_a AND est.lang_b = ex.lang_b
+ORDER BY est.lang_a, est.lang_b""",
     "boilerplate_ngrams" ->
       s"""WITH
 $shingleSetCtes,

@@ -212,6 +212,14 @@ object Sketches {
     pmod(conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 3),
       16, 10).cast("long"), lit(CmsWidth.toLong))
 
+  /** The d (row, cell) coordinates of a token as an explodable array —
+    * shared by the batch sketch, its probe side, and the streaming twin
+    * so all three address the identical counters.
+    */
+  private[graft] def cmsCellArray: Column =
+    array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row"), cmsCol(i).as("cell"))): _*)
+
   /** Count-min sketch over corpus tokens, reported through its
     * calibration query: estimate the d x w sketch, then compare the CMS
     * estimate against the exact count for the corpus's top-`topN` tokens
@@ -226,22 +234,30 @@ object Sketches {
   def cmsFreq(spark: SparkSession, sfDir: String, topN: Int = 20): DataFrame =
     cmsFreqFrom(docs(spark, sfDir), topN)
 
+  /** The d x w counter frame (row, cell, cnt) for a corpus — the batch
+    * CMS artifact; the streaming twin's per-window frames sum cell-wise
+    * to exactly this (spec-pinned).
+    */
+  private[graft] def cmsSketchCellsFrom(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(explode(cmsCellArray).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy("row", "cell")
+      .agg(count(lit(1)).as("cnt"))
+
   def cmsFreqFrom(corpus: DataFrame, topN: Int = 20): DataFrame = {
     val tok = corpus
       .select(explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-    val cells = tok.select(explode(array((0 until CmsDepth).map(i =>
-      struct(lit(i).as("row"), cmsCol(i).as("cell"))): _*)).as("rc"))
-      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
-    val sketch = cells.groupBy("row", "cell")
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = cmsSketchCellsFrom(corpus)
     val top = tok.groupBy("token")
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("token"))
       .limit(topN)
     val probes = top.select(col("token"), col("exact_count"),
-      explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsCol(i).as("cell"))): _*)).as("rc"))
+      explode(cmsCellArray).as("rc"))
       .select(col("token"), col("exact_count"),
         col("rc.row").as("row"), col("rc.cell").as("cell"))
     sketch.join(broadcast(probes), Seq("row", "cell"))
@@ -251,5 +267,160 @@ object Sketches {
         col("cms_est").cast("long").as("cms_est"),
         (col("cms_est") - col("exact_count")).cast("long").as("overcount"))
       .orderBy("token")
+  }
+
+  // ----------------------------------------------------- KMV / theta --
+
+  /** k for the k-minimum-values sketch: sigma ~ 1/sqrt(k-2) ~ 11%. */
+  private[graft] val KmvK = 64
+  /** 2^52 — 13 hex chars of md5 as a dyadic rational, exact in a
+    * double (the same exact-nibbles discipline as weighted_sample's u).
+    */
+  private val U52 = 4503599627370496.0
+
+  /** u in [0,1): the hash's first 52 bits as an exact double. */
+  private def u13(h: Column): Column =
+    conv(substring(h, 1, 13), 16, 10).cast("double") / lit(U52)
+
+  /** The per-language KMV (k-minimum-values / bottom-k theta) sketch:
+    * the k smallest DISTINCT md5 values of the language's tokens
+    * (Bar-Yossef et al., RANDOM'02; the bottom-k theta sketch of
+    * Dasgupta et al.). Where HLL only estimates |A| (and unions), a
+    * bottom-k sketch is a uniform sample of the distinct set, so it
+    * additionally answers INTERSECTION / Jaccard between sketches —
+    * [[kmvIntersectLangs]] — which HLL cannot express without
+    * inclusion-exclusion blow-up.
+    *
+    * Scale shape: distinct-by-hash first collapses duplicates with a
+    * map-side combine keyed (lang, shard, h) where shard = the hash's
+    * first byte — so a token's duplicates all land in one shard and the
+    * per-(lang, shard) bottom-k window never sees a language's whole
+    * distinct set in one task (two-level bottom-k, the weighted_sample
+    * machinery with ASCENDING hash order). Survivors: ≤ 256 x k rows
+    * per language, thousands of times smaller than the token stream.
+    */
+  private[graft] def kmvSketchFrom(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = langTokens(corpus)
+      .select(col("lang"), md5(col("token")).as("h"))
+      .withColumn("shard", conv(substring(col("h"), 1, 2), 16, 10)
+        .cast("int"))
+    // distinct (lang, h) via groupBy — duplicates collapse map-side;
+    // same-h rows share a shard by construction, so shard-local ranks
+    // are global ranks after the second level
+    val dist = hashed.groupBy("lang", "shard", "h").agg(count(lit(1)))
+      .select("lang", "shard", "h")
+    val w1 = Window.partitionBy("lang", "shard").orderBy(col("h").asc)
+    val survivors = dist.withColumn("srk", row_number().over(w1))
+      .filter(col("srk") <= KmvK)
+    val w2 = Window.partitionBy("lang").orderBy(col("h").asc)
+    survivors.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= KmvK)
+      .select(col("lang"), col("h"), col("rk"))
+  }
+
+  /** Per-language KMV distinct estimate with exact calibration columns:
+    * est = (k-1)/u_k where u_k is the k-th smallest hash as a dyadic
+    * rational; when the language has fewer than k distinct tokens the
+    * sketch IS the distinct set and the estimate is exact.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    kmvDistinctFrom(docs(spark, sfDir))
+
+  def kmvDistinctFrom(corpus: DataFrame): DataFrame = {
+    val sk = kmvSketchFrom(corpus)
+    val per = sk.groupBy("lang").agg(
+      count(lit(1)).as("k_used"),
+      max(when(col("rk") === KmvK, u13(col("h")))).as("u_k"))
+    val exact = langTokens(corpus).groupBy("lang")
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    per.join(exact, Seq("lang"))
+      .select(col("lang"), col("k_used").cast("long").as("k_used"),
+        round(when(col("k_used") < KmvK, col("k_used").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / col("u_k")), 4)
+          .as("kmv_distinct"),
+        col("exact_distinct"),
+        round(abs(when(col("k_used") < KmvK, col("k_used").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) / col("u_k"))
+          - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 4).as("rel_err"))
+      .orderBy("lang")
+  }
+
+  /** Pairwise intersection estimates between per-language token sets,
+    * from the bottom-k sketches alone (the theta-sketch intersection):
+    * for the pair (a, b), theta = u of the k-th smallest hash of the
+    * MERGED sketch (the union's bottom-k — below-theta hashes are a
+    * uniform sample of the union), and
+    * `est = |S_a ∩ S_b ∩ {h < theta}| / theta`. Exact intersection
+    * joined on for calibration. The pair frame is sketch-sized
+    * (#langs x k rows self-joined); only the exact calibration touches
+    * the corpus, and it is a keyed equi-join on h.
+    */
+  def kmvIntersectLangs(spark: SparkSession, sfDir: String): DataFrame =
+    kmvIntersectLangsFrom(docs(spark, sfDir))
+
+  def kmvIntersectLangsFrom(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Fence strategy (the connectedComponents discipline): the sketch is
+    // referenced six times below (langs, two union fan-outs, both sides
+    // of the common self-join) and the distinct token frame twice —
+    // without a fence Catalyst re-plans the whole tokenize+window subtree
+    // per reference. The sketch is <= #langs x k rows, the token frame
+    // vocabulary-sized; reliable checkpoint when a dir is set, local
+    // otherwise.
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sk = fence(kmvSketchFrom(corpus).select("lang", "h"))
+    // the pair axis: #langs x #langs (< relation) — the ann_recall_grid
+    // class of tiny-frame BNLJ (the only non-equi join here; everything
+    // hash- or token-sized below is keyed)
+    val langs = sk.select("lang").distinct()
+    val pairs = langs.as("x").join(langs.as("y"),
+        col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+    // union bottom-k per pair: each sketch row fans out to the pairs its
+    // language participates in, through two broadcast EQUI-joins;
+    // distinct, rank ascending; theta = u of rank k (1.0 when the union
+    // is smaller than k — the sample is then the whole union)
+    val unioned = broadcast(pairs)
+      .join(sk.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+      .select("lang_a", "lang_b", "h")
+      .union(broadcast(pairs)
+        .join(sk.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+        .select("lang_a", "lang_b", "h"))
+      .distinct()
+    val wu = Window.partitionBy("lang_a", "lang_b").orderBy(col("h").asc)
+    val theta = unioned.withColumn("rk", row_number().over(wu))
+      .groupBy("lang_a", "lang_b")
+      .agg(coalesce(max(when(col("rk") === KmvK, u13(col("h")))),
+        lit(1.0)).as("theta"))
+    // hashes in BOTH sketches: keyed self-equi-join on h
+    val common = sk.as("a").join(sk.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        u13(col("a.h")).as("u"))
+    val est = theta.join(
+        common.join(theta, Seq("lang_a", "lang_b"))
+          .filter(col("u") < col("theta"))
+          .groupBy("lang_a", "lang_b")
+          .agg(count(lit(1)).as("n_common")),
+        Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double")
+          / col("theta"), 4).as("kmv_intersect"))
+    // exact |A ∩ B| for calibration: distinct (lang, token) equi-joined
+    // on token — keyed, no pairwise blowup
+    val dt = fence(langTokens(corpus).select("lang", "token").distinct())
+    val exact = dt.as("x").join(dt.as("y"),
+        col("x.token") === col("y.token") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    est.join(exact, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"), col("kmv_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy("lang_a", "lang_b")
   }
 }

@@ -39,4 +39,26 @@ object StreamingSketches {
       .select(col("window.start").as("window_start"),
         col("lang"), col("register"), col("rho"))
   }
+
+  /** Streaming count-min: per-window (row, cell) counter frames over the
+    * SAME d x w coordinates as the batch sketch (`Sketches.cmsCellArray`),
+    * so a reader sums any set of emitted windows cell-wise to get the
+    * sketch over exactly that span — CMS merges by ADDITION where HLL
+    * merges by max, and both twins emit frames rather than estimates for
+    * the same merge-later reason. State per in-flight window: d x w
+    * counters, constant whatever the arrival rate.
+    */
+  def cmsCellStream(docs: DataFrame, eventTimeCol: String,
+      windowLen: String = "1 minute", delay: String = "10 minutes")
+      : DataFrame =
+    docs.withWatermark(eventTimeCol, delay)
+      .select(col(eventTimeCol),
+        explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col(eventTimeCol), explode(Sketches.cmsCellArray).as("rc"))
+      .groupBy(window(col(eventTimeCol), windowLen),
+        col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row"), col("cell"), col("cnt"))
 }

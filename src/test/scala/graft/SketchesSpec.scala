@@ -149,4 +149,126 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .as[(String, Long, Int)].collect().toSet
     merged shouldBe whole
   }
+
+  // plain-Scala md5 hex — the independent recompute the KMV specs pin
+  // the distributed sketch against
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def u13(h: String): Double =
+    java.lang.Long.parseLong(h.take(13), 16).toDouble / 4503599627370496.0
+
+  // synthetic two-language corpus: aa has 300 distinct tokens t000..t299,
+  // bb has t150..t449 — 150 shared, both vocabularies over k=64 so the
+  // estimator path (not the exact small-set path) is what's exercised
+  private def synthCorpus() = {
+    def doc(id: Long, lang: String, lo: Int, hi: Int) =
+      (id, lang, (lo until hi).map(i => f"t$i%03d").mkString(" "))
+    Seq(doc(1, "aa", 0, 150), doc(2, "aa", 150, 300),
+      doc(3, "bb", 150, 300), doc(4, "bb", 300, 450))
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("KMV sketch is exactly the k smallest distinct hashes, duplication-invariant") {
+    val corpus = synthCorpus()
+    val sk = Sketches.kmvSketchFrom(corpus)
+      .as[(String, String, Int)].collect().toSeq
+    val expected = (for {
+      (lang, lo) <- Seq("aa" -> 0, "bb" -> 150)
+      (h, i) <- (lo until lo + 300).map(i => md5Hex(f"t$i%03d"))
+        .distinct.sorted.take(Sketches.KmvK).zipWithIndex
+    } yield (lang, h, i + 1)).toSet
+    sk.toSet shouldBe expected
+    // a distinct-set sketch: duplicating every document changes nothing
+    val doubled = Sketches.kmvSketchFrom(
+      corpus.unionByName(corpus.withColumn("doc_id", $"doc_id" + 100L)))
+      .as[(String, String, Int)].collect().toSeq
+    doubled.toSet shouldBe expected
+  }
+
+  test("KMV estimate replays (k-1)/u_k exactly; exact path under k distinct") {
+    val out = Sketches.kmvDistinctFrom(synthCorpus())
+      .as[(String, Long, Double, Long, Double)].collect().toSeq
+    out.map(_._1) shouldBe Seq("aa", "bb")
+    out.foreach { case (lang, kUsed, est, exact, relErr) =>
+      withClue(s"$lang: ") {
+        kUsed shouldBe Sketches.KmvK.toLong
+        exact shouldBe 300L
+        val lo = if (lang == "aa") 0 else 150
+        val uk = u13((lo until lo + 300).map(i => md5Hex(f"t$i%03d"))
+          .distinct.sorted.apply(Sketches.KmvK - 1))
+        est shouldBe BigDecimal((Sketches.KmvK - 1).toDouble / uk)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // sigma ~ 1/sqrt(k-2) ~ 13%; 4 sigma is the sanity fence
+        relErr should be <= 0.52
+      }
+    }
+    // languages with fewer than k distinct tokens: the sketch is the set,
+    // the estimate exact (the real sf0.001 corpus is entirely this case)
+    Sketches.kmvDistinctFrom(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .as[(String, Long, Double, Long, Double)].collect().foreach {
+        case (lang, kUsed, est, exact, relErr) => withClue(s"$lang: ") {
+          kUsed shouldBe exact
+          est shouldBe exact.toDouble
+          relErr shouldBe 0.0
+        }
+      }
+  }
+
+  test("theta intersection replays the naive recompute; exact calibration is the true overlap") {
+    val out = Sketches.kmvIntersectLangsFrom(synthCorpus())
+      .as[(String, String, Double, Long)].collect().toSeq
+    out.map(r => (r._1, r._2)) shouldBe Seq(("aa", "bb"))
+    val (_, _, est, exact) = out.head
+    exact shouldBe 150L // t150..t299 shared
+    // independent recompute: bottom-k per lang, union's k-th smallest as
+    // theta, common-below-theta / theta — the distributed query must
+    // reproduce this number to the rounded digit
+    val ha = (0 until 300).map(i => md5Hex(f"t$i%03d")).distinct
+      .sorted.take(Sketches.KmvK)
+    val hb = (150 until 450).map(i => md5Hex(f"t$i%03d")).distinct
+      .sorted.take(Sketches.KmvK)
+    val union = (ha ++ hb).distinct.sorted
+    val theta = if (union.size < Sketches.KmvK) 1.0
+      else u13(union(Sketches.KmvK - 1))
+    val common = ha.toSet.intersect(hb.toSet).count(h => u13(h) < theta)
+    est shouldBe BigDecimal(common.toDouble / theta)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("cmsCellStream emits per-window frames whose cell-wise sum is the batch sketch") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(40).select($"doc_id", $"lang", $"text")
+    val rows = corpus.as[(Long, String, String)].collect().toSeq
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingSketches.cmsCellStream(
+        input.toDF().toDF("ts", "lang", "text"), "ts")
+      .writeStream.format("memory").queryName("cms_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-cms").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, lang, text) =>
+        (ts(if (id % 2 == 0) 10 else 11), lang, text) })
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), "en", "flush")))
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), "en", "nudge")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("cms_twin").filter($"window_start" < ts(20))
+    emitted.select(countDistinct($"window_start")).as[Long].head() shouldBe 2L
+    // CMS merges by ADDITION: summing the two windows' frames cell-wise
+    // gives the batch sketch of the same corpus
+    val summed = emitted.groupBy("row", "cell")
+      .agg(sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.cmsSketchCellsFrom(corpus)
+      .as[(Int, Long, Long)].collect().toSet
+    summed shouldBe batch
+  }
 }
