@@ -228,7 +228,15 @@ object PlanAudit {
     // (sketch frame, distinct-token frame); the 15 exchanges move
     // sketch-/pair-/vocab-sized rows (union-distinct, pair window,
     // theta agg, common join, exact self-join, final joins/orderBy)
-    "kmv_intersect" -> 15)
+    "kmv_intersect" -> 15,
+    // shingle-hash agg + occurrence join + doc-keyed island window/agg
+    // + orderBy; text re-scans are bounded (2 resp. 4 pruned scans —
+    // scan-twice beats shuffle-twice), every join keyed
+    "dup_spans" -> 3,
+    "substring_dedup" -> 4,
+    // train-distinct agg + semi-join + per-doc hit agg + totals join +
+    // orderBy; two pruned text scans
+    "overlap_report" -> 5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -155,6 +155,15 @@ object SparkEntry {
     // set operation HLL cannot express; exact calibration joined on
     "kmv_intersect" -> ((s, d) =>
       graft.operators.Sketches.kmvIntersectLangs(s, d)),
+    // cross-document exact substring dedup (Lee et al. ACL'22): maximal
+    // duplicated token spans, and the span-removed corpus digest-proven
+    "dup_spans" -> ((s, d) => graft.operators.SubstringDedup.dupSpans(s, d)),
+    "substring_dedup" -> ((s, d) =>
+      graft.operators.SubstringDedup.substringDedup(s, d)),
+    // quantitative train->eval contamination: per eval doc, the fraction
+    // of its 8-gram shingles present anywhere in the train split
+    "overlap_report" -> ((s, d) =>
+      graft.operators.SubstringDedup.overlapReport(s, d)),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
     // proportional to n_chars without replacement, deterministic keys
@@ -292,6 +301,28 @@ est AS (SELECT lang, present,
     }.mkString("\n   + ")
     s"(CAST($terms AS DOUBLE) / 4503599627370496.0)"
   }
+
+  /** Cross-document duplicated-span detection, shared by `dup_spans`
+    * (which emits the merged spans) and `substring_dedup` (which removes
+    * them) — mirrors SubstringDedup.spansFrom: length-8 shingles keyed by
+    * md5 of space-joined tokens, cross-doc test min(doc_id)<>max(doc_id),
+    * gaps-and-islands merge with break at gap > 8.
+    */
+  private val dupSpanCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+  md5(array_to_string(toks[i + 1:i + 8], ' ')) AS h
+  FROM t, unnest(range(len(toks) - 8 + 1)) AS u(i) WHERE len(toks) >= 8),
+d AS (SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+ds AS (SELECT doc_id, start FROM sh JOIN d USING (h)),
+lg AS (SELECT doc_id, start,
+  lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev FROM ds),
+isl AS (SELECT doc_id, start,
+  sum(CASE WHEN prev IS NULL OR start - prev > 8 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+  FROM lg),
+sp AS (SELECT doc_id, min(start) AS span_start, max(start) + 8 AS span_end
+  FROM isl GROUP BY doc_id, island)"""
 
   /** Per-language bottom-k (KMV) sketch of distinct token md5s, shared by
     * `kmv_distinct` and `kmv_intersect` — mirrors Sketches.kmvSketchFrom:
@@ -1444,6 +1475,50 @@ SELECT est.lang_a, est.lang_b, kmv_intersect,
   coalesce(exact_intersect, 0) AS exact_intersect
 FROM est LEFT JOIN ex ON est.lang_a = ex.lang_a AND est.lang_b = ex.lang_b
 ORDER BY est.lang_a, est.lang_b""",
+    // duplicated spans replayed island-for-island: identical shingle
+    // hashes, starts, and lag-based merge on both engines
+    "dup_spans" ->
+      s"""WITH $dupSpanCtes
+SELECT doc_id, span_start, span_end, span_end - span_start AS span_len
+FROM sp ORDER BY doc_id, span_start""",
+    // per-eval-doc shingle hit-rate against the distinct train-side
+    // hash set — replayed hash-for-hash
+    "overlap_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+  md5(array_to_string(toks[i + 1:i + 8], ' ')) AS h
+  FROM t, unnest(range(len(toks) - 8 + 1)) AS u(i) WHERE len(toks) >= 8),
+tr AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM sh
+  WHERE doc_id % 2 = 1 AND h IN (SELECT h FROM tr) GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(toks) - 7 AS BIGINT) AS n_grams FROM t
+  WHERE doc_id % 2 = 1 AND len(toks) >= 8)
+SELECT tot.doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams, 4) AS overlap_frac,
+  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams >= 0.2 AS contaminated
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+ORDER BY tot.doc_id""",
+    // the span-removed corpus, digest-proven: kept tokens in position
+    // order hashed with md5 — byte-equality of cleaned content without
+    // shipping text
+    "substring_dedup" ->
+      s"""WITH $dupSpanCtes,
+cov AS (SELECT doc_id, CAST(p AS BIGINT) AS pos
+  FROM sp, unnest(range(span_start, span_end)) AS v(p)),
+px AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS token
+  FROM t, unnest(range(len(toks))) AS u2(i)),
+kept AS (SELECT px.doc_id, px.pos, px.token FROM px
+  LEFT JOIN cov ON px.doc_id = cov.doc_id AND px.pos = cov.pos
+  WHERE cov.pos IS NULL),
+ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+  md5(string_agg(token, ' ' ORDER BY pos)) AS kept_digest
+  FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+SELECT nt.doc_id, n_tokens, coalesce(n_kept, 0) AS n_kept,
+  round(CAST(n_tokens - coalesce(n_kept, 0) AS DOUBLE) / n_tokens, 4) AS dup_frac,
+  coalesce(kept_digest, md5('')) AS kept_digest
+FROM nt LEFT JOIN ka ON nt.doc_id = ka.doc_id
+ORDER BY nt.doc_id""",
     "boilerplate_ngrams" ->
       s"""WITH
 $shingleSetCtes,
