@@ -236,7 +236,14 @@ object PlanAudit {
     "substring_dedup" -> 4,
     // train-distinct agg + semi-join + per-doc hit agg + totals join +
     // orderBy; two pruned text scans
-    "overlap_report" -> 5)
+    "overlap_report" -> 5,
+    // post-fence: the corpus never re-plans (ONE text scan behind the
+    // manifest checkpoint, dedup/cap outputs fenced too); the exchanges
+    // move doc-/shard-table-sized rows through the budget machinery, the
+    // stage join, and the orderBy
+    "curation_program" -> 6,
+    // + the five fenced-frame aggs and the 5-row union/orderBy
+    "curation_funnel" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -164,6 +164,13 @@ object SparkEntry {
     // of its 8-gram shingles present anywhere in the train split
     "overlap_report" -> ((s, d) =>
       graft.operators.SubstringDedup.overlapReport(s, d)),
+    // the composed batch curation program: gate -> dedup -> cap ->
+    // budget -> split in one chained plan (the trainingIngestStream twin)
+    "curation_program" -> ((s, d) =>
+      graft.operators.CurationProgram.curationProgram(s, d)),
+    // its per-stage funnel report (docs/tokens surviving each stage)
+    "curation_funnel" -> ((s, d) =>
+      graft.operators.CurationProgram.curationFunnel(s, d)),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
     // proportional to n_chars without replacement, deterministic keys
@@ -323,6 +330,31 @@ isl AS (SELECT doc_id, start,
   FROM lg),
 sp AS (SELECT doc_id, min(start) AS span_start, max(start) + 8 AS span_end
   FROM isl GROUP BY doc_id, island)"""
+
+  /** The batch curation chain replayed stage-for-stage, shared by
+    * `curation_program` and `curation_funnel` — mirrors
+    * CurationProgram.run: rounded-quality gate at 0.5, min-doc_id exact
+    * dedup, first-30-per-source cap in doc_id order, 2000-token
+    * per-language budget in (skey, doc_id) order.
+    */
+  private val curationCtes =
+    """b AS (SELECT doc_id, source, lang, string_split(text, ' ') AS toks,
+  md5(lower(trim(text))) AS text_hash FROM documents),
+q AS (SELECT doc_id, source, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+    + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+    + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3, 4) AS quality,
+  text_hash FROM b),
+g AS (SELECT * FROM q WHERE quality >= 0.5),
+dw AS (SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS hash_winner FROM g),
+d AS (SELECT doc_id, source, lang, n_tokens, quality FROM dw WHERE doc_id = hash_winner),
+cw AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cap_rk FROM d),
+c AS (SELECT * FROM cw WHERE cap_rk <= 30),
+sk AS (SELECT *, md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM c),
+bw AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
+    ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM sk),
+f AS (SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset
+  FROM bw WHERE start_offset < 2000)"""
 
   /** Per-language bottom-k (KMV) sketch of distinct token md5s, shared by
     * `kmv_distinct` and `kmv_intersect` — mirrors Sketches.kmvSketchFrom:
@@ -1481,6 +1513,30 @@ ORDER BY est.lang_a, est.lang_b""",
       s"""WITH $dupSpanCtes
 SELECT doc_id, span_start, span_end, span_end - span_start AS span_len
 FROM sp ORDER BY doc_id, span_start""",
+    // the whole curation chain replayed stage-for-stage, split buckets
+    // from the split_train nibble arithmetic
+    "curation_program" ->
+      s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    "curation_funnel" ->
+      s"""WITH $curationCtes
+SELECT 1 AS stage_no, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM q
+UNION ALL SELECT 2, 'gated', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM g
+UNION ALL SELECT 3, 'deduped', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM d
+UNION ALL SELECT 4, 'capped', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM c
+UNION ALL SELECT 5, 'budgeted', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM f
+ORDER BY stage_no""",
     // per-eval-doc shingle hit-rate against the distinct train-side
     // hash set — replayed hash-for-hash
     "overlap_report" ->

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** The composed BATCH curation program — the engine's operators chained
+  * into the end-to-end shape a training-data pipeline actually runs:
+  *
+  *   quality gate → exact dedup → per-source cap → per-language token
+  *   budget → train/val/test split
+  *
+  * This is the batch twin of the composed streaming ingest
+  * ([[graft.streaming.StreamingText.trainingIngestStream]]): identical
+  * stage rules (the gate's rounded quality bar, dedupExact's min-doc_id
+  * winner, domainCap's doc_id admission order, the token budget's seeded
+  * skey order, splitTrain's content-hash buckets), so a one-batch ordered
+  * replay of the stream equals this program row-for-row
+  * (ComposedIngestSpec), and the DuckDB oracle replays the whole chain.
+  *
+  * Scale shape: ONE text scan computes everything text-derived (token
+  * count, quality, content digest) into a doc-sized manifest frame that
+  * is then CHECKPOINTED — the production materialization point (you
+  * persist the gate's output manifest anyway); dedup and cap outputs are
+  * fenced too — every stage and re-reference (the funnel counts twice
+  * over) reads a doc-sized, text-free checkpoint, not the corpus. Dedup
+  * is a keyed digest-join; cap and budget are the shard-pruned two-level
+  * machinery ([[TextPipeline.domainCapFrom]],
+  * [[TextPipeline.tokenBudgetCore]]) — no stage funnels a key's whole
+  * corpus through one task.
+  */
+object CurationProgram {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  /** The per-stage frames, shared by the manifest and the funnel.
+    * `base` is post-fence: doc-sized, text-free.
+    */
+  private case class Stages(base: DataFrame, gated: DataFrame,
+      deduped: DataFrame, capped: DataFrame, budgeted: DataFrame)
+
+  private def run(corpus: DataFrame, minQuality: Double, k: Int,
+      budget: Long): Stages = {
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // the ONE text scan: token count, quality, digest — then text drops
+    val base = fence(corpus.select(
+      col("doc_id"), col("source"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      round(TextPipeline.qualityCol, 4).as("quality"),
+      md5(lower(trim(col("text")))).as("text_hash")))
+    val gated = base.filter(col("quality") >= minQuality)
+    // exact dedup among survivors: min doc_id per digest, keyed join
+    val winners = gated.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = fence(gated.join(winners, Seq("doc_id")))
+    val capped = fence(TextPipeline.domainCapFrom(
+        deduped.select(col("doc_id"), col("source")), k)
+      .select(col("doc_id"), col("rk").as("cap_rk"))
+      .join(deduped, Seq("doc_id")))
+    val budgeted = TextPipeline.tokenBudgetCore(
+        capped.select(col("doc_id"), col("lang"), col("n_tokens")), budget)
+      .select(col("doc_id"), col("start_offset"))
+      .join(capped, Seq("doc_id"))
+    Stages(base, gated, deduped, capped, budgeted)
+  }
+
+  /** The admitted-documents manifest: every surviving doc with its stage
+    * coordinates (quality, cap rank, budget offset, split assignment).
+    */
+  def curationProgram(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, k: Int = 30, budget: Long = 2000)
+      : DataFrame =
+    curationProgramFrom(docs(spark, sfDir), minQuality, k, budget)
+
+  def curationProgramFrom(corpus: DataFrame, minQuality: Double = 0.5,
+      k: Int = 30, budget: Long = 2000): DataFrame = {
+    val st = run(corpus, minQuality, k, budget)
+    val bucket = TextPipeline.hashBucket("split:")
+    st.budgeted
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality"), col("cap_rk"), col("start_offset"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** The funnel report — per-stage survivor counts and token volumes,
+    * the observability row a curation run logs: (stage_no, stage,
+    * n_docs, n_tokens). Each count reads a fenced or stage-output frame,
+    * never the corpus.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, k: Int = 30, budget: Long = 2000)
+      : DataFrame =
+    curationFunnelFrom(docs(spark, sfDir), minQuality, k, budget)
+
+  def curationFunnelFrom(corpus: DataFrame, minQuality: Double = 0.5,
+      k: Int = 30, budget: Long = 2000): DataFrame = {
+    val st = run(corpus, minQuality, k, budget)
+    def stage(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(1, "ingest", st.base)
+      .unionByName(stage(2, "gated", st.gated))
+      .unionByName(stage(3, "deduped", st.deduped))
+      .unionByName(stage(4, "capped", st.capped))
+      .unionByName(stage(5, "budgeted", st.budgeted))
+      .orderBy("stage_no")
+  }
+}

@@ -64,28 +64,17 @@ class ComposedIngestSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .as[(String, String, Long, Long, Long, Long, Long, String)]
       .collect().toSeq.sorted
 
-    // the batch chain, from the real batch operators: the gate is the
-    // stream gate's own (stateless) projection applied in batch mode;
-    // dedup is a no-op on the dup-free snapshot (asserted); then
-    // domainCapFrom -> tokenBudgetCore -> the split projection
+    // the batch chain IS a first-class operator
+    // (CurationProgram.curationProgramFrom — gate -> exact dedup -> cap
+    // -> budget -> split); on the dup-free snapshot (asserted) its dedup
+    // stage is a pass-through, so stream and program must agree
+    // row-for-row
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     corpus.groupBy(md5(lower(trim($"text")))).count()
       .filter($"count" > 1).count() shouldBe 0L
-    val gated = StreamingText.qualityFilterStream(corpus)
-    val capped = TextPipeline.domainCapFrom(
-      gated.select($"doc_id", $"source"), k = CapK)
-    val counts = capped.select($"doc_id", $"rk".as("cap_rk"))
-      .join(corpus.select($"doc_id", $"lang", $"source",
-        org.apache.spark.sql.functions.size(graft.functions.TextFunctions.tokens($"text")).cast("long")
-          .as("n_tokens")), Seq("doc_id"))
-    val budgeted = TextPipeline.tokenBudgetCore(
-      counts.select($"doc_id", $"lang", $"n_tokens"), budget = Budget)
-    val batch = budgeted
-      .join(counts.select($"doc_id", $"source", $"cap_rk"), Seq("doc_id"))
-      .withColumn("bucket", TextPipeline.hashBucket("split:"))
-      .withColumn("split",
-        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
-          .otherwise("test"))
+    val batch = graft.operators.CurationProgram
+      .curationProgramFrom(corpus, minQuality = 0.5, k = CapK,
+        budget = Budget)
       .select($"lang", $"source", $"doc_id", $"n_tokens", $"cap_rk",
         $"start_offset", $"bucket", $"split")
       .as[(String, String, Long, Long, Long, Long, Long, String)]
