@@ -327,4 +327,82 @@ object PersistedIndex {
           coalesce(col("n_near"), lit(0L)) === 0).as("novel"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------- shingle overlap --
+
+  /** Build the train-side shingle index at `path` for incremental
+    * overlap/contamination checks ([[SubstringDedup.overlapReport]]'s
+    * daily shape): `hashes/` the DISTINCT 8-gram md5s (shingle-vocabulary
+    * sized, no text, no positions), `bloom/` a one-row bloom over them
+    * (the buildEvalBloom discipline — probe jobs prefilter against the
+    * broadcast bloom so non-matching shingles never shuffle).
+    */
+  def buildShingleIndex(spark: SparkSession, train: DataFrame, path: String,
+      len: Int = SubstringDedup.SpanLen,
+      expectedItems: Long = 1L << 20): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    SubstringDedup.shingleOccurrences(train, len)
+      .select("h").distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
+    rebuildShingleBloom(spark, path, expectedItems)
+  }
+
+  /** Append a delta's NEW shingle hashes (anti-joined against the stored
+    * set — an index-sized read, never a corpus re-scan) and refresh the
+    * bloom from the stored hashes alone.
+    */
+  def appendToShingleIndex(spark: SparkSession, delta: DataFrame,
+      path: String, len: Int = SubstringDedup.SpanLen,
+      expectedItems: Long = 1L << 20): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    SubstringDedup.shingleOccurrences(delta, len)
+      .select("h").distinct()
+      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
+    rebuildShingleBloom(spark, path, expectedItems)
+  }
+
+  private def rebuildShingleBloom(spark: SparkSession, path: String,
+      expectedItems: Long): Unit = {
+    spark.read.parquet(s"$path/hashes")
+      .createOrReplaceTempView("graft_shingle_bloom_build")
+    spark.sql(
+      s"""SELECT graft_bloom_agg(h, ${expectedItems}L) AS bloom
+FROM graft_shingle_bloom_build""")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+  }
+
+  /** Per-delta-document overlap against the INDEX — same output contract
+    * as [[SubstringDedup.overlapReport]] (n_grams, n_hit, overlap_frac,
+    * contaminated at 20%), but the train corpus is never re-read: the
+    * delta's shingles bloom-prefilter against the broadcast one-row
+    * filter (killing the shuffle for the novel majority), and the exact
+    * semi-join against `hashes/` removes bloom false positives.
+    */
+  def overlapDeltaAgainstIndex(spark: SparkSession, delta: DataFrame,
+      path: String, len: Int = SubstringDedup.SpanLen): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bloomBytes = spark.read.parquet(s"$path/bloom")
+      .head.getAs[Array[Byte]]("bloom")
+    val occ = SubstringDedup.shingleOccurrences(delta, len)
+    val hits = occ
+      .filter(call_function("graft_might_contain",
+        lit(bloomBytes), col("h")))
+      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val totals = delta
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= len)
+      .select(col("doc_id"),
+        (size(col("toks")) - (len - 1)).cast("long").as("n_grams"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_grams"), 4).as("overlap_frac"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_grams") >= 0.2).as("contaminated"))
+      .orderBy("doc_id")
+  }
 }

@@ -59,7 +59,8 @@ object SubstringDedup {
     * by content hash. Starts are 0-based BIGINTs (DuckDB `range`
     * parity).
     */
-  private def shingleOccurrences(corpus: DataFrame, len: Int): DataFrame =
+  private[operators] def shingleOccurrences(corpus: DataFrame, len: Int)
+      : DataFrame =
     corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= len)

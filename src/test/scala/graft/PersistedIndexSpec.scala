@@ -276,4 +276,66 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
       locations should include("digests")
     }
   }
+
+  test("shingle-index probe equals the in-query overlap report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // the in-query operator's split convention: train = even doc_id
+    PersistedIndex.buildShingleIndex(spark,
+      corpus.filter($"doc_id" % 2 === 0), dir)
+    val probed = PersistedIndex.overlapDeltaAgainstIndex(spark,
+        corpus.filter($"doc_id" % 2 === 1), dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val inQuery = graft.operators.SubstringDedup.overlapReportFrom(
+        corpus, graft.operators.SubstringDedup.SpanLen)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    probed shouldBe inQuery
+    probed.exists(_._3 > 0) shouldBe true // hits exist — join exercised
+  }
+
+  test("appending a train delta to the shingle index makes it probe-visible; bloom refreshed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx2").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val train = corpus.filter($"doc_id" % 2 === 0)
+    PersistedIndex.buildShingleIndex(spark,
+      train.filter($"doc_id" % 4 === 0), dir)
+    PersistedIndex.appendToShingleIndex(spark,
+      train.filter($"doc_id" % 4 =!= 0), dir)
+    val appended = PersistedIndex.overlapDeltaAgainstIndex(spark,
+        corpus.filter($"doc_id" % 2 === 1), dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val full = java.nio.file.Files.createTempDirectory("graft-shidx3").toString
+    PersistedIndex.buildShingleIndex(spark, train, full)
+    val oneShot = PersistedIndex.overlapDeltaAgainstIndex(spark,
+        corpus.filter($"doc_id" % 2 === 1), full)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    appended shouldBe oneShot
+    // the appended hash set is deduplicated, not just concatenated
+    spark.read.parquet(s"$dir/hashes").count() shouldBe
+      spark.read.parquet(s"$full/hashes").count()
+  }
+
+  test("the shingle probe plan never scans train text — only the delta and the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shidx4").toString
+    val sep = java.nio.file.Files.createTempDirectory("graft-shidx4-src").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    corpus.filter($"doc_id" % 2 === 1).write.parquet(s"$sep/delta")
+    PersistedIndex.buildShingleIndex(spark,
+      corpus.filter($"doc_id" % 2 === 0), dir)
+    val plan = PersistedIndex.overlapDeltaAgainstIndex(spark,
+        spark.read.parquet(s"$sep/delta"), dir)
+      .queryExecution.explainString(FormattedMode)
+    val locations = plan.linesIterator.filter(_.contains("Location"))
+      .mkString("\n")
+    withClue(locations) {
+      locations should not include "documents.parquet"
+      locations should include("delta")
+      locations should include("hashes")
+    }
+    // the bloom prefilter sits in the plan (the shuffle-killing stage);
+    // the registered builder resolves to Spark's BloomFilterMightContain,
+    // which the formatted plan prints as might_contain(<literal bytes>)
+    plan should include("might_contain")
+  }
 }
