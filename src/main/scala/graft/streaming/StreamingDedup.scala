@@ -248,6 +248,46 @@ object StreamingDedup extends Logging {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Streaming n-gram overlap gate — the ingest twin of
+    * [[graft.operators.PersistedIndex.overlapDeltaAgainstIndex]], the
+    * [[decontaminateStream]] discipline applied to the shingle index: a
+    * document's length-`len` shingle hashes travel inside its own input
+    * row (with its total shingle count), prefilter against the embedded
+    * bloom LITERAL (novel shingles never shuffle), exact-verify via a
+    * stream-static join against `hashes/`, and the per-doc count
+    * finalizes in the arrival batch (Update mode, one group per
+    * OVERLAPPING doc). Emits (doc_id, n_grams, n_hit, overlap_frac,
+    * contaminated) for documents with >= 1 verified hit — a clean
+    * document emits nothing, exactly like the fingerprint gate; train
+    * text is never read on the ingest path.
+    */
+  def overlapGateStream(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, indexPath: String,
+      len: Int = graft.operators.SubstringDedup.SpanLen): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bloomBytes = spark.read.parquet(s"$indexPath/bloom")
+      .head.getAs[Array[Byte]]("bloom")
+    val hashes = spark.read.parquet(s"$indexPath/hashes")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val frac = col("n_hit").cast("double") / col("n_grams")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= len)
+      .select(col("doc_id"),
+        (size(col("toks")) - (len - 1)).cast("long").as("n_grams"),
+        explode(transform(
+          sequence(lit(0L), (size(col("toks")) - len).cast("long")),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(len))))))
+          .as("h"))
+      .filter(call_function("graft_might_contain", lit(bloomBytes), col("h")))
+      .join(hashes, Seq("h")) // stream-static exact verify (hashes distinct)
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(frac, 4).as("overlap_frac"),
+        (frac >= 0.2).as("contaminated"))
+  }
+
   private def markedOn(docs: DataFrame, eventTimeCol: String): Boolean =
     docs.queryExecution.logical.exists {
       case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>

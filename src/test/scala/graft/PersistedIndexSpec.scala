@@ -338,4 +338,36 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // which the formatted plan prints as might_contain(<literal bytes>)
     plan should include("might_contain")
   }
+
+  test("streaming overlap gate emits exactly the batch probe's overlapping docs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sovl").toString
+    PersistedIndex.buildShingleIndex(spark,
+      corpus.filter($"doc_id" % 2 === 0), dir)
+    // batch expectation: the persisted-index probe, overlapping docs only
+    // (the gate's contract — a clean document emits nothing)
+    val expected = PersistedIndex.overlapDeltaAgainstIndex(spark,
+        corpus.filter($"doc_id" % 2 === 1), dir)
+      .filter($"n_hit" > 0)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq.sorted
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.overlapGateStream(spark,
+        input.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.format("memory").queryName("overlap_gate")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-ovl").toString)
+      .outputMode("update").start()
+    try {
+      input.addData(corpus.filter($"doc_id" % 2 === 1)
+        .as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("overlap_gate")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq.sorted
+    streamed shouldBe expected
+    expected should not be empty
+  }
 }
