@@ -40,7 +40,9 @@ object PlanAudit {
     "temperature_sample",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
-    "kmv_intersect")
+    "kmv_intersect",
+    // 1-row corpus-count broadcast (the TF-IDF N normalizer)
+    "index_topk")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -193,6 +195,13 @@ object PlanAudit {
     // token window + per-doc regroup + 1-row total + orderBy — the tfidf
     // shuffle class
     "lm_perplexity" -> 5,
+    // document-partitioned postings: tf agg + (term,shard) agg + the
+    // bounded (<= nShards rows/term) stats window + orderBy; single scan
+    "inverted_index" -> 4,
+    // query-term tf agg + the vocab-sized df agg (re-derives the filtered
+    // scan; ReusedExchange at runtime) + per-doc score agg; top-k is a
+    // TakeOrdered, df/N are broadcasts
+    "index_topk" -> 5,
     // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift
     // adds the 5-row lang join and its share windows
     "data_profile" -> 3,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.HealthCheckConfig
-import graft.operators.{AsofJoin, DataQuality, HealthCheckBatch, MultimodalPipeline, RangeSession, Relational, SimilarityPipeline, TextPipeline}
+import graft.operators.{AsofJoin, DataQuality, HealthCheckBatch, MultimodalPipeline, RangeSession, Relational, Retrieval, SimilarityPipeline, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,8 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    "inverted_index" -> ((s, d) => Retrieval.invertedIndex(s, d)),
+    "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -1712,6 +1714,34 @@ f AS (SELECT vec_id, q8_dot, sim_raw,
   row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM r)
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, q8_dot, round(sim_raw, 4) AS sim
 FROM f WHERE rank <= 20 ORDER BY rank""",
+    "inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY term, doc_id),
+p AS (SELECT term, CAST(doc_id % 8 AS INTEGER) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tf) AS BIGINT) AS n_occ,
+  list(doc_id ORDER BY doc_id) AS doc_ids,
+  list(tf ORDER BY doc_id) AS tfs
+  FROM tf GROUP BY term, doc_id % 8),
+tot AS (SELECT term, CAST(sum(n_docs) AS BIGINT) AS df,
+  CAST(sum(n_occ) AS BIGINT) AS cf FROM p GROUP BY term)
+SELECT p.term, shard, df, cf, n_docs, doc_ids, tfs
+FROM p JOIN tot ON p.term = tot.term WHERE df >= 20
+ORDER BY p.term, shard""",
+    "index_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4)
+    AS score
+  FROM tf JOIN df USING (term), n GROUP BY doc_id)
+SELECT doc_id, n_terms_hit, score FROM s
+ORDER BY score DESC, doc_id LIMIT 10""",
     "lm_perplexity" ->
       """WITH tp AS (SELECT doc_id,
   unnest(range(len(string_split(text, ' ')))) AS pos,

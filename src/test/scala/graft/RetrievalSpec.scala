@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Retrieval
+
+/** Inverted-index retrieval: structural invariants of the document-
+  * partitioned postings, reconstruction against a direct corpus count, and
+  * TF-IDF score agreement with a brute-force recompute. The DuckDB oracle
+  * (inverted_index / index_topk) pins exact values; this spec pins the
+  * CONTRACT a consumer of the index relies on.
+  */
+class RetrievalSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // cached for the suite, dropped in afterAll — a lingering cache entry
+  // would make CacheManager substitute an InMemoryRelation when another
+  // suite (PlanAuditSpec) plans the same query and skew its exchange count
+  private lazy val index = Retrieval.invertedIndex(spark, sf).cache()
+
+  override def afterAll(): Unit = {
+    index.unpersist()
+    super.afterAll()
+  }
+
+  test("postings are document-partitioned and doc_id-sorted within a shard") {
+    val rows = index
+      .select($"shard", $"doc_ids", $"n_docs")
+      .as[(Int, Seq[Long], Long)].collect()
+    rows should not be empty
+    rows.foreach { case (shard, docIds, nDocs) =>
+      docIds should have length nDocs.toInt
+      docIds shouldBe docIds.sorted
+      docIds shouldBe docIds.distinct
+      docIds.foreach(d => (d % 8).toInt shouldBe shard)
+    }
+  }
+
+  test("per-term df/cf equal the sum of the term's shard postings") {
+    val bad = index.groupBy($"term")
+      .agg(max($"df").as("df"), max($"cf").as("cf"),
+        sum($"n_docs").as("sum_docs"),
+        sum(aggregate($"tfs", lit(0L), (a, b) => a + b)).as("sum_tf"))
+      .filter($"df" =!= $"sum_docs" || $"cf" =!= $"sum_tf")
+    bad.count() shouldBe 0L
+  }
+
+  test("a term's postings reconstruct the direct corpus count") {
+    val term = index.select($"term").as[String].head()
+    val fromIndex = index.filter($"term" === term)
+      .select(explode(arrays_zip($"doc_ids", $"tfs")).as("e"))
+      .select($"e.doc_ids".as("doc_id"), $"e.tfs".as("tf"))
+      .as[(Long, Long)].collect().toMap
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" === term)
+      .groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    fromIndex shouldBe direct
+  }
+
+  test("indexTopK scores match a per-doc brute-force TF-IDF recompute") {
+    val docsDf = graft.sources.Tables.documents(spark, sf)
+    val n = docsDf.count().toDouble
+    val toks = docsDf
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t".isin(Retrieval.QueryTerms: _*))
+      .as[(Long, String)].collect()
+    val df = toks.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._1).distinct.size.toDouble
+    }
+    val expected = toks.groupBy(_._1).map { case (d, xs) =>
+      d -> BigDecimal(xs.groupBy(_._2).map { case (t, o) =>
+        o.size * math.log(n / df(t))
+      }.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Retrieval.indexTopK(spark, sf)
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+    got should have length 10
+    got.foreach { case (d, s) => s shouldBe expected(d) }
+    // top-k really is the k best: no unreported doc scores above the cut
+    val cut = got.map(_._2).min
+    expected.values.count(_ > cut) should be <= 10
+  }
+}
