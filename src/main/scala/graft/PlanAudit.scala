@@ -195,6 +195,9 @@ object PlanAudit {
     // token window + per-doc regroup + 1-row total + orderBy — the tfidf
     // shuffle class
     "lm_perplexity" -> 5,
+    // mergeable histogram: per-source shard agg (map-side combined) +
+    // the bin merge agg + the sketch-sized estimate windows/orderBy
+    "hist_quantiles" -> 3,
     // document-partitioned postings: tf agg + (term,shard) agg + the
     // bounded (<= nShards rows/term) stats window + orderBy; single scan
     "inverted_index" -> 4,

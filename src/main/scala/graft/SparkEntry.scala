@@ -142,6 +142,7 @@ object SparkEntry {
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
     // Round 6: HLL distinct-token sketch + temperature resampling applied
     "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
+    "hist_quantiles" -> ((s, d) => graft.operators.Sketches.histQuantiles(s, d)),
     // two disjoint shards sketched separately, merged, estimated — the
     // oracle sketches the whole corpus in one pass, so green means the
     // register merge is lossless (HLL's mergeability, query-proven)
@@ -1427,6 +1428,20 @@ ORDER BY est.lang""",
     // separately and merges; the oracle sketches the whole corpus ONCE —
     // the hash can only match because register-wise max over shard
     // sketches IS the whole-corpus sketch
+    // the merge-lossless proof: Spark merges per-source shard histograms,
+    // the oracle histograms the whole corpus in ONE pass — the hash can
+    // only match because summed shard bins equal whole-corpus bins
+    "hist_quantiles" ->
+      """WITH b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1),
+c AS (SELECT bin, cnt,
+  CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+  CAST(sum(cnt) OVER () AS BIGINT) AS total FROM b),
+e AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p,
+  bin, cnt, cum, total FROM c)
+SELECT p, total AS n_total, bin,
+  round(bin * 64 + 64.0 * (p * total - (cum - cnt)) / cnt, 4) AS est
+FROM e WHERE cum >= p * total AND cum - cnt < p * total ORDER BY p""",
     "hll_union" ->
       s"""WITH $hllEstimateCtes
 SELECT lang, CAST(present AS BIGINT) AS n_registers,

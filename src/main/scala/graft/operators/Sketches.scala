@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextFunctions.tokens
 import graft.sources.Tables
@@ -423,4 +425,92 @@ object Sketches {
         coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
       .orderBy("lang_a", "lang_b")
   }
+
+  // --------------------------------------- mergeable histogram sketch --
+
+  /** Fixed bin width for the n_chars histogram. */
+  private[graft] val HistWidth = 64L
+
+  /** Quantiles reported by the estimate step. */
+  private[graft] val HistPs = Seq(0.5, 0.9, 0.99)
+
+  /** One shard's histogram: (bin, cnt) for `bin = floor(value / width)` —
+    * the mergeable partial. A shard histogram is #bins rows regardless of
+    * shard size (map-side combined), and two histograms merge by summing
+    * counts per bin, so the shard/merge/estimate lifecycle is exactly the
+    * HLL one: per-ingest-job sketch rows, lossless union, tiny estimate.
+    */
+  def histRegistersFrom(values: DataFrame, valueCol: String): DataFrame =
+    values
+      .groupBy(floor(col(valueCol) / HistWidth).cast(LongType).as("bin"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+
+  /** Per-shard histograms in one pass: (shard, bin, cnt) — the frame an
+    * ingest fleet appends to the store, one group of rows per shard job.
+    */
+  def histShardsFrom(values: DataFrame, shardCol: String,
+      valueCol: String): DataFrame =
+    values
+      .groupBy(col(shardCol).as("shard"),
+        floor(col(valueCol) / HistWidth).cast(LongType).as("bin"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+
+  /** Merge shard histograms: per-bin count sum (lossless by construction). */
+  def histMerge(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum(col("cnt")).cast(LongType).as("cnt"))
+
+  /** Quantile estimates from a merged histogram: for each p, the bin whose
+    * cumulative count straddles `p * total`, linearly interpolated within
+    * the bin. Runs entirely on the #bins-row frame — the windows are
+    * single-partition but their input is sketch-sized, never corpus-sized.
+    */
+  def histQuantilesFrom(hist: DataFrame): DataFrame = {
+    val byBin = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val target = col("p") * col("total")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .withColumn("p", explode(array(HistPs.map(lit): _*)))
+      .filter(col("cum") >= target && (col("cum") - col("cnt")) < target)
+      .select(col("p"), col("total").cast(LongType).as("n_total"), col("bin"),
+        round(col("bin") * HistWidth + lit(HistWidth.toDouble) *
+          (target - (col("cum") - col("cnt"))) / col("cnt"), 4).as("est"))
+      .orderBy("p")
+  }
+
+  /** Sketch each source's documents separately and estimate n_chars
+    * quantiles through [[histMerge]] — the [[hllUnion]]-shaped proof that
+    * the merge is lossless: the DuckDB oracle histograms the WHOLE corpus
+    * in one `GROUP BY bin` pass, and the hash compare passes only because
+    * summed per-source bins equal whole-corpus bins exactly.
+    */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val perSource = histShardsFrom(
+      d.select(col("source"), col("n_chars")), "source", "n_chars")
+    histQuantilesFrom(
+      perSource.groupBy("bin").agg(sum(col("cnt")).cast(LongType).as("cnt")))
+  }
+
+  /** Append one shard's histogram rows to the sketch store at `path` —
+    * #bins rows per shard, nothing read or rewritten (the
+    * [[appendHllShard]] discipline, count-summed instead of
+    * register-maxed at estimate time).
+    */
+  def appendHistShard(hist: DataFrame, path: String): Unit =
+    hist.select(col("bin"), col("cnt"))
+      .coalesce(1) // #bins rows: one small file per shard append
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** Quantiles from the store: read bin rows (never values), sum per bin
+    * across all appended shards, estimate.
+    */
+  def estimateHistStore(spark: SparkSession, path: String): DataFrame =
+    histQuantilesFrom(
+      spark.read.parquet(path)
+        .groupBy("bin").agg(sum(col("cnt")).cast(LongType).as("cnt")))
 }

@@ -271,4 +271,35 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .as[(Int, Long, Long)].collect().toSet
     summed shouldBe batch
   }
+
+  test("histogram shard store: appended shards estimate identically to the one-pass sketch") {
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    // three disjoint shard jobs append independently
+    (0 to 2).foreach { s =>
+      Sketches.appendHistShard(
+        Sketches.histRegistersFrom(d.filter($"doc_id" % 3 === s), "n_chars"),
+        dir)
+    }
+    val fromStore = Sketches.estimateHistStore(spark, dir)
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    val onePass = Sketches.histQuantilesFrom(
+        Sketches.histRegistersFrom(d, "n_chars"))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    fromStore shouldBe onePass
+    fromStore should have length 3
+  }
+
+  test("histogram quantile estimates sit within one bin width of the exact quantiles") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val est = Sketches.histQuantilesFrom(
+        Sketches.histRegistersFrom(d.select($"n_chars"), "n_chars"))
+      .select($"p", $"est").as[(Double, Double)].collect().toMap
+    val exact = d.stat.approxQuantile("n_chars",
+      Array(0.5, 0.9, 0.99), 0.0) // relativeError 0 = exact
+    List(0.5, 0.9, 0.99).zip(exact).foreach { case (p, ex) =>
+      math.abs(est(p) - ex) should be <= 64.0
+    }
+  }
 }
