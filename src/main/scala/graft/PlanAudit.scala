@@ -42,7 +42,11 @@ object PlanAudit {
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect",
     // 1-row corpus-count broadcast (the TF-IDF N normalizer)
-    "index_topk")
+    "index_topk",
+    // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
+    "lm_bigram",
+    // 1-row centroid + 1-row mean/variance normalizer broadcasts
+    "emb_outliers")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -195,6 +199,13 @@ object PlanAudit {
     // token window + per-doc regroup + 1-row total + orderBy — the tfidf
     // shuffle class
     "lm_perplexity" -> 5,
+    // two 1-row normalizer aggs (centroid, mean/variance) + the final
+    // orderBy; distances are a stateless projection, zero corpus shuffles
+    "emb_outliers" -> 4,
+    // the lm_perplexity family one order up: the per-doc lead window +
+    // (token,nxt) and token count windows + per-doc fold agg + orderBy,
+    // plus the 1-row vocab-size broadcast's build agg
+    "lm_bigram" -> 6,
     // mergeable histogram: per-source shard agg (map-side combined) +
     // the bin merge agg + the sketch-sized estimate windows/orderBy
     "hist_quantiles" -> 3,

@@ -133,6 +133,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
+    "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
     "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
@@ -189,6 +190,7 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
     "inverted_index" -> ((s, d) => Retrieval.invertedIndex(s, d)),
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
@@ -1167,6 +1169,19 @@ cent AS (SELECT label, list(m ORDER BY pos) AS centroid, first(cnt) AS n
   GROUP BY label)
 SELECT label, n, round(sqrt(list_sum(list_transform(range(64), i -> centroid[i+1] * centroid[i+1]))), 4) AS centroid_norm
 FROM cent ORDER BY label""",
+    "emb_outliers" ->
+      """WITH e AS (SELECT vec_id, unnest(range(64)) AS i,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+c AS (SELECT i, sum(x) / count(*) AS m FROM e GROUP BY i),
+d AS (SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS dist
+  FROM e JOIN c USING (i) GROUP BY vec_id),
+s AS (SELECT sum(dist) / count(*) AS mu,
+  sqrt(sum(dist * dist) / count(*)
+    - (sum(dist) / count(*)) * (sum(dist) / count(*))) AS sigma FROM d)
+SELECT vec_id, round(dist, 4) AS dist,
+  round((dist - mu) / sigma, 4) AS z,
+  (dist - mu) / sigma > 2 AS is_outlier
+FROM d, s ORDER BY vec_id""",
     "media_meta" ->
       """SELECT doc_id AS media_id, 'GR' AS magic,
   ['image','audio','video'][(doc_id % 3) + 1] AS kind,
@@ -1729,6 +1744,25 @@ f AS (SELECT vec_id, q8_dot, sim_raw,
   row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM r)
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, q8_dot, round(sim_raw, 4) AS sim
 FROM f WHERE rank <= 20 ORDER BY rank""",
+    "lm_bigram" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS token FROM documents),
+bg AS (SELECT doc_id, pos, token,
+  lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tp),
+b2 AS (SELECT * FROM bg WHERE nxt IS NOT NULL),
+f AS (SELECT doc_id, pos,
+  count(*) OVER (PARTITION BY token, nxt) AS c_bg,
+  count(*) OVER (PARTITION BY token) AS c_prefix FROM b2),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v_size FROM tp),
+d AS (SELECT doc_id,
+  list(ln((CAST(c_bg AS DOUBLE) + 1.0) /
+    (CAST(c_prefix AS DOUBLE) + v_size)) ORDER BY pos) AS lps
+  FROM f, v GROUP BY doc_id)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+  round(-list_sum(lps) / len(lps), 4) AS avg_nll,
+  round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
+FROM d ORDER BY doc_id""",
     "inverted_index" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
   FROM documents),

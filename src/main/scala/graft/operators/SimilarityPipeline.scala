@@ -616,4 +616,41 @@ object SimilarityPipeline {
         round(min(col("h")) / k.toDouble, 4).as("recall_min"))
       .orderBy("nprobe", "over_fetch")
   }
+
+  /** Embedding outlier detection — distance-to-centroid z-scores, the
+    * standard pre-training sweep for corrupt/out-of-distribution vectors
+    * (encoder failures, all-zero rows, wrong-modality embeddings) before
+    * they poison ANN index training.
+    *
+    * Plan shape: the global centroid is ONE [[graft.expressions.VecSumAgg]]
+    * row (map-side partial sums — no 64x explode of the corpus), distances
+    * are a stateless projection against its broadcast, and the
+    * mean/variance normalizer is a second 1-row broadcast — two corpus
+    * scans, zero corpus-sized shuffles at any scale.
+    */
+  def embOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val centroid = e
+      .agg(graft.expressions.VecSumAgg
+        .vecSum(col("embedding").cast("array<double>")).as("sums"),
+        count(lit(1)).as("n"))
+      .select(transform(col("sums"), x => x / col("n")).as("c"))
+    val dists = e.crossJoin(broadcast(centroid))
+      .select(col("vec_id"),
+        l2Norm(zip_with(col("embedding").cast("array<double>"), col("c"),
+          (a, b) => a - b)).as("dist"))
+    val stats = dists
+      .agg(sum(col("dist")).as("s1"),
+        sum(col("dist") * col("dist")).as("s2"),
+        count(lit(1)).cast("double").as("n"))
+      .select((col("s1") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+    val z = (col("dist") - col("mu")) / col("sigma")
+    dists.crossJoin(broadcast(stats))
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"),
+        round(z, 4).as("z"), (z > 2.0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -1492,6 +1492,58 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM perplexity with add-V (Laplace) smoothing — the next model
+    * order up from [[lmPerplexity]]: P(w_i | w_{i-1}) =
+    * (c(w_{i-1} w_i) + 1) / (c_prefix(w_{i-1}) + V), where c_prefix counts
+    * the prefix's occurrences WITH a successor and V is the corpus
+    * vocabulary size. Unsmoothed bigram models zero out on any unseen
+    * pair; the Laplace floor keeps every document scoreable, which is what
+    * a filtering pass needs.
+    *
+    * Plan shape: the unigram discipline extended one order — tokenize
+    * once, successor via a per-document `lead` window (doc-keyed,
+    * bounded), bigram/prefix counts via token-partitioned count windows,
+    * V as a 1-row broadcast, and the per-document log-prob sum folds the
+    * position-ordered array so accumulation order is engine-identical.
+    */
+  def lmBigram(spark: SparkSession, sfDir: String): DataFrame =
+    lmBigramFrom(spark, docs(spark, sfDir))
+
+  /** [[lmBigram]] over any (doc_id, text) frame. Documents with fewer than
+    * two tokens have no bigrams and are absent from the output.
+    */
+  def lmBigramFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val bigrams = toksPos
+      .withColumn("nxt",
+        lead(col("token"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+    val withC = bigrams
+      .withColumn("c_bg",
+        count(lit(1)).over(Window.partitionBy("token", "nxt")))
+      .withColumn("c_prefix",
+        count(lit(1)).over(Window.partitionBy("token")))
+    val vocab = toksPos.agg(countDistinct(col("token")).as("v_size"))
+    withC.crossJoin(broadcast(vocab))
+      .withColumn("lnp",
+        log((col("c_bg").cast(DoubleType) + 1.0) /
+          (col("c_prefix").cast(DoubleType) + col("v_size"))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n_bigrams"),
+        aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, b) => a + b).as("sum_lnp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lnp") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_bigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same answer as [[decontaminate]],
     * different 100 TB shape. [[decontaminate]] shuffles EVERY fingerprint in
     * the corpus once (one group-by-fingerprint pass). Here the eval side's
