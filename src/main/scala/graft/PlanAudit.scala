@@ -199,6 +199,11 @@ object PlanAudit {
     // token window + per-doc regroup + 1-row total + orderBy — the tfidf
     // shuffle class
     "lm_perplexity" -> 5,
+    // 5 unrolled power-iteration rounds over checkpointed edge/degree
+    // leaves: per round a src-keyed join, a dst-keyed contribution agg,
+    // and the node left-join, + the final orderBy — every shuffle keyed
+    // by node, rank frame node-sized throughout
+    "graph_pagerank" -> 17,
     // two 1-row normalizer aggs (centroid, mean/variance) + the final
     // orderBy; distances are a stateless projection, zero corpus shuffles
     "emb_outliers" -> 4,

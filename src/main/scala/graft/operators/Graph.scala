@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Graph analytics over relation-derived graphs — the link-analysis side of
+  * a training-data pipeline (source authority for quality weighting, the
+  * same iterative-join discipline as the connected-components dedup
+  * clusters in [[TextPipeline]]).
+  *
+  * Scale design (100 TB):
+  *  - Edges come from a KEYED equi-join of the base relations (never a
+  *    cross product) and every iteration is (join on src) + (agg on dst) —
+  *    both partitioned by node key, the standard distributed PageRank; no
+  *    per-node driver traffic, no adjacency broadcast.
+  *  - The rank frame is node-sized (≪ edge-sized); iterations are FIXED
+  *    count (power-iteration), so the plan is a static unrolled chain —
+  *    no fixpoint collect at all (cheaper than CC's 1-row fixpoint agg).
+  *  - Per-iteration `round(r, 10)` pins the float accumulation so shard
+  *    order cannot drift results between engines or between cluster runs
+  *    — determinism at any parallelism, the property the DuckDB oracle
+  *    hash-checks.
+  *  - The only driver value is the node count (one count job, like CC's
+  *    fixpoint row); lineage stays 5 joins deep — under Spark's plan
+  *    limits without checkpointing (a 50-iteration variant would
+  *    `localCheckpoint` every ~10 rounds, the CC discipline).
+  */
+object Graph {
+
+  /** Power-iteration rounds for the driver query (fixed → deterministic). */
+  private val Iters = 5
+
+  private val Damping = 0.85
+
+  /** PageRank over the symmetric customer↔supplier purchase graph: nodes
+    * are `c<custkey>` / `s<suppkey>`, with an edge pair per DISTINCT
+    * (customer, supplier) trading relationship in orders⨝lineitem. The
+    * symmetric closure means no dangling nodes (every node has out-degree
+    * ≥ 1), so no dangling-mass redistribution term is needed.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .distinct()
+    // checkpoint the edge/degree tables once — every iteration re-reads
+    // them, and a checkpoint leaf (reliable when a dir is configured, the
+    // connectedComponents discipline) both truncates the unrolled lineage
+    // and avoids CacheManager entries leaking into other queries' plans
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = checkpoint(
+      pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+        .union(pairs.select(col("snode").as("src"), col("cnode").as("dst"))))
+    val deg = checkpoint(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast(LongType).as("outdeg")))
+    val n = deg.count() // node count: the single driver-side value
+    var ranks = deg.select(col("node"), col("outdeg"),
+      lit(1.0 / n).as("r"))
+    for (_ <- 1 to Iters) {
+      val sums = edges
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("r") / col("outdeg")).as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("m"))
+      ranks = deg.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"),
+          round(lit((1.0 - Damping) / n) +
+            lit(Damping) * coalesce(col("m"), lit(0.0)), 10).as("r"))
+    }
+    ranks.select(col("node"), col("outdeg"), col("r").as("pagerank"))
+      .orderBy("node")
+  }
+
+  /** The unrolled DuckDB replay of [[pagerank]] — generated for the same
+    * iteration count so the two can never drift.
+    */
+  private[graft] def pagerankOracleSql: String = {
+    val base =
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cnode,
+  's' || l_suppkey AS snode
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL SELECT snode, cnode FROM pairs),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
+r0 AS (SELECT node, outdeg, 1.0 / n_nodes AS r FROM deg, nn)"""
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT d.node, d.outdeg,
+  round(0.15 / (SELECT n_nodes FROM nn) + 0.85 * COALESCE(s.m, 0), 10) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / p.outdeg) AS m
+    FROM edges e JOIN r${i - 1} p ON e.src = p.node GROUP BY e.dst) s
+  ON d.node = s.node)"""
+    }.mkString(",\n")
+    s"""$base,
+$iters
+SELECT node, outdeg, r AS pagerank FROM r$Iters ORDER BY node"""
+  }
+}

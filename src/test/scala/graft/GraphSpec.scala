@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Graph
+
+/** PageRank invariants the DuckDB oracle's exact replay doesn't state
+  * directly: probability-mass conservation, node-universe completeness,
+  * and run-to-run determinism (the per-iteration rounding contract).
+  */
+class GraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val ranks =
+    Graph.pagerank(spark, sf).as[(String, Long, Double)].collect()
+
+  test("pagerank mass sums to 1 (no dangling leakage on the symmetric graph)") {
+    val mass = ranks.map(_._3).sum
+    mass shouldBe 1.0 +- 1e-6
+    all(ranks.map(_._3)) should be > 0.0
+  }
+
+  test("node universe = trading customers + trading suppliers, both sides present") {
+    val o = graft.sources.Tables.orders(spark, sf)
+    val l = graft.sources.Tables.lineitem(spark, sf)
+    val nCust = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey").distinct().count()
+    val nSupp = l.select($"l_suppkey").distinct().count()
+    ranks.count(_._1.startsWith("c")) shouldBe nCust
+    ranks.count(_._1.startsWith("s")) shouldBe nSupp
+  }
+
+  test("pagerank is deterministic across runs (per-iteration rounding pins floats)") {
+    val again = Graph.pagerank(spark, sf).as[(String, Long, Double)].collect()
+    again shouldBe ranks
+  }
+
+  test("high-degree nodes outrank low-degree nodes on average") {
+    val (hi, lo) = ranks.partition(_._2 >= ranks.map(_._2).sorted.apply(ranks.length / 2))
+    (hi.map(_._3).sum / hi.length) should be > (lo.map(_._3).sum / lo.length)
+  }
+}
