@@ -204,6 +204,7 @@ object PlanAudit {
     // and the node left-join, + the final orderBy — every shuffle keyed
     // by node, rank frame node-sized throughout
     "graph_pagerank" -> 17,
+    "graph_ppr" -> 17, // same unrolled loop, seed-masked teleport
     // two 1-row normalizer aggs (centroid, mean/variance) + the final
     // orderBy; distances are a stateless projection, zero corpus shuffles
     "emb_outliers" -> 4,

@@ -92,6 +92,7 @@ object SparkEntry {
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
+    "graph_ppr" -> ((s, d) => graft.operators.Graph.pagerankPersonalized(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -1107,6 +1108,7 @@ SELECT c.event_id, c.user_id, epoch_ms(c.t * 1000) AS ts, count(p.pt) AS n_nearb
 FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
 GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_pagerank" -> graft.operators.Graph.pagerankOracleSql,
+    "graph_ppr" -> graft.operators.Graph.pprOracleSql,
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

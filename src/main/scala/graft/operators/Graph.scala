@@ -42,6 +42,21 @@ object Graph {
     * ≥ 1), so no dangling-mass redistribution term is needed.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (deg, edges) = degreeEdges(spark, sfDir)
+    val n = deg.count() // node count: the single driver-side value
+    powerIterate(deg, edges, lit(1.0 / n), lit((1.0 - Damping) / n))
+      .select(col("node"), col("outdeg"), col("r").as("pagerank"))
+      .orderBy("node")
+  }
+
+  /** The (degree, edges) tables of the symmetric purchase graph, each
+    * behind a checkpoint leaf — every iteration re-reads them, and a
+    * checkpoint (reliable when a dir is configured, the
+    * connectedComponents discipline) both truncates the unrolled lineage
+    * and avoids CacheManager entries leaking into other queries' plans.
+    */
+  private def degreeEdges(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, sfDir)
@@ -50,10 +65,6 @@ object Graph {
       .select(concat(lit("c"), col("o_custkey")).as("cnode"),
         concat(lit("s"), col("l_suppkey")).as("snode"))
       .distinct()
-    // checkpoint the edge/degree tables once — every iteration re-reads
-    // them, and a checkpoint leaf (reliable when a dir is configured, the
-    // connectedComponents discipline) both truncates the unrolled lineage
-    // and avoids CacheManager entries leaking into other queries' plans
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
@@ -63,9 +74,19 @@ object Graph {
     val deg = checkpoint(
       edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast(LongType).as("outdeg")))
-    val n = deg.count() // node count: the single driver-side value
-    var ranks = deg.select(col("node"), col("outdeg"),
-      lit(1.0 / n).as("r"))
+    (deg, edges)
+  }
+
+  /** The shared power-iteration loop: `init`/`teleport` are expressions
+    * over the degree frame (uniform for [[pagerank]], seed-masked for
+    * [[pagerankPersonalized]]); each round is the src-keyed contribution
+    * join + dst-keyed sum + node left-join, rounded to 10 dp so float
+    * accumulation order cannot drift the result between runs or engines.
+    */
+  private def powerIterate(deg: DataFrame, edges: DataFrame,
+      init: org.apache.spark.sql.Column,
+      teleport: org.apache.spark.sql.Column): DataFrame = {
+    var ranks = deg.select(col("node"), col("outdeg"), init.as("r"))
     for (_ <- 1 to Iters) {
       val sums = edges
         .join(ranks, col("src") === col("node"))
@@ -73,37 +94,73 @@ object Graph {
         .groupBy("dst").agg(sum(col("contrib")).as("m"))
       ranks = deg.join(sums, col("node") === col("dst"), "left")
         .select(col("node"), col("outdeg"),
-          round(lit((1.0 - Damping) / n) +
+          round(teleport +
             lit(Damping) * coalesce(col("m"), lit(0.0)), 10).as("r"))
     }
-    ranks.select(col("node"), col("outdeg"), col("r").as("pagerank"))
+    ranks
+  }
+
+  /** Seed suppliers for the personalized variant — the "trusted sources"
+    * whose neighborhood the walk scores (curation's source-authority
+    * propagation). Shared with the generated oracle SQL.
+    */
+  private[graft] val SeedNodes: Seq[String] = (1 to 5).map(i => s"s$i")
+
+  /** Personalized PageRank: the random walk teleports back to the seed
+    * set instead of everywhere, so rank measures proximity to the seeds —
+    * customers of trusted suppliers score high, far corners of the graph
+    * decay to 0. Same plan shape and rounding contract as [[pagerank]];
+    * only the teleport vector changes.
+    */
+  def pagerankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val (deg, edges) = degreeEdges(spark, sfDir)
+    val isSeed = col("node").isin(SeedNodes: _*)
+    val nSeeds = SeedNodes.length
+    powerIterate(deg, edges,
+      when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0)),
+      when(isSeed, lit((1.0 - Damping) / nSeeds)).otherwise(lit(0.0)))
+      .select(col("node"), col("outdeg"), col("r").as("ppr"))
+      .filter(col("ppr") > 0.0)
       .orderBy("node")
   }
 
-  /** The unrolled DuckDB replay of [[pagerank]] — generated for the same
-    * iteration count so the two can never drift.
-    */
-  private[graft] def pagerankOracleSql: String = {
-    val base =
-      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cnode,
+  private val OracleBase =
+    """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cnode,
   's' || l_suppkey AS snode
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
 edges AS (SELECT cnode AS src, snode AS dst FROM pairs
   UNION ALL SELECT snode, cnode FROM pairs),
 deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
   FROM edges GROUP BY src),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg),
-r0 AS (SELECT node, outdeg, 1.0 / n_nodes AS r FROM deg, nn)"""
-    val iters = (1 to Iters).map { i =>
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM deg)"""
+
+  private def oracleIters(teleportSql: String): String =
+    (1 to Iters).map { i =>
       s"""r$i AS (SELECT d.node, d.outdeg,
-  round(0.15 / (SELECT n_nodes FROM nn) + 0.85 * COALESCE(s.m, 0), 10) AS r
+  round($teleportSql + 0.85 * COALESCE(s.m, 0), 10) AS r
   FROM deg d LEFT JOIN (
     SELECT e.dst AS node, sum(p.r / p.outdeg) AS m
     FROM edges e JOIN r${i - 1} p ON e.src = p.node GROUP BY e.dst) s
   ON d.node = s.node)"""
     }.mkString(",\n")
-    s"""$base,
-$iters
+
+  /** The unrolled DuckDB replay of [[pagerank]] — generated for the same
+    * iteration count so the two can never drift.
+    */
+  private[graft] def pagerankOracleSql: String =
+    s"""$OracleBase,
+r0 AS (SELECT node, outdeg, 1.0 / n_nodes AS r FROM deg, nn),
+${oracleIters("0.15 / (SELECT n_nodes FROM nn)")}
 SELECT node, outdeg, r AS pagerank FROM r$Iters ORDER BY node"""
+
+  /** The unrolled DuckDB replay of [[pagerankPersonalized]]. */
+  private[graft] def pprOracleSql: String = {
+    val seeds = SeedNodes.map(s => s"'$s'").mkString(", ")
+    val n = SeedNodes.length
+    s"""$OracleBase,
+r0 AS (SELECT node, outdeg,
+  CASE WHEN node IN ($seeds) THEN 1.0 / $n ELSE 0.0 END AS r FROM deg),
+${oracleIters(s"CASE WHEN d.node IN ($seeds) THEN 0.15 / $n ELSE 0.0 END")}
+SELECT node, outdeg, r AS ppr FROM r$Iters WHERE r > 0 ORDER BY node"""
   }
 }

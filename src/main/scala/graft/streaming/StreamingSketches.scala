@@ -61,4 +61,22 @@ object StreamingSketches {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
         col("row"), col("cell"), col("cnt"))
+
+  /** Streaming histogram: per-window (bin, cnt) frames with the SAME bin
+    * geometry as `Sketches.histRegistersFrom`, so a reader sums any set of
+    * emitted windows per bin (histograms merge by addition, like CMS) and
+    * estimates quantiles over exactly that span through
+    * `Sketches.histQuantilesFrom` — the latency-percentile-over-time shape
+    * every ingest monitor needs. State per in-flight window: #bins
+    * counters, constant whatever the arrival rate.
+    */
+  def histBinStream(docs: DataFrame, valueCol: String, eventTimeCol: String,
+      windowLen: String = "1 minute", delay: String = "10 minutes")
+      : DataFrame =
+    docs.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen),
+        floor(col(valueCol) / Sketches.HistWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("bin"), col("cnt"))
 }

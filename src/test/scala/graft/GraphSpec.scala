@@ -39,6 +39,25 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     again shouldBe ranks
   }
 
+  test("personalized pagerank concentrates mass near the seed set") {
+    val ppr = Graph.pagerankPersonalized(spark, sf)
+      .as[(String, Long, Double)].collect()
+    val byNode = ppr.map(r => r._1 -> r._3).toMap
+    // mass conserved (up to per-iteration rounding) and all positive
+    val mass = ppr.map(_._3).sum
+    mass shouldBe 1.0 +- 1e-5
+    // every seed present and each outranks the global uniform share —
+    // teleport returns to seeds, so they hold concentrated mass
+    val uniform = 1.0 / ranks.length
+    (1 to 5).foreach { i =>
+      byNode(s"s$i") should be > uniform
+    }
+    // seed average strictly above non-seed average
+    val (seed, rest) = ppr.partition(r => (1 to 5).exists(i => r._1 == s"s$i"))
+    (seed.map(_._3).sum / seed.length) should be >
+      (rest.map(_._3).sum / rest.length)
+  }
+
   test("high-degree nodes outrank low-degree nodes on average") {
     val (hi, lo) = ranks.partition(_._2 >= ranks.map(_._2).sorted.apply(ranks.length / 2))
     (hi.map(_._3).sum / hi.length) should be > (lo.map(_._3).sum / lo.length)

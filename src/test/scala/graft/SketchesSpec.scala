@@ -291,6 +291,44 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromStore should have length 3
   }
 
+  test("histBinStream emits per-window frames whose bin-wise sum is the batch histogram") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars")
+    val rows = d.as[(Long, Long)].collect().toSeq
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingSketches.histBinStream(
+        input.toDF().toDF("ts", "n_chars"), "n_chars", "ts")
+      .writeStream.format("memory").queryName("hist_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-hist").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, nc) =>
+        (ts(if (id % 2 == 0) 10 else 11), nc) })
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), 1L)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("hist_twin").filter($"window_start" < ts(20))
+    emitted.select(countDistinct($"window_start")).as[Long].head() shouldBe 2L
+    // summed across the two windows == the batch histogram bin-for-bin,
+    // so quantile estimates over the merged span are the batch estimates
+    val summed = emitted.groupBy("bin").agg(sum($"cnt").as("cnt"))
+    val est = Sketches.histQuantilesFrom(summed)
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    val batch = Sketches.histQuantilesFrom(
+        Sketches.histRegistersFrom(d, "n_chars"))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    est shouldBe batch
+    summed.as[(Long, Long)].collect().toSet shouldBe
+      Sketches.histRegistersFrom(d, "n_chars")
+        .as[(Long, Long)].collect().toSet
+  }
+
   test("histogram quantile estimates sit within one bin width of the exact quantiles") {
     val d = graft.sources.Tables.documents(spark, sf)
     val est = Sketches.histQuantilesFrom(
