@@ -405,4 +405,84 @@ FROM graft_shingle_bloom_build""")
           / col("n_grams") >= 0.2).as("contaminated"))
       .orderBy("doc_id")
   }
+
+  // -------------------------------------------------- inverted text index --
+
+  /** Hash-bucket count for the persisted postings layout — the partition
+    * key a term query prunes on.
+    */
+  private val TermBuckets = 64
+
+  private def termBucket(term: org.apache.spark.sql.Column) =
+    pmod(hash(term), lit(TermBuckets))
+
+  /** Persist the inverted text index at `path`:
+    *
+    *  - `postings/` hive-partitioned by `bucket = hash(term) % 64` — a
+    *    term query's buckets are CONSTANT-FOLDABLE (hash of a literal),
+    *    so partition pruning drops 63/64 of the index at the scan;
+    *    within a bucket, rows are the document-sharded
+    *    [[Retrieval.postingsFrom]] groups (a stopword splits across
+    *    shards instead of one giant row).
+    *  - `meta/` one corpus-count row per build/append — summed at query
+    *    time for the IDF normalizer, so search never touches corpus text.
+    */
+  def buildTextIndex(spark: SparkSession, corpus: DataFrame,
+      path: String): Unit = {
+    Retrieval.postingsFrom(corpus)
+      .withColumn("bucket", termBucket(col("term")))
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$path/postings")
+    corpus.agg(count(lit(1)).cast("long").as("n_docs"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Append a delta corpus's postings as NEW rows — existing posting
+    * files are never rewritten (the [[appendToShingleIndex]] shape). A
+    * term present in both corpus and delta simply has more (term, shard)
+    * rows; [[searchTextIndex]] re-merges by summation, exactly like the
+    * HLL/histogram sketch stores.
+    */
+  def appendToTextIndex(spark: SparkSession, delta: DataFrame,
+      path: String): Unit = {
+    Retrieval.postingsFrom(delta)
+      .withColumn("bucket", termBucket(col("term")))
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Append).parquet(s"$path/postings")
+    delta.agg(count(lit(1)).cast("long").as("n_docs"))
+      .write.mode(SaveMode.Append).parquet(s"$path/meta")
+  }
+
+  /** TF-IDF top-k over the persisted index — the
+    * [[Retrieval.indexTopKFrom]] contract (same columns, same scores)
+    * with the corpus side replaced by the index: the postings scan is
+    * bucket-pruned + term-filtered (query terms only), df re-merges the
+    * appended rows per term (tiny, broadcast), and the IDF normalizer is
+    * the summed `meta/` count — one driver-read row, no corpus scan
+    * anywhere in the plan (asserted by PersistedIndexSpec).
+    */
+  def searchTextIndex(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val n = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
+      .reduce(_ || _)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(bucketPred && col("term").isin(terms: _*))
+    val tf = postings
+      .select(col("term"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
+      .select(col("term"), col("e.doc_ids").as("doc_id"),
+        col("e.tfs").as("tf"))
+    val dfTerm = postings.groupBy(col("term"))
+      .agg(sum(col("n_docs")).as("df"))
+    tf.join(broadcast(dfTerm), "term")
+      .withColumn("w", col("tf").cast("double") *
+        log(lit(n.toDouble) / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -45,19 +45,30 @@ object Retrieval {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     invertedIndexFrom(spark, docs(spark, sfDir))
 
-  /** [[invertedIndex]] over any (doc_id, text) frame. */
-  def invertedIndexFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  /** The raw (term, shard) posting rows of [[invertedIndexFrom]] — also
+    * the unit a persisted text index stores and appends
+    * ([[PersistedIndex.buildTextIndex]]).
+    */
+  private[operators] def postingsFrom(corpus: DataFrame): DataFrame = {
     val tf = corpus
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val postings = tf
+    tf
       .withColumn("shard", pmod(col("doc_id"), lit(NShards)).cast(IntegerType))
       .groupBy(col("term"), col("shard"))
       .agg(
         count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("tf")).cast(LongType).as("n_occ"),
         sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .select(col("term"), col("shard"), col("n_docs"), col("n_occ"),
+        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), x => x.getField("tf").cast(LongType)).as("tfs"))
+  }
+
+  /** [[invertedIndex]] over any (doc_id, text) frame. */
+  def invertedIndexFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val postings = postingsFrom(corpus)
     // global term stats as a window over the (term, shard) rows — at most
     // nShards rows per term, so the per-term partition is bounded at any
     // corpus size (no join, no second corpus lineage)
@@ -67,9 +78,7 @@ object Retrieval {
       .withColumn("cf", sum(col("n_occ")).over(w).cast(LongType))
       .filter(col("df") >= MinDf)
       .select(col("term"), col("shard"), col("df"), col("cf"),
-        col("n_docs"),
-        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
-        transform(col("p"), x => x.getField("tf").cast(LongType)).as("tfs"))
+        col("n_docs"), col("doc_ids"), col("tfs"))
       .orderBy("term", "shard")
   }
 

@@ -339,6 +339,68 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("might_contain")
   }
 
+  test("text index: build+append search equals the in-query indexTopK on the full corpus") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 2 === 0), dir)
+    PersistedIndex.appendToTextIndex(spark, corpus.filter($"doc_id" % 2 === 1), dir)
+    val terms = graft.operators.Retrieval.QueryTerms
+    val fromIndex = PersistedIndex.searchTextIndex(spark, dir, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    val inQuery = graft.operators.Retrieval
+      .indexTopKFrom(spark, corpus, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    fromIndex shouldBe inQuery
+    fromIndex should have length 10
+  }
+
+  test("text index search prunes to the query terms' buckets and never scans corpus text") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx2").toString
+    PersistedIndex.buildTextIndex(spark, corpus, dir)
+    val search = PersistedIndex.searchTextIndex(spark, dir,
+      graft.operators.Retrieval.QueryTerms)
+    val plan = search.queryExecution.explainString(FormattedMode)
+    val locations = plan.linesIterator.filter(_.contains("Location"))
+      .mkString("\n")
+    withClue(locations) {
+      locations should not include "documents.parquet"
+      locations should include("postings")
+    }
+    // the bucket predicate reaches the scan as a partition filter (the
+    // hash-of-literal folds to constants at planning)
+    val partLine = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    withClue(partLine)(partLine should include("bucket"))
+    // and executing it reads only the pruned buckets' files — at most
+    // one bucket directory per query term, strictly fewer than the
+    // index's full file count
+    // AQE final plans hide scans behind QueryStageExec leaves; a plain
+    // plan exposes the FileSourceScanExec (and its numFiles metric)
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val rerun = PersistedIndex.searchTextIndex(spark, dir,
+        graft.operators.Retrieval.QueryTerms)
+      rerun.collect()
+      rerun.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains("postings") => f
+      }.head
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val allFiles = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$dir/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesRead = scan.metrics("numFiles").value
+    filesRead should be > 0L
+    filesRead should be < allFiles.toLong
+  }
+
   test("streaming overlap gate emits exactly the batch probe's overlapping docs") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
