@@ -98,7 +98,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
-    println(line)
+    // The full per-query map outgrew the driver's bounded stdout tail at
+    // 134 queries (BENCH_r05/r06 "parsed": null) — the LAST printed line
+    // must be a compact (~300 B) summary that always fits the tail; the
+    // complete map lives in bench_out.json.
+    val top5 = results.collect { case (k, v, None, _) => (k, v) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"${esc(sfDir)}","errors":$nErr,"n_queries":${results.size},"queries_note":"top-5 slowest; full map in bench_out.json"}"""
+    println(summary)
     spark.stop()
   }
 }

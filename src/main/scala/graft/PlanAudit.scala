@@ -48,6 +48,30 @@ object PlanAudit {
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
     "emb_outliers")
 
+  /** Count of window specs with an EMPTY partition clause in a FORMATTED
+    * explain — `windowspecdefinition(<order> ASC ...)` with no leading
+    * partition columns. A partition-less window over a corpus-sized input
+    * is a single-task global sort at 100 TB; the only legitimate uses are
+    * numbering a bounded post-limit frame (top-k reranks, <=#bins sketch
+    * estimates). Shared by the CI gate (PlanAuditSpec) and the dev dump.
+    */
+  def unpartitionedWindowCount(plan: String): Int =
+    """windowspecdefinition\([^,()]+ (?:ASC|DESC)""".r.findAllIn(plan).size
+
+  /** Queries whose partition-less windows are documented bounded frames —
+    * every one numbers a <= top-k / <= #bins / <= #langs post-limit result,
+    * never a corpus-sized input. A NEW query planning a partition-less
+    * window fails PlanAuditSpec unless deliberately added here.
+    */
+  val unpartitionedWindowWhitelist: Set[String] = Set(
+    // #shards-row (resp. #buckets-row) offsets prefix-sum table — the tiny
+    // second level of the two-level sharded cumsum
+    "assign_ids", "curriculum",
+    // <= #bins merged-sketch estimate windows
+    "hist_quantiles",
+    // <= k-row post-TakeOrdered rerank/numbering windows
+    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8")
+
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
     * deliberately not counted (it IS the optimization). The single
@@ -298,7 +322,8 @@ object PlanAudit {
         if (plan.contains("BroadcastNestedLoopJoin") &&
           !PlanAudit.bnljWhitelist.contains(name))
           "BNLJ" else "").filter(_.nonEmpty)
-      println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused ${bad.mkString(",")}")
+      val upw = unpartitionedWindowCount(plan)
+      println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused upw=$upw ${bad.mkString(",")}")
     }
     spark.stop()
   }

@@ -193,7 +193,7 @@ object SparkEntry {
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
-    "inverted_index" -> ((s, d) => Retrieval.invertedIndex(s, d)),
+    "inverted_index" -> ((s, d) => Retrieval.invertedIndexFlat(s, d)),
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
@@ -1556,7 +1556,8 @@ FROM sp ORDER BY doc_id, span_start""",
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
       * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
-SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset, bucket,
+SELECT doc_id, source, lang, n_tokens,
+  CAST(quality AS DECIMAL(6,4)) AS quality, cap_rk, start_offset, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
@@ -1774,8 +1775,8 @@ tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
   FROM t GROUP BY term, doc_id),
 p AS (SELECT term, CAST(doc_id % 8 AS INTEGER) AS shard,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tf) AS BIGINT) AS n_occ,
-  list(doc_id ORDER BY doc_id) AS doc_ids,
-  list(tf ORDER BY doc_id) AS tfs
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+  array_to_string(list(tf ORDER BY doc_id), ',') AS tfs
   FROM tf GROUP BY term, doc_id % 8),
 tot AS (SELECT term, CAST(sum(n_docs) AS BIGINT) AS df,
   CAST(sum(n_occ) AS BIGINT) AS cf FROM p GROUP BY term)

@@ -84,8 +84,12 @@ object CurationProgram {
     val st = run(corpus, minQuality, k, budget)
     val bucket = TextPipeline.hashBucket("split:")
     st.budgeted
+      // quality leaves as DECIMAL(6,4): the stage rules run on the rounded
+      // double, but a raw float in the manifest is a hash-fragile driver
+      // surface; the exact 4-decimal value is what the contract promises
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        col("quality"), col("cap_rk"), col("start_offset"),
+        col("quality").cast("decimal(6,4)").as("quality"),
+        col("cap_rk"), col("start_offset"),
         bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))

@@ -66,6 +66,16 @@ object Retrieval {
         transform(col("p"), x => x.getField("tf").cast(LongType)).as("tfs"))
   }
 
+  /** Driver-facing form of [[invertedIndex]]: identical rows, but the
+    * postings arrays serialized to comma-joined strings (the
+    * `embQuantizeFlat` discipline — harness row-sorters cannot order
+    * array cells; library callers keep [[invertedIndexFrom]]'s arrays).
+    */
+  def invertedIndexFlat(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndex(spark, sfDir)
+      .withColumn("doc_ids", array_join(col("doc_ids"), ","))
+      .withColumn("tfs", array_join(col("tfs"), ","))
+
   /** [[invertedIndex]] over any (doc_id, text) frame. */
   def invertedIndexFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
     val postings = postingsFrom(corpus)

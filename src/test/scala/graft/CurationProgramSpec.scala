@@ -41,6 +41,7 @@ class CurationProgramSpec extends AnyFunSuite with Matchers
 
   test("manifest coordinates respect every stage's bound") {
     val rows = CurationProgram.curationProgram(spark, sf)
+      .withColumn("quality", $"quality".cast("double"))
       .as[(Long, String, String, Long, Double, Long, Long, Long, String)]
       .collect().toSeq
     rows.nonEmpty shouldBe true

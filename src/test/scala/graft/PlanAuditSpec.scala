@@ -33,6 +33,40 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("no non-whitelisted query plans a partition-less window") {
+    // a partition-less window over corpus-sized input is a single-task
+    // global sort at 100 TB; the whitelist pins today's documented bounded
+    // frames (post-limit reranks, #shards-row offset tables, #bins sketch
+    // estimates) so the next top-k variant can't silently ship one
+    plans.foreach { case (name, p) =>
+      if (!PlanAudit.unpartitionedWindowWhitelist.contains(name))
+        withClue(s"$name: ") {
+          PlanAudit.unpartitionedWindowCount(p) shouldBe 0
+        }
+    }
+  }
+
+  test("whitelists carry no stale rows for removed queries") {
+    val queries = SparkEntry.queries.keySet
+    (PlanAudit.unpartitionedWindowWhitelist -- queries) shouldBe empty
+    (PlanAudit.bnljWhitelist -- queries) shouldBe empty
+  }
+
+  test("no driver-facing query emits array/map-typed output columns") {
+    // the driver's comparator sorts rows with pandas — array cells are
+    // unhashable and crash it (CORRECTNESS_r06 inverted_index); library
+    // callers get array forms via the *From builders, driver entries must
+    // serialize (the embQuantizeFlat / invertedIndexFlat discipline)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      withClue(s"$name: ${bad.map(_.name).mkString(",")} ") {
+        bad shouldBe empty
+      }
+    }
+  }
+
   test("q6 pushes date/quantity predicates into the parquet scan and prunes columns") {
     val p = plans("q6_filter")
     p should include("GreaterThanOrEqual(l_shipdate")
