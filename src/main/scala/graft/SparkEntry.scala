@@ -198,10 +198,9 @@ object SparkEntry {
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
-    // Iterative trainer: no ANSI-SQL oracle can express the per-round
-    // argmax+rewrite loop, so the driver records its rows-only check
-    // (merge-sequence exactness is pinned by BpeTrainerSpec instead);
-    // declared in EntryContractSpec.oracleExempt
+    // Iterative trainer; oracle is the GENERATED unrolled-CTE replay
+    // (BpeTrainer.bpeOracleSql) — merge-sequence exactness is also
+    // pinned by BpeTrainerSpec
     "bpe_merges" -> ((s, d) => graft.operators.BpeTrainer.bpeMerges(s, d)),
     // Data-validation / monitoring gates (DataQuality)
     "data_profile" -> ((s, d) => DataQuality.dataProfile(s, d)),
@@ -1109,6 +1108,9 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
 GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_pagerank" -> graft.operators.Graph.pagerankOracleSql,
     "graph_ppr" -> graft.operators.Graph.pprOracleSql,
+    // the generated unrolled replay of the hybrid trainer — the last
+    // former rows-only exemption, killed by the same pattern
+    "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

@@ -91,6 +91,42 @@ object BpeTrainer {
     }
   }
 
+  /** The unrolled DuckDB replay of [[bpeMerges]] — generated for the same
+    * round count so the engines cannot drift (the
+    * [[Graph.pagerankOracleSql]] pattern for iterative algorithms). Each
+    * round is three CTEs over the vocab state: adjacent pair counts
+    * (freq-weighted), the best pair by (count DESC, a, b) — DuckDB's
+    * default binary collation IS Spark's UTF8String byte order, so ties
+    * break identically — and the rewrite, a `list_reduce` fold replaying
+    * [[mergePair]]'s left-to-right non-overlapping rule (the accumulator
+    * is a chr(1)-joined symbol string because DuckDB's reduce accumulates
+    * in the element type; chr(1) cannot occur inside a symbol).
+    */
+  private[graft] def bpeOracleSql(nMerges: Int = 10): String = {
+    val sep = "chr(1)"
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT syms[j + 1] AS sym_a, syms[j + 2] AS sym_b, freq
+  FROM v${i - 1}, unnest(range(len(syms) - 1)) AS u(j)
+  WHERE len(syms) >= 2),
+b$i AS (SELECT CAST($i AS BIGINT) AS round, sym_a, sym_b,
+  sym_a || sym_b AS merged, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM p$i GROUP BY sym_a, sym_b
+  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+v$i AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+    WHEN (acc = b.sym_a OR ends_with(acc, $sep || b.sym_a)) AND x = b.sym_b
+    THEN left(acc, len(acc) - len(b.sym_a)) || b.merged
+    ELSE acc || $sep || x END), $sep) AS syms
+  FROM v${i - 1}, b$i b)"""
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+  WHERE len(word) > 0 GROUP BY word),
+v0 AS (SELECT freq, string_split(word, '') AS syms FROM vocab),
+$rounds
+${(1 to nMerges).map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL ")}
+ORDER BY round"""
+  }
+
   /** The distributed merge loop, engine-selectable for spec equivalence
     * and the huge-vocab fallback: per round, one vocab-sized pair-count
     * job + a 1-row best-pair collect, lineage kept linear with

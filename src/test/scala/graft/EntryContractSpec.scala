@@ -9,11 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EntryContractSpec extends AnyFunSuite {
 
-  /** Queries with no ANSI-SQL-expressible oracle (iterative trainers): the
-    * driver records a rows-only check; correctness is pinned by dedicated
-    * specs (BpeTrainerSpec's hand-computed merge sequence).
+  /** Queries with no ANSI-SQL-expressible oracle. Empty since round 7:
+    * `bpe_merges` (the last exemption) now has a generated unrolled-CTE
+    * DuckDB replay ([[graft.operators.BpeTrainer.bpeOracleSql]], the
+    * Graph.pagerankOracleSql pattern).
     */
-  private val oracleExempt = Set("bpe_merges")
+  private val oracleExempt = Set.empty[String]
 
   test("every query has an oracle and every oracle has a query") {
     assert(SparkEntry.oracleSql.keySet ===
