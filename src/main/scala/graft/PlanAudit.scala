@@ -224,11 +224,12 @@ object PlanAudit {
     // shuffle class
     "lm_perplexity" -> 5,
     // 5 unrolled power-iteration rounds over checkpointed edge/degree
-    // leaves: per round a src-keyed join, a dst-keyed contribution agg,
-    // and the node left-join, + the final orderBy — every shuffle keyed
-    // by node, rank frame node-sized throughout
-    "graph_pagerank" -> 17,
-    "graph_ppr" -> 17, // same unrolled loop, seed-masked teleport
+    // leaves; the edges leaf is pre-partitioned by src (AQE-off
+    // checkpoint) so the contribution joins plan NO edge re-shuffle —
+    // the remaining exchanges are the per-round dst-keyed contribution
+    // aggs and the final orderBy, rank frame node-sized throughout
+    "graph_pagerank" -> 7,
+    "graph_ppr" -> 7, // same unrolled loop, seed-masked teleport
     // two 1-row normalizer aggs (centroid, mean/variance) + the final
     // orderBy; distances are a stateless projection, zero corpus shuffles
     "emb_outliers" -> 4,

@@ -68,13 +68,34 @@ object Graph {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = checkpoint(
-      pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-        .union(pairs.select(col("snode").as("src"), col("cnode").as("dst"))))
-    val deg = checkpoint(
-      edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).cast(LongType).as("outdeg")))
-    (deg, edges)
+    // edges are checkpointed PRE-PARTITIONED by src and SORTED within
+    // partitions: the checkpoint leaf (LogicalRDD) records the
+    // HashPartitioning + ordering, so all `Iters` rounds' contribution
+    // joins reuse this ONE exchange-and-sort instead of re-shuffling the
+    // edge frame (the largest frame in the loop) every round — at 100x
+    // scale that repartition is the loop's dominant avoidable cost. The
+    // degree aggregation also rides the same partitioning (its grouping
+    // key IS src), and its leaf records node-keyed partitioning for the
+    // per-round rank join. The leaves are computed with AQE OFF: an
+    // AdaptiveSparkPlanExec reports UnknownPartitioning at checkpoint
+    // capture time, so an AQE-built leaf forgets its partitioning and
+    // every round re-shuffles (measured: 17 exchanges -> 7). round(r, 10)
+    // already pins the float sum order, so the plan change is
+    // hash-identical.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val edges = checkpoint(
+        pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+          .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+          .repartition(col("src"))
+          .sortWithinPartitions("src"))
+      val deg = checkpoint(
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast(LongType).as("outdeg")))
+      (deg, edges)
+    } finally spark.conf.set(aqeKey, aqeWas)
   }
 
   /** The shared power-iteration loop: `init`/`teleport` are expressions
