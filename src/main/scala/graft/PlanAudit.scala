@@ -42,7 +42,7 @@ object PlanAudit {
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect",
     // 1-row corpus-count broadcast (the TF-IDF N normalizer)
-    "index_topk",
+    "index_topk", "index_topk_batch",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
     "lm_bigram",
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
@@ -247,6 +247,9 @@ object PlanAudit {
     // scan; ReusedExchange at runtime) + per-doc score agg; top-k is a
     // TakeOrdered, df/N are broadcasts
     "index_topk" -> 5,
+    // + the two-phase (query,shard) -> query ranking windows over
+    // broadcast-joined scores; survivors are <= k x nShards per query
+    "index_topk_batch" -> 8,
     // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift
     // adds the 5-row lang join and its share windows
     "data_profile" -> 3,

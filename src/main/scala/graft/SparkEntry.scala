@@ -195,6 +195,8 @@ object SparkEntry {
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
     "inverted_index" -> ((s, d) => Retrieval.invertedIndexFlat(s, d)),
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
+    // batched retrieval: top-k per query of a query TABLE, one corpus pass
+    "index_topk_batch" -> ((s, d) => Retrieval.indexTopKBatch(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -1111,6 +1113,8 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     // the generated unrolled replay of the hybrid trainer — the last
     // former rows-only exemption, killed by the same pattern
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
+    // generated from the same QueryPanel as the Spark query
+    "index_topk_batch" -> Retrieval.indexTopKBatchOracleSql(5),
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

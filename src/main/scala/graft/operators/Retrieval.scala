@@ -126,4 +126,96 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Demo query TABLE for the batched form — what a RAG eval harness
+    * actually scores (many queries per corpus pass). Shared with the
+    * generated oracle SQL so the panels cannot drift.
+    */
+  private[graft] val QueryPanel: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "window"),
+    2L -> Seq("hash", "merge", "sort"),
+    3L -> Seq("stream", "batch", "filter"),
+    4L -> Seq("vector", "query"))
+
+  /** Batched TF-IDF top-k: top `k` docs for EACH query of a query table,
+    * in ONE corpus pass. The corpus scan filters to the UNION of all
+    * panels' terms before the tf shuffle; the query↔term mapping and the
+    * df/N statistics are broadcasts, so adding queries costs no extra
+    * corpus work. The per-query ranking is TWO-PHASE: a (query, shard)
+    * window keeps k survivors per shard — bounding every window
+    * partition at any corpus size (a query-only window would funnel a
+    * query's whole candidate set, corpus-sized for common terms, through
+    * one task) — then the global window ranks the ≤ k·nShards survivors.
+    */
+  def indexTopKBatch(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame =
+    indexTopKBatchFrom(spark, docs(spark, sfDir), QueryPanel, k)
+
+  /** [[indexTopKBatch]] over any (doc_id, text) corpus and query table. */
+  def indexTopKBatchFrom(spark: SparkSession, corpus: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast(DoubleType) *
+        log(col("n_corpus").cast(DoubleType) / col("df")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_terms_hit"),
+        round(sum(col("w")), 4).as("score"))
+    val byScore = Seq(col("score").desc, col("doc_id"))
+    val shardW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), pmod(col("doc_id"), lit(NShards)))
+      .orderBy(byScore: _*)
+    val queryW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(byScore: _*)
+    scored
+      .withColumn("srk", row_number().over(shardW))
+      .filter(col("srk") <= k)
+      .withColumn("rank", row_number().over(queryW).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The DuckDB replay of [[indexTopKBatch]], generated from the SAME
+    * [[QueryPanel]] (single-phase global ranking — equivalent because
+    * phase 1 only drops rows that cannot reach the global top k).
+    */
+  private[graft] def indexTopKBatchOracleSql(k: Int = 5): String = {
+    val values = QueryPanel.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val terms = QueryPanel.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH q AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+  FROM (VALUES $values) v(q, t)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE term IN ($terms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4)
+    AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term), n
+  GROUP BY query_id, doc_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+SELECT query_id, rank, doc_id, n_terms_hit, score FROM r
+WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 }
