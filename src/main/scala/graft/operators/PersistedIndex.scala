@@ -418,24 +418,23 @@ FROM graft_shingle_bloom_build""")
 
   /** Persist the inverted text index at `path`:
     *
-    *  - `postings/` hive-partitioned by `bucket = hash(term) % 64` — a
-    *    term query's buckets are CONSTANT-FOLDABLE (hash of a literal),
-    *    so partition pruning drops 63/64 of the index at the scan;
-    *    within a bucket, rows are the document-sharded
-    *    [[Retrieval.postingsFrom]] groups (a stopword splits across
-    *    shards instead of one giant row).
-    *  - `meta/` one corpus-count row per build/append — summed at query
-    *    time for the IDF normalizer, so search never touches corpus text.
+    *  - `postings/ingest=<token>/` hive-partitioned by
+    *    `bucket = hash(term) % 64` — a term query's buckets are
+    *    CONSTANT-FOLDABLE (hash of a literal), so partition pruning drops
+    *    63/64 of the index at the scan; within a bucket, rows are the
+    *    document-sharded [[Retrieval.postingsFrom]] groups (a stopword
+    *    splits across shards instead of one giant row). The `ingest`
+    *    level isolates each build/append/stream-batch in its own
+    *    directory, which is what makes the streaming writer's replay
+    *    OVERWRITE idempotent (and costs a query nothing: pruning is on
+    *    `bucket`, `ingest` is just discovered).
+    *  - `meta/ingest=<token>/` one corpus-count row per build/append —
+    *    summed at query time for the IDF normalizer, so search never
+    *    touches corpus text.
     */
   def buildTextIndex(spark: SparkSession, corpus: DataFrame,
-      path: String): Unit = {
-    Retrieval.postingsFrom(corpus)
-      .withColumn("bucket", termBucket(col("term")))
-      .write.partitionBy("bucket")
-      .mode(SaveMode.Overwrite).parquet(s"$path/postings")
-    corpus.agg(count(lit(1)).cast("long").as("n_docs"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-  }
+      path: String): Unit =
+    writeTextIndexDelta(corpus, path, "base", SaveMode.Overwrite)
 
   /** Append a delta corpus's postings as NEW rows — existing posting
     * files are never rewritten (the [[appendToShingleIndex]] shape). A
@@ -444,14 +443,50 @@ FROM graft_shingle_bloom_build""")
     * HLL/histogram sketch stores.
     */
   def appendToTextIndex(spark: SparkSession, delta: DataFrame,
-      path: String): Unit = {
+      path: String): Unit =
+    writeTextIndexDelta(delta, path, "delta", SaveMode.Append)
+
+  private def writeTextIndexDelta(delta: DataFrame, path: String,
+      ingest: String, mode: SaveMode): Unit = {
     Retrieval.postingsFrom(delta)
       .withColumn("bucket", termBucket(col("term")))
       .write.partitionBy("bucket")
-      .mode(SaveMode.Append).parquet(s"$path/postings")
+      .mode(mode).parquet(s"$path/postings/ingest=$ingest")
     delta.agg(count(lit(1)).cast("long").as("n_docs"))
-      .write.mode(SaveMode.Append).parquet(s"$path/meta")
+      .write.mode(mode).parquet(s"$path/meta/ingest=$ingest")
   }
+
+  /** One micro-batch of the streaming ingest: the batch's postings land
+    * in their own `ingest=b<batchId>` directory with OVERWRITE semantics,
+    * so a replayed batch (foreachBatch's at-least-once contract after a
+    * failure) rewrites the same directory instead of duplicating postings
+    * — idempotence by layout, no transaction log needed.
+    */
+  private[graft] def appendTextIndexBatch(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    writeTextIndexDelta(batch, path, s"b$batchId", SaveMode.Overwrite)
+
+  /** The streaming ingest twin of [[appendToTextIndex]] — routes each
+    * arriving micro-batch of (doc_id, text) documents into the persisted
+    * index as a delta postings append (the production "index keeps up
+    * with the crawl" path). Inside the batch the work is the identical
+    * document-sharded (term, shard) aggregation as the batch builder, so
+    * stream-built shards equal batch-built shards row-for-row
+    * (StreamingTextIndexSpec); across batches a term accumulates rows
+    * that [[searchTextIndex]] re-merges by summation. Start the returned
+    * writer with `.start()`.
+    */
+  def textIndexIngestStream(docs: DataFrame, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendTextIndexBatch(batch.toDF(), path, id)
+      }
 
   /** TF-IDF top-k over the persisted index — the
     * [[Retrieval.indexTopKFrom]] contract (same columns, same scores)
