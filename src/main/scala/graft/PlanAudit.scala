@@ -41,8 +41,9 @@ object PlanAudit {
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect",
-    // 1-row corpus-count broadcast (the TF-IDF N normalizer)
-    "index_topk", "index_topk_batch",
+    // 1-row corpus-count broadcast (the TF-IDF N normalizer / BM25
+    // N+avgdl normalizer / the RRF sides' query broadcasts)
+    "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
     "lm_bigram",
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
@@ -70,7 +71,9 @@ object PlanAudit {
     // <= #bins merged-sketch estimate windows
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
-    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8")
+    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8",
+    // <= kEach-row post-TakeOrdered rank windows on both RRF sides
+    "hybrid_rrf")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -250,6 +253,11 @@ object PlanAudit {
     // + the two-phase (query,shard) -> query ranking windows over
     // broadcast-joined scores; survivors are <= k x nShards per query
     "index_topk_batch" -> 8,
+    // the index_topk shape with the dl-carrying tf agg and the 1-row
+    // N/avgdl normalizer
+    "bm25_topk" -> 5,
+    // two TakeOrdered sides + the <= kEach-row fusion join/orderBy
+    "hybrid_rrf" -> 10,
     // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift
     // adds the 5-row lang join and its share windows
     "data_profile" -> 3,

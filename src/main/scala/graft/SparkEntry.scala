@@ -197,6 +197,10 @@ object SparkEntry {
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     // batched retrieval: top-k per query of a query TABLE, one corpus pass
     "index_topk_batch" -> ((s, d) => Retrieval.indexTopKBatch(s, d)),
+    // BM25 lexical ranking (Robertson k1/b defaults, Lucene idf)
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    "hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -1115,6 +1119,8 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
     // generated from the same QueryPanel as the Spark query
     "index_topk_batch" -> Retrieval.indexTopKBatchOracleSql(5),
+    "bm25_topk" -> Retrieval.bm25OracleSql(10),
+    "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

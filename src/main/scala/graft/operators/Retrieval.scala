@@ -190,6 +190,153 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** BM25 parameters (the Robertson/Lucene defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 top-k retrieval for the fixed term query — the production
+    * lexical ranking function (length-normalized TF saturation +
+    * rare-term IDF), same plan shape as [[indexTopK]]: the tf aggregation
+    * CARRIES each doc's token length through the explode (one text scan
+    * computes both), a second length-only pruned scan feeds the 1-row
+    * N/avgdl normalizer, df broadcasts, and the top-k is a TakeOrdered.
+    * idf = ln(1 + (N - df + ½)/(df + ½)), the Lucene formulation (always
+    * positive, so stopword-heavy queries cannot flip signs).
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    bm25TopKFrom(spark, docs(spark, sfDir), QueryTerms, k)
+
+  /** [[bm25TopK]] over any (doc_id, text) frame and term set. */
+  def bm25TopKFrom(spark: SparkSession, corpus: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val tf = corpus
+      .select(col("doc_id"), size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_corpus"),
+      avg(size(toks).cast(DoubleType)).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val sat = tfD * (lit(K1) + 1.0) /
+      (tfD + lit(K1) * (lit(1.0 - B) +
+        lit(B) * col("dl").cast(DoubleType) / col("avgdl")))
+    tf.join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w", idf * sat)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_terms_hit"),
+        round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB replay of [[bm25TopK]] — same constants, same math. */
+  private[graft] def bm25OracleSql(k: Int = 10): String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+  unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+  round(sum(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+    (CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+    (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))), 4)
+    AS score
+  FROM tf JOIN df USING (term), st GROUP BY doc_id)
+SELECT doc_id, n_terms_hit, score FROM s
+ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    * (Cormack et al., SIGIR'09): fuse the TF-IDF top-`kEach` for the
+    * term query with the cosine top-`kEach` for a query embedding
+    * (vec_id 0 — documents and embeddings share the id domain) by
+    * rrf = Σ 1/(60 + rank). THE RAG-stack ranking: each side keeps its
+    * own scale-correct plan (term-filtered scan + TakeOrdered; broadcast
+    * query vector + TakeOrdered), fusion is a full outer join of two
+    * ≤ kEach-row frames — nothing corpus-sized moves after the two
+    * top-k stages.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 10,
+      kEach: Int = 20): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val byText = Seq(col("score").desc, col("doc_id"))
+    val textTop = indexTopKFrom(spark, docs(spark, sfDir), QueryTerms, kEach)
+      .withColumn("text_rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(byText: _*))
+        .cast(LongType))
+      .select(col("doc_id"), col("text_rank"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val byCos = Seq(col("cos").desc, col("vec_id"))
+    val vecTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(byCos: _*).limit(kEach)
+      .withColumn("vec_rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(byCos: _*))
+        .cast(LongType))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+    textTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        round(rrf, 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB replay of [[hybridRrf]] — the index_topk CTEs for the
+    * text side, the sim_topk ordered-list_sum cosine for the vector side.
+    */
+  private[graft] def hybridRrfOracleSql(k: Int = 10,
+      kEach: Int = 20): String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val dot = "list_sum(list_transform(range(64), i -> " +
+      "CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))"
+    val nrmE = "sqrt(list_sum(list_transform(range(64), i -> " +
+      "CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))"
+    val nrmQ = "sqrt(list_sum(list_transform(range(64), i -> " +
+      "CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))))"
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE term IN ($terms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+ts AS (SELECT doc_id,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4)
+    AS score
+  FROM tf JOIN df USING (term), n GROUP BY doc_id),
+tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+    AS BIGINT) AS text_rank
+  FROM ts ORDER BY score DESC, doc_id LIMIT $kEach),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (SELECT vec_id, ($dot / ($nrmE * $nrmQ)) AS c
+  FROM embeddings, q WHERE vec_id <> 0),
+vr AS (SELECT vec_id AS doc_id, CAST(row_number()
+    OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS vec_rank
+  FROM vs ORDER BY c DESC, vec_id LIMIT $kEach)
+SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, text_rank, vec_rank,
+  round(coalesce(1.0 / (60.0 + text_rank), 0.0) +
+    coalesce(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf_score
+FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+ORDER BY rrf_score DESC, coalesce(tr.doc_id, vr.doc_id) LIMIT $k"""
+  }
+
   /** The DuckDB replay of [[indexTopKBatch]], generated from the SAME
     * [[QueryPanel]] (single-phase global ranking — equivalent because
     * phase 1 only drops rows that cannot reach the global top k).
