@@ -452,8 +452,22 @@ FROM graft_shingle_bloom_build""")
       .withColumn("bucket", termBucket(col("term")))
       .write.partitionBy("bucket")
       .mode(mode).parquet(s"$path/postings/ingest=$ingest")
-    delta.agg(count(lit(1)).cast("long").as("n_docs"))
+    // meta carries the BM25 length statistics alongside the doc count:
+    // n_docs and the token-length SUM (not the average — sums merge
+    // across ingest directories, averages don't)
+    delta.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(size(graft.functions.TextFunctions
+          .tokens(col("text"))).cast("long")), lit(0L)).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/meta/ingest=$ingest")
+    // per-document token lengths, doc-sharded like the postings — the
+    // BM25 length normalizer joins these against the scored docs (doc-
+    // keyed, never corpus text)
+    delta.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("dl"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("shard"))
+      .write.partitionBy("shard")
+      .mode(mode).parquet(s"$path/doclens/ingest=$ingest")
   }
 
   /** One micro-batch of the streaming ingest: the batch's postings land
@@ -487,6 +501,51 @@ FROM graft_shingle_bloom_build""")
             id: Long) =>
           appendTextIndexBatch(batch.toDF(), path, id)
       }
+
+  /** BM25 top-k over the persisted index — the [[Retrieval.bm25TopKFrom]]
+    * contract (same columns, same scores, same k1/b constants) with every
+    * corpus touch replaced by index artifacts: postings give tf/df
+    * (bucket-pruned + term-filtered scan), `doclens/` gives the length
+    * normalizer via a doc-keyed join (doc-sized, text-free), and N/avgdl
+    * come from the summed `meta/` rows — `sum_dl` is persisted as a SUM
+    * precisely so appends merge exactly (integer-valued double sums are
+    * order-exact, so avgdl equals the batch `avg` bit-for-bit).
+    */
+  def searchTextIndexBm25(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head
+    val n = m.getLong(0)
+    val avgdl = m.getLong(1).toDouble / n
+    val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
+      .reduce(_ || _)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(bucketPred && col("term").isin(terms: _*))
+    val tf = postings
+      .select(col("term"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
+      .select(col("term"), col("e.doc_ids").as("doc_id"),
+        col("e.tfs").as("tf"))
+    val dfTerm = postings.groupBy(col("term"))
+      .agg(sum(col("n_docs")).as("df"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val sat = tfD * lit(Retrieval.K1 + 1.0) /
+      (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
+        lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
+    tf.join(broadcast(dfTerm), "term")
+      .join(doclens, "doc_id")
+      .withColumn("w", idf * sat)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** TF-IDF top-k over the persisted index — the
     * [[Retrieval.indexTopKFrom]] contract (same columns, same scores)

@@ -190,9 +190,10 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
-  /** BM25 parameters (the Robertson/Lucene defaults). */
-  private val K1 = 1.2
-  private val B = 0.75
+  /** BM25 parameters (the Robertson/Lucene defaults) — shared with the
+    * persisted-index scorer ([[PersistedIndex.searchTextIndexBm25]]). */
+  private[operators] val K1 = 1.2
+  private[operators] val B = 0.75
 
   /** BM25 top-k retrieval for the fixed term query — the production
     * lexical ranking function (length-normalized TF saturation +

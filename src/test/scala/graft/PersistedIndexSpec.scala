@@ -355,6 +355,28 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromIndex should have length 10
   }
 
+  test("text index BM25 search equals the in-query bm25TopK and never scans corpus text") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tbm25").toString
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 2 === 0), dir)
+    PersistedIndex.appendToTextIndex(spark, corpus.filter($"doc_id" % 2 === 1), dir)
+    val terms = graft.operators.Retrieval.QueryTerms
+    val search = PersistedIndex.searchTextIndexBm25(spark, dir, terms)
+    search.as[(Long, Long, Double)].collect().toSeq shouldBe
+      graft.operators.Retrieval.bm25TopKFrom(spark, corpus, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+    // the scorer touches only index artifacts: postings (bucket-pruned),
+    // doclens, meta — never the corpus parquet
+    val locations = search.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("Location")).mkString("\n")
+    withClue(locations) {
+      locations should not include "documents.parquet"
+      locations should include("postings")
+      locations should include("doclens")
+    }
+  }
+
   test("text index search prunes to the query terms' buckets and never scans corpus text") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")

@@ -65,6 +65,12 @@ class StreamingTextIndexSpec extends AnyFunSuite with Matchers
     // and both equal the one-shot in-query retrieval over the full corpus
     streamed shouldBe Retrieval.indexTopKFrom(spark, corpus, terms, 10)
       .as[(Long, Long, Double)].collect().toSeq
+    // BM25 over the stream-built index equals the in-query BM25 too (the
+    // doclens/meta sidecars merge across base + stream-batch ingest dirs)
+    PersistedIndex.searchTextIndexBm25(spark, streamDir, terms)
+      .as[(Long, Long, Double)].collect().toSeq shouldBe
+      Retrieval.bm25TopKFrom(spark, corpus, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
   }
 
   test("a replayed micro-batch overwrites its own ingest directory — no duplicate postings") {
