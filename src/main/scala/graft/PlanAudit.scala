@@ -29,6 +29,8 @@ object PlanAudit {
     "lang_temperature", "curriculum",
     // 1-row bloom-filter scalar subquery (build side of the prefilter)
     "decontaminate_bloom",
+    // 1-row n_true normalizer broadcast (the recall denominator)
+    "minhash_tune",
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
     // 1-row total-token normalizer broadcast
@@ -99,6 +101,10 @@ object PlanAudit {
     "dedup_exact" -> 2,
     "dedup_simhash" -> 6,
     "dedup_minhash" -> 10,
+    // 4 banded self-joins (one per grid config) + the distinct-pair
+    // verify joins + the per-config agg + the 1-row n_true broadcast +
+    // orderBy; the signature frame is checkpointed, never recomputed
+    "minhash_tune" -> 16,
     "dedup_jaccard" -> 10,
     "dedup_pipeline" -> 14,
     "emb_neardup" -> 10,

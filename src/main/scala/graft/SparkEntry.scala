@@ -114,6 +114,8 @@ object SparkEntry {
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
+    // LSH banding tune grid: candidates/precision/recall per (bands, rows)
+    "minhash_tune" -> ((s, d) => TextPipeline.minhashTune(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => TextPipeline.dedupSimHash(s, d)),
     "dedup_pipeline" -> ((s, d) => TextPipeline.dedupPipeline(s, d)),
@@ -963,6 +965,7 @@ SELECT q_id, rank, vec_id, round(c, 4) AS sim FROM t WHERE rank <= 3 ORDER BY q_
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",
+    "minhash_tune" -> TextPipeline.minhashTuneOracleSql(shingleSetCtes),
     "dedup_minhash" ->
       s"""WITH
 $shingleSetCtes,

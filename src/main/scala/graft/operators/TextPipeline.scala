@@ -749,6 +749,121 @@ object TextPipeline {
     verifyJaccard(cands, sets).orderBy("doc_a", "doc_b")
   }
 
+  /** The (bands × rows) grid [[minhashTune]] sweeps — every config
+    * re-bands the SAME 16-hash signature. Shared with the generated
+    * oracle so the grid cannot drift between engines.
+    */
+  private[graft] val BandGrid: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** LSH banding tune telemetry — the dedup counterpart of
+    * `ann_recall_grid`: for each (n_bands, rows_per_band) config over one
+    * shared 16-hash MinHash signature, the candidate-pair volume, the
+    * verified-duplicate count, precision, and recall vs the union of all
+    * configs' verified positives (exact all-pairs ground truth is the one
+    * thing a 100 TB run can never compute; the union reference is the
+    * standard production proxy, and (16,1) — any-single-hash-match —
+    * captures a J ≥ 0.8 pair w.p. 1-(1-J)^16 ≈ 1, so the union is near
+    * truth at the threshold). Scale shape: the signature frame is
+    * checkpointed ONCE (shingles + 16 md5 mins never recompute per
+    * config), each config's candidates come from its own banded
+    * equi-join (never all-pairs), and the expensive Jaccard verify runs
+    * once per DISTINCT pair across the whole grid, not once per config.
+    */
+  def minhashTune(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sig = fence(docs(spark, sfDir)
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
+      .select(col("doc_id"), col("s"),
+        array((0 until 16).map(k => graft.expressions.VectorExpressions
+          .minHash1Native(col("s"), k)): _*).as("mh")))
+    val tagged = BandGrid.map { case (b, r) =>
+      val bandCols = (0 until b).map(i =>
+        concat_ws("|", slice(col("mh"), i * r + 1, r)))
+      val bands = sig
+        .select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "digest")))
+        .repartition(col("band"), col("digest"))
+      bands.hint("shuffle_hash").as("a")
+        .join(bands.hint("shuffle_hash").as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.digest") === col("b.digest") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+    val cands = fence(tagged)
+    val verified = cands.select(col("doc_a"), col("doc_b")).distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (round(jaccard(col("sa"), col("sb")), 4) >= JaccardThreshold)
+          .as("is_dup"))
+    val total = verified.filter(col("is_dup"))
+      .agg(count(lit(1)).cast(LongType).as("n_true"))
+    cands.join(verified, Seq("doc_a", "doc_b"))
+      .groupBy(col("n_bands"), col("rows_per_band"))
+      .agg(count(lit(1)).cast(LongType).as("n_cand"),
+        sum(col("is_dup").cast(LongType)).as("n_dup"))
+      .crossJoin(broadcast(total))
+      .select(col("n_bands"), col("rows_per_band"), col("n_cand"),
+        col("n_dup"),
+        when(col("n_cand") === 0, lit(null))
+          .otherwise(round(col("n_dup").cast(DoubleType) / col("n_cand"), 4))
+          .as("prec"),
+        when(col("n_true") === 0, lit(null))
+          .otherwise(round(col("n_dup").cast(DoubleType) / col("n_true"), 4))
+          .as("recall_vs_union"))
+      .orderBy(col("n_bands").desc)
+  }
+
+  /** The DuckDB replay of [[minhashTune]], generated from the SAME
+    * [[BandGrid]]: per config a banded self-join over mh slices, then the
+    * shared distinct-pair verify and the union-reference recall.
+    */
+  private[graft] def minhashTuneOracleSql(shingleSetCtes: String): String = {
+    val perConfig = BandGrid.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+    x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM (SELECT doc_id, u.band,
+      array_to_string(mh[u.band*$r+1:u.band*$r+$r], '|') AS digest
+    FROM sig, unnest(range($b)) u(band)) x
+  JOIN (SELECT doc_id, u.band,
+      array_to_string(mh[u.band*$r+1:u.band*$r+$r], '|') AS digest
+    FROM sig, unnest(range($b)) u(band)) y
+  ON x.band = y.band AND x.digest = y.digest AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleSetCtes,
+sig AS (SELECT doc_id, s, list_transform(range(16),
+  k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+cands AS (
+$perConfig
+),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cands),
+ver AS (SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      len(list_distinct(list_concat(x.s, y.s))), 4) >= 0.8 AS is_dup
+  FROM pairs JOIN ss x ON pairs.doc_a = x.doc_id
+  JOIN ss y ON pairs.doc_b = y.doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ver WHERE is_dup),
+agg AS (SELECT n_bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_cand,
+    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM cands JOIN ver USING (doc_a, doc_b) GROUP BY 1, 2)
+SELECT n_bands, rows_per_band, n_cand, n_dup,
+  CASE WHEN n_cand = 0 THEN NULL
+    ELSE round(CAST(n_dup AS DOUBLE) / n_cand, 4) END AS prec,
+  CASE WHEN n_true = 0 THEN NULL
+    ELSE round(CAST(n_dup AS DOUBLE) / n_true, 4) END AS recall_vs_union
+FROM agg, tot ORDER BY n_bands DESC"""
+  }
+
   /** Near-dup pairs blocked on the single global min-hash (prefix-filter
     * style: a pair with Jaccard J shares its min w.p. J), verified with
     * exact Jaccard >= 0.8. Cheaper signature than banded MinHash, lower
