@@ -47,7 +47,8 @@ object PlanAudit {
     // N+avgdl normalizer / the RRF sides' query broadcasts)
     "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
-    "lm_bigram",
+    // resp. the 1-row bigram-types total (the continuation normalizer)
+    "lm_bigram", "lm_kneser_ney",
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
     "emb_outliers")
 
@@ -246,6 +247,11 @@ object PlanAudit {
     // (token,nxt) and token count windows + per-doc fold agg + orderBy,
     // plus the 1-row vocab-size broadcast's build agg
     "lm_bigram" -> 6,
+    // lm_bigram + the continuation statistics: the distinct-types frame
+    // plans under each of its three consumers (n1_fwd/n1_bwd/types — the
+    // documented assignIds re-derive trade; every one is vocab-sized and
+    // map-side combined), their keyed joins, + the 1-row types broadcast
+    "lm_kneser_ney" -> 13,
     // mergeable histogram: per-source shard agg (map-side combined) +
     // the bin merge agg + the sketch-sized estimate windows/orderBy
     "hist_quantiles" -> 3,

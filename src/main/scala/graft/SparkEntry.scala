@@ -195,6 +195,8 @@ object SparkEntry {
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
+    // interpolated Kneser-Ney (d=0.75), the production n-gram smoothing
+    "lm_kneser_ney" -> ((s, d) => TextPipeline.lmKneserNey(s, d)),
     "inverted_index" -> ((s, d) => Retrieval.invertedIndexFlat(s, d)),
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     // batched retrieval: top-k per query of a query TABLE, one corpus pass
@@ -1779,6 +1781,29 @@ d AS (SELECT doc_id,
   list(ln((CAST(c_bg AS DOUBLE) + 1.0) /
     (CAST(c_prefix AS DOUBLE) + v_size)) ORDER BY pos) AS lps
   FROM f, v GROUP BY doc_id)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+  round(-list_sum(lps) / len(lps), 4) AS avg_nll,
+  round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
+FROM d ORDER BY doc_id""",
+    "lm_kneser_ney" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS token FROM documents),
+bg AS (SELECT doc_id, pos, token,
+  lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tp),
+b2 AS (SELECT * FROM bg WHERE nxt IS NOT NULL),
+f AS (SELECT doc_id, pos, token, nxt,
+  count(*) OVER (PARTITION BY token, nxt) AS c_bg,
+  count(*) OVER (PARTITION BY token) AS c_prefix FROM b2),
+bt AS (SELECT DISTINCT token, nxt FROM b2),
+n1f AS (SELECT token, CAST(count(*) AS BIGINT) AS n1_fwd FROM bt GROUP BY token),
+n1b AS (SELECT nxt, CAST(count(*) AS BIGINT) AS n1_bwd FROM bt GROUP BY nxt),
+ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bt),
+d AS (SELECT doc_id,
+  list(ln((CAST(c_bg AS DOUBLE) - 0.75) / CAST(c_prefix AS DOUBLE) +
+    0.75 * CAST(n1_fwd AS DOUBLE) / CAST(c_prefix AS DOUBLE) *
+    (CAST(n1_bwd AS DOUBLE) / CAST(n_types AS DOUBLE))) ORDER BY pos) AS lps
+  FROM f JOIN n1f USING (token) JOIN n1b USING (nxt), ty GROUP BY doc_id)
 SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
   round(-list_sum(lps) / len(lps), 4) AS avg_nll,
   round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity

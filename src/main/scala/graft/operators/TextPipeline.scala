@@ -1659,6 +1659,71 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney '95; the
+    * Chen & Goodman '98 formulation with fixed discount d = 0.75) — the
+    * production n-gram smoothing, one model up from [[lmBigram]]'s
+    * Laplace floor: P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁·)
+    * + d·N₁₊(w₁,·)/c(w₁·) · N₁₊(·,w₂)/N₁₊(·,·) — the continuation
+    * probability scores how many CONTEXTS a word completes, not how
+    * often it occurs (the "San Francisco" correction).
+    *
+    * Plan shape: [[lmBigram]]'s windows give c(w₁w₂)/c(w₁·); the three
+    * continuation statistics come from ONE distinct-bigram-types frame —
+    * two vocab-sized keyed aggs joined back onto the bigram rows (keyed,
+    * map-side combined; a collect_set window would hold a stopword
+    * prefix's whole successor set in one partition) and a 1-row types
+    * total broadcast. Per-doc fold is position-ordered, engine-identical.
+    */
+  def lmKneserNey(spark: SparkSession, sfDir: String): DataFrame =
+    lmKneserNeyFrom(spark, docs(spark, sfDir))
+
+  /** [[lmKneserNey]] over any (doc_id, text) frame; every scored bigram
+    * is observed in the corpus, so the discounted term is always > 0 and
+    * no unseen-prefix backoff case arises.
+    */
+  def lmKneserNeyFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val bigrams = toksPos
+      .withColumn("nxt",
+        lead(col("token"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+    val withC = bigrams
+      .withColumn("c_bg",
+        count(lit(1)).over(Window.partitionBy("token", "nxt")))
+      .withColumn("c_prefix",
+        count(lit(1)).over(Window.partitionBy("token")))
+    val bt = bigrams.select(col("token"), col("nxt")).distinct()
+    val n1f = bt.groupBy(col("token"))
+      .agg(count(lit(1)).cast(LongType).as("n1_fwd"))
+    val n1b = bt.groupBy(col("nxt"))
+      .agg(count(lit(1)).cast(LongType).as("n1_bwd"))
+    val types = bt.agg(count(lit(1)).cast(LongType).as("n_types"))
+    val d = lit(0.75)
+    withC.join(n1f, "token").join(n1b, "nxt")
+      .crossJoin(broadcast(types))
+      .withColumn("lnp", log(
+        (col("c_bg").cast(DoubleType) - d) /
+          col("c_prefix").cast(DoubleType) +
+        d * col("n1_fwd").cast(DoubleType) /
+          col("c_prefix").cast(DoubleType) *
+          (col("n1_bwd").cast(DoubleType) /
+            col("n_types").cast(DoubleType))))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n_bigrams"),
+        aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, b) => a + b).as("sum_lnp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lnp") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_bigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same answer as [[decontaminate]],
     * different 100 TB shape. [[decontaminate]] shuffles EVERY fingerprint in
     * the corpus once (one group-by-fingerprint pass). Here the eval side's
