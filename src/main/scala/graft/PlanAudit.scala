@@ -243,6 +243,10 @@ object PlanAudit {
     // two 1-row normalizer aggs (centroid, mean/variance) + the final
     // orderBy; distances are a stateless projection, zero corpus shuffles
     "emb_outliers" -> 4,
+    // per power-iteration round: one VecSumAgg partial+final pair over
+    // the fenced centered frame (1-row driver traffic each); + the mean
+    // agg and the 64-row output sort
+    "emb_pca_power" -> 12,
     // the lm_perplexity family one order up: the per-doc lead window +
     // (token,nxt) and token count windows + per-doc fold agg + orderBy,
     // plus the 1-row vocab-size broadcast's build agg

@@ -192,6 +192,8 @@ object SparkEntry {
     "token_budget_bpe" -> ((s, d) => TextPipeline.tokenBudgetSampleBpe(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
+    // top principal component by unrolled power iteration (generated oracle)
+    "emb_pca_power" -> ((s, d) => SimilarityPipeline.embPcaPower(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
@@ -1124,6 +1126,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
     // generated from the same QueryPanel as the Spark query
     "index_topk_batch" -> Retrieval.indexTopKBatchOracleSql(5),
+    "emb_pca_power" -> SimilarityPipeline.embPcaPowerOracleSql,
     "bm25_topk" -> Retrieval.bm25OracleSql(10),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->

@@ -628,6 +628,108 @@ object SimilarityPipeline {
     * mean/variance normalizer is a second 1-row broadcast — two corpus
     * scans, zero corpus-sized shuffles at any scale.
     */
+  /** Power-iteration rounds for [[embPcaPower]] (fixed -> the unrolled
+    * static plan + a generated oracle, the PageRank discipline).
+    */
+  private val PcaIters = 4
+
+  /** Per-round loading quantum: each round's eigenvector estimate is
+    * rounded to 6 dp BEFORE feeding the next round, so both engines
+    * iterate from IDENTICAL vectors — float sum-order drift (~1e-12 for
+    * corpus-sized sums) can never accumulate across rounds.
+    */
+  private val PcaRound = 6
+
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * (the dimensionality-reduction / whitening pass of an embedding
+    * pipeline, and the von Mises-Wishart workhorse behind PCA at scale —
+    * a 64x64 covariance never materializes):
+    *
+    *   v_{t+1} = round(normalize(sum over x of (x-mu)((x-mu)*v_t)), 6)
+    *
+    * Scale shape: centering is ONE 1-row mean broadcast into a fenced
+    * doc-sized centered frame; each round is a stateless projection
+    * (dot materialized ONCE per row — the Catalyst no-cross-lambda-CSE
+    * pitfall — then an element-wise scale) into a VecSumAgg partial
+    * aggregation whose only driver traffic is the 1-row 64-wide sum (the
+    * BpeTrainer distributed-loop contract). Output: 64 (pos, loading)
+    * rows plus the Rayleigh-quotient eigenvalue estimate.
+    */
+  def embPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.Row
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m = e.agg(
+      graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"),
+      count(lit(1)).as("n")).head
+    val n = m.getLong(1)
+    val mean = m.getSeq[Double](0).map(_ / n)
+    val meanCol = array(mean.map(lit): _*)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val centered0 = e.select(col("vec_id"),
+      zip_with(col("v"), meanCol, (x, mu) => x - mu).as("c"))
+    val centered =
+      if (reliable) centered0.checkpoint() else centered0.localCheckpoint()
+
+    var vec: Seq[Double] = Seq.fill(64)(0.125) // deterministic unit start
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val vCol = array(vec.map(lit): _*)
+      val w = centered
+        .select(col("c"), graft.expressions.VectorExpressions
+          .dotNative(col("c"), vCol).as("d"))
+        .select(transform(col("c"), x => x * col("d")).as("s"))
+        .agg(graft.expressions.VecSumAgg.vecSum(col("s")).as("w"))
+        .head.getSeq[Double](0)
+      // Rayleigh quotient v*(Cv) = v*w / n with the round's INPUT v
+      lambda = vec.zip(w).map { case (a, b) => a * b }.sum / n
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      vec = w.map(x =>
+        BigDecimal(x / nrm).setScale(PcaRound,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val rows = vec.zipWithIndex.map { case (l, i) =>
+      (i.toLong, l, BigDecimal(lambda).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("pos", "loading", "eigenvalue").orderBy("pos")
+  }
+
+  /** The generated DuckDB replay of [[embPcaPower]] — same start vector,
+    * same per-round 6-dp quantization, same Rayleigh-quotient estimate.
+    */
+  private[graft] def embPcaPowerOracleSql: String = {
+    val rounds = (1 to PcaIters).map { t =>
+      s"""d$t AS (SELECT ce.vec_id,
+  list_sum(list_transform(range(64), i -> c[i+1] * v[i+1])) AS d
+  FROM ce, v${t - 1}),
+w$t AS (SELECT u.pos, sum(c[u.pos+1] * d) AS w
+  FROM ce JOIN d$t USING (vec_id), unnest(range(64)) u(pos)
+  GROUP BY u.pos),
+n$t AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$t),
+v$t AS (SELECT list(round(w / nrm, $PcaRound) ORDER BY pos) AS v
+  FROM w$t, n$t)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+mu AS (SELECT u.pos, sum(ev[u.pos+1]) / count(*) AS m
+  FROM e, unnest(range(64)) u(pos) GROUP BY u.pos),
+ml AS (SELECT list(m ORDER BY pos) AS mv FROM mu),
+ce AS (SELECT vec_id,
+  list_transform(range(64), i -> ev[i+1] - mv[i+1]) AS c FROM e, ml),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+v0 AS (SELECT list_transform(range(64), i -> 0.125) AS v),
+$rounds,
+lam AS (SELECT round(list_sum(list_transform(range(64),
+    i -> v[i+1] * w[i+1])) / n, 4) AS eigenvalue
+  FROM v${PcaIters - 1}, (SELECT list(w ORDER BY pos) AS w FROM w$PcaIters), nn)
+SELECT CAST(u.pos AS BIGINT) AS pos, v[u.pos+1] AS loading, eigenvalue
+FROM v$PcaIters, lam, unnest(range(64)) u(pos)
+ORDER BY pos"""
+  }
+
   def embOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val e = emb(spark, sfDir)
