@@ -106,6 +106,11 @@ object PlanAudit {
     // verify joins + the per-config agg + the 1-row n_true broadcast +
     // orderBy; the signature frame is checkpointed, never recomputed
     "minhash_tune" -> 16,
+    // the dedup_minhash blocking + two doc-keyed text joins + orderBy
+    "dedup_edit" -> 12,
+    // one digest-keyed full outer join + orderBy (digests computed in
+    // the scan projection; union adds the re-fetch branch's scan)
+    "corpus_diff" -> 4,
     "dedup_jaccard" -> 10,
     "dedup_pipeline" -> 14,
     "emb_neardup" -> 10,

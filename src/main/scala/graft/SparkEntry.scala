@@ -114,6 +114,10 @@ object SparkEntry {
     // LLM-data-pipeline: deduplication over `documents`
     "dedup_exact" -> ((s, d) => TextPipeline.dedupExact(s, d)),
     "dedup_minhash" -> ((s, d) => TextPipeline.dedupMinHash(s, d)),
+    // edit-distance verify over the same banded blocking
+    "dedup_edit" -> ((s, d) => TextPipeline.dedupEdit(s, d)),
+    // snapshot diff between corpus versions (added/removed/changed)
+    "corpus_diff" -> ((s, d) => TextPipeline.corpusDiff(s, d)),
     // LSH banding tune grid: candidates/precision/recall per (bands, rows)
     "minhash_tune" -> ((s, d) => TextPipeline.minhashTune(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
@@ -970,6 +974,37 @@ SELECT q_id, rank, vec_id, round(c, 4) AS sim FROM t WHERE rank <= 3 ORDER BY q_
       """SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY 2 ORDER BY doc_id""",
     "minhash_tune" -> TextPipeline.minhashTuneOracleSql(shingleSetCtes),
+    "dedup_edit" ->
+      s"""WITH
+$shingleSetCtes,
+sig AS (SELECT doc_id, s, list_transform(range(16), k -> list_min(list_transform(s, x -> md5(k || ':' || x)))) AS mh FROM ss),
+bands AS (SELECT doc_id, b.band, md5(mh[b.band*4+1] || '|' || mh[b.band*4+2] || '|' || mh[b.band*4+3] || '|' || mh[b.band*4+4]) AS digest
+  FROM sig, (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+    round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+      greatest(length(x.text), length(y.text)), 4) AS edit_sim
+  FROM cand JOIN documents x ON cand.doc_a = x.doc_id
+  JOIN documents y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, lev, edit_sim FROM v WHERE edit_sim >= 0.8
+ORDER BY doc_a, doc_b""",
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+nv AS (SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN upper(text)
+    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 10 = 2),
+n AS (SELECT doc_id, md5(text) AS new_md5 FROM nv),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
+    CASE WHEN old_md5 IS NULL THEN 'added'
+      WHEN new_md5 IS NULL THEN 'removed'
+      WHEN old_md5 <> new_md5 THEN 'changed'
+      ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, status, old_md5, new_md5 FROM j
+WHERE status <> 'unchanged' ORDER BY doc_id""",
     "dedup_minhash" ->
       s"""WITH
 $shingleSetCtes,

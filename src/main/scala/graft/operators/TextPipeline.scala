@@ -749,6 +749,91 @@ object TextPipeline {
     verifyJaccard(cands, sets).orderBy("doc_a", "doc_b")
   }
 
+  /** The banded MinHash candidate pairs alone (the [[dedupMinHash]] plan
+    * minus its Jaccard verify) — the shared blocking stage any verifier
+    * can consume ([[dedupEdit]]'s edit-distance pass).
+    */
+  private def minhashCandidates(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val bands = docs(spark, sfDir)
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.VectorExpressions
+          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
+      .repartition(col("band"), col("digest"))
+    bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Edit-distance-verified near-dup pairs — the OTHER classic verifier
+    * over the same banded MinHash blocking ([[dedupMinHash]] verifies set
+    * Jaccard; this verifies character-level Levenshtein, which catches
+    * small in-place edits that shingle sets wash out and vice versa).
+    * similarity = 1 − lev/max(len); pairs at ≥ 0.8 survive. Scale shape:
+    * the text-carrying join happens ONLY for candidate pairs (bounded by
+    * the banding, never all-pairs), two doc-keyed joins against the
+    * pruned (doc_id, text) scan.
+    */
+  def dedupEdit(spark: SparkSession, sfDir: String): DataFrame = {
+    val texts = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val sim = lit(1.0) - col("lev").cast(DoubleType) /
+      greatest(length(col("ta")), length(col("tb"))).cast(DoubleType)
+    minhashCandidates(spark, sfDir)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast(LongType))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        round(sim, 4).as("edit_sim"))
+      .filter(col("edit_sim") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Corpus snapshot diff — the versioned-dataset audit a training
+    * pipeline runs between crawls: full outer join of two corpus versions
+    * on doc_id, per-doc status from digest comparison (added / removed /
+    * changed; unchanged rows are suppressed — at 100 TB the diff report
+    * must be delta-sized, not corpus-sized). One digest-keyed join;
+    * digests computed in the scan projection, text never shuffles.
+    */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    // deterministic synthetic "next crawl": 10% of docs deleted, 10%
+    // rewritten, 10% re-fetched under fresh ids — the shape a real diff
+    // sees; both engines derive the same pair of versions
+    val oldV = d.select(col("doc_id"), col("text"))
+    val newV = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 1, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpusDiffFrom(oldV, newV)
+  }
+
+  /** [[corpusDiff]] over any two (doc_id, text) versions. */
+  def corpusDiffFrom(oldV: DataFrame, newV: DataFrame): DataFrame = {
+    val o = oldV.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val n = newV.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_md5"), col("new_md5"))
+      .orderBy("doc_id")
+  }
+
   /** The (bands × rows) grid [[minhashTune]] sweeps — every config
     * re-bands the SAME 16-hash signature. Shared with the generated
     * oracle so the grid cannot drift between engines.
