@@ -547,6 +547,95 @@ FROM graft_shingle_bloom_build""")
       .limit(k)
   }
 
+  /** Batched BM25 over the persisted index: top-`k` per query of a
+    * (query_id, term) query table in ONE index probe — the
+    * [[Retrieval.indexTopKBatchFrom]] discipline with the corpus side
+    * replaced by index artifacts. The term panel is driver-small by
+    * nature (it IS the query batch): its distinct terms fold into the
+    * constant bucket predicate, the query↔term mapping broadcasts, and
+    * the per-query ranking is the two-phase (query, shard) → query
+    * window pair so no partition is corpus-sized.
+    */
+  def searchTextIndexBm25Batch(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val panel = queries.select(col("query_id"), col("term"))
+    val terms = panel.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (terms.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id LONG, rank LONG, doc_id LONG, n_terms_hit LONG, score DOUBLE"))
+    }
+    val m = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head
+    val n = m.getLong(0)
+    val avgdl = m.getLong(1).toDouble / n
+    val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
+      .reduce(_ || _)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(bucketPred && col("term").isin(terms: _*))
+    val tf = postings
+      .select(col("term"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
+      .select(col("term"), col("e.doc_ids").as("doc_id"),
+        col("e.tfs").as("tf"))
+    val dfTerm = postings.groupBy(col("term"))
+      .agg(sum(col("n_docs")).as("df"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val sat = tfD * lit(Retrieval.K1 + 1.0) /
+      (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
+        lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
+    val scored = tf.join(broadcast(dfTerm), "term")
+      .join(broadcast(panel), "term")
+      .join(doclens, "doc_id")
+      .withColumn("w", idf * sat)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        round(sum(col("w")), 4).as("score"))
+    val byScore = Seq(col("score").desc, col("doc_id"))
+    val shardW = Window
+      .partitionBy(col("query_id"), pmod(col("doc_id"), lit(8)))
+      .orderBy(byScore: _*)
+    val queryW = Window.partitionBy(col("query_id")).orderBy(byScore: _*)
+    scored
+      .withColumn("srk", row_number().over(shardW))
+      .filter(col("srk") <= k)
+      .withColumn("rank", row_number().over(queryW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_terms_hit"), col("score"))
+  }
+
+  /** Streaming query probe: each arriving micro-batch of (query_id, term)
+    * rows scores against the persisted index via
+    * [[searchTextIndexBm25Batch]] and appends its results under its own
+    * `batch=b<id>` directory (OVERWRITE per batch — idempotent under
+    * foreachBatch replay, the [[textIndexIngestStream]] layout
+    * discipline). The RAG serving shape: queries stream in, the index
+    * stays put, every batch is one bucket-pruned probe.
+    */
+  def bm25QueryStream(queries: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, k: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          searchTextIndexBm25Batch(batch.sparkSession, indexPath,
+            batch.toDF(), k)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outPath/batch=b$id")
+      }
+
   /** TF-IDF top-k over the persisted index — the
     * [[Retrieval.indexTopKFrom]] contract (same columns, same scores)
     * with the corpus side replaced by the index: the postings scan is

@@ -73,6 +73,41 @@ class StreamingTextIndexSpec extends AnyFunSuite with Matchers
         .as[(Long, Long, Double)].collect().toSeq
   }
 
+  test("streamed BM25 query batches score exactly the batch probe, per query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tidx-qs").toString
+    val out = java.nio.file.Files.createTempDirectory("tidx-qs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tidx-qs-ck").toString
+    graft.operators.PersistedIndex.buildTextIndex(spark, corpus, dir)
+
+    val panel = Retrieval.QueryPanel
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.PersistedIndex.bm25QueryStream(
+      input.toDF().toDF("query_id", "term"), dir, out, ckpt).start()
+    // micro-batches split at a QUERY boundary — a real serving stream
+    // sends a query's terms in one event, so a query never spans batches
+    val (c1, c2) = panel.partition(_._1 <= 2)
+    try {
+      input.addData(c1)
+      q.processAllAvailable()
+      input.addData(c2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select($"query_id", $"rank", $"doc_id", $"n_terms_hit", $"score")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    val batch = Seq(c1, c2)
+      .map(chunk => graft.operators.PersistedIndex
+        .searchTextIndexBm25Batch(spark, dir, chunk.toDF("query_id", "term"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq)
+      .reduce(_ ++ _).sorted
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("a replayed micro-batch overwrites its own ingest directory — no duplicate postings") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tidx-replay").toString
