@@ -111,6 +111,9 @@ object PlanAudit {
     // one digest-keyed full outer join + orderBy (digests computed in
     // the scan projection; union adds the re-fetch branch's scan)
     "corpus_diff" -> 4,
+    // one (doc,bucket)-keyed agg + the doc-keyed <=64-row norm window +
+    // orderBy
+    "text_hash_embed" -> 3,
     "dedup_jaccard" -> 10,
     "dedup_pipeline" -> 14,
     "emb_neardup" -> 10,

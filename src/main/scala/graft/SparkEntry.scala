@@ -118,6 +118,8 @@ object SparkEntry {
     "dedup_edit" -> ((s, d) => TextPipeline.dedupEdit(s, d)),
     // snapshot diff between corpus versions (added/removed/changed)
     "corpus_diff" -> ((s, d) => TextPipeline.corpusDiff(s, d)),
+    // feature-hashed 64-dim doc vectors (no-model text->vector bridge)
+    "text_hash_embed" -> ((s, d) => TextPipeline.textHashEmbed(s, d)),
     // LSH banding tune grid: candidates/precision/recall per (bands, rows)
     "minhash_tune" -> ((s, d) => TextPipeline.minhashTune(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
@@ -990,6 +992,22 @@ v AS (SELECT doc_a, doc_b,
   JOIN documents y ON cand.doc_b = y.doc_id)
 SELECT doc_a, doc_b, lev, edit_sim FROM v WHERE edit_sim >= 0.8
 ORDER BY doc_a, doc_b""",
+    "text_hash_embed" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+hb AS (SELECT doc_id,
+  CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5(token)[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 64 AS BIGINT) AS pos,
+  CASE WHEN strpos('01234567', md5(token)[5:5]) > 0 THEN 1 ELSE -1 END AS sgn
+  FROM t WHERE len(token) > 0),
+agg AS (SELECT doc_id, pos, CAST(sum(sgn) AS BIGINT) AS v
+  FROM hb GROUP BY doc_id, pos),
+nz AS (SELECT * FROM agg WHERE v <> 0),
+nm AS (SELECT *, sqrt(CAST(sum(v * v) OVER (PARTITION BY doc_id) AS DOUBLE))
+    AS norm FROM nz)
+SELECT doc_id, pos, round(CAST(v AS DOUBLE) / norm, 4) + 0.0 AS val
+FROM nm ORDER BY doc_id, pos""",
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
 nv AS (SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN upper(text)

@@ -797,6 +797,39 @@ object TextPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Feature-hashed document vectors (the hashing trick; Weinberger'09)
+    * — deterministic 64-dim bag-of-words embeddings with no learned
+    * vocabulary: token → bucket = md5[0:4] mod 64, sign = md5[4] < '8',
+    * per-doc signed counts L2-normalized. The no-model bridge from text
+    * to every vector operator in the engine (ANN, clustering, PCA).
+    * Emitted SPARSE — one row per NON-ZERO (doc, bucket) — so output is
+    * occupancy-sized, not corpus × dim. Plan: explode → one
+    * (doc, bucket)-keyed agg (map-side combined) → a doc-keyed ≤ 64-row
+    * norm window. Signed counts are integers, so the norm's sum of
+    * squares is order-exact and both engines normalize identically.
+    */
+  def textHashEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = md5(col("token"))
+    val bucket = pmod(conv(substring(h, 1, 4), 16, 10).cast(LongType),
+      lit(64L))
+    val sign = when(substring(h, 5, 1).isin(
+      "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+    val byDoc = Window.partitionBy("doc_id")
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), bucket.as("pos"), sign.as("sgn"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+      .withColumn("norm", sqrt(sum(col("v") * col("v")).over(byDoc)
+        .cast(DoubleType)))
+      .select(col("doc_id"), col("pos"),
+        (round(col("v").cast(DoubleType) / col("norm"), 4) + lit(0.0))
+          .as("val"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Corpus snapshot diff — the versioned-dataset audit a training
     * pipeline runs between crawls: full outer join of two corpus versions
     * on doc_id, per-doc status from digest comparison (added / removed /
