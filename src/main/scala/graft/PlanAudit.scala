@@ -205,6 +205,7 @@ object PlanAudit {
     "split_train" -> 1,
     // window/set/sketch batch
     "window_lag" -> 2, // one keyed window + orderBy
+    "window_moving_avg" -> 2, // one keyed range-frame window + orderBy
     "q1_cube" -> 2, // expand + partial agg; lattice is tiny
     "intersect_users" -> 3, // two distinct sides + semi-join
     "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy

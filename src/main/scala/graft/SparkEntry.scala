@@ -59,6 +59,8 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_lag" -> ((s, d) => Relational.windowLag(s, d)),
+    // trailing 30-day RANGE-frame moving aggregate (event-time frames)
+    "window_moving_avg" -> ((s, d) => Relational.windowMovingAvg(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
@@ -1093,6 +1095,16 @@ ORDER BY user_id, hour""",
       """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
 INTERSECT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, hour""",
+    "window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30d,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+    / (count(*) OVER w), 4) AS avg_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey""",
     "window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
   lag(o_totalprice, 1) OVER w AS prev_price,

@@ -659,6 +659,32 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Trailing 30-day RANGE-frame moving aggregate per customer — the
+    * time-windowed running metric (moving spend) the ROWS-frame family
+    * (windowLag) cannot express: the frame is bounded by event-time
+    * distance, not row count. Spark needs a numeric range key, so the
+    * order column is epoch seconds; the monetary sum runs in
+    * DECIMAL(12,2) inside the frame (exact, order-independent) and casts
+    * to DOUBLE at the edge — the engine-equivalence discipline of the
+    * relational family. One customer-keyed shuffle; frames are per-key
+    * and bounded by order density, never corpus-wide.
+    */
+  def windowMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_totalprice"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("sum_30d",
+        sum(col("o_totalprice").cast(dec12)).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_30d"),
+        col("sum_30d"),
+        round(col("sum_30d") / col("n_30d"), 4).as("avg_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** CUBE lattice over Q1's grouping — all four grouping-set levels with
     * `grouping_id` labels. Same map-side-partial shape as q1/rollup; the
     * lattice multiplies the tiny group count only.
