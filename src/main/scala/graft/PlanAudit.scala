@@ -102,10 +102,10 @@ object PlanAudit {
     "dedup_exact" -> 2,
     "dedup_simhash" -> 6,
     "dedup_minhash" -> 10,
-    // 4 banded self-joins (one per grid config) + the distinct-pair
+    // ONE tagged banded self-join for the whole grid + the distinct-pair
     // verify joins + the per-config agg + the 1-row n_true broadcast +
-    // orderBy; the signature frame is checkpointed, never recomputed
-    "minhash_tune" -> 16,
+    // orderBy; signature and candidate frames are checkpointed
+    "minhash_tune" -> 8,
     // the dedup_minhash blocking + two doc-keyed text joins + orderBy
     "dedup_edit" -> 12,
     // one digest-keyed full outer join + orderBy (digests computed in
