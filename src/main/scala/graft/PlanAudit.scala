@@ -76,7 +76,10 @@ object PlanAudit {
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
-    "hybrid_rrf")
+    "hybrid_rrf",
+    // calendar-sized date-spine series (rows = span days, independent of
+    // data volume) — the dense-spine moving window IS the operator
+    "resample_daily")
 
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
@@ -206,6 +209,9 @@ object PlanAudit {
     // window/set/sketch batch
     "window_lag" -> 2, // one keyed window + orderBy
     "window_moving_avg" -> 2, // one keyed range-frame window + orderBy
+    // daily agg + the calendar-spine join/window + orderBy (spine rows =
+    // span days, volume-independent)
+    "resample_daily" -> 5,
     "q1_cube" -> 2, // expand + partial agg; lattice is tiny
     "intersect_users" -> 3, // two distinct sides + semi-join
     "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy
@@ -256,6 +262,8 @@ object PlanAudit {
     // the fenced centered frame (1-row driver traffic each); + the mean
     // agg and the 64-row output sort
     "emb_pca_power" -> 12,
+    // the power-iteration constants + one stateless projection + orderBy
+    "emb_pca_project" -> 13,
     // the lm_perplexity family one order up: the per-doc lead window +
     // (token,nxt) and token count windows + per-doc fold agg + orderBy,
     // plus the 1-row vocab-size broadcast's build agg

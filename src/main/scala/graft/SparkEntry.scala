@@ -61,6 +61,8 @@ object SparkEntry {
     "window_lag" -> ((s, d) => Relational.windowLag(s, d)),
     // trailing 30-day RANGE-frame moving aggregate (event-time frames)
     "window_moving_avg" -> ((s, d) => Relational.windowMovingAvg(s, d)),
+    // gap-filled daily resample + 7-day moving sum on the dense spine
+    "resample_daily" -> ((s, d) => Relational.resampleDaily(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
@@ -202,6 +204,8 @@ object SparkEntry {
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
     "emb_pca_power" -> ((s, d) => SimilarityPipeline.embPcaPower(s, d)),
+    // 1-D PCA coordinates: centered dot against the learned component
+    "emb_pca_project" -> ((s, d) => SimilarityPipeline.embPcaProject(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
@@ -1095,6 +1099,20 @@ ORDER BY user_id, hour""",
       """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
 INTERSECT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, hour""",
+    "resample_daily" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
+  FROM orders),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_orders,
+  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rd FROM o GROUP BY day),
+sp AS (SELECT CAST(unnest(generate_series(
+    (SELECT min(day) FROM o), (SELECT max(day) FROM o),
+    INTERVAL 1 DAY)) AS DATE) AS day),
+j AS (SELECT sp.day, coalesce(n_orders, 0) AS n_orders,
+  coalesce(rd, 0) AS rd FROM sp LEFT JOIN d ON sp.day = d.day)
+SELECT day, n_orders, CAST(rd AS DOUBLE) AS revenue,
+  CAST(sum(rd) OVER (ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+FROM j ORDER BY day""",
     "window_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
   CAST(count(*) OVER w AS BIGINT) AS n_30d,
@@ -1192,6 +1210,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     // generated from the same QueryPanel as the Spark query
     "index_topk_batch" -> Retrieval.indexTopKBatchOracleSql(5),
     "emb_pca_power" -> SimilarityPipeline.embPcaPowerOracleSql,
+    "emb_pca_project" -> SimilarityPipeline.embPcaProjectOracleSql,
     "bm25_topk" -> Retrieval.bm25OracleSql(10),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->

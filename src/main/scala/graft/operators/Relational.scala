@@ -685,6 +685,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Gap-filled daily resample of the order series + a 7-day moving sum
+    * — the time-series regularization pass (a ROWS window over a SPARSE
+    * series silently spans gaps; resampling onto a dense date spine is
+    * what makes "last 7 days" mean calendar days). The spine comes from
+    * a 1-row min/max agg exploded by `sequence` — CALENDAR-sized (rows =
+    * span days, independent of data volume), so the left join broadcasts
+    * the daily totals against it and the ordering window is bounded by
+    * the calendar, not the corpus. Revenue stays DECIMAL through the
+    * window and casts to DOUBLE at the edge (exact on both engines).
+    */
+  def resampleDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+    val daily = o.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec12)).as("rev_dec"))
+    val spine = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev_dec"), lit(0).cast(dec12)).as("rd"))
+      .withColumn("rev7", sum(col("rd")).over(w).cast(DoubleType))
+      .select(col("day"), col("n_orders"),
+        col("rd").cast(DoubleType).as("revenue"), col("rev7"))
+      .orderBy("day")
+  }
+
   /** CUBE lattice over Q1's grouping — all four grouping-set levels with
     * `grouping_id` labels. Same map-side-partial shape as q1/rollup; the
     * lattice multiplies the tiny group count only.

@@ -697,6 +697,47 @@ object SimilarityPipeline {
     rows.toDF("pos", "loading", "eigenvalue").orderBy("pos")
   }
 
+  /** Per-vector projection onto [[embPcaPower]]'s component — the
+    * 1-D PCA coordinate (whitening / ordering axis): score =
+    * (x − μ)·v, with μ and v recomputed by the same deterministic
+    * iteration (both are driver-side constants, so the projection is a
+    * stateless broadcast-free scan expression).
+    */
+  def embPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val comp = embPcaPower(spark, sfDir)
+      .select(col("pos"), col("loading")).orderBy("pos")
+      .collect().map(_.getDouble(1))
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m = e.agg(graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"),
+      count(lit(1)).as("n")).head
+    val n = m.getLong(1)
+    val mean = m.getSeq[Double](0).map(_ / n)
+    val vCol = array(comp.map(lit).toSeq: _*)
+    val muCol = array(mean.map(lit): _*)
+    e.select(col("vec_id"),
+      (round(graft.expressions.VectorExpressions.dotNative(
+        zip_with(col("v"), muCol, (x, mu) => x - mu), vCol), 4) + lit(0.0))
+        .as("score"))
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB replay of [[embPcaProject]] — the [[embPcaPowerOracleSql]]
+    * CTE chain plus the centered dot against the final component.
+    */
+  private[graft] def embPcaProjectOracleSql: String = {
+    val base = embPcaPowerOracleSql
+    // strip the power-iteration SQL's final SELECT, keep its WITH chain
+    val withChain = base.substring(0, base.lastIndexOf("SELECT CAST(u.pos"))
+    s"""${withChain.trim.stripSuffix(",")}
+SELECT ce.vec_id,
+  round(list_sum(list_transform(range(64), i -> c[i+1] * v[i+1])), 4) + 0.0
+    AS score
+FROM ce, v$PcaIters
+ORDER BY ce.vec_id"""
+  }
+
   /** The generated DuckDB replay of [[embPcaPower]] — same start vector,
     * same per-round 6-dp quantization, same Rayleigh-quotient estimate.
     */
