@@ -406,6 +406,109 @@ FROM graft_shingle_bloom_build""")
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- bigram LM store --
+
+  /** Persist the bigram-LM statistics [[TextPipeline.lmBigramFrom]]
+    * derives per run — the "train the filter LM once, score every crawl"
+    * shape: `bigrams/` (token, nxt, c_bg) hash-bucketed by token,
+    * `prefixes/` (token, c_prefix), `meta/` the 1-row vocab size. All
+    * three are vocab-sized, text never persists.
+    */
+  def buildLmIndex(spark: SparkSession, corpus: DataFrame,
+      path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions
+        .tokens(col("text"))).as(Seq("pos", "token")))
+    val bigrams = toksPos
+      .withColumn("nxt", lead(col("token"), 1)
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+    bigrams.groupBy(col("token"), col("nxt"))
+      .agg(count(lit(1)).cast("long").as("c_bg"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bigrams")
+    bigrams.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("c_prefix"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/prefixes")
+    toksPos.agg(countDistinct(col("token")).cast("long").as("v_size"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Score a corpus against the PERSISTED LM —
+    * [[TextPipeline.lmBigramFrom]]'s Laplace formula with the counts read
+    * from `path` instead of derived from the scored corpus itself, so
+    * scoring a crawl never re-aggregates the training counts. An unseen
+    * bigram/prefix scores with c = 0 (the Laplace floor keeps it finite)
+    * — the frozen-LM semantics a production quality filter wants. Joins
+    * are token-keyed against the vocab-sized stats; the per-doc fold is
+    * position-ordered.
+    */
+  def scoreLmIndex(spark: SparkSession, corpus: DataFrame,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = spark.read.parquet(s"$path/bigrams")
+    val pf = spark.read.parquet(s"$path/prefixes")
+    val v = spark.read.parquet(s"$path/meta").head.getLong(0)
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions
+        .tokens(col("text"))).as(Seq("pos", "token")))
+    val bigrams = toksPos
+      .withColumn("nxt", lead(col("token"), 1)
+        .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+    bigrams
+      .join(bg, Seq("token", "nxt"), "left")
+      .join(pf, Seq("token"), "left")
+      .withColumn("lnp", log(
+        (coalesce(col("c_bg"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c_prefix"), lit(0L)).cast("double") + v)))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("n_bigrams"),
+        aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, b) => a + b).as("sum_lnp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lnp") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_bigrams")), 4).as("perplexity"))
+  }
+
+  /** Streaming scorer over the persisted LM — each arriving document
+    * prices its perplexity against the FROZEN counts (stream-static
+    * token-keyed joins, no state store: a document's bigrams complete
+    * within its own row). The ingest-side quality filter of the LM
+    * family, the decontaminateStream discipline applied to scoring.
+    */
+  def scoreLmStream(spark: SparkSession, docs: DataFrame,
+      path: String): DataFrame = {
+    val bg = spark.read.parquet(s"$path/bigrams")
+    val pf = spark.read.parquet(s"$path/prefixes")
+    val v = spark.read.parquet(s"$path/meta").head.getLong(0)
+    // per-row bigram explode: position travels with the pair, so no
+    // window/state is needed on the stream side
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .as(Seq("pos", "token")))
+      .withColumn("nxt", element_at(col("toks"), col("pos") + 2))
+      .drop("toks")
+      .join(bg, Seq("token", "nxt"), "left")
+      .join(pf, Seq("token"), "left")
+      .withColumn("lnp", log(
+        (coalesce(col("c_bg"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c_prefix"), lit(0L)).cast("double") + v)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("lnp")).as("sum_lnp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lnp") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_bigrams")), 4).as("perplexity"))
+  }
+
   // -------------------------------------------------- inverted text index --
 
   /** Hash-bucket count for the persisted postings layout — the partition
