@@ -899,32 +899,23 @@ object TextPipeline {
       .select(col("doc_id"), col("s"),
         array((0 until 16).map(k => graft.expressions.VectorExpressions
           .minHash1Native(col("s"), k)): _*).as("mh")))
-    // ALL configs' bands in ONE tagged explode (16+8+4+2 = 30 structs per
-    // doc) and ONE (cfg, band, digest)-keyed self-join — the per-config
-    // loop would shuffle the signature frame once per grid cell; tagging
-    // folds the whole grid into a single exchange pair
-    val bandStructs = BandGrid.flatMap { case (b, r) =>
-      (0 until b).map(i => struct(
-        lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-        lit(i).as("band"),
-        concat_ws("|", slice(col("mh"), i * r + 1, r)).as("digest")))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.n_bands").as("n_bands"),
-        col("e.rows_per_band").as("rows_per_band"),
-        col("e.band").as("band"), col("e.digest").as("digest"))
-      .repartition(col("n_bands"), col("band"), col("digest"))
-    val tagged = bands.hint("shuffle_hash").as("a")
-      .join(bands.hint("shuffle_hash").as("b"),
-        col("a.n_bands") === col("b.n_bands") &&
+    val tagged = BandGrid.map { case (b, r) =>
+      val bandCols = (0 until b).map(i =>
+        concat_ws("|", slice(col("mh"), i * r + 1, r)))
+      val bands = sig
+        .select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "digest")))
+        .repartition(col("band"), col("digest"))
+      bands.hint("shuffle_hash").as("a")
+        .join(bands.hint("shuffle_hash").as("b"),
           col("a.band") === col("b.band") &&
-          col("a.digest") === col("b.digest") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.n_bands").as("n_bands"),
-        col("a.rows_per_band").as("rows_per_band"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+            col("a.digest") === col("b.digest") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
     val cands = fence(tagged)
     val verified = cands.select(col("doc_a"), col("doc_b")).distinct()
       .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
