@@ -63,6 +63,10 @@ object SparkEntry {
     "window_moving_avg" -> ((s, d) => Relational.windowMovingAvg(s, d)),
     // gap-filled daily resample + 7-day moving sum on the dense spine
     "resample_daily" -> ((s, d) => Relational.resampleDaily(s, d)),
+    // bag-semantics EXCEPT ALL (multiplicity-preserving set difference)
+    "except_all_users" -> ((s, d) => Relational.exceptAllUsers(s, d)),
+    // percent_rank / cume_dist relative-position windows
+    "window_pct" -> ((s, d) => Relational.windowPct(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
@@ -1099,6 +1103,21 @@ ORDER BY user_id, hour""",
       """SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'click'
 INTERSECT SELECT DISTINCT user_id, CAST(hour(ts) AS BIGINT) AS hour FROM events WHERE event_type = 'purchase'
 ORDER BY user_id, hour""",
+    "except_all_users" ->
+      """WITH c AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour
+  FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour
+  FROM events WHERE event_type = 'purchase'),
+x AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
+SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n_surviving
+FROM x GROUP BY user_id, hour ORDER BY user_id, hour""",
+    "window_pct" ->
+      """SELECT o_custkey, o_orderkey,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey""",
     "resample_daily" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice
   FROM orders),

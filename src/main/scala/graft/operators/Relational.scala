@@ -216,6 +216,40 @@ object Relational {
     slots("click").except(slots("purchase")).orderBy("user_id", "hour")
   }
 
+  /** Bag-semantics EXCEPT ALL — each (user, hour) click slot survives
+    * once per UNMATCHED multiplicity (exceptUsers's set form collapses
+    * multiplicity; retention/attribution analytics usually needs the bag
+    * form: 3 clicks, 1 purchase → 2 surviving slots). Spark's native
+    * exceptAll plans the Tungsten replicate-rows strategy — one keyed
+    * count-diff shuffle, no join explosion.
+    */
+  def exceptAllUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    def slots(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), hour(col("ts")).cast(LongType).as("hour"))
+    slots("click").exceptAll(slots("purchase"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_surviving"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** Relative-position window functions — percent_rank and cume_dist of
+    * each order's price within its customer (the distribution-position
+    * scoring that ntile's fixed buckets approximate). One keyed window;
+    * both are exact rational values so the doubles match bit-for-bit
+    * across engines after round(6).
+    */
+  def windowPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .drop("o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Left-semi join: customers having at least one order in 1996 — the
     * existence-check shape (no row multiplication, key-only shuffle).
     */
