@@ -610,7 +610,7 @@ euo AS (SELECT * FROM offers JOIN eu ON l_suppkey = s_suppkey),
 mc AS (SELECT l_partkey AS mc_partkey, min(cost) AS min_cost
   FROM euo GROUP BY 1)
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-  round(cost, 4) AS cost
+  floor(cost * 10000 + 0.5) / 10000 AS cost
 FROM euo
 JOIN part ON l_partkey = p_partkey
 JOIN mc ON l_partkey = mc_partkey AND cost = min_cost

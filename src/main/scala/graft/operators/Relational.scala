@@ -509,8 +509,14 @@ object Relational {
       .join(minCost,
         col("l_partkey") === col("mc_partkey") &&
           col("cost") === col("min_cost"))
+      // NOT round(cost, 4): the two engines' round() of the SAME double
+      // disagree when cost*10^4 lands on a half-point after the multiply's
+      // own rounding (hit at sf0.1: 954.29875 -> .2987 vs .2988). The
+      // explicit floor(x*10^4 + 0.5)/10^4 is the same IEEE op sequence on
+      // both engines, so the quantized double is bit-identical.
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
-        col("p_partkey"), col("p_brand"), round(col("cost"), 4).as("cost"))
+        col("p_partkey"), col("p_brand"),
+        (floor(col("cost") * 10000d + 0.5d) / 10000d).as("cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
         col("p_partkey"))
   }
