@@ -29,8 +29,9 @@ object PlanAudit {
     "lang_temperature", "curriculum",
     // 1-row bloom-filter scalar subquery (build side of the prefilter)
     "decontaminate_bloom",
-    // 1-row n_true normalizer broadcast (the recall denominator)
-    "minhash_tune",
+    // 1-row n_true normalizer broadcast (the recall denominator); the
+    // sim variant also broadcasts the 1-row normals bundle
+    "minhash_tune", "sim_recall_tune",
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
     // 1-row total-token normalizer broadcast
@@ -110,6 +111,10 @@ object PlanAudit {
     // distinct-pair verify joins + the per-config agg + the 1-row n_true
     // broadcast + orderBy; signature and candidates are checkpointed
     "minhash_tune" -> 16,
+    // same grid shape over the hyperplane bits: 4 banded self-joins +
+    // distinct-pair cosine verify + per-config agg + 1-row n_true +
+    // orderBy; signature and candidates checkpointed
+    "sim_recall_tune" -> 16,
     // the dedup_minhash blocking + two doc-keyed text joins + orderBy
     "dedup_edit" -> 12,
     // one digest-keyed full outer join + orderBy (digests computed in

@@ -210,6 +210,8 @@ object SparkEntry {
     "emb_pca_power" -> ((s, d) => SimilarityPipeline.embPcaPower(s, d)),
     // 1-D PCA coordinates: centered dot against the learned component
     "emb_pca_project" -> ((s, d) => SimilarityPipeline.embPcaProject(s, d)),
+    // hyperplane-LSH banding tune grid (the embedding minhash_tune)
+    "sim_recall_tune" -> ((s, d) => SimilarityPipeline.simRecallTune(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
@@ -1230,6 +1232,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "index_topk_batch" -> Retrieval.indexTopKBatchOracleSql(5),
     "emb_pca_power" -> SimilarityPipeline.embPcaPowerOracleSql,
     "emb_pca_project" -> SimilarityPipeline.embPcaProjectOracleSql,
+    "sim_recall_tune" -> SimilarityPipeline.simRecallTuneOracleSql,
     "bm25_topk" -> Retrieval.bm25OracleSql(10),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->

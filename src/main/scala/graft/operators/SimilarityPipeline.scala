@@ -697,6 +697,135 @@ object SimilarityPipeline {
     rows.toDF("pos", "loading", "eigenvalue").orderBy("pos")
   }
 
+  /** The (bands × bits) grid [[simRecallTune]] sweeps over the SAME 16
+    * hyperplane bits; shared with the generated oracle.
+    */
+  private[graft] val HyperGrid: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** Hyperplane-LSH banding tune telemetry — [[embNearDup]]'s counterpart
+    * of the dedup family's minhash_tune: for each (n_bands,
+    * bits_per_band) config over ONE fenced 16-bit signature (the bits
+    * reconstruct from the native 4×4 band values, no second dot-product
+    * pass), candidate volume, cosine-verified pairs (≥ 0.4), precision,
+    * and recall vs the union of configs' positives. Candidates are banded
+    * equi-joins; the cosine verify runs once per DISTINCT pair.
+    */
+  def simRecallTune(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = emb(spark, sfDir)
+    val normals = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_idx"),
+        col("embedding").cast("array<double>").as("h"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
+      .select(transform(col("hs"), x => x.getField("h")).as("normals"))
+    // 16 bits per vector, reconstructed from the native 4-band packing:
+    // bit(i) = (bandVal[i/4] >> (i%4)) & 1
+    val sig = fence(e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(normals))
+      .select(col("vec_id"), col("embedding"),
+        graft.expressions.VectorExpressions.hyperplaneBandsNative(
+          col("embedding").cast("array<double>"), col("normals")).as("bv")))
+    val tagged = HyperGrid.map { case (b, r) =>
+      val bandVal = (j: Int) => (0 until r).map { k =>
+        val i = j * r + k
+        (shiftright(element_at(col("bv"), i / 4 + 1).cast("int"), i % 4)
+          .bitwiseAND(lit(1))) * lit(1 << k)
+      }.reduce(_ + _)
+      val bandCols = (0 until b).map(j => bandVal(j))
+      val bands = sig
+        .select(col("vec_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "val")))
+        .repartition(col("band"), col("val"))
+      bands.hint("shuffle_hash").as("a")
+        .join(bands.hint("shuffle_hash").as("b"),
+          col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+        .select(lit(b.toLong).as("n_bands"),
+          lit(r.toLong).as("bits_per_band"), col("vec_a"), col("vec_b"))
+    }.reduce(_ unionByName _)
+    val cands = fence(tagged)
+    val verified = cands.select(col("vec_a"), col("vec_b")).distinct()
+      .join(sig.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea")), "vec_a")
+      .join(sig.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (round(graft.functions.VectorFunctions.cosine(
+          col("ea"), col("eb")), 4) >= NearDupThreshold).as("is_dup"))
+    val total = verified.filter(col("is_dup"))
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    cands.join(verified, Seq("vec_a", "vec_b"))
+      .groupBy(col("n_bands"), col("bits_per_band"))
+      .agg(count(lit(1)).cast("long").as("n_cand"),
+        sum(col("is_dup").cast("long")).as("n_dup"))
+      .crossJoin(broadcast(total))
+      .select(col("n_bands"), col("bits_per_band"), col("n_cand"),
+        col("n_dup"),
+        when(col("n_cand") === 0, lit(null))
+          .otherwise(round(col("n_dup").cast("double") / col("n_cand"), 4))
+          .as("prec"),
+        when(col("n_true") === 0, lit(null))
+          .otherwise(round(col("n_dup").cast("double") / col("n_true"), 4))
+          .as("recall_vs_union"))
+      .orderBy(col("n_bands").desc)
+  }
+
+  /** The generated DuckDB replay of [[simRecallTune]] — per config the
+    * bits regroup as band = h_idx // bits, value = Σ bit·2^(h_idx % bits).
+    */
+  private[graft] def simRecallTuneOracleSql: String = {
+    val perConfig = HyperGrid.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS bits_per_band,
+    x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM (SELECT vec_id, CAST(h_idx // $r AS INTEGER) AS band,
+      CAST(sum(bit * (2 ** (h_idx % $r))) AS BIGINT) AS val
+    FROM rawbits GROUP BY vec_id, h_idx // $r) x
+  JOIN (SELECT vec_id, CAST(h_idx // $r AS INTEGER) AS band,
+      CAST(sum(bit * (2 ** (h_idx % $r))) AS BIGINT) AS val
+    FROM rawbits GROUP BY vec_id, h_idx // $r) y
+  ON x.band = y.band AND x.val = y.val AND x.vec_id < y.vec_id
+  GROUP BY 1, 2, 3, 4"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h
+  FROM embeddings WHERE vec_id < 16),
+rawbits AS (SELECT e.vec_id, h_idx,
+    CASE WHEN list_sum(list_transform(range(64), i ->
+      CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0
+    THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, hyper h),
+cands AS (
+$perConfig
+),
+pairs AS (SELECT DISTINCT vec_a, vec_b FROM cands),
+ver AS (SELECT vec_a, vec_b,
+    round((list_sum(list_transform(range(64), i ->
+        CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(64), i ->
+          CAST(x.embedding[i+1] AS DOUBLE) * CAST(x.embedding[i+1] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(64), i ->
+          CAST(y.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))))), 4)
+      >= 0.4 AS is_dup
+  FROM pairs JOIN embeddings x ON pairs.vec_a = x.vec_id
+  JOIN embeddings y ON pairs.vec_b = y.vec_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ver WHERE is_dup),
+agg AS (SELECT n_bands, bits_per_band, CAST(count(*) AS BIGINT) AS n_cand,
+    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM cands JOIN ver USING (vec_a, vec_b) GROUP BY 1, 2)
+SELECT n_bands, bits_per_band, n_cand, n_dup,
+  CASE WHEN n_cand = 0 THEN NULL
+    ELSE round(CAST(n_dup AS DOUBLE) / n_cand, 4) END AS prec,
+  CASE WHEN n_true = 0 THEN NULL
+    ELSE round(CAST(n_dup AS DOUBLE) / n_true, 4) END AS recall_vs_union
+FROM agg, tot ORDER BY n_bands DESC"""
+  }
+
   /** Per-vector projection onto [[embPcaPower]]'s component — the
     * 1-D PCA coordinate (whitening / ordering axis): score =
     * (x − μ)·v, with μ and v recomputed by the same deterministic
