@@ -263,6 +263,10 @@ object PlanAudit {
     // aggs and the final orderBy, rank frame node-sized throughout
     "graph_pagerank" -> 7,
     "graph_ppr" -> 7, // same unrolled loop, seed-masked teleport
+    // 3 unrolled LPA rounds over the pre-partitioned edges leaf: per
+    // round a (dst,label) count agg + the degree-bounded argmax window;
+    // + the community-size window and orderBy
+    "graph_lpa" -> 9,
     // two 1-row normalizer aggs (centroid, mean/variance) + the final
     // orderBy; distances are a stateless projection, zero corpus shuffles
     "emb_outliers" -> 4,

@@ -101,6 +101,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "graph_ppr" -> ((s, d) => graft.operators.Graph.pagerankPersonalized(s, d)),
+    // deterministic label-propagation communities (generated oracle)
+    "graph_lpa" -> ((s, d) => graft.operators.Graph.labelPropagation(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -1225,6 +1227,7 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id AND abs(p.pt - c.t) <= 300
 GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_pagerank" -> graft.operators.Graph.pagerankOracleSql,
     "graph_ppr" -> graft.operators.Graph.pprOracleSql,
+    "graph_lpa" -> graft.operators.Graph.lpaOracleSql,
     // the generated unrolled replay of the hybrid trainer — the last
     // former rows-only exemption, killed by the same pattern
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),

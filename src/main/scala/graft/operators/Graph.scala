@@ -145,6 +145,63 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Synchronous label-propagation rounds (fixed → unrolled static plan,
+    * generated oracle — the [[pagerank]] discipline).
+    */
+  private val LpaIters = 3
+
+  /** Community detection by synchronous label propagation (Raghavan'07)
+    * over the same purchase graph: each round every node adopts the most
+    * frequent label among its neighbors, ties broken by the SMALLEST
+    * label (total order → deterministic, unlike the randomized original
+    * — determinism is what lets the oracle hash-check it). Distinct from
+    * connected components: LPA finds dense regions inside one component.
+    * Plan: per round a src-keyed edge⨝labels join, a (dst, label) count
+    * aggregation, and a bounded per-dst argmax window (≤ #distinct
+    * neighbor labels rows per node) — all node-keyed, the edges leaf
+    * pre-partitioned by the [[degreeEdges]] fence.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val (deg, edges) = degreeEdges(spark, sfDir)
+    var labels = deg.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaIters) {
+      val counted = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("label"))
+      labels = counted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    val sizeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+    labels
+      .select(col("node"), col("label").as("community"),
+        count(lit(1)).over(sizeW).as("community_size"))
+      .orderBy("node")
+  }
+
+  /** The generated unrolled DuckDB replay of [[labelPropagation]]. */
+  private[graft] def lpaOracleSql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT e.dst, p.label, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY e.dst, p.label),
+l$i AS (SELECT dst AS node, label FROM (
+    SELECT dst, label, row_number() OVER (PARTITION BY dst
+      ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""$OracleBase,
+l0 AS (SELECT node, node AS label FROM deg),
+$rounds
+SELECT node, label AS community,
+  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l$LpaIters ORDER BY node"""
+  }
+
   private val OracleBase =
     """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cnode,
   's' || l_suppkey AS snode
