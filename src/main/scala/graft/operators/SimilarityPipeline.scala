@@ -698,10 +698,14 @@ object SimilarityPipeline {
   }
 
   /** The (bands × bits) grid [[simRecallTune]] sweeps over the SAME 16
-    * hyperplane bits; shared with the generated oracle.
+    * hyperplane bits; shared with the generated oracle. Unlike MinHash
+    * (whose 1-row digests are full md5 strings), a hyperplane band has
+    * only 2^bits buckets — a 1- or 2-bit band collides ~n²/2^bits pairs,
+    * QUADRATIC at corpus scale — so the grid starts at 4 bits and
+    * includes the single-16-bit-band point instead.
     */
   private[graft] val HyperGrid: Seq[(Int, Int)] =
-    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    Seq((4, 4), (2, 8), (1, 16))
 
   /** Hyperplane-LSH banding tune telemetry — [[embNearDup]]'s counterpart
     * of the dedup family's minhash_tune: for each (n_bands,
