@@ -123,6 +123,9 @@ object PlanAudit {
     // one (doc,bucket)-keyed agg + the doc-keyed <=64-row norm window +
     // orderBy
     "text_hash_embed" -> 3,
+    // distinct-gram agg + hash-keyed first-doc agg/join + per-doc agg +
+    // orderBy (the lm_kneser_ney re-derive class)
+    "ngram_novelty" -> 7,
     "dedup_jaccard" -> 10,
     "dedup_pipeline" -> 14,
     "emb_neardup" -> 10,

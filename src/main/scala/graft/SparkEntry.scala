@@ -130,6 +130,8 @@ object SparkEntry {
     "corpus_diff" -> ((s, d) => TextPipeline.corpusDiff(s, d)),
     // feature-hashed 64-dim doc vectors (no-model text->vector bridge)
     "text_hash_embed" -> ((s, d) => TextPipeline.textHashEmbed(s, d)),
+    // per-doc fraction of 8-gram shingles unseen in any earlier doc
+    "ngram_novelty" -> ((s, d) => TextPipeline.ngramNovelty(s, d)),
     // LSH banding tune grid: candidates/precision/recall per (bands, rows)
     "minhash_tune" -> ((s, d) => TextPipeline.minhashTune(s, d)),
     "dedup_jaccard" -> ((s, d) => TextPipeline.dedupJaccard(s, d)),
@@ -1006,6 +1008,20 @@ v AS (SELECT doc_a, doc_b,
   JOIN documents y ON cand.doc_b = y.doc_id)
 SELECT doc_a, doc_b, lev, edit_sim FROM v WHERE edit_sim >= 0.8
 ORDER BY doc_a, doc_b""",
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents),
+g AS (SELECT DISTINCT doc_id,
+    md5(array_to_string(toks[i + 1:i + 8], ' ')) AS h
+  FROM t, unnest(range(len(toks) - 8 + 1)) AS u(i) WHERE len(toks) >= 8),
+f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_novel
+  FROM g JOIN f USING (h) GROUP BY doc_id)
+SELECT doc_id, n_distinct_grams, n_novel,
+  round(CAST(n_novel AS DOUBLE) / n_distinct_grams, 4) AS novelty_frac
+FROM a ORDER BY doc_id""",
     "text_hash_embed" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
   FROM documents),

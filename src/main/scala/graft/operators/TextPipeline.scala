@@ -830,6 +830,40 @@ object TextPipeline {
       .orderBy("doc_id", "pos")
   }
 
+  /** Per-document n-gram novelty — the incremental-crawl signal: what
+    * fraction of a document's distinct 8-gram shingles appear in NO
+    * earlier document (first occurrence = min doc_id over the corpus, the
+    * arrival order a crawl replays). Documents full of already-seen
+    * n-grams are re-hashes/boilerplate; high-novelty documents carry new
+    * content. Plan: one tokenize pass → distinct (doc, hash) →
+    * a hash-keyed min-doc aggregation joined back (keyed, map-side
+    * combined — a window over the hash partition would funnel a
+    * boilerplate gram's whole posting through one task) → per-doc ratio.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String,
+      len: Int = 8): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = docs(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= len)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0L), (size(col("toks")) - len).cast(LongType)),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(len))))
+        ))).as("h"))
+    val firstSeen = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_distinct_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) / col("n_distinct_grams"), 4)
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff — the versioned-dataset audit a training
     * pipeline runs between crawls: full outer join of two corpus versions
     * on doc_id, per-doc status from digest comparison (added / removed /
