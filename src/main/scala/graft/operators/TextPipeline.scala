@@ -830,6 +830,45 @@ object TextPipeline {
       .orderBy("doc_id", "pos")
   }
 
+  /** [[textHashEmbed]] computed entirely IN-EXPRESSION per row — zero
+    * shuffles (a document's tokens all live in its own row, so the dense
+    * 64-vector folds, normalizes, and re-sparsifies as one projection).
+    * This is the form the streaming twin runs on ingest
+    * ([[graft.streaming.StreamingText.hashEmbedStream]]); the batch
+    * [[textHashEmbed]]'s keyed-agg form exists because a corpus-wide
+    * pass prefers map-side-combined aggregation over per-row 64-wide
+    * folds. Both emit identical rows (StreamingTextSpec).
+    */
+  def textHashEmbedRowwise(docs: DataFrame): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    def entry(t: org.apache.spark.sql.Column) = struct(
+      pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType), lit(64L))
+        .as("pos"),
+      when(substring(md5(t), 5, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+        .as("sgn"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("toks"), t => entry(t)),
+          array_repeat(lit(0L), 64),
+          (acc, e) => zip_with(acc,
+            sequence(lit(0L), lit(63L)),
+            (x, i) => when(i === e.getField("pos"),
+              x + e.getField("sgn")).otherwise(x))).as("dense"))
+      .select(col("doc_id"), col("dense"),
+        sqrt(aggregate(col("dense"), lit(0L), (a, x) => a + x * x)
+          .cast(DoubleType)).as("norm"))
+      .select(col("doc_id"), posexplode(col("dense")).as(Seq("pos", "v")),
+        col("norm"))
+      .filter(col("v") =!= 0)
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        (round(col("v").cast(DoubleType) / col("norm"), 4) + lit(0.0))
+          .as("val"))
+  }
+
   /** Per-document n-gram novelty — the incremental-crawl signal: what
     * fraction of a document's distinct 8-gram shingles appear in NO
     * earlier document (first occurrence = min doc_id over the corpus, the

@@ -46,6 +46,17 @@ object StreamingText extends Logging {
         col("count").as("n"))
   }
 
+  /** Streaming feature-hashed doc vectors — the ingest twin of
+    * [[graft.operators.TextPipeline.textHashEmbed]], running the
+    * zero-shuffle row-wise form ([[graft.operators.TextPipeline
+    * .textHashEmbedRowwise]]): each arriving document folds its own
+    * 64-dim signed bag-of-words, normalizes, and emits sparse rows with
+    * NO state store and no exchange — text→vector at wire speed, ready
+    * for [[StreamingSimilarity.assignStream]] downstream.
+    */
+  def hashEmbedStream(docs: DataFrame): DataFrame =
+    graft.operators.TextPipeline.textHashEmbedRowwise(docs)
+
   /** Streaming quality gate — per-document quality scoring and filtering on
     * ingest (stateless projection; the streaming twin of
     * TextPipeline.textQuality). Passes every input column through plus the

@@ -44,6 +44,23 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
       batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
   }
 
+  test("hashEmbedStream emits exactly the batch textHashEmbed rows, shuffle-free") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    runStream(StreamingText.hashEmbedStream(
+      input.toDF().toDF("doc_id", "text")), "hash_embed_twin")
+    val streamed = spark.table("hash_embed_twin")
+      .orderBy("doc_id", "pos")
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = TextPipeline.textHashEmbed(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("mixtureSampleStream admits exactly the docs the batch mixtureSample admits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
