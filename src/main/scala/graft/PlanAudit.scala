@@ -49,7 +49,7 @@ object PlanAudit {
     "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
     // resp. the 1-row bigram-types total (the continuation normalizer)
-    "lm_bigram", "lm_kneser_ney",
+    "lm_bigram", "lm_kneser_ney", "lm_trigram",
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
     "emb_outliers")
 
@@ -288,6 +288,9 @@ object PlanAudit {
     // documented assignIds re-derive trade; every one is vocab-sized and
     // map-side combined), their keyed joins, + the 1-row types broadcast
     "lm_kneser_ney" -> 13,
+    // lm_bigram one order up: the doc lead window + four token-keyed
+    // count windows + the 1-row N broadcast + per-doc fold + orderBy
+    "lm_trigram" -> 8,
     // mergeable histogram: per-source shard agg (map-side combined) +
     // the bin merge agg + the sketch-sized estimate windows/orderBy
     "hist_quantiles" -> 3,

@@ -221,6 +221,8 @@ object SparkEntry {
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
     // interpolated Kneser-Ney (d=0.75), the production n-gram smoothing
     "lm_kneser_ney" -> ((s, d) => TextPipeline.lmKneserNey(s, d)),
+    // Jelinek-Mercer interpolated trigram perplexity
+    "lm_trigram" -> ((s, d) => TextPipeline.lmTrigram(s, d)),
     "inverted_index" -> ((s, d) => Retrieval.invertedIndexFlat(s, d)),
     "index_topk" -> ((s, d) => Retrieval.indexTopK(s, d)),
     // batched retrieval: top-k per query of a query TABLE, one corpus pass
@@ -1910,6 +1912,30 @@ d AS (SELECT doc_id,
     (CAST(c_prefix AS DOUBLE) + v_size)) ORDER BY pos) AS lps
   FROM f, v GROUP BY doc_id)
 SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+  round(-list_sum(lps) / len(lps), 4) AS avg_nll,
+  round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
+FROM d ORDER BY doc_id""",
+    "lm_trigram" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS w1 FROM documents),
+tg AS (SELECT doc_id, pos, w1,
+  lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+  lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3 FROM tp),
+t3 AS (SELECT * FROM tg WHERE w3 IS NOT NULL),
+f AS (SELECT doc_id, pos,
+  count(*) OVER (PARTITION BY w1, w2, w3) AS c_tri,
+  count(*) OVER (PARTITION BY w1, w2) AS c_b12,
+  count(*) OVER (PARTITION BY w2, w3) AS c_b23,
+  count(*) OVER (PARTITION BY w2) AS c_b2,
+  count(*) OVER (PARTITION BY w3) AS c_u3 FROM t3),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tri FROM t3),
+d AS (SELECT doc_id,
+  list(ln(0.6 * CAST(c_tri AS DOUBLE) / CAST(c_b12 AS DOUBLE) +
+    0.3 * CAST(c_b23 AS DOUBLE) / CAST(c_b2 AS DOUBLE) +
+    0.1 * CAST(c_u3 AS DOUBLE) / CAST(n_tri AS DOUBLE)) ORDER BY pos) AS lps
+  FROM f, n GROUP BY doc_id)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_trigrams,
   round(-list_sum(lps) / len(lps), 4) AS avg_nll,
   round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
 FROM d ORDER BY doc_id""",

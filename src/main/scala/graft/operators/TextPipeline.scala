@@ -1915,6 +1915,62 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .orderBy("doc_id")
   }
 
+  /** Jelinek-Mercer interpolated TRIGRAM perplexity — the model order up
+    * from [[lmKneserNey]]: P(w₃|w₁w₂) = 0.6·c(w₁w₂w₃)/c(w₁w₂·)
+    * + 0.3·c(·w₂w₃)/c(·w₂·) + 0.1·c(··w₃)/N, every count over the
+    * corpus's TRIGRAM event space (self-consistent: all denominators of
+    * an observed trigram are ≥ 1, so no backoff special case and no
+    * floor is needed). Plan: two per-doc lead windows, four token-keyed
+    * count windows (the lm_bigram discipline), the 1-row N broadcast,
+    * position-ordered per-doc fold.
+    */
+  def lmTrigram(spark: SparkSession, sfDir: String): DataFrame =
+    lmTrigramFrom(spark, docs(spark, sfDir))
+
+  /** [[lmTrigram]] over any (doc_id, text) frame; documents with fewer
+    * than three tokens have no trigrams and are absent from the output.
+    */
+  def lmTrigramFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = corpus
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(byDoc))
+      .withColumn("w3", lead(col("w1"), 2).over(byDoc))
+      .filter(col("w3").isNotNull)
+    val withC = tri
+      .withColumn("c_tri",
+        count(lit(1)).over(Window.partitionBy("w1", "w2", "w3")))
+      .withColumn("c_b12",
+        count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c_b23",
+        count(lit(1)).over(Window.partitionBy("w2", "w3")))
+      .withColumn("c_b2",
+        count(lit(1)).over(Window.partitionBy("w2")))
+      .withColumn("c_u3",
+        count(lit(1)).over(Window.partitionBy("w3")))
+    val total = tri.agg(count(lit(1)).cast(LongType).as("n_tri"))
+    withC.crossJoin(broadcast(total))
+      .withColumn("lnp", log(
+        lit(0.6) * col("c_tri").cast(DoubleType) /
+          col("c_b12").cast(DoubleType) +
+        lit(0.3) * col("c_b23").cast(DoubleType) /
+          col("c_b2").cast(DoubleType) +
+        lit(0.1) * col("c_u3").cast(DoubleType) /
+          col("n_tri").cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n_trigrams"),
+        aggregate(transform(col("arr"), x => x.getField("lnp")),
+          lit(0.0), (a, b) => a + b).as("sum_lnp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(-col("sum_lnp") / col("n_trigrams"), 4).as("avg_nll"),
+        round(exp(-col("sum_lnp") / col("n_trigrams")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same answer as [[decontaminate]],
     * different 100 TB shape. [[decontaminate]] shuffles EVERY fingerprint in
     * the corpus once (one group-by-fingerprint pass). Here the eval side's
