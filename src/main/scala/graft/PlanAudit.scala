@@ -223,6 +223,7 @@ object PlanAudit {
     "resample_daily" -> 5,
     "except_all_users" -> 3, // count-diff shuffle + regroup + orderBy
     "window_pct" -> 2, // one keyed window + orderBy
+    "window_first_last" -> 2, // one keyed unbounded-frame window + orderBy
     "q1_cube" -> 2, // expand + partial agg; lattice is tiny
     "intersect_users" -> 3, // two distinct sides + semi-join
     "heavy_hitters" -> 4, // token agg + 1-row total broadcast + orderBy

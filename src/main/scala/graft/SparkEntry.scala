@@ -67,6 +67,8 @@ object SparkEntry {
     "except_all_users" -> ((s, d) => Relational.exceptAllUsers(s, d)),
     // percent_rank / cume_dist relative-position windows
     "window_pct" -> ((s, d) => Relational.windowPct(s, d)),
+    // first/last/nth_value over the unbounded partition frame
+    "window_first_last" -> ((s, d) => Relational.windowFirstLast(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
@@ -1133,6 +1135,15 @@ p AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS hour
 x AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
 SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n_surviving
 FROM x GROUP BY user_id, hour ORDER BY user_id, hour""",
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice) OVER w AS last_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey""",
     "window_pct" ->
       """SELECT o_custkey, o_orderkey,
   round(percent_rank() OVER w, 6) AS pct_rank,

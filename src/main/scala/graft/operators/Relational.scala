@@ -699,6 +699,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Frame-edge window functions — first/last/nth order price per
+    * customer over the FULL partition frame (unbounded both ways; the
+    * default RANGE frame stops at CURRENT ROW, where last_value is just
+    * the current row — the classic window gotcha, pinned explicitly
+    * here). One keyed window.
+    */
+  def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("last_price", last(col("o_totalprice")).over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+      .drop("o_orderdate", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Trailing 30-day RANGE-frame moving aggregate per customer — the
     * time-windowed running metric (moving spend) the ROWS-frame family
     * (windowLag) cannot express: the frame is bounded by event-time
