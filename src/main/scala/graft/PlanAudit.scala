@@ -34,6 +34,9 @@ object PlanAudit {
     "minhash_tune", "sim_recall_tune",
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
+    // 1-row query broadcast + the k-row pool self-pairing (both sides
+    // are the checkpointed 20-row candidate leaf)
+    "mmr_rerank",
     // 1-row total-token normalizer broadcast
     "lm_perplexity",
     // 8-row query-panel broadcasts (the simTopKBatch pattern) + the tiny
@@ -43,7 +46,7 @@ object PlanAudit {
     "temperature_sample",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
-    "kmv_intersect",
+    "kmv_intersect", "kmv_difference",
     // 1-row corpus-count broadcast (the TF-IDF N normalizer / BM25
     // N+avgdl normalizer / the RRF sides' query broadcasts)
     "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
@@ -51,7 +54,13 @@ object PlanAudit {
     // resp. the 1-row bigram-types total (the continuation normalizer)
     "lm_bigram", "lm_kneser_ney", "lm_trigram",
     // 1-row centroid + 1-row mean/variance normalizer broadcasts
-    "emb_outliers")
+    "emb_outliers",
+    // 1-row per-side max-normalizer broadcasts (one per HITS half-round)
+    "graph_hits",
+    // 1-row token-total and bigram-total normalizer broadcasts
+    "collocations",
+    // 1-row feature-total normalizer broadcast (the model denominators)
+    "dsir_weights")
 
   /** Count of window specs with an EMPTY partition clause in a FORMATTED
     * explain — `windowspecdefinition(<order> ASC ...)` with no leading
@@ -360,7 +369,54 @@ object PlanAudit {
     // stage join, and the orderBy
     "curation_program" -> 6,
     // + the five fenced-frame aggs and the 5-row union/orderBy
-    "curation_funnel" -> 10)
+    "curation_funnel" -> 10,
+    // 4 unrolled HITS rounds over the two pre-partitioned edge leaves:
+    // per round the dst-keyed authority sum + src-keyed hub sum (each
+    // rides a leaf partitioning on the join side) and two 1-row max
+    // normalizer aggs; + the init distinct and the final union orderBy
+    "graph_hits" -> 20,
+    // minute max agg + the calendar-sized event_type window + orderBy
+    "metric_anomaly" -> 3,
+    // token agg + bigram agg (each map-side combined) + the two
+    // vocab-sized marginal joins + 1-row totals + final ordering
+    "collocations" -> 10,
+    // (doc, token) agg + per-doc fold agg + orderBy
+    "text_entropy" -> 3,
+    // bucket-model agg (+ its totals re-derive) + the broadcast model
+    // join + per-doc fold agg + orderBy; the model frame is <= 4096 rows
+    "dsir_weights" -> 8,
+    // the kmv_intersect fence discipline: corpus-sized subtrees live
+    // behind the two checkpoints; the exchanges move sketch-/pair-/
+    // vocab-sized rows (union window, theta agg, the TWO pair-fanout +
+    // anti-join + theta-filter survivor-count chains, and the three
+    // calibration consumers of the distinct-token leaf — nd_a, nd_b,
+    // exact_intersect — each with its keyed join, + orderBy)
+    "kmv_difference" -> 28,
+    // signed-cell agg (map-side combined, <= #langs x 4 x 512 rows out)
+    // + row-estimate agg + the 4-row median window + exact-F2
+    // calibration aggs/join + orderBy
+    "f2_moment" -> 7,
+    // (cust, date) observation agg + the change/interval windows (same
+    // partition-order: one exchange) + orderBy
+    "scd2_history" -> 3,
+    // the driver-facing frame is the k-row greedy result (local
+    // relation): at most its own orderBy plans an exchange
+    "mmr_rerank" -> 2,
+    // post-checkpoint plan: cluster-keyed self-join + the cluster-bounded
+    // per-vector ranking window + orderBy (Lloyd behind the leaf)
+    "knn_graph" -> 4,
+    // the dedup_jaccard shape: shingle fence + block fence + banded
+    // self-join + the two set-carrying verify joins + orderBy
+    "dedup_containment" -> 10,
+    // the driver-facing frame is the 3-row local funnel summary (stage
+    // counts computed as three keyed-agg jobs, the pagerank discipline)
+    "event_funnel" -> 2,
+    // first-touch agg + distinct user-weeks + the (cohort, offset) agg
+    // (+ the sizes re-derive and its join) + orderBy — all user-keyed
+    "cohort_retention" -> 8,
+    // whichever path the probe picks: at most the salted two-phase agg
+    // (2 exchanges) + orderBy
+    "salted_auto" -> 3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -69,6 +69,14 @@ object SparkEntry {
     "window_pct" -> ((s, d) => Relational.windowPct(s, d)),
     // first/last/nth_value over the unbounded partition frame
     "window_first_last" -> ((s, d) => Relational.windowFirstLast(s, d)),
+    // SCD2 dimension build: change rows -> validity intervals
+    "scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
+    // ordered view -> click -> purchase conversion funnel
+    "event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
+    // weekly cohort retention triangle
+    "cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    // skew-probed plan choice (salted vs plain agg; same answer)
+    "salted_auto" -> ((s, d) => Relational.saltedCountsAuto(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
@@ -105,6 +113,8 @@ object SparkEntry {
     "graph_ppr" -> ((s, d) => graft.operators.Graph.pagerankPersonalized(s, d)),
     // deterministic label-propagation communities (generated oracle)
     "graph_lpa" -> ((s, d) => graft.operators.Graph.labelPropagation(s, d)),
+    // HITS hubs/authorities on the directed bipartite purchase graph
+    "graph_hits" -> ((s, d) => graft.operators.Graph.hits(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -114,6 +124,14 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => TextPipeline.corpusStats(s, d)),
     "text_normalize" -> ((s, d) => TextPipeline.textNormalize(s, d)),
     "text_tfidf" -> ((s, d) => TextPipeline.textTfidf(s, d)),
+    // PMI collocation mining (top bigrams vs unigram independence)
+    "collocations" -> ((s, d) => TextPipeline.collocations(s, d)),
+    // per-doc token-distribution entropy / type-token ratio (diversity axis)
+    "text_entropy" -> ((s, d) => TextPipeline.textEntropy(s, d)),
+    // DSIR hashed-bigram importance weights vs the en target split
+    "dsir_weights" -> ((s, d) => TextPipeline.dsirWeights(s, d)),
+    // asymmetric shingle containment (doc-inside-doc detection)
+    "dedup_containment" -> ((s, d) => TextPipeline.dedupContainment(s, d)),
     "decontaminate" -> ((s, d) => TextPipeline.decontaminate(s, d)),
     "stats_quantiles" -> ((s, d) => Relational.statsQuantiles(s, d)),
     "salted_counts" -> ((s, d) => Relational.saltedEventCounts(s, d)),
@@ -154,6 +172,8 @@ object SparkEntry {
     "split_leakage_safe" -> ((s, d) => TextPipeline.splitLeakageSafe(s, d)),
     // LLM-data-pipeline: similarity search over `embeddings`
     "sim_topk" -> ((s, d) => SimilarityPipeline.simTopK(s, d)),
+    // MMR diversity rerank of the top-20 pool (generated greedy oracle)
+    "mmr_rerank" -> ((s, d) => SimilarityPipeline.mmrRerank(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
@@ -162,6 +182,8 @@ object SparkEntry {
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
     "semantic_dedup" -> ((s, d) => SimilarityPipeline.semanticDedup(s, d)),
+    // cluster-blocked exact kNN graph over the learned index
+    "knn_graph" -> ((s, d) => SimilarityPipeline.knnGraph(s, d)),
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
@@ -179,6 +201,11 @@ object SparkEntry {
     "kmv_distinct" -> ((s, d) => graft.operators.Sketches.kmvDistinct(s, d)),
     // theta-sketch intersection between per-language token sets — the
     // set operation HLL cannot express; exact calibration joined on
+    // theta-sketch A-not-B (set difference) between per-language sketches
+    "kmv_difference" -> ((s, d) =>
+      graft.operators.Sketches.kmvDifferenceLangs(s, d)),
+    // AMS sign-sketch F2 (self-join size / skew) per language
+    "f2_moment" -> ((s, d) => graft.operators.Sketches.f2Moment(s, d)),
     "kmv_intersect" -> ((s, d) =>
       graft.operators.Sketches.kmvIntersectLangs(s, d)),
     // cross-document exact substring dedup (Lee et al. ACL'22): maximal
@@ -244,6 +271,9 @@ object SparkEntry {
     "data_profile" -> ((s, d) => DataQuality.dataProfile(s, d)),
     "quality_checks" -> ((s, d) => DataQuality.qualityChecks(s, d)),
     "dist_drift" -> ((s, d) => DataQuality.distDrift(s, d)),
+    // rolling z-score anomaly over the per-minute max metric series (the
+    // adaptive-baseline upgrade of the fixed threshold alarm)
+    "metric_anomaly" -> ((s, d) => DataQuality.metricAnomaly(s, d)),
   )
 
   /** Shared oracle CTE fragments (dedup family) — one definition, several
@@ -856,6 +886,12 @@ FROM events GROUP BY event_type ORDER BY event_type""",
       """SELECT event_type, count(*) AS n_events,
   min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type""",
+    // plan choice (salted vs plain) never changes the answer: the
+    // oracle is the plain GROUP BY for both physical paths
+    "salted_auto" ->
+      """SELECT event_type, count(*) AS n_events,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""",
     "seq_len_buckets" ->
       """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
 b AS (SELECT CASE WHEN n <= 16 THEN 'a_le16' WHEN n <= 32 THEN 'b_le32'
@@ -878,6 +914,73 @@ SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_unique,
   CAST(max(c) AS BIGINT) AS max_cluster,
   round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4) AS dup_ratio
 FROM c""",
+    // bucket models are exact longs; the md5 bucketing replays the
+    // Sketches register idiom; per-doc fold is feature-position-ordered
+    "dsir_weights" ->
+      """WITH sh AS (SELECT doc_id, lang,
+  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-1), i -> array_to_string(toks[i+1:i+2], ' ')) END AS sg
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+f0 AS (SELECT doc_id, lang, unnest(sg) AS bigram,
+  unnest(range(len(sg))) AS pos FROM sh),
+fb AS (SELECT doc_id, lang, pos,
+  CAST((strpos('0123456789abcdef', md5(bigram)[1:1]) - 1) * 256
+     + (strpos('0123456789abcdef', md5(bigram)[2:2]) - 1) * 16
+     + (strpos('0123456789abcdef', md5(bigram)[3:3]) - 1) AS BIGINT) AS bucket
+  FROM f0 WHERE len(string_split(bigram, ' ')) = 2),
+counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM fb GROUP BY bucket),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM counts),
+lr AS (SELECT bucket, ln((ct + 1) / (nt + 4096)) - ln((cr + 1) / (nr + 4096)) AS lr
+  FROM counts, tot),
+d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+  list(lr ORDER BY pos) AS ls
+  FROM fb JOIN lr USING (bucket) GROUP BY doc_id, lang)
+SELECT doc_id, lang, n_feats, round(list_sum(ls), 6) AS log_weight
+FROM d ORDER BY doc_id""",
+    // entropy folds per-type counts in TOKEN order (the lm_perplexity
+    // ordered-fold discipline) so float accumulation cannot drift
+    "text_entropy" ->
+      """WITH tc AS (SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token),
+d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types, list(c ORDER BY token) AS cl
+  FROM tc GROUP BY doc_id),
+e AS (SELECT doc_id, n_tokens, n_types,
+  list_sum(list_transform(cl, c ->
+    -(c / CAST(n_tokens AS DOUBLE)) * ln(c / CAST(n_tokens AS DOUBLE)))) AS entropy
+  FROM d)
+SELECT doc_id, n_tokens, n_types,
+  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+  round(entropy, 6) AS entropy,
+  round(CASE WHEN n_types > 1
+    THEN entropy / ln(CAST(n_types AS DOUBLE)) ELSE 0.0 END, 6) AS norm_entropy
+FROM e ORDER BY doc_id""",
+    // PMI on identical count ratios: every division is BIGINT->DOUBLE on
+    // both engines, ordering is on the ROUNDED pmi + bigram tie-break
+    "collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni),
+sh AS (
+  SELECT CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(len(toks)-1), i -> array_to_string(toks[i+1:i+2], ' ')) END AS sg
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+bi AS (SELECT bigram, count(*) AS cxy
+  FROM (SELECT unnest(sg) AS bigram FROM sh)
+  WHERE len(string_split(bigram, ' ')) = 2 GROUP BY bigram),
+nb AS (SELECT CAST(sum(cxy) AS DOUBLE) AS n_bi FROM bi)
+SELECT bigram, cxy AS n_pair, ux.c AS n_left, uy.c AS n_right,
+  round(ln((cxy / (SELECT n_bi FROM nb)) /
+    ((ux.c / (SELECT n_tok FROM nt)) * (uy.c / (SELECT n_tok FROM nt)))), 6) AS pmi
+FROM bi
+JOIN uni ux ON string_split(bigram, ' ')[1] = ux.token
+JOIN uni uy ON string_split(bigram, ' ')[2] = uy.token
+WHERE cxy >= 25
+ORDER BY pmi DESC, bigram LIMIT 20""",
     "ngram_counts" ->
       """WITH sh AS (
   SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
@@ -1077,6 +1180,21 @@ lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
 SELECT doc_id, cluster_id,
   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab ORDER BY doc_id""",
+    // the dedup_jaccard blocking with both containment directions
+    "dedup_containment" ->
+      s"""WITH
+$shingleSetCtes,
+k AS (SELECT doc_id, list_min(list_transform(s, x -> md5('99:' || x))) AS block FROM ss),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 4) AS cont_ab,
+    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s), 4) AS cont_ba
+  FROM cand JOIN ss x ON cand.doc_a = x.doc_id JOIN ss y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, n_common, cont_ab, cont_ba,
+  CASE WHEN cont_ab >= cont_ba THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM v WHERE greatest(cont_ab, cont_ba) >= 0.8 ORDER BY doc_a, doc_b""",
     "dedup_jaccard" ->
       s"""WITH
 $shingleSetCtes,
@@ -1257,6 +1375,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_pagerank" -> graft.operators.Graph.pagerankOracleSql,
     "graph_ppr" -> graft.operators.Graph.pprOracleSql,
     "graph_lpa" -> graft.operators.Graph.lpaOracleSql,
+    "graph_hits" -> graft.operators.Graph.hitsOracleSql,
     // the generated unrolled replay of the hybrid trainer — the last
     // former rows-only exemption, killed by the same pattern
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
@@ -1420,6 +1539,7 @@ JOIN hx dh ON delta.doc_id = dh.doc_id
 LEFT JOIN ex ON dh.h = ex.h
 LEFT JOIN nearagg ON delta.doc_id = nearagg.doc_id
 ORDER BY delta.doc_id""",
+    "mmr_rerank" -> SimilarityPipeline.mmrOracleSql,
     "sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (SELECT vec_id, label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
@@ -1459,6 +1579,22 @@ t AS (SELECT vec_id, cluster, c, row_number() OVER (ORDER BY c DESC, vec_id) AS 
 SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
+    // the semantic_dedup cluster join ranked per vector at top-5
+    "knn_graph" ->
+      s"""WITH
+$kmeansCtes,
+asg AS (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+rk AS (SELECT vec_id, nbr_id, s,
+  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank
+  FROM pr)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim
+FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
     "semantic_dedup" ->
       s"""WITH
 $kmeansCtes,
@@ -1670,6 +1806,139 @@ ORDER BY est.lang""",
     // theta intersection replayed pair-for-pair: theta = u of the union
     // sketch's k-th smallest hash (1.0 when the union is under k),
     // common = hashes in both sketches below theta, est = common/theta
+    // first-touch cohorts + distinct user-weeks, exact ints until the
+    // final floor-quantized ratio
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+  CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id,
+  CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),
+o AS (SELECT cohort,
+  CAST(datediff('day', CAST(cohort AS DATE), CAST(w AS DATE)) / 7 AS BIGINT) AS week_offset
+  FROM a JOIN f ON a.user_id = f.user_id),
+c AS (SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM o GROUP BY cohort, week_offset),
+s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY cohort)
+SELECT c.cohort, week_offset, n_active, cohort_size,
+  floor(CAST(n_active AS DOUBLE) / cohort_size * 10000 + 0.5) / 10000 AS retention
+FROM c JOIN s ON c.cohort = s.cohort
+ORDER BY c.cohort, week_offset""",
+    // first-touch sequence match; conversion uses the explicit
+    // floor-quantization so both engines round identically
+    "event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+  JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+  JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id),
+n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS nv,
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS nc,
+  (SELECT CAST(count(*) AS BIGINT) FROM p) AS np)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, nv AS n_users,
+    1.0 AS conv_rate FROM n
+  UNION ALL
+  SELECT 2, 'click_after_view', nc,
+    CASE WHEN nv = 0 THEN 0.0
+      ELSE floor(CAST(nc AS DOUBLE) / nv * 10000 + 0.5) / 10000 END FROM n
+  UNION ALL
+  SELECT 3, 'purchase_after_click', np,
+    CASE WHEN nc = 0 THEN 0.0
+      ELSE floor(CAST(np AS DOUBLE) / nc * 10000 + 0.5) / 10000 END FROM n)
+ORDER BY stage_idx""",
+    // change-row detection + interval stamping, all exact types
+    "scd2_history" ->
+      """WITH obs AS (SELECT o_custkey, o_orderdate, min(o_orderstatus) AS status
+  FROM orders GROUP BY o_custkey, o_orderdate),
+ch AS (SELECT o_custkey, o_orderdate, status,
+  lag(status) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+  FROM obs),
+c2 AS (SELECT o_custkey, status, o_orderdate AS valid_from
+  FROM ch WHERE prev IS NULL OR prev <> status)
+SELECT o_custkey, status, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  CAST(row_number() OVER w2 AS BIGINT) AS version,
+  lead(valid_from) OVER w2 IS NULL AS is_current
+FROM c2 WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
+ORDER BY o_custkey, valid_from""",
+    // all-integer sketch: signed cells, squared-row sums, middle-two
+    // median — replayed cell-for-cell (the cms seeding idiom)
+    "f2_moment" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+tt AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+c0 AS (SELECT lang, token, unnest([0, 1, 2, 3]) AS r FROM tt),
+ch AS (SELECT lang, r, md5(CAST(r AS VARCHAR) || ':' || token) AS h FROM c0),
+cb AS (SELECT lang, r,
+  CAST(((strpos('0123456789abcdef', h[1:1]) - 1) * 256
+      + (strpos('0123456789abcdef', h[2:2]) - 1) * 16
+      + (strpos('0123456789abcdef', h[3:3]) - 1)) % 512 AS BIGINT) AS bucket,
+  CASE WHEN strpos('0123456789abcdef', h[4:4]) - 1 >= 8 THEN 1 ELSE -1 END AS sgn
+  FROM ch),
+cells AS (SELECT lang, r, bucket, CAST(sum(sgn) AS BIGINT) AS x
+  FROM cb GROUP BY lang, r, bucket),
+re AS (SELECT lang, r, CAST(sum(x * x) AS BIGINT) AS f2_row
+  FROM cells GROUP BY lang, r),
+rr AS (SELECT lang, f2_row,
+  row_number() OVER (PARTITION BY lang ORDER BY f2_row) AS rn FROM re),
+m AS (SELECT lang,
+  CAST(sum(CASE WHEN rn IN (2, 3) THEN f2_row END) AS DOUBLE) / 2.0 AS f2_est
+  FROM rr GROUP BY lang),
+ex AS (SELECT lang, CAST(sum(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT lang, token, count(*) AS c FROM tt GROUP BY lang, token)
+  GROUP BY lang)
+SELECT m.lang, f2_est, f2_exact,
+  round(abs(f2_est - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE), 4) AS rel_err
+FROM m JOIN ex ON m.lang = ex.lang ORDER BY m.lang""",
+    // the intersect CTEs + exists-anti survivor counts; every division
+    // is an exact-count double over the same theta on both engines
+    "kmv_difference" ->
+      s"""WITH $kmvSketchCtes,
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (SELECT x.lang AS lang_a, y.lang AS lang_b
+  FROM langs x JOIN langs y ON x.lang < y.lang),
+un AS (SELECT DISTINCT lang_a, lang_b, h FROM (
+  SELECT p.lang_a, p.lang_b, s.h FROM pairs p JOIN sk s ON s.lang = p.lang_a
+  UNION ALL
+  SELECT p.lang_a, p.lang_b, s.h FROM pairs p JOIN sk s ON s.lang = p.lang_b) z),
+ur AS (SELECT lang_a, lang_b, h,
+  row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rk FROM un),
+th AS (SELECT lang_a, lang_b,
+  coalesce(max(CASE WHEN rk = 64 THEN ${u13Sql("h")} END), 1.0) AS theta
+  FROM ur GROUP BY lang_a, lang_b),
+ao AS (SELECT p.lang_a, p.lang_b, s.h
+  FROM pairs p JOIN sk s ON s.lang = p.lang_a
+  WHERE NOT EXISTS (SELECT 1 FROM sk b WHERE b.lang = p.lang_b AND b.h = s.h)),
+nao AS (SELECT ao.lang_a, ao.lang_b, CAST(count(*) AS BIGINT) AS n_a_only
+  FROM ao JOIN th ON ao.lang_a = th.lang_a AND ao.lang_b = th.lang_b
+  WHERE ${u13Sql("ao.h")} < th.theta GROUP BY ao.lang_a, ao.lang_b),
+bo AS (SELECT p.lang_a, p.lang_b, s.h
+  FROM pairs p JOIN sk s ON s.lang = p.lang_b
+  WHERE NOT EXISTS (SELECT 1 FROM sk a WHERE a.lang = p.lang_a AND a.h = s.h)),
+nbo AS (SELECT bo.lang_a, bo.lang_b, CAST(count(*) AS BIGINT) AS n_b_only
+  FROM bo JOIN th ON bo.lang_a = th.lang_a AND bo.lang_b = th.lang_b
+  WHERE ${u13Sql("bo.h")} < th.theta GROUP BY bo.lang_a, bo.lang_b),
+dt AS (SELECT DISTINCT lang, token FROM tt),
+exd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM dt GROUP BY lang),
+ex AS (SELECT x.lang AS lang_a, y.lang AS lang_b,
+  CAST(count(*) AS BIGINT) AS exact_intersect
+  FROM dt x JOIN dt y ON x.token = y.token AND x.lang < y.lang
+  GROUP BY x.lang, y.lang)
+SELECT th.lang_a, th.lang_b,
+  round(CAST(coalesce(n_a_only, 0) AS DOUBLE) / theta, 4) AS kmv_diff_ab,
+  round(CAST(coalesce(n_b_only, 0) AS DOUBLE) / theta, 4) AS kmv_diff_ba,
+  da.nd - coalesce(exact_intersect, 0) AS exact_diff_ab,
+  db.nd - coalesce(exact_intersect, 0) AS exact_diff_ba
+FROM th
+LEFT JOIN nao ON th.lang_a = nao.lang_a AND th.lang_b = nao.lang_b
+LEFT JOIN nbo ON th.lang_a = nbo.lang_a AND th.lang_b = nbo.lang_b
+JOIN exd da ON da.lang = th.lang_a
+JOIN exd db ON db.lang = th.lang_b
+LEFT JOIN ex ON th.lang_a = ex.lang_a AND th.lang_b = ex.lang_b
+ORDER BY th.lang_a, th.lang_b""",
     "kmv_intersect" ->
       s"""WITH $kmvSketchCtes,
 langs AS (SELECT DISTINCT lang FROM sk),
@@ -2059,5 +2328,27 @@ SELECT lang, n_a, n_b, round(sa, 6) AS share_a, round(sb, 6) AS share_b,
   round((greatest(sa, 0.000001) - greatest(sb, 0.000001))
     * ln(greatest(sa, 0.000001) / greatest(sb, 0.000001)), 6) AS psi_term
 FROM s ORDER BY lang""",
+    // the adaptive-baseline anomaly series: rolling mean/std from
+    // DECIMAL-exact frame sums, float math on identical operands
+    "metric_anomaly" ->
+      """WITH m AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+  max(value) AS mx FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, minute, mx,
+  sum(CAST(mx AS DECIMAL(18,6))) OVER fr AS s1,
+  sum(CAST(mx AS DECIMAL(18,6)) * CAST(mx AS DECIMAL(18,6))) OVER fr AS s2,
+  count(*) OVER fr AS n FROM m
+  WINDOW fr AS (PARTITION BY event_type ORDER BY minute
+    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT event_type, minute, mx,
+  CAST(s1 AS DOUBLE) / n AS mean,
+  greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+    / (n - 1), 0.0) AS variance
+  FROM w WHERE n >= 10)
+SELECT event_type, minute, mx, round(mean, 6) AS baseline_mean,
+  round(CASE WHEN sqrt(variance) > 0.0
+    THEN (mx - mean) / sqrt(variance) ELSE 0.0 END, 6) AS z,
+  abs(CASE WHEN sqrt(variance) > 0.0
+    THEN (mx - mean) / sqrt(variance) ELSE 0.0 END) > 3.0 AS is_anomaly
+FROM z ORDER BY event_type, minute""",
   )
 }

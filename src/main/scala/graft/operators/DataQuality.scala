@@ -79,6 +79,59 @@ object DataQuality {
       .orderBy("check")
   }
 
+  /** Rolling z-score anomaly detection over the per-minute MAX metric
+    * series — the adaptive-baseline upgrade of the reference's fixed
+    * threshold alarm (SURVEY §2 P13/A1): instead of `max > 1`, a minute
+    * alarms when its max deviates from the trailing 30 observed minutes'
+    * distribution by more than 3 sigma (the CloudWatch anomaly-detection
+    * alarm shape). Per (event_type, minute) max, then one keyed window.
+    *
+    * Determinism: the rolling mean/std come from DECIMAL(18,6) frame sums
+    * (exact, order-free — cast once, summed as decimals), with the float
+    * division/sqrt applied to identical operands on both engines. The
+    * frame is ROWS 30 PRECEDING..1 PRECEDING over unique minutes, so
+    * frame contents cannot tie-break differently.
+    *
+    * Scale: the minute frame is calendar-sized (rows = minutes observed,
+    * volume-independent), so the window state at 100 TB is the same as at
+    * 100 MB; the only corpus-sized work is the map-side-combined minute
+    * max agg.
+    */
+  def metricAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    metricAnomalyFrom(Tables.events(spark, sfDir))
+
+  /** [[metricAnomaly]] over any frame with the events schema. */
+  def metricAnomalyFrom(events: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val minutes = events
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(max(col("value")).as("mx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("minute").rowsBetween(-30, -1)
+    val mxDec = col("mx").cast(dec)
+    minutes
+      .withColumn("s1", sum(mxDec).over(w))
+      .withColumn("s2", sum(mxDec * mxDec).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n") >= 10)
+      .withColumn("mean",
+        col("s1").cast(DoubleType) / col("n"))
+      .withColumn("variance",
+        greatest((col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1").cast(DoubleType) /
+            col("n")) / (col("n") - 1), lit(0.0)))
+      .withColumn("z",
+        when(sqrt(col("variance")) > 0.0,
+          (col("mx") - col("mean")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("minute"), col("mx"),
+        round(col("mean"), 6).as("baseline_mean"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+      .orderBy("event_type", "minute")
+  }
+
   /** Population-stability-index drift between two halves of the corpus
     * (doc_id parity stands in for yesterday/today snapshots; production
     * passes two real frames via [[distDriftFrom]]). Per-language shares of

@@ -231,6 +231,131 @@ r0 AS (SELECT node, outdeg, 1.0 / n_nodes AS r FROM deg, nn),
 ${oracleIters("0.15 / (SELECT n_nodes FROM nn)")}
 SELECT node, outdeg, r AS pagerank FROM r$Iters ORDER BY node"""
 
+  /** HITS mutual-reinforcement rounds (fixed → unrolled, generated
+    * oracle — the [[pagerank]] discipline).
+    */
+  private val HitsIters = 4
+
+  /** HITS hubs/authorities (Kleinberg'99) over the DIRECTED bipartite
+    * purchase graph customer→supplier: a supplier's authority is the sum
+    * of its buyers' hub scores, a customer's hub score the sum of its
+    * suppliers' authorities — the natural "good buyers certify good
+    * sources" signal on a procurement graph (bipartite, so hubs and
+    * authorities partition cleanly by side).
+    *
+    * Determinism is STRONGER than [[pagerank]]'s round-after-sum pin:
+    * scores are rounded to 10 dp then cast to DECIMAL(20,10) before each
+    * contribution sum, so the per-node sums are EXACT and
+    * order-independent — no float accumulation exists anywhere in the
+    * loop, at any parallelism. Normalization is by the per-side MAX (a
+    * deterministic, order-free statistic — Kleinberg's limit is invariant
+    * to the norm choice), broadcast as a 1-row frame.
+    *
+    * Scale shape: two edge leaves checkpointed pre-partitioned (by src
+    * for the hub-side join, by dst for the authority side — the
+    * [[degreeEdges]] AQE-off fence), every round two node-keyed sums that
+    * ride those partitionings, 1-row max broadcasts, nothing corpus-sized
+    * beyond the keyed aggs.
+    */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def checkpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    val (edgesBySrc, edgesByDst) =
+      try {
+        // one orders⨝lineitem distinct, fenced BEFORE the two partitioned
+        // leaves derive from it — without this fence each leaf re-runs
+        // the base join (measured ~2x the leaf-build cost at sf0.1)
+        val pairsC = checkpoint(pairs)
+        (checkpoint(pairsC.repartition(col("src"))
+           .sortWithinPartitions("src")),
+         checkpoint(pairsC.repartition(col("dst"))
+           .sortWithinPartitions("dst")))
+      } finally spark.conf.set(aqeKey, aqeWas)
+    val dec = DecimalType(20, 10)
+    // score := round(sum / max, 10): the sum is exact DECIMAL (inputs are
+    // 10-dp-rounded doubles, exactly representable at scale 10), max of
+    // exact sums is exact, and the one double division is over identical
+    // operands on every engine/run.
+    //
+    // Each half-round's contribution frame is CHECKPOINTED before its max
+    // normalizer: the 1-row broadcast plans the frame a second time, so
+    // without the fence every half-round DOUBLES the unrolled plan
+    // (2^8 subtree copies by round 4). Behind a node-sized leaf, the
+    // normalizer agg is a one-job scan and every round's plan is
+    // constant-size — the CC/kmv fence discipline applied per iteration.
+    def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
+      val fenced = checkpoint(raw)
+      val mx = fenced.agg(max(col("s")).as("mx"))
+      fenced.crossJoin(broadcast(mx))
+        .select(col("node"),
+          round(col("s").cast(DoubleType) / col("mx").cast(DoubleType), 10)
+            .as(scoreCol))
+    }
+    var hubs = edgesBySrc.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val araw = edgesBySrc.join(hubs, col("src") === col("node"))
+        .groupBy(col("dst").as("anode"))
+        .agg(sum(col("h").cast(dec)).as("s"))
+        .select(col("anode").as("node"), col("s"))
+      auths = normalize(araw, "a")
+      val hraw = edgesByDst
+        .join(auths, col("dst") === col("node"))
+        .groupBy(col("src").as("hnode"))
+        .agg(sum(col("a").cast(dec)).as("s"))
+        .select(col("hnode").as("node"), col("s"))
+      hubs = normalize(hraw, "h")
+    }
+    hubs.select(col("node"), lit("hub").as("kind"), col("h").as("score"))
+      .union(auths.select(col("node"), lit("authority").as("kind"),
+        col("a").as("score")))
+      .orderBy("node")
+  }
+
+  /** The generated unrolled DuckDB replay of [[hits]] — same rounds, same
+    * DECIMAL-exact sums, same max normalization. Every round CTE is
+    * MATERIALIZED: each is referenced twice (the max-normalizer scalar
+    * subquery + the select), so inlining would double the evaluation per
+    * half-round — the SQL mirror of the exponential-plan hazard the
+    * Spark side fences with per-half-round checkpoints.
+    */
+  private[graft] def hitsOracleSql: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+    sum(CAST(p.h AS DECIMAL(20,10))) AS s
+  FROM pairs e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst),
+a$i AS MATERIALIZED (SELECT node, round(CAST(s AS DOUBLE) /
+    CAST((SELECT max(s) FROM ar$i) AS DOUBLE), 10) AS a FROM ar$i),
+hr$i AS MATERIALIZED (SELECT e.src AS node,
+    sum(CAST(p.a AS DECIMAL(20,10))) AS s
+  FROM pairs e JOIN a$i p ON e.dst = p.node GROUP BY e.src),
+h$i AS MATERIALIZED (SELECT node, round(CAST(s AS DOUBLE) /
+    CAST((SELECT max(s) FROM hr$i) AS DOUBLE), 10) AS h FROM hr$i)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS src,
+  's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS h FROM pairs),
+$rounds
+SELECT node, 'hub' AS kind, h AS score FROM h$HitsIters
+UNION ALL
+SELECT node, 'authority' AS kind, a AS score FROM a$HitsIters
+ORDER BY node"""
+  }
+
   /** The unrolled DuckDB replay of [[pagerankPersonalized]]. */
   private[graft] def pprOracleSql: String = {
     val seeds = SeedNodes.map(s => s"'$s'").mkString(", ")

@@ -605,6 +605,46 @@ FROM graft_shingle_bloom_build""")
           appendTextIndexBatch(batch.toDF(), path, id)
       }
 
+  /** Compact an appended/stream-grown index into a fresh single-ingest
+    * layout at `dst`: a term's accumulated (term, shard) delta rows
+    * merge into one row (exploded, regrouped, doc_id-resorted — the
+    * reader's summation semantics applied ONCE at rest), meta collapses
+    * to one summed row, doclens rewrite without their ingest levels.
+    * The LSM discipline for the postings store: appends stay cheap
+    * (never rewrite old files), reads re-merge, and compaction runs
+    * off-peak to restore the read-optimal shape. Search answers are
+    * IDENTICAL before and after (spec-proven) — compaction moves rows,
+    * never values. Writing to a fresh `dst` keeps the swap atomic at
+    * the path level (prod flips a pointer/view, old index stays
+    * readable throughout).
+    */
+  def compactTextIndex(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    val merged = spark.read.parquet(s"$src/postings")
+      .select(col("term"), col("shard"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("z"))
+      .select(col("term"), col("shard"),
+        col("z.doc_ids").as("doc_id"), col("z.tfs").as("tf"))
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tf")).cast("long").as("n_occ"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .select(col("term"), col("shard"), col("n_docs"), col("n_occ"),
+        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), x => x.getField("tf")).as("tfs"))
+      .withColumn("bucket", termBucket(col("term")))
+    merged.write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$dst/postings/ingest=base")
+    spark.read.parquet(s"$src/meta")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/meta/ingest=base")
+    spark.read.parquet(s"$src/doclens")
+      .select(col("doc_id"), col("dl"), col("shard"))
+      .write.partitionBy("shard")
+      .mode(SaveMode.Overwrite).parquet(s"$dst/doclens/ingest=base")
+  }
+
   /** BM25 top-k over the persisted index — the [[Retrieval.bm25TopKFrom]]
     * contract (same columns, same scores, same k1/b constants) with every
     * corpus touch replaced by index artifacts: postings give tf/df

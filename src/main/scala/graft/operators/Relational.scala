@@ -315,6 +315,38 @@ object Relational {
         min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
       .orderBy("event_type")
 
+  /** Dominant-key share from a seeded 5% sample — the cheap skew probe
+    * behind [[saltedCountsAuto]]'s plan choice. Deterministic (fixed
+    * seed + Bernoulli sampling), and the probe agg is sample-sized.
+    */
+  private[graft] def skewProbe(df: DataFrame, key: String): Double = {
+    val shares = df.sample(withReplacement = false, 0.05, 42L)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast(DoubleType) / sum(col("c")))
+    Option(shares.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+  }
+
+  /** Cost-based physical choice for the keyed aggregation: probe the key
+    * distribution with a seeded sample ([[skewProbe]]) and pick the
+    * salted two-phase plan only when one key dominates (> half the
+    * sampled rows) — the poor man's runtime re-optimization for engines
+    * without AQE skew handling on aggregations. Both paths produce
+    * byte-identical results (salting is associative-decomposition only),
+    * so the ORACLE is the plain GROUP BY regardless of which plan ran —
+    * the decision changes the shuffle shape, never the answer.
+    */
+  def saltedCountsAuto(spark: SparkSession, sfDir: String,
+      salts: Int = 16): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val plain = skewProbe(e, "event_type") <= 0.5
+    if (plain)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    else saltedEventCounts(spark, sfDir, salts)
+  }
+
   /** TPC-H Q4-style: order-priority checking — orders in a quarter having at
     * least one line shipped > 30 days after the order date (the synthetic
     * schema has no commit/receipt dates, so the lateness predicate adapts).
@@ -705,6 +737,96 @@ object Relational {
     * the current row — the classic window gotcha, pinned explicitly
     * here). One keyed window.
     */
+  /** Ordered conversion funnel view -> click -> purchase per user: a
+    * user reaches a stage when the stage's event occurs strictly AFTER
+    * their first event of the previous stage (the product-analytics
+    * sequence-match shape, expressed as three keyed min-aggs + joins —
+    * no per-user sorting, no session windows needed for first-touch
+    * semantics). Counts are exact; conversion ratios use the explicit
+    * floor(x*1e4 + 0.5)/1e4 quantization (identical IEEE sequence on
+    * both engines — the q2_min_cost recipe). Three tiny stage counts
+    * reach the driver (the pagerank node-count discipline).
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("vt"))
+      .groupBy("user_id").agg(min(col("ts")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("ct"))
+      .groupBy("user_id").agg(min(col("ts")).as("pt"))
+    val (nv, nc, np) = (v.count(), c.count(), p.count())
+    def conv(n: Long, prev: Long): Double =
+      if (prev == 0) 0.0
+      else math.floor(n.toDouble / prev * 10000 + 0.5) / 10000
+    import spark.implicits._
+    Seq((1L, "view", nv, 1.0),
+      (2L, "click_after_view", nc, conv(nc, nv)),
+      (3L, "purchase_after_click", np, conv(np, nc)))
+      .toDF("stage_idx", "stage", "n_users", "conv_rate")
+      .orderBy("stage_idx")
+  }
+
+  /** Weekly cohort retention: users grouped by their first-activity
+    * week; for each (cohort, week offset), the fraction of the cohort
+    * active that week — the classic retention triangle, built from two
+    * keyed aggs and one join (first-touch per user, distinct
+    * user-weeks), all exact integers until the final quantized ratio
+    * (the floor(x*1e4+0.5)/1e4 recipe).
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val firsts = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val activity = e
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val counts = activity.join(firsts, "user_id")
+      .select(col("cohort"),
+        (datediff(col("w"), col("cohort")) / 7).cast(LongType)
+          .as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (floor(col("n_active").cast(DoubleType) / col("cohort_size")
+          * 10000 + 0.5) / 10000).as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** SCD Type-2 dimension build (Kimball): collapse each customer's
+    * order-status observations into validity intervals — keep only
+    * change rows (status != previous), stamp valid_from/valid_to from
+    * the change date and its lead, flag the open interval. The
+    * warehouse "history table from event stream" shape: two keyed
+    * windows over the same (custkey, date) partition-order, everything
+    * exact types. Multi-order days collapse to min(status) per day
+    * first, so the observation stream is unambiguous on both engines.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(min(col("o_orderstatus")).as("status"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+    val changes = obs
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+    val wc = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+    changes
+      .select(col("o_custkey"), col("status"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(wc).as("valid_to"),
+        row_number().over(wc).cast(LongType).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from")
+  }
+
   def windowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))

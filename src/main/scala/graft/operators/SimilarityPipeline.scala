@@ -101,6 +101,112 @@ object SimilarityPipeline {
       .orderBy("rank")
   }
 
+  /** MMR pool / picks — shared with the generated oracle. */
+  private val MmrPool = 20
+  private val MmrK = 10
+
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * of the brute-force top-[[MmrPool]] for the fixed query: greedily
+    * pick [[MmrK]] results maximizing `0.7*sim(q,d) - 0.3*max sim(d,S)`
+    * — the diversity-aware retrieval shape (RAG context assembly wants
+    * coverage, not 10 near-copies of the best hit).
+    *
+    * Two stages with different scale stories: stage 1 is the simTopK
+    * TakeOrdered (distributed, no global sort at any corpus size);
+    * stage 2 is the O(k²) greedy over a FIXED-k candidate pool — pool
+    * sims are computed in-engine (so the oracle's list_sum replay
+    * matches bit-for-bit) and the ≤ k² rows collect to the driver for
+    * the selection loop (the BpeTrainer driver-local-under-a-bound
+    * discipline: k is a constant, corpus size never reaches the driver).
+    * The DuckDB oracle replays the greedy as generated unrolled CTE
+    * rounds — an independent re-derivation, not a dump of our picks.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(e)))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(MmrPool)
+      .localCheckpoint()
+    val pairSims = cand
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(cand.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("s"))
+    val cands = cand.select(col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toVector
+    val pm = pairSims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // greedy selection: all doubles came FROM the engine, and the
+    // 0.7*c - 0.3*max arithmetic is written identically in the oracle
+    var remaining = cands
+    var selected = Vector.empty[(Long, Double, Double)]
+    for (_ <- 1 to MmrK) {
+      val scoredNow = remaining.map { case (id, c) =>
+        // true max over the selected set — sims can be NEGATIVE, and a
+        // 0-floored max would mute the diversity reward for picking
+        // something anti-correlated with the selection
+        val mx = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => pm((id, s._1))).max
+        (id, c, 0.7 * c - 0.3 * mx)
+      }
+      val pick = scoredNow.reduceLeft { (p, q) =>
+        if (q._3 > p._3 || (q._3 == p._3 && q._1 < p._1)) q else p
+      }
+      selected = selected :+ pick
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, c, m), i) => (i + 1L, id, c, m) }
+      .toDF("rank", "vec_id", "sim", "mmr")
+      .select(col("rank"), col("vec_id"),
+        round(col("sim"), 4).as("sim"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("rank")
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform(range(64), i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))))))"
+
+  /** Generated unrolled DuckDB replay of [[mmrRerank]]'s greedy — same
+    * pool, same rounds, same 0.7/0.3 literals (the pagerank oracle
+    * discipline: one generator, two engines).
+    */
+  private[graft] def mmrOracleSql: String = {
+    // every round CTE MATERIALIZED: r_i / s_i are each referenced twice
+    // downstream, so inlining would re-evaluate the whole selection
+    // chain per reference (2^k blowup — the hitsOracleSql hazard)
+    val rounds = (1 to MmrK).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT c.vec_id, c.cos,
+  0.7 * c.cos - 0.3 * coalesce(m.mx, 0.0) AS mmr
+  FROM cand c LEFT JOIN (SELECT a, max(s) AS mx FROM pairs
+    WHERE b IN (SELECT vec_id FROM s${i - 1}) GROUP BY a) m ON m.a = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+s$i AS MATERIALIZED (SELECT vec_id FROM s${i - 1} UNION ALL SELECT vec_id FROM r$i)"""
+    }.mkString(",\n")
+    val picks = (1 to MmrK)
+      .map(i => s"SELECT $i AS rank, vec_id, cos, mmr FROM r$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id, embedding, ${cosSql("embedding", "qv")} AS cos
+  FROM embeddings, q WHERE vec_id <> 0),
+cand AS MATERIALIZED (SELECT vec_id, embedding, cos FROM sc ORDER BY cos DESC, vec_id LIMIT $MmrPool),
+pairs AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+  ${cosSql("x.embedding", "y.embedding")} AS s
+  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+s0 AS (SELECT vec_id FROM cand WHERE false),
+$rounds
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+  round(cos, 4) AS sim, round(mmr, 4) AS mmr
+FROM ($picks) ORDER BY rank"""
+  }
+
   /** Per-cluster (label) statistics: member count and centroid L2 norm —
     * the IVF index-build summary. Centroid assembly reuses the posexplode
     * aggregation path; output norms rounded for cross-engine float parity.
@@ -384,6 +490,43 @@ object SimilarityPipeline {
         coalesce(col("dup"), lit(false)).as("is_dup"),
         coalesce(!col("dup"), lit(true)).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** Neighbors per vector in the kNN graph (the [[semanticDedup]] join
+    * bounded at top-k).
+    */
+  private val KnnK = 5
+
+  /** Approximate k-NN GRAPH construction through the learned cluster
+    * index: per vector, its [[KnnK]] most-cosine-similar neighbors
+    * WITHIN its k-means cluster — the neighbor-graph build that feeds
+    * graph-based dedup (connected components over kNN edges), SemDeDup
+    * variants, and diffusion/label-propagation curation. NN-Descent
+    * territory at web scale; cluster-blocked exact kNN is the
+    * deterministic, oracle-checkable first rung.
+    *
+    * Scale: comparisons are sum(|cluster|²) via the cluster-keyed
+    * equi-join (never N²); the per-vector ranking window is bounded by
+    * the vector's own cluster size (k-means k ~ sqrt(N) keeps clusters
+    * bounded, the [[semanticDedup]] contract). Assignment checkpointed
+    * once, both join sides read the leaf.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, assigned) = kmeansModel(spark, sfDir, 8, 2)
+    val a = assigned.select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
+        cosine(col("x.v"), col("y.v")).as("s"))
+    val w = Window.partitionBy("vec_id").orderBy(col("s").desc, col("nbr_id"))
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        round(col("s"), 4).as("sim"))
+      .orderBy("vec_id", "rank")
   }
 
   /** (centroids, assignments) after `iters` Lloyd rounds: centroids as

@@ -271,6 +271,65 @@ object Sketches {
       .orderBy("token")
   }
 
+  // ------------------------------------------------------- AMS / F2 --
+
+  private val AmsRows = 4 // independent sign-sketch rows (median-of-rows)
+  private val AmsWidth = 512 // counters per row
+
+  /** AMS/Count-Sketch second-frequency-moment estimate per language
+    * (Alon-Matias-Szegedy'96, the Charikar'02 bucketed form): F2 =
+    * sum over tokens of count² — the SELF-JOIN SIZE of the token stream,
+    * the skew statistic an optimizer wants before planning a key-equi
+    * join (F2 >> N² / distinct means a salted two-phase agg, the
+    * [[graft.operators.Relational]] salted_counts trigger).
+    *
+    * Recipe is all-integer, so the sketch is exactly mergeable AND
+    * hash-deterministic at any parallelism: signed counts per
+    * (lang, row, bucket) cell (bucket = md5("i:"||token) first 3 hex mod
+    * 512, sign = 4th hex nibble >= 8 — the [[cmsCol]] seeding idiom),
+    * per-row estimate = sum of squared cells (exact longs), final
+    * estimate = median of the 4 rows (avg of the 2nd/3rd order
+    * statistics — exact halves). Cells shuffled: <= #langs x 4 x 512
+    * rows after map-side combine; the x4 row fan-out happens before the
+    * combine, not across the wire.
+    */
+  def f2Moment(spark: SparkSession, sfDir: String): DataFrame =
+    f2MomentFrom(docs(spark, sfDir))
+
+  def f2MomentFrom(corpus: DataFrame): DataFrame = {
+    val toks = langTokens(corpus)
+    val cells = toks
+      .select(col("lang"), col("token"),
+        explode(array((0 until AmsRows).map(lit): _*)).as("r"))
+      .withColumn("h",
+        md5(concat(col("r").cast("string"), lit(":"), col("token"))))
+      .withColumn("bucket",
+        pmod(conv(substring(col("h"), 1, 3), 16, 10).cast("long"),
+          lit(AmsWidth.toLong)))
+      .withColumn("sgn",
+        when(conv(substring(col("h"), 4, 1), 16, 10) >= 8, 1L)
+          .otherwise(-1L))
+      .groupBy(col("lang"), col("r"), col("bucket"))
+      .agg(sum(col("sgn")).as("x"))
+    val rowEsts = cells.groupBy(col("lang"), col("r"))
+      .agg(sum(col("x") * col("x")).as("f2_row"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("f2_row").asc)
+    val med = rowEsts
+      .withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg((sum(when(col("rn").isin(2, 3), col("f2_row")))
+        .cast("double") / 2.0).as("f2_est"))
+    val exact = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(sum(col("c") * col("c")).as("f2_exact"))
+    med.join(exact, Seq("lang"))
+      .select(col("lang"), col("f2_est"), col("f2_exact"),
+        round(abs(col("f2_est") - col("f2_exact").cast("double"))
+          / col("f2_exact").cast("double"), 4).as("rel_err"))
+      .orderBy("lang")
+  }
+
   // ----------------------------------------------------- KMV / theta --
 
   /** k for the k-minimum-values sketch: sigma ~ 1/sqrt(k-2) ~ 11%. */
@@ -423,6 +482,84 @@ object Sketches {
     est.join(exact, Seq("lang_a", "lang_b"), "left")
       .select(col("lang_a"), col("lang_b"), col("kmv_intersect"),
         coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Pairwise set-DIFFERENCE estimates (the theta-sketch A-not-B): for
+    * the pair (a, b), theta = the union bottom-k's k-th u (as in
+    * [[kmvIntersectLangs]]); every sketch-a hash below theta is
+    * membership-testable against sketch b EXACTLY (theta <= both
+    * sketches' own u_k, so below-theta retention is complete), and
+    * `est |A\\B| = |{h in S_a : u < theta, h not in S_b}| / theta` —
+    * the asymmetric companion to intersection, the "how much NEW
+    * material does crawl A add over B" planning question. Exact
+    * calibration from per-language distinct counts minus the exact
+    * intersection (no extra corpus pass beyond the intersect query's).
+    */
+  def kmvDifferenceLangs(spark: SparkSession, sfDir: String): DataFrame =
+    kmvDifferenceLangsFrom(docs(spark, sfDir))
+
+  def kmvDifferenceLangsFrom(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sk = fence(kmvSketchFrom(corpus).select("lang", "h"))
+    val langs = sk.select("lang").distinct()
+    val pairs = langs.as("x").join(langs.as("y"),
+        col("x.lang") < col("y.lang"))
+      .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+    val unioned = broadcast(pairs)
+      .join(sk.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+      .select("lang_a", "lang_b", "h")
+      .union(broadcast(pairs)
+        .join(sk.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+        .select("lang_a", "lang_b", "h"))
+      .distinct()
+    val wu = Window.partitionBy("lang_a", "lang_b").orderBy(col("h").asc)
+    val theta = unioned.withColumn("rk", row_number().over(wu))
+      .groupBy("lang_a", "lang_b")
+      .agg(coalesce(max(when(col("rk") === KmvK, u13(col("h")))),
+        lit(1.0)).as("theta"))
+    // one-side survivors: pair fan-out LEFT ANTI the other sketch on
+    // (lang, h) — keyed, sketch-sized
+    def onlyCount(fanKey: String, antiKey: String, out: String) = {
+      val fan = broadcast(pairs)
+        .join(sk.withColumnRenamed("lang", fanKey), Seq(fanKey))
+        .select("lang_a", "lang_b", "h")
+      fan.join(sk.select(col("lang").as(antiKey), col("h")),
+          Seq(antiKey, "h"), "left_anti")
+        .join(theta, Seq("lang_a", "lang_b"))
+        .filter(u13(col("h")) < col("theta"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as(out))
+    }
+    val na = onlyCount("lang_a", "lang_b", "n_a_only")
+    val nb = onlyCount("lang_b", "lang_a", "n_b_only")
+    val dt = fence(langTokens(corpus).select("lang", "token").distinct())
+    val exd = dt.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val exInter = dt.as("x").join(dt.as("y"),
+        col("x.token") === col("y.token") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    theta
+      .join(na, Seq("lang_a", "lang_b"), "left")
+      .join(nb, Seq("lang_a", "lang_b"), "left")
+      .join(exd.select(col("lang").as("lang_a"), col("nd").as("nd_a")),
+        Seq("lang_a"))
+      .join(exd.select(col("lang").as("lang_b"), col("nd").as("nd_b")),
+        Seq("lang_b"))
+      .join(exInter, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        round(coalesce(col("n_a_only"), lit(0L)).cast("double")
+          / col("theta"), 4).as("kmv_diff_ab"),
+        round(coalesce(col("n_b_only"), lit(0L)).cast("double")
+          / col("theta"), 4).as("kmv_diff_ba"),
+        (col("nd_a") - coalesce(col("exact_intersect"), lit(0L)))
+          .as("exact_diff_ab"),
+        (col("nd_b") - coalesce(col("exact_intersect"), lit(0L)))
+          .as("exact_diff_ba"))
       .orderBy("lang_a", "lang_b")
   }
 

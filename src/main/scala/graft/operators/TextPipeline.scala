@@ -708,6 +708,135 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** Per-document token-distribution diversity: Shannon entropy of the
+    * within-doc unigram distribution, type-token ratio, and the
+    * ln(n_types)-normalized entropy — the low-diversity/repetitiveness
+    * quality axis (a keyword-stuffed or looping doc scores near 0, varied
+    * prose near 1) complementing [[repetitionStats]]' duplicate-n-gram
+    * fractions.
+    *
+    * Determinism: the entropy sum folds the per-type counts in TOKEN
+    * order via `aggregate` over a sorted array (the lm_perplexity
+    * position-ordered-fold discipline), so float accumulation order is
+    * engine-identical. Scale: one (doc_id, token) map-side-combined agg,
+    * then per-doc state bounded by the doc's own vocabulary.
+    */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    textEntropyFrom(docs(spark, sfDir))
+
+  /** [[textEntropy]] over any frame with (doc_id, text). */
+  def textEntropyFrom(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("token"), col("c")))).as("cl"))
+      .withColumn("entropy", expr(
+        """aggregate(cl, CAST(0.0 AS DOUBLE), (acc, x) ->
+           acc - (x.c / CAST(n_tokens AS DOUBLE)) *
+             ln(x.c / CAST(n_tokens AS DOUBLE)))"""))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        round(col("entropy"), 6).as("entropy"),
+        round(when(col("n_types") > 1,
+          col("entropy") / log(col("n_types").cast(DoubleType)))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+
+  /** DSIR importance weights (Xie et al.'23, "Data Selection for Language
+    * Models via Importance Resampling"): per-doc log importance weight
+    * ln(p_target(doc)/p_raw(doc)) under hashed-bigram bag-of-features
+    * models — the principled "make the crawl look like the target domain"
+    * selection signal (the en split stands in for the target domain here;
+    * production passes a real target corpus). Features are word bigrams
+    * hashed into 4096 md5-derived buckets (first 3 hex chars — the
+    * Sketches register idiom, so the oracle replays the bucketing
+    * hash-for-hash); both bucket models are Laplace-smoothed.
+    *
+    * Determinism: bucket counts are exact longs; the per-doc sum of
+    * bucket log-ratios folds in FEATURE-POSITION order (the lm_perplexity
+    * ordered-fold discipline). Scale: one feature pass, a 4096-row model
+    * frame broadcast back, one per-doc agg — docs with <2 tokens have no
+    * bigram features and drop out (both engines filter identically).
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val feats = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.expressions.VectorExpressions
+          .shinglesNative(col("text"), 2)).as(Seq("pos", "bigram")))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .withColumn("bucket",
+        conv(substring(md5(col("bigram")), 1, 3), 16, 10).cast(LongType))
+    val counts = feats.groupBy("bucket")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1) / (col("nt") + 4096)) -
+          log((col("cr") + 1) / (col("nr") + 4096))).as("lr"))
+    feats.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"),
+        sort_array(collect_list(struct(col("pos"), col("lr")))).as("ls"))
+      .withColumn("log_weight",
+        expr("aggregate(ls, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lr)"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        round(col("log_weight"), 6).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** PMI collocation mining (Church & Hanks'90): the top bigrams whose
+    * observed frequency beats the unigram-independence expectation —
+    * pmi = ln(p(x,y) / (p(x) p(y))) — the standard phrase/multi-word-
+    * expression detector a tokenizer-training pipeline runs before
+    * deciding merge candidates. Min support 25 keeps the estimate stable.
+    *
+    * Scale: two map-side-combined corpus aggs (token counts, bigram
+    * counts via the one-pass native shingler), then everything is
+    * vocab-/bigram-type-sized — the x/y marginal joins are keyed on
+    * token, the totals are 1-row broadcasts. Ordering is on the ROUNDED
+    * pmi with the bigram as tie-break, so the top-20 cut is total-ordered
+    * on both engines.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    collocationsFrom(docs(spark, sfDir))
+  }
+
+  /** [[collocations]] over any frame with a text column; `minSupport`
+    * overridable for small test corpora.
+    */
+  def collocationsFrom(corpus: DataFrame, minSupport: Long = 25L): DataFrame = {
+    val uni = corpus
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(sum(col("c")).cast(DoubleType).as("n_tok"))
+    val bi = corpus
+      .select(explode(graft.expressions.VectorExpressions
+        .shinglesNative(col("text"), 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2) // drop short-doc collapse
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+    val nb = bi.agg(sum(col("cxy")).cast(DoubleType).as("n_bi"))
+    val ux = uni.select(col("token").as("tx"), col("c").as("n_left"))
+    val uy = uni.select(col("token").as("ty"), col("c").as("n_right"))
+    bi.filter(col("cxy") >= minSupport)
+      .join(ux, element_at(split(col("bigram"), " "), 1) === col("tx"))
+      .join(uy, element_at(split(col("bigram"), " "), 2) === col("ty"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("bigram"), col("cxy").as("n_pair"),
+        col("n_left"), col("n_right"),
+        round(log((col("cxy") / col("n_bi")) /
+          ((col("n_left") / col("n_tok")) *
+            (col("n_right") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Exact dedup: md5 over normalized text, keep the smallest doc_id per
     * hash. One hash-partitioned aggregation; at 100 TB this is the standard
     * shuffle-on-digest dedup (map-side partial min/count applies).
@@ -1300,6 +1429,53 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy("doc_id")
+  }
+
+  /** Asymmetric shingle CONTAINMENT over the same MinHash blocking as
+    * [[dedupJaccard]]: cont(A in B) = |A∩B| / |A| (Broder'97's second
+    * resemblance measure). Catches what symmetric Jaccard washes out —
+    * a short doc quoted whole inside a long one has tiny Jaccard but
+    * containment ~1 — the quote/aggregator-page shape substring dedup
+    * handles span-wise and this flags doc-wise. Same fenced shingle
+    * sets, same banded candidates (never all-pairs); pairs kept when
+    * either direction's ROUNDED containment >= 0.8, with the dominant
+    * direction named.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    dedupContainmentFrom(docs(spark, sfDir))
+  }
+
+  /** [[dedupContainment]] over any frame with (doc_id, text). */
+  def dedupContainmentFrom(corpus: DataFrame): DataFrame = {
+    val sets = corpus
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .shingleSetNative(col("text")).as("s"))
+      .repartition(col("doc_id"))
+    val keyed = sets.select(col("doc_id"), graft.expressions.VectorExpressions
+      .minHash1Native(col("s"), 99).as("block"))
+      .repartition(col("block"))
+    val cands = keyed.hint("shuffle_hash").as("a")
+      .join(keyed.hint("shuffle_hash").as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("n_common"),
+        round(size(array_intersect(col("sa"), col("sb")))
+          .cast(DoubleType) / size(col("sa")), 4).as("cont_ab"),
+        round(size(array_intersect(col("sa"), col("sb")))
+          .cast(DoubleType) / size(col("sb")), 4).as("cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.8)
+      .withColumn("direction",
+        when(col("cont_ab") >= col("cont_ba"), lit("a_in_b"))
+          .otherwise(lit("b_in_a")))
+      .orderBy("doc_a", "doc_b")
   }
 
   private def verifyJaccard(cands: DataFrame, sets: DataFrame): DataFrame =

@@ -89,6 +89,51 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTes
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores equal the batch operator on an ordered replay") {
+    val sf = "/root/testdata/sf0.001"
+    val keys = Seq("error", "view")
+    val events = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin(keys: _*))
+      .select($"event_type", $"ts", $"value")
+      .as[(String, Timestamp, Double)]
+      .collect().sortBy(_._2.getTime)
+    events.length should be > 100
+    // one far-future sentinel per key closes each key's last real minute
+    val flush = events.map(_._2.getTime).max + 3600000L
+    val withSentinel = events ++ keys.map(k => (k, new Timestamp(flush), 0.0))
+
+    // batch truth over the SAME rows (sentinels included so the frame
+    // contents match), minus the sentinel minutes themselves
+    val batch = operators.DataQuality.metricAnomalyFrom(
+        withSentinel.toSeq.toDF("event_type", "ts", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .filter(_._2.getTime <= events.map(_._2.getTime).max)
+      .sortBy(t => (t._1, t._2.getTime))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val stream = graft.streaming.StreamingAnomaly.anomalyStream(
+      input.toDF().toDF("event_type", "ts", "value"))
+    val q = stream.writeStream.format("memory").queryName("anom_equiv")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-anom").toString)
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.length / 4)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      input.addData(keys.map(k => (k, new Timestamp(flush), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("anom_equiv")
+        .as[(String, Timestamp, Double, Double, Double, Boolean)]
+        .collect().sortBy(t => (t._1, t._2.getTime))
+      batch.length should be > 20 // non-vacuous
+      got shouldBe batch // bit-exact: same DECIMAL sums, same float tree
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses every pair the batch MinHash dedup finds") {
     val sf = "/root/testdata/sf0.001"
     // batch truth on the same corpus: (doc_a, doc_b) band-collision pairs

@@ -276,6 +276,24 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
         exactSims(r.getAs[Long]("vec_id")))
   }
 
+  test("MMR rerank: first pick is the top hit, picks are distinct pool members, rank1 mmr = 0.7*sim") {
+    val pool = SimilarityPipeline.simTopK(spark, sf).collect()
+    val top1 = pool.minBy(_.getAs[Long]("rank")).getAs[Long]("vec_id")
+    val poolIds = pool.map(_.getAs[Long]("vec_id")).toSet
+    val mmr = SimilarityPipeline.mmrRerank(spark, sf).collect()
+    mmr.length shouldBe 10
+    val picks = mmr.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    picks.head shouldBe top1
+    picks.distinct.length shouldBe picks.length
+    picks.foreach(id => poolIds should contain(id))
+    // with no selected set, round 1's objective is 0.7 * sim exactly
+    val r1 = mmr.find(_.getAs[Long]("rank") == 1L).get
+    r1.getAs[Double]("mmr") shouldBe
+      (BigDecimal(0.7 * pool.find(_.getAs[Long]("vec_id") == top1).get
+        .getAs[Double]("sim")).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-4)
+  }
+
   test("int8 quantization stays in range and bounds reconstruction error") {
     val rows = SimilarityPipeline.embQuantize(spark, sf).collect()
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

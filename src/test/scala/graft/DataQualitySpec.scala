@@ -46,6 +46,26 @@ class DataQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     prof(("n_chars", "mean")) shouldBe 5.0
   }
 
+  test("metric anomaly flags a spike against the rolling baseline, not the steady state") {
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(minute: Int) = new java.sql.Timestamp(base.getTime + minute * 60000L)
+    // 40 steady minutes alternating 9.5/10.5 (std ~0.5), then a 100.0 spike
+    val rows = (0 until 40).map { m =>
+      (m.toLong, at(m), 1L, "error", if (m % 2 == 0) 9.5 else 10.5, "{}")
+    } :+ (40L, at(40), 1L, "error", 100.0, "{}")
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = DataQuality.metricAnomalyFrom(events)
+      .collect().map(r => r.getTimestamp(1) -> (r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // warmup: minutes 0-9 have < 10 baseline rows and are excluded
+    out.keySet should not contain at(5)
+    out.keySet should contain(at(20))
+    // steady minutes are not anomalous; the spike is, with a huge z
+    out(at(20))._2 shouldBe false
+    out(at(40))._2 shouldBe true
+    out(at(40))._1 should be > 3.0
+  }
+
   test("drift stays finite when a language exists on only one side") {
     val a = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
     val b = Seq((4L, "en"), (5L, "zh")).toDF("doc_id", "lang")

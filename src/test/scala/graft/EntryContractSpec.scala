@@ -55,10 +55,12 @@ class EntryContractSpec extends AnyFunSuite {
   test("oracle SQL references only driver-provided tables and its own CTEs") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
+    // \b so a column ending in `_from` before a line break doesn't make
+    // the NEXT keyword's text parse as a relation named "from"
+    val fromRe = """(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val cteNames = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(""".r
+      val cteNames = """(?i)([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- cteNames
       assert(unknown.isEmpty,

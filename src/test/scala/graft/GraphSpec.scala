@@ -58,6 +58,23 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (rest.map(_._3).sum / rest.length)
   }
 
+  test("hits: sides partition by prefix, scores in (0,1], each side's max is 1") {
+    val rows = Graph.hits(spark, sf).as[(String, String, Double)].collect()
+    rows.filter(_._2 == "hub").map(_._1).foreach(n => n should startWith("c"))
+    rows.filter(_._2 == "authority").map(_._1).foreach(n => n should startWith("s"))
+    all(rows.map(_._3)) should (be > 0.0 and be <= 1.0)
+    rows.filter(_._2 == "hub").map(_._3).max shouldBe 1.0
+    rows.filter(_._2 == "authority").map(_._3).max shouldBe 1.0
+    // node universe matches pagerank's (same trading graph, both sides)
+    rows.length shouldBe ranks.length
+  }
+
+  test("hits is deterministic across runs (DECIMAL-exact sums, max norm)") {
+    val a = Graph.hits(spark, sf).as[(String, String, Double)].collect()
+    val b = Graph.hits(spark, sf).as[(String, String, Double)].collect()
+    a shouldBe b
+  }
+
   test("high-degree nodes outrank low-degree nodes on average") {
     val (hi, lo) = ranks.partition(_._2 >= ranks.map(_._2).sorted.apply(ranks.length / 2))
     (hi.map(_._3).sum / hi.length) should be > (lo.map(_._3).sum / lo.length)

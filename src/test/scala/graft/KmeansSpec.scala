@@ -59,6 +59,29 @@ class KmeansSpec extends AnyFunSuite with Matchers with SparkTestBase {
     clusters.foreach(c => c should (be >= 0L and be < 8L))
   }
 
+  test("knn graph: <=5 in-cluster neighbors each, dense ranks, non-increasing sims") {
+    val rows = SimilarityPipeline.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (v, _, n, s) =>
+      v should not be n
+      s should (be >= -1.0001 and be <= 1.0001)
+    }
+    val clusterOf = SimilarityPipeline.embKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, _, n, _) => clusterOf(v) shouldBe clusterOf(n) }
+    rows.groupBy(_._1).foreach { case (v, nbrs) =>
+      withClue(s"vec $v: ") {
+        nbrs.length should be <= 5
+        val sorted = nbrs.sortBy(_._2)
+        sorted.map(_._2) shouldBe (1L to nbrs.length)
+        sorted.map(_._4).sliding(2).foreach {
+          case Array(a, b) => a should be >= b
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("recall grid: full lattice, bounded recall, monotone in over_fetch") {
     val rows = SimilarityPipeline.annRecallGrid(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),

@@ -377,6 +377,39 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("compaction merges delta postings into one ingest with identical search answers") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val src = java.nio.file.Files.createTempDirectory("graft-tcsrc").toString
+    // three ingest generations: base + two deltas (the daily-append shape)
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 3 === 0), src)
+    PersistedIndex.appendToTextIndex(spark, corpus.filter($"doc_id" % 3 === 1), src)
+    PersistedIndex.appendToTextIndex(spark, corpus.filter($"doc_id" % 3 === 2), src)
+    val terms = graft.operators.Retrieval.QueryTerms
+    val before = PersistedIndex.searchTextIndexBm25(spark, src, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val dst = java.nio.file.Files.createTempDirectory("graft-tcdst").toString
+    PersistedIndex.compactTextIndex(spark, src, dst)
+    val after = PersistedIndex.searchTextIndexBm25(spark, dst, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    after shouldBe before
+
+    // row economics: a term's (term, shard) rows collapse across ingests
+    val rowsBefore = spark.read.parquet(s"$src/postings").count()
+    val rowsAfter = spark.read.parquet(s"$dst/postings").count()
+    rowsAfter should be < rowsBefore
+    // exactly one ingest generation remains
+    spark.read.parquet(s"$dst/postings")
+      .select($"ingest").distinct().collect().map(_.getString(0)) shouldBe
+      Array("base")
+    // TF-IDF search agrees too (df re-merge == compacted df)
+    PersistedIndex.searchTextIndex(spark, dst, terms)
+      .as[(Long, Long, Double)].collect().toSeq shouldBe
+      PersistedIndex.searchTextIndex(spark, src, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+  }
+
   test("text index search prunes to the query terms' buckets and never scans corpus text") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")

@@ -238,6 +238,54 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("AMS F2 quadruples exactly under corpus duplication; exact on one heavy token") {
+    val corpus = synthCorpus()
+    val one = Sketches.f2MomentFrom(corpus)
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doubling every count multiplies both cells and true counts by 2,
+    // so every squared quantity — rows, median, exact — exactly x4
+    val doubled = Sketches.f2MomentFrom(
+      corpus.unionByName(corpus.withColumn("doc_id", $"doc_id" + 100L)))
+      .as[(String, Double, Long, Double)].collect()
+    doubled.foreach { case (lang, est, exact, _) =>
+      est shouldBe one(lang)._1 * 4
+      exact shouldBe one(lang)._2 * 4
+    }
+    // a single distinct token collapses each row to one cell: estimate exact
+    val heavy = Seq((1L, "cc", "tok tok tok tok tok"))
+      .toDF("doc_id", "lang", "text")
+    val h = Sketches.f2MomentFrom(heavy)
+      .as[(String, Double, Long, Double)].collect().head
+    h shouldBe (("cc", 25.0, 25L, 0.0))
+  }
+
+  test("theta difference replays the naive recompute; exact columns are true set differences") {
+    val out = Sketches.kmvDifferenceLangsFrom(synthCorpus())
+      .as[(String, String, Double, Double, Long, Long)].collect().toSeq
+    out.map(r => (r._1, r._2)) shouldBe Seq(("aa", "bb"))
+    val (_, _, estAb, estBa, exAb, exBa) = out.head
+    exAb shouldBe 150L // t000..t149 only in aa
+    exBa shouldBe 150L // t300..t449 only in bb
+    val ha = (0 until 300).map(i => md5Hex(f"t$i%03d")).distinct
+      .sorted.take(Sketches.KmvK)
+    val hb = (150 until 450).map(i => md5Hex(f"t$i%03d")).distinct
+      .sorted.take(Sketches.KmvK)
+    val union = (ha ++ hb).distinct.sorted
+    val theta = if (union.size < Sketches.KmvK) 1.0
+      else u13(union(Sketches.KmvK - 1))
+    def est(onlyIn: Seq[String], other: Seq[String]) = {
+      val n = onlyIn.filterNot(other.toSet).count(h => u13(h) < theta)
+      BigDecimal(n.toDouble / theta)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    estAb shouldBe est(ha, hb)
+    estBa shouldBe est(hb, ha)
+    // the estimates bracket the truth within the sketch's sigma fence
+    math.abs(estAb - 150.0) / 150.0 should be <= 0.6
+    math.abs(estBa - 150.0) / 150.0 should be <= 0.6
+  }
+
   test("cmsCellStream emits per-window frames whose cell-wise sum is the batch sketch") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .limit(40).select($"doc_id", $"lang", $"text")
