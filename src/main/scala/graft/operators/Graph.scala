@@ -86,9 +86,12 @@ object Graph {
     val aqeWas = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     try {
+      // the symmetric union references `pairs` twice; fencing it first
+      // runs the orders⨝lineitem distinct once, not once per branch
+      val pairsC = checkpoint(pairs)
       val edges = checkpoint(
-        pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-          .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+        pairsC.select(col("cnode").as("src"), col("snode").as("dst"))
+          .union(pairsC.select(col("snode").as("src"), col("cnode").as("dst")))
           .repartition(col("src"))
           .sortWithinPartitions("src"))
       val deg = checkpoint(
