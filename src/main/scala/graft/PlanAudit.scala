@@ -60,7 +60,11 @@ object PlanAudit {
     // 1-row token-total and bigram-total normalizer broadcasts
     "collocations",
     // 1-row feature-total normalizer broadcast (the model denominators)
-    "dsir_weights")
+    "dsir_weights",
+    // calendar-sized day-spine broadcast against user-days (the range
+    // join has no equi key by construction; both sides calendar/user-
+    // day-bounded, never raw event volume)
+    "rolling_distinct")
 
   /** Count of window specs with an EMPTY partition clause in a FORMATTED
     * explain — `windowspecdefinition(<order> ASC ...)` with no leading
@@ -416,7 +420,22 @@ object PlanAudit {
     "cohort_retention" -> 8,
     // whichever path the probe picks: at most the salted two-phase agg
     // (2 exchanges) + orderBy
-    "salted_auto" -> 3)
+    "salted_auto" -> 3,
+    // driver-assembled 7-row verdict frame (anti-join counts run as
+    // their own jobs, each parent side broadcast-able)
+    "ref_integrity" -> 2,
+    // one stateless langid scan + the #langs^2 agg + its tiny share
+    // window + orderBy
+    "lang_confusion" -> 3,
+    // the bpe_stats shape: distinct-word agg feeding the broadcast
+    // vocab + the (lang, bucket) agg + tiny share window + orderBy
+    "bpe_coverage" -> 4,
+    // one user-keyed lag window + the #types^2 agg + its tiny share
+    // window + orderBy
+    "event_transitions" -> 4,
+    // user-day distinct agg (+ the day-spine re-derive) + the range
+    // join's distinct-count agg + orderBy — everything user-day-sized
+    "rolling_distinct" -> 6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -75,6 +75,10 @@ object SparkEntry {
     "event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
     // weekly cohort retention triangle
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    // first-order Markov transition matrix over user event sequences
+    "event_transitions" -> ((s, d) => Relational.eventTransitions(s, d)),
+    // trailing-7-day distinct users per day (rolling uniques)
+    "rolling_distinct" -> ((s, d) => Relational.rollingDistinctUsers(s, d)),
     // skew-probed plan choice (salted vs plain agg; same answer)
     "salted_auto" -> ((s, d) => Relational.saltedCountsAuto(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
@@ -271,6 +275,12 @@ object SparkEntry {
     "data_profile" -> ((s, d) => DataQuality.dataProfile(s, d)),
     "quality_checks" -> ((s, d) => DataQuality.qualityChecks(s, d)),
     "dist_drift" -> ((s, d) => DataQuality.distDrift(s, d)),
+    // FK orphan audit across the star schema
+    "ref_integrity" -> ((s, d) => DataQuality.refIntegrity(s, d)),
+    // declared-vs-detected language confusion matrix
+    "lang_confusion" -> ((s, d) => TextPipeline.langConfusion(s, d)),
+    // per-lang tokenizer fertility distribution (1/2/3/4+ symbols)
+    "bpe_coverage" -> ((s, d) => TextPipeline.bpeVocabCoverage(s, d)),
     // rolling z-score anomaly over the per-minute max metric series (the
     // adaptive-baseline upgrade of the fixed threshold alarm)
     "metric_anomaly" -> ((s, d) => DataQuality.metricAnomaly(s, d)),
@@ -1806,6 +1816,24 @@ ORDER BY est.lang""",
     // theta intersection replayed pair-for-pair: theta = u of the union
     // sketch's k-th smallest hash (1.0 when the union is under k),
     // common = hashes in both sketches below theta, est = common/theta
+    // per-user lag sequence (ts, event_id total order) -> pair counts
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_event
+  FROM events),
+m AS (SELECT from_event, event_type AS to_event, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE from_event IS NOT NULL GROUP BY from_event, event_type)
+SELECT from_event, to_event, n,
+  floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_event)
+    * 10000 + 0.5) / 10000 AS p
+FROM m ORDER BY from_event, to_event""",
+    // user-day dedup first, then the calendar-bounded range join
+    "rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d AS day FROM ud)
+SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM days JOIN ud ON ud.d <= days.day AND ud.d >= days.day - 6
+GROUP BY day ORDER BY day""",
     // first-touch cohorts + distinct user-weeks, exact ints until the
     // final floor-quantized ratio
     "cohort_retention" ->
@@ -2112,6 +2140,21 @@ SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
 FROM d ORDER BY doc_id""",
     // frozen-tokenizer fertility/compression per language (same replay
     // chain as token_budget_bpe)
+    // the bpeStats replay bucketed into the fertility distribution
+    "bpe_coverage" ->
+      s"""WITH
+$bpeReplayCtes,
+tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+j AS (SELECT t.lang,
+  CASE WHEN e.n_sym = 1 THEN '1' WHEN e.n_sym = 2 THEN '2'
+       WHEN e.n_sym = 3 THEN '3' ELSE '4+' END AS bucket
+  FROM tok t JOIN nsym e USING (word) WHERE length(t.word) > 0),
+m AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_words
+  FROM j GROUP BY lang, bucket)
+SELECT lang, bucket, n_words,
+  floor(CAST(n_words AS DOUBLE) / sum(n_words) OVER (PARTITION BY lang)
+    * 10000 + 0.5) / 10000 AS share
+FROM m ORDER BY lang, bucket""",
     "bpe_stats" ->
       s"""WITH
 $bpeReplayCtes,
@@ -2328,6 +2371,62 @@ SELECT lang, n_a, n_b, round(sa, 6) AS share_a, round(sb, 6) AS share_b,
   round((greatest(sa, 0.000001) - greatest(sb, 0.000001))
     * ln(greatest(sa, 0.000001) / greatest(sb, 0.000001)), 6) AS psi_term
 FROM s ORDER BY lang""",
+    // one NOT-EXISTS count per FK relationship, all exact
+    "ref_integrity" ->
+      """WITH rel AS (
+SELECT 'lineitem_orders' AS relationship,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL SELECT 'lineitem_part',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL SELECT 'lineitem_supplier',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL SELECT 'orders_customer',
+  (SELECT count(*) FROM orders),
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL SELECT 'customer_nation',
+  (SELECT count(*) FROM customer),
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL SELECT 'supplier_nation',
+  (SELECT count(*) FROM supplier),
+  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+UNION ALL SELECT 'nation_region',
+  (SELECT count(*) FROM nation),
+  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+    (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
+SELECT relationship, n_child, n_orphans, n_orphans = 0 AS passed
+FROM rel ORDER BY relationship""",
+    // the text_lang_id panels aggregated into a confusion matrix
+    "lang_confusion" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS s_de,
+  len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS s_en,
+  len(list_filter(toks, t -> t IN ('el','la','los','de','y','es'))) AS s_es,
+  len(list_filter(toks, t -> t IN ('le','les','des','et','est','ne'))) AS s_fr,
+  len(list_filter(toks, t -> t IN ('de5','le5','shi4','bu4','wo3','ni3'))) AS s_zh
+FROM w),
+p AS (SELECT doc_id, lang,
+  CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM s),
+m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n_docs,
+  floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang)
+    * 10000 + 0.5) / 10000 AS share
+FROM m ORDER BY lang, lang_pred""",
     // the adaptive-baseline anomaly series: rolling mean/std from
     // DECIMAL-exact frame sums, float math on identical operands
     "metric_anomaly" ->

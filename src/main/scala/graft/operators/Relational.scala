@@ -737,6 +737,49 @@ object Relational {
     * the current row — the classic window gotcha, pinned explicitly
     * here). One keyed window.
     */
+  /** First-order Markov transition matrix over each user's event
+    * sequence: count of (from_event, to_event) adjacencies in per-user
+    * time order, with the transition probability as a per-from share —
+    * the behavioral-model summary (and the generator for sequence-aware
+    * sampling). One keyed lag window + a #types²-bounded agg; ties on
+    * identical timestamps break by event_id so the sequence is total-
+    * ordered on both engines.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sw = Window.partitionBy("from_event")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_event", lag(col("event_type"), 1).over(w))
+      .filter(col("from_event").isNotNull)
+      .groupBy(col("from_event"), col("event_type").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        floor(col("n").cast(DoubleType) / sum(col("n")).over(sw)
+          * 10000 + 0.5) / 10000)
+      .orderBy("from_event", "to_event")
+  }
+
+  /** Trailing-7-day DISTINCT user count per active day — the rolling-
+    * uniques series a dashboard calls WAU. Distinct-over-a-sliding-frame
+    * has no native window form (count(distinct) over RANGE is
+    * unsupported in every engine); the scalable shape is (user, day)
+    * de-dup first — volume collapses to user-days — then a day-spine ⨝
+    * user-days range join bounded by calendar x active-users, never raw
+    * event volume.
+    */
+  def rollingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = userDays.select(col("d").as("day")).distinct()
+    days.join(userDays,
+        col("d") <= col("day") && col("d") >= date_sub(col("day"), 6))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day")
+  }
+
   /** Ordered conversion funnel view -> click -> purchase per user: a
     * user reaches a stage when the stage's event occurs strictly AFTER
     * their first event of the previous stage (the product-analytics

@@ -746,6 +746,29 @@ object TextPipeline {
           .otherwise(lit(0.0)), 6).as("norm_entropy"))
       .orderBy("doc_id")
 
+  /** Language-ID confusion matrix: declared `lang` vs the n-gram
+    * detector's prediction, with per-declared-language shares — the
+    * audit that tells you whether to trust the crawl's language labels
+    * or re-tag (the detector and its stopword panels are the
+    * [[textLangId]] native expression, so this is ONE stateless scan +
+    * a #langs²-bounded agg; the share window runs over that tiny
+    * frame).
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        inline(array(graft.expressions.VectorExpressions
+          .langIdNative(col("text")))))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        floor(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w)
+          * 10000 + 0.5) / 10000)
+      .orderBy("lang", "lang_pred")
+  }
+
   /** DSIR importance weights (Xie et al.'23, "Data Selection for Language
     * Models via Importance Resampling"): per-doc log importance weight
     * ln(p_target(doc)/p_raw(doc)) under hashed-bigram bag-of-features
@@ -1892,6 +1915,38 @@ FROM agg, tot ORDER BY n_bands DESC"""
         round(col("n_chars").cast(DoubleType) / col("n_tokens"), 4)
           .as("chars_per_token"))
       .orderBy("lang")
+  }
+
+  /** Tokenizer coverage curve: per language, the share of word
+    * OCCURRENCES the frozen tokenizer encodes to 1 / 2 / 3 / 4+ symbols
+    * — the "is this tokenizer fair to language X" audit (a language
+    * stuck at 4+ pays a proportionally shorter effective context window
+    * and more compute per byte; the fertility companion to
+    * [[bpeStats]]'s averages, as a distribution). Same counting shape:
+    * distinct words encode once, broadcast lookup join, #langs x 4
+    * rows out.
+    */
+  def bpeVocabCoverage(spark: SparkSession, sfDir: String,
+      merges: Seq[(String, String)] = BpeTrainer.FrozenMerges): DataFrame = {
+    val corpus = docs(spark, sfDir)
+    val wordSyms = BpeTrainer.bpeWordSymbols(corpus, merges)
+      .select(col("word"), col("n_symbols"))
+    val w = Window.partitionBy("lang")
+    corpus
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordSyms), "word")
+      .withColumn("bucket",
+        when(col("n_symbols") === 1, "1")
+          .when(col("n_symbols") === 2, "2")
+          .when(col("n_symbols") === 3, "3")
+          .otherwise("4+"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_words"))
+      .withColumn("share",
+        floor(col("n_words").cast(DoubleType) / sum(col("n_words")).over(w)
+          * 10000 + 0.5) / 10000)
+      .orderBy("lang", "bucket")
   }
 
   /** The budget prefix-sum core shared by the whitespace and BPE token

@@ -76,6 +76,24 @@ object StreamingText extends Logging {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Attach per-micro-batch ingest telemetry to any document stream via
+    * Spark's `observe` API: row / empty-text / oversize counters computed
+    * INSIDE the existing stages (no extra pass, no extra sink) and
+    * surfaced through every `StreamingQueryProgress.observedMetrics`
+    * under the given name — the production "is the crawl healthy right
+    * now" dashboard feed, delivered by the engine's own progress events
+    * instead of a second aggregation query. Composes anywhere in a
+    * stream plan; the metrics are exact per micro-batch.
+    */
+  def observedIngest(docs: DataFrame,
+      name: String = "ingest"): DataFrame =
+    docs.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty"),
+      sum(when(length(col("text")) > 100000, 1L).otherwise(0L))
+        .as("n_oversize"))
+
   /** Streaming train/val/test split — the ingest twin of
     * TextPipeline.splitTrain: the SAME seeded content-hash bucket
     * (TextPipeline.hashBucket "split:"), so a document gets an identical

@@ -134,6 +134,50 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTes
     } finally q.stop()
   }
 
+  test("streaming SCD2 change capture equals the batch history's closed intervals") {
+    val sf = "/root/testdata/sf0.001"
+    // the batch operator's own observation stream: min status per
+    // (customer, date), replayed in date order
+    val obs = graft.sources.Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(org.apache.spark.sql.functions.min($"o_orderstatus").as("status"))
+      .as[(Long, Timestamp, String)]
+      .collect().sortBy(_._2.getTime)
+
+    // orders timestamps surface as NTZ (LocalDateTime) in collected Rows
+    def ms(v: Any): Long = v match {
+      case t: Timestamp => t.getTime
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l).getTime
+    }
+    val batchClosed = operators.Relational.scd2History(spark, sf)
+      .collect()
+      .filter(!_.isNullAt(3)) // closed intervals only
+      .map(r => (r.getLong(0), r.getString(1), ms(r.get(2)),
+        ms(r.get(3)), r.getLong(4)))
+      .sortBy(t => (t._1, t._3))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = graft.streaming.StreamingWarehouse.scd2Stream(
+      input.toDF().toDF("o_custkey", "o_orderdate", "status"))
+    val q = stream.writeStream.format("memory").queryName("scd2_equiv")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-scd2").toString)
+      .outputMode("append").start()
+    try {
+      obs.grouped(math.max(1, obs.length / 4)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("scd2_equiv")
+        .as[(Long, String, Timestamp, Timestamp, Long)]
+        .collect()
+        .map(t => (t._1, t._2, t._3.getTime, t._4.getTime, t._5))
+        .sortBy(t => (t._1, t._3))
+      batchClosed.length should be > 20
+      got shouldBe batchClosed
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses every pair the batch MinHash dedup finds") {
     val sf = "/root/testdata/sf0.001"
     // batch truth on the same corpus: (doc_a, doc_b) band-collision pairs

@@ -66,6 +66,31 @@ class DataQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(at(40))._1 should be > 3.0
   }
 
+  test("referential integrity passes on the generated star schema, all FKs covered") {
+    val rows = DataQuality.refIntegrity(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    rows.length shouldBe 7
+    rows.foreach { case (rel, nChild, nOrphans, passed) =>
+      withClue(s"$rel: ") {
+        nChild should be > 0L
+        nOrphans shouldBe 0L
+        passed shouldBe true
+      }
+    }
+  }
+
+  test("lang confusion shares sum to 1 within each declared language") {
+    val rows = graft.operators.TextPipeline
+      .langConfusion(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.map(_._1).distinct.sorted shouldBe Array("de", "en", "es", "fr", "zh")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      withClue(s"$lang: ") {
+        cells.map(_._4).sum shouldBe 1.0 +- 0.001
+      }
+    }
+  }
+
   test("drift stays finite when a language exists on only one side") {
     val a = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
     val b = Seq((4L, "en"), (5L, "zh")).toDF("doc_id", "lang")

@@ -44,6 +44,31 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
       batch.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
   }
 
+  test("observedIngest surfaces exact per-batch counters via observedMetrics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingText.observedIngest(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("obs_ingest")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-obs").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "some text"), (2L, ""), (3L, "more words")))
+      q.processAllAvailable()
+      input.addData(Seq((4L, "x " * 60000), (5L, "ok")))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest")))
+        .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_empty"),
+          r.getAs[Long]("n_oversize")))
+        .filter(_._1 > 0)
+      metrics.map(_._1).sum shouldBe 5L
+      metrics.map(_._2).sum shouldBe 1L // the empty-text doc
+      metrics.map(_._3).sum shouldBe 1L // the 120k-char doc
+    } finally q.stop()
+  }
+
   test("hashEmbedStream emits exactly the batch textHashEmbed rows, shuffle-free") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = spark.read.parquet(s"$sf/documents.parquet")

@@ -41,6 +41,35 @@ class WarehouseOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.length should be > 0
   }
 
+  test("transition probabilities are a stochastic matrix over observed froms") {
+    val rows = Relational.eventTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    rows.map(_._3).foreach(_ should be > 0L)
+    rows.groupBy(_._1).foreach { case (from, tos) =>
+      withClue(s"$from: ") {
+        tos.map(_._4).sum shouldBe 1.0 +- 0.001
+      }
+    }
+    rows.map(_._1).distinct.length shouldBe 5 // every event type transitions
+  }
+
+  test("rolling 7-day uniques dominate the daily uniques and match a hand recompute") {
+    val wau = Relational.rollingDistinctUsers(spark, sf)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", org.apache.spark.sql.functions.to_date($"ts").as("d"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val daily = ud.groupBy(_._2).map { case (d, us) => d -> us.map(_._1).toSet }
+    wau.foreach { case (day, n) =>
+      val expect = daily.filter { case (d, _) =>
+        !d.after(day) && d.toLocalDate.plusDays(6).compareTo(day.toLocalDate) >= 0
+      }.values.flatten.toSet.size
+      withClue(s"$day: ") { n shouldBe expect.toLong }
+    }
+    // rolling uniques never below the day's own uniques
+    daily.foreach { case (d, us) => wau(d) should be >= us.size.toLong }
+  }
+
   test("skew probe separates dominated from uniform keys; both agg paths agree") {
     val skewed = ((1 to 900).map(i => (i.toLong, "hot")) ++
       (1 to 100).map(i => (i.toLong + 900, s"k${i % 10}")))
