@@ -435,7 +435,11 @@ object PlanAudit {
     "event_transitions" -> 4,
     // user-day distinct agg (+ the day-spine re-derive) + the range
     // join's distinct-count agg + orderBy — everything user-day-sized
-    "rolling_distinct" -> 6)
+    "rolling_distinct" -> 6,
+    // the asof_join union-scan shape, mirrored frame
+    "asof_forward" -> 2,
+    // the q1_cube Expand class: one scan + partial agg + orderBy
+    "q1_sets" -> 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -82,6 +82,8 @@ object SparkEntry {
     // skew-probed plan choice (salted vs plain agg; same answer)
     "salted_auto" -> ((s, d) => Relational.saltedCountsAuto(s, d)),
     "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
+    // explicit GROUPING SETS over disjoint axes (neither rollup nor cube)
+    "q1_sets" -> ((s, d) => Relational.q1Sets(s, d)),
     "intersect_users" -> ((s, d) => Relational.intersectUsers(s, d)),
     "heavy_hitters" -> ((s, d) => TextPipeline.heavyHitters(s, d)),
     "chunk_sliding" -> ((s, d) => TextPipeline.chunkSliding(s, d)),
@@ -111,6 +113,8 @@ object SparkEntry {
     "pack_chunks_bpe" -> ((s, d) => TextPipeline.packChunksBpe(s, d)),
     "pack_manifest" -> ((s, d) => TextPipeline.packManifest(s, d)),
     "asof_join" -> ((s, d) => AsofJoin.clicksAsofPurchases(s, d)),
+    // forward as-of: next purchase at or after each click
+    "asof_forward" -> ((s, d) => AsofJoin.clicksNextPurchase(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
@@ -1316,6 +1320,11 @@ ORDER BY o_custkey, o_orderkey""",
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q1_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
 c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
@@ -1410,6 +1419,14 @@ FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id""",
+    // DuckDB's ASOF with <= picks the nearest ts AT OR AFTER — the
+    // forward direction our union-scan mirrors
+    "asof_forward" ->
+      """SELECT event_id, c.user_id, c.ts, c.value, p.value AS next_purchase_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts <= p.ts
 ORDER BY event_id""",
     "text_normalize" ->
       """SELECT doc_id,

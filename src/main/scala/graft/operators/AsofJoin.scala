@@ -56,6 +56,53 @@ object AsofJoin {
         valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join — for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key (pandas merge_asof
+    * direction='forward'; the "what happened next" probe). Same
+    * union-scan shape as [[asof]], mirrored: left rows tag 0 so an
+    * equal-ts right row sorts at-or-after and the
+    * `first(..., ignoreNulls)` over [current, following) frame matches
+    * inclusively. One shuffle on the key, no join product.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(0))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = right.select(
+      (keyCols.map(col) :+ col(tsCol) :+ lit(1).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = l.unionByName(rAligned)
+      .select((Seq(col("*")) ++ valueCols.map(c =>
+        first(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__asof_$c"))): _*)
+    filled.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Query entry: every `click` joined to the next purchase value at or
+    * after it for the same user — [[clicksAsofPurchases]]' forward twin.
+    */
+  def clicksNextPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    asofForward(clicks, purchases, Seq("user_id"), "ts", Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_purchase_value").as("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Query entry: every `click` event joined to the most recent prior
     * `purchase` value for the same user (events table; user_id is the key).
     */

@@ -605,6 +605,33 @@ FROM graft_shingle_bloom_build""")
           appendTextIndexBatch(batch.toDF(), path, id)
       }
 
+  /** Logical DELETE from the text index: the doc ids land in an
+    * append-only `tombstones/` set and every search anti-joins them out
+    * — old posting files are never rewritten (the LSM delete). Term df /
+    * corpus N / avgdl stay at their stored values until
+    * [[compactTextIndex]] physically drops the rows and recomputes the
+    * stats — the standard deletes-are-logical-until-compaction contract,
+    * stated rather than hidden.
+    */
+  def deleteFromTextIndex(spark: SparkSession, ids: DataFrame,
+      path: String): Unit =
+    ids.select(col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Anti-join `df` (must carry doc_id) against the index's tombstone
+    * set, if any — the read-side half of the delete contract. The
+    * tombstone frame is delete-sized; the join is doc-keyed.
+    */
+  private def liveOnly(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      df.join(spark.read.parquet(s"$path/tombstones").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else df
+  }
+
   /** Compact an appended/stream-grown index into a fresh single-ingest
     * layout at `dst`: a term's accumulated (term, shard) delta rows
     * merge into one row (exploded, regrouped, doc_id-resorted — the
@@ -614,17 +641,22 @@ FROM graft_shingle_bloom_build""")
     * (never rewrite old files), reads re-merge, and compaction runs
     * off-peak to restore the read-optimal shape. Search answers are
     * IDENTICAL before and after (spec-proven) — compaction moves rows,
-    * never values. Writing to a fresh `dst` keeps the swap atomic at
-    * the path level (prod flips a pointer/view, old index stays
+    * never values — EXCEPT where tombstones apply: logically deleted
+    * docs are physically dropped here and the stats (df per term, N,
+    * sum_dl) recomputed from the survivors, so the compacted index
+    * answers exactly like a fresh build on the remaining corpus
+    * (spec-proven too). Writing to a fresh `dst` keeps the swap atomic
+    * at the path level (prod flips a pointer/view, old index stays
     * readable throughout).
     */
   def compactTextIndex(spark: SparkSession, src: String,
       dst: String): Unit = {
-    val merged = spark.read.parquet(s"$src/postings")
-      .select(col("term"), col("shard"),
-        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("z"))
-      .select(col("term"), col("shard"),
-        col("z.doc_ids").as("doc_id"), col("z.tfs").as("tf"))
+    val merged = liveOnly(spark, src,
+      spark.read.parquet(s"$src/postings")
+        .select(col("term"), col("shard"),
+          explode(arrays_zip(col("doc_ids"), col("tfs"))).as("z"))
+        .select(col("term"), col("shard"),
+          col("z.doc_ids").as("doc_id"), col("z.tfs").as("tf")))
       .groupBy(col("term"), col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("tf")).cast("long").as("n_occ"),
@@ -635,13 +667,17 @@ FROM graft_shingle_bloom_build""")
       .withColumn("bucket", termBucket(col("term")))
     merged.write.partitionBy("bucket")
       .mode(SaveMode.Overwrite).parquet(s"$dst/postings/ingest=base")
-    spark.read.parquet(s"$src/meta")
-      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_dl")).cast("long").as("sum_dl"))
+    // doclens drop tombstoned docs; meta is RECOMPUTED from the live
+    // doclens (not summed from src meta) so N/avgdl shed the logically
+    // deleted docs exactly — the compacted index equals a fresh build on
+    // the surviving corpus (spec-proven)
+    val liveDl = liveOnly(spark, src, spark.read.parquet(s"$src/doclens")
+      .select(col("doc_id"), col("dl"), col("shard")))
+      .localCheckpoint()
+    liveDl.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/meta/ingest=base")
-    spark.read.parquet(s"$src/doclens")
-      .select(col("doc_id"), col("dl"), col("shard"))
-      .write.partitionBy("shard")
+    liveDl.write.partitionBy("shard")
       .mode(SaveMode.Overwrite).parquet(s"$dst/doclens/ingest=base")
   }
 
@@ -670,6 +706,7 @@ FROM graft_shingle_bloom_build""")
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
+    val tfLive = liveOnly(spark, path, tf)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
     val doclens = spark.read.parquet(s"$path/doclens")
@@ -680,7 +717,7 @@ FROM graft_shingle_bloom_build""")
     val sat = tfD * lit(Retrieval.K1 + 1.0) /
       (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
         lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
-    tf.join(broadcast(dfTerm), "term")
+    tfLive.join(broadcast(dfTerm), "term")
       .join(doclens, "doc_id")
       .withColumn("w", idf * sat)
       .groupBy(col("doc_id"))
@@ -725,6 +762,7 @@ FROM graft_shingle_bloom_build""")
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
+    val tfLive = liveOnly(spark, path, tf)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
     val doclens = spark.read.parquet(s"$path/doclens")
@@ -735,7 +773,7 @@ FROM graft_shingle_bloom_build""")
     val sat = tfD * lit(Retrieval.K1 + 1.0) /
       (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
         lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
-    val scored = tf.join(broadcast(dfTerm), "term")
+    val scored = tfLive.join(broadcast(dfTerm), "term")
       .join(broadcast(panel), "term")
       .join(doclens, "doc_id")
       .withColumn("w", idf * sat)
@@ -800,9 +838,10 @@ FROM graft_shingle_bloom_build""")
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
+    val tfLive = liveOnly(spark, path, tf)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
-    tf.join(broadcast(dfTerm), "term")
+    tfLive.join(broadcast(dfTerm), "term")
       .withColumn("w", col("tf").cast("double") *
         log(lit(n.toDouble) / col("df")))
       .groupBy(col("doc_id"))

@@ -957,6 +957,26 @@ object Relational {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS over DISJOINT axes — ((returnflag),
+    * (linestatus), ()) is expressible as neither rollup nor cube (no
+    * nesting, no full cross), the one grouping-lattice shape
+    * [[q1Rollup]]/[[q1Cube]] don't exercise. Same Expand-based plan
+    * class: one scan, the lattice multiplies rows only by its 3 sets.
+    */
+  def q1Sets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast(LongType).as("gid"),
+        sum(col("l_quantity").cast(dec12)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Set intersection: (user, hour) slots with BOTH a click and a purchase —
     * the INTERSECT twin of [[exceptUsers]] (distinct per side, hash
     * semi-join on the composite key).

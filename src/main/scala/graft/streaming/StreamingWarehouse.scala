@@ -11,6 +11,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class Scd2State(status: String, validFromMs: Long, version: Long)
 
+/** One user's funnel progress: epoch-ms of the first view, the first
+  * click after it, and the first purchase after that (Long.MinValue =
+  * stage not reached).
+  */
+case class FunnelState(vt: Long, ct: Long, pt: Long)
+
 /** Streaming twin of [[graft.operators.Relational.scd2History]] — SCD
   * Type-2 change capture evaluated ONLINE: per key, a status observation
   * that differs from the current open interval CLOSES it (emitting the
@@ -57,5 +63,50 @@ object StreamingWarehouse {
           out.iterator
       }
       .toDF("o_custkey", "status", "valid_from", "valid_to", "version")
+  }
+
+  /** Streaming twin of [[graft.operators.Relational.eventFunnel]]'s
+    * first-touch sequence match: per user, emit a stage-advance row the
+    * moment the user first reaches view → click-after-view →
+    * purchase-after-click. Counting the emitted rows per stage gives the
+    * batch funnel's n_users exactly on an ordered replay (spec-proven).
+    * State per user is three epoch longs; advances emit once, Append-
+    * final.
+    */
+  def funnelStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp"))
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, String, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Timestamp)],
+            state: GroupState[FunnelState]) =>
+          val unset = Long.MinValue
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Timestamp)]
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+            tpe match {
+              case "view" if st.vt == unset =>
+                st = st.copy(vt = ts.getTime)
+                out += ((user, "view", ts))
+              case "click" if st.vt != unset && st.ct == unset &&
+                  ts.getTime > st.vt =>
+                st = st.copy(ct = ts.getTime)
+                out += ((user, "click_after_view", ts))
+              case "purchase" if st.ct != unset && st.pt == unset &&
+                  ts.getTime > st.ct =>
+                st = st.copy(pt = ts.getTime)
+                out += ((user, "purchase_after_click", ts))
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "stage", "at")
   }
 }

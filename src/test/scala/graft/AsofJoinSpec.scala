@@ -33,4 +33,23 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(4L) shouldBe Some(90.0)   // key-isolated
     out(5L) shouldBe None         // before any right row
   }
+
+  test("forward asof picks the earliest right row at or after each left ts, per key") {
+    val left = Seq(
+      (1L, "a", ts(5)), (2L, "a", ts(10)), (3L, "a", ts(20)),
+      (4L, "b", ts(2)), (5L, "b", ts(10)))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts(4), 40.0), ("a", ts(10), 100.0), ("a", ts(15), 150.0),
+      ("b", ts(9), 90.0))
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])]
+      .collect().toMap
+    out(1L) shouldBe Some(100.0)  // next row strictly after
+    out(2L) shouldBe Some(100.0)  // inclusive tie at equal ts
+    out(3L) shouldBe None         // after every right row
+    out(4L) shouldBe Some(90.0)   // key-isolated
+    out(5L) shouldBe None         // b has nothing at or after 10
+  }
 }

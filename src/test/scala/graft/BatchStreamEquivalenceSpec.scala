@@ -178,6 +178,37 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTes
     } finally q.stop()
   }
 
+  test("streaming funnel stage counts equal the batch funnel on an ordered replay") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, Timestamp)].collect().sortBy(_._3.getTime)
+    val batch = operators.Relational.eventFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingWarehouse.funnelStream(
+        input.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("funnel_equiv")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-funnel").toString)
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("funnel_equiv")
+        .groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got.getOrElse("view", 0L) shouldBe batch("view")
+      got.getOrElse("click_after_view", 0L) shouldBe batch("click_after_view")
+      got.getOrElse("purchase_after_click", 0L) shouldBe
+        batch("purchase_after_click")
+      batch("view") should be > 0L
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses every pair the batch MinHash dedup finds") {
     val sf = "/root/testdata/sf0.001"
     // batch truth on the same corpus: (doc_a, doc_b) band-collision pairs

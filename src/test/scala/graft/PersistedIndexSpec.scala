@@ -410,6 +410,40 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .as[(Long, Long, Double)].collect().toSeq
   }
 
+  test("tombstone deletes hide docs at search; compaction equals a fresh build on survivors") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val src = java.nio.file.Files.createTempDirectory("graft-tdel").toString
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 2 === 0), src)
+    PersistedIndex.appendToTextIndex(spark, corpus.filter($"doc_id" % 2 === 1), src)
+    val terms = graft.operators.Retrieval.QueryTerms
+    val before = PersistedIndex.searchTextIndexBm25(spark, src, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    // delete the top-2 hits (they must vanish) + one absent id (no-op)
+    val dead = before.take(2).map(_._1)
+    PersistedIndex.deleteFromTextIndex(spark,
+      (dead :+ 999999L).toDF("doc_id"), src)
+    val after = PersistedIndex.searchTextIndexBm25(spark, src, terms)
+      .as[(Long, Long, Double)].collect().toSeq
+    after.map(_._1).toSet.intersect(dead.toSet) shouldBe empty
+    // stale-stats contract: surviving docs still rank (k results remain)
+    after should have length before.length
+    // compaction physically drops them AND recomputes stats: the result
+    // equals a FRESH build on the surviving corpus, scores included
+    val dst = java.nio.file.Files.createTempDirectory("graft-tdel2").toString
+    PersistedIndex.compactTextIndex(spark, src, dst)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-tdel3").toString
+    PersistedIndex.buildTextIndex(spark,
+      corpus.filter(!$"doc_id".isin(dead: _*)), fresh)
+    PersistedIndex.searchTextIndexBm25(spark, dst, terms)
+      .as[(Long, Long, Double)].collect().toSeq shouldBe
+      PersistedIndex.searchTextIndexBm25(spark, fresh, terms)
+        .as[(Long, Long, Double)].collect().toSeq
+    // and the physical rows are gone, not merely masked
+    spark.read.parquet(s"$dst/doclens")
+      .filter($"doc_id".isin(dead: _*)).count() shouldBe 0L
+  }
+
   test("text index search prunes to the query terms' buckets and never scans corpus text") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
