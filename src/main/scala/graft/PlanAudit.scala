@@ -50,6 +50,7 @@ object PlanAudit {
     // 1-row corpus-count broadcast (the TF-IDF N normalizer / BM25
     // N+avgdl normalizer / the RRF sides' query broadcasts)
     "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
+    "ranker_agreement",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
     // resp. the 1-row bigram-types total (the continuation normalizer)
     "lm_bigram", "lm_kneser_ney", "lm_trigram",
@@ -91,6 +92,8 @@ object PlanAudit {
     "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
+    // <= k-row post-TakeOrdered rank numbering on both ranker sides
+    "ranker_agreement",
     // calendar-sized date-spine series (rows = span days, independent of
     // data volume) — the dense-spine moving window IS the operator
     "resample_daily")
@@ -439,7 +442,14 @@ object PlanAudit {
     // the asof_join union-scan shape, mirrored frame
     "asof_forward" -> 2,
     // the q1_cube Expand class: one scan + partial agg + orderBy
-    "q1_sets" -> 2)
+    "q1_sets" -> 2,
+    // the dist_drift shape over length bins: two tiny keyed aggs + the
+    // #bins-row join/windows + orderBy
+    "hist_drift" -> 7,
+    // both rankers' index_topk/bm25_topk subtrees (each its tf agg +
+    // vocab-sized df re-derive + per-doc agg) + the <= 2k-row fusion
+    // join + orderBy
+    "ranker_agreement" -> 12)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -266,6 +266,8 @@ object SparkEntry {
     "index_topk_batch" -> ((s, d) => Retrieval.indexTopKBatch(s, d)),
     // BM25 lexical ranking (Robertson k1/b defaults, Lucene idf)
     "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // TF-IDF vs BM25 rank-agreement diagnostic over the shared panel
+    "ranker_agreement" -> ((s, d) => Retrieval.rankerAgreement(s, d)),
     // hybrid lexical+vector retrieval via Reciprocal Rank Fusion
     "hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
@@ -281,6 +283,8 @@ object SparkEntry {
     "dist_drift" -> ((s, d) => DataQuality.distDrift(s, d)),
     // FK orphan audit across the star schema
     "ref_integrity" -> ((s, d) => DataQuality.refIntegrity(s, d)),
+    // numeric-shape drift: PSI over length-histogram bins
+    "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
     "lang_confusion" -> ((s, d) => TextPipeline.langConfusion(s, d)),
     // per-lang tokenizer fertility distribution (1/2/3/4+ symbols)
@@ -1404,6 +1408,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "emb_pca_project" -> SimilarityPipeline.embPcaProjectOracleSql,
     "sim_recall_tune" -> SimilarityPipeline.simRecallTuneOracleSql,
     "bm25_topk" -> Retrieval.bm25OracleSql(10),
+    "ranker_agreement" -> Retrieval.rankerAgreementOracleSql(20),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
@@ -2388,6 +2393,22 @@ SELECT lang, n_a, n_b, round(sa, 6) AS share_a, round(sb, 6) AS share_b,
   round((greatest(sa, 0.000001) - greatest(sb, 0.000001))
     * ln(greatest(sa, 0.000001) / greatest(sb, 0.000001)), 6) AS psi_term
 FROM s ORDER BY lang""",
+    // the dist_drift PSI formula over fixed-width length bins
+    "hist_drift" ->
+      """WITH a AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bin, count(*) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT CAST(floor(n_chars / 64) AS BIGINT) AS bin, count(*) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b FROM a FULL JOIN b ON a.bin = b.bin),
+s AS (SELECT bin, n_a, n_b,
+  CAST(n_a AS DOUBLE) / sum(n_a) OVER () AS sa,
+  CAST(n_b AS DOUBLE) / sum(n_b) OVER () AS sb FROM j)
+SELECT bin, n_a, n_b, round(sa, 6) AS share_a, round(sb, 6) AS share_b,
+  round((greatest(sa, 0.000001) - greatest(sb, 0.000001))
+    * ln(greatest(sa, 0.000001) / greatest(sb, 0.000001)), 6) AS psi_term
+FROM s ORDER BY bin""",
     // one NOT-EXISTS count per FK relationship, all exact
     "ref_integrity" ->
       """WITH rel AS (

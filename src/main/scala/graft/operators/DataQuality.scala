@@ -165,6 +165,44 @@ object DataQuality {
       .orderBy("event_type", "minute")
   }
 
+  /** PSI drift over a NUMERIC distribution — the length histogram's
+    * fixed-width bins (the [[graft.operators.Sketches.histQuantiles]]
+    * binning) compared between two snapshots, epsilon-floored like
+    * [[distDrift]]. Categorical drift ([[distDrift]]) catches mixture
+    * shifts; this catches shape shifts within a column (truncation bugs,
+    * boilerplate injection, a crawler that started splitting pages).
+    * Two #bins-sized keyed aggs; nothing corpus-sized shuffles.
+    */
+  def histDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    histDriftFrom(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** [[histDrift]] between any two frames with an n_chars column. */
+  def histDriftFrom(a: DataFrame, b: DataFrame): DataFrame = {
+    def bins(df: DataFrame, side: String) = df
+      .groupBy(floor(col("n_chars") / 64).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val eps = 1e-6
+    bins(a, "a").join(bins(b, "b"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("share_a",
+        col("n_a").cast(DoubleType) / sum(col("n_a")).over())
+      .withColumn("share_b",
+        col("n_b").cast(DoubleType) / sum(col("n_b")).over())
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round((greatest(col("share_a"), lit(eps)) -
+          greatest(col("share_b"), lit(eps))) *
+          log(greatest(col("share_a"), lit(eps)) /
+            greatest(col("share_b"), lit(eps))), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** Population-stability-index drift between two halves of the corpus
     * (doc_id parity stands in for yesterday/today snapshots; production
     * passes two real frames via [[distDriftFrom]]). Per-language shares of

@@ -236,6 +236,77 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Rank-agreement diagnostic between the two lexical rankers: TF-IDF
+    * and BM25 top-`k` for the shared query panel, full-outer-joined on
+    * doc with each side's rank, the agreement flag, and the rank delta —
+    * the ranker-regression telemetry a retrieval stack watches when it
+    * swaps scoring functions (disagreement rows are exactly where a
+    * relevance review should look). Both sides are the production
+    * queries; the comparison frame is ≤ 2k rows.
+    */
+  def rankerAgreement(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs(spark, sfDir)
+    // post-limit rank numbering: <= k rows (the simTopK bounded-window note)
+    def ranked(df: DataFrame, name: String) = df
+      .withColumn(name, row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col(name))
+    val t = ranked(indexTopKFrom(spark, corpus, QueryTerms, k), "rank_tfidf")
+    val b = ranked(bm25TopKFrom(spark, corpus, QueryTerms, k), "rank_bm25")
+    t.join(b, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("rank_tfidf"), col("rank_bm25"),
+        (col("rank_tfidf").isNotNull && col("rank_bm25").isNotNull)
+          .as("in_both"),
+        when(col("rank_tfidf").isNotNull && col("rank_bm25").isNotNull,
+          abs(col("rank_tfidf") - col("rank_bm25"))).as("rank_delta"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB replay of [[rankerAgreement]] — both rankers' scoring
+    * CTEs verbatim, ranked and full-outer-joined.
+    */
+  private[graft] def rankerAgreementOracleSql(k: Int = 20): String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf1 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t1
+  WHERE term IN ($terms) GROUP BY doc_id, term),
+df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+s1 AS (SELECT doc_id,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4) AS score
+  FROM tf1 JOIN df1 USING (term), n1 GROUP BY doc_id),
+tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+  AS rank_tfidf FROM s1),
+t2 AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+  unnest(string_split(text, ' ')) AS term FROM documents),
+tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t2
+  WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+st2 AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+s2 AS (SELECT doc_id,
+  round(sum(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+    (CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+    (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))), 4)
+    AS score
+  FROM tf2 JOIN df2 USING (term), st2 GROUP BY doc_id),
+br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+  AS rank_bm25 FROM s2),
+trk AS (SELECT * FROM tr WHERE rank_tfidf <= $k),
+brk AS (SELECT * FROM br WHERE rank_bm25 <= $k)
+SELECT coalesce(trk.doc_id, brk.doc_id) AS doc_id, rank_tfidf, rank_bm25,
+  rank_tfidf IS NOT NULL AND rank_bm25 IS NOT NULL AS in_both,
+  CASE WHEN rank_tfidf IS NOT NULL AND rank_bm25 IS NOT NULL
+    THEN abs(rank_tfidf - rank_bm25) END AS rank_delta
+FROM trk FULL JOIN brk ON trk.doc_id = brk.doc_id
+ORDER BY doc_id"""
+  }
+
   /** The DuckDB replay of [[bm25TopK]] — same constants, same math. */
   private[graft] def bm25OracleSql(k: Int = 10): String = {
     val terms = QueryTerms.map(t => s"'$t'").mkString(", ")

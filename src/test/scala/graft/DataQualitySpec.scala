@@ -91,6 +91,20 @@ class DataQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("hist drift: zero on identical shapes, large under a length shift") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val same = DataQuality.histDriftFrom(base, base)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0)
+    same shouldBe 0.0 +- 1e-9
+    // a truncation bug: every doc loses 200 chars on one side
+    val shifted = base.withColumn("n_chars",
+      org.apache.spark.sql.functions.greatest(
+        col("n_chars") - 200, org.apache.spark.sql.functions.lit(0L)))
+    val drift = DataQuality.histDriftFrom(base, shifted)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0)
+    drift should be > 0.5 // PSI > 0.25 is the standard "investigate" bar
+  }
+
   test("drift stays finite when a language exists on only one side") {
     val a = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
     val b = Seq((4L, "en"), (5L, "zh")).toDF("doc_id", "lang")

@@ -87,3 +87,30 @@ class RetrievalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     expected.values.count(_ > cut) should be <= 10
   }
 }
+
+/** The ranker-agreement diagnostic's structural contract: agreement flag
+  * and delta derive from the two rank columns, each side's ranks are a
+  * dense prefix, nothing ranks past k.
+  */
+class RankerAgreementSpec extends AnyFunSuite with Matchers with SparkTestBase {
+  test("ranker agreement: consistent ranks, deltas only where both rank") {
+    val rows = Retrieval
+      .rankerAgreement(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    rows.length should be >= 20 // at least one full top-20 side
+    rows.foreach { case (_, rt, rb, both, delta) =>
+      both shouldBe (rt.isDefined && rb.isDefined)
+      rt.foreach(_ should be <= 20L)
+      rb.foreach(_ should be <= 20L)
+      if (both) delta shouldBe Some(math.abs(rt.get - rb.get))
+      else delta shouldBe None
+    }
+    // each side's ranks are a permutation prefix (dense from 1)
+    rows.flatMap(_._2).sorted shouldBe (1L to rows.count(_._2.isDefined))
+    rows.flatMap(_._3).sorted shouldBe (1L to rows.count(_._3.isDefined))
+  }
+}
