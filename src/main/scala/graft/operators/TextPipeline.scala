@@ -1078,6 +1078,28 @@ object TextPipeline {
   }
 
   /** [[corpusDiff]] over any two (doc_id, text) versions. */
+  /** The PAYLOAD-carrying form of [[corpusDiffFrom]] — the digest diff
+    * joined back to the new version's text for added/changed rows (null
+    * for removed). This is the shippable incremental-sync artifact: a
+    * mirror holding v1 plus this patch reconstructs v2 exactly via
+    * [[applyCorpusPatch]] (spec-proven), moving delta-sized text instead
+    * of re-shipping the corpus.
+    */
+  def corpusPatchFrom(oldV: DataFrame, newV: DataFrame): DataFrame =
+    corpusDiffFrom(oldV, newV)
+      .join(newV.select(col("doc_id"), col("text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("text"))
+
+  /** Apply a [[corpusPatchFrom]] patch: untouched rows pass through (a
+    * delta-sized anti-join), removed/changed rows drop, added/changed
+    * rows come from the patch payload.
+    */
+  def applyCorpusPatch(oldV: DataFrame, patch: DataFrame): DataFrame =
+    oldV.select(col("doc_id"), col("text"))
+      .join(patch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(patch.filter(col("status") =!= "removed")
+        .select(col("doc_id"), col("text")))
+
   def corpusDiffFrom(oldV: DataFrame, newV: DataFrame): DataFrame = {
     val o = oldV.select(col("doc_id"), md5(col("text")).as("old_md5"))
     val n = newV.select(col("doc_id"), md5(col("text")).as("new_md5"))

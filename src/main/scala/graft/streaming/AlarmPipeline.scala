@@ -46,4 +46,42 @@ object AlarmPipeline {
       t.streamName, new java.sql.Timestamp(t.atMs), t.from, t.to, t.reason,
       t.observedValue))
   }
+
+  /** Flap damping for the notification path: per stream, suppress any
+    * transition within `quietMs` of the last DELIVERED one — a flapping
+    * alarm (threshold hovering around the breach line) pages once per
+    * quiet period instead of every minute, the standard alert-fatigue
+    * control the reference's raw SNS action lacks. State per key is one
+    * epoch long; rows process in event-time order within a batch.
+    *
+    * Runs in the ALERTING consumer of the transitions stream (its own
+    * query over a transitions topic/sink), not chained after the alarm
+    * operator — two stateful operators in one query is the shape
+    * Structured Streaming restricts, and delivery policy belongs with
+    * the deliverer anyway (retuning quietMs must not touch the alarm
+    * checkpoint).
+    */
+  def throttleTransitions(transitions: Dataset[TransitionEvent],
+      quietMs: Long = 600000L): Dataset[TransitionEvent] = {
+    implicit val te = Encoders.product[TransitionEvent]
+    implicit val ts = Encoders.product[ThrottleState]
+    transitions
+      .groupByKey(_.streamName)(Encoders.STRING)
+      .flatMapGroupsWithState[ThrottleState, TransitionEvent](
+        OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var last = state.getOption.map(_.lastEmitMs).getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.atMs).filter { t =>
+            val deliver = last == Long.MinValue || t.atMs >= last + quietMs
+            if (deliver) last = t.atMs
+            deliver
+          }
+          state.update(ThrottleState(last))
+          out.iterator
+      }
+  }
 }
+
+/** Last delivered-notification time for one stream key. */
+final case class ThrottleState(lastEmitMs: Long)

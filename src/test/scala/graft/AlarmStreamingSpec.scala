@@ -93,6 +93,34 @@ class AlarmStreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (8L, "ALARM")) // minutes 6-7 silent: 2 missing-data breaches of last 3
   }
 
+  test("flap damping delivers once per quiet period per key, across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def te(k: String, min: Int, to: String) = TransitionEvent(
+      k, min * 60000L, if (to == "ALARM") "OK" else "ALARM", to,
+      "flap", Some(1.0))
+    val input = MemoryStream[TransitionEvent]
+    val q = AlarmPipeline.throttleTransitions(input.toDS(), quietMs = 600000L)
+      .writeStream.format("memory").queryName("throttle")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-throttle").toString)
+      .outputMode("append").start()
+    try {
+      // a flapping alarm: a transition EVERY minute for 31 minutes,
+      // split across two batches (state must carry the last delivery)
+      val flaps = (0 to 30).map(m =>
+        te("s", m, if (m % 2 == 0) "ALARM" else "OK"))
+      input.addData(flaps.take(15)); q.processAllAvailable()
+      input.addData(flaps.drop(15) :+ te("t", 3, "ALARM"))
+      q.processAllAvailable()
+      val got = spark.table("throttle").as[TransitionEvent].collect()
+      // 10-min quiet period: minutes 0, 10, 20, 30 deliver for s
+      got.filter(_.streamName == "s").map(_.atMs / 60000L).sorted shouldBe
+        Seq(0L, 10L, 20L, 30L)
+      // independent key: its first transition always delivers
+      got.filter(_.streamName == "t").map(_.atMs / 60000L) shouldBe Seq(3L)
+    } finally q.stop()
+  }
+
   test("keys are independent: one stream's gap does not alarm another") {
     val out = run(cfg, "t_keys")(
       Seq(("a", ts(0), 0.5), ("a", ts(1), 0.5), ("a", ts(2), 0.5),

@@ -69,6 +69,20 @@ class TextMiningSpec extends AnyFunSuite with Matchers with SparkTestBase {
     dir shouldBe "a_in_b"
   }
 
+  test("corpus patch round-trip: v1 + patch(v1, v2) reconstructs v2 exactly") {
+    val v1 = Seq((1L, "kept as is"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "also kept")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "kept as is"), (2L, "changed now"), (4L, "also kept"),
+      (5L, "brand new")).toDF("doc_id", "text")
+    val patch = TextPipeline.corpusPatchFrom(v1, v2)
+    // the patch is delta-sized: changed + removed + added only
+    patch.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set((2L, "changed"), (3L, "removed"), (5L, "added"))
+    val rebuilt = TextPipeline.applyCorpusPatch(v1, patch)
+      .as[(Long, String)].collect().toSet
+    rebuilt shouldBe v2.as[(Long, String)].collect().toSet
+  }
+
   test("collocations: min support drops rare pairs even with high PMI") {
     // one doc "rare pair" (pmi would be huge) + filler to keep totals up
     val corpus = ((1 to 30).map(i => (i.toLong, "a b")) :+ (31L, "rare pair"))
