@@ -17,6 +17,11 @@ case class Scd2State(status: String, validFromMs: Long, version: Long)
   */
 case class FunnelState(vt: Long, ct: Long, pt: Long)
 
+/** One user's cohort bookkeeping: first-activity week (epoch ms of the
+  * Monday) and the week offsets already credited.
+  */
+case class CohortState(cohortMs: Long, seen: List[Long])
+
 /** Streaming twin of [[graft.operators.Relational.scd2History]] — SCD
   * Type-2 change capture evaluated ONLINE: per key, a status observation
   * that differs from the current open interval CLOSES it (emitting the
@@ -63,6 +68,56 @@ object StreamingWarehouse {
           out.iterator
       }
       .toDF("o_custkey", "status", "valid_from", "valid_to", "version")
+  }
+
+  private val WeekMs = 7L * 86400000L
+
+  /** UTC Monday-00:00 of the timestamp's week — `date_trunc('week')`'s
+    * exact rule, mirrored in the JVM for the streaming twin.
+    */
+  private def weekStartMs(ts: Timestamp): Long = {
+    val d = java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val monday = d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+    monday.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+  }
+
+  /** Streaming twin of [[graft.operators.Relational.cohortRetention]]:
+    * per user, credit each (cohort, week_offset) cell ONCE, online — the
+    * first arrival fixes the user's cohort week (the ordered-replay
+    * first-touch contract), later arrivals emit a cell increment the
+    * first time their week offset appears. Counting emitted rows per
+    * cell gives the batch triangle's n_active exactly (spec-proven).
+    * State per user: the cohort week + the offsets already credited
+    * (bounded by the calendar span, not by volume).
+    */
+  def cohortStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("ts").cast("timestamp"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, (Long, Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)],
+            state: GroupState[CohortState]) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Timestamp, Long)]
+          sorted.foreach { case (_, ts) =>
+            val w = weekStartMs(ts)
+            if (st == null) st = CohortState(w, Nil)
+            val off = (w - st.cohortMs) / WeekMs
+            if (off >= 0 && !st.seen.contains(off)) {
+              st = st.copy(seen = off :: st.seen)
+              out += ((user, new Timestamp(st.cohortMs), off))
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "cohort", "week_offset")
   }
 
   /** Streaming twin of [[graft.operators.Relational.eventFunnel]]'s

@@ -209,6 +209,41 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with Matchers with SparkTes
     } finally q.stop()
   }
 
+  test("streaming cohort cell counts equal the batch retention triangle on ordered replay") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"ts")
+      .as[(Long, Timestamp)].collect().sortBy(_._2.getTime)
+
+    def ms(v: Any): Long = v match {
+      case t: Timestamp => t.getTime
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l).getTime
+    }
+    val batch = operators.Relational.cohortRetention(spark, sf)
+      .collect()
+      .map(r => (ms(r.get(0)), r.getLong(1)) -> r.getLong(2)).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamingWarehouse.cohortStream(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("cohort_equiv")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-cohort").toString)
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("cohort_equiv")
+        .groupBy("cohort", "week_offset").count().collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getLong(2))
+        .toMap
+      batch.size should be > 3
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming near-dedup suppresses every pair the batch MinHash dedup finds") {
     val sf = "/root/testdata/sf0.001"
     // batch truth on the same corpus: (doc_a, doc_b) band-collision pairs
