@@ -449,7 +449,9 @@ object PlanAudit {
     // both rankers' index_topk/bm25_topk subtrees (each its tf agg +
     // vocab-sized df re-derive + per-doc agg) + the <= 2k-row fusion
     // join + orderBy
-    "ranker_agreement" -> 12)
+    "ranker_agreement" -> 12,
+    // one keyed window + orderBy (the window_rank class)
+    "window_ntile" -> 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

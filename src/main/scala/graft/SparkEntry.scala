@@ -58,6 +58,8 @@ object SparkEntry {
     "pivot_hourly" -> ((s, d) => Relational.pivotHourly(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    // plain NTILE quartiles per event type
+    "window_ntile" -> ((s, d) => Relational.windowNtile(s, d)),
     "window_lag" -> ((s, d) => Relational.windowLag(s, d)),
     // trailing 30-day RANGE-frame moving aggregate (event-time frames)
     "window_moving_avg" -> ((s, d) => Relational.windowMovingAvg(s, d)),
@@ -1838,6 +1840,10 @@ ORDER BY est.lang""",
     // theta intersection replayed pair-for-pair: theta = u of the union
     // sketch's k-th smallest hash (1.0 when the union is under k),
     // common = hashes in both sketches below theta, est = common/theta
+    "window_ntile" ->
+      """SELECT event_id, event_type, value,
+  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events ORDER BY event_id""",
     // per-user lag sequence (ts, event_id total order) -> pair counts
     "event_transitions" ->
       """WITH s AS (SELECT user_id, ts, event_id, event_type,

@@ -737,6 +737,22 @@ object Relational {
     * the current row — the classic window gotcha, pinned explicitly
     * here). One keyed window.
     */
+  /** Plain NTILE quartiles per event type — the one ranking window
+    * function without a standalone query (curriculum uses the exact
+    * two-level ntile machinery; this is the native form, whose
+    * remainder-to-early-buckets rule both engines share). Total order
+    * inside each partition via (value, event_id) so bucket boundaries
+    * cannot tie-break differently.
+    */
+  def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .orderBy("event_id")
+  }
+
   /** First-order Markov transition matrix over each user's event
     * sequence: count of (from_event, to_event) adjacencies in per-user
     * time order, with the transition probability as a per-from share —
