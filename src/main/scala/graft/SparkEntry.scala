@@ -234,6 +234,18 @@ object SparkEntry {
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
+    // divergence localizer: one in-engine md5 per curation_program column
+    // (values digested in doc_id order INSIDE each engine, so a driver
+    // hash mismatch on the main query names its divergent column here)
+    "curation_cols" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, floor}
+      graft.operators.ColumnDigest.digests(
+        graft.operators.CurationProgram.curationProgram(s, d), "doc_id",
+        Seq("doc_id", "source", "lang", "n_tokens", "quality", "cap_rk",
+          "start_offset", "bucket", "split"),
+        Map("quality" ->
+          floor(col("quality") * 10000d + 0.5d).cast("long").cast("string")))
+    }),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
     // proportional to n_chars without replacement, deterministic keys
@@ -2040,10 +2052,34 @@ sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
       * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
 SELECT doc_id, source, lang, n_tokens,
-  CAST(quality AS DECIMAL(6,4)) AS quality, cap_rk, start_offset, bucket,
+  floor(quality * 10000 + 0.5) / 10000 AS quality, cap_rk, start_offset, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
+    // per-column in-engine digests of the exact curation_program output
+    // (doubles rendered as scaled BIGINT; identical rendering in
+    // ColumnDigest.digests on the Spark side)
+    "curation_cols" ->
+      graft.operators.ColumnDigest.oracleDigestSql(
+        s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp""",
+        "doc_id",
+        Seq(
+          "doc_id" -> "CAST(doc_id AS VARCHAR)",
+          "source" -> "source",
+          "lang" -> "lang",
+          "n_tokens" -> "CAST(n_tokens AS VARCHAR)",
+          "quality" -> "CAST(CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS VARCHAR)",
+          "cap_rk" -> "CAST(cap_rk AS VARCHAR)",
+          "start_offset" -> "CAST(start_offset AS VARCHAR)",
+          "bucket" -> "CAST(bucket AS VARCHAR)",
+          "split" -> "split")),
     "curation_funnel" ->
       s"""WITH $curationCtes
 SELECT 1 AS stage_no, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,

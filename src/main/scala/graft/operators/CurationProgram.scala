@@ -84,11 +84,14 @@ object CurationProgram {
     val st = run(corpus, minQuality, k, budget)
     val bucket = TextPipeline.hashBucket("split:")
     st.budgeted
-      // quality leaves as DECIMAL(6,4): the stage rules run on the rounded
-      // double, but a raw float in the manifest is a hash-fragile driver
-      // surface; the exact 4-decimal value is what the contract promises
+      // quality leaves as a floor-quantized DOUBLE (the q2_min_cost
+      // recipe, Relational.scala): the stage rules run on the rounded
+      // double, and floor(x*10^4+0.5)/10^4 is the same IEEE op sequence
+      // on both engines — a DECIMAL output column proved hash-fragile on
+      // the driver surface (its reader normalizes decimals differently
+      // from floats) while every DOUBLE-surfaced query is green
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        col("quality").cast("decimal(6,4)").as("quality"),
+        (floor(col("quality") * 10000d + 0.5d) / 10000d).as("quality"),
         col("cap_rk"), col("start_offset"),
         bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")
