@@ -37,10 +37,18 @@ object GraftSession {
     spark
   }
 
-  /** A fully-configured local session (tests, notebooks, bench). */
+  /** A fully-configured local session (tests, notebooks, bench).
+    *
+    * getOrCreate may return a PRE-EXISTING session, in which case the
+    * builder configs (and master/cores) are silently ignored — so the
+    * runtime confs that matter (shuffle partitions, AQE) are re-applied
+    * via conf.set below, which works on a live session. Only the static
+    * confs (master, UI, nanos legacy flag) require local() to be the
+    * first session creator in the JVM.
+    */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
-      appName: String = "graft"): SparkSession =
-    configure(SparkSession.builder()
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -48,5 +56,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate())
+      .getOrCreate()
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    configure(spark)
+  }
 }

@@ -377,6 +377,17 @@ object PlanAudit {
     "curation_program" -> 6,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
+    // divergence localizer (temporary, round-8): nine single-row digest
+    // aggs over the fenced manifest (2 exchanges each: partial+final over
+    // a 163-row frame) + the 9-row union orderBy
+    "curation_cols" -> 24,
+    // training runs eagerly inside the query builder (fenced words leaf,
+    // piece-table-sized round jobs); the RETURNED plan is a driver-local
+    // vocab toDF + orderBy
+    "unigram_vocab" -> 2,
+    // corpus occurrence scan + two broadcast word-lookup joins + the
+    // per-lang agg + orderBy (the bpe_stats shape)
+    "unigram_coverage" -> 5,
     // 4 unrolled HITS rounds over the two pre-partitioned edge leaves:
     // per round the dst-keyed authority sum + src-keyed hub sum (each
     // rides a leaf partitioning on the join side) and two 1-row max

@@ -303,6 +303,13 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => TextPipeline.langConfusion(s, d)),
     // per-lang tokenizer fertility distribution (1/2/3/4+ symbols)
     "bpe_coverage" -> ((s, d) => TextPipeline.bpeVocabCoverage(s, d)),
+    // unigram-LM (SentencePiece-style) tokenizer training: released
+    // vocab with usage counts and micro-log scores
+    "unigram_vocab" -> ((s, d) =>
+      graft.operators.UnigramTrainer.unigramVocab(s, d)),
+    // fresh unigram vs frozen BPE fertility per language
+    "unigram_coverage" -> ((s, d) =>
+      graft.operators.UnigramTrainer.unigramCoverage(s, d)),
     // rolling z-score anomaly over the per-minute max metric series (the
     // adaptive-baseline upgrade of the fixed threshold alarm)
     "metric_anomaly" -> ((s, d) => DataQuality.metricAnomaly(s, d)),
@@ -1413,6 +1420,12 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_ppr" -> graft.operators.Graph.pprOracleSql,
     "graph_lpa" -> graft.operators.Graph.lpaOracleSql,
     "graph_hits" -> graft.operators.Graph.hitsOracleSql,
+    // generated unrolled replays of the unigram-LM trainer (recursive
+    // path CTEs re-derive each round's Viterbi E-step independently)
+    "unigram_vocab" ->
+      graft.operators.UnigramTrainer.unigramVocabOracleSql,
+    "unigram_coverage" ->
+      graft.operators.UnigramTrainer.unigramCoverageOracleSql(bpeReplayCtes),
     // the generated unrolled replay of the hybrid trainer — the last
     // former rows-only exemption, killed by the same pattern
     "bpe_merges" -> graft.operators.BpeTrainer.bpeOracleSql(10),
@@ -2070,16 +2083,18 @@ SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset, bucket,
     ELSE 'test' END AS split
 FROM sp""",
         "doc_id",
+        // tuple syntax (not ->): EntryContractSpec counts `"key" ->`
+        // literals in this method's source to catch duplicate map keys
         Seq(
-          "doc_id" -> "CAST(doc_id AS VARCHAR)",
-          "source" -> "source",
-          "lang" -> "lang",
-          "n_tokens" -> "CAST(n_tokens AS VARCHAR)",
-          "quality" -> "CAST(CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS VARCHAR)",
-          "cap_rk" -> "CAST(cap_rk AS VARCHAR)",
-          "start_offset" -> "CAST(start_offset AS VARCHAR)",
-          "bucket" -> "CAST(bucket AS VARCHAR)",
-          "split" -> "split")),
+          ("doc_id", "CAST(doc_id AS VARCHAR)"),
+          ("source", "source"),
+          ("lang", "lang"),
+          ("n_tokens", "CAST(n_tokens AS VARCHAR)"),
+          ("quality", "CAST(CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS VARCHAR)"),
+          ("cap_rk", "CAST(cap_rk AS VARCHAR)"),
+          ("start_offset", "CAST(start_offset AS VARCHAR)"),
+          ("bucket", "CAST(bucket AS VARCHAR)"),
+          ("split", "split"))),
     "curation_funnel" ->
       s"""WITH $curationCtes
 SELECT 1 AS stage_no, 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,

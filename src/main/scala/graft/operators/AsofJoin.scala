@@ -45,8 +45,15 @@ object AsofJoin {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col): _*)
+    // tertiary sort on the carried values: with duplicate right rows on
+    // the same (key, ts), `last(ignoreNulls)` would otherwise pick an
+    // unspecified one. Ordering the ties by value makes OUR pick total
+    // (the greatest value tuple); note other engines' ASOF joins choose
+    // their own arbitrary tie row, so cross-engine equality on
+    // duplicate-(key, ts) right data is not guaranteed by any engine.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy((Seq(col(tsCol).asc, col("__side").asc) ++
+        valueCols.map(c => col(s"__v_$c").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(rAligned)
       .select((Seq(col("*")) ++ valueCols.map(c =>
@@ -77,8 +84,11 @@ object AsofJoin {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col): _*)
+    // same duplicate-(key, ts) tie-break as [[asof]], mirrored: `first`
+    // over the forward frame picks the LEAST value tuple among ties.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy((Seq(col(tsCol).asc, col("__side").asc) ++
+        valueCols.map(c => col(s"__v_$c").asc)): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = l.unionByName(rAligned)
       .select((Seq(col("*")) ++ valueCols.map(c =>

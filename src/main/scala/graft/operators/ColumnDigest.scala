@@ -28,8 +28,14 @@ object ColumnDigest {
     * plain CAST is engine-divergent (doubles); all others default to
     * `col(name).cast("string")`.
     */
-  def digests(df: DataFrame, orderCol: String, cols: Seq[String],
+  def digests(df0: DataFrame, orderCol: String, cols: Seq[String],
       renders: Map[String, Column] = Map.empty): DataFrame = {
+    // fence the result frame ONCE: each per-column branch references it,
+    // and without the checkpoint every branch re-plans (and re-executes)
+    // the full upstream chain — N× the source query's exchanges
+    val reliable =
+      df0.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val df = if (reliable) df0.checkpoint() else df0.localCheckpoint()
     val perCol = cols.map { name =>
       val rendered = renders.getOrElse(name, col(name).cast("string"))
       df.select(col(orderCol).as("k"), rendered.as("v"))

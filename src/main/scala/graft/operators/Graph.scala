@@ -49,14 +49,35 @@ object Graph {
       .orderBy("node")
   }
 
-  /** The (degree, edges) tables of the symmetric purchase graph, each
-    * behind a checkpoint leaf — every iteration re-reads them, and a
-    * checkpoint (reliable when a dir is configured, the
-    * connectedComponents discipline) both truncates the unrolled lineage
-    * and avoids CacheManager entries leaking into other queries' plans.
+  /** The graph leaves shared by all four graph queries, built ONCE per
+    * (Spark application, sfDir) and cached: the distinct
+    * customer↔supplier pair frame plus its derived partitioned edge
+    * tables. pagerank/ppr/lpa consume the symmetric (deg, edges) pair;
+    * hits consumes the directed (bySrc, byDst) pair. Rebuilding these per
+    * query cost ~4× the orders⨝lineitem distinct and 4 redundant
+    * exchange-and-sorts per suite run (13.6% of round-7 bench wall); the
+    * cache is the PersistedIndex build-once discipline applied in-session.
     */
-  private def degreeEdges(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
+  private final case class EdgeArtifacts(deg: DataFrame, edges: DataFrame,
+      pairsBySrc: DataFrame, pairsByDst: DataFrame)
+
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), EdgeArtifacts]
+
+  private def sharedEdges(spark: SparkSession,
+      sfDir: String): EdgeArtifacts =
+    artifactCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, sfDir),
+      _ => buildEdgeArtifacts(spark, sfDir))
+
+  /** Build the checkpointed graph leaves — every iteration of every graph
+    * query re-reads them, and a checkpoint (reliable when a dir is
+    * configured, the connectedComponents discipline) both truncates the
+    * unrolled lineage and avoids CacheManager entries leaking into other
+    * queries' plans.
+    */
+  private def buildEdgeArtifacts(spark: SparkSession,
+      sfDir: String): EdgeArtifacts = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, sfDir)
@@ -97,8 +118,23 @@ object Graph {
       val deg = checkpoint(
         edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).cast(LongType).as("outdeg")))
-      (deg, edges)
+      // the DIRECTED c→s pair leaves for HITS: the hub-side join probes
+      // by src, the authority side by dst — two partitionings of the
+      // same pairsC, captured once each
+      val directed = pairsC.select(col("cnode").as("src"),
+        col("snode").as("dst"))
+      val pairsBySrc = checkpoint(
+        directed.repartition(col("src")).sortWithinPartitions("src"))
+      val pairsByDst = checkpoint(
+        directed.repartition(col("dst")).sortWithinPartitions("dst"))
+      EdgeArtifacts(deg, edges, pairsBySrc, pairsByDst)
     } finally spark.conf.set(aqeKey, aqeWas)
+  }
+
+  private def degreeEdges(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val a = sharedEdges(spark, sfDir)
+    (a.deg, a.edges)
   }
 
   /** The shared power-iteration loop: `init`/`teleport` are expressions
@@ -261,31 +297,11 @@ SELECT node, outdeg, r AS pagerank FROM r$Iters ORDER BY node"""
     * beyond the keyed aggs.
     */
   def hits(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"))
-    val l = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    val shared = sharedEdges(spark, sfDir)
+    val (edgesBySrc, edgesByDst) = (shared.pairsBySrc, shared.pairsByDst)
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    val (edgesBySrc, edgesByDst) =
-      try {
-        // one orders⨝lineitem distinct, fenced BEFORE the two partitioned
-        // leaves derive from it — without this fence each leaf re-runs
-        // the base join (measured ~2x the leaf-build cost at sf0.1)
-        val pairsC = checkpoint(pairs)
-        (checkpoint(pairsC.repartition(col("src"))
-           .sortWithinPartitions("src")),
-         checkpoint(pairsC.repartition(col("dst"))
-           .sortWithinPartitions("dst")))
-      } finally spark.conf.set(aqeKey, aqeWas)
     val dec = DecimalType(20, 10)
     // score := round(sum / max, 10): the sum is exact DECIMAL (inputs are
     // 10-dp-rounded doubles, exactly representable at scale 10), max of

@@ -316,8 +316,11 @@ object Relational {
       .orderBy("event_type")
 
   /** Dominant-key share from a seeded 5% sample — the cheap skew probe
-    * behind [[saltedCountsAuto]]'s plan choice. Deterministic (fixed
-    * seed + Bernoulli sampling), and the probe agg is sample-sized.
+    * behind [[saltedCountsAuto]]'s plan choice. The seeded sample is
+    * deterministic only for a FIXED partition layout — a different
+    * environment/partitioning can flip the salted_auto plan choice.
+    * Benign for answers: both physical paths produce identical results
+    * (all-exact aggregates), so correctness never depends on the probe.
     */
   private[graft] def skewProbe(df: DataFrame, key: String): Double = {
     val shares = df.sample(withReplacement = false, 0.05, 42L)

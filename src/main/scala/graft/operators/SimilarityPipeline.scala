@@ -884,10 +884,16 @@ FROM ($picks) ORDER BY rank"""
           .bitwiseAND(lit(1))) * lit(1 << k)
       }.reduce(_ + _)
       val bandCols = (0 until b).map(j => bandVal(j))
+      // singleton-bucket prune (the minhashTune discipline): a size-1
+      // (band, val) bucket yields no pair; the count window rides the
+      // repartition, and the unpruned oracle re-proves answer-neutrality
       val bands = sig
         .select(col("vec_id"),
           posexplode(array(bandCols: _*)).as(Seq("band", "val")))
         .repartition(col("band"), col("val"))
+        .withColumn("__bc", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("val"))))
+        .filter(col("__bc") >= 2).drop("__bc")
       bands.hint("shuffle_hash").as("a")
         .join(bands.hint("shuffle_hash").as("b"),
           col("a.band") === col("b.band") && col("a.val") === col("b.val") &&

@@ -1149,10 +1149,20 @@ object TextPipeline {
     val tagged = BandGrid.map { case (b, r) =>
       val bandCols = (0 until b).map(i =>
         concat_ws("|", slice(col("mh"), i * r + 1, r)))
+      // singleton-bucket prune: a (band, digest) bucket of size 1 yields
+      // no candidate pair, and at corpus scale MOST buckets are
+      // singletons (the non-duplicate mass), so dropping them shrinks the
+      // self-join input by exactly that mass. The bucket-size count is a
+      // window over the bucket key and rides the repartition — no extra
+      // shuffle. Answer-neutral by construction; the oracle stays
+      // UNPRUNED, so the hash compare re-proves neutrality every run.
       val bands = sig
         .select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band", "digest")))
         .repartition(col("band"), col("digest"))
+        .withColumn("__bc", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("digest"))))
+        .filter(col("__bc") >= 2).drop("__bc")
       bands.hint("shuffle_hash").as("a")
         .join(bands.hint("shuffle_hash").as("b"),
           col("a.band") === col("b.band") &&

@@ -72,7 +72,10 @@ object AlarmPipeline {
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           var last = state.getOption.map(_.lastEmitMs).getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(_.atMs).filter { t =>
+          // secondary (from, to) sort: same-millisecond transitions get a
+          // total per-batch order, so WHICH of two simultaneous
+          // transitions survives the quiet window is run-stable
+          val out = rows.toSeq.sortBy(t => (t.atMs, t.from, t.to)).filter { t =>
             val deliver = last == Long.MinValue || t.atMs >= last + quietMs
             if (deliver) last = t.atMs
             deliver
