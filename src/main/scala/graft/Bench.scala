@@ -33,6 +33,38 @@ object Bench {
     graft.expressions.VectorExpressions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
+    // volume telemetry: total shuffle bytes WRITTEN per query, summed
+    // over task-end events. The exchange COUNT pins plan shape but not
+    // volume — a keyed join that silently starts shuffling carried text
+    // keeps `exchanges` constant while bytes explode; this counter makes
+    // that regression visible in the BENCH_r{N} history (and
+    // BenchTelemetrySpec pins ceilings for the text-free-shuffle
+    // queries). Listener events are posted asynchronously, so readings
+    // go through `stableShuffleBytes` which waits for the counter to
+    // quiesce.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            end: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = end.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def stableShuffleBytes(): Long = {
+      var prev = -1L
+      var cur = shuffleBytes.get()
+      var waited = 0
+      while (cur != prev && waited < 2000) {
+        prev = cur
+        Thread.sleep(50)
+        waited += 50
+        cur = shuffleBytes.get()
+      }
+      cur
+    }
+
     // Warm the JVM, parquet footer caches, codegen, and the shuffle stack so
     // the first measured query (alphabetical order) is not charged for
     // session bring-up.
@@ -75,8 +107,13 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // shuffle-bytes delta across the FIRST measured run (the counter is
+      // stable here: the previous query's reading already quiesced the
+      // bus). The wait happens OUTSIDE the timed section.
+      val bytesBefore = shuffleBytes.get()
       val (s1, e1) = once()
-      if (e1.isDefined) (name, s1, e1, exch)
+      val shufB = stableShuffleBytes() - bytesBefore
+      if (e1.isDefined) (name, s1, e1, exch, shufB)
       else {
         // any run's failure is THE result (a flaky query must not report
         // errors=0), and errored runs' time-to-exception stays out of the
@@ -85,15 +122,16 @@ object Bench {
         val (s3, e3) = once()
         val clean = Seq((s1, e1), (s2, e2), (s3, e3))
           .collect { case (s, None) => s }.sorted
-        (name, clean(clean.size / 2), e2.orElse(e3), exch)
+        (name, clean(clean.size / 2), e2.orElse(e3), exch, shufB)
       }
     }
     val qs = results.map {
-      case (k, v, None, Some(x)) => s""""$k":{"s":$v,"exchanges":$x}"""
-      case (k, v, None, None) => s""""$k":{"s":$v}"""
-      case (k, _, Some(e), _) => s""""$k":{"err":"${esc(e)}"}"""
+      case (k, v, None, Some(x), b) =>
+        s""""$k":{"s":$v,"exchanges":$x,"shuffle_bytes":$b}"""
+      case (k, v, None, None, b) => s""""$k":{"s":$v,"shuffle_bytes":$b}"""
+      case (k, _, Some(e), _, _) => s""""$k":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _) => v }.sum
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
     val nErr = results.count(_._3.isDefined)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""
@@ -102,7 +140,7 @@ object Bench {
     // 134 queries (BENCH_r05/r06 "parsed": null) — the LAST printed line
     // must be a compact (~300 B) summary that always fits the tail; the
     // complete map lives in bench_out.json.
-    val top5 = results.collect { case (k, v, None, _) => (k, v) }
+    val top5 = results.collect { case (k, v, None, _, _) => (k, v) }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => s""""$k":${math.round(v * 100) / 100.0}""" }
       .mkString("{", ",", "}")

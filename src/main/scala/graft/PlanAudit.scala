@@ -39,6 +39,8 @@ object PlanAudit {
     "mmr_rerank",
     // 1-row total-token normalizer broadcast
     "lm_perplexity",
+    // the same 1-row total-token broadcast inside the gate's ppl plan
+    "perplexity_gate",
     // 8-row query-panel broadcasts (the simTopKBatch pattern) + the tiny
     // nprobe/over_fetch axis frames joined on range predicates
     "ann_recall_grid",
@@ -62,6 +64,8 @@ object PlanAudit {
     "collocations",
     // 1-row feature-total normalizer broadcast (the model denominators)
     "dsir_weights",
+    // 1-row label-total normalizer broadcast (the classifier denominators)
+    "quality_classifier",
     // calendar-sized day-spine broadcast against user-days (the range
     // join has no equi key by construction; both sides calendar/user-
     // day-bounded, never raw event volume)
@@ -403,6 +407,12 @@ object PlanAudit {
     // bucket-model agg (+ its totals re-derive) + the broadcast model
     // join + per-doc fold agg + orderBy; the model frame is <= 4096 rows
     "dsir_weights" -> 8,
+    // same shape with unigram features: bucket-model agg + totals
+    // re-derive + broadcast model join + per-doc fold agg + orderBy
+    "quality_classifier" -> 8,
+    // the lm_perplexity plan (token df window + per-doc fold) + the lang
+    // join + the per-lang tercile window + orderBy
+    "perplexity_gate" -> 8,
     // the kmv_intersect fence discipline: corpus-sized subtrees live
     // behind the two checkpoints; the exchanges move sketch-/pair-/
     // vocab-sized rows (union window, theta agg, the TWO pair-fanout +

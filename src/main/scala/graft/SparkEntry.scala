@@ -140,6 +140,10 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextPipeline.textEntropy(s, d)),
     // DSIR hashed-bigram importance weights vs the en target split
     "dsir_weights" -> ((s, d) => TextPipeline.dsirWeights(s, d)),
+    // model-based quality gate: hashed bag-of-words linear classifier
+    // over seeded synthetic labels (train + score in one chain)
+    "quality_classifier" -> ((s, d) =>
+      TextPipeline.qualityClassifier(s, d)),
     // asymmetric shingle containment (doc-inside-doc detection)
     "dedup_containment" -> ((s, d) => TextPipeline.dedupContainment(s, d)),
     "decontaminate" -> ((s, d) => TextPipeline.decontaminate(s, d)),
@@ -269,6 +273,8 @@ object SparkEntry {
     "sim_recall_tune" -> ((s, d) => SimilarityPipeline.simRecallTune(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    // CCNet head/middle/tail gate: per-lang perplexity terciles
+    "perplexity_gate" -> ((s, d) => TextPipeline.perplexityGate(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
     // interpolated Kneser-Ney (d=0.75), the production n-gram smoothing
     "lm_kneser_ney" -> ((s, d) => TextPipeline.lmKneserNey(s, d)),
@@ -978,6 +984,35 @@ d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
   list(lr ORDER BY pos) AS ls
   FROM fb JOIN lr USING (bucket) GROUP BY doc_id, lang)
 SELECT doc_id, lang, n_feats, round(list_sum(ls), 6) AS log_weight
+FROM d ORDER BY doc_id""",
+    // hashed bag-of-words classifier: same md5-nibble bucket arithmetic
+    // as dsir_weights, labels from the split-bucket nibble sum, per-doc
+    // score folded in feature-position order
+    "quality_classifier" ->
+      """WITH lb AS (SELECT doc_id, text,
+  CASE WHEN CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('qc:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) < 50 THEN 1 ELSE 0 END AS label
+  FROM documents),
+f0 AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS token,
+  unnest(range(len(string_split(text, ' ')))) AS pos FROM lb),
+fb AS (SELECT doc_id, label, pos,
+  CAST((strpos('0123456789abcdef', md5(token)[1:1]) - 1) * 256
+     + (strpos('0123456789abcdef', md5(token)[2:2]) - 1) * 16
+     + (strpos('0123456789abcdef', md5(token)[3:3]) - 1) AS BIGINT) AS bucket
+  FROM f0 WHERE len(token) > 0),
+counts AS (SELECT bucket, CAST(sum(label) AS BIGINT) AS cp,
+  CAST(sum(1 - label) AS BIGINT) AS cn FROM fb GROUP BY bucket),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
+  FROM counts),
+w AS (SELECT bucket, ln((cp + 1) / (np + 4096)) - ln((cn + 1) / (nn + 4096)) AS w
+  FROM counts, tot),
+d AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_feats,
+  list(w ORDER BY pos) AS ws
+  FROM fb JOIN w USING (bucket) GROUP BY doc_id, label)
+SELECT doc_id, CAST(label AS BIGINT) AS label, n_feats,
+  round(list_sum(ws), 6) AS score,
+  round(list_sum(ws), 6) > 0.0 AS predicted
 FROM d ORDER BY doc_id""",
     // entropy folds per-type counts in TOKEN order (the lm_perplexity
     // ordered-fold discipline) so float accumulation cannot drift
@@ -2405,6 +2440,26 @@ SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
   round(-list_sum(lps) / len(lps), 4) AS avg_nll,
   round(exp(-list_sum(lps) / len(lps)), 4) AS perplexity
 FROM d ORDER BY doc_id""",
+    // the lm_perplexity replay + a per-lang ntile(3) over the ROUNDED
+    // perplexity with doc_id tie-break (total order both engines)
+    "perplexity_gate" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY token) AS freq FROM tp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tp),
+d AS (SELECT doc_id, CAST(len(list(pos)) AS BIGINT) AS n_tokens,
+  round(exp(-list_sum(list(ln(CAST(freq AS DOUBLE) / n_total) ORDER BY pos))
+    / len(list(pos))), 4) AS perplexity
+  FROM f, tot GROUP BY doc_id),
+g AS (SELECT d.doc_id, doc.lang, d.n_tokens, d.perplexity,
+  CAST(ntile(3) OVER (PARTITION BY doc.lang
+    ORDER BY d.perplexity, d.doc_id) AS BIGINT) AS tercile
+  FROM d JOIN documents doc ON d.doc_id = doc.doc_id)
+SELECT doc_id, lang, n_tokens, perplexity,
+  CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+    ELSE 'tail' END AS bucket
+FROM g ORDER BY doc_id""",
     "data_profile" ->
       """WITH w AS (SELECT CAST(count(*) AS DOUBLE) AS rows_n,
   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS text_nulls,

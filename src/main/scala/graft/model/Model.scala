@@ -57,7 +57,20 @@ object AlarmStatus {
 object BreachReason {
   val Threshold = "threshold"
   val MissingData = "missing_data"
+  val Anomaly = "anomaly"
   val None = "none"
+}
+
+/** How the alarm evaluates a period's observed value: the reference's
+  * FIXED threshold compare, or the ADAPTIVE rolling-baseline z-score
+  * (CloudWatch anomaly-detection-alarm parity — the band is learned from
+  * the trailing closed periods instead of configured). Missing data
+  * breaches in both modes.
+  */
+sealed trait AlarmMode
+object AlarmMode {
+  case object Fixed extends AlarmMode
+  case object Adaptive extends AlarmMode
 }
 
 /** Emitted only on state change (reference alarm action Stack.java:183). */

@@ -813,6 +813,72 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality gate (the fastText-style axis beside the
+    * heuristic [[textQuality]] gate, Joulin'17's hashed linear classifier
+    * shape): every doc scored by a hashed BAG-OF-WORDS linear model —
+    * unigram features hashed to 4096 buckets (the [[dsirWeights]]
+    * register idiom), per-bucket weights the naive-Bayes log-odds ratio
+    * log((c⁺+1)/(n⁺+B)) − log((c⁻+1)/(n⁻+B)). Labels are a SEEDED
+    * synthetic set (md5 split-bucket < 50 — the sandbox has no human
+    * quality labels; in production the weights frame is loaded from a
+    * trained model instead, same 4096-row broadcast), which makes the
+    * whole train+score chain deterministic and oracle-replayable.
+    *
+    * Determinism: bucket counts exact longs, the per-doc score folds in
+    * FEATURE-POSITION order (the lm_perplexity discipline), prediction
+    * compares the ROUNDED score on both engines. Scale: one token pass,
+    * a 4096-row model broadcast back, one per-doc agg.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityClassifierFrom(docs(spark, sfDir))
+
+  def qualityClassifierFrom(corpus: DataFrame): DataFrame = {
+    val feats = classifierFeatures(corpus)
+    val w = classifierWeightsFrame(feats)
+    feats.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_feats"),
+        sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .withColumn("score",
+        expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"))
+      .select(col("doc_id"), col("label"), col("n_feats"),
+        round(col("score"), 6).as("score"),
+        (round(col("score"), 6) > 0.0).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** The labeled hashed-unigram feature frame the classifier trains and
+    * scores on: (doc_id, label, pos, bucket).
+    */
+  private def classifierFeatures(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        (hashBucket("qc:") < 50).cast(LongType).as("label"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 3), 16, 10).cast(LongType))
+      .select(col("doc_id"), col("label"), col("pos"), col("bucket"))
+
+  private def classifierWeightsFrame(feats: DataFrame): DataFrame = {
+    val counts = feats.groupBy("bucket")
+      .agg(sum(col("label")).as("cp"),
+        sum(lit(1L) - col("label")).as("cn"))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("cp") + 1) / (col("np") + 4096)) -
+          log((col("cn") + 1) / (col("nn") + 4096))).as("w"))
+  }
+
+  /** The trained bucket→weight table as a driver map — the RELEASED model
+    * a streaming gate ships as a plan constant
+    * ([[graft.streaming.StreamingText.classifierGateStream]]). Bounded by
+    * the 4096-bucket model size, never corpus-sized.
+    */
+  def qualityClassifierWeights(corpus: DataFrame): Map[Long, Double] =
+    classifierWeightsFrame(classifierFeatures(corpus))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
   /** PMI collocation mining (Church & Hanks'90): the top bigrams whose
     * observed frequency beats the unigram-independence expectation —
     * pmi = ln(p(x,y) / (p(x) p(y))) — the standard phrase/multi-word-
@@ -2058,6 +2124,36 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .select(col("doc_id"), col("n_tokens"),
         round(-col("sum_lnp") / col("n_tokens"), 4).as("avg_nll"),
         round(exp(-col("sum_lnp") / col("n_tokens")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** The CCNet perplexity GATE (Wenzek'19 §4.3): each document bucketed
+    * head/middle/tail by its [[lmPerplexity]] score WITHIN its language —
+    * head = the lowest-perplexity (most in-distribution) third, the slice
+    * CCNet keeps outright; tail = the third a curation run drops or
+    * down-weights. Terciles instead of fixed thresholds make the gate
+    * distribution-relative, which is the point of the method (a language
+    * with generally higher perplexity is not penalized wholesale).
+    *
+    * Determinism: the tercile split orders by the ROUNDED perplexity with
+    * doc_id tie-break (total order both engines); ntile's
+    * larger-groups-first fill is SQL-standard on both. Scale: the
+    * perplexity plan (one tokenize pass) + a doc-sized per-lang window.
+    */
+  def perplexityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = docs(spark, sfDir)
+    val ppl = lmPerplexityFrom(spark, corpus)
+      .select(col("doc_id"), col("n_tokens"), col("perplexity"))
+    val langs = corpus.select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("perplexity"), col("doc_id"))
+    ppl.join(langs, "doc_id")
+      .withColumn("tercile", ntile(3).over(w).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("perplexity"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
 

@@ -25,7 +25,9 @@ object AlarmPipeline {
     * lateness bound for metric points (SURVEY A1's 2-minute guidance).
     */
   def transitions(metrics: DataFrame, cfg: HealthCheckConfig = HealthCheckConfig(),
-      watermarkDelay: String = "2 minutes"): Dataset[TransitionEvent] = {
+      watermarkDelay: String = "2 minutes",
+      mode: graft.model.AlarmMode = graft.model.AlarmMode.Fixed)
+      : Dataset[TransitionEvent] = {
     implicit val te = Encoders.product[TransitionEvent]
     implicit val me = Encoders.product[MetricInput]
     metrics
@@ -35,7 +37,7 @@ object AlarmPipeline {
         col("value"))
       .as[MetricInput]
       .groupByKey(_.streamName)(Encoders.STRING)
-      .transformWithState(new AlarmStateProcessor(cfg),
+      .transformWithState(new AlarmStateProcessor(cfg, mode),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

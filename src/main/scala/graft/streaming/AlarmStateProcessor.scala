@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming._
 
-import graft.model.{AlarmStatus, BreachReason, HealthCheckConfig}
+import graft.model.{AlarmMode, AlarmStatus, BreachReason, HealthCheckConfig}
 
 /** One metric point as seen by the alarm operator. */
 final case class MetricInput(streamName: String, tsMs: Long, value: Double)
@@ -18,6 +18,13 @@ final case class MetricInput(streamName: String, tsMs: Long, value: Double)
   */
 final case class AlarmSnapshot(
     status: String, nextMinuteMs: Long, history: Long, historyLen: Int)
+
+/** Trailing closed-period maxes for [[AlarmMode.Adaptive]] — its OWN
+  * state variable (not a new AlarmSnapshot field), so existing Fixed-mode
+  * checkpoints restore untouched and the adaptive baseline rides the
+  * state store's additive schema evolution.
+  */
+final case class BaselineState(history: List[Double])
 
 /** An alarm state change, emitted only on transition (reference alarm action
   * KinesisHealthCheckStack.java:183).
@@ -48,18 +55,25 @@ final case class TransitionEvent(
   * All emissions happen in timer callbacks, never on raw input, so late
   * data within the watermark still lands in the right period.
   */
-class AlarmStateProcessor(cfg: HealthCheckConfig)
+class AlarmStateProcessor(cfg: HealthCheckConfig,
+    mode: AlarmMode = AlarmMode.Fixed)
     extends StatefulProcessor[String, MetricInput, TransitionEvent] {
 
   private val periodMs: Long = cfg.periodMinutes * 60000L
   @transient private var alarm: ValueState[AlarmSnapshot] = _
   @transient private var minuteMax: MapState[Long, Double] = _
+  @transient private var baseline: ValueState[BaselineState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     alarm = getHandle.getValueState[AlarmSnapshot](
       "alarm", Encoders.product[AlarmSnapshot], TTLConfig.NONE)
     minuteMax = getHandle.getMapState[Long, Double](
       "minuteMax", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+    // registered only when the mode uses it — a Fixed-mode query keeps
+    // its exact pre-adaptive state schema
+    if (mode == AlarmMode.Adaptive)
+      baseline = getHandle.getValueState[BaselineState](
+        "baseline", Encoders.product[BaselineState], TTLConfig.NONE)
   }
 
   override def handleInputRows(key: String, rows: Iterator[MetricInput],
@@ -106,11 +120,39 @@ class AlarmStateProcessor(cfg: HealthCheckConfig)
       val observed =
         if (minuteMax.containsKey(m)) Some(minuteMax.getValue(m)) else None
       minuteMax.removeKey(m)
-      val breach = observed.forall(_ > cfg.thresholdSeconds) // None => breach
-      val reason = observed match {
-        case None => BreachReason.MissingData
-        case Some(v) if v > cfg.thresholdSeconds => BreachReason.Threshold
-        case _ => BreachReason.None
+      // breach decision: Fixed compares against the configured threshold;
+      // Adaptive scores against the trailing closed-period baseline via
+      // the EXACT anomalyStream arithmetic (StreamingAnomaly.zOf), so the
+      // adaptive alarm == anomalyStream-flags fed into this same M-of-N
+      // machine (spec-proven on ordered replays). Missing data breaches
+      // in both modes; warmup periods (baseline < Warmup) never breach
+      // on value in adaptive mode.
+      val (breach, reason) = mode match {
+        case AlarmMode.Fixed => observed match {
+          case None => (true, BreachReason.MissingData)
+          case Some(v) if v > cfg.thresholdSeconds =>
+            (true, BreachReason.Threshold)
+          case _ => (false, BreachReason.None)
+        }
+        case AlarmMode.Adaptive =>
+          val hist =
+            if (baseline.exists()) baseline.get().history else Nil
+          observed match {
+            case None => (true, BreachReason.MissingData)
+            case Some(v) =>
+              StreamingAnomaly.zOf(hist, v) match {
+                case Some((_, z)) if math.abs(z) > 3.0 =>
+                  (true, BreachReason.Anomaly)
+                case _ => (false, BreachReason.None)
+              }
+          }
+      }
+      // adaptive baseline advances on OBSERVED periods only (missing
+      // periods never open a minute in anomalyStream either)
+      if (mode == AlarmMode.Adaptive) observed.foreach { v =>
+        val hist = if (baseline.exists()) baseline.get().history else Nil
+        baseline.update(BaselineState(
+          (hist :+ v).takeRight(StreamingAnomaly.BaselineLen)))
       }
       val n = cfg.evaluationPeriods
       val history = ((snap.history << 1) | (if (breach) 1L else 0L)) &

@@ -37,8 +37,32 @@ case class AnomalyState(openMinute: Long, openMax: Double,
   */
 object StreamingAnomaly {
 
-  private val BaselineLen = 30
-  private val Warmup = 10
+  private[streaming] val BaselineLen = 30
+  private[streaming] val Warmup = 10
+
+  /** The one z-score arithmetic shared by [[anomalyStream]] and the
+    * adaptive alarm mode ([[AlarmStateProcessor]]): per-value
+    * DECIMAL(18,6) quantization, exact sums, then the identical
+    * double-precision mean/variance/z tree as the batch twin. None until
+    * warmup; otherwise (mean, z) — the anomaly flag is |z| > 3 on the RAW
+    * z, before any output rounding.
+    */
+  private[streaming] def zOf(history: List[Double],
+      x: Double): Option[(Double, Double)] = {
+    val n = history.length
+    if (n < Warmup) None
+    else {
+      val decs = history.map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val s1 = decs.sum.toDouble
+      val s2 = decs.map(d => d * d).sum.toDouble
+      val mean = s1 / n
+      val variance = math.max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+      val z = if (math.sqrt(variance) > 0.0) (x - mean) / math.sqrt(variance)
+        else 0.0
+      Some((mean, z))
+    }
+  }
 
   /** (event_type, minute, mx, baseline_mean, z, is_anomaly) rows for
     * every minute closed by a later arrival on the same key.
@@ -86,24 +110,13 @@ object StreamingAnomaly {
     * expression tree.
     */
   private def score(key: String,
-      st: AnomalyState): Option[(String, Timestamp, Double, Double, Double, Boolean)] = {
-    val n = st.history.length
-    if (n < Warmup) None
-    else {
-      val decs = st.history.map(v =>
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-      val s1 = decs.sum.toDouble
-      val s2 = decs.map(d => d * d).sum.toDouble
-      val mean = s1 / n
-      val variance = math.max((s2 - s1 * s1 / n) / (n - 1), 0.0)
-      val z = if (math.sqrt(variance) > 0.0)
-        (st.openMax - mean) / math.sqrt(variance) else 0.0
-      Some((key, new Timestamp(st.openMinute), st.openMax,
+      st: AnomalyState): Option[(String, Timestamp, Double, Double, Double, Boolean)] =
+    zOf(st.history, st.openMax).map { case (mean, z) =>
+      (key, new Timestamp(st.openMinute), st.openMax,
         BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
         BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
           .toDouble,
-        math.abs(z) > 3.0))
+        math.abs(z) > 3.0)
     }
-  }
 }

@@ -76,6 +76,35 @@ object StreamingText extends Logging {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Streaming MODEL-BASED quality gate — the frozen-classifier twin of
+    * [[qualityFilterStream]]'s heuristic one and the production shape of
+    * [[graft.operators.TextPipeline.qualityClassifier]]'s scorer: the
+    * released 4096-bucket linear model rides along as a MAP LITERAL in
+    * the plan (weights are bounded by the bucket count, so the "model"
+    * is a constant, not a join side), each document scores STATELESSLY
+    * via a position-ordered fold over its hashed tokens — the exact
+    * batch arithmetic, so stream scores equal the batch scorer's on the
+    * same docs (spec-proven) — and rows below `threshold` drop before
+    * storage. No state, no watermark, no shuffle: the gate composes
+    * anywhere in an ingest plan at any volume.
+    */
+  def classifierGateStream(docs: DataFrame, weights: Map[Long, Double],
+      threshold: Double = 0.0): DataFrame = {
+    val ks = weights.keys.toArray.sorted
+    val wMap = map_from_arrays(
+      lit(ks), lit(ks.map(weights)))
+    val toks = filter(graft.functions.TextFunctions.tokens(col("text")),
+      t => length(t) > 0)
+    val score = aggregate(
+      transform(toks, t => coalesce(
+        element_at(wMap,
+          conv(substring(md5(t), 1, 3), 16, 10).cast("long")),
+        lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    docs.withColumn("score", round(score, 6))
+      .filter(col("score") > threshold)
+  }
+
   /** Attach per-micro-batch ingest telemetry to any document stream via
     * Spark's `observe` API: row / empty-text / oversize counters computed
     * INSIDE the existing stages (no extra pass, no extra sink) and

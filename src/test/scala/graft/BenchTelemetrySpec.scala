@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Volume twin of PlanAuditSpec's exchange-count gate: exchange COUNTS
+  * pin plan shape, but a keyed join that silently starts shuffling
+  * carried text keeps the count constant while bytes explode. This spec
+  * executes the queries whose scaladoc claims TEXT-FREE shuffles at
+  * sf0.001 and pins their total shuffle-write bytes — the same
+  * task-metrics counter Bench surfaces as `shuffle_bytes` per query in
+  * bench_out.json. Ceilings are ~4x the measured values (byte counts are
+  * deterministic up to partition-serialization overhead, so 4x is pure
+  * headroom): a fence removal, a text column leaking into a shuffle key
+  * frame, or a re-execution amplification trips them; sub-4x creep is
+  * caught by the per-round shuffle_bytes history in BENCH_r{N} at sf0.1.
+  */
+class BenchTelemetrySpec extends AnyFunSuite with SparkTestBase
+    with Matchers {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shuffleBytesOf(name: String): Long = {
+    val counter = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
+        val m = end.taskMetrics
+        if (m != null) counter.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      // the listener bus posts task events asynchronously — wait for the
+      // counter to quiesce before reading (Bench.stableShuffleBytes twin)
+      var prev = -1L
+      var cur = counter.get()
+      var waited = 0
+      while (cur != prev && waited < 2000) {
+        prev = cur; Thread.sleep(50); waited += 50; cur = counter.get()
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // (query, byte ceiling at sf0.001): each claims its shuffles carry
+  // doc-/node-/digest-sized rows, never corpus text
+  private val ceilings = Seq(
+    // post-fence manifest: doc-sized, text-free (CurationProgram
+    // scaladoc); measured 93 KB
+    "curation_program" -> 384L * 1024,
+    // digest equi-join: (doc_id, md5) rows only; measured 42 KB
+    "dedup_exact" -> 176L * 1024,
+    // node/edge-keyed frames; text never enters the graph; < 512 KB
+    "graph_pagerank" -> 2048L * 1024,
+    // banded signature self-join: (doc_id, band, digest) rows only;
+    // measured 468 KB
+    "dedup_minhash" -> 1872L * 1024)
+
+  ceilings.foreach { case (name, ceiling) =>
+    test(s"$name shuffles stay text-free-sized at sf0.001 (<= $ceiling B)") {
+      val bytes = shuffleBytesOf(name)
+      withClue(s"$name shuffle bytes: ") { bytes should be <= ceiling }
+    }
+  }
+}
