@@ -413,6 +413,9 @@ object PlanAudit {
     // the lm_perplexity plan (token df window + per-doc fold) + the lang
     // join + the per-lang tercile window + orderBy
     "perplexity_gate" -> 8,
+    // frozen pricing on distinct words (one corpus pass) + broadcast
+    // lookup join + per-doc agg + the budget two-level machinery
+    "token_budget_unigram" -> 9,
     // the kmv_intersect fence discipline: corpus-sized subtrees live
     // behind the two checkpoints; the exchanges move sketch-/pair-/
     // vocab-sized rows (union window, theta agg, the TWO pair-fanout +

@@ -263,6 +263,10 @@ object SparkEntry {
     "curriculum" -> ((s, d) => TextPipeline.curriculum(s, d)),
     "token_budget_sample" -> ((s, d) => TextPipeline.tokenBudgetSample(s, d)),
     "token_budget_bpe" -> ((s, d) => TextPipeline.tokenBudgetSampleBpe(s, d)),
+    // per-lang budget denominated in FROZEN-unigram tokens (the second
+    // tokenizer family's accountant)
+    "token_budget_unigram" -> ((s, d) =>
+      graft.operators.UnigramTrainer.tokenBudgetSampleUnigram(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -2291,6 +2295,22 @@ tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
   FROM documents),
 cnt AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_sym) AS BIGINT) AS n_tokens
   FROM tok t JOIN nsym e USING (word) WHERE length(t.word) > 0
+  GROUP BY t.doc_id, t.lang),
+b AS (SELECT doc_id, lang, n_tokens,
+  md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM cnt),
+c AS (SELECT lang, doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM b)
+SELECT lang, doc_id, n_tokens, start_offset
+FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    // the frozen-unigram pricing replay + the same budget running sum
+    "token_budget_unigram" ->
+      s"""WITH RECURSIVE
+${graft.operators.UnigramTrainer.frozenReplayCtes},
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+cnt AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_symbols) AS BIGINT) AS n_tokens
+  FROM tok t JOIN unsym e USING (word) WHERE length(t.word) > 0
   GROUP BY t.doc_id, t.lang),
 b AS (SELECT doc_id, lang, n_tokens,
   md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM cnt),

@@ -60,6 +60,29 @@ object UnigramTrainer {
 
   private val Sep = ''
 
+  /** The FROZEN released tokenizer — (piece, micro-log score) as trained
+    * on the sf0.001 `documents` corpus, the unigram counterpart of
+    * [[BpeTrainer.FrozenMerges]] (production budgets are denominated in a
+    * RELEASED tokenizer's tokens, not one retrained per query).
+    * Provenance is spec-pinned: UnigramTrainerSpec asserts this list
+    * equals the trainer's own released output, so it cannot drift.
+    */
+  val FrozenVocab: Seq[(String, Long)] = Seq(
+    ("a", -2938867L), ("al", -3853101L), ("as", -4546789L),
+    ("at", -3876077L), ("b", -3473013L), ("c", -3463078L),
+    ("co", -4488969L), ("d", -4544627L), ("der", -4492038L),
+    ("e", -2597483L), ("er", -4553303L), ("f", -3862883L),
+    ("g", -2927443L), ("h", -3168372L), ("i", -3875524L),
+    ("in", -3834879L), ("j", -4532818L), ("k", -3849322L),
+    ("l", -2944737L), ("lumn", -4488969L), ("m", -3870009L),
+    ("mer", -3866166L), ("o", -3865618L), ("or", -3409608L),
+    ("ow", -3451067L), ("p", -4504409L), ("par", -3839670L),
+    ("q", -4534954L), ("r", -3467114L), ("ro", -4534954L),
+    ("s", -3158332L), ("scan", -4482859L), ("st", -3466379L),
+    ("t", -2921034L), ("ta", -4568671L), ("u", -3850940L),
+    ("ue", -3833818L), ("v", -3835410L), ("wind", -4491014L),
+    ("y", -3836474L))
+
   /** The trained vocab over `documents`: one row per RELEASED piece
     * (final-E-step usage > 0) — (piece, n_chars, cnt, lp_micro), where
     * cnt is the freq-weighted usage in the final Viterbi segmentations
@@ -113,6 +136,77 @@ object UnigramTrainer {
         round(col("bpe_tokens").cast(DoubleType) / col("n_words"), 4)
           .as("bpe_tokens_per_word"))
       .orderBy("lang")
+  }
+
+  /** Distinct words priced ONCE under the frozen tokenizer — the
+    * [[BpeTrainer.bpeWordSymbols]] shape for the unigram family: one
+    * corpus pass to distinct words, the per-word Viterbi as a mapped pure
+    * function, (word, n_symbols) out for a broadcast lookup join. Words
+    * the frozen vocab cannot segment (an unseen character) produce NO
+    * row — the BPE accountants' documented inner-join contract.
+    */
+  private[graft] def unigramWordSymbols(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lp = FrozenVocab.toMap
+    corpus
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .as[String]
+      .map(w => (w, viterbi(w, lp).length.toLong))
+      .filter(_._2 > 0L)
+      .toDF("word", "n_symbols")
+  }
+
+  /** Per-language token budget denominated in FROZEN-unigram tokens —
+    * the [[TextPipeline.tokenBudgetSampleBpe]] twin for the second
+    * tokenizer family: distinct words price once, a broadcast lookup
+    * join counts each occurrence, and the shared shard-pruned two-level
+    * running sum cuts each language at `budget` released-tokenizer
+    * tokens.
+    */
+  def tokenBudgetSampleUnigram(spark: SparkSession, sfDir: String,
+      budget: Long = 2000): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir)
+    val wordSyms = unigramWordSymbols(corpus)
+    val counts = corpus
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordSyms), "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n_symbols")).as("n_tokens"))
+    TextPipeline.tokenBudgetCore(counts, budget)
+  }
+
+  /** DuckDB replay of the FROZEN tokenizer's word pricing — the frozen
+    * vocab rides as a VALUES literal generated from [[FrozenVocab]] (so
+    * oracle and constant cannot drift), segmentation is the same
+    * recursive best-path CTE, and `unsym` is the word → n_symbols lookup
+    * the accountants join. Unsegmentable words have no terminal path row
+    * and drop out — the inner-join contract.
+    */
+  private[graft] def frozenReplayCtes: String = {
+    val values = FrozenVocab
+      .map { case (p, lp) => s"('$p', ${lp}::BIGINT)" }.mkString(", ")
+    s"""fv AS MATERIALIZED (SELECT piece, lp FROM (VALUES $values) t(piece, lp)),
+uw AS MATERIALIZED (SELECT DISTINCT word FROM
+    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) > 0),
+um AS MATERIALIZED (SELECT v.word, CAST(u.i AS BIGINT) AS pos, len(l.piece) AS plen, l.piece, l.lp
+  FROM uw v, unnest(range(len(v.word))) u(i), fv l
+  WHERE substr(v.word, CAST(u.i AS INTEGER) + 1, len(l.piece)) = l.piece),
+up AS (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score, '' AS segs FROM uw
+  UNION ALL
+  SELECT p.word, p.pos + m.plen, p.score + m.lp,
+    CASE WHEN p.segs = '' THEN m.piece ELSE p.segs || chr(1) || m.piece END
+  FROM up p JOIN um m ON m.word = p.word AND m.pos = p.pos),
+ubest AS MATERIALIZED (SELECT word, segs FROM (SELECT word, segs,
+    row_number() OVER (PARTITION BY word ORDER BY score DESC, segs) AS rn
+  FROM up WHERE pos = len(word)) WHERE rn = 1),
+unsym AS MATERIALIZED (SELECT word,
+  CAST(len(string_split(segs, chr(1))) AS BIGINT) AS n_symbols FROM ubest)"""
   }
 
   /** Training result: the fenced distinct-words frame (word, freq), the

@@ -63,6 +63,32 @@ class UnigramTrainerSpec extends AnyFunSuite with SparkTestBase
     t.released.values.sum shouldBe expected
   }
 
+  test("FrozenVocab provenance: the sf0.001 trainer reproduces it exactly") {
+    val t = UnigramTrainer.trainOn(spark,
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val trained = t.released.keys.toSeq.sorted
+      .map(p => (p, t.lpFinal(p)))
+    trained shouldBe UnigramTrainer.FrozenVocab
+  }
+
+  test("frozen pricing covers every sf0.001 word; budget rows obey the cut") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val syms = UnigramTrainer.unigramWordSymbols(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val words = corpus
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.length($"w") > 0)
+      .distinct().as[String].collect()
+    words.foreach(w => syms.keySet should contain(w))
+    val out = UnigramTrainer
+      .tokenBudgetSampleUnigram(spark, "/root/testdata/sf0.001", 500L)
+      .collect()
+    out.foreach(_.getAs[Long]("start_offset") should be < 500L)
+  }
+
   test("unigram_vocab and unigram_coverage shapes on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val vocab = UnigramTrainer.unigramVocab(spark, sf).collect()
