@@ -16,6 +16,17 @@ import graft.sources.Tables
   *  - a failed query reports `"err"`, not a ~0s timing that improves totals;
   *  - the JSON line is also written to bench_out.json so the driver never
   *    has to fish it out of sbt log noise.
+  *
+  * Reading regressions: trust the exchange count and shuffle_bytes
+  * columns before the seconds. Case study (round 8→9):
+  * hc_alarm_m_of_n/hc_alarm_transitions reported 1.76 s/1.48 s in
+  * BENCH_r08 vs 0.94 s/0.93 s in r07; a re-run of the identical code
+  * measured 1.12 s/1.07 s with exchange counts AND shuffle bytes
+  * byte-identical to r08 — a 40% wall swing with zero plan or volume
+  * change is the local[32] noise floor for ~1 s queries, not a
+  * regression. Sub-second-scale deltas with unchanged telemetry are
+  * measurement artifacts; only chase seconds when a telemetry column
+  * moved too.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,6 +90,26 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
 
+    // Warm the shared graph edge artifacts EXPLICITLY and report the
+    // build as its own line item: the exchange pre-pass below constructs
+    // each query's DataFrame before its timed runs, which for graph
+    // queries would otherwise build the checkpointed edge leaves during
+    // the UNTIMED planning phase — the build's seconds and shuffle bytes
+    // would be charged to nobody (and per-round comparisons against
+    // pre-cache rounds would flatter the graph queries).
+    val graphBuild = {
+      val b0 = stableShuffleBytes()
+      val t0 = System.nanoTime()
+      val err =
+        try { graft.operators.Graph.warmSharedEdges(spark, sfDir); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      ("graph_edge_build", secs, err, None: Option[Int],
+        stableShuffleBytes() - b0)
+    }
+
     // Three measured runs per query, keep the MEDIAN, with a GC quiesce
     // before each run: local[32] timings carry multi-second scheduler/GC/JIT
     // noise across a 56-query JVM, and round 3's min-of-2 still let one
@@ -107,10 +138,13 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      // shuffle-bytes delta across the FIRST measured run (the counter is
-      // stable here: the previous query's reading already quiesced the
-      // bus). The wait happens OUTSIDE the timed section.
-      val bytesBefore = shuffleBytes.get()
+      // shuffle-bytes delta across the FIRST measured run. The baseline
+      // read QUIESCES first: the exchange pre-pass above runs real Spark
+      // jobs for eager-building queries (unigram training, curation
+      // checkpoints), and their async task-end stragglers would
+      // otherwise land inside this query's delta. Both waits happen
+      // OUTSIDE the timed section.
+      val bytesBefore = stableShuffleBytes()
       val (s1, e1) = once()
       val shufB = stableShuffleBytes() - bytesBefore
       if (e1.isDefined) (name, s1, e1, exch, shufB)
@@ -125,14 +159,15 @@ object Bench {
         (name, clean(clean.size / 2), e2.orElse(e3), exch, shufB)
       }
     }
-    val qs = results.map {
+    val qs = (graphBuild +: results).map {
       case (k, v, None, Some(x), b) =>
         s""""$k":{"s":$v,"exchanges":$x,"shuffle_bytes":$b}"""
       case (k, v, None, None, b) => s""""$k":{"s":$v,"shuffle_bytes":$b}"""
       case (k, _, Some(e), _, _) => s""""$k":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _, _) => v }.sum
-    val nErr = results.count(_._3.isDefined)
+    val total = (graphBuild +: results)
+      .collect { case (_, v, None, _, _) => v }.sum
+    val nErr = (graphBuild +: results).count(_._3.isDefined)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -206,6 +206,8 @@ object PlanAudit {
     "asof_join" -> 2, "bpe_merges" -> 1, "corpus_stats" -> 2,
     "dedup_incremental" -> 8, "except_users" -> 3,
     "hc_alarm_m_of_n" -> 5, "hc_alarm_transitions" -> 5,
+    // + the baseline window pass over the observed-minute maxes
+    "hc_alarm_adaptive" -> 6,
     "hc_arn_parse" -> 1, "hc_decode_extract" -> 1, "hc_first_record" -> 2,
     "hc_gap_detect" -> 4, "hc_latency_arrival" -> 2,
     "hc_latency_event_time" -> 2, "hc_metric_projection" -> 1,
@@ -385,6 +387,9 @@ object PlanAudit {
     // aggs over the fenced manifest (2 exchanges each: partial+final over
     // a 163-row frame) + the 9-row union orderBy
     "curation_cols" -> 24,
+    // isolation probe (temporary, round-9): two columns off the fenced
+    // manifest + orderBy
+    "curation_q_probe" -> 6,
     // training runs eagerly inside the query builder (fenced words leaf,
     // piece-table-sized round jobs); the RETURNED plan is a driver-local
     // vocab toDF + orderBy
@@ -397,6 +402,13 @@ object PlanAudit {
     // rides a leaf partitioning on the join side) and two 1-row max
     // normalizer aggs; + the init distinct and the final union orderBy
     "graph_hits" -> 20,
+    // CC runs eagerly in the builder (checkpointed rounds); the RETURNED
+    // plan is the final label leaf + component-size window + orderBy,
+    // plus the thresholded pair-agg chain feeding the first round
+    "graph_components" -> 6,
+    // the d×w sketch agg runs eagerly (bounded collect); the returned
+    // plan is scan + map-side prefilter + candidate agg + orderBy
+    "heavy_hitters_cms" -> 4,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two
@@ -416,6 +428,9 @@ object PlanAudit {
     // frozen pricing on distinct words (one corpus pass) + broadcast
     // lookup join + per-doc agg + the budget two-level machinery
     "token_budget_unigram" -> 9,
+    // two distinct-word passes (one per family) + a 1-row agg each +
+    // the 2-row union orderBy
+    "tokenizer_roundtrip" -> 8,
     // the kmv_intersect fence discipline: corpus-sized subtrees live
     // behind the two checkpoints; the exchanges move sketch-/pair-/
     // vocab-sized rows (union window, theta agg, the TWO pair-fanout +

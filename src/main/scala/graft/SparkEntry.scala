@@ -47,6 +47,13 @@ object SparkEntry {
     "hc_alarm_m_of_n" -> ((s, d) =>
       HealthCheckBatch.alarmTransitions(s, d, SyntheticCfg.copy(
         evaluationPeriods = 3, datapointsToAlarm = 2))),
+    // AlarmMode.Adaptive's oracle-checked batch twin: the rolling
+    // z-score breach (metric_anomaly arithmetic) through the same 2-of-3
+    // M-of-N machine; spec-pinned equal to the streaming Adaptive
+    // processor on an ordered replay (AdaptiveAlarmSpec)
+    "hc_alarm_adaptive" -> ((s, d) =>
+      HealthCheckBatch.alarmTransitionsAdaptive(s, d, SyntheticCfg.copy(
+        evaluationPeriods = 3, datapointsToAlarm = 2))),
     // Relational coverage
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -125,6 +132,9 @@ object SparkEntry {
     "graph_lpa" -> ((s, d) => graft.operators.Graph.labelPropagation(s, d)),
     // HITS hubs/authorities on the directed bipartite purchase graph
     "graph_hits" -> ((s, d) => graft.operators.Graph.hits(s, d)),
+    // weakly-connected components over the thresholded (strong) purchase
+    // graph — the dedup CC machinery on the relational graph
+    "graph_components" -> ((s, d) => graft.operators.Graph.components(s, d)),
     // LLM-data-pipeline: text analysis over `documents`
     "text_stats" -> ((s, d) => TextPipeline.textStats(s, d)),
     "text_quality" -> ((s, d) => TextPipeline.textQuality(s, d)),
@@ -210,6 +220,10 @@ object SparkEntry {
     "hll_union" -> ((s, d) => graft.operators.Sketches.hllUnion(s, d)),
     // count-min frequency sketch calibrated against the exact top-20
     "cms_freq" -> ((s, d) => graft.operators.Sketches.cmsFreq(s, d)),
+    // heavy hitters via the CMS prefilter + exact confirm (answer ==
+    // the plain threshold filter; the sketch only shapes the plan)
+    "heavy_hitters_cms" -> ((s, d) =>
+      graft.operators.Sketches.heavyHittersCms(s, d)),
     // bottom-k (KMV/theta) distinct sketch; the uniform-sample-of-the-
     // distinct-set property also buys pairwise intersections below
     "kmv_distinct" -> ((s, d) => graft.operators.Sketches.kmvDistinct(s, d)),
@@ -241,14 +255,20 @@ object SparkEntry {
     // divergence localizer: one in-engine md5 per curation_program column
     // (values digested in doc_id order INSIDE each engine, so a driver
     // hash mismatch on the main query names its divergent column here)
-    "curation_cols" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, floor}
+    "curation_cols" -> ((s, d) =>
       graft.operators.ColumnDigest.digests(
         graft.operators.CurationProgram.curationProgram(s, d), "doc_id",
-        Seq("doc_id", "source", "lang", "n_tokens", "quality", "cap_rk",
-          "start_offset", "bucket", "split"),
-        Map("quality" ->
-          floor(col("quality") * 10000d + 0.5d).cast("long").cast("string")))
+        Seq("doc_id", "source", "lang", "n_tokens", "quality_q4", "cap_rk",
+          "start_offset", "bucket", "split"))),
+    // the probe's Spark side: the quantized quality double alone —
+    // LONG/10000d, the identical IEEE division of the identical integer
+    // the oracle performs (BIGINT/10000 is float division in DuckDB)
+    "curation_q_probe" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.CurationProgram.curationProgram(s, d)
+        .select(col("doc_id"),
+          (col("quality_q4") / 10000d).as("quality"))
+        .orderBy("doc_id")
     }),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
@@ -267,6 +287,10 @@ object SparkEntry {
     // tokenizer family's accountant)
     "token_budget_unigram" -> ((s, d) =>
       graft.operators.UnigramTrainer.tokenBudgetSampleUnigram(s, d)),
+    // decode(encode(w)) == w audit over BOTH frozen tokenizer families:
+    // priced/roundtrip/unsegmentable counts + the remainder named
+    "tokenizer_roundtrip" -> ((s, d) =>
+      graft.operators.TokenizerAudit.tokenizerRoundtrip(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -608,6 +632,45 @@ GROUP BY 1 ORDER BY eval_doc_id"""
         |        CASE WHEN m.max_value IS NULL THEN 'missing_data'
         |             WHEN m.max_value > 150.0 THEN 'threshold' ELSE 'none' END AS reason
         |      FROM g LEFT JOIN m ON g.event_type = m.event_type AND g.minute = m.minute),
+        |s AS (SELECT *, CASE WHEN
+        |        sum(breach) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |        >= least(2, count(*) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |        THEN 'ALARM' ELSE 'OK' END AS state FROM e),
+        |t AS (SELECT *, lag(state) OVER (PARTITION BY event_type ORDER BY minute) AS prev_state FROM s)
+        |SELECT event_type, minute, state, reason, max_value FROM t
+        |WHERE prev_state IS NULL OR prev_state <> state
+        |ORDER BY event_type, minute""".stripMargin,
+    // the adaptive alarm replay: rolling baseline over OBSERVED minutes
+    // only (the window runs over m BEFORE the grid join — the stream's
+    // BaselineState advances only on observed periods), DECIMAL-exact
+    // sums, the metric_anomaly z tree, warmup n < 10 never breaches on
+    // value, missing data always breaches, then the 2-of-3 machine
+    "hc_alarm_adaptive" ->
+      """WITH b AS (SELECT event_type, date_trunc('minute', min(ts)) AS mn,
+        |                  date_trunc('minute', max(ts)) AS mx
+        |           FROM events GROUP BY event_type),
+        |g AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM b),
+        |m AS (SELECT event_type, date_trunc('minute', ts) AS minute, max(value) AS max_value
+        |      FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, minute, max_value,
+        |  sum(CAST(max_value AS DECIMAL(18,6))) OVER fr AS s1,
+        |  sum(CAST(max_value AS DECIMAL(18,6)) * CAST(max_value AS DECIMAL(18,6))) OVER fr AS s2,
+        |  count(*) OVER fr AS n FROM m
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, minute, max_value,
+        |  CASE WHEN n >= 10 THEN
+        |    CASE WHEN sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 0.0)) > 0.0
+        |      THEN (max_value - CAST(s1 AS DOUBLE) / n)
+        |        / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 0.0))
+        |      ELSE 0.0 END
+        |  END AS z FROM w),
+        |e AS (SELECT g.event_type, g.minute, z.max_value,
+        |        CASE WHEN z.max_value IS NULL THEN 1
+        |             WHEN abs(z.z) > 3.0 THEN 1 ELSE 0 END AS breach,
+        |        CASE WHEN z.max_value IS NULL THEN 'missing_data'
+        |             WHEN abs(z.z) > 3.0 THEN 'anomaly' ELSE 'none' END AS reason
+        |      FROM g LEFT JOIN z ON g.event_type = z.event_type AND g.minute = z.minute),
         |s AS (SELECT *, CASE WHEN
         |        sum(breach) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |        >= least(2, count(*) OVER (PARTITION BY event_type ORDER BY minute ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
@@ -1459,6 +1522,7 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "graph_ppr" -> graft.operators.Graph.pprOracleSql,
     "graph_lpa" -> graft.operators.Graph.lpaOracleSql,
     "graph_hits" -> graft.operators.Graph.hitsOracleSql,
+    "graph_components" -> graft.operators.Graph.componentsOracleSql,
     // generated unrolled replays of the unigram-LM trainer (recursive
     // path CTEs re-derive each round's Viterbi E-step independently)
     "unigram_vocab" ->
@@ -1858,6 +1922,10 @@ FROM e WHERE cum >= p * total AND cum - cnt < p * total ORDER BY p""",
 SELECT lang, CAST(present AS BIGINT) AS n_registers,
   round(est, 4) AS hll_distinct
 FROM est ORDER BY lang""",
+    // the CMS prefilter is answer-neutral (one-sided error): the oracle
+    // is the PLAIN threshold filter, re-proving neutrality per run
+    "heavy_hitters_cms" ->
+      graft.operators.Sketches.heavyHittersCmsOracleSql,
     // count-min replayed cell-for-cell: row-seeded md5 ("i:" prefix),
     // first 3 hex chars mod 512 as the counter index, min over the 4
     // rows as the estimate for the exact-top-20 calibration tokens
@@ -2097,17 +2165,31 @@ ORDER BY est.lang_a, est.lang_b""",
 SELECT doc_id, span_start, span_end, span_end - span_start AS span_len
 FROM sp ORDER BY doc_id, span_start""",
     // the whole curation chain replayed stage-for-stage, split buckets
-    // from the split_train nibble arithmetic
+    // from the split_train nibble arithmetic; quality leaves as the
+    // scaled BIGINT quality_q4 — an all-integer/string surface (the
+    // round-8 driver red survived even the quantized DOUBLE, while the
+    // same scaled integer was digest-green in curation_cols)
     "curation_program" ->
       s"""WITH $curationCtes,
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
       * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
 SELECT doc_id, source, lang, n_tokens,
-  floor(quality * 10000 + 0.5) / 10000 AS quality, cap_rk, start_offset, bucket,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
+    // isolation probe (round-9 adjudication): the quantized quality
+    // DOUBLE alone next to doc_id. If curation_program (all-integer) is
+    // green and THIS row is red, the driver's double handling for this
+    // value set is proven broken; if both are green, the round-8 red was
+    // a surface interaction. Either way the finding becomes a written
+    // rule in the verify skill, then this probe is deleted.
+    "curation_q_probe" ->
+      s"""WITH $curationCtes
+SELECT doc_id, CAST(floor(quality * 10000 + 0.5) AS BIGINT) / 10000 AS quality
+FROM f ORDER BY doc_id""",
     // per-column in-engine digests of the exact curation_program output
     // (doubles rendered as scaled BIGINT; identical rendering in
     // ColumnDigest.digests on the Spark side)
@@ -2117,7 +2199,9 @@ FROM sp ORDER BY doc_id""",
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
       * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
-SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset, bucket,
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp""",
@@ -2129,7 +2213,7 @@ FROM sp""",
           ("source", "source"),
           ("lang", "lang"),
           ("n_tokens", "CAST(n_tokens AS VARCHAR)"),
-          ("quality", "CAST(CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS VARCHAR)"),
+          ("quality_q4", "CAST(quality_q4 AS VARCHAR)"),
           ("cap_rk", "CAST(cap_rk AS VARCHAR)"),
           ("start_offset", "CAST(start_offset AS VARCHAR)"),
           ("bucket", "CAST(bucket AS VARCHAR)"),
@@ -2319,6 +2403,31 @@ c AS (SELECT lang, doc_id, n_tokens,
   FROM b)
 SELECT lang, doc_id, n_tokens, start_offset
 FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
+    // both frozen tokenizers replayed over distinct words: BPE recon =
+    // the <sym> wrapping stripped; unigram recon = the chr(1)-joined
+    // best path re-concatenated; unsegmentable = uw rows ubest lacks
+    "tokenizer_roundtrip" ->
+      s"""WITH RECURSIVE
+${graft.operators.UnigramTrainer.frozenReplayCtes},
+$bpeReplayCtes,
+brt AS (SELECT word, CASE WHEN replace(replace(s, '<', ''), '>', '') = word
+    THEN 1 ELSE 0 END AS ok FROM enc),
+urt AS (SELECT u.word,
+    CASE WHEN b.segs IS NOT NULL THEN 1 ELSE 0 END AS priced,
+    CASE WHEN b.segs IS NOT NULL AND replace(b.segs, chr(1), '') = u.word
+      THEN 1 ELSE 0 END AS ok
+  FROM uw u LEFT JOIN ubest b USING (word))
+SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_priced,
+  CAST(sum(ok) AS BIGINT) AS n_roundtrip,
+  CAST(0 AS BIGINT) AS n_unsegmentable, '' AS first_unsegmentable
+FROM brt
+UNION ALL
+SELECT 'unigram', CAST(count(*) AS BIGINT), CAST(sum(priced) AS BIGINT),
+  CAST(sum(ok) AS BIGINT), CAST(count(*) - sum(priced) AS BIGINT),
+  coalesce(min(CASE WHEN priced = 0 THEN word END), '')
+FROM urt
+ORDER BY tokenizer""",
     "emb_quantize" ->
       """WITH a AS (SELECT vec_id,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -84,14 +84,17 @@ object CurationProgram {
     val st = run(corpus, minQuality, k, budget)
     val bucket = TextPipeline.hashBucket("split:")
     st.budgeted
-      // quality leaves as a floor-quantized DOUBLE (the q2_min_cost
-      // recipe, Relational.scala): the stage rules run on the rounded
-      // double, and floor(x*10^4+0.5)/10^4 is the same IEEE op sequence
-      // on both engines — a DECIMAL output column proved hash-fragile on
-      // the driver surface (its reader normalizes decimals differently
-      // from floats) while every DOUBLE-surfaced query is green
+      // quality leaves SCALED: quality_q4 = floor(quality·10⁴ + 0.5) as
+      // BIGINT (consumers rescale by 10⁻⁴). The stage rules still run on
+      // the rounded double; only the OUTPUT is integer. History: a
+      // DECIMAL column was driver-hash-red for rounds 5-7, and the
+      // quantized-DOUBLE replacement stayed red in round 8 even though
+      // per-column in-engine digests (curation_cols) — including this
+      // very scaled integer — were green in the driver's own run. The
+      // driver's normalization of non-integer columns on THIS surface is
+      // the proven variable, so the manifest now carries no float at all.
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
-        (floor(col("quality") * 10000d + 0.5d) / 10000d).as("quality"),
+        floor(col("quality") * 10000d + 0.5d).cast("long").as("quality_q4"),
         col("cap_rk"), col("start_offset"),
         bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")

@@ -64,11 +64,33 @@ object Graph {
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), EdgeArtifacts]
 
+  /** Cache access is a single lock: (a) entries from DEAD applications
+    * are evicted on every lookup, so a long-lived JVM cycling Spark apps
+    * doesn't pin stale checkpointed frames (whose executor blocks are
+    * gone anyway when built via localCheckpoint) for its lifetime; (b)
+    * concurrent FIRST builds serialize, because [[buildEdgeArtifacts]]
+    * toggles the session-global AQE conf around checkpoint capture — two
+    * racing builds could otherwise observe (or restore) each other's
+    * toggle. Post-build lookups are a fast map hit under an uncontended
+    * lock.
+    */
   private def sharedEdges(spark: SparkSession,
-      sfDir: String): EdgeArtifacts =
+      sfDir: String): EdgeArtifacts = artifactCache.synchronized {
+    val appId = spark.sparkContext.applicationId
+    artifactCache.keySet.removeIf(_._1 != appId)
     artifactCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, sfDir),
-      _ => buildEdgeArtifacts(spark, sfDir))
+      (appId, sfDir), _ => buildEdgeArtifacts(spark, sfDir))
+  }
+
+  /** Build the shared edge leaves NOW (a no-op when already cached) —
+    * the explicit warm hook for harnesses that must keep the build out
+    * of (or charge it to) a specific measurement window; `graft.Bench`
+    * warms and reports it as its own line item.
+    */
+  def warmSharedEdges(spark: SparkSession, sfDir: String): Unit = {
+    sharedEdges(spark, sfDir)
+    ()
+  }
 
   /** Build the checkpointed graph leaves — every iteration of every graph
     * query re-reads them, and a checkpoint (reliable when a dir is
@@ -374,6 +396,66 @@ UNION ALL
 SELECT node, 'authority' AS kind, a AS score FROM a$HitsIters
 ORDER BY node"""
   }
+
+  /** Minimum (customer, supplier) co-occurrence count for an edge of the
+    * STRONG purchase graph ([[components]]) — the unthresholded graph is
+    * one giant component at every SF (every analysis would return one
+    * row); thresholding on relationship strength is the standard
+    * community-extraction move and fragments the graph into real
+    * components at the driver's SF.
+    */
+  private[graft] val MinPairOrders = 4L
+
+  /** Weakly-connected components over the strong purchase graph: nodes
+    * are `c<custkey>` / `s<suppkey>`, edges are (customer, supplier)
+    * pairs with >= [[MinPairOrders]] lineitem co-occurrences in
+    * orders⨝lineitem. Labels via [[TextPipeline.connectedComponents]]'
+    * pointer-jumping loop (min-label propagation, checkpointed rounds,
+    * convergence-detected) — the same machinery the dedup cluster
+    * operators run, applied to the relational graph.
+    *
+    * Scale shape: the edge build is a keyed join + agg (never a cross
+    * product); each CC round is a node-keyed join + min-agg on
+    * checkpointed, graph-sized leaves; rounds are O(log diameter). The
+    * DuckDB oracle replays via a recursive transitive closure + min —
+    * tractable because the thresholded graph's Σ component² is small.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinPairOrders)
+      .select(col("cnode").as("doc_a"), col("snode").as("doc_b"))
+    TextPipeline.connectedComponents(pairs)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component_id"),
+        col("cluster_size").as("component_size"))
+      .orderBy("node")
+  }
+
+  /** The DuckDB replay of [[components]]: recursive reachability + min
+    * label (the emb_clusters oracle pattern on the relational graph).
+    */
+  private[graft] def componentsOracleSql: String =
+    s"""WITH RECURSIVE
+po AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
+    's' || CAST(l_suppkey AS VARCHAR) AS snode, count(*) AS n
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= $MinPairOrders),
+edges AS (SELECT cnode AS src, snode AS dst FROM po
+  UNION ALL SELECT snode, cnode FROM po),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+lab AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+SELECT node, component_id,
+  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+FROM lab ORDER BY node"""
 
   /** The unrolled DuckDB replay of [[pagerankPersonalized]]. */
   private[graft] def pprOracleSql: String = {

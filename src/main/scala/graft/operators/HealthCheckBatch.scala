@@ -251,4 +251,91 @@ object HealthCheckBatch {
         col("max_value"))
       .orderBy("event_type", "minute")
   }
+
+  /** O2 batch twin for [[graft.model.AlarmMode.Adaptive]] — the alarm
+    * state machine with the rolling-baseline z-score breach instead of
+    * the fixed threshold, replaying exactly what
+    * [[graft.streaming.AlarmStateProcessor]] computes in Adaptive mode
+    * (AdaptiveAlarmSpec pins the equivalence on an ordered replay):
+    *
+    *  - the baseline for an observed period is the trailing <= 30 CLOSED
+    *    OBSERVED period maxes (missing periods never advance the
+    *    baseline, mirroring the stream where only observed periods touch
+    *    BaselineState) — so the rolling window runs over the per-minute
+    *    max frame BEFORE the grid join, `rowsBetween(-30, -1)`;
+    *  - the z arithmetic is [[DataQuality.metricAnomalyFrom]]'s /
+    *    StreamingAnomaly.zOf's shared tree: per-value DECIMAL(18,6)
+    *    quantization, exact window sums, then the identical
+    *    double-precision mean/variance/z — warmup (baseline < 10) never
+    *    breaches on value;
+    *  - missing data still breaches (TreatMissingData.BREACHING parity);
+    *  - the SAME M-of-N machine and transition filter as
+    *    [[alarmTransitions]].
+    *
+    * Scale shape: one per-key calendar-sized window pass over the minute
+    * maxes (the metric_anomaly frame), the grid left join, and two keyed
+    * window passes — all partitioned by event_type; nothing collects.
+    */
+  def alarmTransitionsAdaptive(spark: SparkSession, sfDir: String,
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame =
+    alarmTransitionsAdaptiveFrom(Tables.events(spark, sfDir), cfg)
+
+  /** [[alarmTransitionsAdaptive]] over any frame with the events schema
+    * (event_type, ts, value) — the AdaptiveAlarmSpec replay surface.
+    */
+  def alarmTransitionsAdaptiveFrom(events: DataFrame,
+      cfg: HealthCheckConfig = HealthCheckConfig()): DataFrame = {
+    val grid = tickGrid(events, cfg)
+    val dec = DecimalType(18, 6)
+    val perMinute = events
+      .groupBy(col("event_type"),
+        periodStart(col("ts"), cfg.periodMinutes).as("minute"))
+      .agg(max("value").as("max_value"))
+    val wBase = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(-30, -1)
+    val mxDec = col("max_value").cast(dec)
+    // raw z per OBSERVED period (null until the 10-period warmup)
+    val scored = perMinute
+      .withColumn("s1", sum(mxDec).over(wBase))
+      .withColumn("s2", sum(mxDec * mxDec).over(wBase))
+      .withColumn("n", count(lit(1)).over(wBase))
+      .withColumn("mean",
+        when(col("n") >= 10, col("s1").cast(DoubleType) / col("n")))
+      .withColumn("variance",
+        when(col("n") >= 10,
+          greatest((col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) /
+              col("n")) / (col("n") - 1), lit(0.0))))
+      .withColumn("z",
+        when(col("n") >= 10,
+          when(sqrt(col("variance")) > 0.0,
+            (col("max_value") - col("mean")) / sqrt(col("variance")))
+            .otherwise(lit(0.0))))
+      .select(col("event_type"), col("minute"), col("max_value"), col("z"))
+    val breached = grid.join(scored, Seq("event_type", "minute"), "left")
+      .select(
+        col("event_type"), col("minute"), col("max_value"),
+        // chained when (not a boolean OR): a warmup period has z = null
+        // and must contribute breach = 0, not null, to the M-of-N sum
+        when(col("max_value").isNull, lit(1))
+          .when(abs(col("z")) > 3.0, lit(1))
+          .otherwise(lit(0)).as("breach"),
+        when(col("max_value").isNull, lit("missing_data"))
+          .when(abs(col("z")) > 3.0, lit("anomaly"))
+          .otherwise(lit("none")).as("reason"))
+    val mofn = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(-(cfg.evaluationPeriods - 1), Window.currentRow)
+    val evaluated = breached
+      .withColumn("state",
+        when(sum("breach").over(mofn) >=
+          least(lit(cfg.datapointsToAlarm), count(lit(1)).over(mofn)),
+          lit("ALARM")).otherwise(lit("OK")))
+    val w = Window.partitionBy("event_type").orderBy("minute")
+    evaluated
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .select(col("event_type"), col("minute"), col("state"), col("reason"),
+        col("max_value"))
+      .orderBy("event_type", "minute")
+  }
 }

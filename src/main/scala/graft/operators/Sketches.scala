@@ -271,6 +271,75 @@ object Sketches {
       .orderBy("token")
   }
 
+  /** Heavy hitters via CMS PREFILTER + exact confirm — the scale-path
+    * twin of [[TextPipeline.heavyHitters]] (which shuffles the full
+    * per-token count table): here the d×w sketch (2048 counters,
+    * bounded) is collected once and shipped back as a PLAN LITERAL map
+    * (the classifierGateStream discipline), each token occurrence is
+    * prefiltered map-side by its CMS estimate — min over its d counter
+    * lookups — and only SURVIVING occurrences shuffle into the exact
+    * count, whose filter then kills the false positives. CMS error is
+    * one-sided (estimate >= true count, spec-pinned on cms_freq), so a
+    * true heavy hitter always survives the prefilter — the answer is
+    * EXACTLY the plain `count >= ceil(phi·N)` filter, which is what the
+    * oracle runs (the decontaminate_bloom answer-neutrality pattern).
+    *
+    * Why it matters at 100 TB: a web-scale vocabulary makes even the
+    * map-side partial agg's hash state (distinct tokens × partitions)
+    * the bottleneck; the prefilter bounds BOTH shuffle volume and agg
+    * state to candidate tokens, at the cost of one d×w-row sketch agg.
+    */
+  def heavyHittersCms(spark: SparkSession, sfDir: String,
+      phi: Double = 0.01): DataFrame =
+    heavyHittersCmsFrom(docs(spark, sfDir), phi)
+
+  def heavyHittersCmsFrom(corpus: DataFrame, phi: Double = 0.01)
+      : DataFrame = {
+    val tok = corpus
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    // the bounded driver fetch: d×w = 2048 counter cells
+    val cells = cmsSketchCellsFrom(corpus)
+      .collect()
+      .map(r => (r.getInt(0).toLong * CmsWidth + r.getLong(1),
+        r.getLong(2)))
+    // total occurrences = the row-0 counters' sum (no extra corpus pass)
+    val total = cells.collect {
+      case (k, cnt) if k < CmsWidth => cnt
+    }.sum
+    val threshold = math.ceil(phi * total).toLong
+    val est =
+      if (cells.isEmpty) lit(0L)
+      else {
+        val ks = cells.map(_._1).sorted
+        val m = cells.toMap
+        val cmsMap = map_from_arrays(lit(ks), lit(ks.map(m)))
+        least((0 until CmsDepth).map(i =>
+          coalesce(element_at(cmsMap, lit(i.toLong * CmsWidth) + cmsCol(i)),
+            lit(0L))): _*)
+      }
+    tok
+      .filter(est >= threshold) // map-side: no shuffle for cold tokens
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= threshold) // exact confirm
+      .orderBy("token")
+  }
+
+  /** The DuckDB replay of [[heavyHittersCms]] — the PLAIN exact filter:
+    * the CMS prefilter is answer-neutral by the one-sided-error
+    * argument, so the oracle deliberately omits it (every run re-proves
+    * neutrality, the decontaminate_bloom / salted_auto discipline).
+    */
+  private[graft] def heavyHittersCmsOracleSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tt AS (SELECT token FROM t WHERE len(token) > 0),
+th AS (SELECT CAST(ceil(0.01 * count(*)) AS BIGINT) AS thr FROM tt),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tt GROUP BY token)
+SELECT token, n_occurrences FROM c, th
+WHERE n_occurrences >= thr ORDER BY token"""
+
   // ------------------------------------------------------- AMS / F2 --
 
   private val AmsRows = 4 // independent sign-sketch rows (median-of-rows)

@@ -1503,9 +1503,21 @@ FROM agg, tot ORDER BY n_bands DESC"""
     // sum() over an EMPTY label table (clean corpus — no near-dup pairs) is
     // SQL null: treat it as converged-at-zero-nodes instead of letting
     // BigDecimal(null) throw.
+    // STRING node ids (graph_components' "c<k>"/"s<k>") can't ride the
+    // decimal sum: their detector is the sum of xxhash64(label) instead —
+    // pure change detection (a fixpoint leaves the multiset of labels,
+    // hence the hash sum, unchanged; a non-fixpoint round colliding to
+    // the same sum has probability ~2^-64). Numeric labels keep the
+    // original strictly-decreasing decimal sum untouched.
+    val numericLabels = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(): Option[BigDecimal] =
-      Option(labels.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)).map(BigDecimal(_))
+      if (numericLabels)
+        Option(labels.agg(sum(col("label").cast(DecimalType(38, 0))))
+          .collect()(0).getDecimal(0)).map(BigDecimal(_))
+      else
+        Option(labels.agg(sum(xxhash64(col("label")).cast(DecimalType(38, 0))))
+          .collect()(0).getDecimal(0)).map(BigDecimal(_))
     var prevSum: Option[BigDecimal] = Some(BigDecimal(-1))
     var converged = false
     var it = 0

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** Cross-family tokenizer audits — the invariants the token accountants
+  * ([[BpeTrainer.bpeTokenCount]] pricing joins,
+  * [[UnigramTrainer.tokenBudgetSampleUnigram]]) silently rely on, turned
+  * into measured driver rows.
+  */
+object TokenizerAudit {
+
+  /** Round-trip audit over BOTH frozen tokenizers: per family, over the
+    * corpus's distinct words, how many words get a segmentation at all
+    * (`n_priced` — the accountants' inner-join contract), how many
+    * segmentations concatenate back to the word exactly
+    * (`n_roundtrip` — decode(encode(w)) == w, the lossless invariant),
+    * and the unsegmentable remainder counted and named
+    * (`first_unsegmentable`, '' when none).
+    *
+    *  - BPE ([[BpeTrainer.FrozenMerges]]) starts from characters and
+    *    only ever merges, so every word is priced and losslessness is
+    *    structural — this row MEASURES it (n_priced = n_roundtrip =
+    *    n_words) rather than assuming it.
+    *  - Unigram ([[UnigramTrainer.FrozenVocab]]) drops words containing
+    *    characters outside the released vocab's alphabet — the
+    *    documented no-row contract; the remainder is what this audit
+    *    surfaces.
+    *
+    * Scale shape: one corpus pass to distinct words per family (the
+    * bpeWordSymbols / unigramWordSymbols shape), per-word pure-function
+    * encoding, then a single 1-row aggregate each — the only collected
+    * value is `first_unsegmentable`, a bounded `min`.
+    */
+  def tokenizerRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    val bpe = BpeTrainer.bpeWordSymbols(corpus, BpeTrainer.FrozenMerges)
+      .agg(count(lit(1)).as("n_words"),
+        count(lit(1)).as("n_priced"),
+        sum((array_join(col("syms"), "") === col("word")).cast("long"))
+          .as("n_roundtrip"))
+      .select(lit("bpe").as("tokenizer"), col("n_words"), col("n_priced"),
+        col("n_roundtrip"), lit(0L).as("n_unsegmentable"),
+        lit("").as("first_unsegmentable"))
+    val lp = UnigramTrainer.FrozenVocab.toMap
+    val uni = corpus
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .as[String]
+      .map { w =>
+        val seg = UnigramTrainer.viterbi(w, lp)
+        (w, seg.nonEmpty, seg.nonEmpty && seg.mkString("") == w)
+      }
+      .toDF("word", "priced", "ok")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("priced").cast("long")).as("n_priced"),
+        sum(col("ok").cast("long")).as("n_roundtrip"),
+        sum((!col("priced")).cast("long")).as("n_unsegmentable"),
+        coalesce(min(when(!col("priced"), col("word"))), lit(""))
+          .as("first_unsegmentable"))
+      .select(lit("unigram").as("tokenizer"), col("n_words"),
+        col("n_priced"), col("n_roundtrip"), col("n_unsegmentable"),
+        col("first_unsegmentable"))
+    bpe.unionByName(uni).orderBy("tokenizer")
+  }
+}

@@ -47,16 +47,16 @@ object UnigramTrainer {
   /** Longest candidate piece (SentencePiece's max_sentencepiece_length
     * idea, small here because the synthetic corpus words are short).
     */
-  val MaxPieceLen = 4
+  val MaxPieceLen = 6
 
   /** Multi-character seed pieces kept from the substring census. */
-  val SeedMultiPieces = 48
+  val SeedMultiPieces = 128
 
   /** Fixed EM+prune rounds — fixed so the oracle unrolls statically
     * (the [[Graph.pagerankOracleSql]] / [[BpeTrainer.bpeOracleSql]]
     * discipline for iterative algorithms).
     */
-  val EmRounds = 2
+  val EmRounds = 4
 
   private val Sep = ''
 
@@ -68,25 +68,31 @@ object UnigramTrainer {
     * equals the trainer's own released output, so it cannot drift.
     */
   val FrozenVocab: Seq[(String, Long)] = Seq(
-    ("a", -2938867L), ("al", -3853101L), ("as", -4546789L),
-    ("at", -3876077L), ("b", -3473013L), ("c", -3463078L),
-    ("co", -4488969L), ("d", -4544627L), ("der", -4492038L),
-    ("e", -2597483L), ("er", -4553303L), ("f", -3862883L),
-    ("g", -2927443L), ("h", -3168372L), ("i", -3875524L),
-    ("in", -3834879L), ("j", -4532818L), ("k", -3849322L),
-    ("l", -2944737L), ("lumn", -4488969L), ("m", -3870009L),
-    ("mer", -3866166L), ("o", -3865618L), ("or", -3409608L),
-    ("ow", -3451067L), ("p", -4504409L), ("par", -3839670L),
-    ("q", -4534954L), ("r", -3467114L), ("ro", -4534954L),
-    ("s", -3158332L), ("scan", -4482859L), ("st", -3466379L),
-    ("t", -2921034L), ("ta", -4568671L), ("u", -3850940L),
-    ("ue", -3833818L), ("v", -3835410L), ("wind", -4491014L),
-    ("y", -3836474L))
+    ("a", -2792622L), ("agg", -4137177L), ("al", -4196558L),
+    ("ash", -4169129L), ("at", -3498417L), ("b", -3095353L),
+    ("c", -3502299L), ("column", -4111309L), ("d", -4166967L),
+    ("e", -3084686L), ("er", -4175643L), ("f", -3485223L),
+    ("g", -4205496L), ("group", -4157294L), ("h", -3080669L),
+    ("i", -3497864L), ("j", -10997841L), ("join", -4155158L),
+    ("k", -4183298L), ("key", -4145598L), ("l", -2798102L),
+    ("line", -4144542L), ("m", -3492349L), ("mer", -4206619L),
+    ("merge", -4156225L), ("n", -10997841L), ("o", -4206619L),
+    ("order", -4114378L), ("ow", -3508988L), ("p", -10997841L),
+    ("par", -4183298L), ("part", -4126749L), ("q", -10997841L),
+    ("query", -4157294L), ("r", -3510107L), ("s", -3085784L),
+    ("scan", -4105199L), ("sort", -4115403L), ("st", -3088719L),
+    ("t", -3486863L), ("ta", -4191011L), ("u", -4206619L),
+    ("up", -7596643L), ("v", -10997841L), ("value", -4140327L),
+    ("vector", -4160508L), ("w", -10997841L), ("window", -4113354L),
+    ("y", -10997841L))
 
-  /** The trained vocab over `documents`: one row per RELEASED piece
-    * (final-E-step usage > 0) — (piece, n_chars, cnt, lp_micro), where
-    * cnt is the freq-weighted usage in the final Viterbi segmentations
-    * and lp_micro the released micro-log score floor(ln(p)·10⁶+0.5).
+  /** The trained vocab over `documents`: one row per RELEASED piece —
+    * every single character (the segmentability guarantee) plus each
+    * multi piece with final-E-step usage > 0 — as
+    * (piece, n_chars, cnt, lp_micro), where cnt is the freq-weighted
+    * usage in the final re-estimation's Viterbi segmentations and
+    * lp_micro the final micro-log score floor(ln(p)·10⁶+0.5)
+    * (restricted to the released set, not renormalized).
     */
   def unigramVocab(spark: SparkSession, sfDir: String): DataFrame =
     unigramVocabFrom(spark, Tables.documents(spark, sfDir))
@@ -270,8 +276,28 @@ unsym AS MATERIALIZED (SELECT word,
       vocab = (singles.map(p => (p, usage.getOrElse(p, 0L))) ++ keptMultis)
         .toMap
     }
-    val released = vocab.filter(_._2 > 0)
-    Trained(words, released, mkLp(released))
+    // FINAL re-estimation (the Kudo'18 finalize step): one more E-step
+    // on the post-prune vocab, so usage reflects words whose whole-word
+    // piece was pruned in the LAST round re-segmenting via survivors
+    // (without it, such a word's chars all carry stale zero usage and
+    // the release filter orphans the word — hit at EmRounds=4). Release
+    // then keeps ALL single characters (the SentencePiece
+    // segmentability guarantee: every alphabet word stays segmentable)
+    // plus multis with final usage > 0. Scores are the final
+    // estimation's, RESTRICTED rather than renormalized: renormalizing
+    // over the released subset shifts scores by -len(path)·Δln(tot),
+    // which can flip best paths; restriction reproduces the final
+    // E-step's segmentations exactly (dropped pieces appeared in no
+    // best path), making `cnt` the true usage under `lpFinal`
+    // (the spec's accounting invariant).
+    val lpAll = mkLp(vocab)
+    val usageF = eStep(lpAll)
+    val released = vocab.keys
+      .map(p => p -> usageF.getOrElse(p, 0L))
+      .filter { case (p, c) => p.length == 1 || c > 0 }
+      .toMap
+    Trained(words, released,
+      lpAll.filter { case (p, _) => released.contains(p) })
   }
 
   /** Add-one-smoothed micro-log scores: floor(ln((c+1)/(T+|V|))·10⁶+0.5).
@@ -388,10 +414,27 @@ v0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE len(piece) = 1
   SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE len(piece) >= 2
     ORDER BY cnt DESC, piece LIMIT $SeedMultiPieces)),
 $rounds,
-vstar AS MATERIALIZED (SELECT piece, cnt FROM v$EmRounds WHERE cnt > 0),
-tF AS MATERIALIZED (SELECT CAST(sum(cnt) + count(*) AS DOUBLE) AS tot FROM vstar),
-lpF AS MATERIALIZED (SELECT piece, CAST(floor(ln((cnt + 1.0) / tot) * 1000000 + 0.5) AS BIGINT) AS lp
-  FROM vstar, tF)"""
+tS AS MATERIALIZED (SELECT CAST(sum(cnt) + count(*) AS DOUBLE) AS tot FROM v$EmRounds),
+lpS AS MATERIALIZED (SELECT piece, CAST(floor(ln((cnt + 1.0) / tot) * 1000000 + 0.5) AS BIGINT) AS lp
+  FROM v$EmRounds, tS),
+mS AS MATERIALIZED (SELECT v.word, CAST(u.i AS BIGINT) AS pos, len(l.piece) AS plen, l.piece, l.lp
+  FROM vw v, unnest(range(len(v.word))) u(i), lpS l
+  WHERE substr(v.word, CAST(u.i AS INTEGER) + 1, len(l.piece)) = l.piece),
+pS AS (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score, '' AS segs FROM vw
+  UNION ALL
+  SELECT p.word, p.pos + m.plen, p.score + m.lp,
+    CASE WHEN p.segs = '' THEN m.piece ELSE p.segs || chr(1) || m.piece END
+  FROM pS p JOIN mS m ON m.word = p.word AND m.pos = p.pos),
+bestS AS MATERIALIZED (SELECT word, segs FROM (SELECT word, segs,
+    row_number() OVER (PARTITION BY word ORDER BY score DESC, segs) AS rn
+  FROM pS WHERE pos = len(word)) WHERE rn = 1),
+uS AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT b.word, unnest(string_split(b.segs, chr(1))) AS piece FROM bestS b) s
+  JOIN vw ON s.word = vw.word GROUP BY piece),
+vstar AS MATERIALIZED (SELECT c.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+  FROM v$EmRounds c LEFT JOIN uS u USING (piece)
+  WHERE len(c.piece) = 1 OR coalesce(u.cnt, 0) > 0),
+lpF AS MATERIALIZED (SELECT l.piece, l.lp FROM lpS l JOIN vstar USING (piece))"""
   }
 
   /** The generated DuckDB replay of [[unigramVocab]]. */

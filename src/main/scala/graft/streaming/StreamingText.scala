@@ -91,17 +91,30 @@ object StreamingText extends Logging {
   def classifierGateStream(docs: DataFrame, weights: Map[Long, Double],
       threshold: Double = 0.0): DataFrame = {
     val ks = weights.keys.toArray.sorted
-    val wMap = map_from_arrays(
-      lit(ks), lit(ks.map(weights)))
-    val toks = filter(graft.functions.TextFunctions.tokens(col("text")),
+    // an empty released model scores nothing — a constant-0 map literal
+    // would make map_from_arrays choke on empty arrays
+    val score =
+      if (ks.isEmpty) lit(0.0)
+      else {
+        val wMap = map_from_arrays(lit(ks), lit(ks.map(weights)))
+        val toks = filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t) > 0)
+        aggregate(
+          transform(toks, t => coalesce(
+            element_at(wMap,
+              conv(substring(md5(t), 1, 3), 16, 10).cast("long")),
+            lit(0.0))),
+          lit(0.0), (acc, x) => acc + x)
+      }
+    val toksAll = filter(graft.functions.TextFunctions.tokens(col("text")),
       t => length(t) > 0)
-    val score = aggregate(
-      transform(toks, t => coalesce(
-        element_at(wMap,
-          conv(substring(md5(t), 1, 3), 16, 10).cast("long")),
-        lit(0.0))),
-      lit(0.0), (acc, x) => acc + x)
-    docs.withColumn("score", round(score, 6))
+    docs
+      // the batch scorer (qualityClassifierFrom) never emits a row for a
+      // zero-token document (its posexplode yields no feature rows); the
+      // gate must agree, not score such docs 0.0 and pass them whenever
+      // threshold < 0
+      .filter(size(toksAll) > 0)
+      .withColumn("score", round(score, 6))
       .filter(col("score") > threshold)
   }
 

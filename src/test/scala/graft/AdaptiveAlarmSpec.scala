@@ -118,4 +118,34 @@ class AdaptiveAlarmSpec extends AnyFunSuite with Matchers
     out.filter(_.atMs / 60000 <= 45)
       .map(t => (t.atMs / 60000, t.from, t.to)) shouldBe expected.result()
   }
+
+  test("batch twin alarmTransitionsAdaptive == the streaming adaptive operator on an ordered replay") {
+    // the hc_alarm_adaptive driver query's operator, fed the SAME series
+    // the streaming processor replays: transitions must agree minute for
+    // minute (batch reports the period START, stream the period END).
+    // The batch twin also emits each key's initial-state row (prev_state
+    // null); the stream's implicit start is OK, so an initial OK row has
+    // no stream counterpart and is dropped before comparing.
+    val full = series ++ Seq(("s", ts(46), 10.0), ("s", ts(47), 10.0))
+    val events = full.toDF("event_type", "ts", "value")
+    val batch = graft.operators.HealthCheckBatch
+      .alarmTransitionsAdaptiveFrom(events, cfg)
+      .as[(String, Timestamp, String, String, Option[Double])]
+      .collect().toSeq
+      .map { case (_, m, state, reason, v) =>
+        (m.getTime / 60000, state, reason, v)
+      }
+    val firstMinute = full.map(_._2.getTime / 60000).min
+    val batchT = batch.filterNot {
+      case (m, state, _, _) => m == firstMinute && state == "OK"
+    }
+    val out = run(cfg, "t_adaptive_vs_batch")(series,
+      Seq(("s", ts(46), 10.0)), Seq(("s", ts(47), 10.0)))
+    val streamT = out.map(t =>
+      (t.atMs / 60000 - 1, t.to, t.reason, t.observedValue))
+    // compare over the horizon both surfaces have certainly evaluated
+    // (the stream's last-watermark period; the batch grid ends at max ts)
+    batchT.filter(_._1 <= 44) shouldBe streamT.filter(_._1 <= 44)
+    batchT.nonEmpty shouldBe true
+  }
 }

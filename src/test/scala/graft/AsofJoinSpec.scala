@@ -52,4 +52,30 @@ class AsofJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(4L) shouldBe Some(90.0)   // key-isolated
     out(5L) shouldBe None         // b has nothing at or after 10
   }
+
+  test("duplicate (key, ts) right rows resolve deterministically: greatest value backward, least forward") {
+    // the documented tertiary sort on the carried value tuple: with
+    // several right rows sharing (key, ts), `last` over the
+    // value-ascending window picks the GREATEST tuple (backward) and
+    // `first` the LEAST (forward) — a total, repartition-stable pick
+    // instead of whichever row the shuffle happened to order last
+    val left = Seq((1L, "a", ts(10)), (2L, "a", ts(12))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts(10), 7.0), ("a", ts(10), 3.0), ("a", ts(10), 9.0),
+      ("a", ts(12), 2.0), ("a", ts(12), 5.0))
+      .toDF("k", "ts", "v")
+    val back = AsofJoin.asof(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    back(1L) shouldBe Some(9.0)  // greatest among the ts(10) ties
+    back(2L) shouldBe Some(5.0)  // greatest among the ts(12) ties
+    val fwd = AsofJoin.asofForward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    fwd(1L) shouldBe Some(3.0)   // least among the ts(10) ties
+    fwd(2L) shouldBe Some(2.0)   // least among the ts(12) ties
+    // the pick survives an adversarial input order (repartitioned input)
+    val backShuffled = AsofJoin.asof(left, right.repartition(7), Seq("k"),
+      "ts", Seq("v"))
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    backShuffled shouldBe back
+  }
 }

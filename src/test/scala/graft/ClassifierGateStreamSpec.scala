@@ -63,4 +63,49 @@ class ClassifierGateStreamSpec extends AnyFunSuite with Matchers
       } finally q2.stop()
     admitted shouldBe batch.collect { case (id, s) if s > 0.0 => id }.toSet
   }
+
+  test("zero-token docs drop (batch parity) and an empty model gates safely") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val weights = TextPipeline.qualityClassifierWeights(corpus)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the batch scorer emits no row for a zero-token document; the gate
+    // must drop it too — even at a negative threshold that admits every
+    // scored row
+    val input = MemoryStream[(Long, String)]
+    val docsStream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingText
+      .classifierGateStream(docsStream, weights, Double.NegativeInfinity)
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("t_clsgate_zero")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-clsgate0").toString)
+      .outputMode("append").start()
+    val admitted =
+      try {
+        input.addData(Seq((1L, "the quick fox"), (2L, ""), (3L, "   ")))
+        q.processAllAvailable()
+        spark.table("t_clsgate_zero").as[Long].collect().toSet
+      } finally q.stop()
+    admitted shouldBe Set(1L)
+
+    // an empty weights map must not blow up plan construction
+    // (map_from_arrays rejects empty literal arrays); it scores 0.0
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingText
+      .classifierGateStream(input2.toDF().toDF("doc_id", "text"),
+        Map.empty[Long, Double], Double.NegativeInfinity)
+      .select($"doc_id", $"score")
+      .writeStream.format("memory").queryName("t_clsgate_empty")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-clsgate1").toString)
+      .outputMode("append").start()
+    val scored =
+      try {
+        input2.addData(Seq((7L, "some words")))
+        q2.processAllAvailable()
+        spark.table("t_clsgate_empty").as[(Long, Double)].collect().toMap
+      } finally q2.stop()
+    scored shouldBe Map(7L -> 0.0)
+  }
 }

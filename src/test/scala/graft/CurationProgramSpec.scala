@@ -41,13 +41,13 @@ class CurationProgramSpec extends AnyFunSuite with Matchers
 
   test("manifest coordinates respect every stage's bound") {
     val rows = CurationProgram.curationProgram(spark, sf)
-      .withColumn("quality", $"quality".cast("double"))
-      .as[(Long, String, String, Long, Double, Long, Long, Long, String)]
+      .as[(Long, String, String, Long, Long, Long, Long, Long, String)]
       .collect().toSeq
     rows.nonEmpty shouldBe true
-    rows.foreach { case (_, _, _, _, quality, capRk, startOffset, bucket,
+    rows.foreach { case (_, _, _, _, qualityQ4, capRk, startOffset, bucket,
         split) =>
-      quality should be >= 0.5
+      // quality leaves scaled (quality_q4 = floor(q·10⁴ + 0.5) BIGINT)
+      qualityQ4 should be >= 5000L
       capRk should (be >= 1L and be <= 30L)
       startOffset should be < 2000L
       val expected = if (bucket < 90) "train"

@@ -79,4 +79,34 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val (hi, lo) = ranks.partition(_._2 >= ranks.map(_._2).sorted.apply(ranks.length / 2))
     (hi.map(_._3).sum / hi.length) should be > (lo.map(_._3).sum / lo.length)
   }
+
+  test("components: valid partition of the thresholded node universe") {
+    val rows = Graph.components(spark, sf)
+      .as[(String, String, Long)].collect()
+    rows.nonEmpty shouldBe true
+    // a component id IS one of its member nodes (min-label), and sizes
+    // agree with the actual member counts
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (cid, members) =>
+      members.map(_._1) should contain(cid)
+      // min-label: the id is the smallest member
+      members.map(_._1).min shouldBe cid
+      members.foreach(_._3 shouldBe members.length.toLong)
+    }
+    // every labeled node appears exactly once
+    rows.map(_._1).distinct.length shouldBe rows.length
+    // two nodes sharing an edge share a component (spot-check via the
+    // thresholded pair list itself)
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey")
+    val l = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey")
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy(concat(lit("c"), $"o_custkey").as("a"),
+        concat(lit("s"), $"l_suppkey").as("b"))
+      .agg(count(lit(1)).as("n")).filter($"n" >= 4)
+      .select($"a", $"b").as[(String, String)].collect()
+    val label = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) => label(a) shouldBe label(b) }
+  }
 }

@@ -388,4 +388,29 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       math.abs(est(p) - ex) should be <= 64.0
     }
   }
+
+  test("CMS-prefiltered heavy hitters == the plain exact filter; duplication-invariant") {
+    import graft.functions.TextFunctions.tokens
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Sketches.heavyHittersCmsFrom(corpus)
+      .as[(String, Long)].collect().toSeq
+    // the reference answer, computed the plain way (the oracle's shape)
+    val counts = corpus
+      .select(explode(tokens($"text")).as("token"))
+      .filter(org.apache.spark.sql.functions.length($"token") > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val thr = math.ceil(0.01 * counts.map(_._2).sum).toLong
+    val expected = counts.filter(_._2 >= thr).sortBy(_._1)
+    got shouldBe expected
+    got.nonEmpty shouldBe true
+    // the corpus's rare tail is genuinely excluded (the prefilter and
+    // the confirm have something to do)
+    expected.length should be < counts.length
+    // doubling the corpus doubles counts AND the threshold: same set
+    val doubled = Sketches.heavyHittersCmsFrom(corpus.unionByName(corpus))
+      .as[(String, Long)].collect().toSeq
+    doubled.map(_._1) shouldBe got.map(_._1)
+    doubled.map(_._2) shouldBe got.map(_._2 * 2)
+  }
 }

@@ -41,13 +41,20 @@ class UnigramTrainerSpec extends AnyFunSuite with SparkTestBase
       (1L, "the cat sat"), (2L, "the cat ran"), (3L, "a cat sat"))
       .toDF("doc_id", "text")
     val t = UnigramTrainer.trainOn(spark, corpus)
-    // every released piece has positive usage and a negative micro-log
-    t.released.values.foreach(_ should be > 0L)
+    // release contract: every MULTI piece has positive final usage;
+    // single chars always release (segmentability guarantee), possibly
+    // with zero usage; micro-logs are negative
+    t.released.foreach { case (p, c) =>
+      if (p.length >= 2) c should be > 0L else c should be >= 0L
+    }
+    // every corpus character is released as a single
+    Seq("the", "cat", "sat", "ran", "a").flatMap(_.toSeq).distinct
+      .foreach(ch => t.released.keySet should contain(ch.toString))
     t.released.keySet shouldBe t.lpFinal.keySet
     t.lpFinal.values.foreach(_ should be < 0L)
-    // released vocab segments every corpus word (the prune keeps all
-    // single chars, so the usage>0 subset still covers each word via its
-    // own final best path)
+    // released vocab segments every corpus word (all single chars
+    // release, so every alphabet word keeps a path; the final
+    // re-estimation makes cnt the true usage under lpFinal)
     val words = Seq("the", "cat", "sat", "ran", "a")
     words.foreach { w =>
       val segs = UnigramTrainer.viterbi(w, t.lpFinal)
