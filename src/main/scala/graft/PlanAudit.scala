@@ -34,6 +34,8 @@ object PlanAudit {
     "minhash_tune", "sim_recall_tune",
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
+    // 1-row query-vector broadcast (codebooks ride as plan literals)
+    "pq_topk",
     // 1-row query broadcast + the k-row pool self-pairing (both sides
     // are the checkpointed 20-row candidate leaf)
     "mmr_rerank",
@@ -93,7 +95,7 @@ object PlanAudit {
     // <= #bins merged-sketch estimate windows
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
-    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8",
+    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8", "pq_topk",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -409,6 +411,11 @@ object PlanAudit {
     // the d×w sketch agg runs eagerly (bounded collect); the returned
     // plan is scan + map-side prefilter + candidate agg + orderBy
     "heavy_hitters_cms" -> 4,
+    // codebook training runs eagerly (bounded collects); the returned
+    // plan is scan × 1-row broadcast → TakeOrdered → k-row rerank
+    "pq_topk" -> 3,
+    // 4 subspace-encode branches of one scan → union → agg + orderBy
+    "pq_recon_error" -> 5,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two

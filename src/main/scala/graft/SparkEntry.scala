@@ -211,6 +211,11 @@ object SparkEntry {
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
+    // Round 9: product quantization (Jégou'11) — codebook-compressed ANN
+    // (literal codebooks, scan-only encode, exact rerank) + per-subspace
+    // reconstruction-error/code-usage telemetry in exact micro-units
+    "pq_topk" -> ((s, d) => SimilarityPipeline.pqTopK(s, d)),
+    "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // Round 6: HLL distinct-token sketch + temperature resampling applied
     "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
     "hist_quantiles" -> ((s, d) => graft.operators.Sketches.histQuantiles(s, d)),
@@ -1739,6 +1744,10 @@ s AS (SELECT a2.vec_id, a2.cluster,
   WHERE a2.rn = 1 AND a2.vec_id <> 0),
 t AS (SELECT vec_id, cluster, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
 SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
+    // per-subspace Lloyd replay + codeword-concat reconstruction; the
+    // recon-error row sums per-row micro-quantized d2 (order-invariant)
+    "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
+    "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

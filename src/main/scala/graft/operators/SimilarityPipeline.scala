@@ -1078,4 +1078,191 @@ ORDER BY pos"""
         round(z, 4).as("z"), (z > 2.0).as("is_outlier"))
       .orderBy("vec_id")
   }
+
+  // ------------------------------------------------ product quantization --
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (M·sub = 64),
+    * [[PqK]] codewords per subspace — a 64-dim float vector compresses to
+    * M log2(K) = 16 bits plus the shared 64-codeword codebook. This is the
+    * memory-side scale path the int8 family ([[simTopKQ8]]) doesn't reach:
+    * at 10^9 vectors the PQ codes fit where even int8 vectors don't, and
+    * stage-1 candidate scoring touches only codes + a per-query table.
+    */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+  private val PqTopK = 10
+  private val PqFetch = 20
+
+  /** Train the per-subspace codebooks — Jégou et al., TPAMI'11 product
+    * quantization, each subspace trained by the [[kmeansModel]] Lloyd
+    * recipe (init = subvectors of vec_id < K, one assign/re-estimate
+    * round, means rounded to 4 decimals — the cross-engine float pin).
+    * The collect is BOUNDED: <= PqK rows of PqSubDim doubles per subspace
+    * (the codebook IS driver-sized by construction; production PQ ships
+    * codebooks to every executor the same way). Returns per subspace the
+    * parallel (cluster ids, codeword vectors), sorted by cluster id so
+    * the nearest-centroid expression's lowest-index tie-break is the
+    * lowest-cluster-id tie-break.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, sfDir: String)
+      : IndexedSeq[(Array[Long], Array[Seq[Double]])] = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    (0 until PqM).map { m =>
+      val sub = e.select(col("vec_id"), col("label"),
+        slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v"))
+      val cents0 = sub.filter(col("vec_id") < PqK)
+        .select(col("vec_id").cast("long").as("cluster"), col("v").as("c"))
+      val rows = assignToCentroids(sub, cents0)
+        .groupBy("cluster")
+        .agg(graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("sums"), x => round(x / col("n"), 4)).as("c"))
+        .orderBy("cluster")
+        .collect() // bounded: <= PqK codebook rows per subspace
+      (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1)))
+    }
+  }
+
+  /** ANN via PQ codes — encode each vector to its per-subspace nearest
+    * codewords (the codebooks ride as PLAN LITERALS, so encoding is one
+    * codegen'd scan: no join, no shuffle), stage-1 rank by the cosine of
+    * the RECONSTRUCTION (concatenated codewords) against the query —
+    * algebraically the ADC lookup-table sum, expressed through the same
+    * proven 64-dim dot so both engines run the identical op sequence —
+    * then exact-rerank the top [[PqFetch]] and emit top [[PqTopK]] with
+    * both scores (quantization damage visible per row).
+    *
+    * Scale shape: training collects only codebooks (bounded); the query
+    * plan is scan × 1-row broadcast → TakeOrdered(PqFetch) → exact rerank
+    * of PqFetch rows. At 10^9 vectors stage-1 reads codes only; nothing
+    * here shuffles the corpus.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqCodebooks(spark, sfDir)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val recon = concat((0 until PqM).map { m =>
+      val cents = typedlit(cbs(m)._2.toSeq)
+      val nc = graft.expressions.VectorExpressions.nearestCentroidNative(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), cents)
+      element_at(cents, nc.getField("idx") + 1)
+    }: _*)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("q"),
+        cosine(recon, col("q")).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(PqFetch)
+    cand
+      .select(col("vec_id"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(PqTopK)
+      // post-limit window: <= PqTopK rows (see the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"),
+        round(col("sim_pq"), 4).as("sim_pq"), round(col("sim"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  /** Quantization-damage telemetry per subspace: vectors encoded, codes
+    * actually used (dead codewords = wasted bits), and the summed squared
+    * reconstruction error in integer micro-units (per-row d2 quantized
+    * floor(d2·10⁶+0.5) BEFORE summing, so the aggregate is
+    * order-invariant and engine-exact — the UnigramTrainer micro-log
+    * discipline applied to an error sum). The operational twin of
+    * [[annRecallGrid]] for the PQ stage: run per release, a subspace
+    * whose error jumps or whose usage collapses names the retrain.
+    */
+  def pqReconError(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqCodebooks(spark, sfDir)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val perM = (0 until PqM).map { m =>
+      val (ids, vecs) = cbs(m)
+      val nc = graft.expressions.VectorExpressions.nearestCentroidNative(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), typedlit(vecs.toSeq))
+      e.select(lit(m.toLong).as("subspace"),
+        element_at(typedlit(ids.toSeq), nc.getField("idx") + 1).as("code"),
+        floor(nc.getField("d2") * 1000000d + 0.5d).cast("long")
+          .as("d2_micro"))
+    }
+    perM.reduce(_ unionByName _)
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("n_codes_used"),
+        sum(col("d2_micro")).as("sum_d2_micro"))
+      .orderBy("subspace")
+  }
+
+  /** One subspace's Lloyd replay — the [[kmeansModel]] oracle CTE chain
+    * ([[SparkEntry]]'s kmeansCtes) re-derived on the `[lo:hi]` slice.
+    */
+  private def pqSubCtes(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""sv$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM ek),
+c0_$m AS (SELECT CAST(vec_id AS BIGINT) AS cluster, sv AS c FROM sv$m WHERE vec_id < $PqK),
+d1_$m AS (SELECT sv$m.vec_id, c0_$m.cluster,
+  list_sum(list_transform(range($PqSubDim), i -> (sv[i+1] - c[i+1]) * (sv[i+1] - c[i+1]))) AS d2 FROM sv$m, c0_$m),
+a1_$m AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1_$m),
+ux_$m AS (SELECT vec_id, unnest(sv) AS x, unnest(range($PqSubDim)) AS pos FROM sv$m),
+mm_$m AS (SELECT a1_$m.cluster, ux_$m.pos, round(avg(ux_$m.x), 4) AS mx
+  FROM a1_$m JOIN ux_$m ON a1_$m.vec_id = ux_$m.vec_id WHERE a1_$m.rn = 1 GROUP BY a1_$m.cluster, ux_$m.pos),
+c1_$m AS MATERIALIZED (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm_$m GROUP BY cluster),
+d2t_$m AS (SELECT sv$m.vec_id, c1_$m.cluster, c1_$m.c AS cw,
+  list_sum(list_transform(range($PqSubDim), i -> (sv[i+1] - c[i+1]) * (sv[i+1] - c[i+1]))) AS d2 FROM sv$m, c1_$m),
+a2_$m AS MATERIALIZED (SELECT vec_id, cluster, cw, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t_$m)"""
+  }
+
+  private def pqAllSubCtes: String =
+    "ek AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n" +
+      (0 until PqM).map(pqSubCtes).mkString(",\n")
+
+  /** The DuckDB replay of [[pqTopK]] — per-subspace Lloyd, reconstruction
+    * by codeword concat, the same two-stage rank.
+    */
+  private[graft] def pqTopkOracleSql: String = {
+    val joins = (1 until PqM).map(m =>
+      s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
+      .mkString("\n    ")
+    val rv = (0 until PqM).map(m => s"a2_$m.cw").mkString(" || ")
+    s"""WITH
+$pqAllSubCtes,
+q AS (SELECT v AS qv FROM ek WHERE vec_id = 0),
+rec AS (SELECT a2_0.vec_id, $rv AS rv
+  FROM a2_0 $joins
+  WHERE a2_0.rn = 1),
+s1 AS (SELECT rec.vec_id, ${cosSql("rv", "qv")} AS sim_pq FROM rec, q
+  WHERE rec.vec_id <> 0 ORDER BY sim_pq DESC, rec.vec_id LIMIT $PqFetch),
+s2 AS (SELECT s1.vec_id, s1.sim_pq, ${cosSql("ek.v", "qv")} AS sim
+  FROM s1 JOIN ek ON s1.vec_id = ek.vec_id, q),
+t AS (SELECT vec_id, sim_pq, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s2)
+SELECT rank, vec_id, round(sim_pq, 4) AS sim_pq, round(sim, 4) AS sim
+FROM t WHERE rank <= $PqTopK ORDER BY rank"""
+  }
+
+  /** The DuckDB replay of [[pqReconError]]. */
+  private[graft] def pqReconErrorOracleSql: String = {
+    val unions = (0 until PqM).map(m =>
+      s"SELECT $m AS subspace, cluster, d2 FROM a2_$m WHERE rn = 1")
+      .mkString("\nUNION ALL ")
+    s"""WITH
+$pqAllSubCtes,
+u AS ($unions)
+SELECT CAST(subspace AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(count(DISTINCT cluster) AS BIGINT) AS n_codes_used,
+  CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d2_micro
+FROM u GROUP BY subspace ORDER BY subspace"""
+  }
 }
