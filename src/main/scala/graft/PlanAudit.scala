@@ -35,7 +35,7 @@ object PlanAudit {
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
     // 1-row query-vector broadcast (codebooks ride as plan literals)
-    "pq_topk",
+    "pq_topk", "pq_recall",
     // 1-row query broadcast + the k-row pool self-pairing (both sides
     // are the checkpointed 20-row candidate leaf)
     "mmr_rerank",
@@ -96,6 +96,7 @@ object PlanAudit {
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8", "pq_topk",
+    "pq_recall",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -416,6 +417,11 @@ object PlanAudit {
     "pq_topk" -> 3,
     // 4 subspace-encode branches of one scan → union → agg + orderBy
     "pq_recon_error" -> 5,
+    // the pq_topk subplan + the exact TakeOrdered side + k-row join + agg
+    "pq_recall" -> 6,
+    // word-freq agg + the BPE distinct-words join + two 1-row aggs +
+    // the 2-row union orderBy
+    "tokenizer_fertility" -> 10,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two

@@ -216,6 +216,8 @@ object SparkEntry {
     // reconstruction-error/code-usage telemetry in exact micro-units
     "pq_topk" -> ((s, d) => SimilarityPipeline.pqTopK(s, d)),
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
+    // measured recall@k of the PQ stage vs brute force, exact integers
+    "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
     // Round 6: HLL distinct-token sketch + temperature resampling applied
     "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
     "hist_quantiles" -> ((s, d) => graft.operators.Sketches.histQuantiles(s, d)),
@@ -296,6 +298,10 @@ object SparkEntry {
     // priced/roundtrip/unsegmentable counts + the remainder named
     "tokenizer_roundtrip" -> ((s, d) =>
       graft.operators.TokenizerAudit.tokenizerRoundtrip(s, d)),
+    // corpus-weighted tokens/chars/occurrence sums per frozen family
+    // (fertility + compression rate as exact integer numerators)
+    "tokenizer_fertility" -> ((s, d) =>
+      graft.operators.TokenizerAudit.tokenizerFertility(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -1748,6 +1754,7 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // recon-error row sums per-row micro-quantized d2 (order-invariant)
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,
+    "pq_recall" -> SimilarityPipeline.pqRecallOracleSql,
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5
@@ -2437,6 +2444,26 @@ SELECT 'unigram', CAST(count(*) AS BIGINT), CAST(sum(priced) AS BIGINT),
   coalesce(min(CASE WHEN priced = 0 THEN word END), '')
 FROM urt
 ORDER BY tokenizer""",
+    // freq-weighted sums over the SAME frozen replays: BPE joins every
+    // word (structural losslessness), unigram only priced words
+    "tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+${graft.operators.UnigramTrainer.frozenReplayCtes},
+$bpeReplayCtes,
+ftok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+fwf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ftok
+  WHERE len(word) > 0 GROUP BY word),
+fb AS (SELECT 'bpe' AS tokenizer,
+  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+  CAST(sum(freq * n_sym) AS BIGINT) AS n_tokens,
+  CAST(sum(freq * word_chars) AS BIGINT) AS n_chars
+  FROM fwf JOIN nsym USING (word)),
+fu AS (SELECT 'unigram' AS tokenizer,
+  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+  CAST(sum(freq * n_symbols) AS BIGINT) AS n_tokens,
+  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars
+  FROM fwf JOIN unsym USING (word))
+SELECT * FROM fb UNION ALL SELECT * FROM fu ORDER BY tokenizer""",
     "emb_quantize" ->
       """WITH a AS (SELECT vec_id,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

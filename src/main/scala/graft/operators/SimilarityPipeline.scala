@@ -1205,6 +1205,55 @@ ORDER BY pos"""
       .orderBy("subspace")
   }
 
+  /** Measured recall@k of [[pqTopK]] against the brute-force exact top-k
+    * — the [[annRecallGrid]] discipline applied to the PQ stage, emitted
+    * as exact integers (hits × 10000/k basis points) so the row is
+    * engine-identical by construction. Run per release beside
+    * [[pqReconError]]: recall names retrieval damage, recon error names
+    * which subspace caused it.
+    */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(PqTopK)
+      .select(col("vec_id"))
+    pqTopK(spark, sfDir).select(col("vec_id"))
+      .join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(PqTopK.toLong).as("k"), col("n_hits"),
+        (col("n_hits") * (10000L / PqTopK)).as("recall_bp"))
+  }
+
+  /** The DuckDB replay of [[pqRecall]]. */
+  private[graft] def pqRecallOracleSql: String = {
+    val joins = (1 until PqM).map(m =>
+      s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
+      .mkString("\n    ")
+    val rv = (0 until PqM).map(m => s"a2_$m.cw").mkString(" || ")
+    s"""WITH
+$pqAllSubCtes,
+q AS (SELECT v AS qv FROM ek WHERE vec_id = 0),
+rec AS (SELECT a2_0.vec_id, $rv AS rv
+  FROM a2_0 $joins
+  WHERE a2_0.rn = 1),
+s1 AS (SELECT rec.vec_id, ${cosSql("rv", "qv")} AS sim_pq FROM rec, q
+  WHERE rec.vec_id <> 0 ORDER BY sim_pq DESC, rec.vec_id LIMIT $PqFetch),
+s2 AS (SELECT s1.vec_id, ${cosSql("ek.v", "qv")} AS sim
+  FROM s1 JOIN ek ON s1.vec_id = ek.vec_id, q),
+pq AS (SELECT vec_id FROM s2 ORDER BY sim DESC, vec_id LIMIT $PqTopK),
+ex AS (SELECT ek.vec_id FROM ek, q WHERE ek.vec_id <> 0
+  ORDER BY ${cosSql("ek.v", "qv")} DESC, ek.vec_id LIMIT $PqTopK)
+SELECT CAST($PqTopK AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(count(*) * ${10000 / PqTopK} AS BIGINT) AS recall_bp
+FROM pq JOIN ex USING (vec_id)"""
+  }
+
   /** One subspace's Lloyd replay — the [[kmeansModel]] oracle CTE chain
     * ([[SparkEntry]]'s kmeansCtes) re-derived on the `[lo:hi]` slice.
     */

@@ -68,4 +68,48 @@ object TokenizerAudit {
         col("first_unsegmentable"))
     bpe.unionByName(uni).orderBy("tokenizer")
   }
+
+  /** Corpus-weighted fertility accounting per frozen tokenizer family —
+    * the numbers a budget planner divides: `n_tokens / n_occurrences` is
+    * the fertility (tokens per word) and `n_chars / n_tokens` the
+    * compression rate. Emitted as exact integer sums (not ratios), so
+    * the surface is all-BIGINT/VARCHAR and engine-identical by
+    * construction; unigram rows count only PRICED words (the
+    * accountants' inner-join contract — [[tokenizerRoundtrip]] names the
+    * remainder).
+    *
+    * Scale shape: one corpus pass to the (word, freq) frame, per-word
+    * pure-function encoding of the DISTINCT words only (freq weights the
+    * sums), and a 1-row aggregate per family.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.documents(spark, sfDir)
+    import spark.implicits._
+    val wf = corpus
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val bpe = wf
+      .join(BpeTrainer.bpeWordSymbols(corpus, BpeTrainer.FrozenMerges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_sym")),
+        "word")
+      .agg(sum(col("freq")).as("n_occurrences"),
+        sum(col("freq") * col("n_sym")).as("n_tokens"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .select(lit("bpe").as("tokenizer"), col("n_occurrences"),
+        col("n_tokens"), col("n_chars"))
+    val lp = UnigramTrainer.FrozenVocab.toMap
+    val uni = wf.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        val seg = UnigramTrainer.viterbi(w, lp)
+        if (seg.isEmpty) None
+        else Some((f, seg.length.toLong * f, w.length.toLong * f))
+      }
+      .toDF("occ", "tok", "chr")
+      .agg(sum(col("occ")).as("n_occurrences"),
+        sum(col("tok")).as("n_tokens"), sum(col("chr")).as("n_chars"))
+      .select(lit("unigram").as("tokenizer"), col("n_occurrences"),
+        col("n_tokens"), col("n_chars"))
+    bpe.unionByName(uni).orderBy("tokenizer")
+  }
 }
