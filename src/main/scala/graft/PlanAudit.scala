@@ -422,6 +422,10 @@ object PlanAudit {
     // word-freq agg + the BPE distinct-words join + two 1-row aggs +
     // the 2-row union orderBy
     "tokenizer_fertility" -> 10,
+    // the loss measurement runs eagerly inside the builder (one corpus
+    // pass, #domains-row collect); the RETURNED plan is a driver-local
+    // toDF + orderBy
+    "domain_reweight" -> 1,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two

@@ -302,6 +302,10 @@ object SparkEntry {
     // (fertility + compression rate as exact integer numerators)
     "tokenizer_fertility" -> ((s, d) =>
       graft.operators.TokenizerAudit.tokenizerFertility(s, d)),
+    // DoReMi-style (static-loss) domain-mixture reweighting: EG updates
+    // on per-domain excess unigram cross-entropy, all-integer surface
+    "domain_reweight" -> ((s, d) =>
+      graft.operators.MixtureOptimizer.domainReweight(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -1755,6 +1759,9 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,
     "pq_recall" -> SimilarityPipeline.pqRecallOracleSql,
+    // unrolled EG rounds over the micro-NLL domain losses
+    "domain_reweight" ->
+      graft.operators.MixtureOptimizer.domainReweightOracleSql,
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** Domain-mixture reweighting — the data-mixing optimizer a pre-training
+  * pipeline runs BEFORE [[TextPipeline.mixtureSample]]: exponentiated-
+  * gradient updates of per-domain sampling weights driven by per-domain
+  * EXCESS loss, the DoReMi scheme (Xie et al., NeurIPS'23) re-derived in
+  * its static-loss form (one loss measurement, [[Rounds]] EG/normalize/
+  * smooth rounds; full DoReMi re-measures under a re-trained proxy each
+  * round, which a query engine cannot do — the measured loss here is the
+  * corpus unigram cross-entropy, [[TextPipeline.lmPerplexityFrom]]'s
+  * model). Domains whose text the reference model explains worst (highest
+  * excess cross-entropy) are up-weighted, the "no domain left behind"
+  * minimax intuition.
+  *
+  * Determinism discipline (everything the driver hashes is integer):
+  *  - per-token NLL in micro-nats (floor(ln p · 10⁶ + 0.5), the
+  *    [[UnigramTrainer]] micro-log rule), so per-domain sums are exact
+  *    integer aggregates — partial-aggregation order cannot matter;
+  *  - per-domain mean = integer floor division;
+  *  - the EG factor e^xs is quantized to micro once
+  *    (ef = floor(exp(xs·10⁻⁶)·10⁶ + 0.5), η = 1 per nat of excess);
+  *  - weights live in ppm BIGINTs; each round is
+  *    w·ef (exact integer, < 2⁵³) → one IEEE double division for the
+  *    normalize → floor-quantize → 2% uniform smoothing in pure integer
+  *    ops. Both engines run the identical op sequence.
+  *
+  * Scale shape: the loss measurement is the whole cost — ONE tokenize
+  * pass, a token-partitioned frequency window (no vocab broadcast), a
+  * 1-row total, and a #domains-row aggregate. The EG loop itself runs on
+  * the collected #domains rows (bounded by construction: a mixture has
+  * tens of domains, not millions — the BPE-merge-loop precedent) and is
+  * replayed by the oracle as [[Rounds]] unrolled CTEs.
+  */
+object MixtureOptimizer {
+
+  /** EG/normalize/smooth rounds — fixed so the oracle unrolls statically
+    * (the pagerank discipline for iterative algorithms).
+    */
+  val Rounds = 5
+
+  def domainReweight(spark: SparkSession, sfDir: String): DataFrame =
+    domainReweightFrom(spark, Tables.documents(spark, sfDir))
+
+  /** [[domainReweight]] over any (source, text) frame. */
+  def domainReweightFrom(spark: SparkSession, corpus: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val t = corpus
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val withFreq = t.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy("token")))
+    val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+    val perDomain = withFreq.crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        -floor(log(col("freq").cast(DoubleType) / col("n_total"))
+          * 1000000d + 0.5d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
+      .selectExpr("source", "n_tokens", "s div n_tokens AS xent_micro")
+      .orderBy("source")
+      .as[(String, Long, Long)]
+      .collect() // bounded: one row per mixture domain
+    val base = perDomain.map(_._3).min
+    val k = perDomain.length.toLong
+    val ef = perDomain.map { case (_, _, xent) =>
+      math.floor(math.exp((xent - base).toDouble / 1000000.0)
+        * 1000000.0 + 0.5).toLong
+    }
+    var w = Array.fill(perDomain.length)(Math.floorDiv(1000000L, k))
+    var r = 0
+    while (r < Rounds) {
+      val u = Array.tabulate(w.length)(i => w(i) * ef(i))
+      val s = u.sum // exact: every u < 2^53, k·max(u) < 2^63
+      w = u.map { ui =>
+        // the one double op per round: identical IEEE sequence in the
+        // oracle's CAST(u AS DOUBLE) * 1000000.0 / CAST(su AS DOUBLE)
+        val norm =
+          math.floor(ui.toDouble * 1000000.0 / s.toDouble + 0.5).toLong
+        Math.floorDiv(norm * 98L, 100L) + Math.floorDiv(20000L, k)
+      }
+      r += 1
+    }
+    perDomain.indices.map { i =>
+      val (src, n, xent) = perDomain(i)
+      (src, n, xent, xent - base, ef(i), w(i))
+    }.toDF("source", "n_tokens", "xent_micro", "excess_micro", "ef_micro",
+      "weight_ppm")
+      .orderBy("source")
+  }
+
+  /** The DuckDB replay: same micro-NLL measurement, [[Rounds]] unrolled
+    * EG rounds in the same integer/one-double-division arithmetic.
+    */
+  private[graft] def domainReweightOracleSql: String = {
+    val rounds = (1 to Rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"r${r - 1}"
+      s"""u$r AS (SELECT source, n_tokens, xent_micro, xs, ef, w * ef AS u FROM $prev),
+s$r AS (SELECT CAST(sum(u) AS BIGINT) AS su FROM u$r),
+r$r AS (SELECT source, n_tokens, xent_micro, xs, ef,
+  (CAST(floor(CAST(u AS DOUBLE) * 1000000.0 / CAST(su AS DOUBLE) + 0.5) AS BIGINT) * 98) // 100
+    + (20000 // nd) AS w
+  FROM u$r, s$r, kk)"""
+    }.mkString(",\n")
+    s"""WITH tokD AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+tD AS (SELECT source, token FROM tokD WHERE len(token) > 0),
+tfD AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tD GROUP BY token),
+totD AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tD),
+nlD AS (SELECT source,
+  -CAST(floor(ln(CAST(freq AS DOUBLE) / n_total) * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM tD JOIN tfD USING (token), totD),
+dD AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(nll) AS BIGINT) AS s FROM nlD GROUP BY source),
+xD AS (SELECT source, n_tokens, s // n_tokens AS xent_micro FROM dD),
+bD AS (SELECT min(xent_micro) AS base FROM xD),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM xD),
+eD AS (SELECT source, n_tokens, xent_micro, xent_micro - base AS xs,
+  CAST(floor(exp(CAST(xent_micro - base AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS ef
+  FROM xD, bD),
+w0 AS (SELECT source, n_tokens, xent_micro, xs, ef, 1000000 // nd AS w FROM eD, kk),
+$rounds
+SELECT source, n_tokens, xent_micro, xs AS excess_micro, ef AS ef_micro,
+  CAST(w AS BIGINT) AS weight_ppm
+FROM r$Rounds ORDER BY source"""
+  }
+}
