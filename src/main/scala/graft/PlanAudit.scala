@@ -426,6 +426,9 @@ object PlanAudit {
     // pass, #domains-row collect); the RETURNED plan is a driver-local
     // toDF + orderBy
     "domain_reweight" -> 1,
+    // comparison derivation runs eagerly (quality scan + per-lang window
+    // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
+    "bt_ratings" -> 1,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two

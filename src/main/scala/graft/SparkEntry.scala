@@ -306,6 +306,9 @@ object SparkEntry {
     // on per-domain excess unigram cross-entropy, all-integer surface
     "domain_reweight" -> ((s, d) =>
       graft.operators.MixtureOptimizer.domainReweight(s, d)),
+    // Bradley-Terry (Hunter MM) per-source strengths over deterministic
+    // quality-derived pairwise comparisons — the RLHF-prep rating family
+    "bt_ratings" -> ((s, d) => graft.operators.Preference.btRatings(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -1762,6 +1765,8 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // unrolled EG rounds over the micro-NLL domain losses
     "domain_reweight" ->
       graft.operators.MixtureOptimizer.domainReweightOracleSql,
+    // unrolled MM rounds over the derived comparison matrix
+    "bt_ratings" -> graft.operators.Preference.btRatingsOracleSql,
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

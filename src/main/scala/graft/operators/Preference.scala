@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Preference-data preparation — the RLHF-side family: derive pairwise
+  * comparisons deterministically from the corpus, then fit
+  * Bradley-Terry strengths per domain with Hunter's MM algorithm
+  * (Hunter, Annals of Statistics 2004) — the model behind Elo-style
+  * arena leaderboards and reward-model data curation.
+  *
+  * Comparisons: within each language, consecutive documents (doc_id
+  * order) from DIFFERENT sources form one match; the higher
+  * [[TextPipeline.qualityCol]] score wins (compared as the proven
+  * floor(q·10⁴ + 0.5) BIGINT; ties go to the lower doc_id, i.e. the
+  * current row). This is a synthetic-but-deterministic pairing — the
+  * operator's contract is the RATING computation; swap in human
+  * comparisons by feeding (winner, loser) rows at the same seam.
+  *
+  * Determinism discipline (the [[MixtureOptimizer]] rules): win/game
+  * counts are exact integer aggregates; ratings live in micro BIGINTs;
+  * each MM round quantizes every n_ij/(p_i+p_j) term to an integer
+  * BEFORE the per-player sum (order-invariant), applies ONE IEEE double
+  * division for the update and one for the mean-10⁶ renormalization, and
+  * floor-quantizes back. A player with no games keeps its current
+  * rating; a player with games and no wins goes to 0 (the true MM
+  * fixpoint direction).
+  *
+  * Scale shape: the derivation is one quality scan + a per-lang window +
+  * a #source²-bounded aggregate; the MM loop runs on the collected
+  * pair-count matrix (bounded: domains², the DoReMi-loop precedent) for
+  * [[Rounds]] rounds, unrolled in the oracle.
+  */
+object Preference {
+
+  /** MM rounds — fixed so the oracle unrolls statically. */
+  val Rounds = 5
+
+  def btRatings(spark: SparkSession, sfDir: String): DataFrame =
+    btRatingsFrom(spark, Tables.documents(spark, sfDir))
+
+  /** [[btRatings]] over any (doc_id, lang, source, text) frame — the
+    * seam a caller with REAL (winner, loser) comparisons re-enters at
+    * `cmp` level by substituting its own pair derivation.
+    */
+  def btRatingsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qd = corpus.select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
+    val wl = Window.partitionBy("lang").orderBy("doc_id")
+    val pr = qd.select(col("source"), col("qs"),
+      lead("doc_id", 1).over(wl).as("doc_b"),
+      lead("source", 1).over(wl).as("source_b"),
+      lead("qs", 1).over(wl).as("qs_b"))
+    val cmp = pr
+      .filter(col("doc_b").isNotNull && col("source") =!= col("source_b"))
+      .select(
+        when(col("qs") >= col("qs_b"), col("source"))
+          .otherwise(col("source_b")).as("winner"),
+        when(col("qs") >= col("qs_b"), col("source_b"))
+          .otherwise(col("source")).as("loser"))
+    val wij = cmp.groupBy("winner", "loser")
+      .agg(count(lit(1)).as("w"))
+      .as[(String, String, Long)]
+      .collect() // bounded: <= #domains^2 directed pair counts
+    val players = qd.select(col("source")).distinct()
+      .orderBy("source").as[String].collect() // bounded: one per domain
+
+    val winsOver: Map[(String, String), Long] =
+      wij.map { case (i, j, w) => (i, j) -> w }.toMap
+    val nij: Map[(String, String), Long] =
+      (wij.map { case (i, j, _) => (i, j) } ++
+        wij.map { case (i, j, _) => (j, i) }).distinct.map { case (i, j) =>
+        (i, j) ->
+          (winsOver.getOrElse((i, j), 0L) + winsOver.getOrElse((j, i), 0L))
+      }.toMap
+    val wTot = players.map(i =>
+      i -> winsOver.collect { case ((a, _), w) if a == i => w }.sum).toMap
+    val nTot = players.map(i =>
+      i -> nij.collect { case ((a, _), n) if a == i => n }.sum).toMap
+
+    val nd = players.length.toLong
+    var p = players.map(_ -> 1000000L).toMap
+    var r = 0
+    while (r < Rounds) {
+      val praw = players.map { i =>
+        // the max(.,1) guard keeps a (degenerate) all-zero pair finite
+        val terms = nij.collect { case ((a, j), n) if a == i =>
+          math.floor(n.toDouble * 1000000000000.0 /
+            math.max(p(i) + p(j), 1L).toDouble + 0.5).toLong
+        }
+        i -> (if (terms.isEmpty) p(i)
+        else math.floor(wTot(i).toDouble * 1000000000000.0 /
+          terms.sum.toDouble + 0.5).toLong)
+      }.toMap
+      val sp = praw.values.sum
+      p = praw.map { case (i, pi) =>
+        i -> math.floor(pi.toDouble * (nd * 1000000L).toDouble /
+          sp.toDouble + 0.5).toLong
+      }
+      r += 1
+    }
+    players.map(i => (i, nTot(i), wTot(i), p(i))).toSeq
+      .toDF("source", "n_games", "n_wins", "rating_micro")
+      .orderBy("source")
+  }
+
+  /** The DuckDB replay — same derivation, [[Rounds]] unrolled MM rounds
+    * in the same quantized arithmetic.
+    */
+  private[graft] def btRatingsOracleSql: String = {
+    val rounds = (1 to Rounds).map { r =>
+      val prev = if (r == 1) "bp0" else s"bp${r - 1}"
+      s"""bd$r AS MATERIALIZED (SELECT bnij.i AS source,
+  CAST(sum(CAST(floor(CAST(bnij.n AS DOUBLE) * 1000000000000.0 / CAST(greatest(pi.p + pj.p, 1) AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS dq
+  FROM bnij JOIN $prev pi ON bnij.i = pi.source JOIN $prev pj ON bnij.j = pj.source
+  GROUP BY bnij.i),
+bq$r AS MATERIALIZED (SELECT w.source,
+  CASE WHEN d.dq IS NULL THEN pp.p
+    ELSE CAST(floor(CAST(w.wins AS DOUBLE) * 1000000000000.0 / CAST(d.dq AS DOUBLE) + 0.5) AS BIGINT) END AS praw
+  FROM bwtot w JOIN $prev pp ON w.source = pp.source
+  LEFT JOIN bd$r d ON w.source = d.source),
+bs$r AS MATERIALIZED (SELECT CAST(sum(praw) AS BIGINT) AS sp FROM bq$r),
+bp$r AS MATERIALIZED (SELECT q.source,
+  CAST(floor(CAST(q.praw AS DOUBLE) * CAST(bkk.nd * 1000000 AS DOUBLE) / CAST(s.sp AS DOUBLE) + 0.5) AS BIGINT) AS p
+  FROM bq$r q, bs$r s, bkk)"""
+    }.mkString(",\n")
+    s"""WITH bw AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+bs AS (SELECT doc_id, lang, source,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM bw),
+bqd AS MATERIALIZED (SELECT doc_id, lang, source, CAST(floor(q * 10000 + 0.5) AS BIGINT) AS qs FROM bs),
+bpr AS (SELECT source, qs,
+  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+  lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source_b,
+  lead(qs) OVER (PARTITION BY lang ORDER BY doc_id) AS qs_b
+  FROM bqd),
+bcmp AS (SELECT CASE WHEN qs >= qs_b THEN source ELSE source_b END AS winner,
+  CASE WHEN qs >= qs_b THEN source_b ELSE source END AS loser
+  FROM bpr WHERE doc_b IS NOT NULL AND source <> source_b),
+bwij AS MATERIALIZED (SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w FROM bcmp GROUP BY 1, 2),
+bnij AS MATERIALIZED (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+    SELECT i, j, w FROM bwij
+    UNION ALL SELECT j AS i, i AS j, w FROM bwij) GROUP BY i, j),
+bpl AS MATERIALIZED (SELECT DISTINCT source FROM bqd),
+bwtot AS MATERIALIZED (SELECT bpl.source, CAST(coalesce(sum(bwij.w), 0) AS BIGINT) AS wins
+  FROM bpl LEFT JOIN bwij ON bpl.source = bwij.i GROUP BY bpl.source),
+bntot AS MATERIALIZED (SELECT bpl.source, CAST(coalesce(sum(bnij.n), 0) AS BIGINT) AS games
+  FROM bpl LEFT JOIN bnij ON bpl.source = bnij.i GROUP BY bpl.source),
+bkk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nd FROM bpl),
+bp0 AS MATERIALIZED (SELECT source, CAST(1000000 AS BIGINT) AS p FROM bpl),
+$rounds
+SELECT n.source, n.games AS n_games, w.wins AS n_wins, p.p AS rating_micro
+FROM bntot n JOIN bwtot w ON n.source = w.source
+JOIN bp$Rounds p ON n.source = p.source
+ORDER BY n.source"""
+  }
+}
