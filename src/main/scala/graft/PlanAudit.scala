@@ -68,6 +68,8 @@ object PlanAudit {
     "dsir_weights",
     // 1-row label-total normalizer broadcast (the classifier denominators)
     "quality_classifier",
+    // same classifier chain inside the calibration / correlation audits
+    "calib_bins", "signal_corr",
     // calendar-sized day-spine broadcast against user-days (the range
     // join has no equi key by construction; both sides calendar/user-
     // day-bounded, never raw event volume)
@@ -442,12 +444,16 @@ object PlanAudit {
     // same shape with unigram features: bucket-model agg + totals
     // re-derive + broadcast model join + per-doc fold agg + orderBy
     "quality_classifier" -> 8,
+    "calib_bins" -> 12,
+    "signal_corr" -> 12,
     // the lm_perplexity plan (token df window + per-doc fold) + the lang
     // join + the per-lang tercile window + orderBy
     "perplexity_gate" -> 8,
     // frozen pricing on distinct words (one corpus pass) + broadcast
     // lookup join + per-doc agg + the budget two-level machinery
     "token_budget_unigram" -> 9,
+    "wordpiece_merges" -> 1,
+    "token_budget_wordpiece" -> 9,
     // two distinct-word passes (one per family) + a 1-row agg each +
     // the 2-row union orderBy
     "tokenizer_roundtrip" -> 8,

@@ -152,6 +152,12 @@ object SparkEntry {
     "dsir_weights" -> ((s, d) => TextPipeline.dsirWeights(s, d)),
     // model-based quality gate: hashed bag-of-words linear classifier
     // over seeded synthetic labels (train + score in one chain)
+    // reliability-diagram bins: per-lang score deciles of the classifier,
+    // exact integer (n, positives, score-sum) per bin
+    "calib_bins" -> ((s, d) => graft.operators.DataQuality.calibBins(s, d)),
+    // Pearson correlation between quality signals (heuristic, classifier,
+    // token count) from exact integer moments, emitted in ppm
+    "signal_corr" -> ((s, d) => graft.operators.DataQuality.signalCorr(s, d)),
     "quality_classifier" -> ((s, d) =>
       TextPipeline.qualityClassifier(s, d)),
     // asymmetric shingle containment (doc-inside-doc detection)
@@ -294,7 +300,14 @@ object SparkEntry {
     // tokenizer family's accountant)
     "token_budget_unigram" -> ((s, d) =>
       graft.operators.UnigramTrainer.tokenBudgetSampleUnigram(s, d)),
-    // decode(encode(w)) == w audit over BOTH frozen tokenizer families:
+    // WordPiece likelihood-merge trainer (third tokenizer family; BERT's):
+    // all-integer/varchar surface (round, pair, merged, pair/unigram counts)
+    "wordpiece_merges" -> ((s, d) =>
+      graft.operators.WordPieceTrainer.wordpieceMerges(s, d)),
+    // per-lang budget denominated in FROZEN-WordPiece greedy-match tokens
+    "token_budget_wordpiece" -> ((s, d) =>
+      graft.operators.WordPieceTrainer.tokenBudgetSampleWordpiece(s, d)),
+    // decode(encode(w)) == w audit over ALL THREE frozen tokenizer families:
     // priced/roundtrip/unsegmentable counts + the remainder named
     "tokenizer_roundtrip" -> ((s, d) =>
       graft.operators.TokenizerAudit.tokenizerRoundtrip(s, d)),
@@ -395,6 +408,35 @@ v AS (SELECT doc_a, doc_b,
     * between them. n_sym = count of '<'; word_chars rides along for the
     * stats query (harmless elsewhere).
     */
+  /** The hashed-linear-classifier replay (label derivation, 4096-bucket
+    * hashed features, log-odds weights, per-doc position-ordered weight
+    * lists) — shared by quality_classifier, calib_bins, and signal_corr
+    * so the model arithmetic cannot drift between its consumers. Ends at
+    * `d(doc_id, label, n_feats, ws)`.
+    */
+  private val clfReplayCtes =
+    """lb AS (SELECT doc_id, text,
+  CASE WHEN CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('qc:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) < 50 THEN 1 ELSE 0 END AS label
+  FROM documents),
+f0 AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS token,
+  unnest(range(len(string_split(text, ' ')))) AS pos FROM lb),
+fb AS (SELECT doc_id, label, pos,
+  CAST((strpos('0123456789abcdef', md5(token)[1:1]) - 1) * 256
+     + (strpos('0123456789abcdef', md5(token)[2:2]) - 1) * 16
+     + (strpos('0123456789abcdef', md5(token)[3:3]) - 1) AS BIGINT) AS bucket
+  FROM f0 WHERE len(token) > 0),
+counts AS (SELECT bucket, CAST(sum(label) AS BIGINT) AS cp,
+  CAST(sum(1 - label) AS BIGINT) AS cn FROM fb GROUP BY bucket),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
+  FROM counts),
+w AS (SELECT bucket, ln((cp + 1) / (np + 4096)) - ln((cn + 1) / (nn + 4096)) AS w
+  FROM counts, tot),
+d AS MATERIALIZED (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_feats,
+  list(w ORDER BY pos) AS ws
+  FROM fb JOIN w USING (bucket) GROUP BY doc_id, label)"""
+
   private val bpeReplayCtes =
     """words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
   FROM documents),
@@ -1074,31 +1116,63 @@ FROM d ORDER BY doc_id""",
     // as dsir_weights, labels from the split-bucket nibble sum, per-doc
     // score folded in feature-position order
     "quality_classifier" ->
-      """WITH lb AS (SELECT doc_id, text,
-  CASE WHEN CAST(list_sum(list_transform(range(4), dd ->
-    CAST(strpos('0123456789abcdef', md5('qc:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
-      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) < 50 THEN 1 ELSE 0 END AS label
-  FROM documents),
-f0 AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS token,
-  unnest(range(len(string_split(text, ' ')))) AS pos FROM lb),
-fb AS (SELECT doc_id, label, pos,
-  CAST((strpos('0123456789abcdef', md5(token)[1:1]) - 1) * 256
-     + (strpos('0123456789abcdef', md5(token)[2:2]) - 1) * 16
-     + (strpos('0123456789abcdef', md5(token)[3:3]) - 1) AS BIGINT) AS bucket
-  FROM f0 WHERE len(token) > 0),
-counts AS (SELECT bucket, CAST(sum(label) AS BIGINT) AS cp,
-  CAST(sum(1 - label) AS BIGINT) AS cn FROM fb GROUP BY bucket),
-tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn
-  FROM counts),
-w AS (SELECT bucket, ln((cp + 1) / (np + 4096)) - ln((cn + 1) / (nn + 4096)) AS w
-  FROM counts, tot),
-d AS (SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_feats,
-  list(w ORDER BY pos) AS ws
-  FROM fb JOIN w USING (bucket) GROUP BY doc_id, label)
+      s"""WITH $clfReplayCtes
 SELECT doc_id, CAST(label AS BIGINT) AS label, n_feats,
   round(list_sum(ws), 6) AS score,
   round(list_sum(ws), 6) > 0.0 AS predicted
 FROM d ORDER BY doc_id""",
+    // reliability deciles over the SAME classifier replay: per language,
+    // ntile(10) on the q6-scaled score (total order (score_q6, doc_id)),
+    // exact integer bin sums — an all-BIGINT/VARCHAR surface
+    "calib_bins" ->
+      s"""WITH $clfReplayCtes,
+sc AS (SELECT doc_id, label,
+  CAST(floor(round(list_sum(ws), 6) * 1000000 + 0.5) AS BIGINT) AS score_q6
+  FROM d),
+sl AS (SELECT sc.doc_id, sc.label, sc.score_q6, doc.lang
+  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id),
+bn AS (SELECT lang, label, score_q6,
+  ntile(10) OVER (PARTITION BY lang ORDER BY score_q6, doc_id) AS bin
+  FROM sl)
+SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(label) AS BIGINT) AS n_pos,
+  CAST(sum(score_q6) AS BIGINT) AS sum_score_q6
+FROM bn GROUP BY lang, bin ORDER BY lang, bin""",
+    // exact-integer Pearson moments (HUGEINT sums = Spark's DECIMAL(38,0))
+    // with the final corr as ONE shared IEEE expression, emitted in ppm
+    "signal_corr" -> {
+      def corrSel(x: String, y: String): String =
+        s"""SELECT '$x' AS sig_x, '$y' AS sig_y, CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+    THEN CAST(0 AS BIGINT)
+  ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    * 1000000 + 0.5) AS BIGINT) END AS corr_ppm
+FROM (SELECT count(*) AS n, sum($x) AS sx, sum($y) AS sy,
+  sum($x * $y) AS sxy, sum($x * $x) AS sxx, sum($y * $y) AS syy FROM j)"""
+      s"""WITH $clfReplayCtes,
+hw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hs AS (SELECT doc_id,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM hw),
+hq AS (SELECT doc_id, CAST(floor(round(q, 4) * 10000 + 0.5) AS BIGINT) AS q_heur
+  FROM hs),
+cq AS (SELECT doc_id,
+  CAST(floor(round(list_sum(ws), 6) * 1000000 + 0.5) AS BIGINT) AS q_clf
+  FROM d),
+nt AS (SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tok
+  FROM documents),
+j AS MATERIALIZED (SELECT hq.doc_id, q_heur, q_clf, n_tok
+  FROM hq JOIN cq USING (doc_id) JOIN nt USING (doc_id))
+${corrSel("q_clf", "n_tok")}
+UNION ALL ${corrSel("q_clf", "q_heur")}
+UNION ALL ${corrSel("q_heur", "n_tok")}
+ORDER BY sig_x, sig_y"""
+    },
     // entropy folds per-type counts in TOKEN order (the lm_perplexity
     // ordered-fold discipline) so float accumulation cannot drift
     "text_entropy" ->
@@ -2416,6 +2490,28 @@ c AS (SELECT lang, doc_id, n_tokens,
 SELECT lang, doc_id, n_tokens, start_offset
 FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
     // the frozen-unigram pricing replay + the same budget running sum
+    // generated unrolled likelihood-merge replay (the bpe_merges pattern
+    // with per-round MATERIALIZED unigram-count CTEs and the identical
+    // IEEE score expression — see WordPieceTrainer.wordpieceOracleSql)
+    "wordpiece_merges" ->
+      graft.operators.WordPieceTrainer.wordpieceOracleSql(12),
+    // frozen greedy-match replay (recursive single-path CTE over the
+    // pinned piece VALUES literal) feeding the shared budget CTEs
+    "token_budget_wordpiece" ->
+      s"""WITH RECURSIVE
+${graft.operators.WordPieceTrainer.frozenGreedyCtes},
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+cnt AS (SELECT t.doc_id, t.lang, CAST(sum(e.n_symbols) AS BIGINT) AS n_tokens
+  FROM tok t JOIN wpsym e USING (word) WHERE length(t.word) > 0
+  GROUP BY t.doc_id, t.lang),
+b AS (SELECT doc_id, lang, n_tokens,
+  md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM cnt),
+c AS (SELECT lang, doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM b)
+SELECT lang, doc_id, n_tokens, start_offset
+FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
     "token_budget_unigram" ->
       s"""WITH RECURSIVE
 ${graft.operators.UnigramTrainer.frozenReplayCtes},
@@ -2437,6 +2533,7 @@ FROM c WHERE start_offset < 2000 ORDER BY lang, start_offset, doc_id""",
     "tokenizer_roundtrip" ->
       s"""WITH RECURSIVE
 ${graft.operators.UnigramTrainer.frozenReplayCtes},
+${graft.operators.WordPieceTrainer.frozenGreedyCtes},
 $bpeReplayCtes,
 brt AS (SELECT word, CASE WHEN replace(replace(s, '<', ''), '>', '') = word
     THEN 1 ELSE 0 END AS ok FROM enc),
@@ -2444,7 +2541,10 @@ urt AS (SELECT u.word,
     CASE WHEN b.segs IS NOT NULL THEN 1 ELSE 0 END AS priced,
     CASE WHEN b.segs IS NOT NULL AND replace(b.segs, chr(1), '') = u.word
       THEN 1 ELSE 0 END AS ok
-  FROM uw u LEFT JOIN ubest b USING (word))
+  FROM uw u LEFT JOIN ubest b USING (word)),
+wrt AS (SELECT u.word,
+    CASE WHEN s.n_symbols IS NOT NULL THEN 1 ELSE 0 END AS priced
+  FROM wpw u LEFT JOIN wpsym s USING (word))
 SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
   CAST(count(*) AS BIGINT) AS n_priced,
   CAST(sum(ok) AS BIGINT) AS n_roundtrip,
@@ -2455,12 +2555,21 @@ SELECT 'unigram', CAST(count(*) AS BIGINT), CAST(sum(priced) AS BIGINT),
   CAST(sum(ok) AS BIGINT), CAST(count(*) - sum(priced) AS BIGINT),
   coalesce(min(CASE WHEN priced = 0 THEN word END), '')
 FROM urt
+UNION ALL
+-- greedy matches are exact substrings, so a completed segmentation
+-- concatenates back structurally: n_roundtrip = n_priced (the engine
+-- MEASURES the reconstruction; the replay needs only completion)
+SELECT 'wordpiece', CAST(count(*) AS BIGINT), CAST(sum(priced) AS BIGINT),
+  CAST(sum(priced) AS BIGINT), CAST(count(*) - sum(priced) AS BIGINT),
+  coalesce(min(CASE WHEN priced = 0 THEN word END), '')
+FROM wrt
 ORDER BY tokenizer""",
     // freq-weighted sums over the SAME frozen replays: BPE joins every
     // word (structural losslessness), unigram only priced words
     "tokenizer_fertility" ->
       s"""WITH RECURSIVE
 ${graft.operators.UnigramTrainer.frozenReplayCtes},
+${graft.operators.WordPieceTrainer.frozenGreedyCtes},
 $bpeReplayCtes,
 ftok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
 fwf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ftok
@@ -2474,8 +2583,14 @@ fu AS (SELECT 'unigram' AS tokenizer,
   CAST(sum(freq) AS BIGINT) AS n_occurrences,
   CAST(sum(freq * n_symbols) AS BIGINT) AS n_tokens,
   CAST(sum(freq * len(word)) AS BIGINT) AS n_chars
-  FROM fwf JOIN unsym USING (word))
-SELECT * FROM fb UNION ALL SELECT * FROM fu ORDER BY tokenizer""",
+  FROM fwf JOIN unsym USING (word)),
+fw AS (SELECT 'wordpiece' AS tokenizer,
+  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+  CAST(sum(freq * n_symbols) AS BIGINT) AS n_tokens,
+  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars
+  FROM fwf JOIN wpsym USING (word))
+SELECT * FROM fb UNION ALL SELECT * FROM fu
+UNION ALL SELECT * FROM fw ORDER BY tokenizer""",
     "emb_quantize" ->
       """WITH a AS (SELECT vec_id,
   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

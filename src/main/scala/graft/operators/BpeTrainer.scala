@@ -291,7 +291,8 @@ ORDER BY round"""
       if (res != 0) res else java.lang.Integer.compare(a.length, b.length)
     }
 
-  private def containsPair(s: Array[String], a: String, b: String): Boolean = {
+  private[operators] def containsPair(s: Array[String], a: String,
+      b: String): Boolean = {
     var j = 0
     while (j < s.length - 1) {
       if (s(j) == a && s(j + 1) == b) return true
@@ -303,7 +304,7 @@ ORDER BY round"""
   /** Left-to-right non-overlapping (a, b) -> ab, the local twin of
     * [[mergePair]]'s fold (spec-pinned identical).
     */
-  private def mergeLocal(s: Array[String], a: String, b: String,
+  private[operators] def mergeLocal(s: Array[String], a: String, b: String,
       ab: String): Array[String] = {
     val out = new mutable.ArrayBuffer[String](s.length)
     var j = 0
@@ -417,12 +418,20 @@ ORDER BY round"""
     * non-overlapping rule).
     */
   private def mergePair(syms: Column, a: String, b: String): Column =
+    mergePairTo(syms, a, b, a + b)
+
+  /** [[mergePair]] with an explicit merged symbol — the seam the WordPiece
+    * trainer shares (its merged symbol strips the continuation prefix off
+    * the right side, so it is NOT `a + b`).
+    */
+  private[operators] def mergePairTo(syms: Column, a: String, b: String,
+      merged: String): Column =
     aggregate(syms,
       array().cast(ArrayType(StringType)),
       (acc, x) =>
         when(size(acc) > 0 &&
           element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
           .otherwise(concat(acc, array(x))))
 
   /** Encode the corpus's words with a learned merge table — the apply side

@@ -241,4 +241,109 @@ object DataQuality {
             greatest(col("share_b"), lit(eps))), 6).as("psi_term"))
       .orderBy("lang")
   }
+
+  /** Classifier-calibration reliability bins (the reliability-diagram
+    * audit an ML-data pipeline runs before trusting a quality model's
+    * scores as sampling weights): per language, documents decile-binned
+    * by [[TextPipeline.qualityClassifierFrom]] score, each bin reporting
+    * its size, positive-label count, and exact score sum. A calibrated
+    * model's per-bin positive RATE tracks its mean score; a drifting one
+    * shows up as bins whose n_pos/n_docs diverges — the audit surfaces
+    * the exact integer numerators and leaves the division to the reader
+    * (the tokenizer_fertility discipline: ratios are driver-surface
+    * poison, integer sums are not).
+    *
+    * Determinism: the score is the classifier's position-ordered fold
+    * rounded to 6 (already engine-agreed), then scaled to a BIGINT;
+    * ntile runs per language over the total order (score_q6, doc_id).
+    * Scale: the classifier's one token pass + model broadcast, then a
+    * lang-partitioned window over doc-count rows and a 50-row agg — the
+    * window is keyed, never single-partition.
+    */
+  def calibBins(spark: SparkSession, sfDir: String): DataFrame =
+    calibBinsFrom(Tables.documents(spark, sfDir))
+
+  /** [[calibBins]] over any frame with the documents schema. */
+  def calibBinsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clf = TextPipeline.qualityClassifierFrom(docs)
+      .select(col("doc_id"), col("label"),
+        floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_q6"), col("doc_id"))
+    clf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bin", ntile(10).over(w).cast(LongType))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).as("n_pos"),
+        sum(col("score_q6")).as("sum_score_q6"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Pearson correlation between the engine's per-document quality
+    * signals — the redundancy audit a curation pipeline runs before
+    * stacking filters (two signals correlated at 0.95 gate the same
+    * documents twice; near-zero correlation means they carry independent
+    * information). Signals: the heuristic quality score
+    * ([[TextPipeline.textQuality]], q4-scaled), the trained classifier
+    * score (q6-scaled), and the non-empty token count.
+    *
+    * Determinism discipline: each signal is quantized to a BIGINT
+    * FIRST; all five correlation sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * EXACTLY (per-row products in Long — bounded by q6² ≈ 1e14 — summed
+    * in DECIMAL(38,0); DuckDB's HUGEINT sums match digit-for-digit), and
+    * only the final Pearson expression touches doubles, with the same
+    * IEEE op sequence both sides. The emitted value is micro-scaled
+    * (`corr_ppm` BIGINT) — no float on the driver surface. Zero variance
+    * short-circuits to 0 on the integer side.
+    *
+    * Scale: one 1-row aggregation per signal pair over a three-way
+    * doc_id join of scan-shaped inputs — at 100 TB this is three narrow
+    * passes and a 3-row result.
+    */
+  def signalCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val heur = TextPipeline.textQuality(spark, sfDir)
+      .select(col("doc_id"),
+        floor(col("quality") * 10000d + 0.5d).cast(LongType).as("q_heur"))
+    val clf = TextPipeline.qualityClassifierFrom(d)
+      .select(col("doc_id"),
+        floor(col("score") * 1000000d + 0.5d).cast(LongType).as("q_clf"))
+    val ntok = d.select(col("doc_id"),
+      size(filter(graft.functions.TextFunctions.tokens(col("text")),
+        t => length(t) > 0)).cast(LongType).as("n_tok"))
+    val joined = heur.join(clf, "doc_id").join(ntok, "doc_id")
+
+    // ONE aggregation pass collects every moment (n + 3 sums + 3 squares
+    // + 3 cross-products); the 1-row result is fenced so the three pair
+    // rows below cannot re-execute the classifier chain per reference
+    val dec = DecimalType(38, 0)
+    def sums(x: String): Seq[org.apache.spark.sql.Column] = Seq(
+      sum(col(x).cast(dec)).as(s"s_$x"),
+      sum((col(x) * col(x)).cast(dec)).as(s"s_${x}_$x"))
+    val wide = joined.agg(count(lit(1)).cast(dec).as("n"),
+      (sums("q_heur") ++ sums("q_clf") ++ sums("n_tok") ++ Seq(
+        sum((col("q_clf") * col("q_heur")).cast(dec)).as("s_q_clf_q_heur"),
+        sum((col("q_clf") * col("n_tok")).cast(dec)).as("s_q_clf_n_tok"),
+        sum((col("q_heur") * col("n_tok")).cast(dec)).as("s_q_heur_n_tok"))): _*)
+      .localCheckpoint()
+    def pairCorr(x: String, y: String): DataFrame = {
+      val (sx, sy, sxy) = (col(s"s_$x"), col(s"s_$y"), col(s"s_${x}_$y"))
+      val (sxx, syy) = (col(s"s_${x}_$x"), col(s"s_${y}_$y"))
+      wide.select(lit(x).as("sig_x"), lit(y).as("sig_y"),
+        col("n").cast(LongType).as("n"),
+        when((col("n") * sxx - sx * sx) === 0 ||
+            (col("n") * syy - sy * sy) === 0, 0L)
+          .otherwise(floor(
+            (col("n") * sxy - sx * sy).cast(DoubleType)
+              / (sqrt((col("n") * sxx - sx * sx).cast(DoubleType))
+                * sqrt((col("n") * syy - sy * sy).cast(DoubleType)))
+              * 1000000d + 0.5d).cast(LongType))
+          .as("corr_ppm"))
+    }
+    pairCorr("q_clf", "n_tok")
+      .unionByName(pairCorr("q_clf", "q_heur"))
+      .unionByName(pairCorr("q_heur", "n_tok"))
+      .orderBy("sig_x", "sig_y")
+  }
 }

@@ -13,7 +13,7 @@ import graft.sources.Tables
   */
 object TokenizerAudit {
 
-  /** Round-trip audit over BOTH frozen tokenizers: per family, over the
+  /** Round-trip audit over ALL THREE frozen tokenizers: per family, over the
     * corpus's distinct words, how many words get a segmentation at all
     * (`n_priced` — the accountants' inner-join contract), how many
     * segmentations concatenate back to the word exactly
@@ -29,6 +29,10 @@ object TokenizerAudit {
     *    characters outside the released vocab's alphabet — the
     *    documented no-row contract; the remainder is what this audit
     *    surfaces.
+    *  - WordPiece ([[WordPieceTrainer.FrozenPieces]]) segments by greedy
+    *    longest match; a position with no matching piece (an unseen
+    *    character) makes the word unsegmentable — same no-row contract,
+    *    same surfaced remainder.
     *
     * Scale shape: one corpus pass to distinct words per family (the
     * bpeWordSymbols / unigramWordSymbols shape), per-word pure-function
@@ -66,7 +70,30 @@ object TokenizerAudit {
       .select(lit("unigram").as("tokenizer"), col("n_words"),
         col("n_priced"), col("n_roundtrip"), col("n_unsegmentable"),
         col("first_unsegmentable"))
-    bpe.unionByName(uni).orderBy("tokenizer")
+    val wpPieces = WordPieceTrainer.FrozenPieces.toSet
+    val wp = corpus
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .as[String]
+      .map { w =>
+        val seg = WordPieceTrainer.greedyEncode(w, wpPieces)
+        val recon = seg
+          .map(s => if (s.startsWith("##")) s.substring(2) else s)
+          .mkString("")
+        (w, seg.nonEmpty, seg.nonEmpty && recon == w)
+      }
+      .toDF("word", "priced", "ok")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("priced").cast("long")).as("n_priced"),
+        sum(col("ok").cast("long")).as("n_roundtrip"),
+        sum((!col("priced")).cast("long")).as("n_unsegmentable"),
+        coalesce(min(when(!col("priced"), col("word"))), lit(""))
+          .as("first_unsegmentable"))
+      .select(lit("wordpiece").as("tokenizer"), col("n_words"),
+        col("n_priced"), col("n_roundtrip"), col("n_unsegmentable"),
+        col("first_unsegmentable"))
+    bpe.unionByName(uni).unionByName(wp).orderBy("tokenizer")
   }
 
   /** Corpus-weighted fertility accounting per frozen tokenizer family —
@@ -110,6 +137,18 @@ object TokenizerAudit {
         sum(col("tok")).as("n_tokens"), sum(col("chr")).as("n_chars"))
       .select(lit("unigram").as("tokenizer"), col("n_occurrences"),
         col("n_tokens"), col("n_chars"))
-    bpe.unionByName(uni).orderBy("tokenizer")
+    val wpPieces = WordPieceTrainer.FrozenPieces.toSet
+    val wp = wf.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        val seg = WordPieceTrainer.greedyEncode(w, wpPieces)
+        if (seg.isEmpty) None
+        else Some((f, seg.length.toLong * f, w.length.toLong * f))
+      }
+      .toDF("occ", "tok", "chr")
+      .agg(sum(col("occ")).as("n_occurrences"),
+        sum(col("tok")).as("n_tokens"), sum(col("chr")).as("n_chars"))
+      .select(lit("wordpiece").as("tokenizer"), col("n_occurrences"),
+        col("n_tokens"), col("n_chars"))
+    bpe.unionByName(uni).unionByName(wp).orderBy("tokenizer")
   }
 }

@@ -156,4 +156,39 @@ class DataQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     w.head.getAs[Long]("bad_lang") shouldBe 1L
     w.head.getAs[Long]("n_violations") shouldBe 2L
   }
+
+  test("calib_bins: full decile partition per language, exact accounting") {
+    val bins = graft.operators.DataQuality
+      .calibBins(spark, "/root/testdata/sf0.001").collect()
+    val langs = bins.map(_.getString(0)).distinct
+    langs.length shouldBe 5
+    langs.foreach { l =>
+      val b = bins.filter(_.getString(0) == l)
+      // ntile(10) emits exactly bins 1..10, sizes within 1 of each other
+      b.map(_.getLong(1)).sorted.toSeq shouldBe (1L to 10L)
+      val sizes = b.map(_.getLong(2))
+      (sizes.max - sizes.min) should be <= 1L
+      // positives never exceed the bin size
+      b.foreach(r => r.getLong(3) should be <= r.getLong(2))
+    }
+    // every document lands in exactly one bin
+    bins.map(_.getLong(2)).sum shouldBe 500L
+  }
+
+  test("signal_corr: ppm values in range, self-consistent n, real signal") {
+    val rows = graft.operators.DataQuality
+      .signalCorr(spark, "/root/testdata/sf0.001").collect()
+    rows.length shouldBe 3
+    val ns = rows.map(_.getLong(2)).distinct
+    ns.length shouldBe 1 // same joined population for every pair
+    rows.foreach { r =>
+      math.abs(r.getLong(3)) should be <= 1000000L
+    }
+    // the heuristic quality score is length-ASSOCIATED by construction
+    // (its first term saturates at 50 tokens) — the corr must be
+    // decisively nonzero, or the moment arithmetic is broken
+    val heurTok = rows.find(r =>
+      r.getString(0) == "q_heur" && r.getString(1) == "n_tok").get
+    math.abs(heurTok.getLong(3)) should be > 100000L
+  }
 }
