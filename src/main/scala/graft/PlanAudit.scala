@@ -431,6 +431,7 @@ object PlanAudit {
     // comparison derivation runs eagerly (quality scan + per-lang window
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
     "bt_ratings" -> 1,
+    "elo_ratings" -> 7,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two

@@ -322,6 +322,9 @@ object SparkEntry {
     // Bradley-Terry (Hunter MM) per-source strengths over deterministic
     // quality-derived pairwise comparisons — the RLHF-prep rating family
     "bt_ratings" -> ((s, d) => graft.operators.Preference.btRatings(s, d)),
+    // Elo over the same comparison stream, replayed in match order — the
+    // ONLINE rating twin (one sequential pool per language, pools parallel)
+    "elo_ratings" -> ((s, d) => graft.operators.Preference.eloRatings(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -1841,6 +1844,7 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
       graft.operators.MixtureOptimizer.domainReweightOracleSql,
     // unrolled MM rounds over the derived comparison matrix
     "bt_ratings" -> graft.operators.Preference.btRatingsOracleSql,
+    "elo_ratings" -> graft.operators.Preference.eloRatingsOracleSql,
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

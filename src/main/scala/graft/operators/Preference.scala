@@ -109,6 +109,193 @@ object Preference {
       .orderBy("source")
   }
 
+  /** Elo K-factor in micro-points (K = 32). */
+  val EloK = 32000000.0
+
+  /** Elo starting rating in micro-points (1500). */
+  val EloStart = 1500000000L
+
+  /** One Elo update in micro-BIGINT ratings: the winner gains
+    * floor(K·(1−e)+0.5), the loser gains floor(−K·(1−e)+0.5) (each side
+    * floors its OWN delta — the two are not exact negatives), where e is
+    * the winner's expected score 1/(1+10^((r_l−r_w)/400)). The single
+    * transcendental (pow) is computed once per match from exact integer
+    * ratings; its value sits ~10⁶ quantization steps away from any
+    * boundary, so a sub-ulp libm difference flips a floor with
+    * probability ~1e-10 per match (the UnigramTrainer.mkLp acceptance).
+    */
+  private[graft] def eloStep(rw: Long, rl: Long): (Long, Long) = {
+    val e = 1.0 / (1.0 +
+      math.pow(10.0, (rl - rw).toDouble / 400000000.0))
+    (rw + math.floor(EloK * (1.0 - e) + 0.5).toLong,
+      rl + math.floor(-EloK * (1.0 - e) + 0.5).toLong)
+  }
+
+  /** Elo ratings over the SAME deterministic comparison stream as
+    * [[btRatings]], replayed in match order — the ONLINE rating twin
+    * (arena-style leaderboards update this way; Bradley-Terry is the
+    * batch refit). Per language, matches replay in doc_id order from
+    * [[EloStart]]; every (lang, source) present in the corpus gets a row
+    * (unplayed sources keep the start rating).
+    *
+    * Scale shape: Elo is inherently SEQUENTIAL — each update reads the
+    * two current ratings — so the honest distribution unit is the
+    * independent rating pool: one per language here (one per arena/
+    * league in production). The match log repartitions by lang,
+    * secondary-sorts by doc_id, and replays each language's log in one
+    * partition-local pass (`mapPartitions` — the declared last-resort
+    * shape, used precisely because the algorithm defines away
+    * parallelism inside a pool); languages replay in parallel. Nothing
+    * is collected: state per pool is #sources ratings.
+    */
+  def eloRatings(spark: SparkSession, sfDir: String): DataFrame =
+    eloRatingsFrom(spark, Tables.documents(spark, sfDir))
+
+  /** [[eloRatings]] over any (doc_id, lang, source, text) frame — same
+    * real-comparison seam as [[btRatingsFrom]].
+    */
+  def eloRatingsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    comparisonLog(corpus)
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"), col("winner"))
+      .as[(String, Long, String, String)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long, Long, Long)]
+        var lang: String = null
+        var ratings = scala.collection.mutable.Map.empty[String, Long]
+        var games = scala.collection.mutable.Map.empty[String, Long]
+        var wins = scala.collection.mutable.Map.empty[String, Long]
+        def flush(): Unit = if (lang != null) {
+          ratings.toSeq.sortBy(_._1).foreach { case (s, r) =>
+            out += ((lang, s, games.getOrElse(s, 0L),
+              wins.getOrElse(s, 0L), r))
+          }
+        }
+        it.foreach { case (l, _, w, lOrNull) =>
+          if (l != lang) {
+            flush(); lang = l
+            ratings = scala.collection.mutable.Map.empty
+            games = scala.collection.mutable.Map.empty
+            wins = scala.collection.mutable.Map.empty
+          }
+          if (lOrNull == null) ratings.getOrElseUpdate(w, EloStart)
+          else {
+            val (rw, rl) = (ratings.getOrElse(w, EloStart),
+              ratings.getOrElse(lOrNull, EloStart))
+            val (nw, nl) = eloStep(rw, rl)
+            ratings(w) = nw; ratings(lOrNull) = nl
+            games(w) = games.getOrElse(w, 0L) + 1
+            games(lOrNull) = games.getOrElse(lOrNull, 0L) + 1
+            wins(w) = wins.getOrElse(w, 0L) + 1
+          }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("lang", "source", "n_games", "n_wins", "rating_micro")
+      .orderBy("lang", "source")
+  }
+
+  /** The ordered Elo match log: roster markers (doc_id = Long.MinValue,
+    * loser NULL — every (lang, source) participates even unplayed) then
+    * the deterministic quality comparisons, so one (lang, doc_id)-sorted
+    * pass replays a pool. Shared by the batch replay and the streaming
+    * twin's spec.
+    */
+  private[graft] def comparisonLog(corpus: DataFrame): DataFrame = {
+    val qd = corpus.select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
+    val wl = Window.partitionBy("lang").orderBy("doc_id")
+    val pr = qd.select(col("lang"), col("doc_id"), col("source"), col("qs"),
+      lead("doc_id", 1).over(wl).as("doc_b"),
+      lead("source", 1).over(wl).as("source_b"),
+      lead("qs", 1).over(wl).as("qs_b"))
+    val cmp = pr
+      .filter(col("doc_b").isNotNull && col("source") =!= col("source_b"))
+      .select(col("lang"), col("doc_id"),
+        when(col("qs") >= col("qs_b"), col("source"))
+          .otherwise(col("source_b")).as("winner"),
+        when(col("qs") >= col("qs_b"), col("source_b"))
+          .otherwise(col("source")).as("loser"))
+    val roster = qd.select(col("lang"), col("source")).distinct()
+      .select(col("lang"), lit(Long.MinValue).as("doc_id"),
+        col("source").as("winner"), lit(null).cast("string").as("loser"))
+    roster.unionByName(cmp)
+  }
+
+  /** The DuckDB replay of [[eloRatings]]: the per-language match log is
+    * indexed by row_number, the rating pool rides the recursion as a
+    * LIST aligned to the language's sorted source roster, and each
+    * recursive step applies exactly one match's two floors (the e
+    * expression written once per delta, the identical IEEE sequence).
+    * Languages step in lockstep; a language out of matches keeps its
+    * final row, picked by max idx at the end.
+    */
+  private[graft] def eloRatingsOracleSql: String = {
+    val e =
+      "1.0 / (1.0 + power(10.0, CAST(st.rl[list_position(es.srcs, m.loser)]" +
+        " - st.rl[list_position(es.srcs, m.winner)] AS DOUBLE)" +
+        " / 400000000.0))"
+    s"""WITH RECURSIVE
+ew AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+es0 AS (SELECT doc_id, lang, source,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM ew),
+eqd AS MATERIALIZED (SELECT doc_id, lang, source, CAST(floor(q * 10000 + 0.5) AS BIGINT) AS qs FROM es0),
+epr AS (SELECT lang, doc_id, source, qs,
+  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+  lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source_b,
+  lead(qs) OVER (PARTITION BY lang ORDER BY doc_id) AS qs_b
+  FROM eqd),
+ecmp AS MATERIALIZED (SELECT lang, doc_id,
+  CASE WHEN qs >= qs_b THEN source ELSE source_b END AS winner,
+  CASE WHEN qs >= qs_b THEN source_b ELSE source END AS loser
+  FROM epr WHERE doc_b IS NOT NULL AND source <> source_b),
+em AS MATERIALIZED (SELECT lang, winner, loser,
+  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS idx FROM ecmp),
+esrc AS MATERIALIZED (SELECT lang, list(source ORDER BY source) AS srcs
+  FROM (SELECT DISTINCT lang, source FROM eqd) GROUP BY lang),
+est AS (
+  SELECT lang, CAST(0 AS BIGINT) AS idx,
+    list_transform(srcs, s -> CAST(1500000000 AS BIGINT)) AS rl
+  FROM esrc
+  UNION ALL
+  SELECT st.lang, st.idx + 1,
+    list_transform(range(len(st.rl)), k -> CASE
+      WHEN es.srcs[CAST(k + 1 AS INTEGER)] = m.winner
+        THEN st.rl[CAST(k + 1 AS INTEGER)]
+          + CAST(floor(32000000.0 * (1.0 - $e) + 0.5) AS BIGINT)
+      WHEN es.srcs[CAST(k + 1 AS INTEGER)] = m.loser
+        THEN st.rl[CAST(k + 1 AS INTEGER)]
+          + CAST(floor(-32000000.0 * (1.0 - $e) + 0.5) AS BIGINT)
+      ELSE st.rl[CAST(k + 1 AS INTEGER)] END) AS rl
+  FROM est st
+  JOIN em m ON m.lang = st.lang AND m.idx = st.idx + 1
+  JOIN esrc es ON es.lang = st.lang),
+efin AS MATERIALIZED (SELECT lang, rl FROM (
+  SELECT lang, rl, row_number() OVER (PARTITION BY lang ORDER BY idx DESC) AS rn
+  FROM est) WHERE rn = 1),
+eout AS (SELECT f.lang, s.srcs[CAST(u.k + 1 AS INTEGER)] AS source,
+  f.rl[CAST(u.k + 1 AS INTEGER)] AS rating_micro
+  FROM efin f JOIN esrc s ON s.lang = f.lang,
+  unnest(range(len(f.rl))) AS u(k)),
+egm AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN won THEN 1 ELSE 0 END) AS BIGINT) AS w FROM (
+    SELECT lang, winner AS source, true AS won FROM ecmp
+    UNION ALL SELECT lang, loser AS source, false AS won FROM ecmp)
+  GROUP BY lang, source)
+SELECT o.lang, o.source,
+  coalesce(g.n, 0) AS n_games, coalesce(g.w, 0) AS n_wins,
+  o.rating_micro
+FROM eout o LEFT JOIN egm g ON g.lang = o.lang AND g.source = o.source
+ORDER BY o.lang, o.source"""
+  }
+
   /** The DuckDB replay — same derivation, [[Rounds]] unrolled MM rounds
     * in the same quantized arithmetic.
     */

@@ -573,4 +573,50 @@ object StreamingText extends Logging {
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
           .otherwise("test"))
   }
+
+  /** Streaming WordPiece pricing gate — the frozen-tokenizer twin of
+    * [[classifierGateStream]] for the THIRD tokenizer family: every
+    * arriving document prices itself in frozen-WordPiece tokens
+    * ([[graft.operators.WordPieceTrainer.FrozenPieces]] greedy
+    * longest-match, the exact batch arithmetic of
+    * `wordpieceWordSymbols` — spec-proven equal on the same docs) and
+    * rows over `maxTokens` drop before storage. Emits `n_wp_tokens`
+    * (priced words only — the batch accountants' inner-join contract:
+    * an unsegmentable word contributes 0) and `n_unpriced_words`;
+    * `requireFullyPriced` also drops documents containing any
+    * unsegmentable word (the [UNK]-refusal ingest policy).
+    *
+    * Shape: STATELESS — the released piece set is a bounded closure
+    * constant (≤ alphabet + merge count entries), greedy matching is a
+    * per-row pure function (no join, no state, no watermark, no
+    * shuffle); the deterministic Scala function stands in for a native
+    * expression because greedy longest-match has a data-dependent
+    * advance no built-in fold expresses.
+    */
+  def wordpieceGateStream(docs: DataFrame,
+      maxTokens: Long = Long.MaxValue,
+      requireFullyPriced: Boolean = true): DataFrame = {
+    import graft.operators.WordPieceTrainer
+    val pieces = WordPieceTrainer.FrozenPieces.toSet
+    val price = udf { (text: String) =>
+      val words = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+      var toks = 0L
+      var unpriced = 0L
+      words.foreach { w =>
+        val n = WordPieceTrainer.greedyEncode(w, pieces).length
+        if (n == 0) unpriced += 1L else toks += n.toLong
+      }
+      (toks, unpriced)
+    }
+    // inline(array(...)) feeds a Generate node, which Catalyst cannot
+    // re-inline per field reference — the struct prices ONCE per row
+    // (the textLangId single-evaluation discipline)
+    val priced = docs
+      .select(col("*"), inline(array(price(col("text")))))
+      .withColumnRenamed("_1", "n_wp_tokens")
+      .withColumnRenamed("_2", "n_unpriced_words")
+      .filter(col("n_wp_tokens") <= maxTokens)
+    if (requireFullyPriced) priced.filter(col("n_unpriced_words") === 0L)
+    else priced
+  }
 }
