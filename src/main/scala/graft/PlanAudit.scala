@@ -36,6 +36,8 @@ object PlanAudit {
     "sim_topk_q8",
     // 1-row query-vector broadcast (codebooks ride as plan literals)
     "pq_topk", "pq_recall",
+    // 1-row query broadcast per prefix-dim ranking branch
+    "mrl_recall",
     // 1-row query broadcast + the k-row pool self-pairing (both sides
     // are the checkpointed 20-row candidate leaf)
     "mmr_rerank",
@@ -421,6 +423,7 @@ object PlanAudit {
     "pq_recon_error" -> 5,
     // the pq_topk subplan + the exact TakeOrdered side + k-row join + agg
     "pq_recall" -> 6,
+    "mrl_recall" -> 10,
     // word-freq agg + the BPE distinct-words join + two 1-row aggs +
     // the 2-row union orderBy
     "tokenizer_fertility" -> 10,

@@ -224,6 +224,9 @@ object SparkEntry {
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // measured recall@k of the PQ stage vs brute force, exact integers
     "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
+    // Matryoshka truncation audit: recall@10 of prefix-dim retrieval vs
+    // the full-dim exact top-k, in basis points (64-dim row = 10000 anchor)
+    "mrl_recall" -> ((s, d) => SimilarityPipeline.mrlRecall(s, d)),
     // Round 6: HLL distinct-token sketch + temperature resampling applied
     "hll_distinct" -> ((s, d) => graft.operators.Sketches.hllDistinctTokens(s, d)),
     "hist_quantiles" -> ((s, d) => graft.operators.Sketches.histQuantiles(s, d)),
@@ -1839,6 +1842,7 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,
     "pq_recall" -> SimilarityPipeline.pqRecallOracleSql,
+    "mrl_recall" -> SimilarityPipeline.mrlRecallOracleSql,
     // unrolled EG rounds over the micro-NLL domain losses
     "domain_reweight" ->
       graft.operators.MixtureOptimizer.domainReweightOracleSql,

@@ -1230,6 +1230,76 @@ ORDER BY pos"""
         (col("n_hits") * (10000L / PqTopK)).as("recall_bp"))
   }
 
+  /** Matryoshka dims audited by [[mrlRecall]] — nested prefixes of the
+    * 64-dim embedding (Kusupati'22: MRL-trained embeddings keep most of
+    * their retrieval power in a short prefix; this row MEASURES whether
+    * ours do).
+    */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+  val MrlK = 10
+
+  /** Matryoshka truncation recall: for each prefix dimensionality, the
+    * recall@k of brute-force cosine retrieval on the TRUNCATED embedding
+    * against the full-dim exact top-k — the audit that prices the
+    * "shorten the vectors, shrink the index" memory path (the
+    * dimension-side counterpart of [[pqRecall]]'s code-side audit).
+    * Emitted as exact integers (hits × 10000/k bp); the 64-dim row is a
+    * structural 10000 — the harness anchor proving the two rankings are
+    * computed identically.
+    *
+    * Scale shape: each prefix ranking is a TakeOrdered top-k against the
+    * broadcast 1-row query over a single scan — per-release audit cost,
+    * linear in corpus, no shuffle beyond the k-row joins. The exact set
+    * is fenced (localCheckpoint) so four branches share one ranking.
+    */
+  def mrlRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    def top(dim: Int): DataFrame = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(slice(col("v"), 1, dim), slice(col("q"), 1, dim)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(MrlK)
+      .select(col("vec_id"))
+    val exact = top(64).localCheckpoint()
+    MrlDims.map { d =>
+      top(d).join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), lit(MrlK.toLong).as("k"),
+          col("n_hits"),
+          (col("n_hits") * (10000L / MrlK)).as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
+  /** The DuckDB replay of [[mrlRecall]] — same prefix rankings, the
+    * shared cosine SQL restricted to each prefix's range.
+    */
+  private[graft] def mrlRecallOracleSql: String = {
+    def cosDim(d: Int): String =
+      s"(list_sum(list_transform(range($d), i -> v[i+1] * qv[i+1])) / " +
+        s"(sqrt(list_sum(list_transform(range($d), i -> v[i+1] * v[i+1]))) * " +
+        s"sqrt(list_sum(list_transform(range($d), i -> qv[i+1] * qv[i+1])))))"
+    val tops = MrlDims.map(d =>
+      s"""t$d AS (SELECT vec_id FROM ek, q WHERE vec_id <> 0
+  ORDER BY ${cosDim(d)} DESC, vec_id LIMIT $MrlK)""").mkString(",\n")
+    val sels = MrlDims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, CAST($MrlK AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_hits,
+  CAST(count(*) * ${10000 / MrlK} AS BIGINT) AS recall_bp
+FROM t$d JOIN ex USING (vec_id)""").mkString("\nUNION ALL ")
+    s"""WITH ek AS MATERIALIZED (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS MATERIALIZED (SELECT v AS qv FROM ek WHERE vec_id = 0),
+ex AS MATERIALIZED (SELECT vec_id FROM ek, q WHERE vec_id <> 0
+  ORDER BY ${cosDim(64)} DESC, vec_id LIMIT $MrlK),
+$tops
+$sels
+ORDER BY dim"""
+  }
+
   /** The DuckDB replay of [[pqRecall]]. */
   private[graft] def pqRecallOracleSql: String = {
     val joins = (1 until PqM).map(m =>
