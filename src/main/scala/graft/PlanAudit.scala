@@ -38,6 +38,8 @@ object PlanAudit {
     "pq_topk", "pq_recall",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
+    // 1-row corpus-total broadcast (the global-LM denominator)
+    "excess_loss_select",
     // 1-row query broadcast + the k-row pool self-pairing (both sides
     // are the checkpointed 20-row candidate leaf)
     "mmr_rerank",
@@ -431,6 +433,7 @@ object PlanAudit {
     // pass, #domains-row collect); the RETURNED plan is a driver-local
     // toDF + orderBy
     "domain_reweight" -> 1,
+    "excess_loss_select" -> 8,
     // comparison derivation runs eagerly (quality scan + per-lang window
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
     "bt_ratings" -> 1,

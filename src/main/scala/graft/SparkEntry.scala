@@ -322,6 +322,10 @@ object SparkEntry {
     // on per-domain excess unigram cross-entropy, all-integer surface
     "domain_reweight" -> ((s, d) =>
       graft.operators.MixtureOptimizer.domainReweight(s, d)),
+    // RHO-loss-style per-doc selection: excess micro-NLL of the generic
+    // unigram LM over the per-language one, top-k per language
+    "excess_loss_select" -> ((s, d) =>
+      graft.operators.MixtureOptimizer.excessLossSelect(s, d)),
     // Bradley-Terry (Hunter MM) per-source strengths over deterministic
     // quality-derived pairwise comparisons — the RLHF-prep rating family
     "bt_ratings" -> ((s, d) => graft.operators.Preference.btRatings(s, d)),
@@ -1849,6 +1853,8 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // unrolled MM rounds over the derived comparison matrix
     "bt_ratings" -> graft.operators.Preference.btRatingsOracleSql,
     "elo_ratings" -> graft.operators.Preference.eloRatingsOracleSql,
+    "excess_loss_select" ->
+      graft.operators.MixtureOptimizer.excessLossSelectOracleSql(),
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

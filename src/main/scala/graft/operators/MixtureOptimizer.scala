@@ -97,6 +97,101 @@ object MixtureOptimizer {
       .orderBy("source")
   }
 
+  /** Per-document excess-loss data selection — the RHO-loss idea
+    * (Mindermann'22) in its static-LM form: score each document by the
+    * gap between its loss under the GENERIC reference model (corpus-wide
+    * unigram LM) and under its own DOMAIN model (per-language unigram
+    * LM), and select, per language, the documents the generic model
+    * explains worst RELATIVE to what the domain model shows is
+    * achievable — "learnable, not yet learned". High positive excess =
+    * domain-characteristic text the mixture under-serves; ≈0 = text
+    * both models price alike (generic filler); negative = text that is
+    * globally common but locally rare.
+    *
+    * Determinism: per-token NLLs in micro-nats under BOTH models
+    * (floor(ln p·10⁶+0.5) — the [[domainReweight]] rule), per-doc sums
+    * exact integers; the per-token-mean ranking key is ONE IEEE division
+    * of those integers (identical both engines), ties by doc_id; every
+    * EMITTED column is BIGINT/VARCHAR.
+    *
+    * Scale shape: one tokenize pass; global and per-lang token
+    * frequencies as keyed windows (no vocab broadcast — the
+    * [[domainReweight]] loss-measurement shape, one extra key); the
+    * 1-row corpus total broadcasts; per-doc aggregation; a
+    * lang-partitioned top-k window. No driver collection.
+    */
+  def excessLossSelect(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame =
+    excessLossSelectFrom(Tables.documents(spark, sfDir), k)
+
+  /** [[excessLossSelect]] over any (doc_id, lang, text) frame. */
+  def excessLossSelectFrom(corpus: DataFrame, k: Int = 20): DataFrame = {
+    val t = corpus
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+    val withFreqs = t
+      .withColumn("gfreq", count(lit(1)).over(Window.partitionBy("token")))
+      .withColumn("lfreq",
+        count(lit(1)).over(Window.partitionBy("lang", "token")))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .crossJoin(broadcast(total))
+    val perDoc = withFreqs
+      .withColumn("nll_g",
+        -floor(log(col("gfreq").cast(DoubleType) / col("n_total"))
+          * 1000000d + 0.5d))
+      .withColumn("nll_l",
+        -floor(log(col("lfreq").cast(DoubleType) / col("n_lang"))
+          * 1000000d + 0.5d))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nll_g")).cast(LongType).as("nll_global_micro"),
+        sum(col("nll_l")).cast(LongType).as("nll_lang_micro"))
+      .withColumn("excess_micro",
+        col("nll_global_micro") - col("nll_lang_micro"))
+    val w = Window.partitionBy("lang").orderBy(
+      (col("excess_micro").cast(DoubleType) /
+        col("n_tokens").cast(DoubleType)).desc,
+      col("doc_id"))
+    perDoc
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_tokens"),
+        col("nll_global_micro"), col("nll_lang_micro"), col("excess_micro"))
+      .orderBy("lang", "rnk")
+  }
+
+  /** The DuckDB replay of [[excessLossSelect]]. */
+  private[graft] def excessLossSelectOracleSql(k: Int = 20): String =
+    s"""WITH xt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+xtt AS (SELECT doc_id, lang, token FROM xt WHERE len(token) > 0),
+xgf AS (SELECT token, CAST(count(*) AS BIGINT) AS gfreq FROM xtt GROUP BY token),
+xlf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS lfreq FROM xtt
+  GROUP BY lang, token),
+xgt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM xtt),
+xlt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM xtt GROUP BY lang),
+xn AS (SELECT t.doc_id, t.lang,
+  -CAST(floor(ln(CAST(g.gfreq AS DOUBLE) / n_total) * 1000000 + 0.5) AS BIGINT) AS nll_g,
+  -CAST(floor(ln(CAST(l.lfreq AS DOUBLE) / lt.n_lang) * 1000000 + 0.5) AS BIGINT) AS nll_l
+  FROM xtt t JOIN xgf g USING (token)
+  JOIN xlf l ON l.lang = t.lang AND l.token = t.token
+  JOIN xlt lt ON lt.lang = t.lang, xgt),
+xd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(nll_g) AS BIGINT) AS nll_global_micro,
+  CAST(sum(nll_l) AS BIGINT) AS nll_lang_micro
+  FROM xn GROUP BY doc_id, lang),
+xr AS (SELECT lang, doc_id, n_tokens, nll_global_micro, nll_lang_micro,
+  nll_global_micro - nll_lang_micro AS excess_micro,
+  row_number() OVER (PARTITION BY lang
+    ORDER BY CAST(nll_global_micro - nll_lang_micro AS DOUBLE)
+      / CAST(n_tokens AS DOUBLE) DESC, doc_id) AS rnk
+  FROM xd)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_tokens,
+  nll_global_micro, nll_lang_micro, excess_micro
+FROM xr WHERE rnk <= $k ORDER BY lang, rnk"""
+
   /** The DuckDB replay: same micro-NLL measurement, [[Rounds]] unrolled
     * EG rounds in the same integer/one-double-division arithmetic.
     */
