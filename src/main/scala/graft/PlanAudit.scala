@@ -73,7 +73,8 @@ object PlanAudit {
     // 1-row label-total normalizer broadcast (the classifier denominators)
     "quality_classifier",
     // same classifier chain inside the calibration / correlation audits
-    "calib_bins", "signal_corr",
+    // and the RRF ensemble (plus its 1-row token-total broadcast)
+    "calib_bins", "signal_corr", "quality_fusion",
     // calendar-sized day-spine broadcast against user-days (the range
     // join has no equi key by construction; both sides calendar/user-
     // day-bounded, never raw event volume)
@@ -434,6 +435,7 @@ object PlanAudit {
     // toDF + orderBy
     "domain_reweight" -> 1,
     "excess_loss_select" -> 8,
+    "fim_split" -> 1,
     // comparison derivation runs eagerly (quality scan + per-lang window
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
     "bt_ratings" -> 1,
@@ -453,6 +455,7 @@ object PlanAudit {
     "quality_classifier" -> 8,
     "calib_bins" -> 12,
     "signal_corr" -> 12,
+    "quality_fusion" -> 14,
     // the lm_perplexity plan (token df window + per-doc fold) + the lang
     // join + the per-lang tercile window + orderBy
     "perplexity_gate" -> 8,

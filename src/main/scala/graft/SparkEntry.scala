@@ -158,6 +158,10 @@ object SparkEntry {
     // Pearson correlation between quality signals (heuristic, classifier,
     // token count) from exact integer moments, emitted in ppm
     "signal_corr" -> ((s, d) => graft.operators.DataQuality.signalCorr(s, d)),
+    // RRF ensemble over (heuristic, classifier, LM-typicality) ranks —
+    // integer micro-RRF, top-10 per language
+    "quality_fusion" -> ((s, d) =>
+      graft.operators.DataQuality.qualityFusion(s, d)),
     "quality_classifier" -> ((s, d) =>
       TextPipeline.qualityClassifier(s, d)),
     // asymmetric shingle containment (doc-inside-doc detection)
@@ -326,6 +330,9 @@ object SparkEntry {
     // unigram LM over the per-language one, top-k per language
     "excess_loss_select" -> ((s, d) =>
       graft.operators.MixtureOptimizer.excessLossSelect(s, d)),
+    // fill-in-the-middle format prep: hash-deterministic PSM cut points,
+    // exact token accounting + middle-span digest
+    "fim_split" -> ((s, d) => TextPipeline.fimSplit(s, d)),
     // Bradley-Terry (Hunter MM) per-source strengths over deterministic
     // quality-derived pairwise comparisons — the RLHF-prep rating family
     "bt_ratings" -> ((s, d) => graft.operators.Preference.btRatings(s, d)),
@@ -1148,6 +1155,44 @@ SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(label) AS BIGINT) AS n_pos,
   CAST(sum(score_q6) AS BIGINT) AS sum_score_q6
 FROM bn GROUP BY lang, bin ORDER BY lang, bin""",
+    // the three signal rankings re-derived on the shared replays, fused
+    // with integer-division RRF (1000000 // (60+r)) — all-integer surface
+    "quality_fusion" ->
+      s"""WITH $clfReplayCtes,
+qfw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+qfs AS (SELECT doc_id,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM qfw),
+qfh AS (SELECT doc_id, CAST(floor(round(q, 4) * 10000 + 0.5) AS BIGINT) AS q_heur FROM qfs),
+qfc AS (SELECT doc_id,
+  CAST(floor(round(list_sum(ws), 6) * 1000000 + 0.5) AS BIGINT) AS q_clf FROM d),
+qft AS (SELECT doc_id, lang, token FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE len(token) > 0),
+qfg AS (SELECT token, CAST(count(*) AS BIGINT) AS gfreq FROM qft GROUP BY token),
+qftot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM qft),
+qfn AS (SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(-CAST(floor(ln(CAST(g.gfreq AS DOUBLE) / n_total) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS nll_g
+  FROM qft t JOIN qfg g USING (token), qftot GROUP BY t.doc_id, t.lang),
+qsig AS (SELECT n.doc_id, n.lang, n.n_tokens, n.nll_g, h.q_heur, c.q_clf
+  FROM qfn n JOIN qfh h USING (doc_id) JOIN qfc c USING (doc_id)),
+qrank AS (SELECT lang, doc_id,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY q_heur DESC, doc_id) AS BIGINT) AS r_heur,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY q_clf DESC, doc_id) AS BIGINT) AS r_clf,
+  CAST(row_number() OVER (PARTITION BY lang
+    ORDER BY CAST(nll_g AS DOUBLE) / CAST(n_tokens AS DOUBLE) ASC, doc_id) AS BIGINT) AS r_nll
+  FROM qsig),
+qrrf AS (SELECT lang, doc_id, r_heur, r_clf, r_nll,
+  CAST((1000000 // (60 + r_heur)) + (1000000 // (60 + r_clf))
+    + (1000000 // (60 + r_nll)) AS BIGINT) AS rrf_micro
+  FROM qrank),
+qtop AS (SELECT lang, doc_id, r_heur, r_clf, r_nll, rrf_micro,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+  FROM qrrf)
+SELECT lang, rnk, doc_id, r_heur, r_clf, r_nll, rrf_micro
+FROM qtop WHERE rnk <= 10 ORDER BY lang, rnk""",
     // exact-integer Pearson moments (HUGEINT sums = Spark's DECIMAL(38,0))
     // with the final corr as ONE shared IEEE expression, emitted in ppm
     "signal_corr" -> {
@@ -1855,6 +1900,28 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     "elo_ratings" -> graft.operators.Preference.eloRatingsOracleSql,
     "excess_loss_select" ->
       graft.operators.MixtureOptimizer.excessLossSelectOracleSql(),
+    "fim_split" -> {
+      def h16(salt: String): String =
+        s"CAST(list_sum(list_transform(range(4), dd -> " +
+          s"CAST(strpos('0123456789abcdef', md5('$salt' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)" +
+          s" * (1::BIGINT << (4*(3-dd))))) AS BIGINT)"
+      s"""WITH ft AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  FROM documents),
+fh AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+  (${h16("fimr:")} % 100) < 50 AS fim,
+  ${h16("fim1:")} % (CAST(len(toks) AS BIGINT) + 1) AS c1,
+  ${h16("fim2:")} % (CAST(len(toks) AS BIGINT) + 1) AS c2
+  FROM ft),
+fc AS (SELECT doc_id, toks, n_tokens, fim,
+  CASE WHEN fim THEN least(c1, c2) ELSE n_tokens END AS lo,
+  CASE WHEN fim THEN greatest(c1, c2) ELSE n_tokens END AS hi
+  FROM fh)
+SELECT doc_id, fim, n_tokens, lo AS n_prefix, hi - lo AS n_middle,
+  n_tokens - hi AS n_suffix,
+  md5(coalesce(array_to_string(toks[CAST(lo + 1 AS INTEGER):CAST(hi AS INTEGER)], ' '), '')) AS middle_md5
+FROM fc ORDER BY doc_id"""
+    },
     // SemDeDup: within-cluster greedy keep-first — a vector is a dup iff
     // a lower-id same-cluster vector has round(cosine, 4) >= 0.4
     // the semantic_dedup cluster join ranked per vector at top-5

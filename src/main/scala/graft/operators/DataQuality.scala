@@ -346,4 +346,64 @@ object DataQuality {
       .unionByName(pairCorr("q_heur", "n_tok"))
       .orderBy("sig_x", "sig_y")
   }
+
+  /** Reciprocal-rank fusion of the engine's quality signals — the
+    * ensemble gate a curation pipeline runs when no single signal is
+    * trusted alone (the [[graft.operators.Retrieval]] hybrid_rrf recipe
+    * applied to quality): per language, rank documents by the heuristic
+    * score (desc), the classifier score (desc), and typicality under the
+    * corpus unigram LM (mean micro-NLL asc — least surprising first),
+    * fuse with the standard RRF kernel 1/(60+rank) held in EXACT integer
+    * micro-units (1000000 div (60+r) — integer division both engines),
+    * and keep the top `k` per language.
+    *
+    * Scale: the classifier pass + heuristic projection + one
+    * token-keyed frequency window, three lang-partitioned rank windows
+    * over doc-count rows, one fused top-k window. All emitted columns
+    * BIGINT/VARCHAR.
+    */
+  def qualityFusion(spark: SparkSession, sfDir: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val d = Tables.documents(spark, sfDir)
+    val heur = TextPipeline.textQuality(spark, sfDir)
+      .select(col("doc_id"),
+        floor(col("quality") * 10000d + 0.5d).cast(LongType).as("q_heur"))
+    val clf = TextPipeline.qualityClassifierFrom(d)
+      .select(col("doc_id"),
+        floor(col("score") * 1000000d + 0.5d).cast(LongType).as("q_clf"))
+    val t = d.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+    val nll = t
+      .withColumn("gfreq", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        -floor(log(col("gfreq").cast(DoubleType) / col("n_total"))
+          * 1000000d + 0.5d))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nll")).cast(LongType).as("nll_g"))
+    val sig = nll.join(heur, "doc_id").join(clf, "doc_id")
+    def rk(order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      row_number().over(Window.partitionBy("lang").orderBy(order: _*))
+        .cast(LongType)
+    val ranked = sig
+      .withColumn("r_heur", rk(Seq(col("q_heur").desc, col("doc_id"))))
+      .withColumn("r_clf", rk(Seq(col("q_clf").desc, col("doc_id"))))
+      .withColumn("r_nll", rk(Seq(
+        (col("nll_g").cast(DoubleType) / col("n_tokens").cast(DoubleType)).asc,
+        col("doc_id"))))
+      .withColumn("rrf_micro",
+        expr("(1000000 div (60 + r_heur)) + (1000000 div (60 + r_clf))" +
+          " + (1000000 div (60 + r_nll))"))
+    ranked
+      .withColumn("rnk", rk(Seq(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"),
+        col("r_heur"), col("r_clf"), col("r_nll"), col("rrf_micro"))
+      .orderBy("lang", "rnk")
+  }
 }

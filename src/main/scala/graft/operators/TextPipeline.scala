@@ -2374,4 +2374,46 @@ FROM agg, tot ORDER BY n_bands DESC"""
       FROM ev JOIN tr ON ev.fingerprint = tr.fingerprint
       GROUP BY ev.doc_id ORDER BY eval_doc_id""")
   }
+
+  /** Fill-in-the-middle training-format preparation (Bavarian'22's PSM
+    * transform, the accounting side): each document deterministically
+    * either stays causal or splits into (prefix, middle, suffix) at two
+    * hash-derived token cut points — the 50% FIM-rate config code-infill
+    * models train with. Emits the exact token accounting (n_prefix /
+    * n_middle / n_suffix partition n_tokens) plus the md5 of the middle
+    * span, so a downstream packer can budget PSM sequences and a reader
+    * can verify the span content without the row carrying text.
+    *
+    * Determinism: cut points are `md5(salt ‖ doc_id)` 16-bit values mod
+    * (n+1) (the hashBucket derivation, raw instead of %100), lo/hi by
+    * least/greatest — pure per-row expressions, no state. Scale: one
+    * scan-parallel projection, the only exchange is the presentation
+    * sort.
+    */
+  def fimSplit(spark: SparkSession, sfDir: String): DataFrame =
+    fimSplitFrom(docs(spark, sfDir))
+
+  /** [[fimSplit]] over any (doc_id, text) frame. */
+  def fimSplitFrom(corpus: DataFrame): DataFrame = {
+    def hash16(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 4), 16, 10)
+        .cast(LongType)
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val base = corpus.select(col("doc_id"), toks.as("toks"),
+      (hashBucket("fimr:") < 50).as("fim"))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("c1", hash16("fim1:") % (col("n_tokens") + 1))
+      .withColumn("c2", hash16("fim2:") % (col("n_tokens") + 1))
+      .withColumn("lo", when(col("fim"), least(col("c1"), col("c2")))
+        .otherwise(col("n_tokens")))
+      .withColumn("hi", when(col("fim"), greatest(col("c1"), col("c2")))
+        .otherwise(col("n_tokens")))
+    base.select(col("doc_id"), col("fim"), col("n_tokens"),
+      col("lo").as("n_prefix"),
+      (col("hi") - col("lo")).as("n_middle"),
+      (col("n_tokens") - col("hi")).as("n_suffix"),
+      md5(array_join(slice(col("toks"), col("lo") + 1,
+        (col("hi") - col("lo")).cast("int")), " ")).as("middle_md5"))
+      .orderBy("doc_id")
+  }
 }
