@@ -75,6 +75,10 @@ object PlanAudit {
     // same classifier chain inside the calibration / correlation audits
     // and the RRF ensemble (plus its 1-row token-total broadcast)
     "calib_bins", "signal_corr", "quality_fusion",
+    // same classifier chain inside the AUC / gate-agreement audits
+    "classifier_auc", "gate_kappa",
+    // the Lloyd centroid-bundle broadcast + the 8-row centroid frame
+    "cluster_silhouette",
     // calendar-sized day-spine broadcast against user-days (the range
     // join has no equi key by construction; both sides calendar/user-
     // day-bounded, never raw event volume)
@@ -268,6 +272,10 @@ object PlanAudit {
     // bundle aggs, the k-row update agg, and the orderBy
     "emb_kmeans" -> 4,
     "sim_topk_kmeans" -> 5, // + the nprobe centroid ranking
+    // the Lloyd bundle aggs + per-vec a/b agg + per-cluster agg + orderBy
+    "cluster_silhouette" -> 8,
+    // ONE keyed moment agg + orderBy (the pairwise identity, no join)
+    "emb_diversity" -> 2,
     "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
     "sample_fixed_k" -> 2, // keyed window + orderBy
     "unpivot_stats" -> 2, // stateless explode; orderBy only
@@ -456,6 +464,10 @@ object PlanAudit {
     "calib_bins" -> 12,
     "signal_corr" -> 12,
     "quality_fusion" -> 14,
+    // classifier chain + lang join + rank windows + per-lang agg + orderBy
+    "classifier_auc" -> 12,
+    // classifier chain + heuristic projection join + per-lang agg + orderBy
+    "gate_kappa" -> 10,
     // the lm_perplexity plan (token df window + per-doc fold) + the lang
     // join + the per-lang tercile window + orderBy
     "perplexity_gate" -> 8,

@@ -162,6 +162,12 @@ object SparkEntry {
     // integer micro-RRF, top-10 per language
     "quality_fusion" -> ((s, d) =>
       graft.operators.DataQuality.qualityFusion(s, d)),
+    // exact Mann–Whitney ROC-AUC of the classifier per language
+    // (integer average-rank tie handling)
+    "classifier_auc" -> ((s, d) =>
+      graft.operators.DataQuality.classifierAuc(s, d)),
+    // Cohen's kappa between the heuristic and model quality gates
+    "gate_kappa" -> ((s, d) => graft.operators.DataQuality.gateKappa(s, d)),
     "quality_classifier" -> ((s, d) =>
       TextPipeline.qualityClassifier(s, d)),
     // asymmetric shingle containment (doc-inside-doc detection)
@@ -212,6 +218,11 @@ object SparkEntry {
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
+    // exact per-label all-pairs distance moments via the O(n) identity
+    "emb_diversity" -> ((s, d) => SimilarityPipeline.embDiversity(s, d)),
+    // simplified silhouette over the learned k-means model (IVF health)
+    "cluster_silhouette" -> ((s, d) =>
+      SimilarityPipeline.clusterSilhouette(s, d)),
     "emb_clusters" -> ((s, d) => SimilarityPipeline.embClusters(s, d)),
     "emb_kmeans" -> ((s, d) => SimilarityPipeline.embKmeans(s, d)),
     "sim_topk_kmeans" -> ((s, d) => SimilarityPipeline.simTopKKmeans(s, d)),
@@ -1193,6 +1204,55 @@ qtop AS (SELECT lang, doc_id, r_heur, r_clf, r_nll, rrf_micro,
   FROM qrrf)
 SELECT lang, rnk, doc_id, r_heur, r_clf, r_nll, rrf_micro
 FROM qtop WHERE rnk <= 10 ORDER BY lang, rnk""",
+    // rank-sum AUC with exact integer tie handling (2·r̄ = 2·rank + m − 1)
+    "classifier_auc" ->
+      s"""WITH $clfReplayCtes,
+sr AS (SELECT d.doc_id, d.label,
+  CAST(floor(round(list_sum(ws), 6) * 1000000 + 0.5) AS BIGINT) AS score_q6
+  FROM d),
+sl AS (SELECT sr.label, documents.lang, sr.score_q6
+  FROM sr JOIN documents USING (doc_id)),
+rk AS (SELECT lang, label,
+  CAST(rank() OVER (PARTITION BY lang ORDER BY score_q6) AS BIGINT) * 2
+    + CAST(count(*) OVER (PARTITION BY lang, score_q6) AS BIGINT) - 1 AS r2
+  FROM sl),
+ag AS (SELECT lang, CAST(sum(label) AS BIGINT) AS n_pos,
+  CAST(sum(1 - label) AS BIGINT) AS n_neg,
+  CAST(sum(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2_pos
+  FROM rk GROUP BY lang HAVING sum(label) > 0 AND sum(1 - label) > 0)
+SELECT lang, n_pos, n_neg,
+  CAST(floor(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+    / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS auc_q6
+FROM ag ORDER BY lang""",
+    // confusion counts between the heuristic and classifier gates, kappa
+    // from the integer moments as one shared IEEE expression
+    "gate_kappa" ->
+      s"""WITH $clfReplayCtes,
+gw AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+gh AS (SELECT doc_id, lang,
+  (least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3) >= 0.5 AS h_pass
+  FROM gw),
+gc AS (SELECT doc_id, round(list_sum(ws), 6) > 0.0 AS c_pass FROM d),
+gj AS (SELECT gh.lang, gh.h_pass, gc.c_pass FROM gc JOIN gh USING (doc_id)),
+ga AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN h_pass AND c_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(sum(CASE WHEN h_pass AND NOT c_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_only,
+  CAST(sum(CASE WHEN NOT h_pass AND c_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+  CAST(sum(CASE WHEN NOT h_pass AND NOT c_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+  FROM gj GROUP BY lang),
+gk AS (SELECT lang, n, n_both, n_heur_only, n_clf_only, n_neither,
+  n * (n_both + n_neither) AS po_num,
+  (n_both + n_heur_only) * (n_both + n_clf_only)
+    + (n_clf_only + n_neither) * (n_heur_only + n_neither) AS pe_num
+  FROM ga)
+SELECT lang, n, n_both, n_heur_only, n_clf_only, n_neither,
+  CASE WHEN n * n - pe_num = 0 THEN CAST(1000000 AS BIGINT)
+    ELSE CAST(floor(CAST(po_num - pe_num AS DOUBLE)
+      / CAST(n * n - pe_num AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+  END AS kappa_q6
+FROM gk ORDER BY lang""",
     // exact-integer Pearson moments (HUGEINT sums = Spark's DECIMAL(38,0))
     // with the final corr as ONE shared IEEE expression, emitted in ppm
     "signal_corr" -> {
@@ -1874,6 +1934,23 @@ SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
       s"""WITH
 $kmeansCtes
 SELECT vec_id, cluster, round(d2, 4) AS d2 FROM a2 WHERE rn = 1 ORDER BY vec_id""",
+    // per-label pairwise-distance moments via the O(n) identity
+    "emb_diversity" -> SimilarityPipeline.embDiversityOracleSql,
+    // simplified silhouette against the same two-round Lloyd model: a =
+    // own-centroid distance, b = nearest other centroid, per-cluster mean
+    "cluster_silhouette" ->
+      s"""WITH
+$kmeansCtes,
+sown AS (SELECT vec_id, cluster AS own FROM a2 WHERE rn = 1),
+sab AS (SELECT d2t.vec_id, sown.own,
+  sum(CASE WHEN d2t.cluster = sown.own THEN d2 END) AS a2d,
+  min(CASE WHEN d2t.cluster <> sown.own THEN d2 END) AS b2d
+  FROM d2t JOIN sown USING (vec_id) GROUP BY d2t.vec_id, sown.own),
+ss AS (SELECT own AS cluster,
+  (sqrt(b2d) - sqrt(a2d)) / greatest(sqrt(a2d), sqrt(b2d)) AS sil FROM sab)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+  round(sum(sil) / count(*), 4) AS mean_sil
+FROM ss GROUP BY cluster ORDER BY cluster""",
     "sim_topk_kmeans" ->
       s"""WITH
 $kmeansCtes,

@@ -347,6 +347,94 @@ object DataQuality {
       .orderBy("sig_x", "sig_y")
   }
 
+  /** Exact ROC-AUC of the quality classifier per language — the standard
+    * ranking-quality number reported beside the calibration table
+    * ([[calibBins]]): the Mann–Whitney U statistic over the integer
+    * micro-scores, with the textbook average-rank treatment of ties held
+    * EXACTLY in integers (2·r̄ = 2·rank_min + ties − 1, so the per-class
+    * rank sum never touches a float), and the final AUC ratio as ONE
+    * shared IEEE expression quantized to micro-units.
+    *
+    * Scale: the classifier scoring pass plus one lang-partitioned rank
+    * window over doc-count rows and a per-lang agg — no pairwise
+    * comparisons (the naive AUC is O(n²); the rank-sum identity is the
+    * scalable form). Languages missing a class are dropped (AUC
+    * undefined), matching the oracle's HAVING.
+    */
+  def classifierAuc(spark: SparkSession, sfDir: String): DataFrame =
+    classifierAucFrom(Tables.documents(spark, sfDir))
+
+  /** [[classifierAuc]] over any frame with the documents schema. */
+  def classifierAucFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clf = TextPipeline.qualityClassifierFrom(docs)
+      .select(col("doc_id"), col("label"),
+        floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"))
+    val j = clf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val ranked = j.withColumn("r2",
+      rank().over(Window.partitionBy("lang").orderBy("score_q6"))
+          .cast(LongType) * 2
+        + count(lit(1)).over(Window.partitionBy("lang", "score_q6")) - 1)
+    ranked.groupBy("lang")
+      .agg(sum(col("label")).cast(LongType).as("n_pos"),
+        sum(lit(1L) - col("label")).cast(LongType).as("n_neg"),
+        sum(when(col("label") === 1L, col("r2")).otherwise(0L))
+          .cast(LongType).as("r2_pos"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        floor((col("r2_pos") - col("n_pos") * (col("n_pos") + 1L))
+            .cast(DoubleType)
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType)
+          * 1000000d + 0.5d).cast(LongType).as("auc_q6"))
+      .orderBy("lang")
+  }
+
+  /** Cohen's kappa between the two production quality gates — the
+    * heuristic gate ([[TextPipeline.textQuality]]'s `quality >= 0.5`) and
+    * the model gate ([[TextPipeline.qualityClassifier]]'s `score > 0`) —
+    * per language: chance-corrected agreement from the exact integer
+    * confusion counts, the "do my curation signals actually agree beyond
+    * their base rates" audit run before trusting an ensemble like
+    * [[qualityFusion]]. The kappa ratio is computed from BIGINT moments
+    * as ONE shared IEEE expression, quantized to micro-units; the
+    * degenerate identical-constant-raters case pins kappa to 1.
+    *
+    * Scale: two scan-parallel scoring passes joined on doc_id, one
+    * per-lang agg of four counters.
+    */
+  def gateKappa(spark: SparkSession, sfDir: String): DataFrame =
+    gateKappaFrom(Tables.documents(spark, sfDir))
+
+  /** [[gateKappa]] over any frame with the documents schema. */
+  def gateKappaFrom(docs: DataFrame): DataFrame = {
+    val heur = docs.select(col("doc_id"), col("lang"),
+      (TextPipeline.qualityCol >= 0.5).as("h_pass"))
+    val clf = TextPipeline.qualityClassifierFrom(docs)
+      .select(col("doc_id"), col("predicted").as("c_pass"))
+    val agg = clf.join(heur, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("h_pass") && col("c_pass"), 1L).otherwise(0L))
+          .cast(LongType).as("n_both"),
+        sum(when(col("h_pass") && !col("c_pass"), 1L).otherwise(0L))
+          .cast(LongType).as("n_heur_only"),
+        sum(when(!col("h_pass") && col("c_pass"), 1L).otherwise(0L))
+          .cast(LongType).as("n_clf_only"),
+        sum(when(!col("h_pass") && !col("c_pass"), 1L).otherwise(0L))
+          .cast(LongType).as("n_neither"))
+    val peNum =
+      (col("n_both") + col("n_heur_only")) * (col("n_both") + col("n_clf_only")) +
+        (col("n_clf_only") + col("n_neither")) * (col("n_heur_only") + col("n_neither"))
+    val poNum = col("n") * (col("n_both") + col("n_neither"))
+    val den = col("n") * col("n") - peNum
+    agg.select(col("lang"), col("n"), col("n_both"), col("n_heur_only"),
+        col("n_clf_only"), col("n_neither"),
+        when(den === 0L, lit(1000000L)).otherwise(
+          floor((poNum - peNum).cast(DoubleType) / den.cast(DoubleType)
+            * 1000000d + 0.5d).cast(LongType)).as("kappa_q6"))
+      .orderBy("lang")
+  }
+
   /** Reciprocal-rank fusion of the engine's quality signals — the
     * ensemble gate a curation pipeline runs when no single signal is
     * trusted alone (the [[graft.operators.Retrieval]] hybrid_rrf recipe

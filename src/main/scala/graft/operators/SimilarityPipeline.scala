@@ -1384,4 +1384,85 @@ SELECT CAST(subspace AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
   CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d2_micro
 FROM u GROUP BY subspace ORDER BY subspace"""
   }
+
+  /** Per-group embedding diversity via the pairwise-distance moment
+    * identity — the "is this selection still diverse" telemetry a
+    * semantic-dedup / data-selection loop watches (a collapsed cluster
+    * means the dedup threshold over-fired): for each `label` group,
+    *
+    *   mean‖xᵢ−xⱼ‖² over ordered pairs i≠j  =  (2n·Σ‖xᵢ‖² − 2‖Σxᵢ‖²) / (n(n−1))
+    *
+    * so the exact all-pairs statistic costs ONE keyed aggregation — n
+    * scalar norms plus a 64-wide vector sum per group — never the O(n²)
+    * pairwise join (at 10⁹ vectors per group the identity is the only
+    * viable form). Also emits the centroid dispersion (variance trace)
+    * `Σ‖xᵢ‖²/n − ‖μ‖²`, the same moments arranged as the per-group
+    * quantization-energy number PQ/IVF sizing reads.
+    */
+  def embDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir).select(col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val nd = col("n").cast("double")
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(dot(col("v"), col("v"))).as("ssq"),
+        graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"))
+      .select(col("label"), col("n"),
+        round(col("ssq") / nd - dot(col("sums"), col("sums")) / (nd * nd), 4)
+          .as("dispersion"),
+        round((lit(2d) * nd * col("ssq")
+            - lit(2d) * dot(col("sums"), col("sums")))
+          / (nd * (nd - lit(1d))), 4).as("mean_sq_dist"))
+      .orderBy("label")
+  }
+
+  /** The DuckDB replay of [[embDiversity]]: per-dimension sums reassembled
+    * in position order so the ‖Σx‖² fold matches the engine's sequential
+    * `graft_dot`.
+    */
+  private[graft] def embDiversityOracleSql: String =
+    """WITH ux AS (SELECT label, unnest(range(64)) AS pos,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+m AS (SELECT label, pos, sum(x) AS s, sum(x * x) AS sq,
+  count(*) AS cnt FROM ux GROUP BY label, pos),
+g AS (SELECT label, first(cnt) AS n, sum(sq) AS ssq,
+  list_sum(list_transform(list(s ORDER BY pos), z -> z * z)) AS s2
+  FROM m GROUP BY label)
+SELECT label, CAST(n AS BIGINT) AS n,
+  round(ssq / CAST(n AS DOUBLE) - s2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS dispersion,
+  round((2.0 * CAST(n AS DOUBLE) * ssq - 2.0 * s2)
+    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) AS mean_sq_dist
+FROM g ORDER BY label"""
+
+  /** Simplified-silhouette clustering-quality telemetry over the learned
+    * k-means model ([[embKmeans]]'s 8-cluster/2-round model): per vector,
+    * a = distance to its own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b); reported as the per-cluster mean — the
+    * IVF index-health number (a cluster whose mean s ≈ 0 is not separable
+    * and wastes probe budget). The classic silhouette is O(n²) pairwise;
+    * the simplified form (distances to the k centroids only — Spark
+    * MLlib's choice) is the one that scales: scan × k broadcast, no
+    * pairwise join, exact given the model.
+    */
+  def clusterSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cents, assigned) = kmeansModel(spark, sfDir, k = 8, iters = 2)
+    val d2all = assigned.select(col("vec_id"), col("cluster").as("own"),
+        col("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("own"), col("cluster"),
+        aggregate(zip_with(col("v"), col("c"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e).as("d2"))
+    val ab = d2all.groupBy("vec_id", "own")
+      .agg(sum(when(col("cluster") === col("own"), col("d2"))).as("a2"),
+        min(when(col("cluster") =!= col("own"), col("d2"))).as("b2"))
+    ab.select(col("own").as("cluster"),
+        ((sqrt(col("b2")) - sqrt(col("a2")))
+          / greatest(sqrt(col("a2")), sqrt(col("b2")))).as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil")) / count(lit(1)), 4).as("mean_sil"))
+      .orderBy("cluster")
+  }
 }
