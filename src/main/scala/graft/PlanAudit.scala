@@ -75,8 +75,11 @@ object PlanAudit {
     // same classifier chain inside the calibration / correlation audits
     // and the RRF ensemble (plus its 1-row token-total broadcast)
     "calib_bins", "signal_corr", "quality_fusion",
-    // same classifier chain inside the AUC / gate-agreement audits
-    "classifier_auc", "gate_kappa",
+    // same classifier chain inside the AUC / gate-agreement / label-noise
+    // audits
+    "classifier_auc", "gate_kappa", "label_noise",
+    // 8-row anchor-panel broadcast (the simTopKBatch pattern)
+    "hard_negatives",
     // the Lloyd centroid-bundle broadcast + the 8-row centroid frame
     "cluster_silhouette",
     // calendar-sized day-spine broadcast against user-days (the range
@@ -169,6 +172,8 @@ object PlanAudit {
     "text_tfidf" -> 5, // tf shuffle + df/N derivations + orderBy
     "decontaminate" -> 3, // fingerprint agg + per-doc count + orderBy
     "sim_topk_batch" -> 2, // per-query window + orderBy; probe broadcast
+    // anchor-panel broadcast + (q_id, same) window + per-anchor agg + orderBy
+    "hard_negatives" -> 4,
     "corpus_sample" -> 1, // stateless filter; orderBy only
     "salted_counts" -> 3, // two-phase salted agg + orderBy
     "stats_quantiles" -> 2,
@@ -248,6 +253,8 @@ object PlanAudit {
     // post-checkpoint plan: cluster-size window + orderBy (the iterated
     // label joins live behind localCheckpoint leaves)
     "dedup_clusters" -> 3,
+    // the CC labels + quality projection join + cluster window + orderBy
+    "canonical_select" -> 7,
     "mixture_sample" -> 2,
     "corpus_shuffle" -> 2,
     "split_train" -> 1,
@@ -468,6 +475,8 @@ object PlanAudit {
     "classifier_auc" -> 12,
     // classifier chain + heuristic projection join + per-lang agg + orderBy
     "gate_kappa" -> 10,
+    // classifier chain + lang join + disagreement rank window + orderBy
+    "label_noise" -> 10,
     // the lm_perplexity plan (token df window + per-doc fold) + the lang
     // join + the per-lang tercile window + orderBy
     "perplexity_gate" -> 8,

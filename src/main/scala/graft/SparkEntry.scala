@@ -168,6 +168,8 @@ object SparkEntry {
       graft.operators.DataQuality.classifierAuc(s, d)),
     // Cohen's kappa between the heuristic and model quality gates
     "gate_kappa" -> ((s, d) => graft.operators.DataQuality.gateKappa(s, d)),
+    // most-confidently-contradicted labels (confident-learning rank core)
+    "label_noise" -> ((s, d) => graft.operators.DataQuality.labelNoise(s, d)),
     "quality_classifier" -> ((s, d) =>
       TextPipeline.qualityClassifier(s, d)),
     // asymmetric shingle containment (doc-inside-doc detection)
@@ -199,6 +201,8 @@ object SparkEntry {
     "dedup_pipeline" -> ((s, d) => TextPipeline.dedupPipeline(s, d)),
     "dedup_incremental" -> ((s, d) => TextPipeline.dedupIncremental(s, d)),
     "dedup_clusters" -> ((s, d) => TextPipeline.dedupClusters(s, d)),
+    // quality-aware canonical retention over the near-dup clusters
+    "canonical_select" -> ((s, d) => TextPipeline.canonicalSelect(s, d)),
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
@@ -220,6 +224,8 @@ object SparkEntry {
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
     // exact per-label all-pairs distance moments via the O(n) identity
     "emb_diversity" -> ((s, d) => SimilarityPipeline.embDiversity(s, d)),
+    // contrastive-pair mining: hardest positive/negative per panel anchor
+    "hard_negatives" -> ((s, d) => SimilarityPipeline.hardNegatives(s, d)),
     // simplified silhouette over the learned k-means model (IVF health)
     "cluster_silhouette" -> ((s, d) =>
       SimilarityPipeline.clusterSilhouette(s, d)),
@@ -1224,6 +1230,21 @@ SELECT lang, n_pos, n_neg,
   CAST(floor(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
     / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS auc_q6
 FROM ag ORDER BY lang""",
+    // confidently-contradicted labels ranked by |micro-score| per lang
+    "label_noise" ->
+      s"""WITH $clfReplayCtes,
+nr AS (SELECT d.doc_id, d.label,
+  CAST(floor(round(list_sum(ws), 6) * 1000000 + 0.5) AS BIGINT) AS score_q6,
+  round(list_sum(ws), 6) > 0.0 AS predicted
+  FROM d),
+nd AS (SELECT nr.doc_id, nr.label, nr.score_q6, documents.lang
+  FROM nr JOIN documents USING (doc_id)
+  WHERE predicted <> (label = 1)),
+nk AS (SELECT lang, doc_id, label, score_q6,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY abs(score_q6) DESC, doc_id) AS BIGINT) AS rnk
+  FROM nd)
+SELECT lang, rnk, doc_id, label, score_q6 FROM nk WHERE rnk <= 20
+ORDER BY lang, rnk""",
     // confusion counts between the heuristic and classifier gates, kappa
     // from the integer moments as one shared IEEE expression
     "gate_kappa" ->
@@ -1528,6 +1549,33 @@ lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
 SELECT doc_id, cluster_id,
   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab ORDER BY doc_id""",
+    // the dedup_clusters closure + quality-ranked retention per cluster
+    "canonical_select" ->
+      s"""WITH RECURSIVE
+$shingleSetCtes,
+$minhashPairCtes,
+pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+cw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cq AS (SELECT doc_id,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM cw),
+cqq AS (SELECT doc_id, CAST(floor(round(q, 4) * 10000 + 0.5) AS BIGINT) AS quality_q4 FROM cq),
+cl AS (SELECT lab.doc_id, cluster_id,
+  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  quality_q4
+  FROM lab JOIN cqq USING (doc_id)),
+cr AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_q4 DESC, doc_id) AS rn FROM cl)
+SELECT cluster_id, doc_id, cluster_size, quality_q4, rn = 1 AS kept
+FROM cr ORDER BY cluster_id, doc_id""",
     // the dedup_jaccard blocking with both containment directions
     "dedup_containment" ->
       s"""WITH
@@ -1936,6 +1984,8 @@ $kmeansCtes
 SELECT vec_id, cluster, round(d2, 4) AS d2 FROM a2 WHERE rn = 1 ORDER BY vec_id""",
     // per-label pairwise-distance moments via the O(n) identity
     "emb_diversity" -> SimilarityPipeline.embDiversityOracleSql,
+    // hardest positive/negative per panel anchor (contrastive mining)
+    "hard_negatives" -> SimilarityPipeline.hardNegativesOracleSql,
     // simplified silhouette against the same two-round Lloyd model: a =
     // own-centroid distance, b = nearest other centroid, per-cluster mean
     "cluster_silhouette" ->

@@ -389,6 +389,37 @@ object DataQuality {
       .orderBy("lang")
   }
 
+  /** Confident-learning-style label-noise audit (Northcutt'21, the
+    * rank-by-confidence core): the documents whose training label the
+    * classifier contradicts MOST CONFIDENTLY — per language, rows where
+    * `predicted != label`, ranked by |score| descending. In a labeling
+    * pipeline these are the rows sent back for re-annotation; on synthetic
+    * hash labels they measure how linearly separable the label really is.
+    * Integer micro-score surface; top `k` per language.
+    *
+    * Scale: the classifier scoring pass + one lang-partitioned rank
+    * window over the (small) disagreement subset.
+    */
+  def labelNoise(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    labelNoiseFrom(Tables.documents(spark, sfDir), k)
+
+  /** [[labelNoise]] over any frame with the documents schema. */
+  def labelNoiseFrom(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clf = TextPipeline.qualityClassifierFrom(docs)
+      .select(col("doc_id"), col("label"),
+        floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"),
+        col("predicted"))
+    val dis = clf.filter(col("predicted") =!= (col("label") === 1L))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    dis.withColumn("rnk", row_number().over(Window.partitionBy("lang")
+        .orderBy(abs(col("score_q6")).desc, col("doc_id"))).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("label"),
+        col("score_q6"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Cohen's kappa between the two production quality gates — the
     * heuristic gate ([[TextPipeline.textQuality]]'s `quality >= 0.5`) and
     * the model gate ([[TextPipeline.qualityClassifier]]'s `score > 0`) —

@@ -1385,6 +1385,69 @@ SELECT CAST(subspace AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM u GROUP BY subspace ORDER BY subspace"""
   }
 
+  /** Contrastive-pair mining over the embedding table — the training-data
+    * prep an embedding-model (retriever / reranker) fine-tune runs: for
+    * each anchor in the fixed query panel (vec_id < `nQueries`, the
+    * [[simTopKBatch]] panel), the hardest POSITIVE (highest-cosine vector
+    * sharing the anchor's label) and the hardest NEGATIVE (highest-cosine
+    * vector with a DIFFERENT label — the near-miss that actually teaches
+    * the margin), plus the margin between them. A negative margin flags an
+    * anchor whose nearest neighbor crosses the label boundary — exactly
+    * the pairs InfoNCE training wants.
+    *
+    * Scale: broadcast panel × scan, two per-anchor rank windows over
+    * (anchor, same-label) — the [[simTopKBatch]] plan shape; at 10⁹ rows
+    * swap the scan side for IVF probing like the batch query.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val anchors = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q"))
+    val w = Window.partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(anchors))
+      .select(col("q_id"), col("vec_id"),
+        (col("label") === col("q_label")).as("same"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    top.groupBy("q_id")
+      .agg(max(when(col("same"), col("vec_id"))).as("pos_id"),
+        max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("vec_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .select(col("q_id"), col("pos_id"), round(col("pos_cos"), 4).as("pos_sim"),
+        col("neg_id"), round(col("neg_cos"), 4).as("neg_sim"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+      .orderBy("q_id")
+  }
+
+  /** The DuckDB replay of [[hardNegatives]]. */
+  private[graft] def hardNegativesOracleSql: String =
+    s"""WITH hne AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+hq AS (SELECT vec_id AS q_id, label AS q_label, v AS q FROM hne
+  WHERE vec_id < 8),
+hs AS (SELECT q_id, hne.vec_id, hne.label = q_label AS same,
+  ${cosSql("v", "q")} AS cos
+  FROM hne, hq WHERE hne.vec_id >= 8),
+ht AS (SELECT q_id, vec_id, same, cos,
+  row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, vec_id) AS rn
+  FROM hs),
+hg AS (SELECT q_id,
+  max(CASE WHEN same THEN vec_id END) AS pos_id,
+  max(CASE WHEN same THEN cos END) AS pos_cos,
+  max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+  max(CASE WHEN NOT same THEN cos END) AS neg_cos
+  FROM ht WHERE rn = 1 GROUP BY q_id)
+SELECT q_id, pos_id, round(pos_cos, 4) AS pos_sim,
+  neg_id, round(neg_cos, 4) AS neg_sim,
+  round(pos_cos - neg_cos, 4) AS margin
+FROM hg ORDER BY q_id"""
+
   /** Per-group embedding diversity via the pairwise-distance moment
     * identity — the "is this selection still diverse" telemetry a
     * semantic-dedup / data-selection loop watches (a collapsed cluster

@@ -1475,6 +1475,34 @@ FROM agg, tot ORDER BY n_bands DESC"""
       dedupMinHash(spark, sfDir).select(col("doc_a"), col("doc_b")),
       maxIters)
 
+  /** Quality-aware canonical selection over the near-dup clusters — what a
+    * production dedup actually KEEPS: [[dedupClusters]] picks min-doc_id
+    * representatives, but a curation pipeline retains the highest-QUALITY
+    * member of each duplicate cluster (dropping a clean original in favor
+    * of a boilerplate-wrapped copy because it had a smaller id is a real
+    * data-quality loss). Per cluster: rank members by the quantized
+    * heuristic quality (desc, doc_id tie-break), flag rank 1 as `kept`.
+    * All-integer/boolean surface (quality as scaled BIGINT `quality_q4`).
+    *
+    * Scale: the CC labels frame (near-dup docs only — a small fraction of
+    * the corpus) joined to the quality projection on doc_id, one
+    * cluster-keyed window. Nothing corpus-sized shuffles beyond what
+    * [[dedupClusters]] already does.
+    */
+  def canonicalSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dedupClusters(spark, sfDir)
+    val q = textQuality(spark, sfDir).select(col("doc_id"),
+      floor(col("quality") * 10000d + 0.5d).cast("long").as("quality_q4"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_q4").desc, col("doc_id"))
+    labels.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("quality_q4"), (col("rn") === 1).as("kept"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Min-label-propagation connected components over an undirected pair
     * list `(doc_a, doc_b)` — see [[dedupClusters]] for the algorithm and
     * scale notes. Exposed separately so any pair source (minhash, simhash,
