@@ -80,6 +80,9 @@ object PlanAudit {
     "classifier_auc", "gate_kappa", "label_noise",
     // 8-row anchor-panel broadcast (the simTopKBatch pattern)
     "hard_negatives",
+    // #domains-row all-pairs grid (source < source_b) + 1-row summary
+    // crossJoins — every frame bounded by the domain count
+    "pref_cycles",
     // the Lloyd centroid-bundle broadcast + the 8-row centroid frame
     "cluster_silhouette",
     // calendar-sized day-spine broadcast against user-days (the range
@@ -236,6 +239,8 @@ object PlanAudit {
     "q18_big_orders" -> 1, "q1_agg" -> 2, "q1_rollup" -> 2,
     "q3_topk" -> 1, "q5_join" -> 2, "q6_filter" -> 1, "range_join" -> 2,
     "semi_join" -> 1, "sessionize" -> 2, "text_normalize" -> 1,
+    // user window + (user, session) windows/agg + orderBy
+    "sft_pack" -> 3,
     "text_quality" -> 1, "text_stats" -> 1, "text_vocab" -> 2,
     "window_rank" -> 2,
     // TPC-H completion batch; the scalar-subquery shapes (q2, q11) plan
@@ -283,6 +288,8 @@ object PlanAudit {
     "cluster_silhouette" -> 8,
     // ONE keyed moment agg + orderBy (the pairwise identity, no join)
     "emb_diversity" -> 2,
+    // (label,pos) agg + label window + label agg + orderBy
+    "emb_eff_rank" -> 4,
     "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
     "sample_fixed_k" -> 2, // keyed window + orderBy
     "unpivot_stats" -> 2, // stateless explode; orderBy only
@@ -455,6 +462,9 @@ object PlanAudit {
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
     "bt_ratings" -> 1,
     "elo_ratings" -> 7,
+    // comparison window + two win-matrix aggs + distinct + pair/triad
+    // joins over the checkpointed #domains² grid + summary crossJoins
+    "pref_cycles" -> 12,
     // minute max agg + the calendar-sized event_type window + orderBy
     "metric_anomaly" -> 3,
     // token agg + bigram agg (each map-side combined) + the two
@@ -523,6 +533,8 @@ object PlanAudit {
     // driver-assembled 7-row verdict frame (anti-join counts run as
     // their own jobs, each parent side broadcast-able)
     "ref_integrity" -> 2,
+    // one QI-keyed agg (count-distinct expands to two) + orderBy
+    "k_anonymity" -> 3,
     // one stateless langid scan + the #langs^2 agg + its tiny share
     // window + orderBy
     "lang_confusion" -> 3,

@@ -126,6 +126,8 @@ object SparkEntry {
     "asof_forward" -> ((s, d) => AsofJoin.clicksNextPurchase(s, d)),
     "range_join" -> ((s, d) => RangeSession.rangeJoinCounts(s, d)),
     "sessionize" -> ((s, d) => RangeSession.sessionize(s, d)),
+    // session -> dialogue packing with left truncation + loss-mask tokens
+    "sft_pack" -> ((s, d) => RangeSession.sftPack(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "graph_ppr" -> ((s, d) => graft.operators.Graph.pagerankPersonalized(s, d)),
     // deterministic label-propagation communities (generated oracle)
@@ -224,6 +226,8 @@ object SparkEntry {
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
     // exact per-label all-pairs distance moments via the O(n) identity
     "emb_diversity" -> ((s, d) => SimilarityPipeline.embDiversity(s, d)),
+    // per-label participation ratio of the variance spectrum (collapse)
+    "emb_eff_rank" -> ((s, d) => SimilarityPipeline.embEffRank(s, d)),
     // contrastive-pair mining: hardest positive/negative per panel anchor
     "hard_negatives" -> ((s, d) => SimilarityPipeline.hardNegatives(s, d)),
     // simplified silhouette over the learned k-means model (IVF health)
@@ -356,6 +360,8 @@ object SparkEntry {
     // Elo over the same comparison stream, replayed in match order — the
     // ONLINE rating twin (one sequential pool per language, pools parallel)
     "elo_ratings" -> ((s, d) => graft.operators.Preference.eloRatings(s, d)),
+    // circular-triad consistency of the preference matrix (Kendall zeta)
+    "pref_cycles" -> ((s, d) => graft.operators.Preference.prefCycles(s, d)),
     "decontaminate_bloom" -> ((s, d) => TextPipeline.decontaminateBloom(s, d)),
     "emb_quantize" -> ((s, d) => SimilarityPipeline.embQuantizeFlat(s, d)),
     // top principal component by unrolled power iteration (generated oracle)
@@ -396,6 +402,8 @@ object SparkEntry {
     "dist_drift" -> ((s, d) => DataQuality.distDrift(s, d)),
     // FK orphan audit across the star schema
     "ref_integrity" -> ((s, d) => DataQuality.refIntegrity(s, d)),
+    // k-anonymity / l-diversity release audit over customer QI classes
+    "k_anonymity" -> ((s, d) => DataQuality.kAnonymity(s, d)),
     // numeric-shape drift: PSI over length-histogram bins
     "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
@@ -1804,6 +1812,25 @@ SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
   count(*) AS n_events,
   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
 FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    // sessions as dialogues: ~4-chars-per-token turn estimates, left
+    // truncation to the 64-token context, assistant-token loss mask
+    "sft_pack" ->
+      """WITH sf AS (SELECT user_id, ts, event_id, event_type, props,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+sg AS (SELECT *, CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session FROM sf),
+sh AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM sg),
+st AS (SELECT user_id, session_seq,
+  CAST(row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS BIGINT) AS turn_idx,
+  CAST(floor((length(event_type) + length(props) + 3) / 4.0) AS BIGINT) AS turn_tokens FROM sh),
+sr AS (SELECT *, sum(turn_tokens) OVER (PARTITION BY user_id, session_seq ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rcum FROM st)
+SELECT user_id, session_seq,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(turn_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN rcum <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+  CAST(coalesce(sum(CASE WHEN rcum <= 64 THEN turn_tokens END), 0) AS BIGINT) AS kept_tokens,
+  CAST(coalesce(sum(CASE WHEN rcum <= 64 AND turn_idx % 2 = 0 THEN turn_tokens END), 0) AS BIGINT) AS assistant_tokens,
+  sum(turn_tokens) > 64 AS truncated
+FROM sr GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value
 FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
@@ -1984,6 +2011,8 @@ $kmeansCtes
 SELECT vec_id, cluster, round(d2, 4) AS d2 FROM a2 WHERE rn = 1 ORDER BY vec_id""",
     // per-label pairwise-distance moments via the O(n) identity
     "emb_diversity" -> SimilarityPipeline.embDiversityOracleSql,
+    // per-label diagonal participation ratio (embedding collapse audit)
+    "emb_eff_rank" -> SimilarityPipeline.embEffRankOracleSql,
     // hardest positive/negative per panel anchor (contrastive mining)
     "hard_negatives" -> SimilarityPipeline.hardNegativesOracleSql,
     // simplified silhouette against the same two-round Lloyd model: a =
@@ -2025,6 +2054,7 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // unrolled MM rounds over the derived comparison matrix
     "bt_ratings" -> graft.operators.Preference.btRatingsOracleSql,
     "elo_ratings" -> graft.operators.Preference.eloRatingsOracleSql,
+    "pref_cycles" -> graft.operators.Preference.prefCyclesOracleSql,
     "excess_loss_select" ->
       graft.operators.MixtureOptimizer.excessLossSelectOracleSql(),
     "fim_split" -> {
@@ -3054,6 +3084,15 @@ UNION ALL SELECT 'nation_region',
     (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)))
 SELECT relationship, n_child, n_orphans, n_orphans = 0 AS passed
 FROM rel ORDER BY relationship""",
+    // QI equivalence classes with k / l and the release-threshold flags
+    "k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+  CAST(count(*) AS BIGINT) AS k,
+  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+  count(*) < 5 AS violates_k,
+  count(DISTINCT c_mktsegment) < 2 AS violates_l
+FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
     // the text_lang_id panels aggregated into a confusion matrix
     "lang_confusion" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

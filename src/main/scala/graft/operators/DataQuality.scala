@@ -525,4 +525,34 @@ object DataQuality {
         col("r_heur"), col("r_clf"), col("r_nll"), col("rrf_micro"))
       .orderBy("lang", "rnk")
   }
+
+  /** k-anonymity / l-diversity audit — the privacy gate a pipeline runs
+    * before releasing person-derived rows (Sweeney'02, Machanavajjhala'06):
+    * group by the quasi-identifier tuple (here `customer`'s nation +
+    * account-balance band), report each equivalence class's size `k` and
+    * the diversity `l` of the sensitive attribute (`c_mktsegment`), and
+    * flag classes below the `k >= 5` / `l >= 2` release thresholds. A
+    * violating class means those rows are re-identifiable (small crowd) or
+    * attribute-disclosing (uniform sensitive value) and must be generalized
+    * or suppressed before release.
+    *
+    * Scale: ONE map-side-combined aggregation keyed by the QI tuple —
+    * state per class is two counters; at 100 TB it scales with the scan
+    * (the distinct-l is a per-class count-distinct over a 5-value domain).
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String,
+      kMin: Int = 5, lMin: Int = 2): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    cust
+      .select(col("c_nationkey").cast(LongType).as("nationkey"),
+        floor(col("c_acctbal") / 1000d).cast(LongType).as("acctbal_band"),
+        col("c_mktsegment"))
+      .groupBy("nationkey", "acctbal_band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .select(col("nationkey"), col("acctbal_band"), col("k"), col("l"),
+        (col("k") < kMin).as("violates_k"),
+        (col("l") < lMin).as("violates_l"))
+      .orderBy("nationkey", "acctbal_band")
+  }
 }

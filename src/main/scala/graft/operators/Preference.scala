@@ -46,8 +46,13 @@ object Preference {
     * seam a caller with REAL (winner, loser) comparisons re-enters at
     * `cmp` level by substituting its own pair derivation.
     */
-  def btRatingsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** The synthetic quality-derived `(winner, loser)` comparison stream the
+    * rating family shares ([[btRatingsFrom]], [[prefCyclesFrom]]): adjacent
+    * documents in per-lang doc_id order play a match, the higher quantized
+    * heuristic quality wins (ties to the earlier doc). A caller with REAL
+    * preference pairs substitutes its own frame with the same two columns.
+    */
+  private[graft] def qualityComparisons(corpus: DataFrame): DataFrame = {
     val qd = corpus.select(
       col("doc_id"), col("lang"), col("source"),
       floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
@@ -56,13 +61,21 @@ object Preference {
       lead("doc_id", 1).over(wl).as("doc_b"),
       lead("source", 1).over(wl).as("source_b"),
       lead("qs", 1).over(wl).as("qs_b"))
-    val cmp = pr
+    pr
       .filter(col("doc_b").isNotNull && col("source") =!= col("source_b"))
       .select(
         when(col("qs") >= col("qs_b"), col("source"))
           .otherwise(col("source_b")).as("winner"),
         when(col("qs") >= col("qs_b"), col("source_b"))
           .otherwise(col("source")).as("loser"))
+  }
+
+  def btRatingsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qd = corpus.select(
+      col("doc_id"), col("lang"), col("source"),
+      floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
+    val cmp = qualityComparisons(corpus)
     val wij = cmp.groupBy("winner", "loser")
       .agg(count(lit(1)).as("w"))
       .as[(String, String, Long)]
@@ -296,6 +309,29 @@ FROM eout o LEFT JOIN egm g ON g.lang = o.lang AND g.source = o.source
 ORDER BY o.lang, o.source"""
   }
 
+  /** The shared DuckDB CTE prefix for the rating family: the quantized
+    * quality surface, the adjacent-pair comparison stream, and the
+    * directed win-count matrix `bwij(i, j, w)` — the exact replay of
+    * [[qualityComparisons]] + its groupBy.
+    */
+  private[graft] val pairCtesSql: String =
+    """bw AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+bs AS (SELECT doc_id, lang, source,
+  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
+  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
+  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
+FROM bw),
+bqd AS MATERIALIZED (SELECT doc_id, lang, source, CAST(floor(q * 10000 + 0.5) AS BIGINT) AS qs FROM bs),
+bpr AS (SELECT source, qs,
+  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+  lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source_b,
+  lead(qs) OVER (PARTITION BY lang ORDER BY doc_id) AS qs_b
+  FROM bqd),
+bcmp AS (SELECT CASE WHEN qs >= qs_b THEN source ELSE source_b END AS winner,
+  CASE WHEN qs >= qs_b THEN source_b ELSE source END AS loser
+  FROM bpr WHERE doc_b IS NOT NULL AND source <> source_b),
+bwij AS MATERIALIZED (SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w FROM bcmp GROUP BY 1, 2)"""
+
   /** The DuckDB replay — same derivation, [[Rounds]] unrolled MM rounds
     * in the same quantized arithmetic.
     */
@@ -316,22 +352,7 @@ bp$r AS MATERIALIZED (SELECT q.source,
   CAST(floor(CAST(q.praw AS DOUBLE) * CAST(bkk.nd * 1000000 AS DOUBLE) / CAST(s.sp AS DOUBLE) + 0.5) AS BIGINT) AS p
   FROM bq$r q, bs$r s, bkk)"""
     }.mkString(",\n")
-    s"""WITH bw AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
-bs AS (SELECT doc_id, lang, source,
-  least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.4
-  + least(1.0, CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS DOUBLE) / len(toks) * 5.0) * 0.3
-  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 AS q
-FROM bw),
-bqd AS MATERIALIZED (SELECT doc_id, lang, source, CAST(floor(q * 10000 + 0.5) AS BIGINT) AS qs FROM bs),
-bpr AS (SELECT source, qs,
-  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
-  lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source_b,
-  lead(qs) OVER (PARTITION BY lang ORDER BY doc_id) AS qs_b
-  FROM bqd),
-bcmp AS (SELECT CASE WHEN qs >= qs_b THEN source ELSE source_b END AS winner,
-  CASE WHEN qs >= qs_b THEN source_b ELSE source END AS loser
-  FROM bpr WHERE doc_b IS NOT NULL AND source <> source_b),
-bwij AS MATERIALIZED (SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w FROM bcmp GROUP BY 1, 2),
+    s"""WITH $pairCtesSql,
 bnij AS MATERIALIZED (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
     SELECT i, j, w FROM bwij
     UNION ALL SELECT j AS i, i AS j, w FROM bwij) GROUP BY i, j),
@@ -348,4 +369,114 @@ FROM bntot n JOIN bwtot w ON n.source = w.source
 JOIN bp$Rounds p ON n.source = p.source
 ORDER BY n.source"""
   }
+
+  def prefCycles(spark: SparkSession, sfDir: String): DataFrame =
+    prefCyclesFrom(spark, Tables.documents(spark, sfDir))
+
+  /** Circular-triad consistency audit over the preference matrix — the
+    * label-quality check an RLHF data pipeline runs BEFORE fitting
+    * Bradley-Terry/Elo: count the triads (i, j, k) whose majority
+    * preferences form a cycle (i beats j beats k beats i). Kendall &
+    * Babington Smith's coefficient of consistence
+    * zeta = 1 − d/max(d) (max = n(n²−1)/24 for odd n, n(n²−4)/24 even)
+    * is 1 for a perfectly transitive panel and falls toward 0 as the
+    * comparisons approach noise — a low zeta means the preference signal
+    * (or the annotator pool) is too inconsistent for a scalar rating to
+    * represent, and the ratings downstream are not trustworthy. Pairs with
+    * no games or tied win counts contribute direction 0 (never cyclic).
+    *
+    * Scale: the comparison stream aggregates to a #domains² win matrix;
+    * triad enumeration is equi-joins over the (tiny, checkpointed)
+    * all-pairs frame — nothing corpus-sized past the first groupBy.
+    */
+  def prefCyclesFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val wij = qualityComparisons(corpus)
+      .groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+    val und = wij.select(
+        least(col("winner"), col("loser")).as("i"),
+        greatest(col("winner"), col("loser")).as("j"),
+        when(col("winner") < col("loser"), col("w")).otherwise(lit(0L))
+          .as("wf"),
+        when(col("winner") > col("loser"), col("w")).otherwise(lit(0L))
+          .as("wb"))
+      .groupBy("i", "j")
+      .agg(sum("wf").as("w_ij"), sum("wb").as("w_ji"))
+    val players = corpus.select(col("source")).distinct()
+    // checkpoint: the all-pairs frame feeds four consumers (three triad
+    // legs + the pair summary); unfenced, Catalyst re-executes the whole
+    // corpus-sized comparison chain per reference.
+    val ap = players.as("a")
+      .crossJoin(broadcast(players.select(col("source").as("source_b"))))
+      .filter(col("source") < col("source_b"))
+      .select(col("source").as("i"), col("source_b").as("j"))
+      .join(und, Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        coalesce(col("w_ij"), lit(0L)).as("w_ij"),
+        coalesce(col("w_ji"), lit(0L)).as("w_ji"))
+      .withColumn("dir", when(col("w_ij") > col("w_ji"), 1)
+        .when(col("w_ij") < col("w_ji"), -1).otherwise(0))
+      .localCheckpoint()
+    val tri = ap.select(col("i"), col("j"), col("dir").as("d_ij"))
+      .join(ap.select(col("i").as("j"), col("j").as("k"),
+        col("dir").as("d_jk")), "j")
+      .join(ap.select(col("i"), col("j").as("k"), col("dir").as("d_ik")),
+        Seq("i", "k"))
+    val isCyc = (col("d_ij") === 1 && col("d_jk") === 1 &&
+      col("d_ik") === -1) ||
+      (col("d_ij") === -1 && col("d_jk") === -1 && col("d_ik") === 1)
+    val cyc = tri.agg(count(lit(1)).as("n_triads"),
+      sum(when(isCyc, 1L).otherwise(0L)).as("n_cyclic"))
+    val played = col("w_ij") + col("w_ji") > 0
+    val cps = ap.agg(count(lit(1)).as("n_pairs"),
+      sum(when(played, 1L).otherwise(0L)).as("n_played"),
+      sum(when(played && col("w_ij") === col("w_ji"), 1L).otherwise(0L))
+        .as("n_ties"))
+    val cn = players.agg(count(lit(1)).as("n_sources"))
+    val nd = col("n_sources").cast("double")
+    val maxd = when(col("n_sources") % 2 === 1,
+      (nd * nd * nd - nd) / 24.0d)
+      .otherwise((nd * nd * nd - lit(4.0d) * nd) / 24.0d)
+    cn.crossJoin(cps).crossJoin(cyc)
+      .select(col("n_sources"), col("n_pairs"), col("n_played"),
+        col("n_ties"), col("n_triads"), col("n_cyclic"),
+        floor((lit(1.0d) - col("n_cyclic").cast("double") / maxd)
+          * 1000000d + 0.5d).cast("long").as("zeta_q6"))
+  }
+
+  /** The DuckDB replay of [[prefCyclesFrom]] over the shared
+    * [[pairCtesSql]] win matrix.
+    */
+  private[graft] def prefCyclesOracleSql: String =
+    s"""WITH $pairCtesSql,
+cpl AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+cund AS MATERIALIZED (SELECT least(i, j) AS i, greatest(i, j) AS j,
+  CAST(sum(CASE WHEN i < j THEN w ELSE 0 END) AS BIGINT) AS w_ij,
+  CAST(sum(CASE WHEN i > j THEN w ELSE 0 END) AS BIGINT) AS w_ji
+  FROM bwij GROUP BY 1, 2),
+call AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
+  coalesce(cund.w_ij, 0) AS w_ij, coalesce(cund.w_ji, 0) AS w_ji,
+  CASE WHEN coalesce(cund.w_ij, 0) > coalesce(cund.w_ji, 0) THEN 1
+    WHEN coalesce(cund.w_ij, 0) < coalesce(cund.w_ji, 0) THEN -1
+    ELSE 0 END AS dir
+  FROM cpl a JOIN cpl b ON a.source < b.source
+  LEFT JOIN cund ON cund.i = a.source AND cund.j = b.source),
+ctr AS (SELECT p1.dir AS d_ij, p2.dir AS d_jk, p3.dir AS d_ik
+  FROM call p1 JOIN call p2 ON p1.j = p2.i
+  JOIN call p3 ON p3.i = p1.i AND p3.j = p2.j),
+ccy AS (SELECT CAST(count(*) AS BIGINT) AS n_triads,
+  CAST(sum(CASE WHEN (d_ij = 1 AND d_jk = 1 AND d_ik = -1)
+    OR (d_ij = -1 AND d_jk = -1 AND d_ik = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic
+  FROM ctr),
+cps AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN w_ij + w_ji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_played,
+  CAST(sum(CASE WHEN w_ij + w_ji > 0 AND w_ij = w_ji THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+  FROM call),
+ccn AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM cpl)
+SELECT n_sources, n_pairs, n_played, n_ties, n_triads, n_cyclic,
+  CAST(floor((1.0 - CAST(n_cyclic AS DOUBLE) /
+    (CASE WHEN n_sources % 2 = 1
+      THEN (CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) - CAST(n_sources AS DOUBLE)) / 24.0
+      ELSE (CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) - 4.0 * CAST(n_sources AS DOUBLE)) / 24.0 END))
+    * 1000000 + 0.5) AS BIGINT) AS zeta_q6
+FROM ccn, cps, ccy"""
 }

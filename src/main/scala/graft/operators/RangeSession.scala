@@ -77,4 +77,63 @@ object RangeSession {
           .as("duration_s"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** SFT dialogue packing over event sessions — the conversation-prep
+    * accountant an instruction-tuning pipeline runs: each [[sessionize]]
+    * session becomes a dialogue, each event a turn (odd turn = user, even
+    * turn = assistant), turn length estimated with the ~4-chars-per-token
+    * rule over (event_type + props). Sessions longer than `contextTokens`
+    * are truncated FROM THE LEFT (keep the most recent suffix that fits —
+    * the standard chat-SFT window policy), and the loss-mask accounting
+    * reports how many supervised (assistant) tokens survive: a session
+    * whose kept suffix is all user turns contributes nothing to the loss
+    * and should be dropped upstream.
+    *
+    * Scale: one shuffle on the user key (session assignment), then
+    * session-keyed windows — a user's events stay in one partition; state
+    * per session is a handful of counters. No text moves beyond lengths.
+    */
+  def sftPack(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      contextTokens: Int = 64): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("props"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+            gapMinutes * 60L).cast(IntegerType))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts", "event_id")
+    val turns = flagged
+      .withColumn("turn_idx", row_number().over(bySess).cast(LongType))
+      .withColumn("turn_tokens",
+        floor((length(col("event_type")) + length(col("props")) + lit(3))
+          / 4.0d).cast(LongType))
+    val rcum = turns.withColumn("rcum",
+      sum(col("turn_tokens")).over(
+        Window.partitionBy("user_id", "session_seq")
+          .orderBy(col("turn_idx").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kept = col("rcum") <= contextTokens
+    rcum.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("turn_tokens")).as("total_tokens"),
+        sum(when(kept, 1L).otherwise(0L)).as("kept_turns"),
+        coalesce(sum(when(kept, col("turn_tokens"))), lit(0L))
+          .as("kept_tokens"),
+        coalesce(sum(when(kept && col("turn_idx") % 2 === 0,
+          col("turn_tokens"))), lit(0L)).as("assistant_tokens"))
+      .select(col("user_id"), col("session_seq"), col("n_turns"),
+        col("total_tokens"), col("kept_turns"), col("kept_tokens"),
+        col("assistant_tokens"),
+        (col("total_tokens") > contextTokens).as("truncated"))
+      .orderBy("user_id", "session_seq")
+  }
 }

@@ -1498,6 +1498,72 @@ SELECT label, CAST(n AS BIGINT) AS n,
     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) AS mean_sq_dist
 FROM g ORDER BY label"""
 
+  /** Per-label effective rank of the embedding distribution — the
+    * representation-collapse detector (Roy & Vetterli'07 effective rank;
+    * the participation ratio PR = (Σλ)²/Σλ² over the covariance spectrum,
+    * here the DIAGONAL spectrum: per-dimension variances — the cheap
+    * scan-parallel approximation monitoring jobs use, since the full
+    * eigendecomposition needs the d×d Gram). A healthy 64-d embedding has
+    * PR near the intrinsic dimension; PR → 1 means the variance collapsed
+    * into one axis (anisotropy / dead dimensions). Also reports the
+    * dominant dimension and its variance share. Variances are quantized to
+    * micro units (BIGINT) before the ratio so the cross-engine argmax and
+    * PR arithmetic are exact.
+    *
+    * Scale: one posexplode + (label, pos) aggregation (64 rows per label
+    * regardless of corpus size), then a label-keyed fold — at 10⁹ vectors
+    * this is a map-side-combined pass over the scan.
+    */
+  def embEffRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val m = e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("sq"),
+        count(lit(1)).as("cnt"))
+    val lq = m.select(col("label"), col("pos"), col("cnt"),
+      floor((col("sq") - col("s") * col("s") / col("cnt").cast("double"))
+          / col("cnt").cast("double") * 1000000d + 0.5d)
+        .cast("long").as("lq"))
+    val rn = lq.withColumn("rn", row_number().over(Window
+      .partitionBy("label").orderBy(col("lq").desc, col("pos"))))
+    val g = rn.groupBy("label").agg(
+      max(col("cnt")).as("n"),
+      sum(col("lq")).as("slq"),
+      sum(col("lq") * col("lq")).as("slq2"),
+      max(when(col("rn") === 1, col("pos"))).cast("long").as("top_dim"),
+      max(when(col("rn") === 1, col("lq"))).as("top_lq"))
+    g.select(col("label"), col("n"),
+        floor(col("slq").cast("double") * col("slq").cast("double")
+            / col("slq2").cast("double") * 10000d + 0.5d)
+          .cast("long").as("pr_q4"),
+        col("top_dim"),
+        floor(col("top_lq").cast("double") / col("slq").cast("double")
+            * 10000d + 0.5d).cast("long").as("top_share_q4"))
+      .orderBy("label")
+  }
+
+  /** The DuckDB replay of [[embEffRank]] — identical micro-quantized
+    * variance spectrum and PR arithmetic.
+    */
+  private[graft] def embEffRankOracleSql: String =
+    """WITH ux AS (SELECT label, unnest(range(64)) AS pos,
+  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+m AS (SELECT label, pos, sum(x) AS s, sum(x * x) AS sq,
+  count(*) AS cnt FROM ux GROUP BY label, pos),
+lq AS (SELECT label, pos, cnt,
+  CAST(floor((sq - s * s / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lq
+  FROM m),
+rn AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY lq DESC, pos) AS rn FROM lq),
+g AS (SELECT label, max(cnt) AS n, sum(lq) AS slq, sum(lq * lq) AS slq2,
+  max(CASE WHEN rn = 1 THEN pos END) AS top_dim,
+  max(CASE WHEN rn = 1 THEN lq END) AS top_lq
+  FROM rn GROUP BY label)
+SELECT label, CAST(n AS BIGINT) AS n,
+  CAST(floor(CAST(slq AS DOUBLE) * CAST(slq AS DOUBLE) / CAST(slq2 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS pr_q4,
+  CAST(top_dim AS BIGINT) AS top_dim,
+  CAST(floor(CAST(top_lq AS DOUBLE) / CAST(slq AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS top_share_q4
+FROM g ORDER BY label"""
+
   /** Simplified-silhouette clustering-quality telemetry over the learned
     * k-means model ([[embKmeans]]'s 8-cluster/2-round model): per vector,
     * a = distance to its own centroid, b = distance to the nearest OTHER
