@@ -1813,7 +1813,8 @@ SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
 FROM h GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     // sessions as dialogues: ~4-chars-per-token turn estimates, left
-    // truncation to the 64-token context, assistant-token loss mask
+    // truncation to the (deliberately tight) 8-token context so the
+    // truncation path is exercised, assistant-token loss mask
     "sft_pack" ->
       """WITH sf AS (SELECT user_id, ts, event_id, event_type, props,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
@@ -1826,10 +1827,10 @@ sr AS (SELECT *, sum(turn_tokens) OVER (PARTITION BY user_id, session_seq ORDER 
 SELECT user_id, session_seq,
   CAST(count(*) AS BIGINT) AS n_turns,
   CAST(sum(turn_tokens) AS BIGINT) AS total_tokens,
-  CAST(sum(CASE WHEN rcum <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
-  CAST(coalesce(sum(CASE WHEN rcum <= 64 THEN turn_tokens END), 0) AS BIGINT) AS kept_tokens,
-  CAST(coalesce(sum(CASE WHEN rcum <= 64 AND turn_idx % 2 = 0 THEN turn_tokens END), 0) AS BIGINT) AS assistant_tokens,
-  sum(turn_tokens) > 64 AS truncated
+  CAST(sum(CASE WHEN rcum <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+  CAST(coalesce(sum(CASE WHEN rcum <= 8 THEN turn_tokens END), 0) AS BIGINT) AS kept_tokens,
+  CAST(coalesce(sum(CASE WHEN rcum <= 8 AND turn_idx % 2 = 0 THEN turn_tokens END), 0) AS BIGINT) AS assistant_tokens,
+  sum(turn_tokens) > 8 AS truncated
 FROM sr GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "asof_join" ->
       """SELECT event_id, c.user_id, c.ts, c.value, p.value AS asof_purchase_value

@@ -92,9 +92,14 @@ object RangeSession {
     * Scale: one shuffle on the user key (session assignment), then
     * session-keyed windows — a user's events stay in one partition; state
     * per session is a handful of counters. No text moves beyond lengths.
+    *
+    * The default context is 8 tokens: the synthetic events' turns are a
+    * few tokens each, and the driver surface must exercise the truncation
+    * path (at 64 no session truncates and the accountant is dead code);
+    * production passes its real context size.
     */
   def sftPack(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
-      contextTokens: Int = 64): DataFrame = {
+      contextTokens: Int = 8): DataFrame = {
     val events = Tables.events(spark, sfDir)
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val flagged = events
