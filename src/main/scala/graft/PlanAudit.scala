@@ -122,6 +122,61 @@ object PlanAudit {
     // data volume) — the dense-spine moving window IS the operator
     "resample_daily")
 
+  /** Count of window specs PARTITIONED on a token/gram-like column — the
+    * skew-unbounded funnel pattern of round 9's systemic finding: a window
+    * partitioned by a token-ish key over exploded occurrence rows sends
+    * every occurrence of that key to ONE task (WindowExec has no partial
+    * aggregation and AQE cannot split a window partition), so at 100 TB a
+    * stopword's partition processes that token's entire global stream.
+    * The scale-safe form is a map-side-combined `groupBy(key).count()`
+    * joined back (AQE-skew-splittable) — the lm_kneser_ney continuation-
+    * count discipline, now applied to the whole lm/quality family.
+    *
+    * Parses partition columns out of `windowspecdefinition(part..., ord
+    * ASC/DESC..., specifiedwindowframe(...))`: everything before the first
+    * ordered arg (or the frame spec when there is no ordering).
+    */
+  def tokenKeyedWindowCount(plan: String): Int = {
+    val marker = "windowspecdefinition("
+    var idx = plan.indexOf(marker)
+    var n = 0
+    while (idx >= 0) {
+      val start = idx + marker.length
+      val rest = plan.substring(start, math.min(plan.length, start + 600))
+      val cutAsc = Seq(rest.indexOf(" ASC"), rest.indexOf(" DESC"))
+        .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      val cutFrame = rest.indexOf("specifiedwindowframe")
+      val partitionCols: Seq[String] =
+        if (cutFrame >= 0 && (cutAsc < 0 || cutFrame < cutAsc))
+          rest.substring(0, cutFrame).split(",").toSeq
+        else if (cutAsc >= 0)
+          // the last comma-separated arg before " ASC"/" DESC" is the
+          // first ORDER column, not a partition column
+          rest.substring(0, cutAsc).split(",").toSeq.dropRight(1)
+        else Seq.empty
+      if (partitionCols.exists(c => tokenishRef.findFirstIn(c).isDefined))
+        n += 1
+      idx = plan.indexOf(marker, start)
+    }
+    n
+  }
+
+  /** A plan attribute reference whose NAME marks an exploded-occurrence
+    * key: raw tokens, n-gram legs, grams/shingles/fingerprints, terms,
+    * tokenizer words/pieces. Anchored so `doc_id#3` inside a nested
+    * expression cannot match.
+    */
+  private val tokenishRef =
+    """(?:^|[\s(,])(?:token|nxt|w1|w2|w3|gram|shingle|fingerprint|term|piece|word)#\d+""".r
+
+  /** Queries whose token-keyed window partition is PROVABLY bounded —
+    * today only inverted_index: its `term` window runs over the (term,
+    * shard) postings frame, at most `NShards` rows per partition at any
+    * corpus size (Retrieval.invertedIndexFrom). Any OTHER query planning
+    * a token-keyed window fails PlanAuditSpec.
+    */
+  val tokenWindowWhitelist: Set[String] = Set("inverted_index")
+
   /** Shuffle-exchange count from a FORMATTED explain — detail-section
     * headers like `(5) Exchange`, one per real exchange node. ReusedExchange
     * deliberately not counted (it IS the optimization). The single
@@ -172,7 +227,9 @@ object PlanAudit {
     "sim_topk" -> 1, // TakeOrdered, no global sort
     "sim_topk_ivf" -> 4,
     "emb_centroid_stats" -> 2,
-    "text_tfidf" -> 5, // tf shuffle + df/N derivations + orderBy
+    // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
+    // stage reuse dedups at runtime) + the token join + orderBy
+    "text_tfidf" -> 5,
     "decontaminate" -> 3, // fingerprint agg + per-doc count + orderBy
     "sim_topk_batch" -> 2, // per-query window + orderBy; probe broadcast
     // anchor-panel broadcast + (q_id, same) window + per-anchor agg + orderBy
@@ -311,9 +368,10 @@ object PlanAudit {
     // eval-side agg + bloom build + survivor distinct + final join/agg;
     // the corpus-sized fingerprint shuffle of plain decontaminate is GONE
     "decontaminate_bloom" -> 6,
-    // token window + per-doc regroup + 1-row total + orderBy — the tfidf
-    // shuffle class
-    "lm_perplexity" -> 5,
+    // vocab-sized freq agg + the token join-back + per-doc regroup +
+    // orderBy (1-row total broadcasts) — the occurrence rows shuffle
+    // once, never through a token-keyed window partition
+    "lm_perplexity" -> 4,
     // 5 unrolled power-iteration rounds over checkpointed edge/degree
     // leaves; the edges leaf is pre-partitioned by src (AQE-off
     // checkpoint) so the contribution joins plan NO edge re-shuffle —
@@ -335,17 +393,22 @@ object PlanAudit {
     // the power-iteration constants + one stateless projection + orderBy
     "emb_pca_project" -> 13,
     // the lm_perplexity family one order up: the per-doc lead window +
-    // (token,nxt) and token count windows + per-doc fold agg + orderBy,
-    // plus the 1-row vocab-size broadcast's build agg
-    "lm_bigram" -> 6,
-    // lm_bigram + the continuation statistics: the distinct-types frame
-    // plans under each of its three consumers (n1_fwd/n1_bwd/types — the
-    // documented assignIds re-derive trade; every one is vocab-sized and
-    // map-side combined), their keyed joins, + the 1-row types broadcast
-    "lm_kneser_ney" -> 13,
-    // lm_bigram one order up: the doc lead window + four token-keyed
-    // count windows + the 1-row N broadcast + per-doc fold + orderBy
-    "lm_trigram" -> 8,
+    // ONE (token,nxt)-keyed types agg (c_prefix derives from it — the
+    // derived branches re-plan the types stage, AQE stage reuse dedups
+    // at runtime), the type-sized enrich join, the single occurrence
+    // join-back, per-doc fold agg, orderBy, 1-row vocab broadcast
+    "lm_bigram" -> 10,
+    // lm_bigram + the continuation statistics: n1_fwd/n1_bwd/types all
+    // derive from the SAME bigram-types frame (each consumer re-plans
+    // the types stage — the assignIds re-derive trade, runtime-deduped),
+    // enriched type-side joins, ONE occurrence join-back, 1-row types
+    // broadcast
+    "lm_kneser_ney" -> 17,
+    // lm_bigram one order up: two doc lead windows + ONE trigram-types
+    // agg with all four lower orders derived from it (re-planned
+    // branches, runtime-deduped), type-sized enrich joins, the single
+    // (w1,w2,w3) occurrence join-back, 1-row N broadcast, per-doc fold
+    "lm_trigram" -> 19,
     // mergeable histogram: per-source shard agg (map-side combined) +
     // the bin merge agg + the sketch-sized estimate windows/orderBy
     "hist_quantiles" -> 3,
@@ -413,6 +476,8 @@ object PlanAudit {
     // move doc-/shard-table-sized rows through the budget machinery, the
     // stage join, and the orderBy
     "curation_program" -> 6,
+    // round-10 A/B twin of curation_program: identical frame, fresh name
+    "curation_manifest" -> 6,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
     // divergence localizer (temporary, round-8): nine single-row digest
@@ -456,7 +521,11 @@ object PlanAudit {
     // pass, #domains-row collect); the RETURNED plan is a driver-local
     // toDF + orderBy
     "domain_reweight" -> 1,
-    "excess_loss_select" -> 8,
+    // ONE (lang,token)-keyed agg with gfreq/lang totals derived from it
+    // (round 10: was three occurrence windows incl. a partitionBy(lang)
+    // funnel), the enrich join, single occurrence join-back, per-doc
+    // agg, per-lang top-k window, orderBy
+    "excess_loss_select" -> 9,
     "fim_split" -> 1,
     // comparison derivation runs eagerly (quality scan + per-lang window
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
@@ -480,16 +549,19 @@ object PlanAudit {
     "quality_classifier" -> 8,
     "calib_bins" -> 12,
     "signal_corr" -> 12,
-    "quality_fusion" -> 14,
+    // classifier chain + vocab-sized gfreq agg joined back (round 10:
+    // was a token-partitioned window) + three per-lang rank windows +
+    // fused top-k window + orderBy
+    "quality_fusion" -> 11,
     // classifier chain + lang join + rank windows + per-lang agg + orderBy
     "classifier_auc" -> 12,
     // classifier chain + heuristic projection join + per-lang agg + orderBy
     "gate_kappa" -> 10,
     // classifier chain + lang join + disagreement rank window + orderBy
     "label_noise" -> 10,
-    // the lm_perplexity plan (token df window + per-doc fold) + the lang
-    // join + the per-lang tercile window + orderBy
-    "perplexity_gate" -> 8,
+    // the lm_perplexity plan (keyed freq agg + join-back + per-doc fold)
+    // + the lang join + the per-lang tercile window + orderBy
+    "perplexity_gate" -> 5,
     // frozen pricing on distinct words (one corpus pass) + broadcast
     // lookup join + per-doc agg + the budget two-level machinery
     "token_budget_unigram" -> 9,

@@ -290,6 +290,17 @@ object SparkEntry {
     // budget -> split in one chained plan (the trainingIngestStream twin)
     "curation_program" -> ((s, d) =>
       graft.operators.CurationProgram.curationProgram(s, d)),
+    // round-10 adjudication A/B (VERDICT r9 Next #1): the BYTE-IDENTICAL
+    // frame under a fresh name. curation_program has been driver
+    // hash-red for 5 rounds while every value-level probe (all-integer
+    // surface, quality-double probe, all 9 per-column digests) is green
+    // in the same driver runs; the only remaining uniqueness is the
+    // query's NAME (registered since the DECIMAL era) or its 9-column
+    // composite surface. Green-here/red-there proves stale per-name
+    // driver state; both-red pins the composite surface for a
+    // half-surface binary search next round.
+    "curation_manifest" -> ((s, d) =>
+      graft.operators.CurationProgram.curationProgram(s, d)),
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
@@ -2511,6 +2522,19 @@ FROM sp ORDER BY doc_id, span_start""",
     // round-8 driver red survived even the quantized DOUBLE, while the
     // same scaled integer was digest-green in curation_cols)
     "curation_program" ->
+      s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    // round-10 A/B twin: byte-identical SQL under the fresh name (see
+    // the queries-map comment on curation_manifest)
+    "curation_manifest" ->
       s"""WITH $curationCtes,
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)

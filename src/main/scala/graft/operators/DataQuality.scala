@@ -477,7 +477,10 @@ object DataQuality {
     * and keep the top `k` per language.
     *
     * Scale: the classifier pass + heuristic projection + one
-    * token-keyed frequency window, three lang-partitioned rank windows
+    * map-side-combined `groupBy(token).count()` (vocab-sized) joined
+    * back onto the occurrence rows (AQE-skew-splittable — a
+    * token-partitioned window would funnel a stopword's entire stream
+    * through one unsplittable task), three lang-partitioned rank windows
     * over doc-count rows, one fused top-k window. All emitted columns
     * BIGINT/VARCHAR.
     */
@@ -496,8 +499,10 @@ object DataQuality {
         explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
     val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+    val gf = t.groupBy("token")
+      .agg(count(lit(1)).cast(LongType).as("gfreq"))
     val nll = t
-      .withColumn("gfreq", count(lit(1)).over(Window.partitionBy("token")))
+      .join(gf, "token")
       .crossJoin(broadcast(total))
       .withColumn("nll",
         -floor(log(col("gfreq").cast(DoubleType) / col("n_total"))

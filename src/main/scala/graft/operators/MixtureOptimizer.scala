@@ -33,7 +33,8 @@ import graft.sources.Tables
   *    ops. Both engines run the identical op sequence.
   *
   * Scale shape: the loss measurement is the whole cost — ONE tokenize
-  * pass, a token-partitioned frequency window (no vocab broadcast), a
+  * pass, a map-side-combined `groupBy(token).count()` (vocab-sized)
+  * joined back onto the occurrence rows (AQE-skew-splittable), a
   * 1-row total, and a #domains-row aggregate. The EG loop itself runs on
   * the collected #domains rows (bounded by construction: a mixture has
   * tens of domains, not millions — the BPE-merge-loop precedent) and is
@@ -56,8 +57,9 @@ object MixtureOptimizer {
     val t = corpus
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-    val withFreq = t.withColumn("freq",
-      count(lit(1)).over(Window.partitionBy("token")))
+    val freqs = t.groupBy("token")
+      .agg(count(lit(1)).cast(LongType).as("freq"))
+    val withFreq = t.join(freqs, "token")
     val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
     val perDomain = withFreq.crossJoin(broadcast(total))
       .withColumn("nll_micro",
@@ -114,11 +116,13 @@ object MixtureOptimizer {
     * of those integers (identical both engines), ties by doc_id; every
     * EMITTED column is BIGINT/VARCHAR.
     *
-    * Scale shape: one tokenize pass; global and per-lang token
-    * frequencies as keyed windows (no vocab broadcast — the
-    * [[domainReweight]] loss-measurement shape, one extra key); the
-    * 1-row corpus total broadcasts; per-doc aggregation; a
-    * lang-partitioned top-k window. No driver collection.
+    * Scale shape: one tokenize pass; ONE (lang, token)-keyed
+    * map-side-combined agg over the occurrence rows, with the global
+    * token frequency and the per-language totals derived from that
+    * types frame and joined back (AQE-skew-splittable; the language
+    * totals broadcast); the 1-row corpus total broadcasts; per-doc
+    * aggregation; a lang-partitioned top-k window over doc-sized rows.
+    * No driver collection.
     */
   def excessLossSelect(spark: SparkSession, sfDir: String,
       k: Int = 20): DataFrame =
@@ -131,11 +135,24 @@ object MixtureOptimizer {
         explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
     val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+    // ONE (lang, token)-keyed map-side-combined agg over the occurrence
+    // rows; the global token frequency and the per-language totals both
+    // derive from that types frame by re-aggregation — the occurrence
+    // rows shuffle exactly once and never through a window partition
+    // (the previous partitionBy("lang") count window put an entire
+    // language's token stream through ONE task)
+    val lf = t.groupBy("lang", "token")
+      .agg(count(lit(1)).cast(LongType).as("lfreq"))
+    val gf = lf.groupBy("token")
+      .agg(sum(col("lfreq")).cast(LongType).as("gfreq"))
+    val langTotals = lf.groupBy("lang")
+      .agg(sum(col("lfreq")).cast(LongType).as("n_lang"))
+    // enrich the type-sized frame first, then ONE (lang, token)
+    // join-back — the occurrence rows shuffle once, not once per stat
+    val lfAll = lf.join(gf, "token")
     val withFreqs = t
-      .withColumn("gfreq", count(lit(1)).over(Window.partitionBy("token")))
-      .withColumn("lfreq",
-        count(lit(1)).over(Window.partitionBy("lang", "token")))
-      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .join(lfAll, Seq("lang", "token"))
+      .join(broadcast(langTotals), Seq("lang"))
       .crossJoin(broadcast(total))
     val perDoc = withFreqs
       .withColumn("nll_g",

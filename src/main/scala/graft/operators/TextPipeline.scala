@@ -139,14 +139,20 @@ object TextPipeline {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // df inline via a token-partitioned window over tf: tf is (doc, token)-
-    // distinct, so count(*) per token partition IS the document frequency.
-    // Round 3 re-exploded the corpus for df and broadcast a vocab-sized
-    // join table back; this shape tokenizes the corpus ONCE (CI:
-    // PlanAuditSpec single-text-scan assertion) and replaces the broadcast
-    // with the window's own token shuffle — no vocab-size ceiling at 100 TB.
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("token"))))
+    // df via a map-side-combined keyed agg over tf joined back: tf is
+    // (doc, token)-distinct, so count per token IS the document frequency.
+    // Round 3 re-exploded the corpus for df (second text scan); rounds 4-9
+    // used a token-partitioned count window over tf — but a window
+    // partition has no partial aggregation and AQE cannot split it, so a
+    // stopword's partition ("the" ≈ every document) is one task holding
+    // ~10⁹ rows at 100 TB. The keyed agg combines map-side and its
+    // join-back is AQE-skew-splittable. The df branch re-plans the tf
+    // subtree (two text scans at PLANNING time — PlanAuditSpec pins it),
+    // but the branches' partial-agg+Exchange stages canonicalize equal,
+    // so AQE stage reuse executes the scan+tokenize once at runtime.
+    val dfs = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val withDf = tf.join(dfs, "token")
     // N touches only the doc_id column (pruned scan, 1-row broadcast) — not
     // a second pass over the text.
     val n = docs(spark, sfDir).agg(countDistinct(col("doc_id")).as("n"))
@@ -1811,12 +1817,16 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * at least `minDocs` documents corpus-wide. High fractions mark
     * template/boilerplate pages worth dropping before training.
     *
-    * Plan shape mirrors [[textTfidf]]'s df trick: the corpus tokenizes and
-    * shingles ONCE (native one-pass [[graft.expressions.ShingleSet]]), and
-    * because the per-doc shingle list is distinct, `count(*)` over a
-    * gram-partitioned window IS the document frequency — no second corpus
-    * pass, no vocab-sized broadcast. Shuffles: the gram-keyed window
-    * exchange and the per-doc re-aggregation.
+    * Plan shape mirrors [[textTfidf]]'s df discipline: because the
+    * per-doc shingle list is distinct, a map-side-combined
+    * `groupBy(gram).count()` IS the document frequency, joined back onto
+    * the gram rows (AQE-skew-splittable — a gram-partitioned window
+    * would hold a common 3-gram's whole doc set, ~every document at
+    * 100 TB, in one unsplittable task). The df branch re-derives the
+    * shingle scan (the dup_spans scan-twice-beats-funnel trade, and the
+    * native one-pass [[graft.expressions.ShingleSet]] keeps the re-read
+    * cheap); shuffles: the gram-types agg, the gram-keyed join, the
+    * per-doc re-aggregation.
     */
   def boilerplateNgrams(spark: SparkSession, sfDir: String,
       minDocs: Int = 5): DataFrame = {
@@ -1825,8 +1835,9 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .select(col("doc_id"),
         explode(graft.expressions.VectorExpressions
           .shingleSetNative(col("text"))).as("gram"))
-    val withDf = grams.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val dfs = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val withDf = grams.join(dfs, "gram")
     withDf.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
@@ -2130,14 +2141,19 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * perplexity marks out-of-distribution/garbage pages; the standard
     * pre-training filter alongside [[textQuality]]'s heuristics.
     *
-    * Plan shape: the corpus tokenizes ONCE; global token frequencies come
-    * from a token-partitioned window over the exploded rows (the
-    * [[textTfidf]] df trick — no vocab-sized broadcast), the total-token
-    * normalizer is a 1-row broadcast, and each document's log-prob sum
-    * folds its POSITION-ORDERED array sequentially — bit-identical
-    * accumulation order on both engines, so the oracle hash-matches
-    * (a bare float SUM across rows would be partial-aggregation-order
-    * dependent).
+    * Plan shape: the corpus tokenizes ONCE; global token frequencies are
+    * a map-side-combined `groupBy(token).count()` (vocab-sized result)
+    * joined back onto the occurrence rows — NOT a token-partitioned
+    * window: WindowExec has no partial aggregation and AQE cannot split
+    * a window partition, so at 100 TB a stopword's window partition is
+    * one task processing that token's entire global stream; the keyed
+    * agg combines map-side and the join-back is AQE-skew-splittable
+    * (the [[lmKneserNeyFrom]] continuation-count discipline). The
+    * total-token normalizer is a 1-row broadcast, and each document's
+    * log-prob sum folds its POSITION-ORDERED array sequentially —
+    * bit-identical accumulation order on both engines, so the oracle
+    * hash-matches (a bare float SUM across rows would be
+    * partial-aggregation-order dependent).
     */
   def lmPerplexity(spark: SparkSession, sfDir: String): DataFrame =
     lmPerplexityFrom(spark, docs(spark, sfDir))
@@ -2147,8 +2163,9 @@ FROM agg, tot ORDER BY n_bands DESC"""
     val toksPos = corpus
       .select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("pos", "token")))
-    val withFreq = toksPos.withColumn("freq",
-      count(lit(1)).over(Window.partitionBy("token")))
+    val freqs = toksPos.groupBy("token")
+      .agg(count(lit(1)).cast(LongType).as("freq"))
+    val withFreq = toksPos.join(freqs, "token")
     // total tokens: exact integer aggregate, 1-row broadcast
     val total = corpus
       .agg(sum(size(tokens(col("text")))).cast(LongType).as("n_total"))
@@ -2207,8 +2224,13 @@ FROM agg, tot ORDER BY n_bands DESC"""
     *
     * Plan shape: the unigram discipline extended one order — tokenize
     * once, successor via a per-document `lead` window (doc-keyed,
-    * bounded), bigram/prefix counts via token-partitioned count windows,
-    * V as a 1-row broadcast, and the per-document log-prob sum folds the
+    * bounded); bigram counts are ONE map-side-combined
+    * `groupBy(token, nxt).count()` (bigram-type-sized), the prefix count
+    * derives from that types frame (`sum(c_bg) group by token` —
+    * vocab-sized, never re-touching the occurrence rows), both joined
+    * back (AQE-skew-splittable, unlike a token-partitioned window whose
+    * stopword partition is one unsplittable task at 100 TB); V is a
+    * 1-row broadcast, and the per-document log-prob sum folds the
     * position-ordered array so accumulation order is engine-identical.
     */
   def lmBigram(spark: SparkSession, sfDir: String): DataFrame =
@@ -2226,11 +2248,15 @@ FROM agg, tot ORDER BY n_bands DESC"""
         lead(col("token"), 1).over(
           Window.partitionBy("doc_id").orderBy("pos")))
       .filter(col("nxt").isNotNull)
-    val withC = bigrams
-      .withColumn("c_bg",
-        count(lit(1)).over(Window.partitionBy("token", "nxt")))
-      .withColumn("c_prefix",
-        count(lit(1)).over(Window.partitionBy("token")))
+    val cBg = bigrams.groupBy("token", "nxt")
+      .agg(count(lit(1)).cast(LongType).as("c_bg"))
+    val cPrefix = cBg.groupBy("token")
+      .agg(sum(col("c_bg")).cast(LongType).as("c_prefix"))
+    // enrich the TYPE-sized frames first (bigram-types join, cheap), so
+    // the occurrence rows shuffle exactly ONCE — for the single (token,
+    // nxt) join-back — instead of once per count key
+    val cAll = cBg.join(cPrefix, "token")
+    val withC = bigrams.join(cAll, Seq("token", "nxt"))
     val vocab = toksPos.agg(countDistinct(col("token")).as("v_size"))
     withC.crossJoin(broadcast(vocab))
       .withColumn("lnp",
@@ -2257,8 +2283,9 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * probability scores how many CONTEXTS a word completes, not how
     * often it occurs (the "San Francisco" correction).
     *
-    * Plan shape: [[lmBigram]]'s windows give c(w₁w₂)/c(w₁·); the three
-    * continuation statistics come from ONE distinct-bigram-types frame —
+    * Plan shape: [[lmBigramFrom]]'s keyed aggs give c(w₁w₂)/c(w₁·) (one
+    * map-side-combined bigram-types agg, prefix derived from it); the
+    * three continuation statistics come from that SAME types frame —
     * two vocab-sized keyed aggs joined back onto the bigram rows (keyed,
     * map-side combined; a collect_set window would hold a stopword
     * prefix's whole successor set in one partition) and a 1-row types
@@ -2280,19 +2307,25 @@ FROM agg, tot ORDER BY n_bands DESC"""
         lead(col("token"), 1).over(
           Window.partitionBy("doc_id").orderBy("pos")))
       .filter(col("nxt").isNotNull)
-    val withC = bigrams
-      .withColumn("c_bg",
-        count(lit(1)).over(Window.partitionBy("token", "nxt")))
-      .withColumn("c_prefix",
-        count(lit(1)).over(Window.partitionBy("token")))
-    val bt = bigrams.select(col("token"), col("nxt")).distinct()
+    val cBg = bigrams.groupBy("token", "nxt")
+      .agg(count(lit(1)).cast(LongType).as("c_bg"))
+    val cPrefix = cBg.groupBy("token")
+      .agg(sum(col("c_bg")).cast(LongType).as("c_prefix"))
+    // the bigram-types frame IS cBg's key set — every continuation
+    // statistic derives from it without re-touching occurrence rows
+    val bt = cBg.select(col("token"), col("nxt"))
     val n1f = bt.groupBy(col("token"))
       .agg(count(lit(1)).cast(LongType).as("n1_fwd"))
     val n1b = bt.groupBy(col("nxt"))
       .agg(count(lit(1)).cast(LongType).as("n1_bwd"))
     val types = bt.agg(count(lit(1)).cast(LongType).as("n_types"))
+    // enrich the TYPE-sized frames first, then ONE (token, nxt)
+    // join-back — the occurrence rows shuffle once, not once per stat
+    val cAll = cBg.join(cPrefix, "token").join(n1f, "token")
+      .join(n1b, "nxt")
+    val withC = bigrams.join(cAll, Seq("token", "nxt"))
     val d = lit(0.75)
-    withC.join(n1f, "token").join(n1b, "nxt")
+    withC
       .crossJoin(broadcast(types))
       .withColumn("lnp", log(
         (col("c_bg").cast(DoubleType) - d) /
@@ -2319,9 +2352,14 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * + 0.3·c(·w₂w₃)/c(·w₂·) + 0.1·c(··w₃)/N, every count over the
     * corpus's TRIGRAM event space (self-consistent: all denominators of
     * an observed trigram are ≥ 1, so no backoff special case and no
-    * floor is needed). Plan: two per-doc lead windows, four token-keyed
-    * count windows (the lm_bigram discipline), the 1-row N broadcast,
-    * position-ordered per-doc fold.
+    * floor is needed). Plan: two per-doc lead windows; ONE
+    * map-side-combined `groupBy(w1,w2,w3).count()` over the occurrence
+    * rows, with every lower-order count (c_b12, c_b23, c_b2, c_u3)
+    * derived from that trigram-types frame by keyed re-aggregation —
+    * the occurrence rows shuffle exactly once and all joins back are
+    * AQE-skew-splittable (the lm_bigram discipline; a token-keyed
+    * window would funnel a stopword's whole stream through one task) —
+    * then the 1-row N broadcast and the position-ordered per-doc fold.
     */
   def lmTrigram(spark: SparkSession, sfDir: String): DataFrame =
     lmTrigramFrom(spark, docs(spark, sfDir))
@@ -2337,17 +2375,25 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .withColumn("w2", lead(col("w1"), 1).over(byDoc))
       .withColumn("w3", lead(col("w1"), 2).over(byDoc))
       .filter(col("w3").isNotNull)
-    val withC = tri
-      .withColumn("c_tri",
-        count(lit(1)).over(Window.partitionBy("w1", "w2", "w3")))
-      .withColumn("c_b12",
-        count(lit(1)).over(Window.partitionBy("w1", "w2")))
-      .withColumn("c_b23",
-        count(lit(1)).over(Window.partitionBy("w2", "w3")))
-      .withColumn("c_b2",
-        count(lit(1)).over(Window.partitionBy("w2")))
-      .withColumn("c_u3",
-        count(lit(1)).over(Window.partitionBy("w3")))
+    val cTri = tri.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast(LongType).as("c_tri"))
+    val cB12 = cTri.groupBy("w1", "w2")
+      .agg(sum(col("c_tri")).cast(LongType).as("c_b12"))
+    val cB23 = cTri.groupBy("w2", "w3")
+      .agg(sum(col("c_tri")).cast(LongType).as("c_b23"))
+    val cB2 = cTri.groupBy("w2")
+      .agg(sum(col("c_tri")).cast(LongType).as("c_b2"))
+    val cU3 = cTri.groupBy("w3")
+      .agg(sum(col("c_tri")).cast(LongType).as("c_u3"))
+    // enrich the TYPE-sized frames first (every join below moves
+    // trigram-type rows, never occurrences), then ONE (w1, w2, w3)
+    // join-back — the occurrence rows shuffle once, not once per order
+    val cAll = cTri
+      .join(cB12, Seq("w1", "w2"))
+      .join(cB23, Seq("w2", "w3"))
+      .join(cB2, Seq("w2"))
+      .join(cU3, Seq("w3"))
+    val withC = tri.join(cAll, Seq("w1", "w2", "w3"))
     val total = tri.agg(count(lit(1)).cast(LongType).as("n_tri"))
     withC.crossJoin(broadcast(total))
       .withColumn("lnp", log(
