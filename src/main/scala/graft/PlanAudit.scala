@@ -521,11 +521,11 @@ object PlanAudit {
     // pass, #domains-row collect); the RETURNED plan is a driver-local
     // toDF + orderBy
     "domain_reweight" -> 1,
-    // ONE (lang,token)-keyed agg with gfreq/lang totals derived from it
-    // (round 10: was three occurrence windows incl. a partitionBy(lang)
-    // funnel), the enrich join, single occurrence join-back, per-doc
-    // agg, per-lang top-k window, orderBy
-    "excess_loss_select" -> 9,
+    // post-fence (round 10): the token pipeline (ONE (lang,token)-keyed
+    // agg, type-frame enrich, single occurrence join-back, per-doc agg)
+    // runs eagerly behind the doc-sized leaf; the returned plan is the
+    // shard-pruned firstKPerKey top-k + orderBy
+    "excess_loss_select" -> 4,
     "fim_split" -> 1,
     // comparison derivation runs eagerly (quality scan + per-lang window
     // + domains²-bounded collects); the RETURNED plan is toDF + orderBy
@@ -547,20 +547,21 @@ object PlanAudit {
     // same shape with unigram features: bucket-model agg + totals
     // re-derive + broadcast model join + per-doc fold agg + orderBy
     "quality_classifier" -> 8,
-    "calib_bins" -> 12,
+    // post-fence plans (round 10): the classifier/LM chains run eagerly
+    // behind doc-sized text-free localCheckpoint leaves; the returned
+    // plans are the two-level rank machinery over those leaves —
+    // bucket-offsets agg + broadcast join + (lang, bucket) window (+
+    // firstKPerKey prune / closed-form ntile) + orderBy
+    "calib_bins" -> 6,
     "signal_corr" -> 12,
-    // classifier chain + vocab-sized gfreq agg joined back (round 10:
-    // was a token-partitioned window) + three per-lang rank windows +
-    // fused top-k window + orderBy
-    "quality_fusion" -> 11,
-    // classifier chain + lang join + rank windows + per-lang agg + orderBy
-    "classifier_auc" -> 12,
+    "quality_fusion" -> 4,
+    "classifier_auc" -> 5,
     // classifier chain + heuristic projection join + per-lang agg + orderBy
     "gate_kappa" -> 10,
-    // classifier chain + lang join + disagreement rank window + orderBy
-    "label_noise" -> 10,
-    // the lm_perplexity plan (keyed freq agg + join-back + per-doc fold)
-    // + the lang join + the per-lang tercile window + orderBy
+    "label_noise" -> 4,
+    // post-fence (round 10): the lm_perplexity chain runs eagerly behind
+    // the doc-sized leaf; the returned plan is the two-level rank +
+    // closed-form tercile + orderBy
     "perplexity_gate" -> 5,
     // frozen pricing on distinct words (one corpus pass) + broadcast
     // lookup join + per-doc agg + the budget two-level machinery

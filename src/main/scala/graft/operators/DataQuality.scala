@@ -254,25 +254,42 @@ object DataQuality {
     * poison, integer sums are not).
     *
     * Determinism: the score is the classifier's position-ordered fold
-    * rounded to 6 (already engine-agreed), then scaled to a BIGINT;
-    * ntile runs per language over the total order (score_q6, doc_id).
-    * Scale: the classifier's one token pass + model broadcast, then a
-    * lang-partitioned window over doc-count rows and a 50-row agg — the
-    * window is keyed, never single-partition.
+    * rounded to 6 (already engine-agreed), then scaled to a BIGINT; the
+    * decile comes from the exact per-lang rank via ntile's closed form
+    * (first r tiles hold q+1 rows — the curriculum rule), identical to
+    * the oracle's `ntile(10)` for any N. Scale: the classifier's one
+    * token pass + model broadcast, then the
+    * [[TextPipeline.rankPerKey]] two-level rank — a lang-alone ntile
+    * window would sort a whole language's docs in ONE task at 10⁹ docs;
+    * here the per-row window is (lang, score-range-bucket)-bounded —
+    * and a 50-row agg.
     */
   def calibBins(spark: SparkSession, sfDir: String): DataFrame =
     calibBinsFrom(Tables.documents(spark, sfDir))
 
   /** [[calibBins]] over any frame with the documents schema. */
   def calibBinsFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clf = TextPipeline.qualityClassifierFrom(docs)
       .select(col("doc_id"), col("label"),
         floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score_q6"), col("doc_id"))
-    clf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("bin", ntile(10).over(w).cast(LongType))
+    // fence the doc-sized text-free frame: the rank's offsets branch and
+    // the totals agg would each re-plan (and re-run) the classifier
+    // chain otherwise
+    val base = clf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint()
+    val totals = base.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val ranked = TextPipeline.rankPerKey(base, "lang",
+      floor(col("score_q6") / 65536.0d),
+      Seq(col("score_q6"), col("doc_id")), "_crk")
+      .join(broadcast(totals), "lang")
+    val q = floor(col("n_total") / 10)
+    val r = col("n_total") % 10
+    val bigRows = (q + 1) * r
+    ranked
+      .withColumn("bin",
+        when(col("_crk") <= bigRows, floor((col("_crk") + q) / (q + 1)))
+          .otherwise(r + floor((col("_crk") - bigRows + q - 1) / q))
+          .cast(LongType))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("label")).as("n_pos"),
@@ -355,11 +372,17 @@ object DataQuality {
     * rank sum never touches a float), and the final AUC ratio as ONE
     * shared IEEE expression quantized to micro-units.
     *
-    * Scale: the classifier scoring pass plus one lang-partitioned rank
-    * window over doc-count rows and a per-lang agg — no pairwise
-    * comparisons (the naive AUC is O(n²); the rank-sum identity is the
-    * scalable form). Languages missing a class are dropped (AUC
-    * undefined), matching the oracle's HAVING.
+    * Scale: the classifier scoring pass, then ONE map-side-combined
+    * (lang, score) tie-group aggregation — the Mann–Whitney statistic
+    * needs only per-class rank SUMS, and those are computable entirely
+    * from tie-group counts: rank_min(group) = 1 + rows-below, so
+    * 2·r̄ = 2·below + n + 1 per group and r2_pos = Σ n_pos·(2·below+n+1).
+    * Rows-below comes from a two-level prefix over the tie-group table
+    * (bucket offsets via a #langs×#buckets window, within-bucket prefix
+    * via a (lang, bucket)-bounded window) — no doc-sized sort window
+    * anywhere, no pairwise comparisons (the naive AUC is O(n²)).
+    * Languages missing a class are dropped (AUC undefined), matching
+    * the oracle's HAVING.
     */
   def classifierAuc(spark: SparkSession, sfDir: String): DataFrame =
     classifierAucFrom(Tables.documents(spark, sfDir))
@@ -371,14 +394,32 @@ object DataQuality {
       .select(col("doc_id"), col("label"),
         floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"))
     val j = clf.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    val ranked = j.withColumn("r2",
-      rank().over(Window.partitionBy("lang").orderBy("score_q6"))
-          .cast(LongType) * 2
-        + count(lit(1)).over(Window.partitionBy("lang", "score_q6")) - 1)
-    ranked.groupBy("lang")
-      .agg(sum(col("label")).cast(LongType).as("n_pos"),
-        sum(lit(1L) - col("label")).cast(LongType).as("n_neg"),
-        sum(when(col("label") === 1L, col("r2")).otherwise(0L))
+    // tie-group table: one row per (lang, score) — the ONLY corpus-sized
+    // shuffle, map-side combined
+    // fenced: the bucket-offsets branch below re-plans (and would
+    // re-run) the classifier chain otherwise; the leaf is tie-group-sized
+    val groups = j.groupBy(col("lang"), col("score_q6"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("label")).cast(LongType).as("g_pos"))
+      .withColumn("_rb", floor(col("score_q6") / 65536.0d))
+      .localCheckpoint()
+    val bucketTotals = groups.groupBy(col("lang"), col("_rb"))
+      .agg(sum(col("n")).as("_bn"))
+      .withColumn("_boff",
+        sum(col("_bn")).over(
+          Window.partitionBy("lang").orderBy("_rb")) - col("_bn"))
+      .select(col("lang").as("_bk"), col("_rb").as("_bb"), col("_boff"))
+    val wIn = Window.partitionBy("lang", "_rb").orderBy("score_q6")
+    val withBelow = groups
+      .join(broadcast(bucketTotals),
+        col("lang") === col("_bk") && col("_rb") === col("_bb"))
+      .withColumn("below",
+        col("_boff") + sum(col("n")).over(wIn) - col("n"))
+    // 2·r̄ for the group = 2·rank_min + ties − 1 = 2·below + n + 1
+    withBelow.groupBy("lang")
+      .agg(sum(col("g_pos")).cast(LongType).as("n_pos"),
+        sum(col("n") - col("g_pos")).cast(LongType).as("n_neg"),
+        sum(col("g_pos") * (lit(2L) * col("below") + col("n") + 1L))
           .cast(LongType).as("r2_pos"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
       .select(col("lang"), col("n_pos"), col("n_neg"),
@@ -397,26 +438,33 @@ object DataQuality {
     * hash labels they measure how linearly separable the label really is.
     * Integer micro-score surface; top `k` per language.
     *
-    * Scale: the classifier scoring pass + one lang-partitioned rank
-    * window over the (small) disagreement subset.
+    * Scale: the classifier scoring pass + the
+    * [[TextPipeline.firstKPerKey]] shard-pruned top-k over the
+    * disagreement subset: confidence range-buckets (monotone in the
+    * |score| DESC admission order) prune every bucket wholly past `k`
+    * BEFORE any row shuffles — no language's disagreements ever funnel
+    * through one sort task, however noisy the labels.
     */
   def labelNoise(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     labelNoiseFrom(Tables.documents(spark, sfDir), k)
 
   /** [[labelNoise]] over any frame with the documents schema. */
   def labelNoiseFrom(docs: DataFrame, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clf = TextPipeline.qualityClassifierFrom(docs)
       .select(col("doc_id"), col("label"),
         floor(col("score") * 1000000d + 0.5d).cast(LongType).as("score_q6"),
         col("predicted"))
+    // fenced: firstKPerKey's offsets branch re-plans (and would re-run)
+    // the classifier chain otherwise; the leaf is disagreement-sized
     val dis = clf.filter(col("predicted") =!= (col("label") === 1L))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    dis.withColumn("rnk", row_number().over(Window.partitionBy("lang")
-        .orderBy(abs(col("score_q6")).desc, col("doc_id"))).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("lang"), col("rnk"), col("doc_id"), col("label"),
-        col("score_q6"))
+      .withColumn("shard",
+        floor(-abs(col("score_q6")) / 65536.0d).cast(LongType))
+      .localCheckpoint()
+    TextPipeline.firstKPerKey(dis, "lang",
+        Seq(abs(col("score_q6")).desc, col("doc_id")), Left(k.toLong))
+      .select(col("lang"), col("rk").as("rnk"), col("doc_id"),
+        col("label"), col("score_q6"))
       .orderBy("lang", "rnk")
   }
 
@@ -480,13 +528,14 @@ object DataQuality {
     * map-side-combined `groupBy(token).count()` (vocab-sized) joined
     * back onto the occurrence rows (AQE-skew-splittable — a
     * token-partitioned window would funnel a stopword's entire stream
-    * through one unsplittable task), three lang-partitioned rank windows
-    * over doc-count rows, one fused top-k window. All emitted columns
-    * BIGINT/VARCHAR.
+    * through one unsplittable task); the three full per-lang rankings
+    * run through [[TextPipeline.rankPerKey]]'s two-level exact rank and
+    * the fused top-k through the shard-pruned
+    * [[TextPipeline.firstKPerKey]] — no language's docs ever funnel
+    * through one sort task. All emitted columns BIGINT/VARCHAR.
     */
   def qualityFusion(spark: SparkSession, sfDir: String,
       k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens
     val d = Tables.documents(spark, sfDir)
     val heur = TextPipeline.textQuality(spark, sfDir)
@@ -510,23 +559,41 @@ object DataQuality {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("nll")).cast(LongType).as("nll_g"))
-    val sig = nll.join(heur, "doc_id").join(clf, "doc_id")
-    def rk(order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-      row_number().over(Window.partitionBy("lang").orderBy(order: _*))
-        .cast(LongType)
+    // fence the doc-sized text-free signal frame: every rank branch
+    // below (offsets + main per signal) re-plans its input, so an
+    // unfenced classifier/LM chain would double per rank (166
+    // exchanges measured) — behind the leaf each branch is a cheap scan
+    val sig = nll.join(heur, "doc_id").join(clf, "doc_id").localCheckpoint()
+    // the three FULL per-lang rankings via the two-level exact rank
+    // (TextPipeline.rankPerKey), each computed INDEPENDENTLY from the
+    // fenced leaf and joined back on doc_id — chaining them would
+    // double the plan per rank; each signal's value-range bucket is
+    // monotone in its admission order (negated for DESC), so no
+    // language's docs ever funnel through one sort task
+    val nllRatio =
+      col("nll_g").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+    def rankFrame(bucket: org.apache.spark.sql.Column,
+        order: Seq[org.apache.spark.sql.Column], name: String): DataFrame =
+      TextPipeline.rankPerKey(sig, "lang", bucket, order, name)
+        .select(col("doc_id"), col(name))
     val ranked = sig
-      .withColumn("r_heur", rk(Seq(col("q_heur").desc, col("doc_id"))))
-      .withColumn("r_clf", rk(Seq(col("q_clf").desc, col("doc_id"))))
-      .withColumn("r_nll", rk(Seq(
-        (col("nll_g").cast(DoubleType) / col("n_tokens").cast(DoubleType)).asc,
-        col("doc_id"))))
+      .join(rankFrame(floor(-col("q_heur") / 256.0d),
+        Seq(col("q_heur").desc, col("doc_id")), "r_heur"), "doc_id")
+      .join(rankFrame(floor(-col("q_clf") / 65536.0d),
+        Seq(col("q_clf").desc, col("doc_id")), "r_clf"), "doc_id")
+      .join(rankFrame(floor(nllRatio / 65536.0d),
+        Seq(nllRatio.asc, col("doc_id")), "r_nll"), "doc_id")
       .withColumn("rrf_micro",
         expr("(1000000 div (60 + r_heur)) + (1000000 div (60 + r_clf))" +
           " + (1000000 div (60 + r_nll))"))
-    ranked
-      .withColumn("rnk", rk(Seq(col("rrf_micro").desc, col("doc_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("lang"), col("rnk"), col("doc_id"),
+      .localCheckpoint() // firstKPerKey's offsets branch re-plans too
+    // final fused top-k via the shard-pruned firstKPerKey: buckets
+    // wholly past k never shuffle
+    TextPipeline.firstKPerKey(
+        ranked.withColumn("shard",
+          floor(-col("rrf_micro") / 256.0d).cast(LongType)),
+        "lang", Seq(col("rrf_micro").desc, col("doc_id")), Left(k.toLong))
+      .select(col("lang"), col("rk").as("rnk"), col("doc_id"),
         col("r_heur"), col("r_clf"), col("r_nll"), col("rrf_micro"))
       .orderBy("lang", "rnk")
   }

@@ -167,14 +167,21 @@ object MixtureOptimizer {
         sum(col("nll_l")).cast(LongType).as("nll_lang_micro"))
       .withColumn("excess_micro",
         col("nll_global_micro") - col("nll_lang_micro"))
-    val w = Window.partitionBy("lang").orderBy(
-      (col("excess_micro").cast(DoubleType) /
-        col("n_tokens").cast(DoubleType)).desc,
-      col("doc_id"))
-    perDoc
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("lang"), col("rnk"), col("doc_id"), col("n_tokens"),
+      // fenced: firstKPerKey's offsets branch re-plans (and would
+      // re-run) the whole token pipeline otherwise; the leaf is
+      // doc-sized and text-free
+      .localCheckpoint()
+    // per-lang top-k via the shard-pruned TextPipeline.firstKPerKey:
+    // the excess-ratio range bucket is monotone in the DESC admission
+    // order, so buckets wholly past k prune before any row shuffles —
+    // no language's docs funnel through one sort task
+    val ratio = col("excess_micro").cast(DoubleType) /
+      col("n_tokens").cast(DoubleType)
+    TextPipeline.firstKPerKey(
+        perDoc.withColumn("shard", floor(-ratio / 65536.0d).cast(LongType)),
+        "lang", Seq(ratio.desc, col("doc_id")), Left(k.toLong))
+      .select(col("lang"), col("rk").as("rnk"), col("doc_id"),
+        col("n_tokens"),
         col("nll_global_micro"), col("nll_lang_micro"), col("excess_micro"))
       .orderBy("lang", "rnk")
   }

@@ -1726,7 +1726,7 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * columns; `limit` is a constant k or a broadcast (key, target) frame
     * for per-key allowances.
     */
-  private def firstKPerKey(base: DataFrame, keyCol: String,
+  private[graft] def firstKPerKey(base: DataFrame, keyCol: String,
       orderCols: Seq[Column], limit: Either[Long, DataFrame]): DataFrame = {
     val counted = base.groupBy(keyCol, "shard")
       .agg(count(lit(1)).as("cnt"))
@@ -1744,6 +1744,45 @@ FROM agg, tot ORDER BY n_bands DESC"""
         col(keyCol) === col("o_key") && col("shard") === col("o_shard"))
       .withColumn("rk", (col("offset") + row_number().over(w)).cast(LongType))
       .filter(col("rk") <= col("target"))
+  }
+
+  /** EXACT per-key rank without a key-partitioned sort window — the
+    * [[firstKPerKey]] two-level machinery in full-ranking form (no limit
+    * prune): `bucketCol` must be a deterministic value-range bucket that
+    * is monotone NON-DECREASING in the admission order's leading term
+    * (for a DESC leading term, pass a negated bucket); per-(key, bucket)
+    * counts prefix-sum over the TINY bucket table into start offsets, and
+    * `offset + within-bucket row_number` is exactly the rank the naive
+    * `row_number() OVER (PARTITION BY key ORDER BY ...)` would emit —
+    * but no key's rows ever funnel through one window task: the only
+    * key-alone window runs over the bucket-count table (#keys × #buckets
+    * rows), and the per-row window is (key, bucket)-partitioned, bounded
+    * by the bucket width. The bucket column is named `_rb` so
+    * PlanAuditSpec can tell offsets-table lang windows from corpus ones.
+    *
+    * CALLERS MUST FENCE `base` (localCheckpoint) when its lineage is
+    * non-trivial: the offsets branch re-plans the base subtree, so an
+    * unfenced classifier/LM chain doubles per rankPerKey call —
+    * quality_fusion's chained ranks hit 166 exchanges before its fence.
+    */
+  private[graft] def rankPerKey(base: DataFrame, keyCol: String,
+      bucketCol: Column, orderCols: Seq[Column], rkName: String)
+      : DataFrame = {
+    val b = base.withColumn("_rb", bucketCol)
+    val offsets = b.groupBy(col(keyCol), col("_rb"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        sum(col("_cnt")).over(
+          Window.partitionBy(keyCol).orderBy("_rb")) - col("_cnt"))
+      .select(col(keyCol).as("_rk_key"), col("_rb").as("_rk_b"),
+        col("_off"))
+    val w = Window.partitionBy(col(keyCol), col("_rb"))
+      .orderBy(orderCols: _*)
+    b.join(broadcast(offsets),
+        col(keyCol) === col("_rk_key") && col("_rb") === col("_rk_b"))
+      .withColumn(rkName,
+        (col("_off") + row_number().over(w)).cast(LongType))
+      .drop("_rb", "_rk_key", "_rk_b", "_off")
   }
 
   /** Temperature-based language mixture weights (the multilingual sampling
@@ -2193,19 +2232,35 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * with generally higher perplexity is not penalized wholesale).
     *
     * Determinism: the tercile split orders by the ROUNDED perplexity with
-    * doc_id tie-break (total order both engines); ntile's
-    * larger-groups-first fill is SQL-standard on both. Scale: the
-    * perplexity plan (one tokenize pass) + a doc-sized per-lang window.
+    * doc_id tie-break (total order both engines); the tercile comes from
+    * the exact per-lang rank via ntile's closed form (first r tiles hold
+    * q+1 rows — the [[curriculum]] rule), so it equals the oracle's
+    * `ntile(3)` for any N. Scale: the perplexity plan (one tokenize
+    * pass) + the [[rankPerKey]] two-level rank — a lang-alone ntile
+    * window would sort a whole language's docs in ONE task at 10⁹ docs;
+    * here the per-row window is (lang, perplexity-range-bucket)-bounded.
     */
   def perplexityGate(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = docs(spark, sfDir)
     val ppl = lmPerplexityFrom(spark, corpus)
       .select(col("doc_id"), col("n_tokens"), col("perplexity"))
     val langs = corpus.select(col("doc_id"), col("lang"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("perplexity"), col("doc_id"))
-    ppl.join(langs, "doc_id")
-      .withColumn("tercile", ntile(3).over(w).cast(LongType))
+    // fenced: the rank's offsets branch and the totals agg would each
+    // re-plan (and re-run) the perplexity chain otherwise
+    val base = ppl.join(langs, "doc_id").localCheckpoint()
+    val totals = base.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val ranked = rankPerKey(base, "lang",
+      floor(col("perplexity") / 16.0d),
+      Seq(col("perplexity"), col("doc_id")), "_prk")
+      .join(broadcast(totals), "lang")
+    val q = floor(col("n_total") / 3)
+    val r = col("n_total") % 3
+    val bigRows = (q + 1) * r
+    ranked
+      .withColumn("tercile",
+        when(col("_prk") <= bigRows, floor((col("_prk") + q) / (q + 1)))
+          .otherwise(r + floor((col("_prk") - bigRows + q - 1) / q))
+          .cast(LongType))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("perplexity"),
         when(col("tercile") === 1, "head")

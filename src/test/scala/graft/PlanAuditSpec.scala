@@ -166,6 +166,26 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     langOnlySum shouldBe 0
   }
 
+  test("the per-lang rank/ntile family plans no language-partitioned sort window") {
+    // round-10 migration: calib_bins/perplexity_gate terciles, the
+    // classifier_auc rank sums, and the label_noise/quality_fusion/
+    // excess_loss_select top-ks all run through the two-level machinery
+    // (rankPerKey/firstKPerKey) — a lang-ALONE sort window would put a
+    // whole language's docs through one task at 10^9 docs. The only
+    // lang-alone windows allowed are the tiny bucket-offsets prefix sums,
+    // recognizable by their `_rb`/`shard` order column.
+    val langWindow =
+      """windowspecdefinition\(lang#\d+, (\w+)#\d+ (?:ASC|DESC)""".r
+    Seq("calib_bins", "perplexity_gate", "classifier_auc", "label_noise",
+      "quality_fusion", "excess_loss_select").foreach { name =>
+      val orderCols = langWindow.findAllMatchIn(plans(name))
+        .map(_.group(1)).toSet
+      withClue(s"$name lang-window order cols $orderCols: ") {
+        (orderCols -- Set("_rb", "shard")) shouldBe empty
+      }
+    }
+  }
+
   test("hc_latency_event_time parses the tracer JSON exactly once per row") {
     // event_ts is materialized in its own project before latency math —
     // referencing the chain from both output columns would re-inline the
