@@ -312,11 +312,12 @@ object PlanAudit {
     // training-pipeline batch: digest agg / broadcast-weights filter /
     // per-shard window / stateless split
     "media_dedup" -> 3,
-    // post-checkpoint plan: cluster-size window + orderBy (the iterated
-    // label joins live behind localCheckpoint leaves)
-    "dedup_clusters" -> 3,
-    // the CC labels + quality projection join + cluster window + orderBy
-    "canonical_select" -> 7,
+    // round 10: both consume the SHARED cluster-label leaf
+    // (TextPipeline.sharedClusterLabels, built once per session — the
+    // Graph.sharedEdges recipe); returned plans are leaf + orderBy resp.
+    // leaf + quality join + cluster window + orderBy
+    "dedup_clusters" -> 1,
+    "canonical_select" -> 2,
     "mixture_sample" -> 2,
     "corpus_shuffle" -> 2,
     "split_train" -> 1,

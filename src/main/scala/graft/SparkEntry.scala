@@ -2026,7 +2026,7 @@ SELECT vec_id, cluster, round(d2, 4) AS d2 FROM a2 WHERE rn = 1 ORDER BY vec_id"
     // per-label diagonal participation ratio (embedding collapse audit)
     "emb_eff_rank" -> SimilarityPipeline.embEffRankOracleSql,
     // hardest positive/negative per panel anchor (contrastive mining)
-    "hard_negatives" -> SimilarityPipeline.hardNegativesOracleSql,
+    "hard_negatives" -> SimilarityPipeline.hardNegativesOracleSql(),
     // simplified silhouette against the same two-round Lloyd model: a =
     // own-centroid distance, b = nearest other centroid, per-cluster mean
     "cluster_silhouette" ->
@@ -2038,9 +2038,10 @@ sab AS (SELECT d2t.vec_id, sown.own,
   min(CASE WHEN d2t.cluster <> sown.own THEN d2 END) AS b2d
   FROM d2t JOIN sown USING (vec_id) GROUP BY d2t.vec_id, sown.own),
 ss AS (SELECT own AS cluster,
-  (sqrt(b2d) - sqrt(a2d)) / greatest(sqrt(a2d), sqrt(b2d)) AS sil FROM sab)
+  CAST(floor((sqrt(b2d) - sqrt(a2d)) / greatest(sqrt(a2d), sqrt(b2d))
+    * 1000000 + 0.5) AS BIGINT) AS sil_micro FROM sab)
 SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-  round(sum(sil) / count(*), 4) AS mean_sil
+  round(CAST(sum(sil_micro) AS DOUBLE) / count(*) / 1000000, 4) AS mean_sil
 FROM ss GROUP BY cluster ORDER BY cluster""",
     "sim_topk_kmeans" ->
       s"""WITH

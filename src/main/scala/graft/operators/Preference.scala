@@ -439,8 +439,13 @@ ORDER BY n.source"""
     cn.crossJoin(cps).crossJoin(cyc)
       .select(col("n_sources"), col("n_pairs"), col("n_played"),
         col("n_ties"), col("n_triads"), col("n_cyclic"),
-        floor((lit(1.0d) - col("n_cyclic").cast("double") / maxd)
-          * 1000000d + 0.5d).cast("long").as("zeta_q6"))
+        // n_sources <= 2 has no triads and maxd = 0: pin the
+        // consistency coefficient to 1 (scaled 10^6) instead of letting
+        // 0/0 poison the surface — the gateKappa degenerate-case rule
+        when(col("n_sources") <= 2, lit(1000000L))
+          .otherwise(floor((lit(1.0d) -
+              col("n_cyclic").cast("double") / maxd)
+            * 1000000d + 0.5d).cast("long")).as("zeta_q6"))
   }
 
   /** The DuckDB replay of [[prefCyclesFrom]] over the shared
@@ -473,10 +478,11 @@ cps AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
   FROM call),
 ccn AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM cpl)
 SELECT n_sources, n_pairs, n_played, n_ties, n_triads, n_cyclic,
-  CAST(floor((1.0 - CAST(n_cyclic AS DOUBLE) /
+  CASE WHEN n_sources <= 2 THEN CAST(1000000 AS BIGINT)
+  ELSE CAST(floor((1.0 - CAST(n_cyclic AS DOUBLE) /
     (CASE WHEN n_sources % 2 = 1
       THEN (CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) - CAST(n_sources AS DOUBLE)) / 24.0
       ELSE (CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) * CAST(n_sources AS DOUBLE) - 4.0 * CAST(n_sources AS DOUBLE)) / 24.0 END))
-    * 1000000 + 0.5) AS BIGINT) AS zeta_q6
+    * 1000000 + 0.5) AS BIGINT) END AS zeta_q6
 FROM ccn, cps, ccy"""
 }

@@ -1426,14 +1426,17 @@ FROM u GROUP BY subspace ORDER BY subspace"""
       .orderBy("q_id")
   }
 
-  /** The DuckDB replay of [[hardNegatives]]. */
-  private[graft] def hardNegativesOracleSql: String =
+  /** The DuckDB replay of [[hardNegatives]] — generated from the SAME
+    * `nQueries` default as the engine query, so a non-default panel
+    * cannot silently diverge (the excessLossSelectOracleSql(k) rule).
+    */
+  private[graft] def hardNegativesOracleSql(nQueries: Int = 8): String =
     s"""WITH hne AS (SELECT vec_id, label, embedding AS v FROM embeddings),
 hq AS (SELECT vec_id AS q_id, label AS q_label, v AS q FROM hne
-  WHERE vec_id < 8),
+  WHERE vec_id < $nQueries),
 hs AS (SELECT q_id, hne.vec_id, hne.label = q_label AS same,
   ${cosSql("v", "q")} AS cos
-  FROM hne, hq WHERE hne.vec_id >= 8),
+  FROM hne, hq WHERE hne.vec_id >= $nQueries),
 ht AS (SELECT q_id, vec_id, same, cos,
   row_number() OVER (PARTITION BY q_id, same ORDER BY cos DESC, vec_id) AS rn
   FROM hs),
@@ -1467,36 +1470,59 @@ FROM hg ORDER BY q_id"""
     val e = emb(spark, sfDir).select(col("label"),
       col("embedding").cast("array<double>").as("v"))
     val nd = col("n").cast("double")
-    e.groupBy("label")
+    // per-row micro-quantization BEFORE every sum (the pqReconError
+    // d2_micro rule): the row norm² quantizes to a BIGINT and each
+    // coordinate quantizes before the per-dimension vector sum, so both
+    // aggregates are exact integers at any parallelism — a raw double
+    // sum is partial-aggregation-order-dependent. ‖Σx‖² then folds the
+    // integer-valued per-dimension sums in position order (exact inputs,
+    // deterministic products), and the final expressions are the same
+    // IEEE sequence the oracle writes.
+    val vq = transform(col("v"),
+      x => floor(x * lit(1000000d) + lit(0.5d)).cast("double"))
+    val s2 = dot(col("sums_q"), col("sums_q")) / 1000000000000d
+    val ssqv = col("ssq_micro").cast("double") / 1000000d
+    e.select(col("label"),
+        floor(dot(col("v"), col("v")) * 1000000d + 0.5d)
+          .cast("long").as("nq2"),
+        vq.as("vq"))
+      .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        sum(dot(col("v"), col("v"))).as("ssq"),
-        graft.expressions.VecSumAgg.vecSum(col("v")).as("sums"))
+        sum(col("nq2")).as("ssq_micro"),
+        graft.expressions.VecSumAgg.vecSum(col("vq")).as("sums_q"))
       .select(col("label"), col("n"),
-        round(col("ssq") / nd - dot(col("sums"), col("sums")) / (nd * nd), 4)
-          .as("dispersion"),
-        round((lit(2d) * nd * col("ssq")
-            - lit(2d) * dot(col("sums"), col("sums")))
+        round(ssqv / nd - s2 / (nd * nd), 4).as("dispersion"),
+        round((lit(2d) * nd * ssqv - lit(2d) * s2)
           / (nd * (nd - lit(1d))), 4).as("mean_sq_dist"))
       .orderBy("label")
   }
 
-  /** The DuckDB replay of [[embDiversity]]: per-dimension sums reassembled
-    * in position order so the ‖Σx‖² fold matches the engine's sequential
-    * `graft_dot`.
+  /** The DuckDB replay of [[embDiversity]]: identical per-row/-coordinate
+    * micro-quantization, per-dimension integer sums reassembled in
+    * position order so the ‖Σx‖² fold matches the engine's sequential
+    * `graft_dot`, and the identical final IEEE expression sequence.
     */
   private[graft] def embDiversityOracleSql: String =
     """WITH ux AS (SELECT label, unnest(range(64)) AS pos,
   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-m AS (SELECT label, pos, sum(x) AS s, sum(x * x) AS sq,
+rq AS (SELECT label,
+  CAST(floor(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS nq2
+  FROM embeddings),
+m AS (SELECT label, pos,
+  sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS s,
   count(*) AS cnt FROM ux GROUP BY label, pos),
-g AS (SELECT label, first(cnt) AS n, sum(sq) AS ssq,
-  list_sum(list_transform(list(s ORDER BY pos), z -> z * z)) AS s2
-  FROM m GROUP BY label)
-SELECT label, CAST(n AS BIGINT) AS n,
-  round(ssq / CAST(n AS DOUBLE) - s2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS dispersion,
-  round((2.0 * CAST(n AS DOUBLE) * ssq - 2.0 * s2)
+g AS (SELECT label, first(cnt) AS n,
+  list_sum(list_transform(list(CAST(s AS DOUBLE) ORDER BY pos), z -> z * z)) AS s2r
+  FROM m GROUP BY label),
+gq AS (SELECT label, CAST(sum(nq2) AS BIGINT) AS ssq FROM rq GROUP BY label)
+SELECT g.label, CAST(n AS BIGINT) AS n,
+  round((CAST(ssq AS DOUBLE) / 1000000) / CAST(n AS DOUBLE)
+    - (s2r / 1000000000000.0) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS dispersion,
+  round((2.0 * CAST(n AS DOUBLE) * (CAST(ssq AS DOUBLE) / 1000000)
+      - 2.0 * (s2r / 1000000000000.0))
     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 4) AS mean_sq_dist
-FROM g ORDER BY label"""
+FROM g JOIN gq ON g.label = gq.label ORDER BY g.label"""
 
   /** Per-label effective rank of the embedding distribution — the
     * representation-collapse detector (Roy & Vetterli'07 effective rank;
@@ -1586,12 +1612,19 @@ FROM g ORDER BY label"""
     val ab = d2all.groupBy("vec_id", "own")
       .agg(sum(when(col("cluster") === col("own"), col("d2"))).as("a2"),
         min(when(col("cluster") =!= col("own"), col("d2"))).as("b2"))
+    // per-row micro-quantization BEFORE the sum (the pqReconError
+    // d2_micro rule): a raw double sum(sil) is partial-aggregation-
+    // order-dependent; the BIGINT sum is exact at any parallelism, and
+    // the one division sequence below is identical in the oracle
     ab.select(col("own").as("cluster"),
-        ((sqrt(col("b2")) - sqrt(col("a2")))
-          / greatest(sqrt(col("a2")), sqrt(col("b2")))).as("sil"))
+        floor((sqrt(col("b2")) - sqrt(col("a2")))
+            / greatest(sqrt(col("a2")), sqrt(col("b2")))
+            * 1000000d + 0.5d)
+          .cast("long").as("sil_micro"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("sil")) / count(lit(1)), 4).as("mean_sil"))
+        round(sum(col("sil_micro")).cast("double") / count(lit(1))
+          / 1000000d, 4).as("mean_sil"))
       .orderBy("cluster")
   }
 }

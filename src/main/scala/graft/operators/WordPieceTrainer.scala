@@ -352,13 +352,33 @@ ORDER BY round"""
     * sf0.001 corpus, spec-pinned.
     */
   private[graft] def releasedPieces(spark: SparkSession, corpus: DataFrame,
-      nMerges: Int = FrozenMergeCount): Seq[String] = {
+      nMerges: Int = FrozenMergeCount,
+      localVocabLimit: Long = BpeTrainer.DefaultLocalVocabLimit)
+      : Seq[String] = {
     import spark.implicits._
-    val words = wordFreqs(corpus).as[(String, Long)].collect()
-    val alphabet = mutable.Set.empty[String]
-    words.foreach { case (w, _) => initialSyms(w).foreach(alphabet += _) }
-    val merged = localMerges(words, nMerges).map(_._4)
-    (alphabet ++ merged).toSeq.sorted(BpeTrainer.utf8Ordering)
+    // the BpeTrainer hybrid guard: collect at most limit+1 vocab rows —
+    // under the limit we hold the whole vocab driver-side; over it, the
+    // merges come from the distributed loop (nMerges rows) and the
+    // alphabet from a distinct-symbol aggregation (charset-sized) — the
+    // two remaining fetches are bounded by construction, so no corpus
+    // vocabulary size can blow the driver
+    val vocab = wordFreqs(corpus)
+    val fetch = (math.min(localVocabLimit, Int.MaxValue.toLong - 2) + 1).toInt
+    val words = vocab.as[(String, Long)].limit(fetch).collect()
+    val (alphabet, merged): (Seq[String], Seq[String]) =
+      if (words.length <= localVocabLimit) {
+        val a = mutable.Set.empty[String]
+        words.foreach { case (w, _) => initialSyms(w).foreach(a += _) }
+        (a.toSeq, localMerges(words, nMerges).map(_._4).toSeq)
+      } else {
+        val a = vocab
+          .select(explode(initialSymsCol(col("word"))).as("sym"))
+          .distinct().as[String].collect().toSeq
+        val m = distributedLoop(spark, vocab, nMerges)
+          .select(col("merged")).as[String].collect().toSeq
+        (a, m)
+      }
+    (alphabet.toSet ++ merged).toSeq.sorted(BpeTrainer.utf8Ordering)
   }
 
   /** Greedy longest-match-first segmentation — WordPiece inference. At

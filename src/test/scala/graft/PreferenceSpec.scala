@@ -44,4 +44,19 @@ class PreferenceSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows("hi")._4 should be > rows("lo")._4
     rows("lo")._4 shouldBe 0L // MM sends a win-less (but played) player to 0
   }
+
+  test("prefCycles pins zeta to 1e6 when fewer than 3 sources exist") {
+    import spark.implicits._
+    // 2 sources -> 0 triads and a 0 Kendall denominator: the consistency
+    // coefficient must pin to the scaled 1 (no cycles can exist), never
+    // divide 0/0 (the gateKappa degenerate-case rule)
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, "en", if (i % 2 == 0) "a" else "b",
+        s"some text tok$i with words")
+    }.toDF("doc_id", "lang", "source", "text")
+    val row = Preference.prefCyclesFrom(spark, corpus).collect().head
+    row.getAs[Long]("n_sources") shouldBe 2L
+    row.getAs[Long]("n_triads") shouldBe 0L
+    row.getAs[Long]("zeta_q6") shouldBe 1000000L
+  }
 }

@@ -58,6 +58,21 @@ class WordPieceTrainerSpec extends AnyFunSuite with Matchers
         WordPieceTrainer.FrozenMergeCount)
   }
 
+  test("releasedPieces' driver fetch is bounded: the over-limit fallback " +
+      "releases the identical vocabulary") {
+    // the BpeTrainer hybrid guard applied to the release path: with a
+    // localVocabLimit below the corpus vocab size, the merges must come
+    // from the distributed loop and the alphabet from a distinct-symbol
+    // agg — bounded fetches — and the released list must be IDENTICAL
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val local = WordPieceTrainer.releasedPieces(spark, corpus,
+      WordPieceTrainer.FrozenMergeCount)
+    val forcedDistributed = WordPieceTrainer.releasedPieces(spark, corpus,
+      WordPieceTrainer.FrozenMergeCount, localVocabLimit = 1L)
+    forcedDistributed shouldBe local
+  }
+
   test("the ## marker is unambiguous: no corpus text contains a literal #") {
     // greedyEncode and the oracle classify pieces by the ## prefix; a
     // corpus '#' could mint a plain piece that reads as a continuation
