@@ -52,6 +52,14 @@ object PlanAudit {
     "ann_recall_grid",
     // 1-row n_total/z normalizer broadcast (the langTemperature shape)
     "temperature_sample",
+    // 1-row n_sources broadcast (the uniform-share denominator)
+    "data_epochs",
+    // 1-row n_src + 1-row boundary broadcasts over the fenced
+    // #sources-row supply frame, plus that frame's #sources² pairing
+    "budget_waterfill",
+    // #sources² signature self-pairing — both sides the 16-column
+    // signature table (one row per source)
+    "source_overlap_sketch",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect", "kmv_difference",
@@ -120,7 +128,11 @@ object PlanAudit {
     "ranker_agreement",
     // calendar-sized date-spine series (rows = span days, independent of
     // data volume) — the dense-spine moving window IS the operator
-    "resample_daily")
+    "resample_daily",
+    // #sources-row supply frame (fenced): the rank + prefix-sum windows
+    // of the exact water-filling level search — the assign_ids
+    // offsets-table class
+    "budget_waterfill")
 
   /** Count of window specs PARTITIONED on a token/gram-like column — the
     * skew-unbounded funnel pattern of round 9's systemic finding: a window
@@ -609,6 +621,21 @@ object PlanAudit {
     "ref_integrity" -> 2,
     // one QI-keyed agg (count-distinct expands to two) + orderBy
     "k_anonymity" -> 3,
+    // (doc, word) agg + doc rollup (count-distinct expand) + orderBy
+    "gopher_rules" -> 4,
+    // fenced #sources leaf: 1-row count agg + orderBy (the per-source
+    // tokenize agg runs once behind the checkpoint fence)
+    "data_epochs" -> 2,
+    // per-source distinct-shingle agg (x2 re-derive for both join
+    // sides), gram-keyed pair join, pair agg, two #sources-row size
+    // joins, orderBy
+    "source_overlap" -> 9,
+    // the 16-min signature agg (x2 for the self-pairing sides) + the
+    // full exact-matrix chain riding along as the err_q6 audit + orderBy
+    "source_overlap_sketch" -> 11,
+    // fenced #sources leaf: rank/prefix windows + 1-row count/boundary
+    // aggs + orderBy — every exchange moves <= #sources rows
+    "budget_waterfill" -> 4,
     // one stateless langid scan + the #langs^2 agg + its tiny share
     // window + orderBy
     "lang_confusion" -> 3,

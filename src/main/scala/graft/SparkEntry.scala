@@ -415,6 +415,19 @@ object SparkEntry {
     "ref_integrity" -> ((s, d) => DataQuality.refIntegrity(s, d)),
     // k-anonymity / l-diversity release audit over customer QI classes
     "k_anonymity" -> ((s, d) => DataQuality.kAnonymity(s, d)),
+    // Round 10: rule-based curation batteries and budget planners
+    // (CorpusRules scaladoc: Gopher rule battery / data-constrained
+    // repetition schedule / cross-source shingle overlap)
+    "gopher_rules" -> ((s, d) =>
+      graft.operators.CorpusRules.gopherRules(s, d)),
+    "data_epochs" -> ((s, d) =>
+      graft.operators.CorpusRules.dataEpochs(s, d)),
+    "source_overlap" -> ((s, d) =>
+      graft.operators.CorpusRules.sourceOverlap(s, d)),
+    "source_overlap_sketch" -> ((s, d) =>
+      graft.operators.CorpusRules.sourceOverlapSketch(s, d)),
+    "budget_waterfill" -> ((s, d) =>
+      graft.operators.CorpusRules.budgetWaterfill(s, d)),
     // numeric-shape drift: PSI over length-histogram bins
     "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
@@ -3119,6 +3132,18 @@ FROM rel ORDER BY relationship""",
   count(*) < 5 AS violates_k,
   count(DISTINCT c_mktsegment) < 2 AS violates_l
 FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
+    // the Gopher/MassiveText document-quality rule battery
+    "gopher_rules" -> graft.operators.CorpusRules.gopherRulesOracleSql,
+    // data-constrained repetition schedule (epoch multipliers per source)
+    "data_epochs" -> graft.operators.CorpusRules.dataEpochsOracleSql(),
+    // exact cross-source shingle-Jaccard overlap matrix
+    "source_overlap" -> graft.operators.CorpusRules.sourceOverlapOracleSql,
+    // the 16-hash MinHash sketch estimate of the same matrix + exact audit
+    "source_overlap_sketch" ->
+      graft.operators.CorpusRules.sourceOverlapSketchOracleSql,
+    // exact integer water-filling token allocation under supply caps
+    "budget_waterfill" ->
+      graft.operators.CorpusRules.budgetWaterfillOracleSql(),
     // the text_lang_id panels aggregated into a confusion matrix
     "lang_confusion" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

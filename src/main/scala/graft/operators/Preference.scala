@@ -29,8 +29,10 @@ import graft.sources.Tables
   * rating; a player with games and no wins goes to 0 (the true MM
   * fixpoint direction).
   *
-  * Scale shape: the derivation is one quality scan + a per-lang window +
-  * a #source²-bounded aggregate; the MM loop runs on the collected
+  * Scale shape: the derivation is one quality scan + the sharded
+  * adjacent-pairing of [[withNext]] ((lang, doc_id-range-shard) windows
+  * with a tiny boundary fix-up — never a lang-alone sort window) + a
+  * #source²-bounded aggregate; the MM loop runs on the collected
   * pair-count matrix (bounded: domains², the DoReMi-loop precedent) for
   * [[Rounds]] rounds, unrolled in the oracle.
   */
@@ -56,18 +58,49 @@ object Preference {
     val qd = corpus.select(
       col("doc_id"), col("lang"), col("source"),
       floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
-    val wl = Window.partitionBy("lang").orderBy("doc_id")
-    val pr = qd.select(col("source"), col("qs"),
-      lead("doc_id", 1).over(wl).as("doc_b"),
-      lead("source", 1).over(wl).as("source_b"),
-      lead("qs", 1).over(wl).as("qs_b"))
-    pr
+    withNext(qd)
       .filter(col("doc_b").isNotNull && col("source") =!= col("source_b"))
       .select(
         when(col("qs") >= col("qs_b"), col("source"))
           .otherwise(col("source_b")).as("winner"),
         when(col("qs") >= col("qs_b"), col("source_b"))
           .otherwise(col("source")).as("loser"))
+  }
+
+  /** Adjacent (current, next) document pairing per language WITHOUT a
+    * lang-alone sort window (which would put a whole language's docs
+    * through one task at 10⁹ docs — the round-9 systemic finding, here
+    * applied to the `lead` pairing): doc_id range-shards (monotone in
+    * the pairing order), a within-(lang, shard) lead, and each shard's
+    * LAST row fixed up with the NEXT occupied shard's first row from the
+    * tiny shard table (a #shards-sized lead window). The final row per
+    * language keeps NULL next columns, exactly like the plain lead.
+    * `shardWidth` is the parallelism knob; the shard-firsts table is
+    * corpus/shardWidth rows.
+    */
+  private def withNext(qd: DataFrame, shardWidth: Long = 4096L)
+      : DataFrame = {
+    val base = qd.withColumn("_sh", expr(s"doc_id div $shardWidth"))
+    val ws = Window.partitionBy("lang", "_sh").orderBy("doc_id")
+    val inShard = base
+      .withColumn("doc_b", lead("doc_id", 1).over(ws))
+      .withColumn("source_b", lead("source", 1).over(ws))
+      .withColumn("qs_b", lead("qs", 1).over(ws))
+    val firsts = base.groupBy(col("lang"), col("_sh"))
+      .agg(min(struct(col("doc_id"), col("source"), col("qs"))).as("f"))
+    val nextFirst = firsts
+      .withColumn("nf",
+        lead("f", 1).over(Window.partitionBy("lang").orderBy("_sh")))
+      .select(col("lang").as("_nl"), col("_sh").as("_ns"),
+        col("nf.doc_id").as("n_doc"), col("nf.source").as("n_source"),
+        col("nf.qs").as("n_qs"))
+    inShard
+      .join(broadcast(nextFirst),
+        col("lang") === col("_nl") && col("_sh") === col("_ns"), "left")
+      .select(col("lang"), col("doc_id"), col("source"), col("qs"),
+        coalesce(col("doc_b"), col("n_doc")).as("doc_b"),
+        coalesce(col("source_b"), col("n_source")).as("source_b"),
+        coalesce(col("qs_b"), col("n_qs")).as("qs_b"))
   }
 
   def btRatingsFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
@@ -221,12 +254,7 @@ object Preference {
     val qd = corpus.select(
       col("doc_id"), col("lang"), col("source"),
       floor(TextPipeline.qualityCol * 10000d + 0.5d).cast("long").as("qs"))
-    val wl = Window.partitionBy("lang").orderBy("doc_id")
-    val pr = qd.select(col("lang"), col("doc_id"), col("source"), col("qs"),
-      lead("doc_id", 1).over(wl).as("doc_b"),
-      lead("source", 1).over(wl).as("source_b"),
-      lead("qs", 1).over(wl).as("qs_b"))
-    val cmp = pr
+    val cmp = withNext(qd)
       .filter(col("doc_b").isNotNull && col("source") =!= col("source_b"))
       .select(col("lang"), col("doc_id"),
         when(col("qs") >= col("qs_b"), col("source"))

@@ -619,4 +619,47 @@ object StreamingText extends Logging {
     if (requireFullyPriced) priced.filter(col("n_unpriced_words") === 0L)
     else priced
   }
+
+  /** Stateless streaming twin of the Gopher/MassiveText rule battery
+    * ([[graft.operators.CorpusRules.gopherRules]]): every rule input —
+    * word count, mean word length, distinct-stopword presence, top-word
+    * repetition share — is computed per document from the text column
+    * alone via higher-order functions (the top-word count folds over the
+    * distinct-token list; documents are bounded, so the per-row fold is
+    * O(doc²) at worst on a KB-sized value — no shuffle, no state, no
+    * watermark), with the EXACT batch quantization (q2 mean length, q4
+    * top share), so the stream keep-set equals the batch battery's on
+    * the same documents (spec-proven). Documents failing any rule drop
+    * before storage; the rule columns ride along for telemetry.
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame = {
+    val stopLit = array(
+      Seq("the", "a", "of", "and", "is", "not").map(lit): _*)
+    val toks = filter(graft.functions.TextFunctions.tokens(col("text")),
+      t => length(t) > 0)
+    docs
+      // zero-token docs have no rule rows in the batch battery (its
+      // per-word agg emits nothing); drop them here, not score them
+      .filter(size(toks) > 0)
+      .withColumn("n_words", size(toks).cast("long"))
+      // the null-guarded divisor: ANSI division by zero THROWS even for
+      // doubles, and predicate pushdown can evaluate these projections
+      // under a reordered conjunction before the size(toks) > 0 guard —
+      // a zero divisor becomes NULL (row already doomed), never an error
+      .withColumn("_nw_safe",
+        when(col("n_words") > 0, col("n_words")))
+      .withColumn("mean_len_q2",
+        floor(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("_nw_safe") * 100d + 0.5d).cast("long"))
+      .withColumn("n_stopwords",
+        size(array_intersect(array_distinct(toks), stopLit)).cast("long"))
+      .withColumn("top_share_q4",
+        floor(array_max(transform(array_distinct(toks),
+            w => size(filter(toks, t => t === w))))
+          .cast("double") / col("_nw_safe") * 10000d + 0.5d).cast("long"))
+      .drop("_nw_safe")
+      .filter(col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_len_q2") >= 300 && col("mean_len_q2") <= 1000 &&
+        col("n_stopwords") >= 2 && col("top_share_q4") <= 2000)
+  }
 }
