@@ -60,6 +60,9 @@ object PlanAudit {
     // #sources² signature self-pairing — both sides the 16-column
     // signature table (one row per source)
     "source_overlap_sketch",
+    // per-axis 1-row n_left/n_right count broadcasts onto the 1-row
+    // cardinality rollup
+    "join_cardinality",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect", "kmv_difference",
@@ -636,6 +639,12 @@ object PlanAudit {
     // fenced #sources leaf: rank/prefix windows + 1-row count/boundary
     // aggs + orderBy — every exchange moves <= #sources rows
     "budget_waterfill" -> 4,
+    // 6 axes x (keyed count + 1-row rollup) + union orderBy — every
+    // exchange moves key-cardinality-sized count rows, never fact rows
+    "skew_report" -> 12,
+    // 5 axes x (2 keyed counts + count-frame join + 1-row rollup +
+    // 1-row side counts) + union orderBy
+    "join_cardinality" -> 25,
     // one stateless langid scan + the #langs^2 agg + its tiny share
     // window + orderBy
     "lang_confusion" -> 3,

@@ -428,6 +428,12 @@ object SparkEntry {
       graft.operators.CorpusRules.sourceOverlapSketch(s, d)),
     "budget_waterfill" -> ((s, d) =>
       graft.operators.CorpusRules.budgetWaterfill(s, d)),
+    // planner telemetry: key-skew + exact join-cardinality estimates
+    // from keyed counts (the shuffle never moves fact rows)
+    "skew_report" -> ((s, d) =>
+      graft.operators.PlannerTelemetry.skewReport(s, d)),
+    "join_cardinality" -> ((s, d) =>
+      graft.operators.PlannerTelemetry.joinCardinality(s, d)),
     // numeric-shape drift: PSI over length-histogram bins
     "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
@@ -3144,6 +3150,12 @@ FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
     // exact integer water-filling token allocation under supply caps
     "budget_waterfill" ->
       graft.operators.CorpusRules.budgetWaterfillOracleSql(),
+    // key-skew concentration per canonical shuffle axis
+    "skew_report" ->
+      graft.operators.PlannerTelemetry.skewReportOracleSql,
+    // exact equi-join output cardinality from keyed counts
+    "join_cardinality" ->
+      graft.operators.PlannerTelemetry.joinCardinalityOracleSql,
     // the text_lang_id panels aggregated into a confusion matrix
     "lang_confusion" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Plan-safety telemetry — the numbers an operator (or a planner) needs
+  * BEFORE committing a 100 TB shuffle, computed exactly from keyed
+  * counts:
+  *
+  *  - [[skewReport]]: per join/partition key axis, the key-frequency
+  *    concentration (top-1 share, max-over-average skew factor) that
+  *    predicts whether a shuffle on that key needs AQE skew splitting
+  *    or salting (the repo's salted_counts remedy);
+  *  - [[joinCardinality]]: the EXACT output row count of each canonical
+  *    equi-join (`sum over keys of n_left·n_right`) plus its hottest
+  *    key — the estimate that decides broadcast vs shuffle vs pre-
+  *    aggregation long before the join runs.
+  *
+  * Both are pure keyed aggregates (map-side combined, AQE-splittable)
+  * over the scans they describe — the telemetry never performs the join
+  * it is costing. The reference system has no planner surface; this
+  * family is engine-ops tooling for the 100 TB mandate.
+  */
+object PlannerTelemetry {
+
+  /** Key-skew report over the canonical shuffle axes. Output one row
+    * per axis: total rows, distinct keys, the heaviest key's count, its
+    * q6 share of the table, and the q2 max-over-average skew factor
+    * (`top1_cnt · n_keys / n_rows` — 100 means the hottest partition of
+    * a key-hash shuffle carries ~100× the average key's rows).
+    *
+    * Scale: per axis ONE `groupBy(key).count()` (map-side combined;
+    * output is key-cardinality-sized) + ONE 1-row rollup over it; the
+    * axis frames union into a #axes-row result. No window, no join, no
+    * funnel — the report on a skewed table is itself skew-immune because
+    * the count agg combines map-side before the hot key ever shuffles.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def axis(name: String, df: DataFrame, key: String): DataFrame =
+      df.select(col(key).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast(LongType).as("n_rows"),
+          count(lit(1)).cast(LongType).as("n_keys"),
+          max(col("n")).cast(LongType).as("top1_cnt"))
+        .select(lit(name).as("axis"), col("n_rows"), col("n_keys"),
+          col("top1_cnt"),
+          floor(col("top1_cnt").cast("double") / col("n_rows") * 1000000d
+            + 0.5d).cast(LongType).as("top1_share_q6"),
+          floor(col("top1_cnt").cast("double") * col("n_keys")
+            / col("n_rows") * 100d + 0.5d).cast(LongType)
+            .as("skew_factor_q2"))
+    val axes = Seq(
+      axis("lineitem.l_orderkey", Tables.lineitem(spark, sfDir),
+        "l_orderkey"),
+      axis("lineitem.l_suppkey", Tables.lineitem(spark, sfDir),
+        "l_suppkey"),
+      axis("orders.o_custkey", Tables.orders(spark, sfDir), "o_custkey"),
+      axis("events.user_id", Tables.events(spark, sfDir), "user_id"),
+      axis("documents.lang", Tables.documents(spark, sfDir), "lang"),
+      axis("documents.source", Tables.documents(spark, sfDir), "source"))
+    axes.reduce(_.unionByName(_)).orderBy("axis")
+  }
+
+  /** The DuckDB replay of [[skewReport]]. */
+  private[graft] def skewReportOracleSql: String = {
+    def axisSql(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS axis,
+  CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(max(n) AS BIGINT) AS top1_cnt,
+  CAST(floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5) AS BIGINT) AS top1_share_q6,
+  CAST(floor(CAST(max(n) AS DOUBLE) * count(*) / sum(n) * 100 + 0.5) AS BIGINT) AS skew_factor_q2
+FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)"""
+    Seq(
+      axisSql("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      axisSql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      axisSql("orders.o_custkey", "orders", "o_custkey"),
+      axisSql("events.user_id", "events", "user_id"),
+      axisSql("documents.lang", "documents", "lang"),
+      axisSql("documents.source", "documents", "source"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY axis")
+  }
+
+  /** Exact equi-join output cardinality per canonical join axis,
+    * WITHOUT running the join: both sides collapse to keyed counts
+    * first, the counts join on the key (count-frame-sized, AQE-
+    * splittable), and `sum(n_l · n_r)` is the exact output rows.
+    * `max_key_rows` names the hottest key's contribution — the number
+    * that decides salting. `join_rows` vs `n_left`/`n_right` decides
+    * broadcast (tiny side) vs shuffle (both big, benign) vs
+    * pre-aggregate (join_rows ≫ inputs: the join explodes and the
+    * downstream agg should be pushed through it).
+    *
+    * Scale: the expensive thing about a 100 TB join — moving the fact
+    * rows — never happens here; only key-cardinality-sized count frames
+    * shuffle.
+    */
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    def axis(name: String, l: DataFrame, lk: String, r: DataFrame,
+        rk: String): DataFrame = {
+      val lc = l.select(col(lk).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_l"))
+      val rc = r.select(col(rk).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_r"))
+      lc.join(rc, "k")
+        .select(col("k"), (col("n_l") * col("n_r")).as("rows_k"))
+        .agg(count(lit(1)).cast(LongType).as("n_keys_matched"),
+          coalesce(sum(col("rows_k")), lit(0L)).cast(LongType)
+            .as("join_rows"),
+          coalesce(max(col("rows_k")), lit(0L)).cast(LongType)
+            .as("max_key_rows"))
+        .crossJoin(l.agg(count(lit(1)).cast(LongType).as("n_left")))
+        .crossJoin(r.agg(count(lit(1)).cast(LongType).as("n_right")))
+        .select(lit(name).as("axis"), col("n_left"), col("n_right"),
+          col("n_keys_matched"), col("join_rows"), col("max_key_rows"))
+    }
+    val axes = Seq(
+      axis("orders*lineitem.orderkey", Tables.orders(spark, sfDir),
+        "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey"),
+      axis("customer*orders.custkey", Tables.customer(spark, sfDir),
+        "c_custkey", Tables.orders(spark, sfDir), "o_custkey"),
+      axis("part*lineitem.partkey", Tables.part(spark, sfDir),
+        "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey"),
+      axis("documents*documents.lang", Tables.documents(spark, sfDir),
+        "lang", Tables.documents(spark, sfDir), "lang"),
+      axis("events*events.user_id", Tables.events(spark, sfDir),
+        "user_id", Tables.events(spark, sfDir), "user_id"))
+    axes.reduce(_.unionByName(_)).orderBy("axis")
+  }
+
+  /** The DuckDB replay of [[joinCardinality]]. */
+  private[graft] def joinCardinalityOracleSql: String = {
+    def axisSql(name: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      s"""SELECT '$name' AS axis,
+  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS n_left,
+  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS n_right,
+  CAST(count(*) AS BIGINT) AS n_keys_matched,
+  CAST(coalesce(sum(n_l * n_r), 0) AS BIGINT) AS join_rows,
+  CAST(coalesce(max(n_l * n_r), 0) AS BIGINT) AS max_key_rows
+FROM (SELECT CAST($lk AS VARCHAR) AS k, count(*) AS n_l FROM $lt GROUP BY 1) lc
+JOIN (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS n_r FROM $rt GROUP BY 1) rc USING (k)"""
+    Seq(
+      axisSql("orders*lineitem.orderkey", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      axisSql("customer*orders.custkey", "customer", "c_custkey",
+        "orders", "o_custkey"),
+      axisSql("part*lineitem.partkey", "part", "p_partkey",
+        "lineitem", "l_partkey"),
+      axisSql("documents*documents.lang", "documents", "lang",
+        "documents", "lang"),
+      axisSql("events*events.user_id", "events", "user_id",
+        "events", "user_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY axis")
+  }
+}
