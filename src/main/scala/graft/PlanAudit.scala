@@ -669,7 +669,16 @@ object PlanAudit {
     // join + orderBy
     "ranker_agreement" -> 12,
     // one keyed window + orderBy (the window_rank class)
-    "window_ntile" -> 2)
+    "window_ntile" -> 2,
+    // two map-side-combined partial aggs + the key-sized merge re-agg +
+    // orderBy (history/delta scans are partition-pruned)
+    "agg_incremental" -> 4,
+    // post-fence: node-sized tri-corner union agg + two left joins onto
+    // the vec list + orderBy; the kNN/mutual/orientation chain is fenced
+    "knn_triangles" -> 6,
+    // post-fence: two candidate-bounded rank windows + their keyed sums
+    // + two joins back + the per-source argmax window + orderBy
+    "bitext_mine" -> 8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

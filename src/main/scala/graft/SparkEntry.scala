@@ -80,6 +80,9 @@ object SparkEntry {
     "window_first_last" -> ((s, d) => Relational.windowFirstLast(s, d)),
     // SCD2 dimension build: change rows -> validity intervals
     "scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
+    // Round 10: incremental aggregate maintenance — history/delta
+    // partials merged by re-agg, proven ≡ full recompute by the oracle
+    "agg_incremental" -> ((s, d) => Relational.aggIncremental(s, d)),
     // ordered view -> click -> purchase conversion funnel
     "event_funnel" -> ((s, d) => Relational.eventFunnel(s, d)),
     // weekly cohort retention triangle
@@ -239,6 +242,13 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => SimilarityPipeline.semanticDedup(s, d)),
     // cluster-blocked exact kNN graph over the learned index
     "knn_graph" -> ((s, d) => SimilarityPipeline.knnGraph(s, d)),
+    // Round 10: triangle census of the mutual kNN graph via
+    // degree-ordered orientation (each triangle found once, out-degree
+    // bounded O(sqrt m) on any degree distribution)
+    "knn_triangles" -> ((s, d) => SimilarityPipeline.knnTriangles(s, d)),
+    // Round 10: margin-based cross-lingual pair mining (ratio margin,
+    // cluster-blocked candidates, exact integer neighborhood sums)
+    "bitext_mine" -> ((s, d) => SimilarityPipeline.bitextMine(s, d)),
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
@@ -2129,6 +2139,86 @@ rk AS (SELECT vec_id, nbr_id, s,
   FROM pr)
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
+    // triangle census of the mutual kNN graph: knn edges -> mutual
+    // (both directions present) -> degree-ordered orientation -> wedge
+    // + closing join; per-node counts and micro clustering coefficient
+    "knn_triangles" ->
+      s"""WITH
+$kmeansCtes,
+asg AS (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+rk AS (SELECT vec_id, nbr_id,
+  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank
+  FROM pr),
+kn AS (SELECT vec_id, nbr_id FROM rk WHERE rank <= 5),
+mu AS (SELECT f.vec_id AS u, f.nbr_id AS v
+  FROM kn f JOIN kn g ON f.vec_id = g.nbr_id AND f.nbr_id = g.vec_id
+  WHERE f.vec_id < f.nbr_id),
+und AS (SELECT u AS node FROM mu UNION ALL SELECT v AS node FROM mu),
+dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY node),
+ori AS (SELECT
+  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND mu.u < mu.v)
+    THEN mu.u ELSE mu.v END AS s,
+  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND mu.u < mu.v)
+    THEN mu.v ELSE mu.u END AS t,
+  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND mu.u < mu.v)
+    THEN dv.deg ELSE du.deg END AS dt
+  FROM mu JOIN dg du ON mu.u = du.node JOIN dg dv ON mu.v = dv.node),
+tr AS (SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM ori e1 JOIN ori e2 ON e1.s = e2.s
+    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t),
+tc AS (SELECT node FROM (SELECT x AS node FROM tr
+  UNION ALL SELECT y AS node FROM tr UNION ALL SELECT z AS node FROM tr)),
+tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM tc GROUP BY node)
+SELECT ek.vec_id, CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+  CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+  CASE WHEN dg.deg >= 2
+    THEN CAST(floor(2000000.0 * coalesce(tn.tri, 0) / (dg.deg * (dg.deg - 1)) + 0.5) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS coef_q6
+FROM ek LEFT JOIN dg ON ek.vec_id = dg.node
+LEFT JOIN tn ON ek.vec_id = tn.node
+ORDER BY ek.vec_id""",
+    // ratio-margin bitext mining: cluster-blocked en x de candidates,
+    // micro-quantized shifted cosine, exact integer neighborhood sums,
+    // one identical margin division both engines
+    "bitext_mine" ->
+      s"""WITH
+$kmeansCtes,
+asg AS (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+al AS (SELECT asg.vec_id, asg.cluster, asg.v, d.lang
+  FROM asg JOIN documents d ON asg.vec_id = d.doc_id),
+px AS (SELECT vec_id AS src_id, cluster, v AS xv FROM al WHERE lang = 'en'),
+py AS (SELECT vec_id AS tgt_id, cluster, v AS yv FROM al WHERE lang = 'de'),
+pc AS (SELECT src_id, tgt_id,
+  CAST(floor((list_sum(list_transform(range(64), i -> xv[i+1] * yv[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> xv[i+1] * xv[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> yv[i+1] * yv[i+1])))) + 1.0)
+    * 1000000 + 0.5) AS BIGINT) AS sq6
+  FROM px JOIN py ON px.cluster = py.cluster),
+fx AS (SELECT src_id, sum(sq6) AS sx, count(*) AS nx FROM
+  (SELECT src_id, sq6,
+     row_number() OVER (PARTITION BY src_id ORDER BY sq6 DESC, tgt_id) AS rn
+   FROM pc) WHERE rn <= 4 GROUP BY src_id),
+fy AS (SELECT tgt_id, sum(sq6) AS sy, count(*) AS ny FROM
+  (SELECT tgt_id, sq6,
+     row_number() OVER (PARTITION BY tgt_id ORDER BY sq6 DESC, src_id) AS rn
+   FROM pc) WHERE rn <= 4 GROUP BY tgt_id),
+sc AS (SELECT pc.src_id, pc.tgt_id, pc.sq6,
+  CAST(floor(2000000.0 * pc.sq6 * fx.nx * fy.ny
+    / greatest(fx.sx * fy.ny + fy.sy * fx.nx, 1) + 0.5) AS BIGINT) AS margin_q6
+  FROM pc JOIN fx USING (src_id) JOIN fy USING (tgt_id)),
+bs AS (SELECT src_id, tgt_id, sq6, margin_q6,
+  row_number() OVER (PARTITION BY src_id ORDER BY margin_q6 DESC, tgt_id) AS rn
+  FROM sc)
+SELECT src_id, tgt_id, sq6 AS sim_q6, margin_q6
+FROM bs WHERE rn = 1 AND margin_q6 > 1000000 ORDER BY src_id""",
     "semantic_dedup" ->
       s"""WITH
 $kmeansCtes,
@@ -2425,6 +2515,8 @@ SELECT o_custkey, status, valid_from,
   lead(valid_from) OVER w2 IS NULL AS is_current
 FROM c2 WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
 ORDER BY o_custkey, valid_from""",
+    // full-log recompute — the merge(history, delta) ≡ recompute proof
+    "agg_incremental" -> Relational.aggIncrementalOracleSql,
     // all-integer sketch: signed cells, squared-row sums, middle-two
     // median — replayed cell-for-cell (the cms seeding idiom)
     "f2_moment" ->

@@ -1014,6 +1014,74 @@ object Relational {
     * quantile_cont); at 100 TB swap for approx_percentile when the exactness
     * isn't worth the per-group sort — same query shape.
     */
+  /** History/delta split point for [[aggIncremental]] — the last five
+    * days of the 30-day events table arrive as the "new partition".
+    */
+  private val IncrementalCutoff = "2024-01-26 00:00:00"
+
+  /** Incremental aggregate maintenance — the contract that lets a daily
+    * 100 TB pipeline ship per-key metrics WITHOUT recomputing history:
+    * per-user partial aggregates are built separately over the history
+    * partition (`ts < cutoff`, in the recurring shape a persisted store)
+    * and the delta partition, then MERGED by re-aggregating the union of
+    * the two partial frames with each metric's merge function. Every
+    * emitted metric is chosen mergeable: counts and micro-integer sums
+    * add; min/max timestamps combine by min/max; first/last event types
+    * ride min/max over `struct(ts, event_id, event_type)` (event_id
+    * makes the order total, so the struct extremum IS the arg-min/max).
+    * The driver oracle recomputes from the full log — the hash match is
+    * the proof that merge(partials) ≡ recompute.
+    *
+    * Scale: both partial aggregations are map-side-combined keyed aggs
+    * over ONE partition-pruned scan each (at 100 TB the history side is
+    * a key-sized stored frame, not a scan), and the merge re-agg is over
+    * two key-sized frames — delta-sized work end to end.
+    */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100d + 0.5d).cast(LongType).as("v_c"))
+    def partials(part: DataFrame): DataFrame = part
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("v_c")).as("sum_c"),
+        // ts is TIMESTAMP_NTZ; the cast interprets it in the session tz
+        // (UTC everywhere here), matching DuckDB's naive epoch_us
+        min(unix_micros(col("ts").cast("timestamp"))).as("min_ts_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("first_s"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("last_s"))
+    val cutoff = lit(IncrementalCutoff).cast("timestamp_ntz")
+    val hist = partials(e.filter(col("ts") < cutoff))
+    val delta = partials(e.filter(col("ts") >= cutoff))
+    hist.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sum_c")).as("sum_value_c"),
+        min(col("min_ts_us")).as("min_ts_us"),
+        max(col("max_ts_us")).as("max_ts_us"),
+        min(col("first_s")).getField("event_type").as("first_type"),
+        max(col("last_s")).getField("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
+  private[graft] def aggIncrementalOracleSql: String =
+    s"""WITH r AS (SELECT user_id, value, ts, event_id, event_type,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c,
+  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+  max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+  max(CASE WHEN rl = 1 THEN event_type END) AS last_type
+FROM r GROUP BY user_id ORDER BY user_id"""
+
   def statsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
@@ -1626,5 +1627,153 @@ FROM g ORDER BY label"""
         round(sum(col("sil_micro")).cast("double") / count(lit(1))
           / 1000000d, 4).as("mean_sil"))
       .orderBy("cluster")
+  }
+
+  /** Triangle census of the MUTUAL kNN graph — the manifold-quality
+    * diagnostic behind embedding-space audits: a well-clustered corpus
+    * has a high clustering coefficient (neighbors of a vector are
+    * neighbors of each other); a degenerate or hubby embedding space
+    * shows low transitivity. Emits, per vector: its mutual-kNN degree,
+    * its triangle count, and its local clustering coefficient
+    * (`2·tri / (deg·(deg−1))`, micro-quantized, 0 when deg < 2).
+    *
+    * Scale shape — the standard degree-ordered orientation (the
+    * node-iterator family, cf. Suri & Vassilvitskii WWW'11 map-reduce
+    * triangle counting): every undirected edge is directed from its
+    * lower-(degree, id) endpoint, so each triangle is found EXACTLY once
+    * as a wedge at its minimum-order corner plus one closing equi-join,
+    * and every out-adjacency list is bounded by O(√m) on ANY degree
+    * distribution — a stopword-grade hub contributes wedges only through
+    * its (few) higher-order neighbors, never deg² pairs. Here mutual-kNN
+    * degree is additionally capped at [[KnnK]] by construction, so the
+    * wedge volume is ≤ K²·n even before orientation; both joins are
+    * keyed equi-joins (AQE-splittable), never a cross product. The
+    * mutual-edge frame is fenced once and feeds degree, orientation and
+    * the closing join from the same leaf.
+    */
+  def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
+      col("nbr_id").as("b")).localCheckpoint()
+    // mutual edges, held once with u < v
+    val mutual = d.as("f").join(d.as("g"),
+        col("f.a") === col("g.b") && col("f.b") === col("g.a"))
+      .filter(col("f.a") < col("f.b"))
+      .select(col("f.a").as("u"), col("f.b").as("v"))
+      .localCheckpoint()
+    val deg = mutual.select(col("u").as("node"))
+      .union(mutual.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
+      .localCheckpoint()
+    // orient each edge from the lower (deg, id) endpoint; carry the
+    // head's (deg, id) so the wedge join can order the two spokes
+    // without a second lookup
+    val ori = mutual
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint()
+    // wedges at the minimum corner: two out-edges of s, spokes ordered
+    // by (deg, id); the closing edge — if the triangle exists — is
+    // oriented exactly t1 -> t2 under the same order
+    val tri = ori.as("e1").join(ori.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+      .join(ori.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))
+      .localCheckpoint()
+    val triPerNode = tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast(LongType).as("tri"))
+    emb(spark, sfDir).select(col("vec_id"))
+      .join(deg.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .join(triPerNode.withColumnRenamed("node", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .select(col("vec_id"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          floor(lit(2000000d) * col("tri")
+            / (col("deg") * (col("deg") - 1)) + 0.5d).cast(LongType))
+          .otherwise(lit(0L)).as("coef_q6"))
+      .orderBy("vec_id")
+  }
+
+  /** Neighborhood size for the margin normalizer in [[bitextMine]]. */
+  private val BitextK = 4
+
+  /** Margin-based cross-lingual pair mining (the ratio-margin criterion
+    * of Artetxe & Schwenk, ACL'19): a candidate translation pair scores
+    * by its similarity RELATIVE to each side's nearest-neighbor
+    * neighborhood — `margin(x,y) = sim(x,y) / mean(avgNN(x), avgNN(y))`
+    * — which suppresses hub vectors that are merely close to everything.
+    * Candidates are source-lang docs × target-lang docs WITHIN the same
+    * learned k-means cluster (the IVF blocking of [[semanticDedup]]);
+    * per source doc the best-margin target is kept when its margin
+    * exceeds 1 (above-neighborhood match).
+    *
+    * Determinism: cosine is shifted to `1 + cos ∈ [0,2]` and
+    * micro-quantized per pair BEFORE any aggregation, so neighborhood
+    * sums are exact BIGINT math at any parallelism, and the single
+    * margin division `2e6·s·nx·ny / (sx·ny + sy·nx)` is one identical
+    * IEEE op sequence on both engines (all operands < 2^53).
+    *
+    * Scale: the pair frame is cluster-blocked (sum |Cx|·|Cy| per
+    * cluster, never |X|·|Y|) and fenced once; both neighborhood
+    * aggregates are rank-windows bounded by cluster size, and the
+    * final per-source argmax is likewise candidate-bounded. At corpus
+    * scale the kmeans k grows ~√N exactly as [[semanticDedup]]
+    * documents.
+    */
+  def bitextMine(spark: SparkSession, sfDir: String,
+      srcLang: String = "en", tgtLang: String = "de"): DataFrame = {
+    val (_, assigned) = kmeansModel(spark, sfDir, 8, 2)
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val a = assigned.select(col("vec_id"), col("cluster"), col("v"))
+      .join(langs, "vec_id").localCheckpoint()
+    val x = a.filter(col("lang") === srcLang)
+      .select(col("vec_id").as("src_id"), col("cluster"), col("v").as("xv"))
+    val y = a.filter(col("lang") === tgtLang)
+      .select(col("vec_id").as("tgt_id"), col("cluster"), col("v").as("yv"))
+    val pairs = x.join(y, "cluster")
+      .select(col("src_id"), col("tgt_id"),
+        floor((cosine(col("xv"), col("yv")) + 1.0d) * 1000000d + 0.5d)
+          .cast(LongType).as("sq6"))
+      .localCheckpoint()
+    def nnAvg(side: String): DataFrame = {
+      val w = Window.partitionBy(side)
+        .orderBy(col("sq6").desc,
+          col(if (side == "src_id") "tgt_id" else "src_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BitextK)
+        .groupBy(side)
+        .agg(sum(col("sq6")).as(s"s_$side"),
+          count(lit(1)).as(s"n_$side"))
+    }
+    val scored = pairs
+      .join(nnAvg("src_id"), "src_id")
+      .join(nnAvg("tgt_id"), "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sq6"),
+        floor(lit(2000000d) * col("sq6") * col("n_src_id") * col("n_tgt_id")
+          / greatest(col("s_src_id") * col("n_tgt_id")
+            + col("s_tgt_id") * col("n_src_id"), lit(1L)) + 0.5d)
+          .cast(LongType).as("margin_q6"))
+    val best = Window.partitionBy("src_id")
+      .orderBy(col("margin_q6").desc, col("tgt_id"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("margin_q6") > 1000000L)
+      .select(col("src_id"), col("tgt_id"),
+        col("sq6").as("sim_q6"), col("margin_q6"))
+      .orderBy("src_id")
   }
 }
