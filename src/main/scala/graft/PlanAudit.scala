@@ -63,6 +63,8 @@ object PlanAudit {
     // per-axis 1-row n_left/n_right count broadcasts onto the 1-row
     // cardinality rollup
     "join_cardinality",
+    // 1-row corpus-mean array broadcast onto the #sources-row frame
+    "emb_drift",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
     // class): both sides are the checkpointed sketch's lang list
     "kmv_intersect", "kmv_difference",
@@ -678,7 +680,15 @@ object PlanAudit {
     "knn_triangles" -> 6,
     // post-fence: two candidate-bounded rank windows + their keyed sums
     // + two joins back + the per-source argmax window + orderBy
-    "bitext_mine" -> 8)
+    "bitext_mine" -> 8,
+    // post-fence: core-deg keyed agg + three node-sized left joins +
+    // orderBy (the peel rounds are fenced node-sized leaves)
+    "knn_kcore" -> 9,
+    // (source, dim) keyed agg + #sources mean rollup + 1-row corpus
+    // mean + doc-sized norm agg + join + orderBy
+    "emb_drift" -> 6,
+    // one scan + one 1024-row keyed agg + orderBy
+    "zorder_stats" -> 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

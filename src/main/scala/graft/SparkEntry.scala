@@ -249,6 +249,12 @@ object SparkEntry {
     // Round 10: margin-based cross-lingual pair mining (ratio margin,
     // cluster-blocked candidates, exact integer neighborhood sums)
     "bitext_mine" -> ((s, d) => SimilarityPipeline.bitextMine(s, d)),
+    // Round 10: 3-core of the mutual kNN graph by fixed-round peeling
+    "knn_kcore" -> ((s, d) => SimilarityPipeline.knnKcore(s, d)),
+    // Round 10: per-source embedding drift vs the corpus mean
+    "emb_drift" -> ((s, d) => SimilarityPipeline.embDrift(s, d)),
+    // Round 10: Morton-key layout audit (per-bucket 2-D bounding boxes)
+    "zorder_stats" -> ((s, d) => Relational.zorderStats(s, d)),
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
@@ -554,6 +560,59 @@ c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
 d2t AS (SELECT ek.vec_id, c1.cluster,
   list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
 a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t)"""
+
+  /** The mutual-kNN edge CTE chain (kmeans rounds → cluster-blocked kNN
+    * → mutual edges with u < v), shared by the knn_kcore oracle.
+    */
+  private val mutualKnnCtes =
+    s"""$kmeansCtes,
+asg AS (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id,
+  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+rk AS (SELECT vec_id, nbr_id,
+  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank
+  FROM pr),
+kn AS (SELECT vec_id, nbr_id FROM rk WHERE rank <= 5),
+mu AS MATERIALIZED (SELECT f.vec_id AS u, f.nbr_id AS v
+  FROM kn f JOIN kn g ON f.vec_id = g.nbr_id AND f.nbr_id = g.vec_id
+  WHERE f.vec_id < f.nbr_id)"""
+
+  /** Generated unrolled peeling rounds mirroring
+    * SimilarityPipeline.knnKcore round-for-round (initial degree filter
+    * s0, then 8 refinements s1..s8; AS MATERIALIZED because every round
+    * references its predecessor and `und` — DuckDB would otherwise
+    * inline exponentially, the graph_hits lesson).
+    */
+  private def knnKcoreOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      val p = s"ps${i - 1}"
+      s"""pd$i AS MATERIALIZED (SELECT und.a AS node, count(*) AS deg FROM und
+  JOIN $p x ON und.a = x.node JOIN $p y ON und.b = y.node GROUP BY und.a),
+ps$i AS MATERIALIZED (SELECT node FROM pd$i WHERE deg >= 3)"""
+    }.mkString(",\n")
+    s"""WITH
+$mutualKnnCtes,
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM mu
+  UNION ALL SELECT v AS a, u AS b FROM mu),
+pd0 AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY a),
+ps0 AS MATERIALIZED (SELECT node FROM pd0 WHERE deg >= 3),
+$rounds,
+cd AS (SELECT und.a AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+  FROM und JOIN ps8 x ON und.a = x.node JOIN ps8 y ON und.b = y.node
+  GROUP BY und.a)
+SELECT ek.vec_id, CAST(coalesce(pd0.deg, 0) AS BIGINT) AS deg,
+  (ps8.node IS NOT NULL) AS in_core,
+  CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
+FROM ek LEFT JOIN pd0 ON ek.vec_id = pd0.node
+LEFT JOIN ps8 ON ek.vec_id = ps8.node
+LEFT JOIN cd ON ek.vec_id = cd.vec_id
+ORDER BY ek.vec_id"""
+  }
 
   /** md5-register HLL sketch + estimator, shared by `hll_distinct`
     * (which joins the exact calibration columns on) and `hll_union`
@@ -2219,6 +2278,12 @@ bs AS (SELECT src_id, tgt_id, sq6, margin_q6,
   FROM sc)
 SELECT src_id, tgt_id, sq6 AS sim_q6, margin_q6
 FROM bs WHERE rn = 1 AND margin_q6 > 1000000 ORDER BY src_id""",
+    // generated unrolled peeling rounds over the mutual kNN edges
+    "knn_kcore" -> knnKcoreOracleSql,
+    // per-source mean-vector distance + norm audit, exact integer sums
+    "emb_drift" -> SimilarityPipeline.embDriftOracleSql,
+    // same unrolled 32-term Morton interleave, per-bucket boxes
+    "zorder_stats" -> Relational.zorderStatsOracleSql,
     "semantic_dedup" ->
       s"""WITH
 $kmeansCtes,

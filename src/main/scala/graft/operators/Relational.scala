@@ -1082,6 +1082,59 @@ SELECT user_id,
   max(CASE WHEN rl = 1 THEN event_type END) AS last_type
 FROM r GROUP BY user_id ORDER BY user_id"""
 
+  /** Z-order (Morton) data-layout audit — the locality argument behind
+    * multi-dimensional clustering of a 100 TB table: interleave the low
+    * 16 bits of (l_partkey, l_suppkey) into a 32-bit Morton key, bucket
+    * by `z >> 14` (dropping 7 interleaved bit-pairs, so every bucket is
+    * EXACTLY a 128×128 tile of the key plane), and report each bucket's
+    * bounding box over BOTH dimensions. Because the Morton curve is
+    * locality-preserving, every bucket's (span_part × span_supp) box is
+    * ≤ 16384 cells regardless of data volume — which is exactly why
+    * parquet min/max column stats on a z-clustered layout prune scans
+    * for predicates on EITHER key (a single-column sort prunes only its
+    * leading column). The emitted per-bucket boxes are the audit that a
+    * writer using this key would achieve that pruning.
+    *
+    * Scale: one scan (the interleave is 32 codegen'd integer ops per
+    * row), one map-side-combined keyed agg to 1024 rows. At real key
+    * widths the inputs are first rank-quantized to 16 bits; the masked
+    * demo keys fit directly at these SFs.
+    */
+  def zorderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_partkey").bitwiseAND(lit(65535L))
+    val y = col("l_suppkey").bitwiseAND(lit(65535L))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.lineitem(spark, sfDir)
+      .select(x.as("px"), y.as("py"), shiftright(z, 14).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        min(col("px")).as("min_part"), max(col("px")).as("max_part"),
+        min(col("py")).as("min_supp"), max(col("py")).as("max_supp"))
+      .select(col("bucket"), col("n_rows"),
+        col("min_part"), col("max_part"), col("min_supp"), col("max_supp"),
+        ((col("max_part") - col("min_part") + 1)
+          * (col("max_supp") - col("min_supp") + 1)).as("bbox_area"))
+      .orderBy("bucket")
+  }
+
+  /** The DuckDB replay of [[zorderStats]] (same unrolled interleave). */
+  private[graft] def zorderStatsOracleSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+z AS (SELECT x AS px, y AS py, ($terms) >> 14 AS bucket FROM b)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+  min(px) AS min_part, max(px) AS max_part,
+  min(py) AS min_supp, max(py) AS max_supp,
+  (max(px) - min(px) + 1) * (max(py) - min(py) + 1) AS bbox_area
+FROM z GROUP BY bucket ORDER BY bucket"""
+  }
+
   def statsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))

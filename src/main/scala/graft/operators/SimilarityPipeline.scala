@@ -1651,15 +1651,24 @@ FROM g ORDER BY label"""
     * mutual-edge frame is fenced once and feeds degree, orientation and
     * the closing join from the same leaf.
     */
-  def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The mutual (both-directions) kNN edge set, one row per undirected
+    * edge with `u < v`, fenced — shared leaf of [[knnTriangles]] and
+    * [[knnKcore]].
+    */
+  private def mutualKnnEdges(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
       col("nbr_id").as("b")).localCheckpoint()
-    // mutual edges, held once with u < v
-    val mutual = d.as("f").join(d.as("g"),
+    d.as("f").join(d.as("g"),
         col("f.a") === col("g.b") && col("f.b") === col("g.a"))
       .filter(col("f.a") < col("f.b"))
       .select(col("f.a").as("u"), col("f.b").as("v"))
       .localCheckpoint()
+  }
+
+  def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // mutual edges, held once with u < v
+    val mutual = mutualKnnEdges(spark, sfDir)
     val deg = mutual.select(col("u").as("node"))
       .union(mutual.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
@@ -1705,6 +1714,160 @@ FROM g ORDER BY label"""
           floor(lit(2000000d) * col("tri")
             / (col("deg") * (col("deg") - 1)) + 0.5d).cast(LongType))
           .otherwise(lit(0L)).as("coef_q6"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-source embedding drift telemetry — the "did source X's
+    * embedding distribution move away from the corpus" audit that gates
+    * re-embedding and flags encoder/version skew: for every source, the
+    * squared distance between its mean vector and the corpus mean
+    * (micro²-unit exact integer) plus its average squared norm. A
+    * drifted source (crawler change, encoder mismatch, language shift)
+    * shows a drift_qq orders above its peers.
+    *
+    * Determinism: per-component values micro-quantize BEFORE summation
+    * (exact BIGINT component sums at any parallelism); per-dimension
+    * means divide once (identical IEEE sequence both engines), the
+    * mean-difference per dimension re-quantizes to BIGINT, and the
+    * final sum of squared integer deltas is order-free exact integer
+    * math. Norms fold per row over the position-ordered array (the LM
+    * family's fold contract) and micro-quantize per row.
+    *
+    * Scale: ONE (source, dim)-keyed agg over the exploded components
+    * (map-side combined, #sources×64-sized result), a #sources-row
+    * mean-array rollup, a 1-row broadcast corpus mean, and ONE
+    * doc-sized keyed norm agg — no join moves a vector twice.
+    */
+  def embDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val j = e.join(src, "vec_id").localCheckpoint()
+    val comp = j.select(col("source"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("source"), col("pos"),
+        floor(col("x") * 1000000d + 0.5d).cast(LongType).as("xq"))
+    val sp = comp.groupBy("source", "pos")
+      .agg(sum(col("xq")).as("ss"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sArr = sp
+      .select(col("source"), col("n"),
+        struct(col("pos"),
+          (col("ss").cast("double") / col("n") / 1000000d).as("m"))
+          .as("pm"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(col("pm"))).as("pms"),
+        max(col("n")).cast(LongType).as("n_vecs"))
+      .select(col("source"), col("n_vecs"),
+        transform(col("pms"), p => p.getField("m")).as("sm"))
+    val gArr = sp.groupBy("pos")
+      .agg(sum(col("ss")).as("gs"), sum(col("n")).as("gn"))
+      .select(struct(col("pos"),
+        (col("gs").cast("double") / col("gn") / 1000000d).as("m"))
+        .as("pm"))
+      .groupBy().agg(array_sort(collect_list(col("pm"))).as("pms"))
+      .select(transform(col("pms"), p => p.getField("m")).as("gm"))
+    val drift = sArr.crossJoin(broadcast(gArr))
+      .select(col("source"), col("n_vecs"),
+        aggregate(
+          zip_with(col("sm"), col("gm"),
+            (s, g) => floor((s - g) * 1000000d + 0.5d).cast(LongType)),
+          lit(0L), (acc, d) => acc + d * d).as("drift_qq"))
+    val norm = j.select(col("source"),
+        floor(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)
+          * 1000000d + 0.5d).cast(LongType).as("nq"))
+      .groupBy("source")
+      .agg(sum(col("nq")).as("snq"), count(lit(1)).as("nn"))
+      .select(col("source"),
+        floor(col("snq").cast("double") / col("nn") + 0.5d)
+          .cast(LongType).as("avg_norm2_q6"))
+    drift.join(norm, "source").orderBy("source")
+  }
+
+  /** The DuckDB replay of [[embDrift]]. */
+  private[graft] def embDriftOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+j AS (SELECT d.source, e.vec_id, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id),
+cx AS (SELECT source, pos, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xq FROM
+  (SELECT source, unnest(v) AS x, unnest(range(64)) AS pos FROM j)),
+sp AS (SELECT source, pos, sum(xq) AS ss, count(*) AS n FROM cx GROUP BY source, pos),
+gp AS (SELECT pos, sum(ss) AS gs, sum(n) AS gn FROM sp GROUP BY pos),
+sa AS (SELECT source, CAST(max(n) AS BIGINT) AS n_vecs,
+  list(CAST(ss AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS sm FROM sp GROUP BY source),
+ga AS (SELECT list(CAST(gs AS DOUBLE) / gn / 1000000.0 ORDER BY pos) AS gm FROM gp),
+dr AS (SELECT source, n_vecs,
+  CAST(list_sum(list_transform(range(64), i ->
+    CAST(floor((sm[i+1] - gm[i+1]) * 1000000 + 0.5) AS BIGINT)
+    * CAST(floor((sm[i+1] - gm[i+1]) * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS drift_qq
+  FROM sa, ga),
+nr AS (SELECT source,
+  CAST(floor(CAST(sum(nq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_norm2_q6
+  FROM (SELECT source,
+    CAST(floor(list_sum(list_transform(v, x -> x * x)) * 1000000 + 0.5) AS BIGINT) AS nq FROM j)
+  GROUP BY source)
+SELECT dr.source, dr.n_vecs, dr.drift_qq, nr.avg_norm2_q6
+FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
+
+  /** Core threshold and fixed peeling rounds for [[knnKcore]]. */
+  private val KCoreK = 3
+  private val KCoreRounds = 8
+
+  /** k-core of the mutual kNN graph (k = [[KCoreK]]) by iterative
+    * peeling: repeatedly drop nodes whose degree WITHIN the surviving
+    * subgraph falls below k. The surviving 3-core is the "dense
+    * manifold" of the embedding space — the region where neighborhoods
+    * corroborate each other; peeled nodes are the fringe/outlier docs
+    * that near-dup and curation passes treat differently. Emits per
+    * vector: its mutual degree, core membership, and its degree within
+    * the core.
+    *
+    * Determinism contract: exactly [[KCoreRounds]] peeling refinements
+    * after the initial degree filter, mirrored round-for-round by the
+    * generated oracle (peeling is monotone, so extra rounds past
+    * convergence are no-ops and the fixed count is safe on both
+    * engines); the spec asserts convergence within the budget at test
+    * SF. At 100 TB the loop runs with the CC family's convergence
+    * detector instead of a fixed unroll.
+    *
+    * Scale: each round is two semi-joins of the (fenced, node-sized)
+    * survivor set onto the edge leaf plus one map-side-combined keyed
+    * count — mutual-kNN degree ≤ [[KnnK]] bounds every frame; the edge
+    * leaf shuffles once and every round reuses it.
+    */
+  def knnKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val mutual = mutualKnnEdges(spark, sfDir)
+    val und = mutual.select(col("u").as("a"), col("v").as("b"))
+      .union(mutual.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val deg0 = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast(LongType).as("deg"))
+      .localCheckpoint()
+    var alive = deg0.filter(col("deg") >= KCoreK).select("node")
+      .localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      alive = und
+        .join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK).select("node")
+        .localCheckpoint()
+    }
+    val coreDeg = und
+      .join(alive.select(col("node").as("a")), "a")
+      .join(alive.select(col("node").as("b")), "b")
+      .groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).cast(LongType).as("core_deg"))
+    emb(spark, sfDir).select(col("vec_id"))
+      .join(deg0.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .join(alive.withColumnRenamed("node", "vec_id")
+        .withColumn("in_core", lit(true)), Seq("vec_id"), "left")
+      .join(coreDeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
       .orderBy("vec_id")
   }
 

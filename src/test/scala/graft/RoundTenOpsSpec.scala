@@ -65,6 +65,104 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("knn_kcore: membership matches a driver-side peel to " +
+    "convergence (the fixed 8 rounds are past the fixpoint)") {
+    val knn = SimilarityPipeline.knnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    var alive = (mutual.map(_._1) ++ mutual.map(_._2)).toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = (mutual.toSeq ++ mutual.toSeq.map(_.swap))
+        .filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.size }
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= 3)
+      changed = next != alive
+      alive = next
+      rounds += 1
+    }
+    // peeling must converge within the engine's fixed round budget
+    rounds should be <= 9 // initial filter + 8 refinements
+    val out = SimilarityPipeline.knnKcore(spark, sf).collect()
+    val coreDeg = (mutual.toSeq ++ mutual.toSeq.map(_.swap))
+      .filter { case (a, b) => alive(a) && alive(b) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    out.foreach { r =>
+      val id = r.getLong(0)
+      r.getBoolean(2) shouldBe alive(id)
+      r.getLong(3) shouldBe coreDeg.getOrElse(id, 0L)
+      if (alive(id)) r.getLong(3) should be >= 3L
+    }
+  }
+
+  test("emb_drift: one source's drift and norm re-derive from a " +
+    "driver-side recompute of the quantization pipeline") {
+    val out = SimilarityPipeline.embDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = Tables.embeddings(spark, sf)
+      .join(Tables.documents(spark, sf).selectExpr("doc_id AS vec_id",
+        "source"), "vec_id")
+      .selectExpr("source", "cast(embedding as array<double>) AS v")
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    val bySrc = rows.groupBy(_._1)
+    // exact replay: per-component micro sums -> means -> quantized
+    // deltas -> integer square sum
+    val gSums = Array.fill(64)(0L)
+    rows.foreach { case (_, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        gSums(i) += math.floor(x * 1000000d + 0.5d).toLong
+      }
+    }
+    val gN = rows.length
+    val src = bySrc.keys.min
+    val sRows = bySrc(src).map(_._2)
+    val sSums = Array.fill(64)(0L)
+    sRows.foreach(v => v.zipWithIndex.foreach { case (x, i) =>
+      sSums(i) += math.floor(x * 1000000d + 0.5d).toLong
+    })
+    val drift = (0 until 64).map { i =>
+      val ms = sSums(i).toDouble / sRows.length / 1000000d
+      val mg = gSums(i).toDouble / gN / 1000000d
+      val d = math.floor((ms - mg) * 1000000d + 0.5d).toLong
+      d * d
+    }.sum
+    val r = out(src)
+    r.getLong(1) shouldBe sRows.length.toLong
+    r.getLong(2) shouldBe drift
+    val nq = sRows.map(v => math.floor(
+      v.foldLeft(0.0d)((a, x) => a + x * x) * 1000000d + 0.5d).toLong)
+    r.getLong(3) shouldBe
+      math.floor(nq.sum.toDouble / nq.length + 0.5d).toLong
+  }
+
+  test("zorder_stats: bucket boxes cover their rows, counts sum to the " +
+    "table, and the interleave matches a reference Morton encode") {
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .sum
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) & 65535L, r.getLong(1) & 65535L))
+    val expect = li.groupBy { case (x, y) => morton(x, y) >> 14 }
+    val out = Relational.zorderStats(spark, sf).collect()
+    out.map(_.getLong(1)).sum shouldBe li.length.toLong
+    out.foreach { r =>
+      val rows = expect(r.getLong(0))
+      r.getLong(1) shouldBe rows.length.toLong
+      r.getLong(2) shouldBe rows.map(_._1).min
+      r.getLong(3) shouldBe rows.map(_._1).max
+      r.getLong(4) shouldBe rows.map(_._2).min
+      r.getLong(5) shouldBe rows.map(_._2).max
+    }
+    // Morton locality: dropping 7 interleaved bit-pairs makes every
+    // bucket an exact 128x128 tile, so no box exceeds 16384 cells at
+    // ANY data volume
+    out.foreach(r => r.getLong(6) should be <= 16384L)
+  }
+
   test("agg_incremental: the merged history/delta partials equal " +
     "Spark's own single-pass recompute over the full log") {
     val merged = Relational.aggIncremental(spark, sf)
