@@ -688,7 +688,13 @@ object PlanAudit {
     // mean + doc-sized norm agg + join + orderBy
     "emb_drift" -> 6,
     // one scan + one 1024-row keyed agg + orderBy
-    "zorder_stats" -> 2)
+    "zorder_stats" -> 2,
+    // the k-row driver frame orderBy — every distance round is fenced
+    // and its argmax a TakeOrdered(1)
+    "coreset_kcenter" -> 1,
+    // post-fence: final node join + orderBy (each spreading round is a
+    // fenced node-sized leaf)
+    "quality_propagate" -> 3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

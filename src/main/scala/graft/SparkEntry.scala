@@ -255,6 +255,12 @@ object SparkEntry {
     "emb_drift" -> ((s, d) => SimilarityPipeline.embDrift(s, d)),
     // Round 10: Morton-key layout audit (per-bucket 2-D bounding boxes)
     "zorder_stats" -> ((s, d) => Relational.zorderStats(s, d)),
+    // Round 10: greedy k-center coreset selection (farthest-point)
+    "coreset_kcenter" -> ((s, d) =>
+      SimilarityPipeline.coresetKcenter(s, d)),
+    // Round 10: trusted-seed label spreading over the mutual kNN graph
+    "quality_propagate" -> ((s, d) =>
+      SimilarityPipeline.qualityPropagate(s, d)),
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
@@ -612,6 +618,82 @@ FROM ek LEFT JOIN pd0 ON ek.vec_id = pd0.node
 LEFT JOIN ps8 ON ek.vec_id = ps8.node
 LEFT JOIN cd ON ek.vec_id = cd.vec_id
 ORDER BY ek.vec_id"""
+  }
+
+  /** Generated unrolled farthest-point rounds mirroring
+    * SimilarityPipeline.coresetKcenter: per round the argmax of the
+    * integer min-distance frame (excluding prior picks), the 1-row
+    * center vector, the `least`-updated frame, and the post-pick
+    * radius. All MATERIALIZED — every m_r is referenced by the pick,
+    * the next round, and the radius subquery.
+    */
+  private def coresetKcenterOracleSql: String = {
+    def dq(src: String, cv: String): String =
+      s"CAST(floor(list_sum(list_transform(range(64), i -> " +
+        s"($src.v[i+1] - $cv.c[i+1]) * ($src.v[i+1] - $cv.c[i+1]))) " +
+        s"* 1000000 + 0.5) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    sb ++= "cv0 AS MATERIALIZED (SELECT v AS c FROM e WHERE vec_id = 0),\n"
+    sb ++= s"m0 AS MATERIALIZED (SELECT e.vec_id, e.v, ${dq("e", "cv0")}" +
+      " AS md FROM e, cv0),\n"
+    sb ++= "p0 AS (SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT)" +
+      " AS vec_id, CAST(max(md) AS BIGINT) AS radius_qq FROM m0)"
+    for (r <- 1 until 8) {
+      val prev = s"m${r - 1}"
+      val excl = (Seq("vec_id <> 0") ++
+        (1 until r).map(i => s"vec_id NOT IN (SELECT vec_id FROM k$i)"))
+        .mkString(" AND ")
+      sb ++= s""",
+k$r AS MATERIALIZED (SELECT vec_id FROM $prev WHERE $excl
+  ORDER BY md DESC, vec_id LIMIT 1),
+cv$r AS MATERIALIZED (SELECT e.v AS c FROM e JOIN k$r ON e.vec_id = k$r.vec_id),
+m$r AS MATERIALIZED (SELECT $prev.vec_id, $prev.v,
+  least($prev.md, ${dq(prev, s"cv$r")}) AS md FROM $prev, cv$r),
+p$r AS (SELECT CAST($r AS BIGINT) AS round, CAST(k$r.vec_id AS BIGINT) AS vec_id,
+  (SELECT CAST(max(md) AS BIGINT) FROM m$r) AS radius_qq FROM k$r)"""
+    }
+    sb ++= "\nSELECT round, vec_id, radius_qq FROM (" +
+      (0 until 8).map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+    sb.toString
+  }
+
+  /** Generated propagation rounds mirroring
+    * SimilarityPipeline.qualityPropagate (same integer floor
+    * arithmetic round-for-round).
+    */
+  private def qualityPropagateOracleSql: String = {
+    val trusted = graft.operators.SimilarityPipeline.TrustedSources
+      .map(s => s"'$s'").mkString(", ")
+    val rounds = (1 to 3).map { r =>
+      val p = s"qs${r - 1}"
+      s"""qn$r AS (SELECT und.a AS vec_id, sum($p.score) AS ssum
+  FROM und JOIN $p ON und.b = $p.vec_id GROUP BY und.a),
+qs$r AS MATERIALIZED (SELECT bs.vec_id,
+  CASE WHEN bs.deg > 0
+    THEN CAST(floor((bs.seed_q6 + floor(CAST(qn$r.ssum AS DOUBLE) / bs.deg)) / 2.0) AS BIGINT)
+    ELSE bs.seed_q6 END AS score
+  FROM bs LEFT JOIN qn$r ON bs.vec_id = qn$r.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH
+$mutualKnnCtes,
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM mu
+  UNION ALL SELECT v AS a, u AS b FROM mu),
+dg AS MATERIALIZED (SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY a),
+bs AS MATERIALIZED (SELECT ek.vec_id,
+  CASE WHEN d.source IN ($trusted) THEN CAST(1000000 AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS seed_q6,
+  coalesce(dg.deg, 0) AS deg
+  FROM ek JOIN documents d ON ek.vec_id = d.doc_id
+  LEFT JOIN dg ON ek.vec_id = dg.vec_id),
+qs0 AS MATERIALIZED (SELECT vec_id, seed_q6 AS score FROM bs),
+$rounds
+SELECT bs.vec_id, CAST(bs.deg AS BIGINT) AS deg, bs.seed_q6,
+  qs3.score AS score_q6
+FROM bs JOIN qs3 ON bs.vec_id = qs3.vec_id ORDER BY bs.vec_id"""
   }
 
   /** md5-register HLL sketch + estimator, shared by `hll_distinct`
@@ -2280,6 +2362,10 @@ SELECT src_id, tgt_id, sq6 AS sim_q6, margin_q6
 FROM bs WHERE rn = 1 AND margin_q6 > 1000000 ORDER BY src_id""",
     // generated unrolled peeling rounds over the mutual kNN edges
     "knn_kcore" -> knnKcoreOracleSql,
+    // generated unrolled farthest-point rounds, exact integer argmax
+    "coreset_kcenter" -> coresetKcenterOracleSql,
+    // generated label-spreading rounds, integer floor arithmetic
+    "quality_propagate" -> qualityPropagateOracleSql,
     // per-source mean-vector distance + norm audit, exact integer sums
     "emb_drift" -> SimilarityPipeline.embDriftOracleSql,
     // same unrolled 32-term Morton interleave, per-bucket boxes

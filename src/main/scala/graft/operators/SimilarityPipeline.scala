@@ -1871,6 +1871,121 @@ FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
       .orderBy("vec_id")
   }
 
+  /** Selection budget for [[coresetKcenter]]. */
+  private val CoresetK = 8
+
+  /** Greedy k-center coreset selection (farthest-point traversal, the
+    * 2-approximation of Gonzalez'85) — the diversity-maximizing
+    * data-pruning selector: starting from vec 0, repeatedly pick the
+    * vector FARTHEST from every already-chosen center. Emits the
+    * selection order and, after each pick, the coverage radius (the
+    * largest remaining min-distance, micro-quantized) — the
+    * monotonically shrinking bound on how well the coreset represents
+    * the corpus.
+    *
+    * Determinism: squared distances fold per pair over the
+    * position-ordered dims and micro-quantize to BIGINT before ANY
+    * comparison, so the argmax/min/ties are exact integer decisions
+    * with vec_id tie-break; the oracle replays every round from the
+    * same integers.
+    *
+    * Scale: each of the k rounds is ONE scan of the fenced min-distance
+    * frame (update = one codegen'd distance to the newest center +
+    * `least`), a TakeOrdered(1) argmax (per-partition top-1, 1-row
+    * driver merge — never a sort), and a 1-row max agg; the chosen
+    * vector itself is the only row fetched (the MMR bounded-fetch
+    * discipline, k rows total). O(n·k) distance evaluations, the
+    * textbook bound.
+    */
+  def coresetKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).localCheckpoint()
+    def dq(c: Seq[Double]) =
+      floor(aggregate(
+        zip_with(col("v"), array(c.map(lit): _*),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0d), (a, d) => a + d) * 1000000d + 0.5d).cast(LongType)
+    val v0 = e.filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0)
+    var cur = e.select(col("vec_id"), col("v"), dq(v0).as("md"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    picks += ((0L, 0L, cur.agg(max(col("md"))).head().getLong(0)))
+    var chosen = Seq(0L)
+    for (r <- 1 until CoresetK) {
+      val p = cur.filter(!col("vec_id").isin(chosen: _*))
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select("vec_id", "v").head()
+      val id = p.getLong(0)
+      cur = cur.select(col("vec_id"), col("v"),
+        least(col("md"), dq(p.getSeq[Double](1))).as("md"))
+        .localCheckpoint()
+      picks += ((r.toLong, id, cur.agg(max(col("md"))).head().getLong(0)))
+      chosen :+= id
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", "vec_id", "radius_qq").orderBy("round")
+  }
+
+  /** Propagation rounds for [[qualityPropagate]]. */
+  private val PropagateRounds = 3
+
+  /** The trusted-source seed set for [[qualityPropagate]]. */
+  private[graft] val TrustedSources: Seq[String] = Seq("src0", "src1")
+
+  /** Seeded quality propagation over the mutual kNN graph (label
+    * spreading, Zhou'04 shape): docs from trusted sources seed at score
+    * 10⁶, everything else at 0, and each round every node moves to the
+    * average of its own seed and its neighborhood mean —
+    * `s' = ⌊(seed + ⌊Σ_nbr s / deg⌋) / 2⌋`, all integer floor
+    * arithmetic. After [[PropagateRounds]] rounds a node's score
+    * measures its embedding-space proximity to trusted content — the
+    * semi-supervised quality signal that labels the 99% of a corpus no
+    * classifier has seen, from the 1% a curator trusts.
+    *
+    * Scale: per round ONE edge-keyed join + map-side-combined sum (the
+    * PageRank contribution shape) against the fenced node frame;
+    * mutual-kNN degree ≤ [[KnnK]] bounds the join fan-out. Scores are
+    * micro-BIGINTs end to end — no float drift across rounds or
+    * engines.
+    */
+  def qualityPropagate(spark: SparkSession, sfDir: String): DataFrame = {
+    val mutual = mutualKnnEdges(spark, sfDir)
+    val und = mutual.select(col("u").as("a"), col("v").as("b"))
+      .union(mutual.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).cast(LongType).as("deg"))
+    val base = emb(spark, sfDir).select(col("vec_id"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("vec_id"),
+        when(col("source").isin(TrustedSources: _*), lit(1000000L))
+          .otherwise(lit(0L)).as("seed_q6"))
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("seed_q6"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint()
+    var s = base.select(col("vec_id"), col("seed_q6").as("score"))
+    for (_ <- 1 to PropagateRounds) {
+      val nbr = und.join(s.withColumnRenamed("vec_id", "b"), "b")
+        .groupBy(col("a").as("vec_id"))
+        .agg(sum(col("score")).as("ssum"))
+      s = base.join(nbr, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("deg") > 0,
+            floor((col("seed_q6")
+              + floor(col("ssum").cast("double") / col("deg")))
+              / 2.0d).cast(LongType))
+            .otherwise(col("seed_q6")).as("score"))
+        .localCheckpoint()
+    }
+    base.join(s, "vec_id")
+      .select(col("vec_id"), col("deg"), col("seed_q6"),
+        col("score").as("score_q6"))
+      .orderBy("vec_id")
+  }
+
   /** Neighborhood size for the margin normalizer in [[bitextMine]]. */
   private val BitextK = 4
 

@@ -163,6 +163,74 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.foreach(r => r.getLong(6) should be <= 16384L)
   }
 
+  test("coreset_kcenter: picks replay a driver-side farthest-point " +
+    "traversal and the coverage radius never grows") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dq(a: Seq[Double], b: Seq[Double]): Long = math.floor(
+      a.zip(b).foldLeft(0.0d) { case (acc, (x, c)) =>
+        acc + (x - c) * (x - c)
+      } * 1000000d + 0.5d).toLong
+    var md = vecs.map { case (id, v) => id -> dq(v, vecs(0L)) }
+    var chosen = Vector(0L)
+    val expect = scala.collection.mutable.ArrayBuffer(
+      (0L, 0L, md.values.max))
+    for (r <- 1 until 8) {
+      val pick = md.filterNot { case (id, _) => chosen.contains(id) }
+        .toSeq.maxBy { case (id, d) => (d, -id) }._1
+      md = md.map { case (id, d) =>
+        id -> math.min(d, dq(vecs(id), vecs(pick)))
+      }
+      chosen :+= pick
+      expect += ((r.toLong, pick, md.values.max))
+    }
+    val out = SimilarityPipeline.coresetKcenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe expect.toSeq
+    // monotone coverage: each pick can only shrink the radius
+    out.map(_._3).sliding(2).foreach { case Array(a, b) =>
+      b should be <= a
+    }
+  }
+
+  test("quality_propagate: trusted seeds keep score 1e6 halves-capped, " +
+    "isolated nodes keep their seed, and scores replay the spreading") {
+    val out = SimilarityPipeline.qualityPropagate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val knn = SimilarityPipeline.knnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    val adj = (mutual.toSeq ++ mutual.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = out.map { case (id, (_, s, _)) => id -> s }
+    var score = seeds
+    for (_ <- 1 to 3) {
+      score = out.keys.map { id =>
+        val nbrs = adj.getOrElse(id, Seq.empty)
+        val s =
+          if (nbrs.isEmpty) seeds(id)
+          else math.floor((seeds(id) + math.floor(
+            nbrs.map(score).sum.toDouble / nbrs.length)) / 2.0d).toLong
+        id -> s
+      }.toMap
+    }
+    out.foreach { case (id, (deg, seed, sc)) =>
+      deg shouldBe adj.getOrElse(id, Seq.empty).size.toLong
+      sc shouldBe score(id)
+      if (deg == 0) sc shouldBe seed
+      sc should be <= 1000000L
+      sc should be >= 0L
+    }
+    // the propagation must actually move mass: some untrusted doc with
+    // trusted neighbors scores above 0
+    out.exists { case (_, (deg, seed, sc)) =>
+      seed == 0L && deg > 0 && sc > 0L
+    } shouldBe true
+  }
+
   test("agg_incremental: the merged history/delta partials equal " +
     "Spark's own single-pass recompute over the full log") {
     val merged = Relational.aggIncremental(spark, sf)
