@@ -71,7 +71,9 @@ object PlanAudit {
     // 1-row corpus-count broadcast (the TF-IDF N normalizer / BM25
     // N+avgdl normalizer / the RRF sides' query broadcasts)
     "index_topk", "index_topk_batch", "bm25_topk", "hybrid_rrf",
-    "ranker_agreement",
+    "ranker_agreement", "rbo_overlap",
+    // 1-row total-occurrence broadcast next to the head sums
+    "zipf_fit",
     // 1-row vocabulary-size broadcast (the Laplace smoothing denominator)
     // resp. the 1-row bigram-types total (the continuation normalizer)
     "lm_bigram", "lm_kneser_ney", "lm_trigram",
@@ -130,7 +132,9 @@ object PlanAudit {
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
-    "ranker_agreement",
+    "ranker_agreement", "rbo_overlap",
+    // <= ZipfTopN-row post-TakeOrdered rank numbering
+    "zipf_fit",
     // calendar-sized date-spine series (rows = span days, independent of
     // data volume) — the dense-spine moving window IS the operator
     "resample_daily",
@@ -694,7 +698,13 @@ object PlanAudit {
     "coreset_kcenter" -> 1,
     // post-fence: final node join + orderBy (each spreading round is a
     // fenced node-sized leaf)
-    "quality_propagate" -> 3)
+    "quality_propagate" -> 3,
+    // both rankers' subtrees (tf agg + df re-derive + per-doc agg each)
+    // + the <= k-row comparison join (the ranker_agreement class)
+    "rbo_overlap" -> 10,
+    // one map-side token count into TakeOrdered + two 1-row aggs; the
+    // count frame is fenced
+    "zipf_fit" -> 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -261,6 +261,10 @@ object SparkEntry {
     // Round 10: trusted-seed label spreading over the mutual kNN graph
     "quality_propagate" -> ((s, d) =>
       SimilarityPipeline.qualityPropagate(s, d)),
+    // Round 10: rank-biased overlap between the two lexical rankers
+    "rbo_overlap" -> ((s, d) => graft.operators.Retrieval.rboOverlap(s, d)),
+    // Round 10: Zipf-law OLS fit over the token frequency head
+    "zipf_fit" -> ((s, d) => TextPipeline.zipfFit(s, d)),
     // Round 6: recall telemetry — recall@k of the two-stage ANN retrieval
     // vs brute force over an (nprobe x over_fetch) grid
     "ann_recall_grid" -> ((s, d) => SimilarityPipeline.annRecallGrid(s, d)),
@@ -2366,6 +2370,10 @@ FROM bs WHERE rn = 1 AND margin_q6 > 1000000 ORDER BY src_id""",
     "coreset_kcenter" -> coresetKcenterOracleSql,
     // generated label-spreading rounds, integer floor arithmetic
     "quality_propagate" -> qualityPropagateOracleSql,
+    // both rankers' scoring CTEs + the same integer RBO weight literals
+    "rbo_overlap" -> graft.operators.Retrieval.rboOverlapOracleSql,
+    // same integer regression sums, same final double expressions
+    "zipf_fit" -> TextPipeline.zipfFitOracleSql,
     // per-source mean-vector distance + norm audit, exact integer sums
     "emb_drift" -> SimilarityPipeline.embDriftOracleSql,
     // same unrolled 32-term Morton interleave, per-bucket boxes

@@ -437,4 +437,106 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
 SELECT query_id, rank, doc_id, n_terms_hit, score FROM r
 WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** RBO depth and persistence for [[rboOverlap]]. */
+  private val RboK = 10
+  private val RboP = 0.9
+
+  /** Per-doc RBO contribution, nano-quantized: a doc appearing in BOTH
+    * top-[[RboK]] lists at ranks (ra, rb) joins every prefix of depth
+    * d ≥ max(ra, rb), contributing `(1−p)·Σ_{d=m}^{K} p^{d−1}/d`,
+    * normalized by the truncation mass `1 − p^K` so two IDENTICAL
+    * top-K lists score exactly 1. The table is computed ONCE here and
+    * embedded as the same BIGINT literals in the Spark plan and the
+    * oracle SQL — no float parsing on either side.
+    */
+  private[graft] val RboWeightsQ9: Seq[Long] = (1 to RboK).map { m =>
+    val w = (1.0 - RboP) *
+      (m to RboK).map(d => math.pow(RboP, d - 1) / d).sum /
+      (1.0 - math.pow(RboP, RboK))
+    math.floor(w * 1000000000d + 0.5d).toLong
+  }
+
+  /** Rank-biased overlap (Webber'10) between the TF-IDF and BM25
+    * top-[[RboK]] rankings — the single-number ranker-swap metric next
+    * to [[rankerAgreement]]'s per-doc diff: top-weighted (rank-1
+    * agreement counts ~[[RboP]]⁰ while rank-10 counts ~p⁹), bounded
+    * [0, 1], truncated at depth K and normalized by `1 − p^K` so two
+    * identical top-K lists score exactly 1. Emits the common-doc count
+    * and rbo_q6.
+    *
+    * Determinism: each common doc's contribution is an integer from
+    * [[RboWeightsQ9]] keyed by max(rank_a, rank_b); the sum is exact
+    * BIGINT at any parallelism; ONE final scale division.
+    *
+    * Scale: both rankers end in TakeOrdered(K); the comparison frame is
+    * ≤ K rows — the metric costs two scans regardless of corpus size.
+    */
+  def rboOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = docs(spark, sfDir)
+    def ranked(df: DataFrame, name: String) = df
+      .withColumn(name, row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col(name))
+    val t = ranked(indexTopKFrom(spark, corpus, QueryTerms, RboK), "ra")
+    val b = ranked(bm25TopKFrom(spark, corpus, QueryTerms, RboK), "rb")
+    val wCol = RboWeightsQ9.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (wq, i)) =>
+        when(greatest(col("ra"), col("rb")) === (i + 1).toLong, lit(wq))
+          .otherwise(acc)
+    }
+    t.join(b, "doc_id")
+      .select(wCol.as("wq"))
+      .agg(count(lit(1)).cast(LongType).as("n_common"),
+        coalesce(sum(col("wq")), lit(0L)).as("swq"))
+      .select(col("n_common"),
+        floor(col("swq").cast("double") / 1000.0d + 0.5d)
+          .cast(LongType).as("rbo_q6"))
+  }
+
+  /** The DuckDB replay of [[rboOverlap]] — both rankers' scoring CTEs
+    * (the [[rankerAgreementOracleSql]] text at k = [[RboK]]) and the
+    * SAME integer weight literals.
+    */
+  private[graft] def rboOverlapOracleSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val cases = RboWeightsQ9.zipWithIndex.map { case (wq, i) =>
+      s"WHEN ${i + 1} THEN CAST($wq AS BIGINT)"
+    }.mkString(" ")
+    s"""WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf1 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t1
+  WHERE term IN ($terms) GROUP BY doc_id, term),
+df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY term),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+s1 AS (SELECT doc_id,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4) AS score
+  FROM tf1 JOIN df1 USING (term), n1 GROUP BY doc_id),
+tr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+  AS ra FROM s1),
+t2 AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+  unnest(string_split(text, ' ')) AS term FROM documents),
+tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t2
+  WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+st2 AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+s2 AS (SELECT doc_id,
+  round(sum(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+    (CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+    (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))), 4)
+    AS score
+  FROM tf2 JOIN df2 USING (term), st2 GROUP BY doc_id),
+br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+  AS rb FROM s2),
+cm AS (SELECT CASE greatest(tr.ra, br.rb) $cases END AS wq
+  FROM tr JOIN br USING (doc_id)
+  WHERE tr.ra <= $RboK AND br.rb <= $RboK)
+SELECT CAST(count(*) AS BIGINT) AS n_common,
+  CAST(floor(CAST(coalesce(sum(wq), 0) AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS rbo_q6
+FROM cm"""
+  }
 }

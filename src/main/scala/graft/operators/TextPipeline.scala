@@ -2589,4 +2589,104 @@ FROM agg, tot ORDER BY n_bands DESC"""
         (col("hi") - col("lo")).cast("int")), " ")).as("middle_md5"))
       .orderBy("doc_id")
   }
+
+  /** Head size for the [[zipfFit]] regression. */
+  private val ZipfTopN = 256
+
+  /** Zipf-law fit of the token frequency distribution — the corpus
+    * health statistic behind tokenizer budgeting and dedup planning: a
+    * natural-language corpus follows `freq ∝ rank^s` with s ≈ −1; a
+    * slope far from −1 flags boilerplate floods (flat head) or
+    * template/spam domination (cliff), and r² measures how lawful the
+    * head is. Fits ordinary least squares of ln(freq) on ln(rank) over
+    * the top-[[ZipfTopN]] tokens; emits slope, intercept and r² in
+    * micro units plus the head/total occurrence masses.
+    *
+    * Determinism: ln values micro-quantize per row, the five regression
+    * sums are exact BIGINTs (every product bounded well under 2⁶³), and
+    * slope/intercept/r² are computed from those integers by identical
+    * double expressions on both engines. Degenerate heads pin exactly:
+    * constant frequencies → r² = 10⁶ (slope 0 fits perfectly), a 1-token
+    * head → slope 0.
+    *
+    * Scale: ONE map-side-combined token count (vocab-sized), a
+    * TakeOrdered top-N (never a global sort), the post-limit rank
+    * window on ≤ N rows, and 1-row aggs — the statistic costs one scan
+    * at any corpus size.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val top = tf.orderBy(col("freq").desc, col("token")).limit(ZipfTopN)
+      // post-limit numbering: <= ZipfTopN rows (the simTopK note)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("token")))
+        .cast(LongType))
+      .select(
+        floor(log(col("rank").cast("double")) * 1000000d + 0.5d)
+          .cast(LongType).as("lx"),
+        floor(log(col("freq").cast("double")) * 1000000d + 0.5d)
+          .cast(LongType).as("ly"),
+        col("freq"))
+    val s = top.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("ly") * col("ly")).as("syy"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("freq")).cast(LongType).as("head_occ"))
+    val a = col("n") * col("sxy") - col("sx") * col("sy")
+    val b = col("n") * col("sxx") - col("sx") * col("sx")
+    val c = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = when(b === 0, lit(0.0d))
+      .otherwise(a.cast("double") / b.cast("double"))
+    s.crossJoin(broadcast(
+        tf.agg(sum(col("freq")).cast(LongType).as("total_occ"))))
+      .select(col("n").as("n_top"), col("head_occ"), col("total_occ"),
+        floor(slope * 1000000d + 0.5d).cast(LongType).as("slope_q6"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(floor((col("sy").cast("double")
+            - slope * col("sx").cast("double")) / col("n").cast("double")
+            + 0.5d).cast(LongType)).as("intercept_q6"),
+        when(c === 0 || b === 0, lit(1000000L))
+          .otherwise(floor(a.cast("double") * a.cast("double")
+            / (b.cast("double") * c.cast("double")) * 1000000d + 0.5d)
+            .cast(LongType)).as("r2_q6"))
+  }
+
+  /** The DuckDB replay of [[zipfFit]] (same integer sums, same final
+    * double expressions).
+    */
+  private[graft] def zipfFitOracleSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok
+  WHERE length(token) > 0 GROUP BY token),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_occ FROM tf),
+top AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM tf ORDER BY freq DESC, token LIMIT $ZipfTopN),
+lxy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+  CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly, freq FROM top),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+  CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(ly * ly) AS BIGINT) AS syy,
+  CAST(sum(lx * ly) AS BIGINT) AS sxy,
+  CAST(sum(freq) AS BIGINT) AS head_occ FROM lxy),
+d AS (SELECT n, sx, sy, head_occ,
+  n * sxy - sx * sy AS a, n * sxx - sx * sx AS b, n * syy - sy * sy AS c
+  FROM s),
+f AS (SELECT n, sx, sy, head_occ, a, b, c,
+  CASE WHEN b = 0 THEN 0.0 ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS slope
+  FROM d)
+SELECT n AS n_top, head_occ, tot.total_occ,
+  CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_q6,
+  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+    ELSE CAST(floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END AS intercept_q6,
+  CASE WHEN c = 0 OR b = 0 THEN CAST(1000000 AS BIGINT)
+    ELSE CAST(floor(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+    END AS r2_q6
+FROM f, tot"""
 }

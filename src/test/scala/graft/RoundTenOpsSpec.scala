@@ -5,7 +5,7 @@ import org.scalatest.matchers.should.Matchers
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, SimilarityPipeline}
+import graft.operators.{Relational, SimilarityPipeline, TextPipeline}
 import graft.sources.Tables
 
 /** Semantic invariants of the round-10 operators that the oracle hash
@@ -229,6 +229,53 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.exists { case (_, (deg, seed, sc)) =>
       seed == 0L && deg > 0 && sc > 0L
     } shouldBe true
+  }
+
+  test("rbo_overlap: bounded in [0, 1e6], and identical rankings give " +
+    "RBO = 1e6 under the same weight table") {
+    val out = graft.operators.Retrieval.rboOverlap(spark, sf).head()
+    out.getLong(0) should be >= 0L
+    out.getLong(1) should be >= 0L
+    out.getLong(1) should be <= 1000000L
+    // the normalized weight table sums to the full-agreement mass: doc
+    // pairs at ranks (d, d) for d = 1..10 score exactly 1
+    val full = graft.operators.Retrieval.RboWeightsQ9.sum
+    math.floor(full.toDouble / 1000.0d + 0.5d).toLong shouldBe 1000000L +- 1L
+  }
+
+  test("zipf_fit: slope/intercept/r2 replay a driver-side OLS over the " +
+    "token head, and the slope is negative (Zipf-shaped)") {
+    val out = TextPipeline.zipfFit(spark, sf).head()
+    val tf = Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS token")
+      .where("length(token) > 0")
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val top = tf.sortBy { case (t, f) => (-f, t) }.take(256)
+    val lx = top.indices.map(i =>
+      math.floor(math.log((i + 1).toDouble) * 1000000d + 0.5d).toLong)
+    val ly = top.map { case (_, f) =>
+      math.floor(math.log(f.toDouble) * 1000000d + 0.5d).toLong
+    }
+    val n = top.length.toLong
+    val (sx, sy) = (lx.sum, ly.sum)
+    val sxx = lx.map(v => v * v).sum
+    val syy = ly.map(v => v * v).sum
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum
+    val a = n * sxy - sx * sy
+    val b = n * sxx - sx * sx
+    val c = n * syy - sy * sy
+    val slope = a.toDouble / b.toDouble
+    out.getLong(0) shouldBe n
+    out.getLong(1) shouldBe top.map(_._2).sum
+    out.getLong(2) shouldBe tf.map(_._2).sum
+    out.getLong(3) shouldBe math.floor(slope * 1000000d + 0.5d).toLong
+    out.getLong(4) shouldBe math.floor(
+      (sy.toDouble - slope * sx.toDouble) / n.toDouble + 0.5d).toLong
+    out.getLong(5) shouldBe math.floor(
+      a.toDouble * a.toDouble / (b.toDouble * c.toDouble) * 1000000d
+        + 0.5d).toLong
+    out.getLong(3) should be < 0L
   }
 
   test("agg_incremental: the merged history/delta partials equal " +
