@@ -685,9 +685,10 @@ object PlanAudit {
     // post-fence: two candidate-bounded rank windows + their keyed sums
     // + two joins back + the per-source argmax window + orderBy
     "bitext_mine" -> 8,
-    // post-fence: core-deg keyed agg + three node-sized left joins +
-    // orderBy (the peel rounds are fenced node-sized leaves)
-    "knn_kcore" -> 9,
+    // post-fence: the final delta-decrement probe + core join + two
+    // node-sized left joins + orderBy (the peel rounds are fenced
+    // node-sized leaves; the b-partitioned edge leaf never re-shuffles)
+    "knn_kcore" -> 6,
     // (source, dim) keyed agg + #sources mean rollup + 1-row corpus
     // mean + doc-sized norm agg + join + orderBy
     "emb_drift" -> 6,

@@ -593,16 +593,18 @@ mu AS MATERIALIZED (SELECT f.vec_id AS u, f.nbr_id AS v
 
   /** Generated unrolled peeling rounds mirroring
     * SimilarityPipeline.knnKcore round-for-round (initial degree filter
-    * s0, then 8 refinements s1..s8; AS MATERIALIZED because every round
-    * references its predecessor and `und` — DuckDB would otherwise
-    * inline exponentially, the graph_hits lesson).
+    * ps0, then KCoreRounds refinements; AS MATERIALIZED because every
+    * round references its predecessor and `und` — DuckDB would
+    * otherwise inline exponentially, the graph_hits lesson).
     */
   private def knnKcoreOracleSql: String = {
-    val rounds = (1 to 8).map { i =>
+    val kcR = graft.operators.SimilarityPipeline.KCoreRounds
+    val kcK = graft.operators.SimilarityPipeline.KCoreK
+    val rounds = (1 to kcR).map { i =>
       val p = s"ps${i - 1}"
       s"""pd$i AS MATERIALIZED (SELECT und.a AS node, count(*) AS deg FROM und
   JOIN $p x ON und.a = x.node JOIN $p y ON und.b = y.node GROUP BY und.a),
-ps$i AS MATERIALIZED (SELECT node FROM pd$i WHERE deg >= 3)"""
+ps$i AS MATERIALIZED (SELECT node FROM pd$i WHERE deg >= $kcK)"""
     }.mkString(",\n")
     s"""WITH
 $mutualKnnCtes,
@@ -610,16 +612,16 @@ und AS MATERIALIZED (SELECT u AS a, v AS b FROM mu
   UNION ALL SELECT v AS a, u AS b FROM mu),
 pd0 AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
   FROM und GROUP BY a),
-ps0 AS MATERIALIZED (SELECT node FROM pd0 WHERE deg >= 3),
+ps0 AS MATERIALIZED (SELECT node FROM pd0 WHERE deg >= $kcK),
 $rounds,
 cd AS (SELECT und.a AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
-  FROM und JOIN ps8 x ON und.a = x.node JOIN ps8 y ON und.b = y.node
+  FROM und JOIN ps$kcR x ON und.a = x.node JOIN ps$kcR y ON und.b = y.node
   GROUP BY und.a)
 SELECT ek.vec_id, CAST(coalesce(pd0.deg, 0) AS BIGINT) AS deg,
-  (ps8.node IS NOT NULL) AS in_core,
+  (ps$kcR.node IS NOT NULL) AS in_core,
   CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
 FROM ek LEFT JOIN pd0 ON ek.vec_id = pd0.node
-LEFT JOIN ps8 ON ek.vec_id = ps8.node
+LEFT JOIN ps$kcR ON ek.vec_id = ps$kcR.node
 LEFT JOIN cd ON ek.vec_id = cd.vec_id
 ORDER BY ek.vec_id"""
   }

@@ -1809,9 +1809,13 @@ nr AS (SELECT source,
 SELECT dr.source, dr.n_vecs, dr.drift_qq, nr.avg_norm2_q6
 FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
 
-  /** Core threshold and fixed peeling rounds for [[knnKcore]]. */
-  private val KCoreK = 3
-  private val KCoreRounds = 8
+  /** Core threshold and fixed peeling rounds for [[knnKcore]] — the
+    * budget is measured fixpoint depth + headroom (sf0.001 converges in
+    * ≤ 6 filter applications, sf0.01 in 13); with delta peeling a
+    * converged round costs one empty probe, so headroom is ~free.
+    */
+  private[graft] val KCoreK = 3
+  private[graft] val KCoreRounds = 14
 
   /** k-core of the mutual kNN graph (k = [[KCoreK]]) by iterative
     * peeling: repeatedly drop nodes whose degree WITHIN the surviving
@@ -1830,40 +1834,68 @@ FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
     * SF. At 100 TB the loop runs with the CC family's convergence
     * detector instead of a fixed unroll.
     *
-    * Scale: each round is two semi-joins of the (fenced, node-sized)
-    * survivor set onto the edge leaf plus one map-side-combined keyed
-    * count — mutual-kNN degree ≤ [[KnnK]] bounds every frame; the edge
-    * leaf shuffles once and every round reuses it.
+    * Scale — DELTA peeling, the formulation whose total work is O(m)
+    * across ALL rounds: instead of recomputing every survivor's degree
+    * against the full edge frame each round, a round touches only the
+    * edges INCIDENT TO JUST-REMOVED nodes (`undByB ⋈ removed`, a
+    * removal-sized probe into the b-partitioned checkpointed edge leaf)
+    * and decrements the fenced node-sized degree frame — so a converged
+    * graph costs nothing per extra round, and the whole peel moves each
+    * edge at most once per endpoint removal. The edge leaf is captured
+    * pre-partitioned by b with AQE off (the Graph.buildEdgeArtifacts
+    * recipe) so NO round re-shuffles it.
     */
   def knnKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
     val mutual = mutualKnnEdges(spark, sfDir)
-    val und = mutual.select(col("u").as("a"), col("v").as("b"))
-      .union(mutual.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
-    val deg0 = und.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).cast(LongType).as("deg"))
-      .localCheckpoint()
-    var alive = deg0.filter(col("deg") >= KCoreK).select("node")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark0.conf.get(aqeKey, "true")
+    spark0.conf.set(aqeKey, "false")
+    val (undByB, deg0) =
+      try {
+        val u = mutual.select(col("u").as("a"), col("v").as("b"))
+          .union(mutual.select(col("v").as("a"), col("u").as("b")))
+          .repartition(col("b")).sortWithinPartitions("b")
+          .localCheckpoint()
+        val d = u.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).cast(LongType).as("deg"))
+          .localCheckpoint()
+        (u, d)
+      } finally spark0.conf.set(aqeKey, aqeWas)
+    // round 0: split the degree frame into survivors and removals
+    var degAlive = deg0.filter(col("deg") >= KCoreK).localCheckpoint()
+    var removed = deg0.filter(col("deg") < KCoreK).select("node")
       .localCheckpoint()
     for (_ <- 1 to KCoreRounds) {
-      alive = und
-        .join(alive.select(col("node").as("a")), "a")
-        .join(alive.select(col("node").as("b")), "b")
+      // edges whose b endpoint was just removed, per surviving a:
+      // removal-sized probe, never a full-edge shuffle
+      val dec = undByB
+        .join(removed.select(col("node").as("b")), "b")
         .groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("d"))
-        .filter(col("d") >= KCoreK).select("node")
+        .agg(count(lit(1)).cast(LongType).as("dec"))
+      val updated = degAlive
+        .join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
+      removed = updated.filter(col("deg") < KCoreK).select("node")
+        .localCheckpoint()
+      degAlive = updated.filter(col("deg") >= KCoreK).localCheckpoint()
     }
-    val coreDeg = und
-      .join(alive.select(col("node").as("a")), "a")
-      .join(alive.select(col("node").as("b")), "b")
-      .groupBy(col("a").as("vec_id"))
-      .agg(count(lit(1)).cast(LongType).as("core_deg"))
+    // core_deg counts within the FINAL survivor set: one more delta
+    // decrement for the last round's removals (a no-op when converged)
+    val decF = undByB
+      .join(removed.select(col("node").as("b")), "b")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast(LongType).as("dec"))
+    val core = degAlive.join(decF, Seq("node"), "left")
+      .select(col("node"),
+        (col("deg") - coalesce(col("dec"), lit(0L))).as("core_deg"))
     emb(spark, sfDir).select(col("vec_id"))
       .join(deg0.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-      .join(alive.withColumnRenamed("node", "vec_id")
-        .withColumn("in_core", lit(true)), Seq("vec_id"), "left")
-      .join(coreDeg, Seq("vec_id"), "left")
+      .join(core.select(col("node").as("vec_id"),
+        lit(true).as("in_core"), col("core_deg")),
+        Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("deg"), lit(0L)).as("deg"),
         coalesce(col("in_core"), lit(false)).as("in_core"),
@@ -1944,16 +1976,25 @@ FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
     * classifier has seen, from the 1% a curator trusts.
     *
     * Scale: per round ONE edge-keyed join + map-side-combined sum (the
-    * PageRank contribution shape) against the fenced node frame;
-    * mutual-kNN degree ≤ [[KnnK]] bounds the join fan-out. Scores are
-    * micro-BIGINTs end to end — no float drift across rounds or
-    * engines.
+    * PageRank contribution shape) against the fenced node frame; the
+    * edge leaf is captured pre-partitioned by the join key with AQE off
+    * (the Graph.buildEdgeArtifacts recipe), so every round's score join
+    * shuffles only the node-sized score frame — the edge frame never
+    * re-shuffles. Mutual-kNN degree ≤ [[KnnK]] bounds the contribution
+    * fan-out. Scores are micro-BIGINTs end to end — no float drift
+    * across rounds or engines.
     */
   def qualityPropagate(spark: SparkSession, sfDir: String): DataFrame = {
     val mutual = mutualKnnEdges(spark, sfDir)
-    val und = mutual.select(col("u").as("a"), col("v").as("b"))
-      .union(mutual.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    val und =
+      try mutual.select(col("u").as("a"), col("v").as("b"))
+        .union(mutual.select(col("v").as("a"), col("u").as("b")))
+        .repartition(col("b")).sortWithinPartitions("b")
+        .localCheckpoint()
+      finally spark.conf.set(aqeKey, aqeWas)
     val deg = und.groupBy(col("a").as("vec_id"))
       .agg(count(lit(1)).cast(LongType).as("deg"))
     val base = emb(spark, sfDir).select(col("vec_id"))

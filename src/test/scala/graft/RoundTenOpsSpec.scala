@@ -66,7 +66,7 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("knn_kcore: membership matches a driver-side peel to " +
-    "convergence (the fixed 8 rounds are past the fixpoint)") {
+    "convergence (the fixed round budget is past the fixpoint)") {
     val knn = SimilarityPipeline.knnGraph(spark, sf)
       .select("vec_id", "nbr_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -84,7 +84,8 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       rounds += 1
     }
     // peeling must converge within the engine's fixed round budget
-    rounds should be <= 9 // initial filter + 8 refinements
+    // (sf0.01 measured at 13 filter applications; budget is 1 + 14)
+    rounds should be <= 15
     val out = SimilarityPipeline.knnKcore(spark, sf).collect()
     val coreDeg = (mutual.toSeq ++ mutual.toSeq.map(_.swap))
       .filter { case (a, b) => alive(a) && alive(b) }
