@@ -143,6 +143,26 @@ object Bench {
         stableShuffleBytes() - b0)
     }
 
+    // Same discipline for the shared mutual-kNN edge leaf
+    // (SimilarityPipeline.mutualKnnEdges): knn_triangles, knn_kcore and
+    // quality_propagate measure warm-cache; the kmeans + kNN build is
+    // charged to this line.
+    val knnEdgeBuild = {
+      val b0 = stableShuffleBytes()
+      val t0 = System.nanoTime()
+      val err =
+        try {
+          graft.operators.SimilarityPipeline
+            .warmMutualKnnEdges(spark, sfDir)
+          None
+        } catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      ("knn_edge_build", secs, err, None: Option[Int],
+        stableShuffleBytes() - b0)
+    }
+
     // Three measured runs per query, keep the MEDIAN, with a GC quiesce
     // before each run: local[32] timings carry multi-second scheduler/GC/JIT
     // noise across a 56-query JVM, and round 3's min-of-2 still let one
@@ -200,15 +220,15 @@ object Bench {
         (name, clean(clean.size / 2), e2.orElse(e3), exch, shufB)
       }
     }
-    val qs = (graphBuild +: clusterBuild +: results).map {
+    val qs = (graphBuild +: clusterBuild +: knnEdgeBuild +: results).map {
       case (k, v, None, Some(x), b) =>
         s""""$k":{"s":$v,"exchanges":$x,"shuffle_bytes":$b}"""
       case (k, v, None, None, b) => s""""$k":{"s":$v,"shuffle_bytes":$b}"""
       case (k, _, Some(e), _, _) => s""""$k":{"err":"${esc(e)}"}"""
     }.mkString("{", ",", "}")
-    val total = (graphBuild +: clusterBuild +: results)
+    val total = (graphBuild +: clusterBuild +: knnEdgeBuild +: results)
       .collect { case (_, v, None, _, _) => v }.sum
-    val nErr = (graphBuild +: clusterBuild +: results).count(_._3.isDefined)
+    val nErr = (graphBuild +: clusterBuild +: knnEdgeBuild +: results).count(_._3.isDefined)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -1652,18 +1652,39 @@ FROM g ORDER BY label"""
     * the closing join from the same leaf.
     */
   /** The mutual (both-directions) kNN edge set, one row per undirected
-    * edge with `u < v`, fenced — shared leaf of [[knnTriangles]] and
-    * [[knnKcore]].
+    * edge with `u < v`, fenced and CACHED per (application, sfDir) —
+    * shared leaf of [[knnTriangles]], [[knnKcore]] and
+    * [[qualityPropagate]], each of which would otherwise re-run the
+    * kmeans + cluster-blocked kNN chain from scratch (the
+    * Graph.sharedEdges / sharedClusterLabels session-artifact recipe).
+    * `graft.Bench` warms it explicitly and reports the build as its own
+    * `knn_edge_build` line so no query's number silently absorbs or
+    * escapes the one-time cost.
     */
+  private val mutualEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+
   private def mutualKnnEdges(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
-      col("nbr_id").as("b")).localCheckpoint()
-    d.as("f").join(d.as("g"),
-        col("f.a") === col("g.b") && col("f.b") === col("g.a"))
-      .filter(col("f.a") < col("f.b"))
-      .select(col("f.a").as("u"), col("f.b").as("v"))
-      .localCheckpoint()
+      sfDir: String): DataFrame = mutualEdgeCache.synchronized {
+    val appId = spark.sparkContext.applicationId
+    mutualEdgeCache.keySet.removeIf(_._1 != appId)
+    mutualEdgeCache.computeIfAbsent((appId, sfDir), _ => {
+      val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
+        col("nbr_id").as("b")).localCheckpoint()
+      d.as("f").join(d.as("g"),
+          col("f.a") === col("g.b") && col("f.b") === col("g.a"))
+        .filter(col("f.a") < col("f.b"))
+        .select(col("f.a").as("u"), col("f.b").as("v"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Build the shared mutual-kNN edge leaf NOW (no-op when cached) —
+    * the explicit warm hook for `graft.Bench`.
+    */
+  def warmMutualKnnEdges(spark: SparkSession, sfDir: String): Unit = {
+    mutualKnnEdges(spark, sfDir)
+    ()
   }
 
   def knnTriangles(spark: SparkSession, sfDir: String): DataFrame = {
