@@ -61,8 +61,8 @@ object PlanAudit {
     // signature table (one row per source)
     "source_overlap_sketch",
     // per-axis 1-row n_left/n_right count broadcasts onto the 1-row
-    // cardinality rollup
-    "join_cardinality",
+    // cardinality rollup (plan_advisor projects the same tree)
+    "join_cardinality", "plan_advisor",
     // 1-row corpus-mean array broadcast onto the #sources-row frame
     "emb_drift",
     // #langs x #langs pair-axis frame (the ann_recall_grid tiny-frame
@@ -651,6 +651,8 @@ object PlanAudit {
     // 5 axes x (2 keyed counts + count-frame join + 1-row rollup +
     // 1-row side counts) + union orderBy
     "join_cardinality" -> 25,
+    // the join_cardinality tree + the stateless rule projection
+    "plan_advisor" -> 25,
     // one stateless langid scan + the #langs^2 agg + its tiny share
     // window + orderBy
     "lang_confusion" -> 3,

@@ -460,6 +460,10 @@ object SparkEntry {
       graft.operators.PlannerTelemetry.skewReport(s, d)),
     "join_cardinality" -> ((s, d) =>
       graft.operators.PlannerTelemetry.joinCardinality(s, d)),
+    // Round 10: the decision layer — broadcast/salt/pre-agg/shuffle
+    // chosen by exact integer rules over the keyed-count estimates
+    "plan_advisor" -> ((s, d) =>
+      graft.operators.PlannerTelemetry.planAdvisor(s, d)),
     // numeric-shape drift: PSI over length-histogram bins
     "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
@@ -3409,6 +3413,9 @@ FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
     // exact equi-join output cardinality from keyed counts
     "join_cardinality" ->
       graft.operators.PlannerTelemetry.joinCardinalityOracleSql,
+    // the same integer rule ladder over the cardinality body
+    "plan_advisor" ->
+      graft.operators.PlannerTelemetry.planAdvisorOracleSql,
     // the text_lang_id panels aggregated into a confusion matrix
     "lang_confusion" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

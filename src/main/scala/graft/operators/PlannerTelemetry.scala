@@ -130,8 +130,65 @@ FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""
     axes.reduce(_.unionByName(_)).orderBy("axis")
   }
 
+  /** Broadcast threshold for [[planAdvisor]] — rows, standing in for
+    * `spark.sql.autoBroadcastJoinThreshold` bytes (the advisor works in
+    * exact row counts; a deployment multiplies by row width).
+    */
+  private val BroadcastRows = 100000L
+
+  /** The planner decision layer on top of [[joinCardinality]]: per
+    * canonical join axis, the strategy the exact numbers dictate,
+    * decided by the same rules a 100 TB engine room applies —
+    *
+    *  - `broadcast_smaller` when either side fits the broadcast budget
+    *    (no shuffle at all);
+    *  - `salt_hot_keys` when one key contributes > 1/5 of the join
+    *    output (AQE can split a skewed PARTITION, but a single hot KEY
+    *    still lands in one task — salting is the remedy);
+    *  - `pre_aggregate` when the join output explodes past 4× its
+    *    inputs (push the downstream aggregation through the join);
+    *  - `shuffle_hash` otherwise (both big, benign — the default).
+    *
+    * All comparisons are exact integer arithmetic on the keyed-count
+    * estimates, so the decision is deterministic and oracle-replayable
+    * — the point being that broadcast/salt/pre-agg decisions at 100 TB
+    * should come from measured counts, not guesses.
+    */
+  def planAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val jc = joinCardinality(spark, sfDir)
+    jc.select(col("axis"), col("n_left"), col("n_right"),
+      col("join_rows"), col("max_key_rows"),
+      when(least(col("n_left"), col("n_right")) <= BroadcastRows,
+        lit("broadcast_smaller"))
+        .when(col("max_key_rows") * 5 > col("join_rows"),
+          lit("salt_hot_keys"))
+        .when(col("join_rows") > (col("n_left") + col("n_right")) * 4,
+          lit("pre_aggregate"))
+        .otherwise(lit("shuffle_hash")).as("strategy"))
+      .orderBy("axis")
+  }
+
+  /** The DuckDB replay of [[planAdvisor]] (same integer rule ladder
+    * over the [[joinCardinalityOracleSql]] body).
+    */
+  private[graft] def planAdvisorOracleSql: String =
+    s"""SELECT axis, n_left, n_right, join_rows, max_key_rows,
+  CASE
+    WHEN least(n_left, n_right) <= $BroadcastRows THEN 'broadcast_smaller'
+    WHEN max_key_rows * 5 > join_rows THEN 'salt_hot_keys'
+    WHEN join_rows > (n_left + n_right) * 4 THEN 'pre_aggregate'
+    ELSE 'shuffle_hash' END AS strategy
+FROM ($joinCardinalityBodySql)
+ORDER BY axis"""
+
   /** The DuckDB replay of [[joinCardinality]]. */
-  private[graft] def joinCardinalityOracleSql: String = {
+  private[graft] def joinCardinalityOracleSql: String =
+    s"$joinCardinalityBodySql\nORDER BY axis"
+
+  /** [[joinCardinalityOracleSql]] without the final ORDER BY — reused
+    * as the subquery of [[planAdvisorOracleSql]].
+    */
+  private def joinCardinalityBodySql: String = {
     def axisSql(name: String, lt: String, lk: String, rt: String,
         rk: String): String =
       s"""SELECT '$name' AS axis,
@@ -153,6 +210,6 @@ JOIN (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS n_r FROM $rt GROUP BY 1) rc 
         "documents", "lang"),
       axisSql("events*events.user_id", "events", "user_id",
         "events", "user_id"))
-      .mkString("", "\nUNION ALL\n", "\nORDER BY axis")
+      .mkString("\nUNION ALL\n")
   }
 }

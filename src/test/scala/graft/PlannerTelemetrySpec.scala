@@ -40,6 +40,29 @@ class PlannerTelemetrySpec extends AnyFunSuite with Matchers
       selfAxis.getAs[Long]("n_left")
   }
 
+  test("plan_advisor applies the documented rule ladder to the " +
+    "cardinality rows") {
+    val jc = PlannerTelemetry.joinCardinality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val adv = PlannerTelemetry.planAdvisor(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    adv.keySet shouldBe jc.keySet
+    jc.foreach { case (axis, r) =>
+      val (nl, nr, jr, mk) = (r.getAs[Long]("n_left"),
+        r.getAs[Long]("n_right"), r.getAs[Long]("join_rows"),
+        r.getAs[Long]("max_key_rows"))
+      val want =
+        if (math.min(nl, nr) <= 100000L) "broadcast_smaller"
+        else if (mk * 5 > jr) "salt_hot_keys"
+        else if (jr > (nl + nr) * 4) "pre_aggregate"
+        else "shuffle_hash"
+      adv(axis) shouldBe want
+    }
+    // at test SFs every side fits the broadcast budget — the ladder's
+    // first rung must fire everywhere
+    adv.values.toSet shouldBe Set("broadcast_smaller")
+  }
+
   test("skew report matches directly computed key frequencies") {
     val rows = PlannerTelemetry.skewReport(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
