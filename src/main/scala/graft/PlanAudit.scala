@@ -653,6 +653,9 @@ object PlanAudit {
     "join_cardinality" -> 25,
     // the join_cardinality tree + the stateless rule projection
     "plan_advisor" -> 25,
+    // four doc-sized presence left-joins on fenced stage leaves +
+    // orderBy (no stage re-executes)
+    "curation_trace" -> 9,
     // one stateless langid scan + the #langs^2 agg + its tiny share
     // window + orderBy
     "lang_confusion" -> 3,

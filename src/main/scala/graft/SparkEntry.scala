@@ -330,6 +330,9 @@ object SparkEntry {
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
+    // Round 10: per-doc lineage — the first stage that rejected each doc
+    "curation_trace" -> ((s, d) =>
+      graft.operators.CurationProgram.curationTrace(s, d)),
     // divergence localizer: one in-engine md5 per curation_program column
     // (values digested in doc_id order INSIDE each engine, so a driver
     // hash mismatch on the main query names its divergent column here)
@@ -2809,6 +2812,22 @@ SELECT doc_id, source, lang, n_tokens,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
+    // per-doc lineage: first rejecting stage via presence left-joins on
+    // the same stage CTEs (all-BIGINT/VARCHAR surface)
+    "curation_trace" ->
+      s"""WITH $curationCtes
+SELECT q.doc_id, q.source, q.lang, q.n_tokens,
+  CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  CASE WHEN g.doc_id IS NULL THEN 'quality_gate'
+    WHEN d.doc_id IS NULL THEN 'dedup_exact'
+    WHEN c.doc_id IS NULL THEN 'domain_cap'
+    WHEN f.doc_id IS NULL THEN 'token_budget'
+    ELSE 'admitted' END AS outcome
+FROM q LEFT JOIN g ON q.doc_id = g.doc_id
+LEFT JOIN d ON q.doc_id = d.doc_id
+LEFT JOIN c ON q.doc_id = c.doc_id
+LEFT JOIN f ON q.doc_id = f.doc_id
+ORDER BY q.doc_id""",
     // round-10 A/B twin: byte-identical SQL under the fresh name (see
     // the queries-map comment on curation_manifest)
     "curation_manifest" ->

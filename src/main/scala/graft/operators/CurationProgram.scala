@@ -127,4 +127,40 @@ object CurationProgram {
       .unionByName(stage(5, "budgeted", st.budgeted))
       .orderBy("stage_no")
   }
+
+  /** The per-document lineage trace — for EVERY ingested doc, the first
+    * stage that rejected it (or `admitted`): the answer to "why is doc
+    * X not in the training set", which the funnel's aggregate counts
+    * cannot give. One row per corpus doc with its stage coordinates and
+    * outcome — all-BIGINT/VARCHAR surface (the manifest's hash-red
+    * lesson).
+    *
+    * Scale: four doc-sized presence joins against the already-fenced
+    * stage frames (no stage re-executes; `run` fences each) — the trace
+    * costs joins on doc_id only, never a second text scan.
+    */
+  def curationTrace(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, k: Int = 30, budget: Long = 2000)
+      : DataFrame =
+    curationTraceFrom(docs(spark, sfDir), minQuality, k, budget)
+
+  def curationTraceFrom(corpus: DataFrame, minQuality: Double = 0.5,
+      k: Int = 30, budget: Long = 2000): DataFrame = {
+    val st = run(corpus, minQuality, k, budget)
+    def ids(df: DataFrame, flag: String): DataFrame =
+      df.select(col("doc_id")).withColumn(flag, lit(true))
+    st.base
+      .join(ids(st.gated, "in_g"), Seq("doc_id"), "left")
+      .join(ids(st.deduped, "in_d"), Seq("doc_id"), "left")
+      .join(ids(st.capped, "in_c"), Seq("doc_id"), "left")
+      .join(ids(st.budgeted, "in_b"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        floor(col("quality") * 10000d + 0.5d).cast("long").as("quality_q4"),
+        when(col("in_g").isNull, "quality_gate")
+          .when(col("in_d").isNull, "dedup_exact")
+          .when(col("in_c").isNull, "domain_cap")
+          .when(col("in_b").isNull, "token_budget")
+          .otherwise("admitted").as("outcome"))
+      .orderBy("doc_id")
+  }
 }

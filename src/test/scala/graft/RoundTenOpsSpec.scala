@@ -279,6 +279,22 @@ class RoundTenOpsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.getLong(3) should be < 0L
   }
 
+  test("curation_trace: per-doc outcomes reconcile exactly with the " +
+    "funnel's per-stage survivor counts") {
+    val trace = graft.operators.CurationProgram.curationTrace(spark, sf)
+      .groupBy("outcome").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val funnel = graft.operators.CurationProgram.curationFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    trace("quality_gate") shouldBe funnel("ingest") - funnel("gated")
+    trace("dedup_exact") shouldBe funnel("gated") - funnel("deduped")
+    trace("domain_cap") shouldBe funnel("deduped") - funnel("capped")
+    trace("token_budget") shouldBe funnel("capped") - funnel("budgeted")
+    trace("admitted") shouldBe funnel("budgeted")
+    trace.values.sum shouldBe funnel("ingest")
+  }
+
   test("agg_incremental: the merged history/delta partials equal " +
     "Spark's own single-pass recompute over the full log") {
     val merged = Relational.aggIncremental(spark, sf)
