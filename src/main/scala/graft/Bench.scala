@@ -103,64 +103,64 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
 
-    // Warm the shared graph edge artifacts EXPLICITLY and report the
-    // build as its own line item: the exchange pre-pass below constructs
-    // each query's DataFrame before its timed runs, which for graph
-    // queries would otherwise build the checkpointed edge leaves during
-    // the UNTIMED planning phase — the build's seconds and shuffle bytes
-    // would be charged to nobody (and per-round comparisons against
-    // pre-cache rounds would flatter the graph queries).
-    val graphBuild = {
+    // JIT/shuffle-stack warm-up BEYOND the trivial region agg above: the
+    // three shared-artifact builds below are each timed ONCE, FIRST, and
+    // before round 11 they ran in a cold-JIT JVM — BENCH_r10 charged
+    // dedup_cluster_build 17.86 s for a build that measures 4.1-4.8 s in
+    // any warm or isolated JVM (and round 9 burned an investigation on
+    // the same artifact class with graph_hits). One representative
+    // shuffling/codegen-heavy pass over the real tables (hash agg +
+    // sort-merge-join + md5/window codegen paths) brings the JVM to the
+    // same state the median-of-3 queries enjoy, WITHOUT touching the
+    // shared caches the build lines are supposed to pay for.
+    {
+      import org.apache.spark.sql.functions._
+      val d = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"))
+      d.groupBy("lang").agg(count(lit(1)), sum(col("n_chars")))
+        .write.format("noop").mode("overwrite").save()
+      d.select(col("doc_id"), col("h"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // Shared-artifact builds, each reported as its own line item: the
+    // exchange pre-pass below constructs each query's DataFrame before
+    // its timed runs, which would otherwise build the checkpointed
+    // leaves during the UNTIMED planning phase — the build's seconds and
+    // shuffle bytes would be charged to nobody (and per-round
+    // comparisons against pre-cache rounds would flatter the consumers).
+    // Builds get the SAME quiesce discipline as the timed queries
+    // (System.gc() + shuffle-counter quiesce before the clock starts);
+    // they cannot get median-of-3 — a re-run would hit the cache they
+    // just filled — so the warm-up above stands in for the JIT half.
+    def buildLine(name: String)(body: => Unit)
+        : (String, Double, Option[String], Option[Int], Long) = {
+      System.gc()
       val b0 = stableShuffleBytes()
       val t0 = System.nanoTime()
       val err =
-        try { graft.operators.Graph.warmSharedEdges(spark, sfDir); None }
+        try { body; None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      ("graph_edge_build", secs, err, None: Option[Int],
-        stableShuffleBytes() - b0)
+      (name, secs, err, None: Option[Int], stableShuffleBytes() - b0)
     }
 
-    // Same discipline for the shared dedup cluster-label leaf
-    // (TextPipeline.sharedClusterLabels): dedup_clusters and
-    // canonical_select each re-ran the full dedup+CC chain before round
-    // 10; now the one-time build is charged to its own line and the two
-    // queries measure warm-cache.
-    val clusterBuild = {
-      val b0 = stableShuffleBytes()
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          graft.operators.TextPipeline.warmSharedClusterLabels(spark, sfDir)
-          None
-        } catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      ("dedup_cluster_build", secs, err, None: Option[Int],
-        stableShuffleBytes() - b0)
+    val graphBuild = buildLine("graph_edge_build") {
+      graft.operators.Graph.warmSharedEdges(spark, sfDir)
     }
-
-    // Same discipline for the shared mutual-kNN edge leaf
-    // (SimilarityPipeline.mutualKnnEdges): knn_triangles, knn_kcore and
-    // quality_propagate measure warm-cache; the kmeans + kNN build is
-    // charged to this line.
-    val knnEdgeBuild = {
-      val b0 = stableShuffleBytes()
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          graft.operators.SimilarityPipeline
-            .warmMutualKnnEdges(spark, sfDir)
-          None
-        } catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      ("knn_edge_build", secs, err, None: Option[Int],
-        stableShuffleBytes() - b0)
+    // dedup_clusters and canonical_select measure warm-cache; the one-time
+    // dedup+CC chain is charged here (round-10 discipline).
+    val clusterBuild = buildLine("dedup_cluster_build") {
+      graft.operators.TextPipeline.warmSharedClusterLabels(spark, sfDir)
+    }
+    // knn_triangles/knn_kcore/quality_propagate measure warm-cache; the
+    // kmeans + kNN build is charged here.
+    val knnEdgeBuild = buildLine("knn_edge_build") {
+      graft.operators.SimilarityPipeline.warmMutualKnnEdges(spark, sfDir)
     }
 
     // Three measured runs per query, keep the MEDIAN, with a GC quiesce

@@ -190,6 +190,79 @@ object PlanAudit {
   private val tokenishRef =
     """(?:^|[\s(,])(?:token|nxt|w1|w2|w3|gram|shingle|fingerprint|term|piece|word)#\d+""".r
 
+  /** Count of SORT windows partitioned by a single stratum-key column
+    * alone (lang/source/kind/label/split/event_type) — the sample_fixed_k
+    * class of round 10's last perf-weak finding: `row_number()/rank()/
+    * running-sum OVER (PARTITION BY lang ORDER BY ...)` on a doc-sized
+    * frame funnels the dominant language's ENTIRE document set through
+    * one window task at 10⁹ docs (WindowExec has no partial aggregation
+    * and AQE cannot split a window partition). The scale-safe form is the
+    * two-level machinery ([[graft.operators.TextPipeline]]'s rankPerKey /
+    * firstKPerKey / sharded cumsum), whose only key-alone windows run
+    * over the TINY per-(key, bucket) offsets table and are recognizable
+    * by their `_rb`/`shard` leading order column — those are excluded
+    * here, so this counts exactly the corpus-sized offenders.
+    */
+  def stratumKeyedSortWindowCount(plan: String): Int = {
+    val marker = "windowspecdefinition("
+    var idx = plan.indexOf(marker)
+    var n = 0
+    while (idx >= 0) {
+      val start = idx + marker.length
+      val rest = plan.substring(start, math.min(plan.length, start + 600))
+      val cutAsc = Seq(rest.indexOf(" ASC"), rest.indexOf(" DESC"))
+        .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      if (cutAsc >= 0) { // sort window (an order clause exists)
+        val head = rest.substring(0, cutAsc).split(",").toSeq
+        val partitionCols = head.dropRight(1).map(_.trim)
+        val firstOrderCol = head.last.trim
+        val boundedOffsetsOrder =
+          firstOrderCol.startsWith("_rb#") || firstOrderCol.startsWith("shard#") ||
+            firstOrderCol.startsWith("_sh#") // Preference.withNext's shard-firsts lead
+        if (partitionCols.size == 1 &&
+          stratumRef.findFirstIn(partitionCols.head).isDefined &&
+          !boundedOffsetsOrder)
+          n += 1
+      }
+      idx = plan.indexOf(marker, start)
+    }
+    n
+  }
+
+  /** A plan attribute reference whose NAME marks a low-cardinality
+    * stratum key — the partition keys whose single-key windows serialize
+    * a whole stratum into one task. Anchored like [[tokenishRef]].
+    */
+  private val stratumRef =
+    """^(?:lang|source|kind|label|split|event_type)#\d+""".r
+
+  /** Queries whose single-stratum-key sort window is PROVABLY bounded —
+    * each runs over a frame whose per-key row count is independent of
+    * corpus volume (post-shard survivor frames, dim-sized spectra,
+    * calendar-sized spines). A NEW query planning a stratum-keyed sort
+    * window over corpus-sized input fails PlanAuditSpec unless its bound
+    * is documented here.
+    */
+  val stratumWindowWhitelist: Map[String, String] = Map(
+    "weighted_sample" ->
+      "phase-2 rank over the #shards x k shard-winner survivor frame",
+    "emb_eff_rank" ->
+      "per-label eigenspectrum windows over 64 dim-sized rows per label",
+    "metric_anomaly" ->
+      ("event_type window over per-minute maxes: rows = calendar minutes," +
+        " volume-independent"),
+    "hc_alarm_m_of_n" ->
+      ("per-stream minute windows over the 1-min tumbling maxes: rows =" +
+        " calendar minutes (the reference's M-of-N evaluation frame)"),
+    "hc_alarm_transitions" ->
+      "same calendar-minute frame as hc_alarm_m_of_n",
+    "hc_alarm_adaptive" ->
+      "same calendar-minute frame + the baseline pass over observed maxes",
+    "f2_moment" ->
+      "per-lang median window over the 4 sign-sketch row estimates",
+    "kmv_distinct" ->
+      "phase-2 bottom-k over the #shards x k shard-survivor frame")
+
   /** Queries whose token-keyed window partition is PROVABLY bounded —
     * today only inverted_index: its `term` window runs over the (term,
     * shard) postings frame, at most `NShards` rows per partition at any
@@ -370,7 +443,9 @@ object PlanAudit {
     // (label,pos) agg + label window + label agg + orderBy
     "emb_eff_rank" -> 4,
     "assign_ids" -> 4, // shard agg + offsets + per-shard window + orderBy
-    "sample_fixed_k" -> 2, // keyed window + orderBy
+    // the domain_cap firstKPerKey shape: shard-count agg + offsets
+    // prefix + pruned (lang, shard) window + orderBy
+    "sample_fixed_k" -> 4,
     "unpivot_stats" -> 2, // stateless explode; orderBy only
     // round-5 corpus-curation batch
     "domain_cap" -> 4, // shard-count agg + offsets prefix + pruned window + orderBy
@@ -500,6 +575,14 @@ object PlanAudit {
     "curation_program" -> 6,
     // round-10 A/B twin of curation_program: identical frame, fresh name
     "curation_manifest" -> 6,
+    // round-11 half-surface confirmers (temporary): narrower projections
+    // off the same fenced manifest frame + orderBy
+    "curation_half_a" -> 6,
+    "curation_half_b" -> 6,
+    // the persisted store round-trip: the build runs eagerly behind the
+    // session cache; the RETURNED plan is the manifest parquet scan (the
+    // hive split partitions) + orderBy
+    "curation_store" -> 2,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
     // divergence localizer (temporary, round-8): nine single-row digest
@@ -679,8 +762,9 @@ object PlanAudit {
     // vocab-sized df re-derive + per-doc agg) + the <= 2k-row fusion
     // join + orderBy
     "ranker_agreement" -> 12,
-    // one keyed window + orderBy (the window_rank class)
-    "window_ntile" -> 2,
+    // closed-form ntile over rankPerKey (round 11): bucket-offsets agg +
+    // the (type, _rb) window + the per-type count agg + orderBy
+    "window_ntile" -> 5,
     // two map-side-combined partial aggs + the key-sized merge re-agg +
     // orderBy (history/delta scans are partition-pruned)
     "agg_incremental" -> 4,
@@ -697,7 +781,7 @@ object PlanAudit {
     // (source, dim) keyed agg + #sources mean rollup + 1-row corpus
     // mean + doc-sized norm agg + join + orderBy
     "emb_drift" -> 6,
-    // one scan + one 1024-row keyed agg + orderBy
+    // one scan + one tile-bounded (<= 2^18-row) keyed agg + orderBy
     "zorder_stats" -> 2,
     // the k-row driver frame orderBy — every distance round is fenced
     // and its argmax a TakeOrdered(1)

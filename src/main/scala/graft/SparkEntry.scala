@@ -327,6 +327,39 @@ object SparkEntry {
     // half-surface binary search next round.
     "curation_manifest" -> ((s, d) =>
       graft.operators.CurationProgram.curationProgram(s, d)),
+    // Round-11 adjudication CLOSES: the six-round red is root-caused.
+    // DuckDB's windowed sum(BIGINT) returns HUGEINT, which the driver's
+    // arrow/pandas reader renders as decimal128/float ("10.0") while
+    // Spark's BIGINT renders "10" — hash-red with rows/schema green.
+    // start_offset was the ONLY uncast integer-sum on the driver surface
+    // and appears in exactly the two red queries (funnel CASTs its sums,
+    // trace omits the column, curation_cols digests in-engine as VARCHAR,
+    // q_probe divides to DOUBLE). The oracle CTE now CASTs it; these two
+    // half-surface queries (VERDICT r10 Next #1) ride one round as the
+    // confirming experiment: half_a excludes the offset column, half_b
+    // carries it — all four curation rows green ⇒ rule confirmed, delete
+    // the halves + probe + cols next round.
+    "curation_half_a" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.CurationProgram.curationProgram(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("quality_q4"))
+        .orderBy("doc_id")
+    }),
+    "curation_half_b" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.CurationProgram.curationProgram(s, d)
+        .select(col("doc_id"), col("cap_rk"), col("start_offset"),
+          col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+    // Round 11: the PERSISTED curation store — the program's production
+    // daily shape. Builds docs/ + manifest/ at a session temp path once
+    // per (app, sfDir) and reads the manifest BACK from parquet; must
+    // equal curation_program row-for-row (same oracle). Delta-append
+    // equivalence (append == recompute) is CurationStoreSpec's contract.
+    "curation_store" -> ((s, d) =>
+      graft.operators.CurationStore.manifestFromSessionStore(s, d)),
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
@@ -794,8 +827,8 @@ d AS (SELECT doc_id, source, lang, n_tokens, quality FROM dw WHERE doc_id = hash
 cw AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cap_rk FROM d),
 c AS (SELECT * FROM cw WHERE cap_rk <= 30),
 sk AS (SELECT *, md5('tb:' || CAST(doc_id AS VARCHAR)) AS skey FROM c),
-bw AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
-    ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM sk),
+bw AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
+    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM sk),
 f AS (SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset
   FROM bw WHERE start_offset < 2000)"""
 
@@ -2838,6 +2871,34 @@ sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
 SELECT doc_id, source, lang, n_tokens,
   CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
   cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    // round-11 store round-trip: the persisted manifest must equal the
+    // in-query program — byte-identical oracle by construction
+    "curation_store" ->
+      s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    // round-11 halves: confirm the HUGEINT root cause (see queries map)
+    "curation_half_a" ->
+      s"""WITH $curationCtes
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4
+FROM f ORDER BY doc_id""",
+    "curation_half_b" ->
+      s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, cap_rk, start_offset, bucket,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",

@@ -146,7 +146,13 @@ FROM gq ORDER BY doc_id"""
         size(filter(tokens(col("text")), t => length(t) > 0))
           .cast(LongType).as("n_tok"))
       .groupBy("source")
-      .agg(sum(col("n_tok")).cast(LongType).as("avail_tokens")))
+      .agg(sum(col("n_tok")).cast(LongType).as("avail_tokens"))
+      // zero-supply sources drop BEFORE the division: all-empty-token
+      // docs would divide by zero (Spark absorbs the Infinity under
+      // least(); DuckDB's CAST(floor(inf)) raises — engine divergence on
+      // the degenerate input), and the oracle's occurrence unnest never
+      // emits such a source anyway — row presence and arithmetic align.
+      .filter(col("avail_tokens") > 0L))
     val nSources = avail.agg(count(lit(1)).cast(LongType).as("n_sources"))
     avail.crossJoin(broadcast(nSources))
       .withColumn("target_tokens",
@@ -209,7 +215,10 @@ FROM eg ORDER BY source"""
         size(filter(tokens(col("text")), t => length(t) > 0))
           .cast(LongType).as("n_tok"))
       .groupBy("source")
-      .agg(sum(col("n_tok")).cast(LongType).as("avail_tokens")))
+      .agg(sum(col("n_tok")).cast(LongType).as("avail_tokens"))
+      // same degenerate-input alignment as dataEpochs: the oracle's
+      // occurrence unnest never emits a zero-supply source
+      .filter(col("avail_tokens") > 0L))
     val wOrd = org.apache.spark.sql.expressions.Window
       .orderBy(col("avail_tokens"), col("source"))
     val o = avail

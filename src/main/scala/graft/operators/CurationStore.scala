@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+
+/** The PERSISTED form of the composed curation program — the production
+  * daily shape: [[buildCurationManifest]] materializes the program's
+  * per-document lineage state and admitted manifest at a path, and
+  * [[applyCurationDelta]] folds a day's new documents in by re-running
+  * gate/dedup/cap against the STORED state (delta-sized text work only)
+  * instead of recomputing the corpus — the
+  * [[PersistedIndex.appendToShingleIndex]] discipline applied to the
+  * whole curation chain.
+  *
+  * Store layout at `path`:
+  *   - `docs/`   — one row per EVER-ingested document, text-free:
+  *     (doc_id, source, lang, n_tokens, quality_q4, text_hash, in_g,
+  *     in_d, in_c, cap_rk). The gate/dedup/cap flags are IMMUTABLE under
+  *     the append contract below, so a delta only ever appends rows.
+  *   - `manifest/` — the admitted manifest ([[CurationProgram]]'s output
+  *     columns), hive-partitioned by `split` (the production consumer
+  *     reads one split's partitions; DPP prunes the rest).
+  *
+  * Append contract (the standard incremental-ingest precondition, shared
+  * with [[TextPipeline.dedupIncrementalFrom]]): delta doc_ids exceed all
+  * stored doc_ids. Under it, append(v1, delta) == recompute(v1 ∪ delta)
+  * row-for-row (CurationStoreSpec proves this across arbitrary splits):
+  *   - gate is per-doc stateless;
+  *   - the exact-dedup winner is the MIN gated doc_id per text_hash —
+  *     stored ids are all smaller, so no delta doc can displace a stored
+  *     winner, and new-hash winners are decided within the delta;
+  *   - the per-source cap admits the first k in doc_id order — stored
+  *     admissions keep their ranks, the delta competes only for the
+  *     remaining k - used slots (a per-source allowance frame through
+  *     [[TextPipeline.firstKPerKey]]'s Right(targets) form);
+  *   - the token budget admits in SEEDED-HASH order, which interleaves
+  *     old and new docs — so that stage (and the split projection) is
+  *     recomputed over the union. That is DELIBERATE and cheap: its
+  *     input is the doc-sized, text-free `docs/` capped subset, so the
+  *     daily maintenance cost is delta-sized text work + a doc-sized
+  *     integer pass — never a corpus text rescan.
+  *
+  * The funnel and trace read the store ([[funnelFromStore]],
+  * [[traceFromStore]]) with zero text scans — the lineage answer "why is
+  * doc X not in the training set" comes from the stored flags plus
+  * current-manifest membership.
+  */
+object CurationStore {
+
+  private val DefaultMinQuality = 0.5
+  private val DefaultK = 30
+  private val DefaultBudget = 2000L
+
+  /** The ONE text scan — identical expressions to CurationProgram.run's
+    * base so the stored state and the from-scratch program agree bit-
+    * for-bit (quality_q4 is the scaled-BIGINT driver surface).
+    */
+  private def baseScan(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"), col("source"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      round(TextPipeline.qualityCol, 4).as("quality"),
+      md5(lower(trim(col("text")))).as("text_hash"))
+
+  private def withQ4(df: DataFrame): DataFrame =
+    df.withColumn("quality_q4",
+      floor(col("quality") * 10000d + 0.5d).cast("long"))
+
+  private val docsCols = Seq("doc_id", "source", "lang", "n_tokens",
+    "quality_q4", "text_hash", "in_g", "in_d", "in_c", "cap_rk")
+
+  /** Build the store from scratch: run the program's gate/dedup/cap
+    * stages once and persist the lineage + manifest.
+    */
+  def buildCurationManifest(spark: SparkSession, corpus: DataFrame,
+      path: String, minQuality: Double = DefaultMinQuality,
+      k: Int = DefaultK, budget: Long = DefaultBudget): Unit = {
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val base = fence(withQ4(baseScan(corpus)))
+    val gated = base.filter(col("quality") >= minQuality)
+    val winners = gated.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = fence(gated.join(winners, Seq("doc_id")))
+    val capped = TextPipeline.domainCapFrom(
+        deduped.select(col("doc_id"), col("source")), k)
+      .select(col("doc_id"), col("rk").as("cap_rk"))
+    val docs = base
+      .join(gated.select(col("doc_id")).withColumn("in_g", lit(true)),
+        Seq("doc_id"), "left")
+      .join(deduped.select(col("doc_id")).withColumn("in_d", lit(true)),
+        Seq("doc_id"), "left")
+      .join(capped.withColumn("in_c", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"), col("text_hash"),
+        coalesce(col("in_g"), lit(false)).as("in_g"),
+        coalesce(col("in_d"), lit(false)).as("in_d"),
+        coalesce(col("in_c"), lit(false)).as("in_c"),
+        col("cap_rk"))
+    docs.repartition(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/docs")
+    writeManifest(spark, path, budget)
+  }
+
+  /** Fold a delta corpus into the store: delta-sized text work against
+    * the stored hash/cap state, append the delta's lineage rows, then
+    * recompute the (doc-sized, text-free) budget + split stages over the
+    * union and rewrite `manifest/`.
+    */
+  def applyCurationDelta(spark: SparkSession, delta: DataFrame,
+      path: String, minQuality: Double = DefaultMinQuality,
+      k: Int = DefaultK, budget: Long = DefaultBudget): Unit = {
+    val stored = spark.read.parquet(s"$path/docs")
+    val base = withQ4(baseScan(delta)).localCheckpoint()
+    val gated = base.filter(col("quality") >= minQuality)
+    // a delta doc loses dedup iff ANY stored GATED doc carries its hash
+    // (stored ids are smaller by the append contract), else the MIN
+    // delta id per new hash wins
+    val storedHashes = stored.filter(col("in_g"))
+      .select(col("text_hash")).distinct()
+      .withColumn("seen", lit(true))
+    val freshWinners = gated
+      .join(storedHashes, Seq("text_hash"), "left")
+      .filter(col("seen").isNull)
+      .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(freshWinners, Seq("doc_id"))
+    // per-source remaining allowance: k - already-admitted; sources at
+    // or over cap get 0 (firstKPerKey's offset < target prunes them out)
+    val used = stored.filter(col("in_c")).groupBy("source")
+      .agg(count(lit(1)).cast("long").as("used"))
+    val targets = deduped.select(col("source")).distinct()
+      .join(used, Seq("source"), "left")
+      .select(col("source"),
+        (lit(k.toLong) - coalesce(col("used"), lit(0L))).as("target"),
+        coalesce(col("used"), lit(0L)).as("used"))
+    val capped = TextPipeline.firstKPerKey(
+        deduped.select(col("doc_id"), col("source"))
+          .withColumn("shard", expr("doc_id div 64")),
+        "source", Seq(col("doc_id")),
+        Right(targets.select(col("source"), col("target"))))
+      .join(targets.select(col("source"), col("used")), "source")
+      .select(col("doc_id"), (col("used") + col("rk")).as("cap_rk"))
+    val docs = base
+      .join(gated.select(col("doc_id")).withColumn("in_g", lit(true)),
+        Seq("doc_id"), "left")
+      .join(deduped.select(col("doc_id")).withColumn("in_d", lit(true)),
+        Seq("doc_id"), "left")
+      .join(capped.withColumn("in_c", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"), col("text_hash"),
+        coalesce(col("in_g"), lit(false)).as("in_g"),
+        coalesce(col("in_d"), lit(false)).as("in_d"),
+        coalesce(col("in_c"), lit(false)).as("in_c"),
+        col("cap_rk"))
+      // materialize BEFORE the append so the write plan holds no open
+      // scan of the directory it appends to
+      .localCheckpoint()
+    docs.repartition(col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/docs")
+    writeManifest(spark, path, budget)
+  }
+
+  /** Recompute the budget + split stages over the stored capped set and
+    * rewrite `manifest/` — pure integer work on the doc-sized `docs/`
+    * frame (no text column exists in the store at all).
+    */
+  private def writeManifest(spark: SparkSession, path: String,
+      budget: Long): Unit =
+    assembleManifest(spark.read.parquet(s"$path/docs"), budget)
+      .write.mode(SaveMode.Overwrite).partitionBy("split")
+      .parquet(s"$path/manifest")
+
+  private def assembleManifest(docs: DataFrame, budget: Long): DataFrame = {
+    val capped = docs.filter(col("in_c"))
+    val bucket = TextPipeline.hashBucket("split:")
+    TextPipeline.tokenBudgetCore(
+        capped.select(col("doc_id"), col("lang"), col("n_tokens")), budget)
+      .select(col("doc_id"), col("start_offset"))
+      .join(capped, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"), col("cap_rk"), col("start_offset"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** The admitted manifest, read back from the store — equals
+    * [[CurationProgram.curationProgramFrom]] over the ingested corpus
+    * row-for-row (the driver's `curation_store` query runs THIS against
+    * the `curation_program` oracle).
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"), col("cap_rk"), col("start_offset"),
+        col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** [[CurationProgram.curationTraceFrom]]'s output contract served from
+    * the store: stored stage flags + current-manifest membership (the
+    * budget outcome is manifest membership by construction). Zero text.
+    */
+  def traceFromStore(spark: SparkSession, path: String): DataFrame = {
+    val admitted = spark.read.parquet(s"$path/manifest")
+      .select(col("doc_id")).withColumn("in_b", lit(true))
+    spark.read.parquet(s"$path/docs")
+      .join(admitted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"),
+        when(!col("in_g"), "quality_gate")
+          .when(!col("in_d"), "dedup_exact")
+          .when(!col("in_c"), "domain_cap")
+          .when(col("in_b").isNull, "token_budget")
+          .otherwise("admitted").as("outcome"))
+      .orderBy("doc_id")
+  }
+
+  /** [[CurationProgram.curationFunnelFrom]]'s output contract served
+    * from the store: per-stage survivor counts and token volumes from
+    * the stored flags + the current manifest. Zero text.
+    */
+  def funnelFromStore(spark: SparkSession, path: String): DataFrame = {
+    val docs = spark.read.parquet(s"$path/docs")
+    val manifest = spark.read.parquet(s"$path/manifest")
+    def stage(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(1, "ingest", docs)
+      .unionByName(stage(2, "gated", docs.filter(col("in_g"))))
+      .unionByName(stage(3, "deduped", docs.filter(col("in_d"))))
+      .unionByName(stage(4, "capped", docs.filter(col("in_c"))))
+      .unionByName(stage(5, "budgeted", manifest))
+      .orderBy("stage_no")
+  }
+
+  /** Session-cached store over a testdata snapshot — the driver-query
+    * hook: builds once per (application, sfDir) at a temp path (the
+    * [[TextPipeline.warmSharedClusterLabels]] cache recipe) and serves
+    * the read-back manifest.
+    */
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  def manifestFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = storeCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      storeCache.keySet.removeIf(_._1 != appId)
+      storeCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-curation-store").toString
+        buildCurationManifest(spark, Tables.documents(spark, sfDir), p)
+        p
+      })
+    }
+    readManifest(spark, path)
+  }
+}

@@ -97,12 +97,34 @@ FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""
     * rows — never happens here; only key-cardinality-sized count frames
     * shuffle.
     */
-  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
-    def axis(name: String, l: DataFrame, lk: String, r: DataFrame,
-        rk: String): DataFrame = {
-      val lc = l.select(col(lk).cast("string").as("k"))
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame =
+    joinCardinalityFrom(canonicalAxes(spark, sfDir))
+
+  /** One join axis to cost: (report name, left frame, left key, right
+    * frame, right key). The generic form lets a caller (or spec) advise
+    * an arbitrary planned join, not just the canonical table axes.
+    */
+  private[graft] case class JoinAxis(name: String, left: DataFrame,
+      lk: String, right: DataFrame, rk: String)
+
+  private def canonicalAxes(spark: SparkSession,
+      sfDir: String): Seq[JoinAxis] = Seq(
+    JoinAxis("orders*lineitem.orderkey", Tables.orders(spark, sfDir),
+      "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey"),
+    JoinAxis("customer*orders.custkey", Tables.customer(spark, sfDir),
+      "c_custkey", Tables.orders(spark, sfDir), "o_custkey"),
+    JoinAxis("part*lineitem.partkey", Tables.part(spark, sfDir),
+      "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey"),
+    JoinAxis("documents*documents.lang", Tables.documents(spark, sfDir),
+      "lang", Tables.documents(spark, sfDir), "lang"),
+    JoinAxis("events*events.user_id", Tables.events(spark, sfDir),
+      "user_id", Tables.events(spark, sfDir), "user_id"))
+
+  private[graft] def joinCardinalityFrom(axes: Seq[JoinAxis]): DataFrame = {
+    def one(a: JoinAxis): DataFrame = {
+      val lc = a.left.select(col(a.lk).cast("string").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n_l"))
-      val rc = r.select(col(rk).cast("string").as("k"))
+      val rc = a.right.select(col(a.rk).cast("string").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n_r"))
       lc.join(rc, "k")
         .select(col("k"), (col("n_l") * col("n_r")).as("rows_k"))
@@ -111,23 +133,12 @@ FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""
             .as("join_rows"),
           coalesce(max(col("rows_k")), lit(0L)).cast(LongType)
             .as("max_key_rows"))
-        .crossJoin(l.agg(count(lit(1)).cast(LongType).as("n_left")))
-        .crossJoin(r.agg(count(lit(1)).cast(LongType).as("n_right")))
-        .select(lit(name).as("axis"), col("n_left"), col("n_right"),
+        .crossJoin(a.left.agg(count(lit(1)).cast(LongType).as("n_left")))
+        .crossJoin(a.right.agg(count(lit(1)).cast(LongType).as("n_right")))
+        .select(lit(a.name).as("axis"), col("n_left"), col("n_right"),
           col("n_keys_matched"), col("join_rows"), col("max_key_rows"))
     }
-    val axes = Seq(
-      axis("orders*lineitem.orderkey", Tables.orders(spark, sfDir),
-        "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey"),
-      axis("customer*orders.custkey", Tables.customer(spark, sfDir),
-        "c_custkey", Tables.orders(spark, sfDir), "o_custkey"),
-      axis("part*lineitem.partkey", Tables.part(spark, sfDir),
-        "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey"),
-      axis("documents*documents.lang", Tables.documents(spark, sfDir),
-        "lang", Tables.documents(spark, sfDir), "lang"),
-      axis("events*events.user_id", Tables.events(spark, sfDir),
-        "user_id", Tables.events(spark, sfDir), "user_id"))
-    axes.reduce(_.unionByName(_)).orderBy("axis")
+    axes.map(one).reduce(_.unionByName(_)).orderBy("axis")
   }
 
   /** Broadcast threshold for [[planAdvisor]] — rows, standing in for
@@ -154,8 +165,16 @@ FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""
     * — the point being that broadcast/salt/pre-agg decisions at 100 TB
     * should come from measured counts, not guesses.
     */
-  def planAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
-    val jc = joinCardinality(spark, sfDir)
+  def planAdvisor(spark: SparkSession, sfDir: String): DataFrame =
+    planAdvisorFrom(canonicalAxes(spark, sfDir))
+
+  /** [[planAdvisor]] over arbitrary join axes — the rule ladder applied
+    * to any planned join's exact counts (PlannerTelemetrySpec drives
+    * constructed skew/fan-out fixtures through it to pin each rung to
+    * the engine behavior it prescribes).
+    */
+  private[graft] def planAdvisorFrom(axes: Seq[JoinAxis]): DataFrame = {
+    val jc = joinCardinalityFrom(axes)
     jc.select(col("axis"), col("n_left"), col("n_right"),
       col("join_rows"), col("max_key_rows"),
       when(least(col("n_left"), col("n_right")) <= BroadcastRows,

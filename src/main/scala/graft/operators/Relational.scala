@@ -740,19 +740,36 @@ object Relational {
     * the current row — the classic window gotcha, pinned explicitly
     * here). One keyed window.
     */
-  /** Plain NTILE quartiles per event type — the one ranking window
-    * function without a standalone query (curriculum uses the exact
-    * two-level ntile machinery; this is the native form, whose
-    * remainder-to-early-buckets rule both engines share). Total order
-    * inside each partition via (value, event_id) so bucket boundaries
-    * cannot tie-break differently.
+  /** NTILE quartiles per event type — ntile's remainder-to-early-buckets
+    * rule in exact closed form over the two-level rank machinery
+    * ([[graft.operators.TextPipeline.rankPerKey]]): `floor(value)` is a
+    * deterministic value-range bucket monotone in the sort's leading
+    * term, so `offset + within-(type, bucket) row_number` IS the rank a
+    * naive `ntile(4) OVER (PARTITION BY event_type ORDER BY value,
+    * event_id)` would assign positions from — but no event type's whole
+    * stream ever sorts in ONE window task (the round-11 stratum-window
+    * gate; the native form serialized each type's full history). With
+    * per-type count n, q = n div 4, r = n mod 4: the first r tiles hold
+    * q+1 rows — the [[graft.operators.TextPipeline.curriculumFrom]]
+    * closed form, per key. Total order inside each partition via
+    * (value, event_id) so bucket boundaries cannot tie-break differently.
     */
   def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, sfDir)
+    val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+    val counts = base.groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    val ranked = graft.operators.TextPipeline.rankPerKey(
+      base, "event_type", floor(col("value")).cast(LongType),
+      Seq(col("value"), col("event_id")), "rk")
+    val q = floor(col("n") / 4)
+    val r = col("n") % 4
+    val bigRows = (q + 1) * r
+    ranked.join(broadcast(counts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("rk") <= bigRows, floor((col("rk") + q) / (q + 1)))
+          .otherwise(r + floor((col("rk") - bigRows + q - 1) / q))
+          .cast(LongType).as("quartile"))
       .orderBy("event_id")
   }
 
@@ -1096,9 +1113,11 @@ FROM r GROUP BY user_id ORDER BY user_id"""
     * writer using this key would achieve that pruning.
     *
     * Scale: one scan (the interleave is 32 codegen'd integer ops per
-    * row), one map-side-combined keyed agg to 1024 rows. At real key
-    * widths the inputs are first rank-quantized to 16 bits; the masked
-    * demo keys fit directly at these SFs.
+    * row), one map-side-combined keyed agg to at most 2^18 = 262,144
+    * bucket rows (a 32-bit Morton key >> 14) — tile-count-bounded,
+    * never data-volume-bounded. At real key widths the inputs are first
+    * rank-quantized to 16 bits; the masked demo keys fit directly at
+    * these SFs.
     */
   def zorderStats(spark: SparkSession, sfDir: String): DataFrame = {
     val x = col("l_partkey").bitwiseAND(lit(65535L))

@@ -392,15 +392,24 @@ object TextPipeline {
   /** Fixed-size per-stratum sample — exactly `k` documents per language
     * (fewer if the stratum is smaller), chosen by seeded content-hash order
     * so the sample is reproducible and partition-layout independent (the
-    * deterministic stand-in for per-key reservoir sampling). One keyed
-    * window; rows beyond k are dropped before any further stage.
+    * deterministic stand-in for per-key reservoir sampling).
+    *
+    * Scale shape: rides [[firstKPerKey]] — the admission order's leading
+    * term is the md5 key itself, so its first two hex chars are a
+    * 256-way shard that is monotone NON-DECREASING in it (lowercase-hex
+    * lexicographic prefix order == full-string order). Shards wholly past
+    * k never shuffle; no language's corpus ever sorts in one window task
+    * (the naive `row_number over partitionBy(lang)` this replaced put the
+    * dominant language's entire document set through ONE task).
     */
   def sampleFixedK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(concat(lit("fk:"), col("doc_id"))), col("doc_id"))
-    docs(spark, sfDir).select(col("doc_id"), col("lang"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
+    val fkey = md5(concat(lit("fk:"), col("doc_id")))
+    firstKPerKey(
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"), fkey.as("fk_key"))
+        .withColumn("shard", substring(col("fk_key"), 1, 2)),
+      "lang", Seq(col("fk_key"), col("doc_id")), Left(k.toLong))
+      .select(col("doc_id"), col("lang"), col("rk"))
       .orderBy("lang", "rk")
   }
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{CurationProgram, CurationStore}
+import graft.sources.Tables
+
+/** The persisted curation store's contract: append(v1, delta) equals
+  * recompute(v1 ∪ delta) row-for-row across arbitrary id-ordered splits,
+  * and the funnel/trace read the store without any text scan.
+  */
+class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus: DataFrame = Tables.documents(spark, sf)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-cstore-$tag").toString
+
+  test("build + read round-trips the in-query program exactly") {
+    val dir = freshDir("rt")
+    CurationStore.buildCurationManifest(spark, corpus, dir)
+    rows(CurationStore.readManifest(spark, dir)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
+  test("append(v1, delta) == recompute(v1 ∪ delta) row-for-row") {
+    // id-ordered split (the append contract: delta ids exceed stored ids)
+    val cut = 300L
+    val dir = freshDir("delta")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < cut), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= cut), dir)
+    rows(CurationStore.readManifest(spark, dir)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
+  test("two successive deltas at arbitrary cut points still equal the recompute") {
+    val dir = freshDir("delta2")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 137L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 137L && col("doc_id") < 388L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 388L), dir)
+    rows(CurationStore.readManifest(spark, dir)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
+  test("a delta must also re-level PREVIOUSLY admitted docs (budget boundary moves)") {
+    // the seeded-hash budget order interleaves old and new docs, so some
+    // v1 doc's admission flips when the delta arrives — the exact reason
+    // the budget stage recomputes over the union. Assert the effect is
+    // real at this SF (otherwise the test above proves nothing about it).
+    val cut = 300L
+    val v1Dir = freshDir("v1only")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < cut), v1Dir)
+    val v1Admitted = CurationStore.readManifest(spark, v1Dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullAdmitted = CurationProgram.curationProgramFrom(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val displaced = v1Admitted -- fullAdmitted
+    withClue("expected the union budget to displace at least one v1 doc: ") {
+      displaced should not be empty
+    }
+  }
+
+  test("funnel and trace read from the store equal the in-query program's") {
+    val dir = freshDir("reads")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 300L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 300L), dir)
+    rows(CurationStore.funnelFromStore(spark, dir)) shouldBe
+      rows(CurationProgram.curationFunnelFrom(corpus))
+    rows(CurationStore.traceFromStore(spark, dir)) shouldBe
+      rows(CurationProgram.curationTraceFrom(corpus))
+  }
+
+  test("store reads plan no text column — the lineage surface is text-free") {
+    val dir = freshDir("notext")
+    CurationStore.buildCurationManifest(spark, corpus, dir)
+    Seq(CurationStore.readManifest(spark, dir),
+      CurationStore.traceFromStore(spark, dir),
+      CurationStore.funnelFromStore(spark, dir)).foreach { df =>
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      plan should not include "text#"
+      plan should not include "documents.parquet"
+    }
+  }
+}

@@ -51,6 +51,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (PlanAudit.unpartitionedWindowWhitelist -- queries) shouldBe empty
     (PlanAudit.bnljWhitelist -- queries) shouldBe empty
     (PlanAudit.tokenWindowWhitelist -- queries) shouldBe empty
+    (PlanAudit.stratumWindowWhitelist.keySet -- queries) shouldBe empty
+  }
+
+  test("no non-whitelisted query plans a stratum-keyed sort window") {
+    // the sample_fixed_k finding generalized to the whole suite (round
+    // 11): a rank/row_number/running-sum window partitioned by lang/
+    // source/kind/... ALONE puts a whole stratum's corpus through ONE
+    // task at 10^9 docs. The two-level machinery's offsets-table windows
+    // (order col `_rb`/`shard`) are excluded by the counter itself; every
+    // other stratum-alone sort window must carry a documented volume-
+    // independent bound in PlanAudit.stratumWindowWhitelist.
+    plans.foreach { case (name, p) =>
+      if (!PlanAudit.stratumWindowWhitelist.contains(name))
+        withClue(s"$name: ") {
+          PlanAudit.stratumKeyedSortWindowCount(p) shouldBe 0
+        }
+    }
   }
 
   test("no non-whitelisted query plans a token-keyed window partition") {

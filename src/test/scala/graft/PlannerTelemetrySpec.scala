@@ -63,6 +63,94 @@ class PlannerTelemetrySpec extends AnyFunSuite with Matchers
     adv.values.toSet shouldBe Set("broadcast_smaller")
   }
 
+  // ---- round 11: the telemetry→ACTION loop — each advisor rung is
+  // pinned to the engine behavior it prescribes, so the advisor cannot
+  // drift from the engine it describes ----
+
+  test("broadcast_smaller advice ⇒ the executed canonical join plans a BroadcastHashJoin") {
+    import org.apache.spark.sql.functions.col
+    val adv = PlannerTelemetry.planAdvisor(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    val joins = Map(
+      "orders*lineitem.orderkey" -> (() => Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))),
+      "customer*orders.custkey" -> (() => Tables.customer(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("c_custkey") === col("o_custkey"))),
+      "part*lineitem.partkey" -> (() => Tables.part(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("p_partkey") === col("l_partkey"))))
+    // at sf0.001 every canonical axis IS advised broadcast (asserted in
+    // the ladder test above) — so each must actually plan one
+    joins.foreach { case (axis, mk) =>
+      adv(axis) shouldBe "broadcast_smaller"
+      val plan = mk().queryExecution.executedPlan.toString
+      withClue(s"$axis advised broadcast_smaller but planned: ") {
+        plan should include("BroadcastHashJoin")
+      }
+    }
+  }
+
+  test("salt_hot_keys advice fires exactly where the engine's auto-salting gate fires") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key holding 3/4 of each side, sides past the broadcast budget:
+    // max_key_rows·5 > join_rows and min(n)·> 100k ⇒ the salt rung
+    val mkSide = (n: Long) => spark.range(n)
+      .select(when(col("id") < n * 3 / 4, lit("hot"))
+        .otherwise(col("id").cast("string")).as("k"),
+        col("id").as("v"))
+    val l = mkSide(120000L).localCheckpoint()
+    val r = mkSide(120000L).localCheckpoint()
+    val adv = PlannerTelemetry.planAdvisorFrom(Seq(
+      PlannerTelemetry.JoinAxis("skewed", l, "k", r, "k")))
+      .collect().head.getString(5)
+    adv shouldBe "salt_hot_keys"
+    // the engine's salting remedy keys off the same dominance: the
+    // skewProbe gate behind salted_auto engages on this distribution
+    // (Relational.saltedCountsAuto picks the salted two-phase plan
+    // whenever the probed top-key share exceeds 1/2)
+    graft.operators.Relational.skewProbe(l, "k") should be > 0.5
+    // and a benign near-uniform axis of the same size draws NEITHER the
+    // advice nor the gate
+    val u = spark.range(120000L)
+      .select(col("id").cast("string").as("k"), col("id").as("v"))
+      .localCheckpoint()
+    PlannerTelemetry.planAdvisorFrom(Seq(
+      PlannerTelemetry.JoinAxis("uniform", u, "k", u, "k")))
+      .collect().head.getString(5) shouldBe "shuffle_hash"
+    graft.operators.Relational.skewProbe(u, "k") should be <= 0.5
+  }
+
+  test("pre_aggregate advice ⇒ the pushed-down agg answers identically while moving n_keys rows, not join_rows") {
+    import org.apache.spark.sql.functions._
+    // 120k×120k rows, 12k keys, 10 rows per key per side: join_rows =
+    // 12k·100 = 1.2M > 4·240k, no key holds 1/5 ⇒ pre_aggregate
+    val mkSide = (tag: String) => spark.range(120000L)
+      .select((col("id") % 12000).cast("string").as("k"),
+        lit(1L).as(s"v_$tag")).localCheckpoint()
+    val l = mkSide("l")
+    val r = mkSide("r")
+    val card = PlannerTelemetry.joinCardinalityFrom(Seq(
+      PlannerTelemetry.JoinAxis("fanout", l, "k", r, "k"))).collect().head
+    card.getAs[Long]("join_rows") shouldBe 1200000L
+    PlannerTelemetry.planAdvisorFrom(Seq(
+      PlannerTelemetry.JoinAxis("fanout", l, "k", r, "k")))
+      .collect().head.getString(5) shouldBe "pre_aggregate"
+    // the prescribed action: aggregate BEFORE the join. Same answer,
+    // and the join's inputs collapse from 240k rows to 2·n_keys rows —
+    // exactly what the advice's exact counts promised
+    val naive = l.join(r, "k").groupBy("k")
+      .agg(sum(col("v_l") * col("v_r")).as("s"))
+    val pushed = l.groupBy("k").agg(sum(col("v_l")).as("sl"))
+      .join(r.groupBy("k").agg(sum(col("v_r")).as("sr")), "k")
+      .select(col("k"), (col("sl") * col("sr")).as("s"))
+    naive.orderBy("k").collect() shouldBe pushed.orderBy("k").collect()
+    pushed.queryExecution.optimizedPlan.stats.rowCount
+      .foreach(_.toLong should be <= 12000L)
+  }
+
   test("skew report matches directly computed key frequencies") {
     val rows = PlannerTelemetry.skewReport(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -61,6 +61,21 @@ def main():
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
             s_cols = [d[0] for d in s.description]
             s_rows = s.fetchall()
+            # the driver reads the oracle through arrow/pandas, where a
+            # DuckDB HUGEINT (any uncast integer sum) or DECIMAL becomes
+            # decimal128/float64 and stringifies "10.0" vs Spark's "10"
+            # — hash-red at the driver, INVISIBLE to this script's
+            # fetchall() (HUGEINT -> Python int). The six-round
+            # curation_program red. Check the arrow schema explicitly.
+            o_arrow = con.execute(oracle[name]).arrow()
+            import pyarrow.types as pt
+            decs = [f.name for f in o_arrow.schema if pt.is_decimal(f.type)]
+            if decs:
+                print(f"FAIL {name}: oracle emits decimal/HUGEINT column(s) "
+                      f"{decs} — CAST(... AS BIGINT) in the oracle SQL "
+                      f"(driver hash-red even when values match)")
+                n_fail += 1
+                continue
             o = con.execute(oracle[name])
             o_cols = [d[0] for d in o.description]
             o_rows = o.fetchall()

@@ -12,7 +12,9 @@ import sys
 
 def load(path):
     d = json.load(open(path))
-    qs = {k: v["s"] for k, v in d["queries"].items()}
+    # error entries are {"err": ...} with no "s" — skip them or any
+    # sweep that had a failing query crashes the regeneration
+    qs = {k: v["s"] for k, v in d["queries"].items() if "s" in v}
     return d, qs
 
 
