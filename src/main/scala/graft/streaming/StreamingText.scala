@@ -21,10 +21,22 @@ case class BudgetState(used: Long)
   */
 case class EsReservoir(entries: Seq[(Double, Long)])
 
+/** Per-digest claimed flag for [[StreamingText.trainingIngestTraceStream]]'s
+  * dedup stage (one boolean per distinct gated document digest).
+  */
+case class SeenDigest(seen: Boolean)
+
 /** Streaming twins of the batch text-analysis operators (TextPipeline) for
   * the ingest side of a training-data pipeline.
   */
 object StreamingText extends Logging {
+
+  /** Row shape threaded through [[trainingIngestTraceStream]]'s stages:
+    * (doc_id, source, lang, n_tokens, quality_q4, text_hash, skey,
+    * outcome-or-null). Object-level so tuple Encoders derive.
+    */
+  private type TraceRow =
+    (Long, String, String, Long, Long, String, String, String)
 
   /** Streaming vocabulary build — windowed token counts over a document
     * stream, the ingest-side twin of TextPipeline.textVocab. Append-mode
@@ -572,6 +584,97 @@ object StreamingText extends Logging {
       .withColumn("split",
         when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
           .otherwise("test"))
+  }
+
+  /** The streaming LINEAGE twin of the composed ingest — one output row
+    * per ARRIVING document carrying its first-rejecting-stage outcome
+    * (`quality_gate`/`dedup_exact`/`domain_cap`/`token_budget`/
+    * `admitted`): the batch [[graft.operators.CurationProgram
+    * .curationTrace]] contract computed ONLINE, because the stage that
+    * drops a document is the only place that knows why. Where
+    * [[trainingIngestStream]] emits only admissions (the training-set
+    * feed), this emits the full audit feed — the two run side by side in
+    * production (same stage rules, same state semantics), or this one
+    * alone when the manifest is derived by filtering `outcome =
+    * 'admitted'`.
+    *
+    * Stage rules are EXACTLY the composed stream's: the rounded quality
+    * bar; first-gated-arrival-wins digest dedup (rows already rejected
+    * pass through WITHOUT claiming the digest — batch dedup competes
+    * among gated docs only); doc_id-ordered cap admission per source;
+    * seeded-hash-ordered budget admission per language, where rejection
+    * is absorbing (the batch running sum is monotone, so once a
+    * language's budget is crossed every later doc is out — `used` stops
+    * advancing, exactly like the batch `start_offset < budget` rule).
+    * On a one-batch ordered replay the output EQUALS the batch
+    * curationTrace row-for-row; counters and digest state survive a
+    * checkpoint restart (both spec-proven, CurationTraceStreamSpec).
+    *
+    * State: one [[SeenDigest]] per distinct gated digest, one counter
+    * per source, one per language — identical to the composed ingest
+    * (this twin adds no state class of its own beyond the digest flag;
+    * the admission twins share [[CapState]]/[[BudgetState]]).
+    */
+  def trainingIngestTraceStream(docs: DataFrame, minQuality: Double = 0.5,
+      k: Int = 30, budget: Long = 2000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val quality = round(graft.operators.TextPipeline.qualityCol, 4)
+    val base = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"),
+        quality.as("quality"),
+        md5(lower(trim(col("text")))).as("text_hash"),
+        md5(concat(lit("tb:"), col("doc_id"))).as("skey"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        floor(col("quality") * 10000d + 0.5d).cast("long").as("quality_q4"),
+        col("text_hash"), col("skey"),
+        when(col("quality") < minQuality, "quality_gate").as("outcome"))
+      .as[(Long, String, String, Long, Long, String, String, String)]
+    val afterDedup = base.groupByKey(_._6)
+      .flatMapGroupsWithState[SeenDigest, TraceRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[TraceRow], state: GroupState[SeenDigest]) =>
+          var seen = state.getOption.exists(_.seen)
+          val out = rows.toSeq.sortBy(_._1).map { r =>
+            if (r._8 != null) r
+            else if (!seen) { seen = true; r }
+            else r.copy(_8 = "dedup_exact")
+          }
+          if (seen) state.update(SeenDigest(true))
+          out.iterator
+      }
+    val afterCap = afterDedup.groupByKey(_._2)
+      .flatMapGroupsWithState[CapState, TraceRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[TraceRow], state: GroupState[CapState]) =>
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { r =>
+            if (r._8 != null) r
+            else if (admitted < k) { admitted += 1; r }
+            else r.copy(_8 = "domain_cap")
+          }
+          state.update(CapState(admitted))
+          out.iterator
+      }
+    afterCap.groupByKey(_._3)
+      .flatMapGroupsWithState[BudgetState, TraceRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[TraceRow], state: GroupState[BudgetState]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._7, r._1)).map { r =>
+            if (r._8 != null) r
+            else if (used < budget) { used += r._4; r }
+            else r.copy(_8 = "token_budget")
+          }
+          state.update(BudgetState(used))
+          out.iterator
+      }
+      .toDF("doc_id", "source", "lang", "n_tokens", "quality_q4",
+        "text_hash", "skey", "outcome")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"),
+        coalesce(col("outcome"), lit("admitted")).as("outcome"))
   }
 
   /** Streaming WordPiece pricing gate — the frozen-tokenizer twin of
