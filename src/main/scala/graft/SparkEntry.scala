@@ -210,6 +210,12 @@ object SparkEntry {
     "canonical_select" -> ((s, d) => TextPipeline.canonicalSelect(s, d)),
     // Multimodal binary columns (payload synthesis -> header parse -> frames)
     "media_meta" -> ((s, d) => MultimodalPipeline.mediaMeta(s, d)),
+    // Round 11: REAL JPEG metadata decode — a marker-segment walk in
+    // pure expressions over structurally-valid JPEG byte streams whose
+    // SOF position varies per row; the oracle replays the construction
+    // inputs, so equality proves the byte-level parse (roundtrip_ok is
+    // computed Spark-side from the parsed values)
+    "media_jpeg_meta" -> ((s, d) => MultimodalPipeline.mediaJpegMeta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
@@ -2142,6 +2148,15 @@ FROM d, s ORDER BY vec_id""",
   CAST(doc_id % 48 + 1 AS BIGINT) AS height,
   CAST(len(text) AS BIGINT) AS body_bytes,
   md5(text) AS body_md5
+FROM documents ORDER BY media_id""",
+    // the construction-input replay: Spark's row is parsed OUT of real
+    // JPEG bytes (variable-offset SOF), the oracle recomputes what went in
+    "media_jpeg_meta" ->
+      """SELECT doc_id AS media_id, TRUE AS soi_ok,
+  CAST(25 + doc_id % 7 AS BIGINT) AS sof_at,
+  CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+  CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+  TRUE AS roundtrip_ok
 FROM documents ORDER BY media_id""",
     "media_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id, text,

@@ -180,6 +180,125 @@ object MultimodalPipeline {
         col("first_doc").as("first_id"), col("last_doc").as("last_id"))
       .orderBy("kind", "shard_id")
 
+  // ---------------------------------------- real-container metadata --
+
+  /** Unsigned big-endian integer read from `len` payload bytes at 1-based
+    * position `pos` — byte slicing via hex/conv so values >= 0x80 survive
+    * (a UTF-8 decode would mangle them).
+    */
+  private def beUint(payload: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column, len: Int) =
+    conv(hex(payload.substr(pos, lit(len))), 16, 10).cast(LongType)
+
+  /** Big-endian u16 encode of a column value as 2 raw bytes. */
+  private def u16(v: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(v.cast(LongType)), 4, "0"))
+
+  /** Synthesize REAL baseline-JPEG byte streams, one per document: SOI +
+    * APP0/JFIF + a COM segment whose length varies per row (so the SOF
+    * marker position is NOT fixed — a parser must actually walk) + SOF0
+    * carrying big-endian (height, width) + EOI. These are structurally
+    * valid JPEG containers (any exif tool would read the dimensions);
+    * only the entropy-coded scan data is absent, which metadata-level
+    * decode never touches.
+    */
+  private def jpegTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val width = (pmod(col("n_chars"), lit(64)) + 1).cast(LongType)
+    val height = (pmod(col("doc_id"), lit(48)) + 1).cast(LongType)
+    val pad = pmod(col("doc_id"), lit(7)).cast(LongType) // COM body 0..6 B
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(
+        unhex(lit("FFD8")), // SOI
+        unhex(lit("FFE000104A46494600010100000100010000")), // APP0 JFIF
+        unhex(lit("FFFE")), u16(pad + 2L), // COM marker + length
+        encode(lit("graftpd").substr(lit(1), pad), "UTF-8"), // COM body
+        unhex(lit("FFC0")), u16(lit(17L)), unhex(lit("08")), // SOF0, prec 8
+        u16(height), u16(width),
+        unhex(lit("03011100021101031101")), // 3 components
+        unhex(lit("FFD9"))).as("payload"), // EOI
+      width.as("true_width"), height.as("true_height"),
+      (lit(25L) + pad).as("true_sof_at"))
+  }
+
+  /** REAL JPEG metadata decode as pure codegen'd expressions — the
+    * marker-segment walk every JPEG tool performs, unrolled to a bounded
+    * fold: starting at the first marker after SOI, read the marker byte;
+    * an SOF0/1/2 (baseline/extended/progressive frame header) yields
+    * height/width as the big-endian u16s at +5/+7; anything else is a
+    * variable-length segment whose big-endian u16 at +2 says how far to
+    * jump. `aggregate(sequence(...))` carries (pos, sof_at, h, w) across
+    * up to `MaxSegments` steps — bounded, branch-free per row, inside
+    * whole-stage codegen, payload bytes never leave the scan.
+    *
+    * This retires the "decode is a stub" caveat at the METADATA level:
+    * the parser reads genuine JPEG structure (MultimodalSpec feeds it
+    * hand-built multi-APPn/EXIF-shaped streams); only pixel-level decode
+    * (the entropy-coded scan) still needs a codec the container lacks.
+    */
+  def mediaJpegMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = jpegWalk(col("payload"))
+    jpegTable(spark, sfDir)
+      .select(col("media_id"), col("true_width"), col("true_height"),
+        col("true_sof_at"), meta.as("meta"),
+        (beUint(col("payload"), lit(1L), 2) === 65496L).as("soi_ok")) // FFD8
+      .select(col("media_id"),
+        col("soi_ok"),
+        col("meta").getField("sof_at").as("sof_at"),
+        col("meta").getField("w").as("width"),
+        col("meta").getField("h").as("height"),
+        // the round-trip audit: parsed values vs the construction inputs
+        (col("meta").getField("w") === col("true_width") &&
+          col("meta").getField("h") === col("true_height") &&
+          col("meta").getField("sof_at") === col("true_sof_at"))
+          .as("roundtrip_ok"))
+      .orderBy("media_id")
+  }
+
+  /** The parse over ANY (media_id, payload) frame of JPEG bytes —
+    * MultimodalSpec drives hand-built EXIF/multi-APPn/progressive
+    * streams through it; output (media_id, sof_at, width, height),
+    * -1s when no frame header is found within [[JpegMaxSegments]].
+    */
+  private[graft] def jpegMetaFrom(media: DataFrame): DataFrame = {
+    val meta = jpegWalk(col("payload"))
+    media.select(col("media_id"), meta.as("meta"))
+      .select(col("media_id"),
+        col("meta").getField("sof_at").as("sof_at"),
+        col("meta").getField("w").as("width"),
+        col("meta").getField("h").as("height"))
+      .orderBy("media_id")
+  }
+
+  private val JpegMaxSegments = 8
+
+  /** The marker-segment walk as ONE bounded expression fold: state =
+    * (pos = next marker's 1-based FF position or -1 done; sof_at/h/w =
+    * -1 until the frame header is found). Each step reads the marker
+    * byte after the FF; SOF0/1/2 (baseline/extended/progressive) yields
+    * the big-endian u16 dims at +5/+7, any other segment advances by
+    * 2 + its big-endian u16 length.
+    */
+  private def jpegWalk(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val init = struct(lit(3L).as("pos"), lit(-1L).as("sof_at"),
+      lit(-1L).as("h"), lit(-1L).as("w"))
+    aggregate(
+      sequence(lit(1), lit(JpegMaxSegments)), init, (acc, _) => {
+        val pos = acc.getField("pos")
+        val marker = beUint(payload, pos + 1L, 1)
+        val isSof = marker === 192L || marker === 193L || marker === 194L
+        val segLen = beUint(payload, pos + 2L, 2)
+        when(acc.getField("sof_at") >= 0L, acc)
+          .when(isSof, struct(lit(-1L).as("pos"), pos.as("sof_at"),
+            beUint(payload, pos + 5L, 2).as("h"),
+            beUint(payload, pos + 7L, 2).as("w")))
+          .otherwise(struct((pos + 2L + segLen).as("pos"),
+            lit(-1L).as("sof_at"), lit(-1L).as("h"), lit(-1L).as("w")))
+      })
+  }
+
   /** One decoded media record (STUBBED decode — see [[decodeFeatures]]). */
   final case class MediaFeatures(
       media_id: Long, kind: String, width: Int, height: Int,

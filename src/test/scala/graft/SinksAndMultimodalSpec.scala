@@ -134,6 +134,54 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
       f.n_frames should be > 0
     }
   }
+  test("the JPEG walk parses hand-built real-world container shapes") {
+    // genuine JPEG structure the synthetic driver table never produces:
+    // an EXIF APP1 before JFIF-less SOF, stacked APPn segments, and a
+    // PROGRESSIVE (SOF2) frame header — the parser must walk markers, not
+    // assume offsets
+    def u16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ u16(body.length + 2) ++ body
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val eoi = Array(0xff.toByte, 0xd9.toByte)
+    def sof(marker: Int, h: Int, w: Int): Array[Byte] =
+      seg(marker, Array(8.toByte) ++ u16(h) ++ u16(w) ++
+        Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+
+    // EXIF-shaped: APP1 with an Exif\0\0 + fake TIFF body, then SOF0
+    val exifBody = "Exif\u0000\u0000MM*lotsoftiffdatahere".getBytes("ISO-8859-1")
+    val exif = soi ++ seg(0xe1, exifBody) ++ sof(0xc0, 480, 640) ++ eoi
+    // stacked APPn + COM, PROGRESSIVE SOF2, dims > 255 (both u16 bytes live)
+    val progressive = soi ++
+      seg(0xe0, "JFIF\u0000\u0001\u0001\u0000\u0000\u0001\u0000\u0001\u0000\u0000".getBytes("ISO-8859-1")) ++
+      seg(0xe2, Array.fill(40)(0x42.toByte)) ++ // ICC-profile-shaped APP2
+      seg(0xfe, "shot on graft".getBytes("ISO-8859-1")) ++
+      sof(0xc2, 1080, 1920) ++ eoi
+    // no frame header within budget: every field must report -1
+    val headless = soi ++ seg(0xe0, Array.fill(6)(0.toByte)) ++ eoi
+
+    val frames = Seq(
+      (1L, exif), (2L, progressive), (3L, headless)).toDF("media_id", "payload")
+    val parsed = MultimodalPipeline.jpegMetaFrom(frames)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // SOF's FF sits right after APP1: 3 (first marker) + 2 (FF+marker)
+    // + (body + 2) segment length
+    parsed(0) shouldBe ((1L, 3L + 2L + exifBody.length + 2L, 640L, 480L))
+    parsed(1)._3 shouldBe 1920L
+    parsed(1)._4 shouldBe 1080L
+    parsed(2) shouldBe ((3L, -1L, -1L, -1L))
+  }
+
+  test("media_jpeg_meta round-trips every synthesized container") {
+    val out = MultimodalPipeline.mediaJpegMeta(spark, sf)
+      .select($"soi_ok", $"roundtrip_ok")
+      .as[(Boolean, Boolean)].collect()
+    out should not be empty
+    all(out.map(_._1)) shouldBe true
+    all(out.map(_._2)) shouldBe true
+  }
 }
 
 /** Static executor-side probe for the distributed-delivery test (closures
