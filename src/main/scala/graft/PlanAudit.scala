@@ -585,6 +585,8 @@ object PlanAudit {
     // session cache; the RETURNED plan is the manifest parquet scan (the
     // hive split partitions) + orderBy
     "curation_store" -> 2,
+    // same returned plan; the build+delta fold runs behind the cache
+    "curation_store_delta" -> 2,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
     // divergence localizer (temporary, round-8): nine single-row digest
@@ -823,7 +825,8 @@ object PlanAudit {
           !PlanAudit.bnljWhitelist.contains(name))
           "BNLJ" else "").filter(_.nonEmpty)
       val upw = unpartitionedWindowCount(plan)
-      println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused upw=$upw ${bad.mkString(",")}")
+      val skw = stratumKeyedSortWindowCount(plan)
+      println(f"$name%-22s scanCols=${scans.mkString("/")}%-14s pushed=$pushed exch=$exchanges reused=$reused upw=$upw skw=$skw ${bad.mkString(",")}")
     }
     spark.stop()
   }

@@ -366,6 +366,11 @@ object SparkEntry {
     // equivalence (append == recompute) is CurationStoreSpec's contract.
     "curation_store" -> ((s, d) =>
       graft.operators.CurationStore.manifestFromSessionStore(s, d)),
+    // the DELTA path under the driver oracle: build on the first-half
+    // snapshot, applyCurationDelta the second half, read back — must
+    // still equal the from-scratch program (append == recompute)
+    "curation_store_delta" -> ((s, d) =>
+      graft.operators.CurationStore.manifestFromSessionDeltaStore(s, d)),
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
@@ -2879,6 +2884,18 @@ ORDER BY q.doc_id""",
     // round-10 A/B twin: byte-identical SQL under the fresh name (see
     // the queries-map comment on curation_manifest)
     "curation_manifest" ->
+      s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    // the delta-folded store answers the SAME oracle: append==recompute
+    "curation_store_delta" ->
       s"""WITH $curationCtes,
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)

@@ -262,4 +262,34 @@ object CurationStore {
     }
     readManifest(spark, path)
   }
+
+  /** The DELTA path as a driver surface: build the store over the
+    * first-half snapshot (doc_id below the median), fold the second half
+    * in with [[applyCurationDelta]], and serve the read-back manifest —
+    * which must STILL equal the from-scratch program over the whole
+    * corpus (the spec's append == recompute contract, here checked by
+    * the driver's oracle on every run). Cached per (app, sfDir) like
+    * [[manifestFromSessionStore]] but at its own path — the build-only
+    * store must not serve delta-folded reads.
+    */
+  def manifestFromSessionDeltaStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val key = sfDir + "#delta"
+    val path = storeCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      storeCache.keySet.removeIf(_._1 != appId)
+      storeCache.computeIfAbsent((appId, key), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-curation-store-delta").toString
+        val corpus = Tables.documents(spark, sfDir)
+        val cut = corpus.agg(
+          org.apache.spark.sql.functions.percentile_approx(
+            col("doc_id"), lit(0.5), lit(100))).head.getLong(0)
+        buildCurationManifest(spark, corpus.filter(col("doc_id") < cut), p)
+        applyCurationDelta(spark, corpus.filter(col("doc_id") >= cut), p)
+        p
+      })
+    }
+    readManifest(spark, path)
+  }
 }
