@@ -69,9 +69,6 @@ object CurationStore {
     df.withColumn("quality_q4",
       floor(col("quality") * 10000d + 0.5d).cast("long"))
 
-  private val docsCols = Seq("doc_id", "source", "lang", "n_tokens",
-    "quality_q4", "text_hash", "in_g", "in_d", "in_c", "cap_rk")
-
   /** Build the store from scratch: run the program's gate/dedup/cap
     * stages once and persist the lineage + manifest.
     */
@@ -102,19 +99,31 @@ object CurationStore {
         coalesce(col("in_c"), lit(false)).as("in_c"),
         col("cap_rk"))
     docs.repartition(col("doc_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/docs")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/docs/ingest=base")
     writeManifest(spark, path, budget)
   }
 
   /** Fold a delta corpus into the store: delta-sized text work against
-    * the stored hash/cap state, append the delta's lineage rows, then
+    * the stored hash/cap state, land the delta's lineage rows in their
+    * OWN `docs/ingest=<tag>` directory with overwrite semantics, then
     * recompute the (doc-sized, text-free) budget + split stages over the
     * union and rewrite `manifest/`.
+    *
+    * Idempotence by layout (the [[PersistedIndex.appendTextIndexBatch]]
+    * discipline): a replayed delta overwrites its own ingest directory
+    * instead of duplicating rows, and the stored state it reads EXCLUDES
+    * that directory (partition-pruned), so the replay computes the
+    * identical flags it computed the first time.
     */
   def applyCurationDelta(spark: SparkSession, delta: DataFrame,
       path: String, minQuality: Double = DefaultMinQuality,
-      k: Int = DefaultK, budget: Long = DefaultBudget): Unit = {
-    val stored = spark.read.parquet(s"$path/docs")
+      k: Int = DefaultK, budget: Long = DefaultBudget,
+      ingestTag: String = ""): Unit = {
+    val all = spark.read.parquet(s"$path/docs")
+    val tag =
+      if (ingestTag.nonEmpty) ingestTag
+      else s"d${all.select(col("ingest")).distinct().count()}"
+    val stored = all.filter(col("ingest") =!= tag)
     val base = withQ4(baseScan(delta)).localCheckpoint()
     val gated = base.filter(col("quality") >= minQuality)
     // a delta doc loses dedup iff ANY stored GATED doc carries its hash
@@ -157,13 +166,46 @@ object CurationStore {
         coalesce(col("in_d"), lit(false)).as("in_d"),
         coalesce(col("in_c"), lit(false)).as("in_c"),
         col("cap_rk"))
-      // materialize BEFORE the append so the write plan holds no open
-      // scan of the directory it appends to
+      // materialize BEFORE the write so the plan holds no open scan of
+      // the tree it writes into
       .localCheckpoint()
     docs.repartition(col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/docs")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/docs/ingest=$tag")
     writeManifest(spark, path, budget)
   }
+
+  /** One micro-batch of the streaming ingest: the batch's lineage rows
+    * land in `docs/ingest=b<batchId>` with overwrite semantics — a
+    * replayed batch (foreachBatch's at-least-once contract) rewrites its
+    * own directory against state that excludes it, reproducing the same
+    * flags instead of double-counting.
+    */
+  private[graft] def appendCurationBatch(batch: DataFrame, path: String,
+      batchId: Long, minQuality: Double = DefaultMinQuality,
+      k: Int = DefaultK, budget: Long = DefaultBudget): Unit =
+    applyCurationDelta(batch.sparkSession, batch, path, minQuality, k,
+      budget, ingestTag = s"b$batchId")
+
+  /** The streaming ingest twin — each arriving micro-batch of documents
+    * folds into the persisted store through the SAME delta logic as the
+    * batch [[applyCurationDelta]] (the production "the manifest keeps up
+    * with the crawl" path; CurationStoreSpec proves N streamed batches
+    * equal the one-shot recompute under the id-ordered append contract).
+    * Start the returned writer with `.start()`.
+    */
+  def curationIngestStream(docs: DataFrame, path: String,
+      checkpoint: String, minQuality: Double = DefaultMinQuality,
+      k: Int = DefaultK, budget: Long = DefaultBudget)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendCurationBatch(batch.toDF(), path, id, minQuality, k, budget)
+      }
 
   /** Recompute the budget + split stages over the stored capped set and
     * rewrite `manifest/` — pure integer work on the doc-sized `docs/`

@@ -86,6 +86,50 @@ class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
       rows(CurationProgram.curationTraceFrom(corpus))
   }
 
+  test("streamed micro-batch ingest equals the one-shot recompute") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = freshDir("stream")
+    val chk = freshDir("stream-chk")
+    // bootstrap the store on the first third, stream the rest in
+    // id-ordered micro-batches (the append contract)
+    val allDocs = corpus.select($"doc_id", $"source", $"lang", $"text")
+      .as[(Long, String, String, String)].collect().toSeq.sortBy(_._1)
+    val (boot, rest) = allDocs.splitAt(allDocs.length / 3)
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < rest.head._1), dir)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)]
+    val q = CurationStore.curationIngestStream(
+      input.toDF().toDF("doc_id", "source", "lang", "text"), dir, chk)
+      .start()
+    try {
+      rest.grouped(math.max(1, rest.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    boot.length should be > 0
+    rows(CurationStore.readManifest(spark, dir)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
+  test("a replayed delta batch is idempotent (overwrite-by-ingest layout)") {
+    val dir = freshDir("replay")
+    val cut = 300L
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < cut), dir)
+    val delta = corpus.filter(col("doc_id") >= cut)
+    CurationStore.appendCurationBatch(delta, dir, batchId = 7L)
+    val first = rows(CurationStore.readManifest(spark, dir))
+    val firstTrace = rows(CurationStore.traceFromStore(spark, dir))
+    // the at-least-once replay: same batch, same id
+    CurationStore.appendCurationBatch(delta, dir, batchId = 7L)
+    rows(CurationStore.readManifest(spark, dir)) shouldBe first
+    rows(CurationStore.traceFromStore(spark, dir)) shouldBe firstTrace
+    first shouldBe rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
   test("store reads plan no text column — the lineage surface is text-free") {
     val dir = freshDir("notext")
     CurationStore.buildCurationManifest(spark, corpus, dir)
