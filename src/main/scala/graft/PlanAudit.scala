@@ -57,6 +57,10 @@ object PlanAudit {
     // 1-row n_src + 1-row boundary broadcasts over the fenced
     // #sources-row supply frame, plus that frame's #sources² pairing
     "budget_waterfill",
+    // 1-row totals + 1-row leftover broadcasts over the fenced
+    // #cells-row frame (the budget_waterfill class); eval_sample plans
+    // the same alloc subtree under its quota targets
+    "eval_alloc", "eval_sample",
     // #sources² signature self-pairing — both sides the 16-column
     // signature table (one row per source)
     "source_overlap_sketch",
@@ -141,7 +145,10 @@ object PlanAudit {
     // #sources-row supply frame (fenced): the rank + prefix-sum windows
     // of the exact water-filling level search — the assign_ids
     // offsets-table class
-    "budget_waterfill")
+    "budget_waterfill",
+    // #cells-row fenced frame: the largest-remainder rank window (the
+    // budget_waterfill class); eval_sample plans the same subtree
+    "eval_alloc", "eval_sample")
 
   /** Count of window specs PARTITIONED on a token/gram-like column — the
     * skew-unbounded funnel pattern of round 9's systemic finding: a window
@@ -719,6 +726,13 @@ object PlanAudit {
     "k_anonymity" -> 3,
     // (doc, word) agg + doc rollup (count-distinct expand) + orderBy
     "gopher_rules" -> 4,
+    // fenced #cells leaf: totals/leftover 1-row aggs + the cells-sized
+    // remainder rank window + orderBy
+    "eval_alloc" -> 6,
+    // the alloc subtree over the fenced cells + the corpus-side
+    // firstKPerKey machinery (shard agg + offsets + pruned window) +
+    // orderBy
+    "eval_sample" -> 10,
     // fenced #sources leaf: 1-row count agg + orderBy (the per-source
     // tokenize agg runs once behind the checkpoint fence)
     "data_epochs" -> 2,

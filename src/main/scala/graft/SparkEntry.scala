@@ -395,6 +395,11 @@ object SparkEntry {
           (col("quality_q4") / 10000d).as("quality"))
         .orderBy("doc_id")
     }),
+    // Round 11: exact Hamilton (largest-remainder) apportionment of an
+    // eval budget across (lang, source) strata + the admitted sample
+    // (firstKPerKey per-cell quotas) — quotas sum to evalN exactly
+    "eval_alloc" -> ((s, d) => graft.operators.CorpusRules.evalAlloc(s, d)),
+    "eval_sample" -> ((s, d) => graft.operators.CorpusRules.evalSample(s, d)),
     "temperature_sample" -> ((s, d) => TextPipeline.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample: k docs per language, drawn
     // proportional to n_chars without replacement, deterministic keys
@@ -3509,6 +3514,8 @@ FROM rel ORDER BY relationship""",
 FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
     // the Gopher/MassiveText document-quality rule battery
     "gopher_rules" -> graft.operators.CorpusRules.gopherRulesOracleSql,
+    "eval_alloc" -> graft.operators.CorpusRules.evalAllocOracleSql(),
+    "eval_sample" -> graft.operators.CorpusRules.evalSampleOracleSql(),
     // data-constrained repetition schedule (epoch multipliers per source)
     "data_epochs" -> graft.operators.CorpusRules.dataEpochsOracleSql(),
     // exact cross-source shingle-Jaccard overlap matrix

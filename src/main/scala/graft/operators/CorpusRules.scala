@@ -450,4 +450,125 @@ SELECT spr.source, spr.source_b, n_match,
     - coalesce(exact_jaccard_q6, 0)) AS BIGINT) AS err_q6
 FROM spr LEFT JOIN sx ON sx.source = spr.source AND sx.source_b = spr.source_b
 ORDER BY spr.source, spr.source_b"""
+
+  // ------------------------------------------ stratified eval sampler --
+
+  /** Exact Hamilton (largest-remainder) apportionment of an eval-set
+    * budget across (lang, source) strata — the "held-out set that looks
+    * like the corpus" builder: each cell's quota is floor(evalN·n/N)
+    * plus one extra for the cells with the largest remainders, so
+    * quotas sum to exactly `evalN` and every comparison is INTEGER
+    * (remainders share the denominator N, so `evalN·n mod N` compares
+    * them exactly — no float shares anywhere). Ties on equal remainders
+    * break by (lang, source).
+    *
+    * Scale: one map-side-combined (lang, source) count, then everything
+    * runs on the #cells-row frame (a web corpus has thousands of cells,
+    * not billions) — the rank window is cells-sized, whitelisted class.
+    */
+  def evalAlloc(spark: SparkSession, sfDir: String,
+      evalN: Long = 100L): DataFrame =
+    evalAllocFrom(Tables.documents(spark, sfDir), evalN)
+
+  def evalAllocFrom(corpus: DataFrame, evalN: Long): DataFrame = {
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // the ONE corpus pass; the cells frame is fenced so the normalizer
+    // and rank branches below never re-scan the corpus
+    val cells = fence(corpus.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_cell")))
+    val totals = cells.agg(sum(col("n_cell")).cast(LongType).as("n_total"),
+      count(lit(1)).cast(LongType).as("n_cells"))
+    val based = cells.crossJoin(broadcast(totals))
+      .withColumn("quota_base",
+        expr(s"($evalN * n_cell) div n_total").cast(LongType))
+      .withColumn("rem_num",
+        expr(s"($evalN * n_cell) % n_total").cast(LongType))
+    val leftover = based.agg(
+      (lit(evalN) - sum(col("quota_base"))).cast(LongType).as("n_extra"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem_num").desc, col("lang"), col("source"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("lang"), col("source"), col("n_cell"),
+        col("quota_base"), col("rem_num"),
+        (col("rk") <= col("n_extra")).as("extra"),
+        least(col("n_cell"),
+          col("quota_base") + when(col("rk") <= col("n_extra"), 1L)
+            .otherwise(0L)).cast(LongType).as("quota"))
+      .orderBy("lang", "source")
+  }
+
+  /** The ADMITTED eval documents under [[evalAlloc]]'s quotas: per
+    * (lang, source) cell, the first `quota` documents in seeded
+    * content-hash order ("ev:" md5 — reproducible, layout-independent).
+    *
+    * Scale: the quotas frame is cells-sized (broadcast); admission is
+    * [[TextPipeline.firstKPerKey]]'s per-key-targets form — the md5
+    * hex prefix is a 256-way shard monotone in the admission order, so
+    * shards wholly past a cell's quota never shuffle and no cell's
+    * corpus ever sorts in one window task.
+    */
+  def evalSample(spark: SparkSession, sfDir: String,
+      evalN: Long = 100L): DataFrame = {
+    val quotas = evalAlloc(spark, sfDir, evalN)
+      .select(concat_ws(":", col("lang"), col("source")).as("cell"),
+        col("quota").as("target"))
+    val ekey = md5(concat(lit("ev:"), col("doc_id")))
+    TextPipeline.firstKPerKey(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          ekey.as("ev_key"))
+        .withColumn("cell",
+          concat_ws(":", col("lang"), col("source")))
+        .withColumn("shard", substring(col("ev_key"), 1, 2)),
+      "cell", Seq(col("ev_key"), col("doc_id")), Right(quotas))
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** The DuckDB replay of [[evalAlloc]]. */
+  private[graft] def evalAllocOracleSql(evalN: Long = 100L): String =
+    s"""WITH ac AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
+  FROM documents GROUP BY lang, source),
+at AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_total FROM ac),
+ab AS (SELECT lang, source, n_cell,
+  CAST($evalN * n_cell // n_total AS BIGINT) AS quota_base,
+  CAST($evalN * n_cell % n_total AS BIGINT) AS rem_num
+  FROM ac, at),
+al AS (SELECT CAST($evalN - sum(quota_base) AS BIGINT) AS n_extra FROM ab),
+ar AS (SELECT *, CAST(row_number() OVER (ORDER BY rem_num DESC, lang, source)
+    AS BIGINT) AS rk FROM ab)
+SELECT lang, source, n_cell, quota_base, rem_num,
+  rk <= n_extra AS extra,
+  CAST(least(n_cell, quota_base + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END)
+    AS BIGINT) AS quota
+FROM ar, al ORDER BY lang, source"""
+
+  /** The DuckDB replay of [[evalSample]]. */
+  private[graft] def evalSampleOracleSql(evalN: Long = 100L): String =
+    s"""WITH ac AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_cell
+  FROM documents GROUP BY lang, source),
+at AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_total FROM ac),
+ab AS (SELECT lang, source, n_cell,
+  CAST($evalN * n_cell // n_total AS BIGINT) AS quota_base,
+  CAST($evalN * n_cell % n_total AS BIGINT) AS rem_num
+  FROM ac, at),
+al AS (SELECT CAST($evalN - sum(quota_base) AS BIGINT) AS n_extra FROM ab),
+ar AS (SELECT *, CAST(row_number() OVER (ORDER BY rem_num DESC, lang, source)
+    AS BIGINT) AS rk FROM ab),
+aq AS (SELECT lang, source,
+  CAST(least(n_cell, quota_base + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END)
+    AS BIGINT) AS quota
+  FROM ar, al),
+ad AS (SELECT doc_id, lang, source,
+  CAST(row_number() OVER (PARTITION BY lang, source
+    ORDER BY md5('ev:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+SELECT ad.doc_id, ad.lang, ad.source, ad.rk
+FROM ad JOIN aq ON ad.lang = aq.lang AND ad.source = aq.source
+WHERE ad.rk <= aq.quota
+ORDER BY ad.lang, ad.source, ad.rk"""
 }

@@ -207,6 +207,29 @@ object CurationStore {
           appendCurationBatch(batch.toDF(), path, id, minQuality, k, budget)
       }
 
+  /** Compact a delta-grown store: fold every `docs/ingest=*` directory
+    * back into ONE `ingest=base` partition — the
+    * [[PersistedIndex.compactTextIndex]] LSM discipline. A year of daily
+    * deltas is ~365 ingest directories whose file listings every read
+    * pays for; compaction rewrites the union once (doc-sized, text-free)
+    * and leaves reads byte-identical (spec-proven). Safe because the
+    * lineage rows are immutable facts — only their physical layout
+    * changes; the manifest is untouched (it derives from the same rows).
+    */
+  def compactCurationStore(spark: SparkSession, path: String): Unit = {
+    val all = spark.read.parquet(s"$path/docs")
+      .drop("ingest") // partition column; everything re-lands in base
+      .localCheckpoint() // materialize before rewriting the tree read from
+    val tmp = s"$path/docs_compacting"
+    all.repartition(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/ingest=base")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val docsPath = new org.apache.hadoop.fs.Path(s"$path/docs")
+    fs.delete(docsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), docsPath)
+  }
+
   /** Recompute the budget + split stages over the stored capped set and
     * rewrite `manifest/` — pure integer work on the doc-sized `docs/`
     * frame (no text column exists in the store at all).

@@ -149,4 +149,41 @@ class CorpusRulesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       }
     }
   }
+
+  test("eval_alloc: Hamilton quotas sum to exactly evalN and respect cell sizes") {
+    val rows = CorpusRules.evalAlloc(spark, "/root/testdata/sf0.001", evalN = 100L).collect()
+    rows.map(_.getAs[Long]("quota")).sum shouldBe 100L
+    rows.foreach { r =>
+      r.getAs[Long]("quota") should be <= r.getAs[Long]("n_cell")
+      // base <= quota <= base + 1 (largest-remainder adds at most one)
+      val base = r.getAs[Long]("quota_base")
+      r.getAs[Long]("quota") should (be >= base and be <= base + 1)
+    }
+    // the extras go to the LARGEST remainders: every extra cell's
+    // remainder >= every non-extra cell's (ties broken by cell id)
+    val extras = rows.filter(_.getAs[Boolean]("extra"))
+      .map(_.getAs[Long]("rem_num"))
+    val plains = rows.filterNot(_.getAs[Boolean]("extra"))
+      .map(_.getAs[Long]("rem_num"))
+    if (extras.nonEmpty && plains.nonEmpty)
+      extras.min should be >= plains.max - 0L // allow tie at the boundary
+  }
+
+  test("eval_sample admits exactly each cell's quota in seeded-hash order") {
+    val quotas = CorpusRules.evalAlloc(spark, "/root/testdata/sf0.001", evalN = 100L).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("quota")).toMap
+    val sample = CorpusRules.evalSample(spark, "/root/testdata/sf0.001", evalN = 100L).collect()
+    sample.length shouldBe 100
+    val perCell = sample.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .view.mapValues(_.length.toLong).toMap
+    perCell.foreach { case (cell, n) => n shouldBe quotas(cell) }
+    // ranks are 1..quota within each cell
+    sample.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .foreach { case (_, rs) =>
+        rs.map(_.getAs[Long]("rk")).sorted.toSeq shouldBe
+          (1L to rs.length.toLong)
+      }
+  }
 }

@@ -130,6 +130,35 @@ class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
     first shouldBe rows(CurationProgram.curationProgramFrom(corpus))
   }
 
+  test("compaction folds the ingest partitions into one; reads byte-identical") {
+    val dir = freshDir("compact")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 137L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 137L && col("doc_id") < 388L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 388L), dir)
+    val before = rows(CurationStore.readManifest(spark, dir))
+    val beforeTrace = rows(CurationStore.traceFromStore(spark, dir))
+    spark.read.parquet(s"$dir/docs").select("ingest")
+      .distinct().count() shouldBe 3L
+    CurationStore.compactCurationStore(spark, dir)
+    spark.read.parquet(s"$dir/docs").select("ingest")
+      .distinct().count() shouldBe 1L
+    rows(CurationStore.readManifest(spark, dir)) shouldBe before
+    rows(CurationStore.traceFromStore(spark, dir)) shouldBe beforeTrace
+    // and a post-compaction delta still folds correctly
+    // (its auto-derived tag restarts at d1 over the single base)
+    val dir2 = freshDir("compact2")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 300L), dir2)
+    CurationStore.compactCurationStore(spark, dir2)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 300L), dir2)
+    rows(CurationStore.readManifest(spark, dir2)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+  }
+
   test("store reads plan no text column — the lineage surface is text-free") {
     val dir = freshDir("notext")
     CurationStore.buildCurationManifest(spark, corpus, dir)
