@@ -754,6 +754,8 @@ object PlanAudit {
     "join_cardinality" -> 25,
     // the join_cardinality tree + the stateless rule projection
     "plan_advisor" -> 25,
+    // one map-side-combined split agg + orderBy; pure integer verdicts
+    "layout_advisor" -> 2,
     // four doc-sized presence left-joins on fenced stage leaves +
     // orderBy (no stage re-executes)
     "curation_trace" -> 9,

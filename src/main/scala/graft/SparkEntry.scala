@@ -516,6 +516,10 @@ object SparkEntry {
     // chosen by exact integer rules over the keyed-count estimates
     "plan_advisor" -> ((s, d) =>
       graft.operators.PlannerTelemetry.planAdvisor(s, d)),
+    // Round 11: partitioned-write layout planner — exact per-partition
+    // file counts/verdicts from one keyed agg (the small-files advisor)
+    "layout_advisor" -> ((s, d) =>
+      graft.operators.PlannerTelemetry.layoutAdvisor(s, d)),
     // numeric-shape drift: PSI over length-histogram bins
     "hist_drift" -> ((s, d) => DataQuality.histDrift(s, d)),
     // declared-vs-detected language confusion matrix
@@ -3516,6 +3520,8 @@ FROM customer GROUP BY 1, 2 ORDER BY nationkey, acctbal_band""",
     "gopher_rules" -> graft.operators.CorpusRules.gopherRulesOracleSql,
     "eval_alloc" -> graft.operators.CorpusRules.evalAllocOracleSql(),
     "eval_sample" -> graft.operators.CorpusRules.evalSampleOracleSql(),
+    "layout_advisor" ->
+      graft.operators.PlannerTelemetry.layoutAdvisorOracleSql(),
     // data-constrained repetition schedule (epoch multipliers per source)
     "data_epochs" -> graft.operators.CorpusRules.dataEpochsOracleSql(),
     // exact cross-source shingle-Jaccard overlap matrix

@@ -231,4 +231,73 @@ JOIN (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS n_r FROM $rt GROUP BY 1) rc 
         "events", "user_id"))
       .mkString("\nUNION ALL\n")
   }
+
+  /** Target parquet file size for [[layoutAdvisor]] — bytes, the usual
+    * 128 MB HDFS-block-aligned target scaled down so the synthetic SFs
+    * exercise multi-file partitions (a deployment passes its own).
+    */
+  private val TargetFileBytes = 4096L
+
+  /** Partitioned-write layout planner — the small-files / giant-files
+    * advisor a 100 TB writer consults BEFORE `partitionBy(split)`:
+    * per hive-partition value, the exact row count and payload bytes
+    * (sum of n_chars — the dominant column), the file count that hits
+    * the target size (`ceil(bytes/target)`, min 1), rows per file, and
+    * the verdict — `coalesce_small` when the whole partition is under
+    * half a target file (the small-files problem: merge it into a
+    * sibling write or cut task parallelism), `split_large` when any
+    * single file would exceed 2× target without the advised count
+    * (i.e. the partition NEEDS an explicit repartition(n) before the
+    * write), `ok` otherwise.
+    *
+    * Scale: ONE map-side-combined groupBy(split) agg (#partitions rows
+    * out), then pure integer arithmetic — the advisor never moves a
+    * payload row, exactly like [[joinCardinality]]. Exercised on the
+    * deterministic split assignment (TextPipeline.hashBucket), so the
+    * report is stable and oracle-replayable.
+    */
+  def layoutAdvisor(spark: SparkSession, sfDir: String,
+      targetBytes: Long = TargetFileBytes): DataFrame = {
+    val bucket = graft.operators.TextPipeline.hashBucket("split:")
+    Tables.documents(spark, sfDir)
+      .select(when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"), col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("n_chars")).cast(LongType).as("n_bytes"))
+      .select(col("split"), col("n_rows"), col("n_bytes"),
+        greatest(lit(1L),
+          expr(s"(n_bytes + $targetBytes - 1) div $targetBytes"))
+          .cast(LongType).as("n_files"))
+      .withColumn("rows_per_file",
+        expr("(n_rows + n_files - 1) div n_files").cast(LongType))
+      .withColumn("verdict",
+        when(col("n_bytes") * 2 < targetBytes, "coalesce_small")
+          .when(col("n_bytes") > col("n_files") * targetBytes * 2,
+            "split_large")
+          .otherwise("ok"))
+      .orderBy("split")
+  }
+
+  /** The DuckDB replay of [[layoutAdvisor]]. */
+  private[graft] def layoutAdvisorOracleSql(
+      targetBytes: Long = TargetFileBytes): String =
+    s"""WITH lb AS (SELECT CASE
+    WHEN CAST(list_sum(list_transform(range(4), dd ->
+      CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+        * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) < 90 THEN 'train'
+    WHEN CAST(list_sum(list_transform(range(4), dd ->
+      CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+        * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) < 95 THEN 'val'
+    ELSE 'test' END AS split, n_chars FROM documents),
+lg AS (SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(n_chars) AS BIGINT) AS n_bytes FROM lb GROUP BY split),
+lf AS (SELECT *, CAST(greatest(1, (n_bytes + $targetBytes - 1) // $targetBytes)
+    AS BIGINT) AS n_files FROM lg)
+SELECT split, n_rows, n_bytes, n_files,
+  CAST((n_rows + n_files - 1) // n_files AS BIGINT) AS rows_per_file,
+  CASE WHEN n_bytes * 2 < $targetBytes THEN 'coalesce_small'
+    WHEN n_bytes > n_files * $targetBytes * 2 THEN 'split_large'
+    ELSE 'ok' END AS verdict
+FROM lf ORDER BY split"""
 }

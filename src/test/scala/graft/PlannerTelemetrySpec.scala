@@ -151,6 +151,39 @@ class PlannerTelemetrySpec extends AnyFunSuite with Matchers
       .foreach(_.toLong should be <= 12000L)
   }
 
+  test("layout_advisor's file counts match an actual advised write") {
+    import org.apache.spark.sql.functions._
+    val advice = PlannerTelemetry.layoutAdvisor(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"))).toMap
+    // cross-check the counts against the actual split assignment
+    val bucket = graft.operators.TextPipeline.hashBucket("split:")
+    val actual = Tables.documents(spark, sf)
+      .select(when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    advice.foreach { case (split, (nRows, _)) =>
+      nRows shouldBe actual(split)
+    }
+    // the prescribed action: repartition(n_files) before the write
+    // produces exactly n_files part files
+    val (trainRows, trainFiles) = advice("train")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-layout").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), bucket.as("b"))
+      .filter(when(col("b") < 90, "train").when(col("b") < 95, "val")
+        .otherwise("test") === "train")
+      .repartition(trainFiles.toInt)
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    parts shouldBe trainFiles.toInt
+    spark.read.parquet(dir).count() shouldBe trainRows
+  }
+
   test("skew report matches directly computed key frequencies") {
     val rows = PlannerTelemetry.skewReport(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
