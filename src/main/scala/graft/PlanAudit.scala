@@ -395,6 +395,8 @@ object PlanAudit {
     "hc_window_max" -> 2, "media_frame_sample" -> 1, "media_meta" -> 1,
     // stateless expression parse (the JPEG walk is one codegen'd fold)
     "media_jpeg_meta" -> 1,
+    // scan -> encode mapPartitions -> decode mapPartitions -> orderBy
+    "media_png_features" -> 1,
     "pivot_hourly" -> 3, "q10_returns" -> 1, "q14_promo" -> 1,
     "q18_big_orders" -> 1, "q1_agg" -> 2, "q1_rollup" -> 2,
     "q3_topk" -> 1, "q5_join" -> 2, "q6_filter" -> 1, "range_join" -> 2,

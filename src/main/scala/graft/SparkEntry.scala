@@ -216,6 +216,12 @@ object SparkEntry {
     // inputs, so equality proves the byte-level parse (roundtrip_ok is
     // computed Spark-side from the parsed values)
     "media_jpeg_meta" -> ((s, d) => MultimodalPipeline.mediaJpegMeta(s, d)),
+    // Round 11: REAL pixel-level PNG decode — payloads are genuine PNG
+    // files (JDK pure-Java encoder) and the statistics come from the
+    // DECODED raster; the oracle recomputes the deterministic pixel law,
+    // so equality proves the zlib/PNG round trip bit-for-bit
+    "media_png_features" -> ((s, d) =>
+      MultimodalPipeline.mediaPngFeatures(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
@@ -2172,6 +2178,22 @@ FROM documents ORDER BY media_id""",
   CAST(doc_id % 48 + 1 AS BIGINT) AS height,
   TRUE AS roundtrip_ok
 FROM documents ORDER BY media_id""",
+    // the pixel-law replay: Spark's numbers come from DECODED PNG
+    // rasters; the oracle recomputes gray(x,y) = (d*31+x*7+y*13) % 256
+    // over the same grid — integer-exact both sides
+    "media_png_features" ->
+      """WITH pf AS (SELECT doc_id AS media_id,
+  CAST(n_chars % 16 + 4 AS BIGINT) AS width,
+  CAST(doc_id % 12 + 4 AS BIGINT) AS height,
+  CAST(list_sum(flatten(list_transform(range(n_chars % 16 + 4), x ->
+    list_transform(range(doc_id % 12 + 4), y ->
+      (doc_id * 31 + x * 7 + y * 13) % 256)))) AS BIGINT) AS luma_sum
+  FROM documents)
+SELECT media_id, width, height,
+  CAST(width * height AS BIGINT) AS n_pixels,
+  luma_sum,
+  CAST(luma_sum * 10000 // (width * height) AS BIGINT) AS luma_q4
+FROM pf ORDER BY media_id""",
     "media_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
   CAST((len(text)+15)//16 AS BIGINT) AS n_frames FROM documents)

@@ -299,6 +299,97 @@ object MultimodalPipeline {
       })
   }
 
+  // ------------------------------------------- real PNG pixel decode --
+
+  /** One REAL-decoded PNG record: dimensions and the exact luminance
+    * statistics read from DECODED PIXELS (not header fields). */
+  final case class PngFeatures(
+      media_id: Long, width: Long, height: Long, n_pixels: Long,
+      luma_sum: Long, luma_q4: Long)
+
+  private final case class PngRow(media_id: Long, payload: Array[Byte])
+
+  /** Deterministic pixel law shared by the encoder, the decoder spec,
+    * and the DuckDB oracle: gray(x, y) of document d. */
+  private[graft] def pngGray(d: Long, x: Int, y: Int): Int =
+    ((d * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Synthesize REAL PNG files, one per document — TYPE_BYTE_GRAY
+    * images under the deterministic pixel law, encoded through the
+    * JDK's pure-Java PNG writer (javax.imageio — DEFLATE/zlib and the
+    * PNG container live in the JDK; no native codec involved). Small
+    * dims (4-19 × 4-15) keep the synthesis data-proportional.
+    *
+    * mapPartitions (iterator-to-iterator): encoder setup amortized per
+    * partition, payload bytes never leave their partition.
+    */
+  def pngTable(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val enc = Encoders.product[PngRow]
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .as(Encoders.product[(Long, Long)])
+      .mapPartitions { rows =>
+        rows.map { case (docId, nChars) =>
+          val w = (nChars % 16 + 4).toInt
+          val h = (docId % 12 + 4).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, pngGray(docId, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          PngRow(docId, out.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** REAL pixel-level PNG decode — [[decodeFeatures]]' stub retired for
+    * this format: every payload runs through the JDK's actual PNG
+    * reader (zlib inflate, scanline un-filtering, 8-bit gray samples),
+    * and the emitted statistics come from the DECODED RASTER. PNG is
+    * lossless and 8-bit grayscale maps 1:1, so the luminance sum is an
+    * exact integer the DuckDB oracle recomputes from the pixel law —
+    * the hash-equality proves the encode→container→decode round trip
+    * bit-for-bit. `luma_q4` is integer `div` of exact integers
+    * (`luma_sum·10⁴ div n_pixels`) — no float anywhere.
+    *
+    * Scale: decode is mapPartitions (per-partition reader, no driver
+    * round-trips); only (media_id, dims, two BIGINTs) ever shuffle.
+    */
+  def mediaPngFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val rowEnc = Encoders.product[PngRow]
+    implicit val outEnc = Encoders.product[PngFeatures]
+    pngTable(spark, sfDir).as[PngRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        PngFeatures(r.media_id, w.toLong, h.toLong, n, sum,
+          sum * 10000L / n)
+      }
+    }.toDF().orderBy("media_id")
+  }
+
   /** One decoded media record (STUBBED decode — see [[decodeFeatures]]). */
   final case class MediaFeatures(
       media_id: Long, kind: String, width: Int, height: Int,
@@ -314,11 +405,15 @@ object MultimodalPipeline {
     * out (the JVM analogue of a vectorized batch UDF over media batches).
     *
     * ========================= STUB =========================
-    * Real media codecs are unavailable in this environment. The decode below
-    * is a DETERMINISTIC FAKE: "luma" is a byte-mean over the payload body,
-    * "frames" a fixed slicing — stable, testable stand-ins with the same
-    * shapes/types a real decoder (e.g. javacv/ffmpeg) would produce. Swap
-    * `fakeDecode` for a real decoder binding; everything else stays.
+    * AUDIO/VIDEO codecs are unavailable in this environment, so the
+    * decode below is a DETERMINISTIC FAKE for those kinds: "luma" is a
+    * byte-mean over the payload body, "frames" a fixed slicing — stable,
+    * testable stand-ins with the same shapes/types a real decoder
+    * (e.g. javacv/ffmpeg) would produce. Swap `fakeDecode` for a real
+    * decoder binding; everything else stays. IMAGES are no longer
+    * stubbed: [[mediaPngFeatures]] decodes REAL PNG pixels through the
+    * JDK codec, and [[mediaJpegMeta]] parses REAL JPEG structure — only
+    * formats needing native codecs keep the fake.
     * ========================================================
     */
   def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {

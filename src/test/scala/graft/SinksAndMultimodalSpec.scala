@@ -174,6 +174,55 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     parsed(2) shouldBe ((3L, -1L, -1L, -1L))
   }
 
+  test("PNG decode is REAL: raster stats equal the pixel law; corruption breaks decode") {
+    // decode one known image by hand through the same JDK reader the
+    // operator uses: a 3x2 gray gradient written with ImageIO must read
+    // back bit-identical samples (PNG is lossless)
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array(Array(0, 100, 255), Array(7, 128, 200))
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.getRaster.setSample(x, y, 0, vals(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+    // genuine PNG container: magic + IHDR + zlib'd IDAT
+    bytes.take(4).map(_ & 0xff).toSeq shouldBe Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 2; x <- 0 until 3)
+      back.getRaster.getSample(x, y, 0) shouldBe vals(y)(x)
+    // flip a byte inside the compressed IDAT stream: a real decoder
+    // notices (CRC/inflate failure) — a stub reading header fields
+    // would not
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 20) = (corrupt(bytes.length - 20) ^ 0x5a).toByte
+    val res = try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(corrupt)))
+    } catch { case _: Throwable => None }
+    // either the reader throws/returns null, or the decoded pixels
+    // differ — never a silent identical read
+    val identical = res.exists { b =>
+      (0 until 2).forall(y => (0 until 3).forall(x =>
+        b.getRaster.getSample(x, y, 0) == vals(y)(x)))
+    }
+    identical shouldBe false
+
+    // the operator end-to-end: decoded-raster stats equal the pixel law
+    val feats = MultimodalPipeline.mediaPngFeatures(spark, sf).collect()
+    feats.length shouldBe 500
+    feats.take(20).foreach { r =>
+      val d = r.getAs[Long]("media_id")
+      val w = r.getAs[Long]("width").toInt
+      val h = r.getAs[Long]("height").toInt
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield MultimodalPipeline.pngGray(d, x, y).toLong).sum
+      r.getAs[Long]("luma_sum") shouldBe expect
+      r.getAs[Long]("n_pixels") shouldBe w.toLong * h
+    }
+  }
+
   test("media_jpeg_meta round-trips every synthesized container") {
     val out = MultimodalPipeline.mediaJpegMeta(spark, sf)
       .select($"soi_ok", $"roundtrip_ok")
