@@ -18,7 +18,8 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
-    "sim_topk", "sim_topk_ivf", "sim_topk_batch", "emb_neardup",
+    "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_batch",
+    "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
@@ -131,8 +132,8 @@ object PlanAudit {
     // <= #bins merged-sketch estimate windows
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
-    "sim_topk", "sim_topk_ivf", "sim_topk_kmeans", "sim_topk_q8", "pq_topk",
-    "pq_recall",
+    "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
+    "sim_topk_q8", "pq_topk", "pq_recall",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -327,6 +328,8 @@ object PlanAudit {
     "emb_neardup" -> 10,
     "sim_topk" -> 1, // TakeOrdered, no global sort
     "sim_topk_ivf" -> 4,
+    // band-signature distinct + candidate semi-join + exact-set audit join
+    "sim_topk_lsh" -> 4,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy
@@ -397,6 +400,10 @@ object PlanAudit {
     "media_jpeg_meta" -> 1,
     // scan -> encode mapPartitions -> decode mapPartitions -> orderBy
     "media_png_features" -> 1,
+    // stateless expression parse (box walk is a codegen'd fold) + orderBy
+    "media_mp4_meta" -> 1,
+    // scan -> container-build expressions -> JDK WAV decode mapPartitions
+    "media_wav_features" -> 1,
     "pivot_hourly" -> 3, "q10_returns" -> 1, "q14_promo" -> 1,
     "q18_big_orders" -> 1, "q1_agg" -> 2, "q1_rollup" -> 2,
     "q3_topk" -> 1, "q5_join" -> 2, "q6_filter" -> 1, "range_join" -> 2,
@@ -596,6 +603,8 @@ object PlanAudit {
     "curation_store" -> 2,
     // same returned plan; the build+delta fold runs behind the cache
     "curation_store_delta" -> 2,
+    // same returned plan; the build + forget rewrite run behind the cache
+    "curation_forget" -> 2,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
     // divergence localizer (temporary, round-8): nine single-row digest
@@ -709,6 +718,12 @@ object PlanAudit {
     // post-checkpoint plan: cluster-keyed self-join + the cluster-bounded
     // per-vector ranking window + orderBy (Lloyd behind the leaf)
     "knn_graph" -> 4,
+    // post-checkpoint delta plan: kept-rows anti-join reads the stored
+    // graph leaf, touched-members union feeds one cluster-keyed
+    // self-join + bounded rank window + union orderBy (frozen-index
+    // Lloyd, the base-graph build, and the delta assignment all live
+    // behind fenced leaves)
+    "knn_graph_delta" -> 5,
     // the dedup_jaccard shape: shingle fence + block fence + banded
     // self-join + the two set-carrying verify joins + orderBy
     "dedup_containment" -> 10,

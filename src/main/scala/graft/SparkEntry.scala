@@ -222,6 +222,16 @@ object SparkEntry {
     // so equality proves the zlib/PNG round trip bit-for-bit
     "media_png_features" -> ((s, d) =>
       MultimodalPipeline.mediaPngFeatures(s, d)),
+    // Round 11: REAL MP4/ISO-BMFF metadata decode — size-prefixed box
+    // walk (moov offset varies per row) reading mvhd timescale/duration
+    // and counting traks; the oracle replays the construction inputs
+    "media_mp4_meta" -> ((s, d) => MultimodalPipeline.mediaMp4Meta(s, d)),
+    // Round 11: REAL sample-level WAV decode — payloads are hand-built
+    // RIFF/WAVE containers (variable-position data chunk) decoded through
+    // the JDK's actual WAV codec; stats come from the DECODED PCM frames,
+    // the oracle recomputes the sample law
+    "media_wav_features" -> ((s, d) =>
+      MultimodalPipeline.mediaWavFeatures(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
@@ -236,6 +246,9 @@ object SparkEntry {
     // MMR diversity rerank of the top-20 pool (generated greedy oracle)
     "mmr_rerank" -> ((s, d) => SimilarityPipeline.mmrRerank(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
+    // Round 11: the LSH-bucketed ANN scale path — query probes only its
+    // own 4 hyperplane band buckets; in_exact = recall audit vs brute
+    "sim_topk_lsh" -> ((s, d) => SimilarityPipeline.simTopKLsh(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -254,6 +267,11 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) => SimilarityPipeline.semanticDedup(s, d)),
     // cluster-blocked exact kNN graph over the learned index
     "knn_graph" -> ((s, d) => SimilarityPipeline.knnGraph(s, d)),
+    // Round 11: incremental kNN-graph maintenance — frozen base-trained
+    // index, neighborhoods recomputed ONLY in delta-touched clusters;
+    // the oracle's full recompute makes the green hash the
+    // append==recompute proof
+    "knn_graph_delta" -> ((s, d) => SimilarityPipeline.knnGraphDelta(s, d)),
     // Round 10: triangle census of the mutual kNN graph via
     // degree-ordered orientation (each triangle found once, out-degree
     // bounded O(sqrt m) on any degree distribution)
@@ -377,6 +395,12 @@ object SparkEntry {
     // still equal the from-scratch program (append == recompute)
     "curation_store_delta" -> ((s, d) =>
       graft.operators.CurationStore.manifestFromSessionDeltaStore(s, d)),
+    // Round 11: the FORGET path — build, forget doc_id % 13 == 2
+    // (dedup-winner succession + cap re-ranks, copy-on-write partition
+    // rewrites, zero text), read back; oracle = the program over the
+    // corpus minus the forgotten docs
+    "curation_forget" -> ((s, d) =>
+      graft.operators.CurationStore.manifestFromSessionForgetStore(s, d)),
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
@@ -2194,6 +2218,29 @@ SELECT media_id, width, height,
   luma_sum,
   CAST(luma_sum * 10000 // (width * height) AS BIGINT) AS luma_q4
 FROM pf ORDER BY media_id""",
+    "media_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+  CAST(25 + doc_id % 7 AS BIGINT) AS moov_at,
+  CAST(600 + (doc_id % 5) * 120 AS BIGINT) AS timescale,
+  CAST(n_chars * 25 + doc_id % 97 AS BIGINT) AS duration,
+  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+  CAST((n_chars * 25 + doc_id % 97) * 1000 // (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
+  TRUE AS roundtrip_ok
+FROM documents ORDER BY media_id""",
+    // the sample-law replay: Spark's numbers come from PCM frames decoded
+    // by the JDK's WAV reader; the oracle recomputes
+    // s(i) = (d*17 + i*29) % 256 over the same index range
+    "media_wav_features" ->
+      """WITH wf AS (SELECT doc_id AS media_id,
+  CAST(8000 + (doc_id % 4) * 1000 AS BIGINT) AS sample_rate,
+  CAST((n_chars % 16) * 2 + 8 AS BIGINT) AS n_samples,
+  list_transform(range((n_chars % 16) * 2 + 8), i -> (doc_id * 17 + i * 29) % 256) AS s
+  FROM documents)
+SELECT media_id, sample_rate, n_samples,
+  CAST(list_sum(s) AS BIGINT) AS pcm_sum,
+  CAST(len(list_filter(range(n_samples - 1), i -> (s[i+1] < 128) <> (s[i+2] < 128))) AS BIGINT) AS zero_cross,
+  CAST(list_sum(s) * 10000 // n_samples AS BIGINT) AS amp_q4
+FROM wf ORDER BY media_id""",
     "media_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id, text,
   CAST((len(text)+15)//16 AS BIGINT) AS n_frames FROM documents)
@@ -2284,6 +2331,26 @@ SELECT rank, vec_id, label, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY 
       s"""WITH
 $hyperplanePairCtes
 SELECT vec_a, vec_b, sim FROM v WHERE sim >= 0.4 ORDER BY vec_a, vec_b""",
+    // LSH probe replay: same signature scheme as emb_neardup's CTEs but
+    // query-sided — candidates share a (band, val) bucket with vec 0
+    "sim_topk_lsh" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT band, val FROM bv WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id FROM bv b JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id <> 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (ORDER BY (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) DESC, vec_id) AS rank
+  FROM embeddings, q WHERE vec_id <> 0) WHERE rank <= 10),
+s AS (SELECT e.vec_id, e.label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q),
+t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, label, round(c, 4) AS sim,
+  (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
+FROM t WHERE rank <= 10 ORDER BY rank""",
     "emb_kmeans" ->
       s"""WITH
 $kmeansCtes
@@ -2376,6 +2443,37 @@ rk AS (SELECT vec_id, nbr_id, s,
   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank
   FROM pr)
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim
+FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
+    // full recompute under BASE-trained frozen centroids (train on
+    // vec_id % 10 <> 7, assign everyone, cluster-blocked top-5) — the
+    // Spark side only rebuilds delta-touched clusters, so hash equality
+    // IS the append==recompute proof
+    "knn_graph_delta" ->
+      """WITH ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ekb AS (SELECT * FROM ek WHERE vec_id % 100 <> 7),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ekb ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT ekb.vec_id, c0.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ekb, c0),
+a1 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
+ux AS (SELECT vec_id, unnest(v) AS x, unnest(range(64)) AS pos FROM ekb),
+mm AS (SELECT a1.cluster, ux.pos, round(avg(ux.x), 4) AS mx
+  FROM a1 JOIN ux ON a1.vec_id = ux.vec_id WHERE a1.rn = 1 GROUP BY a1.cluster, ux.pos),
+c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
+d2t AS (SELECT ek.vec_id, c1.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
+a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t),
+asg AS MATERIALIZED (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+tc AS (SELECT DISTINCT cluster FROM asg WHERE vec_id % 100 = 7),
+pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, x.cluster AS cluster,
+  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+rk AS (SELECT vec_id, nbr_id, cluster, s,
+  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank FROM pr)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim,
+  (cluster IN (SELECT cluster FROM tc)) AS recomputed
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
     // triangle census of the mutual kNN graph: knn edges -> mutual
     // (both directions present) -> degree-ordered orientation -> wedge
@@ -2941,6 +3039,21 @@ FROM sp ORDER BY doc_id""",
     // in-query program — byte-identical oracle by construction
     "curation_store" ->
       s"""WITH $curationCtes,
+sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
+SELECT doc_id, source, lang, n_tokens,
+  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
+  cap_rk, start_offset, bucket,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM sp ORDER BY doc_id""",
+    // round-11 forget path: the program over the corpus MINUS the
+    // forgotten residue class — succession/re-rank/budget all implied by
+    // re-running the same staged CTEs on the filtered base
+    "curation_forget" ->
+      s"""WITH ${curationCtes.replace("FROM documents)",
+        "FROM documents WHERE doc_id % 13 <> 2)")},
 sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
     CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
       * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)

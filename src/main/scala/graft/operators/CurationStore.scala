@@ -305,6 +305,95 @@ object CurationStore {
       .orderBy("stage_no")
   }
 
+  /** Right-to-be-forgotten delete propagation — remove `ids` from the
+    * store so every surface equals a from-scratch build over the corpus
+    * MINUS the forgotten documents, with ZERO text work (the whole
+    * recomputation runs on the stored text-free flags/hashes):
+    *
+    *   - dedup succession: a forgotten exact-dedup winner's hash promotes
+    *     the smallest SURVIVING gated doc with that hash (stored
+    *     `text_hash` makes this a per-affected-hash min — no text);
+    *   - cap re-rank: sources that lost a doc, or GAINED one through
+    *     promotion, re-run first-k-per-source over their surviving
+    *     deduped docs; every other source's in_c/cap_rk is untouched
+    *     (its deduped membership cannot have changed);
+    *   - budget/split: recomputed over the union as always (doc-sized
+    *     integer pass, the [[applyCurationDelta]] note).
+    *
+    * Physical deletes are COPY-ON-WRITE at ingest-partition granularity
+    * (the Delta/Iceberg discipline on a plain-parquet store): only
+    * `docs/ingest=` directories holding a forgotten row or a row whose
+    * flags changed are rewritten; untouched partitions keep their files
+    * byte-for-byte. CurationStoreSpec proves forget == recompute
+    * row-for-row, idempotence, and the partition-granularity bound.
+    *
+    * Scale: affected-hash and affected-source frames are
+    * deletion-sized; the rewrite is bounded by the partitions deletions
+    * actually live in — a 1k-doc GDPR batch against a 10⁹-doc store
+    * rewrites a handful of integer-row directories, never text.
+    */
+  def forgetDocs(spark: SparkSession, ids: DataFrame, path: String,
+      k: Int = DefaultK, budget: Long = DefaultBudget): Unit = {
+    val all = spark.read.parquet(s"$path/docs")
+    val drop = ids.select(col("doc_id")).localCheckpoint()
+    val deleted = all.join(drop, Seq("doc_id")).localCheckpoint()
+    val surviving = all.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // dedup succession, confined to hashes a deletion touched
+    val affHashes = deleted.select("text_hash").distinct()
+    val inAffHash = surviving.join(broadcast(affHashes), Seq("text_hash"))
+    val newWinners = inAffHash.filter(col("in_g"))
+      .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").withColumn("w", lit(true))
+    val dedupFixed = inAffHash
+      .join(newWinners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("w"), lit(false)).as("in_d2"), col("in_d"))
+    // sources needing a cap re-rank: lost a doc OR gained one by promotion
+    val affSources = deleted.select("source")
+      .unionByName(dedupFixed.filter(col("in_d2") =!= col("in_d"))
+        .select("source"))
+      .distinct().withColumn("aff", lit(true)).localCheckpoint()
+    val updated = surviving
+      .join(dedupFixed.select(col("doc_id"), col("in_d2")),
+        Seq("doc_id"), "left")
+      .withColumn("in_d_new", coalesce(col("in_d2"), col("in_d")))
+      .drop("in_d2")
+      .join(broadcast(affSources), Seq("source"), "left")
+    val recapped = TextPipeline.domainCapFrom(
+        updated.filter(col("aff") && col("in_d_new"))
+          .select(col("doc_id"), col("source")), k)
+      .select(col("doc_id"), col("rk").as("cap_rk2"))
+      .withColumn("c2", lit(true))
+    val fixed = updated.join(recapped, Seq("doc_id"), "left")
+      .withColumn("in_c_new",
+        when(col("aff").isNotNull, coalesce(col("c2"), lit(false)))
+          .otherwise(col("in_c")))
+      .withColumn("cap_rk_new",
+        when(col("aff").isNotNull, col("cap_rk2")).otherwise(col("cap_rk")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("quality_q4"), col("text_hash"), col("in_g"),
+        col("in_d_new").as("in_d"), col("in_c_new").as("in_c"),
+        col("cap_rk_new").as("cap_rk"), col("ingest"),
+        (col("in_d_new") =!= col("in_d") ||
+          col("in_c_new") =!= col("in_c") ||
+          !(col("cap_rk_new") <=> col("cap_rk"))).as("chg"))
+    // copy-on-write: rewrite ONLY partitions holding a deletion or a
+    // flag change; materialize before touching the tree read from
+    val affParts = deleted.select(col("ingest"))
+      .unionByName(fixed.filter(col("chg")).select(col("ingest")))
+      .distinct().collect().map(_.getString(0)) // bounded: #ingest dirs
+    val rewrite = fixed
+      .filter(col("ingest").isInCollection(affParts.toSeq))
+      .drop("chg").localCheckpoint()
+    affParts.foreach { p =>
+      rewrite.filter(col("ingest") === p).drop("ingest")
+        .repartition(col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/docs/ingest=$p")
+    }
+    writeManifest(spark, path, budget)
+  }
+
   /** Session-cached store over a testdata snapshot — the driver-query
     * hook: builds once per (application, sfDir) at a temp path (the
     * [[TextPipeline.warmSharedClusterLabels]] cache recipe) and serves
@@ -337,6 +426,33 @@ object CurationStore {
     * [[manifestFromSessionStore]] but at its own path — the build-only
     * store must not serve delta-folded reads.
     */
+  /** The FORGET path as a driver surface: build the store over the full
+    * snapshot, forget every doc_id ≡ 2 (mod 13), read the manifest back
+    * — which must equal the from-scratch program over the corpus MINUS
+    * the forgotten docs (the driver oracle filters its base CTE the same
+    * way, so the green hash IS the forget ≡ recompute proof, including
+    * dedup-winner succession and cap re-ranks).
+    */
+  def manifestFromSessionForgetStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val key = sfDir + "#forget"
+    val path = storeCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      storeCache.keySet.removeIf(_._1 != appId)
+      storeCache.computeIfAbsent((appId, key), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-curation-store-forget").toString
+        val corpus = Tables.documents(spark, sfDir)
+        buildCurationManifest(spark, corpus, p)
+        forgetDocs(spark,
+          corpus.filter(pmod(col("doc_id"), lit(13)) === 2)
+            .select(col("doc_id")), p)
+        p
+      })
+    }
+    readManifest(spark, path)
+  }
+
   def manifestFromSessionDeltaStore(spark: SparkSession,
       sfDir: String): DataFrame = {
     val key = sfDir + "#delta"

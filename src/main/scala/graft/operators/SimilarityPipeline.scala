@@ -426,6 +426,70 @@ FROM ($picks) ORDER BY rank"""
       .orderBy("vec_a", "vec_b")
   }
 
+  private val LshTopK = 10
+
+  /** LSH-bucketed ANN top-k — the brief's "LSH-bucketed variant as the
+    * scale path" beside [[simTopKIvf]]: the query probes ONLY the 4
+    * hyperplane band buckets its own signature lands in (the
+    * [[embNearDup]] signature scheme: 16 sign bits from broadcast
+    * normals, 4 bands × 4 bits, packed by one codegen'd expression per
+    * row), candidates come from a (band, val) equi-join, and only those
+    * candidates are cosine-scored and TakeOrdered'd. `in_exact` marks
+    * each hit's membership in the brute-force top-[[LshTopK]] — recall
+    * instrumentation riding the result (the ann_recall_grid discipline).
+    *
+    * Scale: the corpus side is ONE signature pass (codegen'd, no row
+    * inflation) + an equi-join probe of 4 buckets — candidate-sized
+    * scoring, never corpus-sized; with a query BATCH the same plan is a
+    * bucket-keyed join, each query scoring only its buckets. IVF probes
+    * by learned geometry, LSH by random projection — the two standard
+    * scale paths, now both present.
+    */
+  def simTopKLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val normals = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_idx"),
+        col("embedding").cast("array<double>").as("h"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
+      .select(transform(col("hs"), x => x.getField("h")).as("normals"))
+    val bandVals = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(normals))
+      .select(col("vec_id"),
+        posexplode(graft.expressions.VectorExpressions.hyperplaneBandsNative(
+          col("embedding").cast("array<double>"), col("normals")))
+          .as(Seq("band", "bval")))
+    val qBands = bandVals.filter(col("vec_id") === 0)
+      .select(col("band").as("qband"), col("bval").as("qval"))
+    val candIds = bandVals.filter(col("vec_id") =!= 0)
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bval") === col("qval"))
+      .select(col("vec_id")).distinct()
+    val exactIds = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(e)))
+      .select(col("vec_id"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(LshTopK)
+      .select(col("vec_id").as("exact_id"), lit(true).as("in_ex"))
+    val scored = e.join(candIds, "vec_id")
+      .crossJoin(broadcast(queryVec(e)))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q")).as("cos"))
+    scored
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(LshTopK)
+      // post-limit window: <= LshTopK rows, see the simTopK note
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .join(broadcast(exactIds), col("vec_id") === col("exact_id"), "left")
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("sim"),
+        coalesce(col("in_ex"), lit(false)).as("in_exact"))
+      .orderBy("rank")
+  }
+
   /** K-means IVF index build — Lloyd's iterations composed from the
     * engine's own primitives, with every step in the 100 TB shape:
     *
@@ -516,6 +580,16 @@ FROM ($picks) ORDER BY rank"""
     val (_, assigned) = kmeansModel(spark, sfDir, 8, 2)
     val a = assigned.select(col("vec_id"), col("cluster"), col("v"))
       .localCheckpoint()
+    knnEdgesFrom(a).orderBy("vec_id", "rank")
+  }
+
+  /** Cluster-blocked exact top-[[KnnK]] edges over an already-assigned
+    * (vec_id, cluster, v) frame — the shared kernel of [[knnGraph]] and
+    * [[knnGraphDelta]]. Callers fence non-trivial inputs (both join
+    * sides read `a`). The per-vector rank window is bounded by the
+    * vector's own cluster size.
+    */
+  private def knnEdgesFrom(a: DataFrame): DataFrame = {
     val pairs = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -527,7 +601,84 @@ FROM ($picks) ORDER BY rank"""
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("rank"), col("nbr_id"),
         round(col("s"), 4).as("sim"))
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Deterministic delta split for the incremental-maintenance queries:
+    * every hundredth-with-remainder-7 vector is "today's arrivals" — a
+    * sparse batch, so some clusters stay untouched and the kept-verbatim
+    * path is actually exercised (the work-bound story). */
+  private def isDeltaVec = pmod(col("vec_id"), lit(100)) === 7
+
+  /** Incremental kNN-graph maintenance — the daily shape of [[knnGraph]]
+    * (the [[graft.operators.Relational]] agg_incremental /
+    * dedup_incremental contract applied to the neighbor graph): the
+    * k-means index is TRAINED ON AND FROZEN AT the base build (the
+    * persisted-IVF discipline — new data is assigned, never re-trained),
+    * delta vectors are assigned to the frozen centroids, and
+    * per-cluster top-k neighborhoods are recomputed ONLY for clusters a
+    * delta vector actually landed in; every other vector keeps its
+    * stored edge rows verbatim. The result equals the full recompute
+    * over base ∪ delta under the same frozen centroids row-for-row —
+    * the DuckDB oracle performs that recompute, so the green hash IS
+    * the append≡recompute proof. `recomputed` marks which rows the
+    * delta path actually rebuilt (the audit-column discipline).
+    *
+    * Scale: delta work = sum(|touched cluster|²) pair comparisons plus a
+    * broadcast anti-join on the ≤k-row touched-cluster set — a day's
+    * delta against a 10⁹-vector graph rebuilds only the neighborhoods
+    * it can change, never the corpus. Correct because assignment is
+    * per-row against frozen centroids: untouched clusters have
+    * byte-identical membership, hence byte-identical top-k.
+    */
+  def knnGraphDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val base = e.filter(!isDeltaVec)
+    val delta = e.filter(isDeltaVec)
+    // frozen index: 2 Lloyd rounds on BASE ONLY, seeded by the 8
+    // smallest base ids (the stored model a production store would load)
+    val (cents, assignedBase) = kmeansModelFrom(base, 8, 2)
+    val aBase = assignedBase.select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    // the "stored" graph: base edges under the frozen index
+    val baseGraph = knnEdgesFrom(aBase).localCheckpoint()
+    // fence the delta assignment: it is delta-sized, and fencing keeps
+    // Lloyd's 1-row centroid-bundle crossJoin out of the returned plan
+    val aDelta = assignToCentroids(delta, cents)
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    val touched = aDelta.select("cluster").distinct() // <= k rows
+    val touchedMembers = aBase.join(broadcast(touched), "cluster")
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .unionByName(aDelta)
+    val recomputed = knnEdgesFrom(touchedMembers)
+      .withColumn("recomputed", lit(true))
+    val baseClusters = aBase.select(col("vec_id"), col("cluster"))
+    val kept = baseGraph.join(baseClusters, "vec_id")
+      .join(broadcast(touched.withColumnRenamed("cluster", "tc")),
+        col("cluster") === col("tc"), "left_anti")
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
+      .withColumn("recomputed", lit(false))
+    kept.unionByName(recomputed).orderBy("vec_id", "rank")
+  }
+
+  /** Full recompute twin of [[knnGraphDelta]]'s output (base-trained
+    * frozen centroids, base ∪ delta assigned, cluster-blocked top-k) —
+    * the spec's equality reference for the delta path's edge set.
+    */
+  private[graft] def knnGraphDeltaRecompute(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val (cents, _) = kmeansModelFrom(e.filter(!isDeltaVec), 8, 2)
+    val all = assignToCentroids(e, cents)
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    knnEdgesFrom(all).orderBy("vec_id", "rank")
   }
 
   /** (centroids, assignments) after `iters` Lloyd rounds: centroids as
@@ -540,7 +691,19 @@ FROM ($picks) ORDER BY rank"""
     val e = emb(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    var cents = e.filter(col("vec_id") < k)
+    lloyd(e, e.filter(col("vec_id") < k), iters)
+  }
+
+  /** [[kmeansModel]] over an arbitrary (vec_id, label, v) frame, seeded
+    * by its k smallest vec_ids (ids need not be dense — the
+    * [[knnGraphDelta]] base excludes the delta residue class). */
+  private[graft] def kmeansModelFrom(e: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    lloyd(e, e.orderBy("vec_id").limit(k), iters)
+
+  private def lloyd(e: DataFrame, init: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
+    var cents = init
       .select(col("vec_id").cast("long").as("cluster"), col("v").as("c"))
     var assigned = assignToCentroids(e, cents)
     var it = 1

@@ -107,4 +107,29 @@ class KmeansSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // deliberately mediocre — the learned k-means index exists for that)
     rows((4L, 4L))._2 should be > rows((1L, 1L))._2
   }
+
+  test("knn_graph_delta: delta path equals the full recompute and only " +
+    "rebuilds delta-touched clusters") {
+    val delta = SimilarityPipeline.knnGraphDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val full = SimilarityPipeline.knnGraphDeltaRecompute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // append == recompute, row-for-row (the agg_incremental contract)
+    delta.map(t => (t._1, t._2, t._3, t._4)).toSeq shouldBe full.toSeq
+
+    // the work bound: every delta vector's rows are recomputed, and the
+    // kept (non-recomputed) rows cover at least one untouched cluster —
+    // i.e. the delta path did NOT rebuild the whole graph
+    val deltaIds = delta.filter(t => t._1 % 100 == 7).map(_._1).toSet
+    deltaIds should not be empty
+    delta.filter(t => deltaIds.contains(t._1)).map(_._5).toSet shouldBe
+      Set(true)
+    delta.count(!_._5) should be > 0
+    // a vector's rows are all-kept or all-recomputed (cluster-level unit)
+    delta.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._5).toSet should have size 1
+    }
+  }
 }
