@@ -605,6 +605,12 @@ object PlanAudit {
     "curation_store_delta" -> 2,
     // same returned plan; the build + forget rewrite run behind the cache
     "curation_forget" -> 2,
+    // interchange round trips: the countDistinct profile plans the
+    // two-phase distinct agg (partial + distinct exchanges) + orderBy;
+    // the format write runs behind the session cache
+    "jsonl_roundtrip" -> 3,
+    "csv_roundtrip" -> 3,
+    "orc_roundtrip" -> 3,
     // + the five fenced-frame aggs and the 5-row union/orderBy
     "curation_funnel" -> 10,
     // divergence localizer (temporary, round-8): nine single-row digest

@@ -401,6 +401,19 @@ object SparkEntry {
     // corpus minus the forgotten docs
     "curation_forget" -> ((s, d) =>
       graft.operators.CurationStore.manifestFromSessionForgetStore(s, d)),
+    // Round 11 interchange formats: per-source profile AFTER a full
+    // parquet -> format -> schema-explicit typed read round trip; the
+    // oracle profiles the ORIGINAL parquet, so equality proves the
+    // export/ingest path loses nothing (ids, UTF-8 bytes via md5,
+    // numerics). JSONL = the crawl-dump shape (quarantine-tolerant
+    // read), CSV = the labeling-vendor shape (pinned RFC 4180 quoting),
+    // ORC = the other columnar (pushdown asserted in spec)
+    "jsonl_roundtrip" -> ((s, d) =>
+      graft.sources.TextInterchange.jsonlRoundtrip(s, d)),
+    "csv_roundtrip" -> ((s, d) =>
+      graft.sources.TextInterchange.csvRoundtrip(s, d)),
+    "orc_roundtrip" -> ((s, d) =>
+      graft.sources.TextInterchange.orcRoundtrip(s, d)),
     // its per-stage funnel report (docs/tokens surviving each stage)
     "curation_funnel" -> ((s, d) =>
       graft.operators.CurationProgram.curationFunnel(s, d)),
@@ -881,6 +894,18 @@ bw AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_i
     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM sk),
 f AS (SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset
   FROM bw WHERE start_offset < 2000)"""
+
+  /** The interchange-roundtrip profile over the ORIGINAL parquet — shared
+    * verbatim by `jsonl_roundtrip`, `csv_roundtrip`, `orc_roundtrip`
+    * (each query's Spark side reads its own exported copy; the round
+    * trip must be invisible against this).
+    */
+  private val interchangeProfileSql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  min(md5(CAST(doc_id AS VARCHAR) || text)) AS min_digest
+FROM documents GROUP BY source ORDER BY source"""
 
   /** Per-language bottom-k (KMV) sketch of distinct token md5s, shared by
     * `kmv_distinct` and `kmv_intersect` — mirrors Sketches.kmvSketchFrom:
@@ -3048,6 +3073,12 @@ SELECT doc_id, source, lang, n_tokens,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
+    // round-11 interchange round trips: all three queries answer the
+    // SAME profile over the original parquet — the round trip must be
+    // invisible
+    "jsonl_roundtrip" -> interchangeProfileSql,
+    "csv_roundtrip" -> interchangeProfileSql,
+    "orc_roundtrip" -> interchangeProfileSql,
     // round-11 forget path: the program over the corpus MINUS the
     // forgotten residue class — succession/re-rank/budget all implied by
     // re-running the same staged CTEs on the filtered base
