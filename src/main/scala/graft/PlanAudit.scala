@@ -730,6 +730,10 @@ object PlanAudit {
     // Lloyd, the base-graph build, and the delta assignment all live
     // behind fenced leaves)
     "knn_graph_delta" -> 5,
+    // the persisted store's returned plan: the edges parquet scan
+    // (hive cluster partitions) + orderBy; build/append run behind the
+    // session cache
+    "knn_store" -> 1,
     // the dedup_jaccard shape: shingle fence + block fence + banded
     // self-join + the two set-carrying verify joins + orderBy
     "dedup_containment" -> 10,

@@ -272,6 +272,12 @@ object SparkEntry {
     // the oracle's full recompute makes the green hash the
     // append==recompute proof
     "knn_graph_delta" -> ((s, d) => SimilarityPipeline.knnGraphDelta(s, d)),
+    // Round 11: the PERSISTED form — build the graph store on the base
+    // residue, fold the delta batch in (copy-on-write cluster
+    // partitions), read edges back; oracle = the frozen-centroid full
+    // recompute, so the green hash proves store build+append+read
+    "knn_store" -> ((s, d) =>
+      graft.operators.PersistedIndex.knnGraphFromSessionStore(s, d)),
     // Round 10: triangle census of the mutual kNN graph via
     // degree-ordered orientation (each triangle found once, out-degree
     // bounded O(sqrt m) on any degree distribution)
@@ -894,6 +900,37 @@ bw AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_i
     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM sk),
 f AS (SELECT doc_id, source, lang, n_tokens, quality, cap_rk, start_offset
   FROM bw WHERE start_offset < 2000)"""
+
+  /** Frozen-centroid kNN CTE chain shared by `knn_graph_delta` and
+    * `knn_store`: 2 Lloyd rounds trained on the base residue
+    * (vec_id % 100 <> 7, seeded by its 8 smallest ids), EVERY vector
+    * assigned to the frozen round-2 centroids, cluster-blocked cosine
+    * top-5 (`rk`). `asg` is MATERIALIZED — both the pairing and the
+    * delta-cluster probe reference it.
+    */
+  private val frozenKnnCtes =
+    """ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+ekb AS (SELECT * FROM ek WHERE vec_id % 100 <> 7),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ekb ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT ekb.vec_id, c0.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ekb, c0),
+a1 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
+ux AS (SELECT vec_id, unnest(v) AS x, unnest(range(64)) AS pos FROM ekb),
+mm AS (SELECT a1.cluster, ux.pos, round(avg(ux.x), 4) AS mx
+  FROM a1 JOIN ux ON a1.vec_id = ux.vec_id WHERE a1.rn = 1 GROUP BY a1.cluster, ux.pos),
+c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
+d2t AS (SELECT ek.vec_id, c1.cluster,
+  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
+a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t),
+asg AS MATERIALIZED (SELECT a2.vec_id, a2.cluster, ek.v
+  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
+pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, x.cluster AS cluster,
+  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
+    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
+     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+rk AS (SELECT vec_id, nbr_id, cluster, s,
+  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank FROM pr)"""
 
   /** The interchange-roundtrip profile over the ORIGINAL parquet — shared
     * verbatim by `jsonl_roundtrip`, `csv_roundtrip`, `orc_roundtrip`
@@ -2470,35 +2507,20 @@ rk AS (SELECT vec_id, nbr_id, s,
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
     // full recompute under BASE-trained frozen centroids (train on
-    // vec_id % 10 <> 7, assign everyone, cluster-blocked top-5) — the
+    // vec_id % 100 <> 7, assign everyone, cluster-blocked top-5) — the
     // Spark side only rebuilds delta-touched clusters, so hash equality
     // IS the append==recompute proof
     "knn_graph_delta" ->
-      """WITH ek AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-ekb AS (SELECT * FROM ek WHERE vec_id % 100 <> 7),
-c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS c FROM ekb ORDER BY vec_id LIMIT 8),
-d1 AS (SELECT ekb.vec_id, c0.cluster,
-  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ekb, c0),
-a1 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1),
-ux AS (SELECT vec_id, unnest(v) AS x, unnest(range(64)) AS pos FROM ekb),
-mm AS (SELECT a1.cluster, ux.pos, round(avg(ux.x), 4) AS mx
-  FROM a1 JOIN ux ON a1.vec_id = ux.vec_id WHERE a1.rn = 1 GROUP BY a1.cluster, ux.pos),
-c1 AS (SELECT cluster, list(mx ORDER BY pos) AS c FROM mm GROUP BY cluster),
-d2t AS (SELECT ek.vec_id, c1.cluster,
-  list_sum(list_transform(range(64), i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS d2 FROM ek, c1),
-a2 AS (SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2t),
-asg AS MATERIALIZED (SELECT a2.vec_id, a2.cluster, ek.v
-  FROM a2 JOIN ek ON a2.vec_id = ek.vec_id WHERE a2.rn = 1),
-tc AS (SELECT DISTINCT cluster FROM asg WHERE vec_id % 100 = 7),
-pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, x.cluster AS cluster,
-  list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) /
-    (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1]))) *
-     sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) AS s
-  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
-rk AS (SELECT vec_id, nbr_id, cluster, s,
-  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank FROM pr)
+      s"""WITH $frozenKnnCtes,
+tc AS (SELECT DISTINCT cluster FROM asg WHERE vec_id % 100 = 7)
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim,
   (cluster IN (SELECT cluster FROM tc)) AS recomputed
+FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
+    // the PERSISTED store answers the same frozen-centroid recompute
+    // (build on base residue + append delta + read back)
+    "knn_store" ->
+      s"""WITH $frozenKnnCtes
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, round(s, 4) AS sim
 FROM rk WHERE rank <= 5 ORDER BY vec_id, rank""",
     // triangle census of the mutual kNN graph: knn edges -> mutual
     // (both directions present) -> degree-ordered orientation -> wedge

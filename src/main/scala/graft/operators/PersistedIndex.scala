@@ -850,4 +850,140 @@ FROM graft_shingle_bloom_build""")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------ persisted kNN graph --
+
+  /** Build the persisted kNN-graph store at `path` — the durable form of
+    * [[SimilarityPipeline.knnGraph]]'s session artifact:
+    * `centroids/` the FROZEN k-row model (new data is assigned, never
+    * re-trained — the [[buildIvfIndex]] maintenance contract),
+    * `nodes/` (vec_id, cluster, v) and `edges/` (vec_id, rank, nbr_id,
+    * sim) both hive-partitioned by cluster, so maintenance and probes
+    * touch only the cluster directories they name (DPP prunes the rest).
+    */
+  def buildKnnGraphStore(spark: SparkSession, vectors: DataFrame,
+      path: String, k: Int = 8, iters: Int = 2): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = vectors.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val (cents, assigned) = SimilarityPipeline.kmeansModelFrom(e, k, iters)
+    val nodes = assigned.select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    graft.sources.CorpusWriter.writePartitioned(nodes,
+      s"$path/nodes", Seq("cluster"), "vec_id")
+    val edges = nodes.as("n")
+      .join(SimilarityPipeline.knnEdgesFrom(nodes).as("g"), Seq("vec_id"))
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"),
+        col("cluster"))
+    graft.sources.CorpusWriter.writePartitioned(edges,
+      s"$path/edges", Seq("cluster"), "vec_id")
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Fold a batch of new vectors into the store: assign to the FROZEN
+    * centroids, drop ids the store already holds (idempotence — a
+    * replayed batch finds all its ids present and becomes a no-op),
+    * append the survivors to their `nodes/` cluster directories, and
+    * rewrite `edges/` ONLY for the touched clusters (copy-on-write at
+    * cluster-partition granularity, the [[CurationStore.forgetDocs]]
+    * discipline). Equals the from-scratch graph over the union under
+    * the same frozen centroids row-for-row — PersistedKnnGraphSpec's
+    * contract, the [[SimilarityPipeline.knnGraphDelta]] math made
+    * durable.
+    *
+    * Scale: the batch assignment is batch-sized; the dedup probe and
+    * edge rebuild scan only the touched clusters' directories (DPP);
+    * untouched cluster files are not rewritten. Re-centering drift is
+    * the same documented trade as [[appendToIvfIndex]].
+    */
+  def appendToKnnGraphStore(spark: SparkSession, batch: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = SimilarityPipeline.assignToCentroids(
+        batch.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")),
+        cents)
+      .select(col("vec_id"), col("cluster"), col("v"))
+    val touched = assigned.select("cluster").distinct() // <= k rows
+    // partition-column inference reads `cluster` back as int — normalize
+    // to the assignment's long before the union
+    val storedTouched = spark.read.parquet(s"$path/nodes")
+      .withColumn("cluster", col("cluster").cast("long"))
+      .join(broadcast(touched), Seq("cluster")) // DPP prunes the rest
+      .select(col("vec_id"), col("cluster"), col("v"))
+      .localCheckpoint()
+    val fresh = assigned.join(
+        storedTouched.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return // full replay — nothing to fold
+    val members = storedTouched.unionByName(fresh).localCheckpoint()
+    val newEdges = members.as("n")
+      .join(SimilarityPipeline.knnEdgesFrom(members).as("g"), Seq("vec_id"))
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"),
+        col("cluster"))
+      .localCheckpoint() // materialize before touching the tree read from
+    fresh.repartition(col("cluster")).sortWithinPartitions("vec_id")
+      .write.mode(SaveMode.Append).partitionBy("cluster")
+      .parquet(s"$path/nodes")
+    val parts = touched.collect().map(_.getLong(0)) // bounded: <= k
+    parts.foreach { c =>
+      newEdges.filter(col("cluster") === c).drop("cluster")
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/edges/cluster=$c")
+    }
+  }
+
+  /** The stored graph, read back in [[SimilarityPipeline.knnGraph]]'s
+    * column contract. */
+  def readKnnGraphStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
+      .orderBy("vec_id", "rank")
+
+  private val knnStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The store as a driver surface: build on the non-delta residue
+    * (vec_id % 100 <> 7 — [[SimilarityPipeline.knnGraphDelta]]'s split),
+    * fold the delta residue in with [[appendToKnnGraphStore]], read the
+    * edges back — must equal the from-scratch graph over everything
+    * under the base-trained frozen centroids (the driver oracle performs
+    * that recompute). Cached per (app, sfDir).
+    */
+  def knnGraphFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = knnStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      knnStoreCache.keySet.removeIf(_._1 != appId)
+      knnStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-knn-store").toString
+        val e = graft.sources.Tables.embeddings(spark, sfDir)
+        val isDelta = pmod(col("vec_id"), lit(100)) === 7
+        buildKnnGraphStore(spark, e.filter(!isDelta), p)
+        appendToKnnGraphStore(spark, e.filter(isDelta), p)
+        p
+      })
+    }
+    readKnnGraphStore(spark, path)
+  }
+
+  /** The streaming ingest twin — each arriving micro-batch of vectors
+    * folds into the persisted graph through the SAME delta logic as the
+    * batch [[appendToKnnGraphStore]] (foreachBatch's at-least-once
+    * replays are absorbed by the id dedup). Start with `.start()`.
+    */
+  def knnGraphIngestStream(vecs: DataFrame, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendToKnnGraphStore(batch.sparkSession, batch.toDF(), path)
+      }
 }

@@ -589,7 +589,7 @@ FROM ($picks) ORDER BY rank"""
     * sides read `a`). The per-vector rank window is bounded by the
     * vector's own cluster size.
     */
-  private def knnEdgesFrom(a: DataFrame): DataFrame = {
+  private[operators] def knnEdgesFrom(a: DataFrame): DataFrame = {
     val pairs = a.as("x").join(a.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -724,7 +724,7 @@ FROM ($picks) ORDER BY rank"""
     * the expression's lowest-index tie-break IS the lowest-cluster-id
     * tie-break even when empty clusters leave id gaps).
     */
-  private[operators] def assignToCentroids(e: DataFrame,
+  private[graft] def assignToCentroids(e: DataFrame,
       cents: DataFrame): DataFrame = {
     val bundle = cents
       .groupBy()
