@@ -18,8 +18,8 @@ object PlanAudit {
     */
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
-    "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_batch",
-    "emb_neardup",
+    "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_lsh_batch",
+    "sim_topk_batch", "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
@@ -330,6 +330,9 @@ object PlanAudit {
     "sim_topk_ivf" -> 4,
     // band-signature distinct + candidate semi-join + exact-set audit join
     "sim_topk_lsh" -> 4,
+    // batch shape: candidate distinct + per-query rank windows (probe +
+    // audit sides) + candidate join + orderBy
+    "sim_topk_lsh_batch" -> 6,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy

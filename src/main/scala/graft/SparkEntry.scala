@@ -249,6 +249,10 @@ object SparkEntry {
     // Round 11: the LSH-bucketed ANN scale path — query probes only its
     // own 4 hyperplane band buckets; in_exact = recall audit vs brute
     "sim_topk_lsh" -> ((s, d) => SimilarityPipeline.simTopKLsh(s, d)),
+    // Round 11: the LSH BATCH shape — 8 queries' band rows joined to the
+    // corpus buckets (the scale plan: no per-query pass anywhere)
+    "sim_topk_lsh_batch" -> ((s, d) =>
+      SimilarityPipeline.simTopKLshBatch(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -2413,6 +2417,29 @@ t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS ra
 SELECT rank, vec_id, label, round(c, 4) AS sim,
   (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
 FROM t WHERE rank <= 10 ORDER BY rank""",
+    // the batch replay: 8 query signatures joined to corpus buckets,
+    // per-query candidate rank + per-query brute-force audit set
+    "sim_topk_lsh_batch" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS MATERIALIZED (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT vec_id AS q_id, band, val FROM bv WHERE vec_id < 8),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id FROM bv b
+  JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id >= 8),
+qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id < 8),
+s AS (SELECT cand.q_id, e.vec_id,
+  (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) AS c
+  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id),
+ex AS (SELECT q_id, vec_id FROM (SELECT qv.q_id, e.vec_id,
+    row_number() OVER (PARTITION BY qv.q_id ORDER BY (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) DESC, e.vec_id) AS r
+  FROM embeddings e, qv WHERE e.vec_id >= 8) WHERE r <= 5),
+t AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS sim,
+  EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
+FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
     "emb_kmeans" ->
       s"""WITH
 $kmeansCtes

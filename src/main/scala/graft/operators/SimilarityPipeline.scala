@@ -445,21 +445,30 @@ FROM ($picks) ORDER BY rank"""
     * by learned geometry, LSH by random projection — the two standard
     * scale paths, now both present.
     */
-  def simTopKLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.expressions.VectorExpressions.register(spark)
-    val e = emb(spark, sfDir)
+  /** The shared hyperplane-signature pass of [[simTopKLsh]] /
+    * [[simTopKLshBatch]]: 16 sign bits from the broadcast normal bundle,
+    * packed 4 bands × 4 bits by one codegen'd expression per row, then
+    * exploded to (vec_id, band, bval) bucket rows.
+    */
+  private def lshBandVals(e: DataFrame): DataFrame = {
     val normals = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("h_idx"),
         col("embedding").cast("array<double>").as("h"))
       .groupBy()
       .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
       .select(transform(col("hs"), x => x.getField("h")).as("normals"))
-    val bandVals = e.select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(normals))
       .select(col("vec_id"),
         posexplode(graft.expressions.VectorExpressions.hyperplaneBandsNative(
           col("embedding").cast("array<double>"), col("normals")))
           .as(Seq("band", "bval")))
+  }
+
+  def simTopKLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val bandVals = lshBandVals(e)
     val qBands = bandVals.filter(col("vec_id") === 0)
       .select(col("band").as("qband"), col("bval").as("qval"))
     val candIds = bandVals.filter(col("vec_id") =!= 0)
@@ -488,6 +497,52 @@ FROM ($picks) ORDER BY rank"""
         round(col("cos"), 4).as("sim"),
         coalesce(col("in_ex"), lit(false)).as("in_exact"))
       .orderBy("rank")
+  }
+
+  /** Batched LSH ANN — [[simTopKLsh]] in the join shape that matters at
+    * scale: ONE signature pass covers queries and corpus, the 8 queries'
+    * band rows broadcast against the corpus bucket rows (a (band, val)
+    * equi-join — each query meets only its own buckets' members, never
+    * the corpus), and per-query top-k ranks only candidate rows. With
+    * 10⁶ queries the same plan shuffles both sides on (band, val)
+    * instead of broadcasting — no per-query work exists anywhere.
+    * `in_exact` audits each hit against the per-query brute-force top-k
+    * ([[simTopKBatch]]'s shape) riding the result.
+    */
+  def simTopKLshBatch(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val bandVals = lshBandVals(e)
+    val qBands = bandVals.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("band").as("qband"),
+        col("bval").as("qval"))
+    val cand = bandVals.filter(col("vec_id") >= nQueries)
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bval") === col("qval"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("q_id"), col("vec_id"), lit(true).as("in_ex"))
+    cand.join(e, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(broadcast(exact), Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("sim"),
+        coalesce(col("in_ex"), lit(false)).as("in_exact"))
+      .orderBy("q_id", "rank")
   }
 
   /** K-means IVF index build — Lloyd's iterations composed from the
