@@ -608,6 +608,8 @@ object PlanAudit {
     "curation_store_delta" -> 2,
     // same returned plan; the build + forget rewrite run behind the cache
     "curation_forget" -> 2,
+    // two version-pruned manifest scans anti-joined both ways + orderBy
+    "curation_diff" -> 2,
     // interchange round trips: the countDistinct profile plans the
     // two-phase distinct agg (partial + distinct exchanges) + orderBy;
     // the format write runs behind the session cache

@@ -405,6 +405,12 @@ object SparkEntry {
     // still equal the from-scratch program (append == recompute)
     "curation_store_delta" -> ((s, d) =>
       graft.operators.CurationStore.manifestFromSessionDeltaStore(s, d)),
+    // Round 11: manifest TIME TRAVEL — every store fold writes a new
+    // immutable manifest version; this query diffs v1 (first-half
+    // build) against v2 (after the delta fold): docs the fold added,
+    // and docs it re-leveled OUT (the budget boundary moves)
+    "curation_diff" -> ((s, d) =>
+      graft.operators.CurationStore.manifestDiffFromSessionStore(s, d)),
     // Round 11: the FORGET path — build, forget doc_id % 13 == 2
     // (dedup-winner succession + cap re-ranks, copy-on-write partition
     // rewrites, zero text), read back; oracle = the program over the
@@ -935,6 +941,22 @@ pr AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, x.cluster AS cluster,
   FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
 rk AS (SELECT vec_id, nbr_id, cluster, s,
   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, nbr_id) AS rank FROM pr)"""
+
+  /** [[curationCtes]] with every CTE name prefixed (so two chains
+    * coexist in one oracle) and the base filtered — the
+    * `curation_diff` replay needs the program at two corpus states.
+    * Longest names first so `bw`/`cw`/`dw`/`sk` rename before `b`/`c`/
+    * `d`; \b-bounded so column names (doc_id, skey, quality) and quoted
+    * literals ('tb:') are untouched.
+    */
+  private def prefixedCurationCtes(p: String, filter: String): String = {
+    val base =
+      if (filter.isEmpty) curationCtes
+      else curationCtes.replace("FROM documents)",
+        s"FROM documents WHERE $filter)")
+    Seq("bw", "cw", "dw", "sk", "b", "q", "g", "d", "c", "f")
+      .foldLeft(base)((acc, n) => acc.replaceAll("\\b" + n + "\\b", p + n))
+  }
 
   /** The interchange-roundtrip profile over the ORIGINAL parquet — shared
     * verbatim by `jsonl_roundtrip`, `csv_roundtrip`, `orc_roundtrip`
@@ -3128,6 +3150,21 @@ FROM sp ORDER BY doc_id""",
     "jsonl_roundtrip" -> interchangeProfileSql,
     "csv_roundtrip" -> interchangeProfileSql,
     "orc_roundtrip" -> interchangeProfileSql,
+    // round-11 time travel: the program at BOTH corpus states (first
+    // half by the max/2 cut, then everything), diffed — added docs and
+    // re-leveled-out docs between manifest v1 and v2
+    "curation_diff" ->
+      s"""WITH ${prefixedCurationCtes("v1_",
+        "doc_id < (SELECT max(doc_id) // 2 FROM documents)")},
+${prefixedCurationCtes("v2_", "")},
+m1 AS (SELECT doc_id, source, lang, n_tokens FROM v1_f),
+m2 AS (SELECT doc_id, source, lang, n_tokens FROM v2_f)
+SELECT m2.doc_id, m2.source, m2.lang, m2.n_tokens, 'added' AS change
+FROM m2 WHERE m2.doc_id NOT IN (SELECT doc_id FROM m1)
+UNION ALL
+SELECT m1.doc_id, m1.source, m1.lang, m1.n_tokens, 'removed' AS change
+FROM m1 WHERE m1.doc_id NOT IN (SELECT doc_id FROM m2)
+ORDER BY doc_id""",
     // round-11 forget path: the program over the corpus MINUS the
     // forgotten residue class — succession/re-rank/budget all implied by
     // re-running the same staged CTEs on the filtered base

@@ -231,14 +231,73 @@ object CurationStore {
   }
 
   /** Recompute the budget + split stages over the stored capped set and
-    * rewrite `manifest/` — pure integer work on the doc-sized `docs/`
-    * frame (no text column exists in the store at all).
+    * write the result as a NEW manifest version — pure integer work on
+    * the doc-sized `docs/` frame (no text column exists in the store at
+    * all). Every state change (build, delta, forget, ingest batch)
+    * produces `manifest/version=<n+1>/`, never mutating an existing
+    * version: readers pinned to a version see an immutable snapshot
+    * while writers land the next one (snapshot isolation on plain
+    * parquet — the lakehouse discipline without a table format), and
+    * [[manifestDiff]] answers "what did yesterday's fold change" from
+    * two version scans. [[pruneManifestVersions]] is the retention
+    * lever; a version directory is doc-sized integers, so keeping a
+    * month of dailies is cheap even at 10⁹ docs.
     */
   private def writeManifest(spark: SparkSession, path: String,
       budget: Long): Unit =
     assembleManifest(spark.read.parquet(s"$path/docs"), budget)
       .write.mode(SaveMode.Overwrite).partitionBy("split")
-      .parquet(s"$path/manifest")
+      .parquet(s"$path/manifest/version=${latestVersion(spark, path) + 1}")
+
+  /** Highest existing manifest version at `path`, or 0 when none exist
+    * (bounded driver-side listing — one directory of version names). */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Drop manifest versions older than the `keep` most recent — the
+    * retention pass a daily pipeline schedules beside
+    * [[compactCurationStore]]. The CURRENT version is never dropped. */
+  def pruneManifestVersions(spark: SparkSession, path: String,
+      keep: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (fs.exists(dir)) {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("version="))
+        .map(_.stripPrefix("version=").toLong).sorted
+      versions.dropRight(math.max(keep, 1)).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/version=$v"),
+          true)
+      }
+    }
+  }
+
+  /** Admission changes between two manifest versions: one row per doc
+    * whose membership flipped, `change` ∈ added | removed — "what did
+    * the fold between v1 and v2 do to the training set", answered from
+    * two version-pruned scans (no curation stage re-executes).
+    */
+  def manifestDiff(spark: SparkSession, path: String,
+      v1: Long, v2: Long): DataFrame = {
+    def m(v: Long) = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === v)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
+    m(v2).join(m(v1).select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        m(v1).join(m(v2).select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("change", lit("removed")))
+      .orderBy("doc_id")
+  }
 
   private def assembleManifest(docs: DataFrame, budget: Long): DataFrame = {
     val capped = docs.filter(col("in_c"))
@@ -259,12 +318,16 @@ object CurationStore {
     * row-for-row (the driver's `curation_store` query runs THIS against
     * the `curation_program` oracle).
     */
-  def readManifest(spark: SparkSession, path: String): DataFrame =
+  def readManifest(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, path)
     spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === v) // partition-pruned to one snapshot
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         col("quality_q4"), col("cap_rk"), col("start_offset"),
         col("bucket"), col("split"))
       .orderBy("doc_id")
+  }
 
   /** [[CurationProgram.curationTraceFrom]]'s output contract served from
     * the store: stored stage flags + current-manifest membership (the
@@ -272,6 +335,7 @@ object CurationStore {
     */
   def traceFromStore(spark: SparkSession, path: String): DataFrame = {
     val admitted = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === latestVersion(spark, path))
       .select(col("doc_id")).withColumn("in_b", lit(true))
     spark.read.parquet(s"$path/docs")
       .join(admitted, Seq("doc_id"), "left")
@@ -292,6 +356,7 @@ object CurationStore {
   def funnelFromStore(spark: SparkSession, path: String): DataFrame = {
     val docs = spark.read.parquet(s"$path/docs")
     val manifest = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === latestVersion(spark, path))
     def stage(no: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
@@ -451,6 +516,34 @@ object CurationStore {
       })
     }
     readManifest(spark, path)
+  }
+
+  /** Version time travel as a driver surface: build on the id-ordered
+    * first half (cut = max(doc_id) div 2 — SF-generic and replayable by
+    * the oracle), fold the second half in, and return
+    * [[manifestDiff]](v1, v2) — the docs the delta fold added to or
+    * re-leveled out of the training set. The oracle recomputes both
+    * programs and diffs them, so the green hash proves version
+    * isolation AND the diff semantics at once.
+    */
+  def manifestDiffFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val key = sfDir + "#versions"
+    val path = storeCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      storeCache.keySet.removeIf(_._1 != appId)
+      storeCache.computeIfAbsent((appId, key), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-curation-store-versions").toString
+        val corpus = Tables.documents(spark, sfDir)
+        val cut = corpus.agg((max(col("doc_id")).cast("long") / 2)
+          .cast("long")).head.getLong(0)
+        buildCurationManifest(spark, corpus.filter(col("doc_id") < cut), p)
+        applyCurationDelta(spark, corpus.filter(col("doc_id") >= cut), p)
+        p
+      })
+    }
+    manifestDiff(spark, path, 1L, 2L)
   }
 
   def manifestFromSessionDeltaStore(spark: SparkSession,

@@ -212,6 +212,51 @@ class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .join(forget, Seq("doc_id")).count() shouldBe 0L
   }
 
+  test("manifest versions are immutable snapshots: time travel, diff, " +
+    "retention") {
+    val dir = freshDir("versions")
+    val cut = 300L
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < cut), dir) // -> version 1
+    val v1 = rows(CurationStore.readManifest(spark, dir, version = 1L))
+    v1 shouldBe rows(CurationProgram.curationProgramFrom(
+      corpus.filter(col("doc_id") < cut)))
+
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= cut), dir) // -> version 2
+    CurationStore.latestVersion(spark, dir) shouldBe 2L
+    // SNAPSHOT ISOLATION: the delta fold did not touch version 1
+    rows(CurationStore.readManifest(spark, dir, version = 1L)) shouldBe v1
+    // default read serves the latest version
+    rows(CurationStore.readManifest(spark, dir)) shouldBe
+      rows(CurationProgram.curationProgramFrom(corpus))
+
+    // the diff reconciles exactly with the two snapshots' id sets
+    val ids1 = v1.map(_.head.asInstanceOf[Long]).toSet
+    val ids2 = rows(CurationStore.readManifest(spark, dir, version = 2L))
+      .map(_.head.asInstanceOf[Long]).toSet
+    val diff = CurationStore.manifestDiff(spark, dir, 1L, 2L).collect()
+    diff.filter(_.getAs[String]("change") == "added")
+      .map(_.getLong(0)).toSet shouldBe (ids2 -- ids1)
+    diff.filter(_.getAs[String]("change") == "removed")
+      .map(_.getLong(0)).toSet shouldBe (ids1 -- ids2)
+    // the budget re-level is visible as removals, not just additions
+    (ids1 -- ids2) should not be empty
+
+    // a forget writes version 3 and leaves 1 and 2 readable
+    CurationStore.forgetDocs(spark,
+      corpus.filter(col("doc_id") % 13 === 2).select("doc_id"), dir)
+    CurationStore.latestVersion(spark, dir) shouldBe 3L
+    rows(CurationStore.readManifest(spark, dir, version = 1L)) shouldBe v1
+
+    // retention: prune to the 1 most recent; reads still serve latest
+    val latest = rows(CurationStore.readManifest(spark, dir))
+    CurationStore.pruneManifestVersions(spark, dir, keep = 1)
+    rows(CurationStore.readManifest(spark, dir)) shouldBe latest
+    new java.io.File(s"$dir/manifest").listFiles()
+      .count(_.getName.startsWith("version=")) shouldBe 1
+  }
+
   test("store reads plan no text column — the lineage surface is text-free") {
     val dir = freshDir("notext")
     CurationStore.buildCurationManifest(spark, corpus, dir)
