@@ -129,6 +129,44 @@ object TextInterchange {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** The streaming crawl-ingest front door: watch a directory for JSONL
+    * files, parse each micro-batch with the SAME schema-explicit
+    * quarantine split as [[readJsonl]], append quarantined raw lines to
+    * `quarantinePath` (one directory per batch — the monitoring surface:
+    * a corrupt-rate alarm reads this), and hand the typed good rows to
+    * `fold` (e.g. a [[graft.operators.CurationStore]] batch append —
+    * raw crawl files to curated manifest with no intermediate job).
+    * Start with `.start()`.
+    *
+    * Scale: the file source lists and checkpoints file names (no
+    * content state); parse is expression-only; quarantine writes are
+    * bad-line-sized. The fold's own idempotence contract handles
+    * at-least-once replays; quarantine dirs are per-batch for the same
+    * reason (a replayed batch rewrites its own directory).
+    */
+  def jsonlIngestStream(spark: SparkSession, dir: String,
+      quarantinePath: String, checkpoint: String,
+      schema: StructType = documentsSchema)
+      (fold: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    spark.readStream.text(dir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val parsed = batch.toDF()
+            .select(col("value"),
+              from_json(col("value"), schema, Map(
+                "mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+          val (good, quarantined) = split(parsed)
+          quarantined.write.mode(SaveMode.Overwrite)
+            .parquet(s"$quarantinePath/batch=b$id")
+          fold(good, id)
+      }
+
   // ------------------------------------------------------------ driver --
 
   private val rtCache =

@@ -76,6 +76,58 @@ class TextInterchangeSpec extends AnyFunSuite with Matchers
     plan should include("ReadSchema: struct<doc_id:bigint,lang:string>")
   }
 
+  test("streaming JSONL ingest: raw crawl files -> quarantine + curated " +
+    "store, equal to the one-shot program over the good rows") {
+    import graft.operators.{CurationProgram, CurationStore}
+    val docs = Tables.documents(spark, sf)
+      .orderBy("doc_id").collect()
+    // bootstrap the store on the first quarter (applyCurationDelta folds
+    // against EXISTING state), stream the rest as two id-ordered files
+    val (boot, rest) = docs.splitAt(docs.length / 4)
+    val (half1, half2) = rest.splitAt(rest.length / 2)
+    def jsonl(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.map { r =>
+        val txt = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"doc_id": ${r.getLong(0)}, "text": "$txt", "lang": "${r.getString(2)}", "source": "${r.getString(3)}", "n_chars": ${r.getLong(4)}}"""
+      }.mkString("\n")
+    val inDir = freshDir("ingest-in")
+    val qDir = freshDir("ingest-q")
+    val storeDir = freshDir("ingest-store")
+    // file 1: first half + a malformed line; file 2 arrives after a
+    // stream RESTART on the same checkpoint (the file source's
+    // processed-file log keeps batch ids monotone, so the store's
+    // id-ordered append contract holds across the restart)
+    val ckpt = freshDir("ingest-ckpt")
+    CurationStore.buildCurationManifest(spark,
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") < half1.head.getLong(0)), storeDir)
+    def run(): Unit = {
+      val q = TextInterchange.jsonlIngestStream(spark, inDir, qDir, ckpt) {
+        (good, id) => CurationStore.appendCurationBatch(good, storeDir, id)
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/part1.json"),
+      jsonl(half1) + "\nnot json at all\n")
+    run()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$inDir/part2.json"),
+      jsonl(half2) + "\n{\"doc_id\": \"bad-type\"}\n")
+    run() // restart: only part2 is new
+    // the final manifest must equal the one-shot program over ALL docs
+    val want = CurationProgram.curationProgramFrom(Tables.documents(spark, sf))
+      .collect().toSeq.map(_.toSeq)
+    CurationStore.readManifest(spark, storeDir)
+      .collect().toSeq.map(_.toSeq) shouldBe want
+    // both malformed lines are quarantined with their raw text
+    val quarantined = spark.read.parquet(qDir)
+      .select("raw_line").collect().map(_.getString(0)).toSet
+    quarantined should contain("not json at all")
+    quarantined should contain("""{"doc_id": "bad-type"}""")
+  }
+
   test("jsonl/csv/orc round trips profile identically to the source table") {
     val want = TextInterchange
       .roundtripProfile(Tables.documents(spark, sf))
