@@ -257,6 +257,21 @@ class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count(_.getName.startsWith("version=")) shouldBe 1
   }
 
+  test("manifest reads partition-prune to exactly one version") {
+    val dir = freshDir("prune")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 250L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 250L), dir)
+    val plan = CurationStore.readManifest(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the version literal reaches the scan's partition filters — a read
+    // of an N-version store lists/decodes ONE version's files
+    plan should include("PartitionFilters")
+    plan should include("version#")
+    plan should include("= 2)")
+  }
+
   test("store reads plan no text column — the lineage surface is text-free") {
     val dir = freshDir("notext")
     CurationStore.buildCurationManifest(spark, corpus, dir)
