@@ -19,7 +19,7 @@ object PlanAudit {
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_lsh_batch",
-    "sim_topk_batch", "emb_neardup",
+    "lsh_recall_grid", "sim_topk_batch", "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
@@ -333,6 +333,9 @@ object PlanAudit {
     // batch shape: candidate distinct + per-query rank windows (probe +
     // audit sides) + candidate join + orderBy
     "sim_topk_lsh_batch" -> 6,
+    // per-config candidate distinct + 1-row agg behind the fenced sign
+    // pass; 3-row union orderBy
+    "lsh_recall_grid" -> 8,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy

@@ -253,6 +253,9 @@ object SparkEntry {
     // corpus buckets (the scale plan: no per-query pass anywhere)
     "sim_topk_lsh_batch" -> ((s, d) =>
       SimilarityPipeline.simTopKLshBatch(s, d)),
+    // Round 11: the bands-vs-recall tuning curve over one shared sign
+    // pass — minhash_tune's twin for the ANN side
+    "lsh_recall_grid" -> ((s, d) => SimilarityPipeline.lshRecallGrid(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -956,6 +959,43 @@ rk AS (SELECT vec_id, nbr_id, cluster, s,
         s"FROM documents WHERE $filter)")
     Seq("bw", "cw", "dw", "sk", "b", "q", "g", "d", "c", "f")
       .foldLeft(base)((acc, n) => acc.replaceAll("\\b" + n + "\\b", p + n))
+  }
+
+  /** The DuckDB replay of SimilarityPipeline.lshRecallGrid, generated
+    * from the same grid: raw sign bits once, then per config a
+    * big-endian band pack, the query's bucket probe, and scalar-count
+    * candidate/hit rows.
+    */
+  private def lshRecallGridOracleSql: String = {
+    val grid = Seq((2, 8), (4, 4), (8, 2))
+    val perConfig = grid.map { case (b, r) =>
+      s"""bv_$b AS (SELECT vec_id, CAST(h_idx // $r AS INTEGER) AS band,
+  CAST(sum(bit * (1 << ($r - 1 - (h_idx % $r)))) AS BIGINT) AS val
+  FROM bitsr GROUP BY 1, 2),
+qb_$b AS (SELECT band, val FROM bv_$b WHERE vec_id = 0),
+cand_$b AS (SELECT DISTINCT v.vec_id FROM bv_$b v
+  JOIN qb_$b q2 ON v.band = q2.band AND v.val = q2.val
+  WHERE v.vec_id <> 0),
+row_$b AS (SELECT CAST($b AS BIGINT) AS n_bands,
+  CAST($r AS BIGINT) AS bits_per_band,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand_$b) AS n_cand,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand_$b JOIN ex USING (vec_id))
+    AS n_hit)"""
+    }.mkString(",\n")
+    val unioned = grid.map { case (b, _) => s"SELECT * FROM row_$b" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bitsr AS MATERIALIZED (SELECT e.vec_id, h.h_idx,
+  CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, hyper h),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id,
+    row_number() OVER (ORDER BY (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) DESC, vec_id) AS r
+  FROM embeddings, q WHERE vec_id <> 0) WHERE r <= 10),
+$perConfig
+SELECT n_bands, bits_per_band, n_cand, n_hit,
+  CAST(n_hit * 1000 AS BIGINT) AS recall_q4
+FROM ($unioned) ORDER BY n_bands"""
   }
 
   /** The interchange-roundtrip profile over the ORIGINAL parquet — shared
@@ -2439,6 +2479,9 @@ t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS ra
 SELECT rank, vec_id, label, round(c, 4) AS sim,
   (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
 FROM t WHERE rank <= 10 ORDER BY rank""",
+    // generated grid replay: sign bits once, per-config band pack +
+    // bucket probe + candidate/hit scalar counts
+    "lsh_recall_grid" -> lshRecallGridOracleSql,
     // the batch replay: 8 query signatures joined to corpus buckets,
     // per-query candidate rank + per-query brute-force audit set
     "sim_topk_lsh_batch" ->

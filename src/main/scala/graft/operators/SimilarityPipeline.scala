@@ -499,6 +499,71 @@ FROM ($picks) ORDER BY rank"""
       .orderBy("rank")
   }
 
+  /** The (bands × bits) grid [[lshRecallGrid]] sweeps — 16 sign bits
+    * split 2×8 / 4×4 / 8×2: more bands = more, looser buckets = higher
+    * recall and more candidates. */
+  private val LshGrid = Seq((2, 8), (4, 4), (8, 2))
+
+  /** LSH tuning telemetry — [[TextPipeline.minhashTune]]'s twin for the
+    * ANN side: per (n_bands, bits_per_band) config over the SAME 16
+    * hyperplane sign bits, the query's candidate count and its recall
+    * against the brute-force top-10 — the bands-vs-recall curve that
+    * decides an LSH deployment, measured not guessed (the
+    * ann_recall_grid discipline).
+    *
+    * Scale: the sign bits are ONE codegen'd pass (16 dots per row),
+    * fenced and shared by every config; each config's candidates come
+    * from its own (band, val) equi-probe of the query's buckets —
+    * bucket-sized, never corpus-ranked; the per-config outputs are
+    * 1-row aggregates.
+    */
+  def lshRecallGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = emb(spark, sfDir)
+    val normals = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_idx"),
+        col("embedding").cast("array<double>").as("h"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
+      .select(transform(col("hs"), x => x.getField("h")).as("normals"))
+    val bits = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(normals))
+      .select(col("vec_id"),
+        transform(col("normals"), h =>
+          when(graft.expressions.VectorExpressions.dotNative(
+            col("embedding").cast("array<double>"), h) > 0d, 1)
+            .otherwise(0)).as("bits"))
+      .localCheckpoint() // one sign pass shared by all grid configs
+    val exactTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(e)))
+      .select(col("vec_id"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(LshTopK)
+      .select(col("vec_id"), lit(true).as("in_ex"))
+    LshGrid.map { case (b, r) =>
+      // big-endian pack of each band's r bits (acc*2 + bit, ascending j)
+      val digests = transform(sequence(lit(0), lit(b - 1)),
+        i => aggregate(slice(col("bits"), i * r + 1, lit(r)),
+          lit(0), (acc, x) => acc * 2 + x))
+      val banded = bits
+        .select(col("vec_id"), posexplode(digests).as(Seq("band", "bval")))
+      val qb = banded.filter(col("vec_id") === 0)
+        .select(col("band").as("qband"), col("bval").as("qval"))
+      banded.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb),
+          col("band") === col("qband") && col("bval") === col("qval"))
+        .select(col("vec_id")).distinct()
+        .join(broadcast(exactTop), Seq("vec_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_cand"),
+          coalesce(sum(when(col("in_ex"), 1L).otherwise(0L)), lit(0L))
+            .as("n_hit"))
+        .select(lit(b.toLong).as("n_bands"),
+          lit(r.toLong).as("bits_per_band"),
+          col("n_cand"), col("n_hit"),
+          (col("n_hit") * 1000L).as("recall_q4")) // k = LshTopK = 10
+    }.reduce(_ unionByName _).orderBy("n_bands")
+  }
+
   /** Batched LSH ANN — [[simTopKLsh]] in the join shape that matters at
     * scale: ONE signature pass covers queries and corpus, the 8 queries'
     * band rows broadcast against the corpus bucket rows (a (band, val)
