@@ -19,7 +19,7 @@ object PlanAudit {
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_lsh_batch",
-    "lsh_recall_grid", "sim_topk_batch", "emb_neardup",
+    "lsh_recall_grid", "lsh_store", "sim_topk_batch", "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
@@ -133,7 +133,7 @@ object PlanAudit {
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
-    "sim_topk_q8", "pq_topk", "pq_recall",
+    "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -336,6 +336,10 @@ object PlanAudit {
     // per-config candidate distinct + 1-row agg behind the fenced sign
     // pass; 3-row union orderBy
     "lsh_recall_grid" -> 8,
+    // persisted-store probe: (band, pfx)-pruned bucket scan distinct +
+    // candidate join + exact-audit TakeOrdered join + orderBy;
+    // build/append run behind the session cache
+    "lsh_store" -> 4,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy
@@ -408,6 +412,8 @@ object PlanAudit {
     "media_png_features" -> 1,
     // stateless expression parse (box walk is a codegen'd fold) + orderBy
     "media_mp4_meta" -> 1,
+    // stateless expression parse (ID3 skip + frame walk, one fold) + orderBy
+    "media_mp3_meta" -> 1,
     // scan -> container-build expressions -> JDK WAV decode mapPartitions
     "media_wav_features" -> 1,
     "pivot_hourly" -> 3, "q10_returns" -> 1, "q14_promo" -> 1,
@@ -597,12 +603,6 @@ object PlanAudit {
     // move doc-/shard-table-sized rows through the budget machinery, the
     // stage join, and the orderBy
     "curation_program" -> 6,
-    // round-10 A/B twin of curation_program: identical frame, fresh name
-    "curation_manifest" -> 6,
-    // round-11 half-surface confirmers (temporary): narrower projections
-    // off the same fenced manifest frame + orderBy
-    "curation_half_a" -> 6,
-    "curation_half_b" -> 6,
     // the persisted store round-trip: the build runs eagerly behind the
     // session cache; the RETURNED plan is the manifest parquet scan (the
     // hive split partitions) + orderBy
@@ -625,9 +625,6 @@ object PlanAudit {
     // aggs over the fenced manifest (2 exchanges each: partial+final over
     // a 163-row frame) + the 9-row union orderBy
     "curation_cols" -> 24,
-    // isolation probe (temporary, round-9): two columns off the fenced
-    // manifest + orderBy
-    "curation_q_probe" -> 6,
     // training runs eagerly inside the query builder (fenced words leaf,
     // piece-table-sized round jobs); the RETURNED plan is a driver-local
     // vocab toDF + orderBy

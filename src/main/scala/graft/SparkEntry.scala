@@ -232,6 +232,11 @@ object SparkEntry {
     // the oracle recomputes the sample law
     "media_wav_features" -> ((s, d) =>
       MultimodalPipeline.mediaWavFeatures(s, d)),
+    // Round 12: REAL MP3 frame-header walk — ID3v2 syncsafe-size skip +
+    // sync-validated MPEG-1 Layer III frame stepping (bitrate/sample-rate
+    // table lookups, padding-aware lengths), all codegen'd expressions;
+    // the oracle replays the construction law
+    "media_mp3_meta" -> ((s, d) => MultimodalPipeline.mediaMp3Meta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
@@ -256,6 +261,13 @@ object SparkEntry {
     // Round 11: the bands-vs-recall tuning curve over one shared sign
     // pass — minhash_tune's twin for the ANN side
     "lsh_recall_grid" -> ((s, d) => SimilarityPipeline.lshRecallGrid(s, d)),
+    // Round 12: the PERSISTED LSH index — build on the non-delta residue,
+    // fold the delta in (immutable segments + versioned manifest), probe
+    // via (band, pfx)-pruned bucket scans; the oracle recomputes
+    // sim_topk_lsh over the whole corpus under the same frozen
+    // hyperplanes, so the green hash proves build + append + probe
+    "lsh_store" -> ((s, d) =>
+      graft.operators.PersistedIndex.lshTopKFromSessionStore(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -359,43 +371,13 @@ object SparkEntry {
     // budget -> split in one chained plan (the trainingIngestStream twin)
     "curation_program" -> ((s, d) =>
       graft.operators.CurationProgram.curationProgram(s, d)),
-    // round-10 adjudication A/B (VERDICT r9 Next #1): the BYTE-IDENTICAL
-    // frame under a fresh name. curation_program has been driver
-    // hash-red for 5 rounds while every value-level probe (all-integer
-    // surface, quality-double probe, all 9 per-column digests) is green
-    // in the same driver runs; the only remaining uniqueness is the
-    // query's NAME (registered since the DECIMAL era) or its 9-column
-    // composite surface. Green-here/red-there proves stale per-name
-    // driver state; both-red pins the composite surface for a
-    // half-surface binary search next round.
-    "curation_manifest" -> ((s, d) =>
-      graft.operators.CurationProgram.curationProgram(s, d)),
-    // Round-11 adjudication CLOSES: the six-round red is root-caused.
-    // DuckDB's windowed sum(BIGINT) returns HUGEINT, which the driver's
-    // arrow/pandas reader renders as decimal128/float ("10.0") while
-    // Spark's BIGINT renders "10" — hash-red with rows/schema green.
-    // start_offset was the ONLY uncast integer-sum on the driver surface
-    // and appears in exactly the two red queries (funnel CASTs its sums,
-    // trace omits the column, curation_cols digests in-engine as VARCHAR,
-    // q_probe divides to DOUBLE). The oracle CTE now CASTs it; these two
-    // half-surface queries (VERDICT r10 Next #1) ride one round as the
-    // confirming experiment: half_a excludes the offset column, half_b
-    // carries it — all four curation rows green ⇒ rule confirmed, delete
-    // the halves + probe + cols next round.
-    "curation_half_a" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.operators.CurationProgram.curationProgram(s, d)
-        .select(col("doc_id"), col("source"), col("lang"),
-          col("n_tokens"), col("quality_q4"))
-        .orderBy("doc_id")
-    }),
-    "curation_half_b" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.operators.CurationProgram.curationProgram(s, d)
-        .select(col("doc_id"), col("cap_rk"), col("start_offset"),
-          col("bucket"), col("split"))
-        .orderBy("doc_id")
-    }),
+    // (Rounds 9-11 carried four adjudication probes here —
+    // curation_manifest/half_a/half_b/q_probe — for the six-round
+    // curation_program hash-red. Root cause found r11: DuckDB windowed
+    // sum(BIGINT) returns HUGEINT, rendered as decimal by the driver's
+    // arrow reader. The oracle now CASTs start_offset, the arrow-decimal
+    // gate in tools/check_oracle.py prevents recurrence, and the probes
+    // are deleted per VERDICT r11 Next #2.)
     // Round 11: the PERSISTED curation store — the program's production
     // daily shape. Builds docs/ + manifest/ at a session temp path once
     // per (app, sfDir) and reads the manifest BACK from parquet; must
@@ -447,16 +429,6 @@ object SparkEntry {
         graft.operators.CurationProgram.curationProgram(s, d), "doc_id",
         Seq("doc_id", "source", "lang", "n_tokens", "quality_q4", "cap_rk",
           "start_offset", "bucket", "split"))),
-    // the probe's Spark side: the quantized quality double alone —
-    // LONG/10000d, the identical IEEE division of the identical integer
-    // the oracle performs (BIGINT/10000 is float division in DuckDB)
-    "curation_q_probe" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      graft.operators.CurationProgram.curationProgram(s, d)
-        .select(col("doc_id"),
-          (col("quality_q4") / 10000d).as("quality"))
-        .orderBy("doc_id")
-    }),
     // Round 11: exact Hamilton (largest-remainder) apportionment of an
     // eval budget across (lang, source) strata + the admitted sample
     // (firstKPerKey per-cell quotas) — quotas sum to evalN exactly
@@ -2355,6 +2327,25 @@ FROM pf ORDER BY media_id""",
   CAST((n_chars * 25 + doc_id % 97) * 1000 // (600 + (doc_id % 5) * 120) AS BIGINT) AS duration_ms,
   TRUE AS roundtrip_ok
 FROM documents ORDER BY media_id""",
+    // the frame-walk replay: Spark's numbers come from the byte-level
+    // MP3 header walk (ID3 skip + sync-validated frame stepping); the
+    // oracle recomputes the construction law — bitrate/sample-rate
+    // tables by the synthesized indexes, 1152-sample MPEG-1 frames
+    "media_mp3_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+  list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+    CAST(1 + doc_id % 14 AS INT)) AS kbps,
+  list_extract([44100,48000,32000], CAST(doc_id % 3 + 1 AS INT)) AS sr,
+  CAST(1 + n_chars % 4 AS BIGINT) AS n_frames,
+  CAST(11 + doc_id % 7 AS BIGINT) AS first_frame_at
+  FROM documents)
+SELECT media_id, first_frame_at,
+  CAST(kbps AS BIGINT) AS bitrate_kbps,
+  CAST(sr AS BIGINT) AS sample_rate,
+  n_frames,
+  CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+  TRUE AS roundtrip_ok
+FROM m ORDER BY media_id""",
     // the sample-law replay: Spark's numbers come from PCM frames decoded
     // by the JDK's WAV reader; the oracle recomputes
     // s(i) = (d*17 + i*29) % 256 over the same index range
@@ -2482,6 +2473,28 @@ FROM t WHERE rank <= 10 ORDER BY rank""",
     // generated grid replay: sign bits once, per-config band pack +
     // bucket probe + candidate/hit scalar counts
     "lsh_recall_grid" -> lshRecallGridOracleSql,
+    // the persisted-store probe answers the SAME recompute as
+    // sim_topk_lsh: frozen normals (vec_id < 16, all in the base build),
+    // whole-corpus buckets (base + delta segments), brute-force audit —
+    // append == recompute proven by the shared oracle
+    "lsh_store" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT band, val FROM bv WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id FROM bv b JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id <> 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (ORDER BY (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) DESC, vec_id) AS rank
+  FROM embeddings, q WHERE vec_id <> 0) WHERE rank <= 10),
+s AS (SELECT e.vec_id, e.label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q),
+t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, label, round(c, 4) AS sim,
+  (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
+FROM t WHERE rank <= 10 ORDER BY rank""",
     // the batch replay: 8 query signatures joined to corpus buckets,
     // per-query candidate rank + per-query brute-force audit set
     "sim_topk_lsh_batch" ->
@@ -3149,19 +3162,6 @@ LEFT JOIN d ON q.doc_id = d.doc_id
 LEFT JOIN c ON q.doc_id = c.doc_id
 LEFT JOIN f ON q.doc_id = f.doc_id
 ORDER BY q.doc_id""",
-    // round-10 A/B twin: byte-identical SQL under the fresh name (see
-    // the queries-map comment on curation_manifest)
-    "curation_manifest" ->
-      s"""WITH $curationCtes,
-sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
-    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
-      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
-SELECT doc_id, source, lang, n_tokens,
-  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4,
-  cap_rk, start_offset, bucket,
-  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
-    ELSE 'test' END AS split
-FROM sp ORDER BY doc_id""",
     // the delta-folded store answers the SAME oracle: append==recompute
     "curation_store_delta" ->
       s"""WITH $curationCtes,
@@ -3223,31 +3223,6 @@ SELECT doc_id, source, lang, n_tokens,
   CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
     ELSE 'test' END AS split
 FROM sp ORDER BY doc_id""",
-    // round-11 halves: confirm the HUGEINT root cause (see queries map)
-    "curation_half_a" ->
-      s"""WITH $curationCtes
-SELECT doc_id, source, lang, n_tokens,
-  CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS quality_q4
-FROM f ORDER BY doc_id""",
-    "curation_half_b" ->
-      s"""WITH $curationCtes,
-sp AS (SELECT *, CAST(list_sum(list_transform(range(4), dd ->
-    CAST(strpos('0123456789abcdef', md5('split:' || CAST(doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
-      * (1::BIGINT << (4*(3-dd))))) % 100 AS BIGINT) AS bucket FROM f)
-SELECT doc_id, cap_rk, start_offset, bucket,
-  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
-    ELSE 'test' END AS split
-FROM sp ORDER BY doc_id""",
-    // isolation probe (round-9 adjudication): the quantized quality
-    // DOUBLE alone next to doc_id. If curation_program (all-integer) is
-    // green and THIS row is red, the driver's double handling for this
-    // value set is proven broken; if both are green, the round-8 red was
-    // a surface interaction. Either way the finding becomes a written
-    // rule in the verify skill, then this probe is deleted.
-    "curation_q_probe" ->
-      s"""WITH $curationCtes
-SELECT doc_id, CAST(floor(quality * 10000 + 0.5) AS BIGINT) / 10000 AS quality
-FROM f ORDER BY doc_id""",
     // per-column in-engine digests of the exact curation_program output
     // (doubles rendered as scaled BIGINT; identical rendering in
     // ColumnDigest.digests on the Spark side)

@@ -220,14 +220,21 @@ object CurationStore {
     val all = spark.read.parquet(s"$path/docs")
       .drop("ingest") // partition column; everything re-lands in base
       .localCheckpoint() // materialize before rewriting the tree read from
-    val tmp = s"$path/docs_compacting"
+    // stage under a dot-prefixed dir (hidden from partition discovery),
+    // then swap with two renames — no reader ever lists a PARTIAL tree
+    // (the StoreVersioning publish discipline; the manifest, the store's
+    // actual query surface, is fully snapshot-isolated by version dirs)
+    val staging = s"$path/.docs-compacting"
+    val retiring = s"$path/.docs-retiring"
+    val fs = StoreVersioning.fs(spark, path) // the store path's OWN fs
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(new org.apache.hadoop.fs.Path(retiring), true)
     all.repartition(col("doc_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/ingest=base")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest=base")
     val docsPath = new org.apache.hadoop.fs.Path(s"$path/docs")
-    fs.delete(docsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), docsPath)
+    fs.rename(docsPath, new org.apache.hadoop.fs.Path(retiring))
+    fs.rename(new org.apache.hadoop.fs.Path(staging), docsPath)
+    fs.delete(new org.apache.hadoop.fs.Path(retiring), true)
   }
 
   /** Recompute the budget + split stages over the stored capped set and
@@ -245,41 +252,24 @@ object CurationStore {
     */
   private def writeManifest(spark: SparkSession, path: String,
       budget: Long): Unit =
-    assembleManifest(spark.read.parquet(s"$path/docs"), budget)
-      .write.mode(SaveMode.Overwrite).partitionBy("split")
-      .parquet(s"$path/manifest/version=${latestVersion(spark, path) + 1}")
+    StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
+      assembleManifest(spark.read.parquet(s"$path/docs"), budget)
+        .write.mode(SaveMode.Overwrite).partitionBy("split")
+        .parquet(staging)
+    }
 
   /** Highest existing manifest version at `path`, or 0 when none exist
-    * (bounded driver-side listing — one directory of version names). */
-  def latestVersion(spark: SparkSession, path: String): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("version="))
-      .map(_.stripPrefix("version=").toLong)
-      .foldLeft(0L)(math.max)
-  }
+    * ([[StoreVersioning.latestVersion]] on the store path's own
+    * filesystem — never `fs.defaultFS`). */
+  def latestVersion(spark: SparkSession, path: String): Long =
+    StoreVersioning.latestVersion(spark, s"$path/manifest")
 
   /** Drop manifest versions older than the `keep` most recent — the
     * retention pass a daily pipeline schedules beside
     * [[compactCurationStore]]. The CURRENT version is never dropped. */
   def pruneManifestVersions(spark: SparkSession, path: String,
-      keep: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    if (fs.exists(dir)) {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("version="))
-        .map(_.stripPrefix("version=").toLong).sorted
-      versions.dropRight(math.max(keep, 1)).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest/version=$v"),
-          true)
-      }
-    }
-  }
+      keep: Int): Unit =
+    StoreVersioning.pruneVersions(spark, s"$path/manifest", keep)
 
   /** Admission changes between two manifest versions: one row per doc
     * whose membership flipped, `change` ∈ added | removed — "what did
@@ -288,6 +278,10 @@ object CurationStore {
     */
   def manifestDiff(spark: SparkSession, path: String,
       v1: Long, v2: Long): DataFrame = {
+    // a pruned/never-written side would read as an EMPTY frame and make
+    // the diff claim every doc was added/removed — fail fast instead
+    StoreVersioning.requireVersion(spark, s"$path/manifest", v1)
+    StoreVersioning.requireVersion(spark, s"$path/manifest", v2)
     def m(v: Long) = spark.read.parquet(s"$path/manifest")
       .filter(col("version") === v)
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))

@@ -535,6 +535,9 @@ object MultimodalPipeline {
         val size = beUint(payload, pos, 4)
         val typ = beUint(payload, pos + 4L, 4)
         when(pos >= limit, acc)
+          // a malformed size < 8 can't advance — treat as terminal
+          // instead of re-counting the stuck box every fold iteration
+          .when(size < 8L, struct(limit.as("pos"), acc.getField("n").as("n")))
           .otherwise(struct((pos + size).as("pos"),
             (acc.getField("n") + when(typ === t, 1L).otherwise(0L)).as("n")))
       }).getField("n")
@@ -698,4 +701,172 @@ object MultimodalPipeline {
         }
       }.toDF().orderBy("media_id")
   }
+
+  // --------------------------------- real MP3 frame-header metadata --
+
+  /** MPEG-1 Layer III bitrate table (kbps) by header bitrate index
+    * 1..14 (index 0 is "free", 15 is forbidden — both terminal for the
+    * walk), and the MPEG-1 sample-rate table by the 2-bit header index
+    * (index 3 reserved). ISO/IEC 11172-3 tables; the same constants any
+    * MP3 tool ships.
+    */
+  private val Mp3Bitrates =
+    Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L,
+      256L, 320L)
+  private val Mp3SampleRates = Seq(44100L, 48000L, 32000L)
+  private val Mp3MaxFrames = 8
+
+  /** Synthesize structurally-real MP3 streams, one per document: an
+    * ID3v2.4 tag with a VARIABLE-length body (so the first frame's
+    * offset is not fixed — a parser must read the syncsafe size), then
+    * 1-4 MPEG-1 Layer III frames with per-frame padding bits, each
+    * frame's length the 144 * bitrate / sample_rate + padding the spec
+    * defines. Assembled in the HEX domain and un-hexed ONCE (the
+    * [[mp4Table]] binary-concat lesson: repeat() on a BINARY coerces to
+    * StringType and misaligns every downstream offset read).
+    */
+  private[graft] def mp3Table(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val d = col("doc_id").cast(LongType)
+    val brIdx = lit(1L) + pmod(d, lit(14L)) // 1..14
+    val kbps = element_at(
+      array(Mp3Bitrates.map(lit): _*), brIdx.cast(IntegerType))
+    val srIdx = pmod(d, lit(3L)) // 0..2
+    val sr = element_at(
+      array(Mp3SampleRates.map(lit): _*), (srIdx + 1L).cast(IntegerType))
+    val nFrames = lit(1L) + pmod(col("n_chars").cast(LongType), lit(4L))
+    val id3Body = pmod(d, lit(7L)) // 0..6 B tag body
+    // one frame's hex: 4-byte header (sync/version/layer, bitrate index,
+    // sample-rate index, padding, mono) + zero body to the exact length
+    def frameHex(f: org.apache.spark.sql.Column) = {
+      val pad = pmod(d + f, lit(2L))
+      // Column `/` is DOUBLE division — floor-cast back to the spec's
+      // integer frame length (exact: 144000 * kbps is double-exact)
+      val flen = (lit(144000L) * kbps / sr).cast(LongType) + pad
+      concat(
+        lit("FFFB"), // sync + MPEG-1 + Layer III + no CRC
+        lpad(hex(shiftleft(brIdx, 4) + shiftleft(srIdx, 2) + pad * 2L),
+          2, "0"),
+        lit("C0"), // single-channel mode
+        repeat(lit("00"), (flen - 4L).cast(IntegerType)))
+    }
+    val id3Hex = concat(
+      lit("494433"), // "ID3"
+      lit("040000"), // v2.4.0, no flags
+      lit("000000"), lpad(hex(id3Body), 2, "0"), // syncsafe size (< 128)
+      repeat(lit("00"), id3Body.cast(IntegerType)))
+    docs.select(
+      col("doc_id").as("media_id"),
+      unhex(concat(id3Hex, concat_ws("",
+        transform(sequence(lit(0L), nFrames - 1L), frameHex(_)))))
+        .as("payload"),
+      (lit(11L) + id3Body).as("true_first_frame_at"), // 1-based
+      kbps.as("true_kbps"), sr.as("true_rate"), nFrames.as("true_frames"))
+  }
+
+  /** The frame walk as ONE bounded expression fold (the [[jpegWalk]] /
+    * [[bmffFind]] class): state = (pos, n_frames, kbps, sr). Each step
+    * validates the 11-bit sync + MPEG-1/Layer-III version bits, rejects
+    * free/forbidden bitrate and reserved sample-rate indexes (terminal,
+    * like a truncated stream), captures the FIRST frame's bitrate and
+    * sample rate, and advances by the spec's frame length
+    * 144 * bitrate / sample_rate + padding.
+    */
+  private def mp3Walk(payload: org.apache.spark.sql.Column,
+      start: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val limit = length(payload).cast(LongType) + 1L
+    val init = struct(start.as("pos"), lit(0L).as("n"),
+      lit(-1L).as("kbps"), lit(-1L).as("sr"))
+    aggregate(
+      sequence(lit(1), lit(Mp3MaxFrames)), init, (acc, _) => {
+        val pos = acc.getField("pos")
+        val b0 = beUint(payload, pos, 1)
+        val b1 = beUint(payload, pos + 1L, 1)
+        val b2 = beUint(payload, pos + 2L, 1)
+        // sync 0xFF + (111 version=MPEG1 layer=III x) — protection bit free
+        val syncOk = b0 === 255L && b1.bitwiseAND(lit(254L)) === 250L
+        val brIdx = shiftright(b2, 4)
+        val srIdx = shiftright(b2, 2).bitwiseAND(lit(3L))
+        val pad = shiftright(b2, 1).bitwiseAND(lit(1L))
+        val valid = syncOk && brIdx > 0L && brIdx < 15L && srIdx < 3L
+        val kbps = element_at(array(Mp3Bitrates.map(lit): _*),
+          brIdx.cast(IntegerType))
+        val sr = element_at(array(Mp3SampleRates.map(lit): _*),
+          (srIdx + 1L).cast(IntegerType))
+        // same floor-cast as the builder: `/` alone would type the fold
+        // struct's pos as DOUBLE and fail analysis
+        val flen = (lit(144000L) * kbps / sr).cast(LongType) + pad
+        when(pos >= limit || !valid, acc) // terminal: end or broken sync
+          .otherwise(struct(
+            (pos + flen).as("pos"), (acc.getField("n") + 1L).as("n"),
+            when(acc.getField("n") === 0L, kbps)
+              .otherwise(acc.getField("kbps")).as("kbps"),
+            when(acc.getField("n") === 0L, sr)
+              .otherwise(acc.getField("sr")).as("sr")))
+      })
+  }
+
+  /** The parse over ANY (media_id, payload) frame of MP3 bytes —
+    * SinksAndMultimodalSpec drives hand-built tagged/corrupted streams
+    * through it. Skips a leading ID3v2 tag by its syncsafe size (the 4
+    * 7-bit bytes at offsets 6-9), then walks frames.
+    */
+  private[graft] def mp3Parse(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val hasId3 = beUint(p, lit(1L), 3) === 0x494433L // "ID3"
+    val tagSize =
+      shiftleft(beUint(p, lit(7L), 1), 21) +
+      shiftleft(beUint(p, lit(8L), 1), 14) +
+      shiftleft(beUint(p, lit(9L), 1), 7) +
+      beUint(p, lit(10L), 1)
+    val start = when(hasId3, lit(11L) + tagSize).otherwise(lit(1L))
+    val meta = mp3Walk(p, start)
+    media
+      .withColumn("first_frame_at", start)
+      .withColumn("m", meta)
+      .withColumn("bitrate_kbps", col("m").getField("kbps"))
+      .withColumn("sample_rate", col("m").getField("sr"))
+      .withColumn("n_frames", col("m").getField("n"))
+      // MPEG-1 Layer III: 1152 samples per frame
+      .withColumn("duration_ms",
+        when(col("m").getField("sr") > 0L,
+            (col("m").getField("n") * 1152000L / col("m").getField("sr"))
+              .cast(LongType)) // floor — the oracle's integer `//`
+          .otherwise(lit(-1L)))
+      .drop("m", "payload")
+  }
+
+  /** The parse over ANY (media_id, payload) frame of MP3 bytes —
+    * SinksAndMultimodalSpec drives hand-built tagged/corrupted streams
+    * through it.
+    */
+  private[graft] def mp3MetaFrom(media: DataFrame): DataFrame =
+    mp3Parse(media)
+      .select(col("media_id"), col("first_frame_at"), col("bitrate_kbps"),
+        col("sample_rate"), col("n_frames"), col("duration_ms"))
+      .orderBy("media_id")
+
+  /** REAL MP3 metadata decode — the compressed-AUDIO half of the media
+    * stub retired at the metadata level (the [[mediaJpegMeta]] /
+    * [[mediaMp4Meta]] discipline): payloads are structurally-real
+    * ID3v2-tagged MPEG-1 Layer III streams whose first-frame offset and
+    * per-frame lengths vary per row, and every emitted number comes from
+    * the byte-level header walk (sync validation, bitrate/sample-rate
+    * table lookups, padding-aware frame stepping). The oracle replays
+    * the construction law, so equality proves the parse; only
+    * pixel/sample-level decode of compressed audio (the DCT synthesis)
+    * still needs a codec the JDK lacks.
+    */
+  def mediaMp3Meta(spark: SparkSession, sfDir: String): DataFrame =
+    mp3Parse(mp3Table(spark, sfDir)) // true_ cols ride along, no re-join
+      .select(col("media_id"), col("first_frame_at"),
+        col("bitrate_kbps"), col("sample_rate"), col("n_frames"),
+        col("duration_ms"),
+        (col("first_frame_at") === col("true_first_frame_at") &&
+          col("bitrate_kbps") === col("true_kbps") &&
+          col("sample_rate") === col("true_rate") &&
+          col("n_frames") === col("true_frames")).as("roundtrip_ok"))
+      .orderBy("media_id")
 }

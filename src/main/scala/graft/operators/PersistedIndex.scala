@@ -536,18 +536,60 @@ FROM graft_shingle_bloom_build""")
     *    touches corpus text.
     */
   def buildTextIndex(spark: SparkSession, corpus: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
     writeTextIndexDelta(corpus, path, "base", SaveMode.Overwrite)
+    commitTextIndexManifest(spark, path, Seq("base"), Seq.empty)
+  }
 
-  /** Append a delta corpus's postings as NEW rows — existing posting
-    * files are never rewritten (the [[appendToShingleIndex]] shape). A
-    * term present in both corpus and delta simply has more (term, shard)
-    * rows; [[searchTextIndex]] re-merges by summation, exactly like the
-    * HLL/histogram sketch stores.
+  /** Append a delta corpus's postings as a NEW immutable segment —
+    * existing posting files are never rewritten (the
+    * [[appendToShingleIndex]] shape). A term present in both corpus and
+    * delta simply has more (term, shard) rows; [[searchTextIndex]]
+    * re-merges by summation, exactly like the HLL/histogram sketch
+    * stores. The fold publishes a new manifest version
+    * ([[StoreVersioning]]): readers pinned to the old version never see
+    * the new segment.
     */
   def appendToTextIndex(spark: SparkSession, delta: DataFrame,
-      path: String): Unit =
-    writeTextIndexDelta(delta, path, "delta", SaveMode.Append)
+      path: String): Unit = {
+    val (segs, tombs) = textIndexLive(spark, path, -1L)
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeTextIndexDelta(delta, path, token, SaveMode.Overwrite)
+    commitTextIndexManifest(spark, path, segs :+ token, tombs)
+  }
+
+  /** Manifest rows are (kind ∈ seg|tomb, token): which postings/meta/
+    * doclens segments and which tombstone segments a version reads. */
+  private def commitTextIndexManifest(spark: SparkSession, path: String,
+      segs: Seq[String], tombs: Seq[String]): Long =
+    StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
+      import spark.implicits._
+      (segs.map(("seg", _)) ++ tombs.map(("tomb", _)))
+        .toDF("kind", "token").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+
+  /** The (segment, tombstone) token lists of `version` (latest when -1)
+    * — bounded driver-side read, one row per segment. A never-committed
+    * store reads as empty (the streaming front door's first batch). */
+  private[graft] def textIndexLive(spark: SparkSession, path: String,
+      version: Long): (Seq[String], Seq[String]) = {
+    val dir = s"$path/manifest"
+    val v = if (version > 0) version
+      else StoreVersioning.latestVersion(spark, dir)
+    if (v == 0) return (Seq.empty, Seq.empty)
+    StoreVersioning.requireVersion(spark, dir, v)
+    val rows = spark.read.parquet(StoreVersioning.versionDir(dir, v))
+      .collect()
+    (rows.filter(_.getString(0) == "seg").map(_.getString(1)).toSeq.sorted,
+      rows.filter(_.getString(0) == "tomb").map(_.getString(1)).toSeq.sorted)
+  }
+
+  private def segScan(spark: SparkSession, path: String, sub: String,
+      segs: Seq[String]): DataFrame =
+    spark.read.parquet(s"$path/$sub")
+      .filter(col("ingest").isInCollection(segs))
 
   private def writeTextIndexDelta(delta: DataFrame, path: String,
       ingest: String, mode: SaveMode): Unit = {
@@ -580,8 +622,16 @@ FROM graft_shingle_bloom_build""")
     * — idempotence by layout, no transaction log needed.
     */
   private[graft] def appendTextIndexBatch(batch: DataFrame, path: String,
-      batchId: Long): Unit =
-    writeTextIndexDelta(batch, path, s"b$batchId", SaveMode.Overwrite)
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val token = s"b$batchId"
+    writeTextIndexDelta(batch, path, token, SaveMode.Overwrite)
+    // a REPLAYED batch rewrote its own segment byte-identically — only
+    // commit a manifest version the first time the token lands
+    val (segs, tombs) = textIndexLive(spark, path, -1L)
+    if (!segs.contains(token))
+      commitTextIndexManifest(spark, path, segs :+ token, tombs)
+  }
 
   /** The streaming ingest twin of [[appendToTextIndex]] — routes each
     * arriving micro-batch of (doc_id, text) documents into the persisted
@@ -614,23 +664,27 @@ FROM graft_shingle_bloom_build""")
     * stated rather than hidden.
     */
   def deleteFromTextIndex(spark: SparkSession, ids: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
+    val (segs, tombs) = textIndexLive(spark, path, -1L)
+    val token =
+      s"t${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
     ids.select(col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/tombstones/ingest=$token")
+    commitTextIndexManifest(spark, path, segs, tombs :+ token)
+  }
 
-  /** Anti-join `df` (must carry doc_id) against the index's tombstone
-    * set, if any — the read-side half of the delete contract. The
-    * tombstone frame is delete-sized; the join is doc-keyed.
+  /** Anti-join `df` (must carry doc_id) against the pinned version's
+    * tombstone segments, if any — the read-side half of the delete
+    * contract. The tombstone frame is delete-sized; the join is
+    * doc-keyed.
     */
   private def liveOnly(spark: SparkSession, path: String,
-      df: DataFrame): DataFrame = {
-    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(t))
-      df.join(spark.read.parquet(s"$path/tombstones").select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-    else df
-  }
+      df: DataFrame, tombs: Seq[String]): DataFrame =
+    if (tombs.isEmpty) df
+    else df.join(
+      segScan(spark, path, "tombstones", tombs).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
 
   /** Compact an appended/stream-grown index into a fresh single-ingest
     * layout at `dst`: a term's accumulated (term, shard) delta rows
@@ -651,12 +705,57 @@ FROM graft_shingle_bloom_build""")
     */
   def compactTextIndex(spark: SparkSession, src: String,
       dst: String): Unit = {
+    writeCompacted(spark, src, dst, "base")
+    commitTextIndexManifest(spark, dst, Seq("base"), Seq.empty)
+  }
+
+  /** In-place compaction under the version discipline: the merged
+    * segment lands as a NEW `ingest=c<v>` token in the SAME store and
+    * the next manifest version references only it — a reader pinned to
+    * the pre-compaction version keeps its segments untouched (the
+    * writers-don't-block-readers contract; [[gcTextIndexSegments]] is
+    * the later retention pass).
+    */
+  def compactTextIndexInPlace(spark: SparkSession, path: String): Unit = {
+    val token =
+      s"c${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeCompacted(spark, path, path, token)
+    commitTextIndexManifest(spark, path, Seq(token), Seq.empty)
+  }
+
+  /** Drop segment directories referenced by NO surviving manifest
+    * version — run after [[StoreVersioning.pruneVersions]] on
+    * `path`/manifest. */
+  def gcTextIndexSegments(spark: SparkSession, path: String): Unit = {
+    val referenced = StoreVersioning
+      .listVersions(spark, s"$path/manifest")
+      .flatMap { v =>
+        val (s, t) = textIndexLive(spark, path, v)
+        s ++ t
+      }.toSet
+    val fs = StoreVersioning.fs(spark, path)
+    Seq("postings", "meta", "doclens", "tombstones").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("ingest="))
+          .map(_.stripPrefix("ingest="))
+          .filterNot(referenced)
+          .foreach(t => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/$sub/ingest=$t"), true))
+    }
+  }
+
+  private def writeCompacted(spark: SparkSession, src: String,
+      dst: String, token: String): Unit = {
+    val (segs, tombs) = textIndexLive(spark, src, -1L)
     val merged = liveOnly(spark, src,
-      spark.read.parquet(s"$src/postings")
+      segScan(spark, src, "postings", segs)
         .select(col("term"), col("shard"),
           explode(arrays_zip(col("doc_ids"), col("tfs"))).as("z"))
         .select(col("term"), col("shard"),
-          col("z.doc_ids").as("doc_id"), col("z.tfs").as("tf")))
+          col("z.doc_ids").as("doc_id"), col("z.tfs").as("tf")),
+      tombs)
       .groupBy(col("term"), col("shard"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("tf")).cast("long").as("n_occ"),
@@ -665,20 +764,24 @@ FROM graft_shingle_bloom_build""")
         transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
         transform(col("p"), x => x.getField("tf")).as("tfs"))
       .withColumn("bucket", termBucket(col("term")))
+      // materialize before (possibly) rewriting inside the tree read from
+      .localCheckpoint()
     merged.write.partitionBy("bucket")
-      .mode(SaveMode.Overwrite).parquet(s"$dst/postings/ingest=base")
+      .mode(SaveMode.Overwrite).parquet(s"$dst/postings/ingest=$token")
     // doclens drop tombstoned docs; meta is RECOMPUTED from the live
     // doclens (not summed from src meta) so N/avgdl shed the logically
     // deleted docs exactly — the compacted index equals a fresh build on
     // the surviving corpus (spec-proven)
-    val liveDl = liveOnly(spark, src, spark.read.parquet(s"$src/doclens")
-      .select(col("doc_id"), col("dl"), col("shard")))
+    val liveDl = liveOnly(spark, src,
+      segScan(spark, src, "doclens", segs)
+        .select(col("doc_id"), col("dl"), col("shard")),
+      tombs)
       .localCheckpoint()
     liveDl.agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dst/meta/ingest=base")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/meta/ingest=$token")
     liveDl.write.partitionBy("shard")
-      .mode(SaveMode.Overwrite).parquet(s"$dst/doclens/ingest=base")
+      .mode(SaveMode.Overwrite).parquet(s"$dst/doclens/ingest=$token")
   }
 
   /** BM25 top-k over the persisted index — the [[Retrieval.bm25TopKFrom]]
@@ -691,25 +794,26 @@ FROM graft_shingle_bloom_build""")
     * order-exact, so avgdl equals the batch `avg` bit-for-bit).
     */
   def searchTextIndexBm25(spark: SparkSession, path: String,
-      terms: Seq[String], k: Int = 10): DataFrame = {
-    val m = spark.read.parquet(s"$path/meta")
+      terms: Seq[String], k: Int = 10, version: Long = -1L): DataFrame = {
+    val (segs, tombs) = textIndexLive(spark, path, version)
+    val m = segScan(spark, path, "meta", segs)
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
       .head
     val n = m.getLong(0)
     val avgdl = m.getLong(1).toDouble / n
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = segScan(spark, path, "postings", segs)
       .filter(bucketPred && col("term").isin(terms: _*))
     val tf = postings
       .select(col("term"),
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
-    val tfLive = liveOnly(spark, path, tf)
+    val tfLive = liveOnly(spark, path, tf, tombs)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
-    val doclens = spark.read.parquet(s"$path/doclens")
+    val doclens = segScan(spark, path, "doclens", segs)
       .select(col("doc_id"), col("dl"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -737,7 +841,7 @@ FROM graft_shingle_bloom_build""")
     * window pair so no partition is corpus-sized.
     */
   def searchTextIndexBm25Batch(spark: SparkSession, path: String,
-      queries: DataFrame, k: Int = 5): DataFrame = {
+      queries: DataFrame, k: Int = 5, version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val panel = queries.select(col("query_id"), col("term"))
     val terms = panel.select(col("term")).distinct()
@@ -748,24 +852,25 @@ FROM graft_shingle_bloom_build""")
         org.apache.spark.sql.types.StructType.fromDDL(
           "query_id LONG, rank LONG, doc_id LONG, n_terms_hit LONG, score DOUBLE"))
     }
-    val m = spark.read.parquet(s"$path/meta")
+    val (segs, tombs) = textIndexLive(spark, path, version)
+    val m = segScan(spark, path, "meta", segs)
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
       .head
     val n = m.getLong(0)
     val avgdl = m.getLong(1).toDouble / n
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = segScan(spark, path, "postings", segs)
       .filter(bucketPred && col("term").isin(terms: _*))
     val tf = postings
       .select(col("term"),
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
-    val tfLive = liveOnly(spark, path, tf)
+    val tfLive = liveOnly(spark, path, tf, tombs)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
-    val doclens = spark.read.parquet(s"$path/doclens")
+    val doclens = segScan(spark, path, "doclens", segs)
       .select(col("doc_id"), col("dl"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -826,19 +931,20 @@ FROM graft_shingle_bloom_build""")
     * anywhere in the plan (asserted by PersistedIndexSpec).
     */
   def searchTextIndex(spark: SparkSession, path: String,
-      terms: Seq[String], k: Int = 10): DataFrame = {
-    val n = spark.read.parquet(s"$path/meta")
+      terms: Seq[String], k: Int = 10, version: Long = -1L): DataFrame = {
+    val (segs, tombs) = textIndexLive(spark, path, version)
+    val n = segScan(spark, path, "meta", segs)
       .agg(sum(col("n_docs"))).head.getLong(0)
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = segScan(spark, path, "postings", segs)
       .filter(bucketPred && col("term").isin(terms: _*))
     val tf = postings
       .select(col("term"),
         explode(arrays_zip(col("doc_ids"), col("tfs"))).as("e"))
       .select(col("term"), col("e.doc_ids").as("doc_id"),
         col("e.tfs").as("tf"))
-    val tfLive = liveOnly(spark, path, tf)
+    val tfLive = liveOnly(spark, path, tf, tombs)
     val dfTerm = postings.groupBy(col("term"))
       .agg(sum(col("n_docs")).as("df"))
     tfLive.join(broadcast(dfTerm), "term")
@@ -905,6 +1011,10 @@ FROM graft_shingle_bloom_build""")
           col("embedding").cast("array<double>").as("v")),
         cents)
       .select(col("vec_id"), col("cluster"), col("v"))
+      // a batch carrying the same vec_id twice must land ONE node row —
+      // the store's one-row-per-vector read contract (the stored-id
+      // anti-join below only guards against ids already persisted)
+      .dropDuplicates("vec_id")
     val touched = assigned.select("cluster").distinct() // <= k rows
     // partition-column inference reads `cluster` back as int — normalize
     // to the assignment's long before the union
@@ -986,4 +1096,242 @@ FROM graft_shingle_bloom_build""")
             id: Long) =>
           appendToKnnGraphStore(batch.sparkSession, batch.toDF(), path)
       }
+
+  // -------------------------------------------- persisted LSH index --
+
+  /** Vector shard count for the LSH store's scoring side (the doclens
+    * discipline: candidate joins are id-keyed, never bucket-wide). */
+  private val LshVecShards = 8
+  private val LshTopK = 10
+
+  /** Build the persisted LSH index at `path` — the build-once/probe-many
+    * form of [[SimilarityPipeline.simTopKLsh]] (IVF has
+    * [[buildIvfIndex]]; this is the random-projection twin):
+    *
+    *  - `normals/` — the FROZEN 16 hyperplane rows (the
+    *    [[buildKnnGraphStore]] centroid discipline: new data is signed,
+    *    the model never retrains);
+    *  - `buckets/ingest=<t>/band=B/pfx=P/` — (vec_id, bval) signature
+    *    rows, hive-partitioned by band and the bval prefix bucket, so a
+    *    query's probe PRUNES to its own (band, pfx) directories at the
+    *    file listing (the [[buildTextIndex]] term-hash-bucket
+    *    discipline; with 4-bit bands the prefix is the whole bval, i.e.
+    *    probes read exactly their buckets);
+    *  - `vectors/ingest=<t>/shard=S/` — (vec_id, label, embedding) for
+    *    candidate scoring, id-sharded;
+    *  - `manifest/version=N/` — the live ingest tokens
+    *    ([[StoreVersioning]]): segments are IMMUTABLE once written, a
+    *    fold publishes a new version, pinned readers are never torn.
+    */
+  def buildLshIndex(spark: SparkSession, vectors: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    vectors.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("h_idx"), col("embedding").as("h"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/normals")
+    writeLshSegment(spark, vectors, path, "base")
+    commitLshManifest(spark, path, Seq("base"))
+  }
+
+  private def lshNormals(spark: SparkSession, path: String): DataFrame =
+    SimilarityPipeline.lshNormalsBundle(spark.read.parquet(s"$path/normals"))
+
+  private def writeLshSegment(spark: SparkSession, vectors: DataFrame,
+      path: String, token: String): Unit = {
+    val sigs = SimilarityPipeline.lshSignatures(vectors,
+        lshNormals(spark, path))
+      .withColumn("pfx", pmod(col("bval"), lit(16L)))
+    sigs.repartition(col("band"), col("pfx"))
+      .write.mode(SaveMode.Overwrite).partitionBy("band", "pfx")
+      .parquet(s"$path/buckets/ingest=$token")
+    vectors.select(col("vec_id"), col("label"), col("embedding"),
+        pmod(col("vec_id"), lit(LshVecShards.toLong)).as("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$path/vectors/ingest=$token")
+  }
+
+  private def commitLshManifest(spark: SparkSession, path: String,
+      tokens: Seq[String]): Long =
+    StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
+      import spark.implicits._
+      tokens.toDF("token").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+
+  /** The live ingest tokens of `version` (latest when -1) — bounded
+    * driver-side read, one row per segment. */
+  private def lshLiveTokens(spark: SparkSession, path: String,
+      version: Long): Seq[String] = {
+    val dir = s"$path/manifest"
+    val v = if (version > 0) version else StoreVersioning.latestVersion(spark, dir)
+    StoreVersioning.requireVersion(spark, dir, v)
+    spark.read.parquet(StoreVersioning.versionDir(dir, v))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Fold a batch of new vectors in: sign against the FROZEN normals,
+    * drop ids the live segments already hold (a replayed batch becomes a
+    * no-op — the [[appendToKnnGraphStore]] idempotence contract), land
+    * the survivors in their own immutable `ingest=<token>` segment, and
+    * publish a new manifest version. A reader pinned to the old version
+    * never sees the new segment; old segment files are never touched.
+    */
+  def appendToLshIndex(spark: SparkSession, batch: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val live = lshLiveTokens(spark, path, -1L)
+    val storedIds = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"))
+    val fresh = batch
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .dropDuplicates("vec_id") // one node row per vector, batch-internal too
+      .join(storedIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return // full replay — nothing to fold
+    val token = s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeLshSegment(spark, fresh, path, token)
+    commitLshManifest(spark, path, live :+ token)
+  }
+
+  /** The streaming ingest twin — each arriving micro-batch folds through
+    * the same segment + manifest discipline (at-least-once replays are
+    * absorbed by the stored-id dedup). Start with `.start()`. */
+  def lshIndexIngestStream(vecs: DataFrame, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendToLshIndex(batch.sparkSession, batch.toDF(), path)
+      }
+
+  /** Compact a delta-grown index: fold every live segment into ONE new
+    * `ingest=c<v>` segment and publish it as the next manifest version —
+    * readers pinned to the old version keep their segments (nothing is
+    * deleted here; [[gcLshSegments]] is the retention pass that drops
+    * segments no surviving version references).
+    */
+  def compactLshIndex(spark: SparkSession, path: String): Unit = {
+    val live = lshLiveTokens(spark, path, -1L)
+    val all = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
+    val token = s"c${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeLshSegment(spark, all, path, token)
+    commitLshManifest(spark, path, Seq(token))
+  }
+
+  /** Drop segments referenced by NO surviving manifest version — run
+    * after [[StoreVersioning.pruneVersions]] on `path`/manifest. */
+  def gcLshSegments(spark: SparkSession, path: String): Unit = {
+    val dir = s"$path/manifest"
+    val referenced = StoreVersioning.listVersions(spark, dir)
+      .flatMap(v => lshLiveTokens(spark, path, v)).toSet
+    val fs = StoreVersioning.fs(spark, path)
+    Seq("buckets", "vectors").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("ingest="))
+          .map(_.stripPrefix("ingest="))
+          .filterNot(referenced)
+          .foreach(t => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/$sub/ingest=$t"), true))
+    }
+  }
+
+  /** Probe the persisted index with the stored query vector `qId`:
+    * sign the query against the frozen normals (4 rows), collect its
+    * (band, pfx, bval) buckets driver-side (bounded: 4), and scan ONLY
+    * those bucket directories — the (band, pfx) literals reach the
+    * scan's PartitionFilters (plan-asserted in PersistedIndexSpec), so
+    * the probe lists 4 of the 64 bucket directories per segment.
+    * Candidates are cosine-scored against the id-sharded vectors and
+    * TakeOrdered'd; `in_exact` audits each hit against the brute-force
+    * top-k over the SAME pinned version. Output contract =
+    * [[SimilarityPipeline.simTopKLsh]] row-for-row when the store holds
+    * the same corpus (the driver's `lsh_store` oracle).
+    */
+  def probeLshIndex(spark: SparkSession, path: String, qId: Long = 0L,
+      k: Int = LshTopK, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val live = lshLiveTokens(spark, path, version)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+    val q = vectors.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q"))
+    val qBuckets = SimilarityPipeline.lshSignatures(
+        vectors.filter(col("vec_id") === qId), lshNormals(spark, path))
+      .withColumn("pfx", pmod(col("bval"), lit(16L)))
+      .select(col("band").cast("long"), col("pfx").cast("long"),
+        col("bval").cast("long"))
+      .collect() // bounded: one row per band (4)
+    val bucketPred = qBuckets.map { r =>
+        col("band") === r.getLong(0) && col("pfx") === r.getLong(1) &&
+          col("bval") === r.getLong(2)
+      }.reduce(_ || _)
+    val candIds = spark.read.parquet(s"$path/buckets")
+      .filter(col("ingest").isInCollection(live))
+      .filter(bucketPred)
+      .filter(col("vec_id") =!= qId)
+      .select(col("vec_id")).distinct()
+    val exactIds = vectors.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("exact_id"), lit(true).as("in_ex"))
+    vectors.join(candIds, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      // post-limit window: <= k rows (the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .join(broadcast(exactIds), col("vec_id") === col("exact_id"), "left")
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("sim"),
+        coalesce(col("in_ex"), lit(false)).as("in_exact"))
+      .orderBy("rank")
+  }
+
+  private val lshStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The store as a driver surface: build on the non-delta residue
+    * (vec_id % 100 <> 77 — chosen so the 16 normal vectors and the
+    * query vector stay in the base build), fold the delta residue in
+    * with [[appendToLshIndex]], probe — must equal
+    * [[SimilarityPipeline.simTopKLsh]] over the whole corpus (the
+    * driver's oracle recomputes exactly that), proving
+    * build + append + probe under frozen hyperplanes. Cached per
+    * (app, sfDir).
+    */
+  def lshTopKFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = lshStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      lshStoreCache.keySet.removeIf(_._1 != appId)
+      lshStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-lsh-store").toString
+        val e = graft.sources.Tables.embeddings(spark, sfDir)
+        val isDelta = pmod(col("vec_id"), lit(100)) === 77
+        buildLshIndex(spark, e.filter(!isDelta), p)
+        appendToLshIndex(spark, e.filter(isDelta), p)
+        p
+      })
+    }
+    probeLshIndex(spark, path)
+  }
 }

@@ -450,20 +450,33 @@ FROM ($picks) ORDER BY rank"""
     * packed 4 bands × 4 bits by one codegen'd expression per row, then
     * exploded to (vec_id, band, bval) bucket rows.
     */
-  private def lshBandVals(e: DataFrame): DataFrame = {
-    val normals = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("h_idx"),
-        col("embedding").cast("array<double>").as("h"))
+  private def lshBandVals(e: DataFrame): DataFrame =
+    lshSignatures(e, lshNormalsBundle(
+      e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("h_idx"), col("embedding").as("h"))))
+
+  /** The 16 hyperplane rows (h_idx, h) folded into the 1-row broadcast
+    * bundle the sign pass crosses with — shared with the PERSISTED LSH
+    * index, whose `normals/` parquet holds exactly these rows frozen.
+    */
+  private[operators] def lshNormalsBundle(rows: DataFrame): DataFrame =
+    rows.select(col("h_idx"), col("h").cast("array<double>").as("h"))
       .groupBy()
       .agg(array_sort(collect_list(struct(col("h_idx"), col("h")))).as("hs"))
       .select(transform(col("hs"), x => x.getField("h")).as("normals"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(normals))
+
+  /** One codegen'd sign pass of `vectors` against a frozen normal
+    * bundle: 16 sign bits packed 4 bands × 4 bits, exploded to
+    * (vec_id, band, bval) bucket rows.
+    */
+  private[operators] def lshSignatures(vectors: DataFrame,
+      normalsBundle: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(normalsBundle))
       .select(col("vec_id"),
         posexplode(graft.expressions.VectorExpressions.hyperplaneBandsNative(
           col("embedding").cast("array<double>"), col("normals")))
           .as(Seq("band", "bval")))
-  }
 
   def simTopKLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared version discipline for every persisted store in the engine —
+  * the curation store's `manifest/version=N` contract
+  * ([[CurationStore.readManifest]]) lifted into one module so the text
+  * index and the kNN-graph store fold under the same rules:
+  *
+  *   - a version directory (`<dir>/version=N/`) is IMMUTABLE once
+  *     published — writers stage under a dot-prefixed directory (hidden
+  *     from Spark's file listing) and publish with one filesystem
+  *     rename, so a concurrent reader either sees the whole version or
+  *     none of it, never a torn tree;
+  *   - readers pin a version at query start ([[latestVersion]]) and are
+  *     never blocked or invalidated by a writer landing version N+1
+  *     (snapshot isolation on plain parquet — the lakehouse discipline
+  *     without a table format);
+  *   - [[pruneVersions]] is the retention lever; the CURRENT version is
+  *     never dropped, and [[requireVersion]] turns a read of a pruned or
+  *     never-written version into an error instead of a silently-empty
+  *     frame.
+  *
+  * Every filesystem touch resolves the store path's OWN filesystem
+  * (`Path.getFileSystem`), never the cluster default — a store on
+  * `s3a://` keeps versioning correctly on an HDFS-default cluster.
+  */
+object StoreVersioning {
+
+  /** The filesystem owning `dir` — resolved from the path's scheme, not
+    * `fs.defaultFS`. */
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def versionDir(dir: String, v: Long): String = s"$dir/version=$v"
+
+  /** Every published version under `dir`, ascending; empty when the
+    * store has never committed (bounded driver-side listing — one
+    * directory of version names). */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toLong).sorted
+  }
+
+  /** Highest published version at `dir`, or 0 when none exist. */
+  def latestVersion(spark: SparkSession, dir: String): Long =
+    listVersions(spark, dir).foldLeft(0L)(math.max)
+
+  def versionExists(spark: SparkSession, dir: String, v: Long): Boolean =
+    fs(spark, dir).exists(new Path(versionDir(dir, v)))
+
+  /** Fail fast on a read of a pruned or never-written version — the
+    * alternative is a silently-empty scan that makes e.g. a version
+    * diff look like "everything was added". */
+  def requireVersion(spark: SparkSession, dir: String, v: Long): Unit =
+    require(versionExists(spark, dir, v),
+      s"version $v does not exist under $dir (pruned or never written); " +
+        s"published versions: ${listVersions(spark, dir).mkString(", ")}")
+
+  /** Publish the next version: `write` receives a dot-prefixed staging
+    * path (invisible to Spark's partition discovery), and the staged
+    * tree is renamed into `version=<n+1>` in one filesystem call —
+    * readers never observe a partial version. Returns the published
+    * version number.
+    */
+  def commitNextVersion(spark: SparkSession, dir: String)(
+      write: String => Unit): Long = {
+    val next = latestVersion(spark, dir) + 1
+    val staging = s"$dir/.staging-version-$next"
+    val f = fs(spark, dir)
+    f.delete(new Path(staging), true) // clear a dead writer's leftovers
+    write(staging)
+    require(f.rename(new Path(staging), new Path(versionDir(dir, next))),
+      s"failed to publish $dir version $next (staging rename refused)")
+    next
+  }
+
+  /** Drop versions older than the `keep` most recent. The current
+    * version is never dropped. */
+  def pruneVersions(spark: SparkSession, dir: String, keep: Int): Unit = {
+    val f = fs(spark, dir)
+    listVersions(spark, dir).dropRight(math.max(keep, 1)).foreach { v =>
+      f.delete(new Path(versionDir(dir, v)), true)
+    }
+  }
+}

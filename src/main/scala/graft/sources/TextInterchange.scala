@@ -106,9 +106,23 @@ object TextInterchange {
     */
   def readCsv(spark: SparkSession, path: String,
       schema: StructType = documentsSchema): (DataFrame, DataFrame) = {
-    val header = schema.fieldNames.filter(_ != "_corrupt").mkString(",")
+    val fields = schema.fieldNames.filter(_ != "_corrupt")
+    val header = fields.mkString(",")
+    // from_csv parses POSITIONALLY: a file written in a different column
+    // order would round-trip with silently swapped string columns. Any
+    // header-SHAPED line (same field-name set) that isn't the schema's
+    // exact order fails the scan loudly instead — checked inside the
+    // same filter, no extra pass.
+    val headerShaped = array_sort(
+        org.apache.spark.sql.functions.split(col("value"), ",")) ===
+      array(fields.sorted.map(lit): _*)
+    val notHeader = when(headerShaped && col("value") =!= header,
+        raise_error(concat(
+          lit(s"CSV header order does not match schema '$header': "),
+          col("value"))).isNotNull)
+      .otherwise(col("value") =!= header)
     val parsed = spark.read.text(path)
-      .filter(col("value") =!= header)
+      .filter(notHeader)
       .select(col("value"),
         from_csv(col("value"), schema, Map(
           "quote" -> "\"",

@@ -257,6 +257,45 @@ class CurationStoreSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count(_.getName.startsWith("version=")) shouldBe 1
   }
 
+  test("a reader PINNED before a fold answers identically after it " +
+    "(writers don't block readers — snapshot isolation as behavior)") {
+    val dir = freshDir("pinned")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 300L), dir) // -> version 1
+    // the reader resolves + pins its version BEFORE the fold; the frame
+    // below is the plan that reader holds across the writer's commit
+    val pinned = CurationStore.readManifest(spark, dir, version = 1L)
+    val before = rows(pinned)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 300L), dir) // writer lands version 2
+    // the SAME pre-fold plan, re-executed after the fold: byte-identical
+    rows(pinned) shouldBe before
+    CurationStore.latestVersion(spark, dir) shouldBe 2L
+    // and the fold's own surface reconciles with both snapshots
+    val diff = CurationStore.manifestDiff(spark, dir, 1L, 2L).collect()
+    val ids1 = before.map(_.head.asInstanceOf[Long]).toSet
+    val ids2 = rows(CurationStore.readManifest(spark, dir, version = 2L))
+      .map(_.head.asInstanceOf[Long]).toSet
+    diff.filter(_.getAs[String]("change") == "added")
+      .map(_.getLong(0)).toSet shouldBe (ids2 -- ids1)
+    diff.filter(_.getAs[String]("change") == "removed")
+      .map(_.getLong(0)).toSet shouldBe (ids1 -- ids2)
+  }
+
+  test("diff against a pruned or never-written version fails fast " +
+    "instead of reading an empty side") {
+    val dir = freshDir("diffguard")
+    CurationStore.buildCurationManifest(spark,
+      corpus.filter(col("doc_id") < 300L), dir)
+    CurationStore.applyCurationDelta(spark,
+      corpus.filter(col("doc_id") >= 300L), dir)
+    CurationStore.pruneManifestVersions(spark, dir, keep = 1)
+    an[IllegalArgumentException] should be thrownBy
+      CurationStore.manifestDiff(spark, dir, 1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      CurationStore.manifestDiff(spark, dir, 2L, 99L)
+  }
+
   test("manifest reads partition-prune to exactly one version") {
     val dir = freshDir("prune")
     CurationStore.buildCurationManifest(spark,

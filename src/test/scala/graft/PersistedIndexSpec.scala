@@ -490,6 +490,106 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     filesRead should be < allFiles.toLong
   }
 
+  test("LSH store: build + append probe equals the in-query simTopKLsh; " +
+    "replay is a no-op; pinned version survives a fold") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val isDelta = $"vec_id" % 100 === 77
+    PersistedIndex.buildLshIndex(spark, e.filter(!isDelta), dir)
+    // a reader PINNED to version 1 before the fold
+    val pinned = PersistedIndex.probeLshIndex(spark, dir, version = 1L)
+    val pinnedBefore = pinned.collect().toSeq.map(_.toSeq)
+
+    PersistedIndex.appendToLshIndex(spark, e.filter(isDelta), dir)
+    // append == recompute: the store's probe equals the in-query LSH
+    // top-k over the whole corpus (same frozen normals, vec_id < 16 all
+    // in the base build)
+    val got = PersistedIndex.probeLshIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq)
+    got shouldBe SimilarityPipeline.simTopKLsh(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    // the pinned reader re-executes byte-identically AFTER the fold —
+    // segments are immutable, the fold only published a new version
+    pinned.collect().toSeq.map(_.toSeq) shouldBe pinnedBefore
+    // at-least-once replay: folding the same batch again changes nothing
+    PersistedIndex.appendToLshIndex(spark, e.filter(isDelta), dir)
+    PersistedIndex.probeLshIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe got
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe 2L
+
+    // compaction folds segments into one; answers unchanged; retention +
+    // gc drop the unreferenced segments while the live one keeps serving
+    PersistedIndex.compactLshIndex(spark, dir)
+    PersistedIndex.probeLshIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe got
+    graft.operators.StoreVersioning
+      .pruneVersions(spark, s"$dir/manifest", keep = 1)
+    PersistedIndex.gcLshSegments(spark, dir)
+    new java.io.File(s"$dir/buckets").listFiles()
+      .count(_.getName.startsWith("ingest=")) shouldBe 1
+    PersistedIndex.probeLshIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe got
+  }
+
+  test("LSH store probe prunes to the query's (band, pfx) bucket " +
+    "directories") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshp").toString
+    PersistedIndex.buildLshIndex(spark, e, dir)
+    val probe = PersistedIndex.probeLshIndex(spark, dir)
+    val plan = probe.queryExecution.explainString(FormattedMode)
+    // the collected (band, pfx) literals reach the buckets scan as
+    // partition filters — the probe lists 4 of the 64 bucket dirs
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    withClue(partLines) {
+      partLines should include("band")
+      partLines should include("pfx")
+    }
+    // and the probe reads strictly fewer bucket files than the index holds
+    val scan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val rerun = PersistedIndex.probeLshIndex(spark, dir)
+      rerun.collect()
+      rerun.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains("buckets") => f
+      }.head
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val allFiles = walk(new java.io.File(s"$dir/buckets"))
+      .count(_.getName.endsWith(".parquet"))
+    val filesRead = scan.metrics("numFiles").value
+    filesRead should be > 0L
+    filesRead should be < allFiles.toLong
+  }
+
+  test("streaming LSH ingest equals the batch fold") {
+    implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isDelta = $"vec_id" % 100 === 77
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshs").toString
+    PersistedIndex.buildLshIndex(spark, e.filter(!isDelta), dir)
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = PersistedIndex.lshIndexIngestStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), dir,
+        java.nio.file.Files.createTempDirectory("chk-lsh").toString)
+      .start()
+    try {
+      input.addData(e.filter(isDelta)
+        .select($"vec_id", $"label", $"embedding")
+        .as[(Long, Int, Seq[Float])].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    PersistedIndex.probeLshIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe
+      SimilarityPipeline.simTopKLsh(spark, sf).collect().toSeq.map(_.toSeq)
+  }
+
   test("streaming overlap gate emits exactly the batch probe's overlapping docs") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

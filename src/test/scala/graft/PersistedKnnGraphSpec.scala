@@ -81,6 +81,22 @@ class PersistedKnnGraphSpec extends AnyFunSuite with Matchers
     n.count() shouldBe n.select("vec_id").distinct().count()
   }
 
+  test("a batch carrying the same vec_id twice lands ONE node row") {
+    val base = vecs.filter(col("vec_id") % 100 =!= 7)
+    val delta = vecs.filter(col("vec_id") % 100 === 7)
+    val dir = freshDir("dupbatch")
+    PersistedIndex.buildKnnGraphStore(spark, base, dir)
+    // duplicate every delta row INSIDE one batch — the at-least-once
+    // world where an upstream retry doubled rows before the fold
+    PersistedIndex.appendToKnnGraphStore(spark,
+      delta.unionByName(delta), dir)
+    val n = spark.read.parquet(s"$dir/nodes")
+    n.count() shouldBe n.select("vec_id").distinct().count()
+    // and the graph still equals the clean recompute
+    rows(PersistedIndex.readKnnGraphStore(spark, dir)) shouldBe
+      recompute(base, vecs)
+  }
+
   test("streamed micro-batch ingest equals the one-shot recompute") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -256,8 +256,61 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     r.getAs[Long]("duration") shouldBe 1234567L
     r.getAs[Long]("n_tracks") shouldBe 2L
 
+    // a malformed ZERO-SIZE box among moov's children must be terminal,
+    // not re-counted once per remaining walk iteration: one real trak
+    // followed by a size-0 'trak' stub reads as n_tracks == 1, never 1+N
+    val stuck = u32(0) ++ cc("trak")
+    val moovBad = u32((8 + 108 + 8 + 8).toLong) ++ cc("moov") ++
+      mvhd ++ trak ++ stuck
+    val badBytes = (u32(16) ++ cc("ftyp") ++ cc("mp42") ++ u32(0)) ++ moovBad
+    val badRow = MultimodalPipeline.mp4MetaFrom(
+      Seq((2L, badBytes)).toDF("media_id", "payload")).head()
+    badRow.getAs[Long]("n_tracks") shouldBe 1L
+
     // end-to-end over the synthesized corpus: every parse round-trips
     val out = MultimodalPipeline.mediaMp4Meta(spark, sf)
+      .select($"roundtrip_ok").as[Boolean].collect()
+    out should not be empty
+    all(out) shouldBe true
+  }
+
+  test("MP3 frame walk parses hand-built tagged streams; corrupted sync " +
+    "is terminal") {
+    // MPEG-1 Layer III, 48 kHz (sr index 1), 96 kbps (br index 7), two
+    // frames (pad 0 then pad 1), behind an ID3v2.4 tag with a 5-byte
+    // body — frame lengths 144000*96/48000 = 288 and 289
+    def frame(pad: Int, len: Int): Array[Byte] =
+      Array(0xff.toByte, 0xfb.toByte,
+        ((7 << 4) | (1 << 2) | (pad << 1)).toByte, 0xc0.toByte) ++
+        Array.fill[Byte](len - 4)(0)
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0) ++ Array[Byte](0, 0, 0, 5) ++
+      Array.fill[Byte](5)(0x41)
+    val good = id3 ++ frame(0, 288) ++ frame(1, 289)
+    val r = MultimodalPipeline.mp3MetaFrom(
+      Seq((1L, good)).toDF("media_id", "payload")).head()
+    r.getAs[Long]("first_frame_at") shouldBe 16L // 1-based: 10B hdr + 5B body
+    r.getAs[Long]("bitrate_kbps") shouldBe 96L
+    r.getAs[Long]("sample_rate") shouldBe 48000L
+    r.getAs[Long]("n_frames") shouldBe 2L
+    r.getAs[Long]("duration_ms") shouldBe (2L * 1152000L / 48000L)
+
+    // a corrupted second sync word stops the walk at frame 1 — the
+    // remaining bytes are never misread as frames
+    val broken = id3 ++ frame(0, 288) ++
+      frame(1, 289).updated(0, 0x00.toByte)
+    val rb = MultimodalPipeline.mp3MetaFrom(
+      Seq((2L, broken)).toDF("media_id", "payload")).head()
+    rb.getAs[Long]("n_frames") shouldBe 1L
+
+    // an untagged stream (no ID3) starts the walk at byte 1
+    val bare = MultimodalPipeline.mp3MetaFrom(
+      Seq((3L, frame(0, 288))).toDF("media_id", "payload")).head()
+    bare.getAs[Long]("first_frame_at") shouldBe 1L
+    bare.getAs[Long]("n_frames") shouldBe 1L
+
+    // end-to-end over the synthesized corpus: every parse round-trips
+    val out = MultimodalPipeline.mediaMp3Meta(spark, sf)
       .select($"roundtrip_ok").as[Boolean].collect()
     out should not be empty
     all(out) shouldBe true

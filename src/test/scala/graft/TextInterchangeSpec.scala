@@ -64,6 +64,22 @@ class TextInterchangeSpec extends AnyFunSuite with Matchers
     back(3)._2 shouldBe Some("""quote"comma",mix""")
   }
 
+  test("a CSV written in a different column order fails fast instead of " +
+    "silently swapping string columns") {
+    import spark.implicits._
+    // text/lang/source are all strings — a positional parse of this
+    // reordered file would round-trip with swapped columns and an empty
+    // quarantine; the header guard must refuse it loudly
+    val reordered = Seq((1L, "en", "hello world", "s1", 11L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val dir = freshDir("csvorder")
+    TextInterchange.writeCsv(reordered, dir)
+    val (good, quarantined) = TextInterchange.readCsv(spark, dir)
+    val e = the[Exception] thrownBy good.collect()
+    e.getMessage should include("header order")
+    an[Exception] should be thrownBy quarantined.count()
+  }
+
   test("ORC reads keep predicate pushdown and column pruning") {
     val dir = freshDir("orcpd")
     TextInterchange.writeOrc(Tables.documents(spark, sf), dir)
