@@ -61,6 +61,30 @@ class BenchTelemetrySpec extends AnyFunSuite with SparkTestBase
     // measured 468 KB
     "dedup_minhash" -> 1872L * 1024)
 
+  test("bench lines carry the noise-adjudication columns: gc_ms/cpu_ms " +
+    "of the median run, requiesced_s above the threshold") {
+    // drive the REAL sweep on two queries with the re-measure threshold
+    // forced to 0 so both get the end-of-sweep quiesced pass — pins the
+    // report schema the judge adjudicates phantom-vs-real from
+    val (full, summary) = Bench.run(spark, sf,
+      only = Some(Set("q1_agg", "dedup_exact")), requiesceThreshold = 0.0)
+    Seq("q1_agg", "dedup_exact").foreach { q =>
+      full should include(s""""$q":{"s":""")
+      val entry = full.split(s""""$q":\\{""")(1).split("}")(0)
+      entry should include(""""gc_ms":""")
+      entry should include(""""cpu_ms":""")
+      entry should include(""""requiesced_s":""")
+      entry should include(""""shuffle_bytes":""")
+    }
+    // the build lines carry the same gc/cpu indicators (no requiesce —
+    // a re-run would hit the cache the build just filled)
+    val build = full.split(""""graph_edge_build":\{""")(1).split("}")(0)
+    build should include(""""gc_ms":""")
+    build should include(""""cpu_ms":""")
+    // and the stdout summary surfaces requiesced_s for the top lines
+    summary should include(""""requiesced_s":""")
+  }
+
   ceilings.foreach { case (name, ceiling) =>
     test(s"$name shuffles stay text-free-sized at sf0.001 (<= $ceiling B)") {
       // graph queries share cached edge artifacts per (app, sfDir): warm
