@@ -963,9 +963,13 @@ FROM graft_shingle_bloom_build""")
     * [[SimilarityPipeline.knnGraph]]'s session artifact:
     * `centroids/` the FROZEN k-row model (new data is assigned, never
     * re-trained — the [[buildIvfIndex]] maintenance contract),
-    * `nodes/` (vec_id, cluster, v) and `edges/` (vec_id, rank, nbr_id,
-    * sim) both hive-partitioned by cluster, so maintenance and probes
-    * touch only the cluster directories they name (DPP prunes the rest).
+    * `nodes/seg=<t>/cluster=c/` (vec_id, v) and
+    * `edges/seg=<t>/cluster=c/` (vec_id, rank, nbr_id, sim) — immutable
+    * SEGMENTS partitioned by cluster, with `manifest/version=N/`
+    * ([[StoreVersioning]]) mapping each cluster to the segment holding
+    * its current edges. Maintenance and probes touch only the cluster
+    * directories they name; folds write new segments and remap, never
+    * rewriting a file, so readers pinned to a version are never torn.
     */
   def buildKnnGraphStore(spark: SparkSession, vectors: DataFrame,
       path: String, k: Int = 8, iters: Int = 2): Unit = {
@@ -976,14 +980,50 @@ FROM graft_shingle_bloom_build""")
     val nodes = assigned.select(col("vec_id"), col("cluster"), col("v"))
       .localCheckpoint()
     graft.sources.CorpusWriter.writePartitioned(nodes,
-      s"$path/nodes", Seq("cluster"), "vec_id")
+      s"$path/nodes/seg=base", Seq("cluster"), "vec_id")
     val edges = nodes.as("n")
       .join(SimilarityPipeline.knnEdgesFrom(nodes).as("g"), Seq("vec_id"))
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"),
         col("cluster"))
     graft.sources.CorpusWriter.writePartitioned(edges,
-      s"$path/edges", Seq("cluster"), "vec_id")
+      s"$path/edges/seg=base", Seq("cluster"), "vec_id")
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val clusters = nodes.select(col("cluster").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq // bounded: <= k
+    commitKnnManifest(spark, path, Seq("base"),
+      clusters.map(_ -> "base").toMap)
+  }
+
+  /** Manifest rows: ("nodes", -1, token) per live node segment, and
+    * ("edges", cluster, token) mapping each cluster to the segment
+    * holding its CURRENT edge rows — the Iceberg-style file-pointer
+    * trick on plain parquet that makes folds purely ADDITIVE: a fold
+    * writes new segments and remaps touched clusters; no old file is
+    * ever rewritten, so readers pinned to the previous version are
+    * untouched. */
+  private def commitKnnManifest(spark: SparkSession, path: String,
+      nodeSegs: Seq[String], edgeMap: Map[Long, String]): Long =
+    StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
+      import spark.implicits._
+      (nodeSegs.map(t => ("nodes", -1L, t)) ++
+        edgeMap.toSeq.map { case (c, t) => ("edges", c, t) })
+        .toDF("kind", "cluster", "token").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+
+  /** (node segments, cluster → edge segment) of `version` (latest when
+    * -1) — bounded driver-side read: #segments + #clusters rows. */
+  private[graft] def knnManifest(spark: SparkSession, path: String,
+      version: Long = -1L): (Seq[String], Map[Long, String]) = {
+    val dir = s"$path/manifest"
+    val v = if (version > 0) version
+      else StoreVersioning.latestVersion(spark, dir)
+    StoreVersioning.requireVersion(spark, dir, v)
+    val rows = spark.read.parquet(StoreVersioning.versionDir(dir, v))
+      .collect()
+    (rows.filter(_.getString(0) == "nodes").map(_.getString(2)).toSeq.sorted,
+      rows.filter(_.getString(0) == "edges")
+        .map(r => r.getLong(1) -> r.getString(2)).toMap)
   }
 
   /** Fold a batch of new vectors into the store: assign to the FROZEN
@@ -1005,6 +1045,7 @@ FROM graft_shingle_bloom_build""")
   def appendToKnnGraphStore(spark: SparkSession, batch: DataFrame,
       path: String): Unit = {
     graft.expressions.VectorExpressions.register(spark)
+    val (nodeSegs, edgeMap) = knnManifest(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = SimilarityPipeline.assignToCentroids(
         batch.select(col("vec_id"), col("label"),
@@ -1019,6 +1060,7 @@ FROM graft_shingle_bloom_build""")
     // partition-column inference reads `cluster` back as int — normalize
     // to the assignment's long before the union
     val storedTouched = spark.read.parquet(s"$path/nodes")
+      .filter(col("seg").isInCollection(nodeSegs)) // the PINNED snapshot
       .withColumn("cluster", col("cluster").cast("long"))
       .join(broadcast(touched), Seq("cluster")) // DPP prunes the rest
       .select(col("vec_id"), col("cluster"), col("v"))
@@ -1032,24 +1074,61 @@ FROM graft_shingle_bloom_build""")
       .join(SimilarityPipeline.knnEdgesFrom(members).as("g"), Seq("vec_id"))
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"),
         col("cluster"))
-      .localCheckpoint() // materialize before touching the tree read from
-    fresh.repartition(col("cluster")).sortWithinPartitions("vec_id")
-      .write.mode(SaveMode.Append).partitionBy("cluster")
-      .parquet(s"$path/nodes")
+    // the fold is purely ADDITIVE: fresh nodes and the touched clusters'
+    // rebuilt edges land in their own immutable segment; the manifest
+    // remaps ONLY the touched clusters to it. No old file is rewritten —
+    // a reader pinned to the previous version is untouched (spec-proven)
+    val token =
+      s"f${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    graft.sources.CorpusWriter.writePartitioned(fresh,
+      s"$path/nodes/seg=$token", Seq("cluster"), "vec_id")
+    graft.sources.CorpusWriter.writePartitioned(newEdges,
+      s"$path/edges/seg=$token", Seq("cluster"), "vec_id")
     val parts = touched.collect().map(_.getLong(0)) // bounded: <= k
-    parts.foreach { c =>
-      newEdges.filter(col("cluster") === c).drop("cluster")
-        .repartition(1).sortWithinPartitions("vec_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/edges/cluster=$c")
-    }
+    commitKnnManifest(spark, path, nodeSegs :+ token,
+      edgeMap ++ parts.map(_ -> token))
   }
 
-  /** The stored graph, read back in [[SimilarityPipeline.knnGraph]]'s
-    * column contract. */
-  def readKnnGraphStore(spark: SparkSession, path: String): DataFrame =
+  /** The stored graph at `version` (latest when -1), read back in
+    * [[SimilarityPipeline.knnGraph]]'s column contract: the manifest's
+    * cluster→segment map prunes the scan to each cluster's CURRENT
+    * segment directory (one (seg, cluster-set) predicate per live
+    * segment — segments are few, clusters <= k).
+    */
+  def readKnnGraphStore(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame = {
+    val (_, edgeMap) = knnManifest(spark, path, version)
+    val bySeg = edgeMap.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val pred = bySeg.toSeq.sortBy(_._1).map { case (t, cs) =>
+        col("seg") === t && col("cluster").isInCollection(cs)
+      }.reduce(_ || _)
     spark.read.parquet(s"$path/edges")
+      .filter(pred)
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** Drop node/edge segments referenced by NO surviving manifest version
+    * — run after [[StoreVersioning.pruneVersions]] on `path`/manifest. */
+  def gcKnnGraphSegments(spark: SparkSession, path: String): Unit = {
+    val referenced = StoreVersioning
+      .listVersions(spark, s"$path/manifest")
+      .flatMap { v =>
+        val (nodeSegs, edgeMap) = knnManifest(spark, path, v)
+        nodeSegs ++ edgeMap.values
+      }.toSet
+    val fs = StoreVersioning.fs(spark, path)
+    Seq("nodes", "edges").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("seg="))
+          .map(_.stripPrefix("seg="))
+          .filterNot(referenced)
+          .foreach(t => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$path/$sub/seg=$t"), true))
+    }
+  }
 
   private val knnStoreCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]

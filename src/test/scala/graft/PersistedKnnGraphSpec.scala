@@ -59,19 +59,28 @@ class PersistedKnnGraphSpec extends AnyFunSuite with Matchers
       .collect().map(_.getLong(0)).toSet
     val untouched = (allClusters -- touchedClusters)
     untouched should not be empty // the sparse split leaves spare clusters
+    // under the segment-manifest discipline the base segment is NEVER
+    // rewritten — pin every base edge file's (name, mtime)
     def sig(c: Long): Map[String, Long] = {
-      val d = new java.io.File(s"$dir/edges/cluster=$c")
+      val d = new java.io.File(s"$dir/edges/seg=base/cluster=$c")
       d.listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> f.lastModified()).toMap
     }
-    val before = untouched.map(c => c -> sig(c)).toMap
+    val before = allClusters.map(c => c -> sig(c)).toMap
+    // a reader PINNED to version 1 before the fold
+    val pinned = PersistedIndex.readKnnGraphStore(spark, dir, version = 1L)
+    val pinnedBefore = rows(pinned)
 
     PersistedIndex.appendToKnnGraphStore(spark, delta, dir)
     val got = rows(PersistedIndex.readKnnGraphStore(spark, dir))
     // equals the one-shot recompute over the union (same frozen model)
     got shouldBe recompute(base, vecs)
-    // copy-on-write: untouched cluster partitions were not rewritten
-    untouched.foreach(c => sig(c) shouldBe before(c))
+    // additive fold: NO base segment file was rewritten — not just the
+    // untouched clusters (the old copy-on-write bound), all of them
+    allClusters.foreach(c => sig(c) shouldBe before(c))
+    // and the pinned version-1 reader re-executes byte-identically
+    rows(pinned) shouldBe pinnedBefore
+    got should not be pinnedBefore // the fold did change the latest view
 
     // at-least-once replay: folding the same batch again changes nothing
     PersistedIndex.appendToKnnGraphStore(spark, delta, dir)
