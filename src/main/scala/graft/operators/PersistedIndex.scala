@@ -241,48 +241,57 @@ object PersistedIndex {
   private val JaccardThreshold = 0.8
 
   /** Persist the corpus dedup index at `path`: `digests/` (doc_id, h),
-    * `bands/` (doc_id, band, digest), `sets/` (doc_id, s). One corpus
-    * scan builds all three (they share the prep subtree); each is laid
-    * out for its probe join.
+    * `bands/` (doc_id, band, digest), `sets/` (doc_id, s) — each laid
+    * out for its probe join, each an immutable `ingest=<token>` segment
+    * under a [[StoreVersioning]] manifest (one token covers the trio —
+    * they share the prep subtree and fold together). One corpus scan
+    * builds all three.
     */
   def buildDedupIndex(spark: SparkSession, corpus: DataFrame,
       path: String): Unit = {
+    writeDedupSegment(spark, corpus, path, "base")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", "base")))
+  }
+
+  private def writeDedupSegment(spark: SparkSession, docs: DataFrame,
+      path: String, token: String): Unit = {
     graft.expressions.VectorExpressions.register(spark)
-    val prep = corpus
+    val prep = docs
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
         graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
     prep.select(col("doc_id"), col("h"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/digests")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/digests/ingest=$token")
     prep.select(col("doc_id"),
         posexplode(graft.expressions.VectorExpressions
           .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/ingest=$token")
     prep.select(col("doc_id"), col("s"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sets/ingest=$token")
   }
 
+  private def dedupLiveSegs(spark: SparkSession, path: String,
+      version: Long): Seq[String] =
+    StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
+
   /** Index maintenance — fold an ACCEPTED delta into the persisted index
-    * so tomorrow's run dedups against it too. Appends the delta's
-    * digest/band/set rows to the same layouts; cheap (delta-sized) and
-    * idempotent per day-partition in production (wrap in the usual
-    * overwrite-by-partition discipline there).
+    * so tomorrow's run dedups against it too: the delta's
+    * digest/band/set rows land in their own immutable segment and the
+    * manifest gains a version (delta-sized work; a replayed fold
+    * rewrites its staging and republishes — readers pinned to the old
+    * version never see a half-landed delta, the round-12 store
+    * discipline).
     */
   def appendToDedupIndex(spark: SparkSession, delta: DataFrame,
       path: String): Unit = {
-    graft.expressions.VectorExpressions.register(spark)
-    val prep = delta
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
-        graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
-      .repartition(col("doc_id"))
-    prep.select(col("doc_id"), col("h"))
-      .write.mode(SaveMode.Append).parquet(s"$path/digests")
-    prep.select(col("doc_id"),
-        posexplode(graft.expressions.VectorExpressions
-          .minHashBandsNative(col("s"))).as(Seq("band", "digest")))
-      .write.mode(SaveMode.Append).parquet(s"$path/bands")
-    prep.select(col("doc_id"), col("s"))
-      .write.mode(SaveMode.Append).parquet(s"$path/sets")
+    val live = dedupLiveSegs(spark, path, -1L)
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeDedupSegment(spark, delta, path, token)
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      (live :+ token).map(("seg", _)))
   }
 
   /** [[TextPipeline.dedupIncrementalFrom]] against a PERSISTED corpus
@@ -291,15 +300,18 @@ object PersistedIndex {
     * the day's delta is the only text scanned or shingled.
     */
   def dedupDeltaAgainstIndex(spark: SparkSession, delta: DataFrame,
-      path: String): DataFrame = {
+      path: String, version: Long = -1L): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
+    val segs = dedupLiveSegs(spark, path, version)
+    def seg(sub: String) = spark.read.parquet(s"$path/$sub")
+      .filter(col("ingest").isInCollection(segs))
     val deltaPrep = delta
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
         graft.expressions.VectorExpressions.shingleSetNative(col("text")).as("s"))
       .repartition(col("doc_id"))
-    val idxBands = spark.read.parquet(s"$path/bands")
-    val idxSets = spark.read.parquet(s"$path/sets")
-    val idxDigests = spark.read.parquet(s"$path/digests")
+    val idxBands = seg("bands")
+    val idxSets = seg("sets")
+    val idxDigests = seg("digests")
     val cands = deltaPrep
       .select(col("doc_id"),
         posexplode(graft.expressions.VectorExpressions
@@ -343,33 +355,53 @@ object PersistedIndex {
     graft.expressions.VectorExpressions.register(spark)
     SubstringDedup.shingleOccurrences(train, len)
       .select("h").distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes")
-    rebuildShingleBloom(spark, path, expectedItems)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes/ingest=base")
+    commitShingleVersion(spark, path, Seq("base"), expectedItems)
   }
 
   /** Append a delta's NEW shingle hashes (anti-joined against the stored
-    * set — an index-sized read, never a corpus re-scan) and refresh the
-    * bloom from the stored hashes alone.
+    * set — an index-sized read, never a corpus re-scan) as an immutable
+    * segment, rebuild the bloom AS PART OF the new version, and publish
+    * — the previous in-place bloom overwrite left a window where a
+    * probe read a missing or newer-than-its-hashes bloom; now each
+    * version carries its own `bloom=<token>` artifact and pinned
+    * readers stay consistent (the round-12 store discipline).
     */
   def appendToShingleIndex(spark: SparkSession, delta: DataFrame,
       path: String, len: Int = SubstringDedup.SpanLen,
       expectedItems: Long = 1L << 20): Unit = {
     graft.expressions.VectorExpressions.register(spark)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest")
+      .getOrElse("seg", Seq.empty)
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
     SubstringDedup.shingleOccurrences(delta, len)
       .select("h").distinct()
-      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_anti")
-      .write.mode(SaveMode.Append).parquet(s"$path/hashes")
-    rebuildShingleBloom(spark, path, expectedItems)
+      .join(shingleHashes(spark, path, live), Seq("h"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/hashes/ingest=$token")
+    commitShingleVersion(spark, path, live :+ token, expectedItems)
   }
 
-  private def rebuildShingleBloom(spark: SparkSession, path: String,
-      expectedItems: Long): Unit = {
+  private def shingleHashes(spark: SparkSession, path: String,
+      segs: Seq[String]): DataFrame =
     spark.read.parquet(s"$path/hashes")
+      .filter(col("ingest").isInCollection(segs))
+      .select(col("h"))
+
+  /** Rebuild the bloom over the given segments into its own immutable
+    * `bloom/token=<t>` artifact, then publish the manifest version that
+    * references both. */
+  private def commitShingleVersion(spark: SparkSession, path: String,
+      segs: Seq[String], expectedItems: Long): Unit = {
+    val bloomToken = segs.last
+    shingleHashes(spark, path, segs)
       .createOrReplaceTempView("graft_shingle_bloom_build")
     spark.sql(
       s"""SELECT graft_bloom_agg(h, ${expectedItems}L) AS bloom
 FROM graft_shingle_bloom_build""")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom/token=$bloomToken")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      segs.map(("seg", _)) :+ ("bloom", bloomToken))
   }
 
   /** Per-delta-document overlap against the INDEX — same output contract
@@ -380,15 +412,19 @@ FROM graft_shingle_bloom_build""")
     * semi-join against `hashes/` removes bloom false positives.
     */
   def overlapDeltaAgainstIndex(spark: SparkSession, delta: DataFrame,
-      path: String, len: Int = SubstringDedup.SpanLen): DataFrame = {
+      path: String, len: Int = SubstringDedup.SpanLen,
+      version: Long = -1L): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val bloomBytes = spark.read.parquet(s"$path/bloom")
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+    val bloomBytes = spark.read
+      .parquet(s"$path/bloom/token=${live("bloom").head}")
       .head.getAs[Array[Byte]]("bloom")
     val occ = SubstringDedup.shingleOccurrences(delta, len)
     val hits = occ
       .filter(call_function("graft_might_contain",
         lit(bloomBytes), col("h")))
-      .join(spark.read.parquet(s"$path/hashes"), Seq("h"), "left_semi")
+      .join(shingleHashes(spark, path, live.getOrElse("seg", Seq.empty)),
+        Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     val totals = delta
       .select(col("doc_id"),

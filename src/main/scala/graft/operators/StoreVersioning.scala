@@ -88,4 +88,29 @@ object StoreVersioning {
       f.delete(new Path(versionDir(dir, v)), true)
     }
   }
+
+  /** The common manifest shape for segment stores whose versions are a
+    * flat list of (kind, token) rows — which immutable `ingest=<token>`
+    * segments (and kind-specific artifacts) a version reads. Publish
+    * with [[commitTokens]], resolve with [[liveTokens]].
+    */
+  def commitTokens(spark: SparkSession, manifestDir: String,
+      rows: Seq[(String, String)]): Long =
+    commitNextVersion(spark, manifestDir) { staging =>
+      import spark.implicits._
+      rows.toDF("kind", "token").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+    }
+
+  /** (kind → tokens) of `version` (latest when -1) — bounded driver-side
+    * read, one row per segment. */
+  def liveTokens(spark: SparkSession, manifestDir: String,
+      version: Long = -1L): Map[String, Seq[String]] = {
+    val v = if (version > 0) version else latestVersion(spark, manifestDir)
+    requireVersion(spark, manifestDir, v)
+    spark.read.parquet(versionDir(manifestDir, v))
+      .collect().toSeq
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).sorted).toMap
+  }
 }

@@ -265,9 +265,17 @@ object StreamingDedup extends Logging {
       docs: DataFrame, indexPath: String,
       len: Int = graft.operators.SubstringDedup.SpanLen): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
-    val bloomBytes = spark.read.parquet(s"$indexPath/bloom")
+    // pin the shingle store's CURRENT version at stream construction —
+    // the bloom literal and the hash segments come from the same
+    // snapshot even if a fold lands mid-stream
+    val live = graft.operators.StoreVersioning
+      .liveTokens(spark, s"$indexPath/manifest")
+    val bloomBytes = spark.read
+      .parquet(s"$indexPath/bloom/token=${live("bloom").head}")
       .head.getAs[Array[Byte]]("bloom")
     val hashes = spark.read.parquet(s"$indexPath/hashes")
+      .filter(col("ingest").isInCollection(live.getOrElse("seg", Seq.empty)))
+      .select(col("h"))
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     val frac = col("n_hit").cast("double") / col("n_grams")
     docs

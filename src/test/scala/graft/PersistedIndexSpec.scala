@@ -208,6 +208,43 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     persisted shouldBe inQuery
   }
 
+  test("dedup + shingle indexes: a reader pinned before a fold answers " +
+    "identically after it (segment-manifest versions)") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docsDf.filter($"doc_id" % 5 =!= 0)
+    val day1 = docsDf.filter($"doc_id" % 5 === 0 && $"doc_id" % 10 === 0)
+    val probe = docsDf.filter($"doc_id" % 10 === 5)
+
+    val ddir = java.nio.file.Files.createTempDirectory("graft-didxv").toString
+    PersistedIndex.buildDedupIndex(spark, corpus, ddir)
+    val pinnedDedup = PersistedIndex.dedupDeltaAgainstIndex(
+      spark, probe, ddir, version = 1L)
+    val dedupBefore = pinnedDedup.collect().toSeq
+    PersistedIndex.appendToDedupIndex(spark, day1, ddir) // -> version 2
+    pinnedDedup.collect().toSeq shouldBe dedupBefore
+    // and the latest version DOES see the fold (same text re-probed)
+    PersistedIndex.dedupDeltaAgainstIndex(spark,
+        day1.select($"doc_id" + 100000L as "doc_id", $"text"), ddir)
+      .collect().foreach(_.getBoolean(1) shouldBe true) // dup_exact now
+
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sidxv").toString
+    PersistedIndex.buildShingleIndex(spark, corpus, sdir)
+    val pinnedOverlap = PersistedIndex.overlapDeltaAgainstIndex(
+      spark, probe, sdir, version = 1L)
+    val overlapBefore = pinnedOverlap.collect().toSeq
+    PersistedIndex.appendToShingleIndex(spark, day1, sdir) // -> version 2
+    // the pinned reader's bloom AND hash segments are version-1's —
+    // byte-identical re-read while the fold's bloom lives in its own
+    // bloom/token dir (the old in-place overwrite window is gone)
+    pinnedOverlap.collect().toSeq shouldBe overlapBefore
+    // latest sees day-1 text as fully contaminated
+    val d1probe = PersistedIndex.overlapDeltaAgainstIndex(spark,
+      day1.select($"doc_id" + 100000L as "doc_id", $"text"), sdir).collect()
+    d1probe should not be empty
+    d1probe.foreach(_.getAs[Boolean]("contaminated") shouldBe true)
+  }
+
   test("appending day 1 to the index makes day 2 see day-1 documents as duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx3").toString
     val corpus = Seq((1L, (101 to 140).map(i => s"x$i").mkString(" ")))
