@@ -19,7 +19,8 @@ object PlanAudit {
   val bnljWhitelist: Set[String] = Set(
     "hc_latency_arrival", "hc_latency_event_time",
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_lsh_batch",
-    "lsh_recall_grid", "lsh_store", "sim_topk_batch", "emb_neardup",
+    "lsh_recall_grid", "lsh_store", "lsh_store_batch",
+    "sim_topk_batch", "emb_neardup",
     "emb_centroid_stats", "text_tfidf",
     // 1-row scalar-subquery broadcasts (max revenue / global average /
     // corpus-total threshold)
@@ -333,6 +334,9 @@ object PlanAudit {
     // batch shape: candidate distinct + per-query rank windows (probe +
     // audit sides) + candidate join + orderBy
     "sim_topk_lsh_batch" -> 6,
+    // the persisted store's batch probe: bucket-segment scan + candidate
+    // distinct + per-query rank windows (probe + audit) + joins + orderBy
+    "lsh_store_batch" -> 8,
     // per-config candidate distinct + 1-row agg behind the fenced sign
     // pass; 3-row union orderBy
     "lsh_recall_grid" -> 8,
@@ -552,6 +556,9 @@ object PlanAudit {
     // the index_topk shape with the dl-carrying tf agg and the 1-row
     // N/avgdl normalizer
     "bm25_topk" -> 5,
+    // persisted-index BM25: segment-filtered postings explode + df agg +
+    // doclens join + per-doc agg + TakeOrdered (build behind the cache)
+    "bm25_store" -> 5,
     // two TakeOrdered sides + the <= kEach-row fusion join/orderBy
     "hybrid_rrf" -> 10,
     // validation gates: one wide agg each (+ tiny unpivot/orderBy); drift

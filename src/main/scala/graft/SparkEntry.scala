@@ -268,6 +268,12 @@ object SparkEntry {
     // hyperplanes, so the green hash proves build + append + probe
     "lsh_store" -> ((s, d) =>
       graft.operators.PersistedIndex.lshTopKFromSessionStore(s, d)),
+    // Round 12: the store's BATCH probe — 8 query signatures broadcast
+    // against the live bucket segments, candidates-only scoring,
+    // per-query rank + brute-force audit; same recompute oracle as
+    // sim_topk_lsh_batch
+    "lsh_store_batch" -> ((s, d) =>
+      graft.operators.PersistedIndex.lshBatchFromSessionStore(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -508,6 +514,13 @@ object SparkEntry {
     "index_topk_batch" -> ((s, d) => Retrieval.indexTopKBatch(s, d)),
     // BM25 lexical ranking (Robertson k1/b defaults, Lucene idf)
     "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // Round 12: BM25 over the PERSISTED text index — build on the even
+    // ids, fold the odd ids in as an immutable segment + manifest
+    // version, search (bucket-pruned postings, doc-keyed doclens, summed
+    // meta normalizer); same whole-corpus oracle as bm25_topk, so the
+    // green hash proves build + append + segment-merged search
+    "bm25_store" -> ((s, d) =>
+      graft.operators.PersistedIndex.bm25FromSessionStore(s, d)),
     // TF-IDF vs BM25 rank-agreement diagnostic over the shared panel
     "ranker_agreement" -> ((s, d) => Retrieval.rankerAgreement(s, d)),
     // hybrid lexical+vector retrieval via Reciprocal Rank Fusion
@@ -2178,6 +2191,10 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "emb_pca_project" -> SimilarityPipeline.embPcaProjectOracleSql,
     "sim_recall_tune" -> SimilarityPipeline.simRecallTuneOracleSql,
     "bm25_topk" -> Retrieval.bm25OracleSql(10),
+    // the persisted-index search answers the SAME whole-corpus BM25
+    // recompute (avgdl from persisted sums — exact, integer-valued
+    // double summation merges across segments)
+    "bm25_store" -> Retrieval.bm25OracleSql(10),
     "ranker_agreement" -> Retrieval.rankerAgreementOracleSql(20),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
     "sessionize" ->
@@ -2498,6 +2515,29 @@ FROM t WHERE rank <= 10 ORDER BY rank""",
     // the batch replay: 8 query signatures joined to corpus buckets,
     // per-query candidate rank + per-query brute-force audit set
     "sim_topk_lsh_batch" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS MATERIALIZED (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT vec_id AS q_id, band, val FROM bv WHERE vec_id < 8),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id FROM bv b
+  JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id >= 8),
+qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id < 8),
+s AS (SELECT cand.q_id, e.vec_id,
+  (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) AS c
+  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id),
+ex AS (SELECT q_id, vec_id FROM (SELECT qv.q_id, e.vec_id,
+    row_number() OVER (PARTITION BY qv.q_id ORDER BY (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) DESC, e.vec_id) AS r
+  FROM embeddings e, qv WHERE e.vec_id >= 8) WHERE r <= 5),
+t AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS sim,
+  EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
+FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
+    // the persisted store's batch probe answers the SAME recompute —
+    // build + append + broadcast-signature bucket join, audited
+    "lsh_store_batch" ->
       """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
 bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
     CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END

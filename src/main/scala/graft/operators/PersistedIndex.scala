@@ -993,6 +993,33 @@ FROM graft_shingle_bloom_build""")
       .limit(k)
   }
 
+  private val textStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The text index as a driver surface: build on the even ids, fold the
+    * odd ids in with [[appendToTextIndex]] (immutable segments + a new
+    * manifest version), search — must equal [[Retrieval.bm25TopK]] over
+    * the whole corpus (the driver's `bm25_store` query runs THIS against
+    * the bm25_topk oracle), proving build + append + segment-merged
+    * search. Cached per (app, sfDir) — the build-once/probe-many shape.
+    */
+  def bm25FromSessionStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = textStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      textStoreCache.keySet.removeIf(_._1 != appId)
+      textStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-text-store").toString
+        val corpus = graft.sources.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        buildTextIndex(spark, corpus.filter(col("doc_id") % 2 === 0), p)
+        appendToTextIndex(spark, corpus.filter(col("doc_id") % 2 === 1), p)
+        p
+      })
+    }
+    searchTextIndexBm25(spark, path, Retrieval.QueryTerms)
+  }
+
   // ------------------------------------------------ persisted kNN graph --
 
   /** Build the persisted kNN-graph store at `path` — the durable form of
@@ -1420,6 +1447,120 @@ FROM graft_shingle_bloom_build""")
       .orderBy("rank")
   }
 
+  /** Batched probe over the persisted index —
+    * [[SimilarityPipeline.simTopKLshBatch]]'s join shape with the corpus
+    * side replaced by store artifacts: the `nQueries` query vectors'
+    * signatures are recomputed against the frozen normals (query-sized),
+    * their band rows broadcast against the live bucket segments (each
+    * query meets only its buckets' members), and only candidates are
+    * scored and per-query ranked; `in_exact` audits against the
+    * per-query brute force over the same pinned version. With 10⁶
+    * queries the same plan shuffles both sides on (band, bval) — no
+    * per-query pass anywhere.
+    */
+  def probeLshIndexBatch(spark: SparkSession, path: String,
+      nQueries: Int = 8, k: Int = 5, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val live = lshLiveTokens(spark, path, version)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+    val qVecs = vectors.filter(col("vec_id") < nQueries)
+    val qBands = SimilarityPipeline.lshSignatures(qVecs,
+        lshNormals(spark, path))
+      .select(col("vec_id").as("q_id"), col("band").as("qband"),
+        col("bval").as("qval"))
+    val cand = spark.read.parquet(s"$path/buckets")
+      .filter(col("ingest").isInCollection(live))
+      .filter(col("vec_id") >= nQueries)
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bval") === col("qval"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val queries = qVecs.select(col("vec_id").as("q_id"),
+      col("embedding").as("q"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = vectors.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("q_id"), col("vec_id"), lit(true).as("in_ex"))
+    cand.join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(exact, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("sim"),
+        coalesce(col("in_ex"), lit(false)).as("in_exact"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Streaming ANN serving: each arriving micro-batch of query vectors
+    * (vec_id, label, embedding) probes the PERSISTED index via the
+    * batched join shape and appends its top-k under its own
+    * `batch=b<id>` directory (overwrite per batch — idempotent under
+    * foreachBatch replay; the [[bm25QueryStream]] discipline applied to
+    * vectors). Queries stream in, the index stays put, every batch is
+    * one signature pass + bucket-pruned join.
+    */
+  def lshQueryStream(queries: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, k: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          probeLshBatchFrame(batch.sparkSession, indexPath, batch.toDF(), k)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outPath/batch=b$id")
+      }
+
+  /** [[probeLshIndexBatch]] for an ARBITRARY query frame (vec_id, label,
+    * embedding) instead of store-resident ids — the serving-path probe:
+    * queries are signed against the frozen normals, candidates come
+    * from the live bucket segments (query ids do not mask corpus ids).
+    */
+  def probeLshBatchFrame(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int = 5, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val live = lshLiveTokens(spark, path, version)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+    val qVecs = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q"))
+    val qBands = SimilarityPipeline.lshSignatures(
+        queries.select(col("vec_id"), col("embedding")),
+        lshNormals(spark, path))
+      .select(col("vec_id").as("q_id"), col("band").as("qband"),
+        col("bval").as("qval"))
+    val cand = spark.read.parquet(s"$path/buckets")
+      .filter(col("ingest").isInCollection(live))
+      .join(broadcast(qBands),
+        col("band") === col("qband") && col("bval") === col("qval") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qVecs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   private val lshStoreCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
@@ -1432,9 +1573,8 @@ FROM graft_shingle_bloom_build""")
     * build + append + probe under frozen hyperplanes. Cached per
     * (app, sfDir).
     */
-  def lshTopKFromSessionStore(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val path = lshStoreCache.synchronized {
+  private def sessionLshStore(spark: SparkSession, sfDir: String): String =
+    lshStoreCache.synchronized {
       val appId = spark.sparkContext.applicationId
       lshStoreCache.keySet.removeIf(_._1 != appId)
       lshStoreCache.computeIfAbsent((appId, sfDir), _ => {
@@ -1447,6 +1587,15 @@ FROM graft_shingle_bloom_build""")
         p
       })
     }
-    probeLshIndex(spark, path)
-  }
+
+  def lshTopKFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeLshIndex(spark, sessionLshStore(spark, sfDir))
+
+  /** The BATCH probe as a driver surface over the same session store —
+    * answers the sim_topk_lsh_batch recompute oracle, so the green hash
+    * proves the store's batched join shape end-to-end. */
+  def lshBatchFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeLshIndexBatch(spark, sessionLshStore(spark, sfDir))
 }

@@ -481,6 +481,48 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .filter($"doc_id".isin(dead: _*)).count() shouldBe 0L
   }
 
+  test("text index: a reader pinned before append/compaction answers " +
+    "identically after them; gc keeps surviving versions whole") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val terms = graft.operators.Retrieval.QueryTerms
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidxv").toString
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 2 === 0), dir)
+    val pinned = PersistedIndex.searchTextIndexBm25(spark, dir, terms,
+      version = 1L)
+    val before = pinned.collect().toSeq.map(_.toSeq)
+
+    PersistedIndex.appendToTextIndex(spark,
+      corpus.filter($"doc_id" % 2 === 1), dir) // -> version 2
+    // the pinned version-1 reader re-executes byte-identically
+    pinned.collect().toSeq.map(_.toSeq) shouldBe before
+    val latest = PersistedIndex.searchTextIndexBm25(spark, dir, terms)
+      .collect().toSeq.map(_.toSeq)
+    latest should not be before
+
+    // in-place compaction publishes a merged segment as version 3;
+    // BOTH pinned readers keep answering, latest is unchanged by value
+    PersistedIndex.compactTextIndexInPlace(spark, dir)
+    pinned.collect().toSeq.map(_.toSeq) shouldBe before
+    PersistedIndex.searchTextIndexBm25(spark, dir, terms)
+      .collect().toSeq.map(_.toSeq) shouldBe latest
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe 3L
+
+    // retention + gc: drop all but the current version, collect
+    // unreferenced segments — the survivor still answers identically
+    graft.operators.StoreVersioning
+      .pruneVersions(spark, s"$dir/manifest", keep = 1)
+    PersistedIndex.gcTextIndexSegments(spark, dir)
+    new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("ingest=")) shouldBe 1
+    PersistedIndex.searchTextIndexBm25(spark, dir, terms)
+      .collect().toSeq.map(_.toSeq) shouldBe latest
+    // and a read of the pruned version now fails fast, not silently-empty
+    an[IllegalArgumentException] should be thrownBy
+      PersistedIndex.searchTextIndexBm25(spark, dir, terms, version = 1L)
+  }
+
   test("text index search prunes to the query terms' buckets and never scans corpus text") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
@@ -545,6 +587,11 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .collect().toSeq.map(_.toSeq)
     got shouldBe SimilarityPipeline.simTopKLsh(spark, sf)
       .collect().toSeq.map(_.toSeq)
+    // the BATCH probe over the same store equals the in-query batch
+    PersistedIndex.probeLshIndexBatch(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe
+      SimilarityPipeline.simTopKLshBatch(spark, sf)
+        .collect().toSeq.map(_.toSeq)
     // the pinned reader re-executes byte-identically AFTER the fold —
     // segments are immutable, the fold only published a new version
     pinned.collect().toSeq.map(_.toSeq) shouldBe pinnedBefore
@@ -625,6 +672,34 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     PersistedIndex.probeLshIndex(spark, dir)
       .collect().toSeq.map(_.toSeq) shouldBe
       SimilarityPipeline.simTopKLsh(spark, sf).collect().toSeq.map(_.toSeq)
+  }
+
+  test("streaming LSH query probe answers each batch like the static " +
+    "batch probe") {
+    implicit val sqlCtx3: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshq").toString
+    PersistedIndex.buildLshIndex(spark, e, dir)
+    val queries = e.filter($"vec_id" < 4)
+      .select($"vec_id", $"label", $"embedding")
+    val expected = PersistedIndex.probeLshBatchFrame(spark, dir, queries)
+      .collect().toSeq.map(_.toSeq)
+    expected should not be empty
+    val out = java.nio.file.Files.createTempDirectory("graft-lshq-out").toString
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = PersistedIndex.lshQueryStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), dir, out,
+        java.nio.file.Files.createTempDirectory("chk-lshq").toString)
+      .start()
+    try {
+      input.addData(queries.as[(Long, Int, Seq[Float])].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(out)
+      .select($"q_id", $"rank", $"vec_id", $"sim")
+      .orderBy("q_id", "rank")
+      .collect().toSeq.map(_.toSeq) shouldBe expected
   }
 
   test("streaming overlap gate emits exactly the batch probe's overlapping docs") {
