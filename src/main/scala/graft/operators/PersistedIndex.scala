@@ -38,9 +38,21 @@ object PersistedIndex {
     graft.sources.CorpusWriter.writePartitioned(
       assigned.select(col("vec_id"), col("label"), col("v"), col("cluster"))
         .withColumn("qv", q8Codes(col("v"))),
-      s"$path/vectors", Seq("cluster"), "vec_id")
+      s"$path/vectors/ingest=base", Seq("cluster"), "vec_id")
     cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", "base")))
   }
+
+  private def ivfLiveSegs(spark: SparkSession, path: String,
+      version: Long): Seq[String] =
+    StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
+
+  private def ivfVectors(spark: SparkSession, path: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(ivfLiveSegs(spark, path, version)))
 
   /** Unit-normalized int8 codes for a double vector column — the same
     * normalize-then-quantize recipe as [[SimilarityPipeline.simTopKQ8]]
@@ -65,9 +77,10 @@ object PersistedIndex {
     * daily embedding ingest extends the index without re-running Lloyd or
     * touching the corpus. The centroid table is k rows (broadcast bundle,
     * native per-row argmin — the same assignment the build used); the
-    * delta writes only its own cluster directories (dynamic partition
-    * overwrite is the production refinement; Append keeps the demo
-    * idempotence contract with the dedup index's).
+    * delta lands in its own immutable `ingest=<token>` segment and the
+    * manifest gains a version ([[StoreVersioning]], the round-12 store
+    * discipline): replayed folds are no-ops (stored-id anti-join), and
+    * a reader pinned to the pre-fold version is never torn.
     *
     * Re-centering drift is the documented trade: appended vectors do not
     * move centroids. Rebuild cadence (weekly rebuild, daily append) is the
@@ -76,18 +89,29 @@ object PersistedIndex {
   def appendToIvfIndex(spark: SparkSession, delta: DataFrame,
       path: String): Unit = {
     graft.expressions.VectorExpressions.register(spark)
+    val live = ivfLiveSegs(spark, path, -1L)
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = SimilarityPipeline.assignToCentroids(
-      delta.select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v")),
-      cents)
-    assigned
+    val storedIds = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"))
+    val fresh = delta
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .dropDuplicates("vec_id")
+      .join(storedIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return // full replay — nothing to fold
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    SimilarityPipeline.assignToCentroids(fresh, cents)
       .select(col("vec_id"), col("label"), col("v"), col("cluster"))
       .withColumn("qv", q8Codes(col("v")))
       .repartition(col("cluster"))
       .sortWithinPartitions("vec_id")
-      .write.mode(SaveMode.Append).partitionBy("cluster")
-      .parquet(s"$path/vectors")
+      .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+      .parquet(s"$path/vectors/ingest=$token")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      (live :+ token).map(("seg", _)))
   }
 
   /** Probe a persisted IVF index: rank the k centroids by cosine to the
@@ -97,7 +121,8 @@ object PersistedIndex {
     * the rest of the directory tree at runtime).
     */
   def probeIvfIndex(spark: SparkSession, sfDir: String, path: String,
-      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0): DataFrame = {
+      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0,
+      version: Long = -1L): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val q = graft.sources.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === queryId)
@@ -108,7 +133,7 @@ object PersistedIndex {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select(col("cluster"))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = ivfVectors(spark, path, version)
     vectors.filter(col("vec_id") =!= queryId)
       .join(broadcast(probed), "cluster")
       .crossJoin(broadcast(q))
@@ -134,7 +159,8 @@ object PersistedIndex {
     * pruning as [[probeIvfIndex]].
     */
   def probeIvfIndexQ8(spark: SparkSession, sfDir: String, path: String,
-      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0): DataFrame = {
+      nprobe: Int = 2, topK: Int = 10, queryId: Int = 0,
+      version: Long = -1L): DataFrame = {
     graft.expressions.VectorExpressions.register(spark)
     val q = graft.sources.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === queryId)
@@ -146,7 +172,7 @@ object PersistedIndex {
       .orderBy(col("ccos").desc, col("cluster"))
       .limit(nprobe)
       .select(col("cluster"))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = ivfVectors(spark, path, version)
     val candidates = vectors
       .select(col("vec_id"), col("cluster"), col("qv")) // int8 column ONLY
       .filter(col("vec_id") =!= queryId)

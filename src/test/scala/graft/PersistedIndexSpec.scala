@@ -116,6 +116,29 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     top.getAs[Double]("sim") shouldBe 1.0
   }
 
+  test("IVF index: a reader pinned before an append answers identically " +
+    "after it; replayed appends are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfv").toString
+    PersistedIndex.buildIvfIndex(spark, sf, dir)
+    val pinned = PersistedIndex.probeIvfIndex(spark, sf, dir, version = 1L)
+    val before = pinned.collect().toSeq.map(_.toSeq)
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0)
+      .select(lit(99999L).as("vec_id"), $"label", $"embedding")
+    PersistedIndex.appendToIvfIndex(spark, delta, dir) // -> version 2
+    // pinned version-1 reader: byte-identical, fold invisible
+    pinned.collect().toSeq.map(_.toSeq) shouldBe before
+    // latest sees the appended clone of the query vector at rank 1
+    val latest = PersistedIndex.probeIvfIndex(spark, sf, dir).collect()
+    latest.head.getAs[Long]("vec_id") shouldBe 99999L
+    // replay: same delta again folds to a no-op (stored-id anti-join)
+    PersistedIndex.appendToIvfIndex(spark, delta, dir)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe 2L
+    val n = spark.read.parquet(s"$dir/vectors")
+    n.filter($"vec_id" === 99999L).count() shouldBe 1L
+  }
+
   test("persisted eval bloom probe equals the in-query bloom decontamination") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
