@@ -71,12 +71,31 @@ object StoreVersioning {
   def commitNextVersion(spark: SparkSession, dir: String)(
       write: String => Unit): Long = {
     val next = latestVersion(spark, dir) + 1
-    val staging = s"$dir/.staging-version-$next"
+    val stagingName = s".staging-version-$next"
+    val staging = s"$dir/$stagingName"
     val f = fs(spark, dir)
     f.delete(new Path(staging), true) // clear a dead writer's leftovers
     write(staging)
-    require(f.rename(new Path(staging), new Path(versionDir(dir, next))),
+    val dest = new Path(versionDir(dir, next))
+    // optimistic concurrency, first-writer-wins: if a racing writer
+    // published this version while we staged, fail LOUDLY. The explicit
+    // existence check matters because a local-filesystem rename onto an
+    // existing directory silently moves the staging tree INSIDE it
+    // (posix mv-into semantics) instead of refusing like HDFS.
+    require(!f.exists(dest),
+      s"failed to publish $dir version $next: a concurrent writer " +
+        "already committed it (re-read latestVersion and retry)")
+    require(f.rename(new Path(staging), dest),
       s"failed to publish $dir version $next (staging rename refused)")
+    // post-rename sanity against the residual check-then-rename window:
+    // a mv-into leaves the staging name nested under the destination
+    val nested = new Path(s"${versionDir(dir, next)}/$stagingName")
+    if (f.exists(nested)) {
+      f.delete(nested, true)
+      throw new IllegalArgumentException(
+        s"failed to publish $dir version $next: lost the publish race " +
+          "to a concurrent writer (nested staging removed; retry)")
+    }
     next
   }
 
