@@ -37,7 +37,7 @@ object PlanAudit {
     // 1-row quantized-query + float-query broadcasts
     "sim_topk_q8",
     // 1-row query-vector broadcast (codebooks ride as plan literals)
-    "pq_topk", "pq_recall",
+    "pq_topk", "pq_recall", "pq_store",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -134,7 +134,7 @@ object PlanAudit {
     "hist_quantiles",
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
-    "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store",
+    "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -654,6 +654,9 @@ object PlanAudit {
     // codebook training runs eagerly (bounded collects); the returned
     // plan is scan × 1-row broadcast → TakeOrdered → k-row rerank
     "pq_topk" -> 3,
+    // persisted-PQ decode probe: stage-1 codes scan + TakeOrdered +
+    // candidate rejoin + rerank (build/train behind the session cache)
+    "pq_store" -> 3,
     // 4 subspace-encode branches of one scan → union → agg + orderBy
     "pq_recon_error" -> 5,
     // the pq_topk subplan + the exact TakeOrdered side + k-row join + agg

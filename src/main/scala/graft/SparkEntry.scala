@@ -333,6 +333,13 @@ object SparkEntry {
     // (literal codebooks, scan-only encode, exact rerank) + per-subspace
     // reconstruction-error/code-usage telemetry in exact micro-units
     "pq_topk" -> ((s, d) => SimilarityPipeline.pqTopK(s, d)),
+    // Round 12: the PERSISTED PQ index — train once, persist codebooks +
+    // codes (immutable segments, versioned manifest), probe by decoding
+    // the STORED codes (ADC from frozen-codebook literals) + exact
+    // rerank; same recompute oracle as pq_topk, so the green hash proves
+    // train -> persist -> decode-probe round-trips the in-query PQ
+    "pq_store" -> ((s, d) =>
+      graft.operators.PersistedIndex.pqTopKFromSessionStore(s, d)),
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // measured recall@k of the PQ stage vs brute force, exact integers
     "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
@@ -2599,6 +2606,8 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // per-subspace Lloyd replay + codeword-concat reconstruction; the
     // recon-error row sums per-row micro-quantized d2 (order-invariant)
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
+    // the persisted store's decode-probe answers the same replay
+    "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,
     "pq_recall" -> SimilarityPipeline.pqRecallOracleSql,
     "mrl_recall" -> SimilarityPipeline.mrlRecallOracleSql,

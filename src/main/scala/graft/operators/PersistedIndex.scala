@@ -203,6 +203,165 @@ object PersistedIndex {
       .orderBy("rank")
   }
 
+  // ------------------------------------------------- persisted PQ index --
+
+  /** Build the persisted PQ index at `path` — the durable form of
+    * [[SimilarityPipeline.pqTopK]]'s per-run training (FAISS's IVF-PQ
+    * "train once, encode forever" shape without the IVF level, which
+    * [[buildIvfIndex]] already covers):
+    *
+    *  - `codebooks/` — the FROZEN per-subspace codewords as (m, pos, c)
+    *    rows (PqM × PqK rows total; `pos` preserves the cluster-id sort
+    *    so reading back rebuilds the exact plan literals training
+    *    produced);
+    *  - `codes/ingest=<t>/shard=S/` — (vec_id, label, codes, v): the M
+    *    uint4-sized code positions per vector PLUS the float vector —
+    *    stage 1 of a probe scans ONLY `codes` (parquet column pruning,
+    *    the [[probeIvfIndexQ8]] bandwidth discipline), stage 2 re-reads
+    *    `v` for the PqFetch candidates;
+    *  - `manifest/version=N/` — [[StoreVersioning]] segments, so appends
+    *    are immutable folds and pinned readers never tear.
+    */
+  def buildPqIndex(spark: SparkSession, sfDir: String, path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = SimilarityPipeline.pqCodebooks(spark, sfDir)
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case ((_, vecs), m) =>
+      vecs.zipWithIndex.map { case (c, pos) => (m, pos, c) }
+    }.toDF("m", "pos", "c").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    writePqSegment(spark, e, path, "base")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", "base")))
+  }
+
+  /** The stored codebooks read back in [[SimilarityPipeline.pqCodebooks]]'
+    * literal shape — bounded: PqM × PqK rows. */
+  private def pqStoredCodebooks(spark: SparkSession, path: String)
+      : IndexedSeq[Array[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("m"), col("pos")).collect()
+    (0 until SimilarityPipeline.PqM).map { m =>
+      rows.filter(_.getInt(0) == m).map(_.getSeq[Double](2))
+    }
+  }
+
+  /** Encode to the M nearest-codeword POSITIONS with the frozen
+    * codebooks riding as plan literals — one codegen'd scan, no join. */
+  private def pqCodesCol(cbs: IndexedSeq[Array[Seq[Double]]],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until SimilarityPipeline.PqM).map { m =>
+      graft.expressions.VectorExpressions.nearestCentroidNative(
+        slice(v, m * SimilarityPipeline.PqSubDim + 1,
+          SimilarityPipeline.PqSubDim),
+        typedlit(cbs(m).toSeq)).getField("idx")
+    }: _*)
+
+  private def writePqSegment(spark: SparkSession, vectors: DataFrame,
+      path: String, token: String): Unit = {
+    val cbs = pqStoredCodebooks(spark, path)
+    vectors.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"),
+        pqCodesCol(cbs, col("v")).as("codes"), col("v"),
+        pmod(col("vec_id"), lit(LshVecShards.toLong)).as("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$path/codes/ingest=$token")
+  }
+
+  /** Fold new vectors in: encode with the FROZEN codebooks, drop stored
+    * ids (replay = no-op), land an immutable segment, publish a version.
+    * Codebook drift is the documented trade, exactly like
+    * [[appendToIvfIndex]]'s centroids (weekly retrain, daily append). */
+  def appendToPqIndex(spark: SparkSession, delta: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest")
+      .getOrElse("seg", Seq.empty)
+    val storedIds = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"))
+    val fresh = delta.select(col("vec_id"), col("label"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .join(storedIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writePqSegment(spark, fresh, path, token)
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      (live :+ token).map(("seg", _)))
+  }
+
+  /** Probe the persisted PQ index: stage 1 ranks by the cosine of the
+    * RECONSTRUCTION decoded from the STORED codes (the ADC sum — element
+    * lookups into the frozen-codebook literals, `codes` is the only
+    * vector-ish column scanned), stage 2 exact-reranks the PqFetch
+    * candidates from their float vectors. Output contract =
+    * [[SimilarityPipeline.pqTopK]] row-for-row (the driver's `pq_store`
+    * oracle — stored codes equal re-encoded codes by construction, both
+    * sides of that equality being the same frozen expression).
+    */
+  def probePqIndex(spark: SparkSession, path: String, qId: Long = 0L,
+      version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqStoredCodebooks(spark, path)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+    val recon = concat((0 until SimilarityPipeline.PqM).map { m =>
+      element_at(typedlit(cbs(m).toSeq),
+        element_at(col("codes"), m + 1) + 1)
+    }: _*)
+    val q = codes.filter(col("vec_id") === qId).select(col("v").as("q"))
+    val cand = codes.filter(col("vec_id") =!= qId)
+      .select(col("vec_id"), col("codes")) // stage 1: codes only
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("q"), cosine(recon, col("q")).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(SimilarityPipeline.PqFetch)
+    cand
+      .join(codes.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(SimilarityPipeline.PqTopK)
+      // post-limit window: <= PqTopK rows (the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"),
+        round(col("sim_pq"), 4).as("sim_pq"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  private val pqStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The store as a driver surface: train + encode the whole snapshot
+    * once per (app, sfDir), probe from STORED codes — answers the
+    * pq_topk recompute oracle, so the green hash proves
+    * train→persist→decode-probe round-trips the in-query PQ exactly
+    * (the append path's frozen-codebook contract is PersistedIndexSpec's).
+    */
+  def pqTopKFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = pqStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      pqStoreCache.keySet.removeIf(_._1 != appId)
+      pqStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-pq-store").toString
+        buildPqIndex(spark, sfDir, p)
+        p
+      })
+    }
+    probePqIndex(spark, path)
+  }
+
   // -------------------------------------------------- decontamination --
 
   /** Persist the eval-side decontamination artifacts at `path` — built

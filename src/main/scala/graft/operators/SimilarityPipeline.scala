@@ -1385,11 +1385,11 @@ ORDER BY pos"""
     * at 10^9 vectors the PQ codes fit where even int8 vectors don't, and
     * stage-1 candidate scoring touches only codes + a per-query table.
     */
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqK = 16
-  private val PqTopK = 10
-  private val PqFetch = 20
+  private[operators] val PqM = 4
+  private[operators] val PqSubDim = 16
+  private[operators] val PqK = 16
+  private[operators] val PqTopK = 10
+  private[operators] val PqFetch = 20
 
   /** Train the per-subspace codebooks — Jégou et al., TPAMI'11 product
     * quantization, each subspace trained by the [[kmeansModel]] Lloyd

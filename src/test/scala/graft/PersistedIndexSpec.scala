@@ -139,6 +139,50 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     n.filter($"vec_id" === 99999L).count() shouldBe 1L
   }
 
+  test("PQ store: decode-probe equals the in-query pqTopK; append folds " +
+    "under frozen codebooks; pinned reader survives the fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    PersistedIndex.buildPqIndex(spark, sf, dir)
+    // the stored-codes decode probe equals the re-encoding in-query PQ
+    PersistedIndex.probePqIndex(spark, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe
+      SimilarityPipeline.pqTopK(spark, sf).collect().toSeq.map(_.toSeq)
+    // pin version 1, fold a clone of the query vector, re-read pinned
+    val pinned = PersistedIndex.probePqIndex(spark, dir, version = 1L)
+    val before = pinned.collect().toSeq.map(_.toSeq)
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0)
+      .select(lit(88888L).as("vec_id"), $"label", $"embedding")
+    PersistedIndex.appendToPqIndex(spark, delta, dir) // -> version 2
+    pinned.collect().toSeq.map(_.toSeq) shouldBe before
+    // latest: the clone reconstructs AND reranks to rank 1, sim 1.0
+    val top = PersistedIndex.probePqIndex(spark, dir).collect().head
+    top.getAs[Long]("vec_id") shouldBe 88888L
+    top.getAs[Double]("sim") shouldBe 1.0
+    // replay is a no-op
+    PersistedIndex.appendToPqIndex(spark, delta, dir)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe 2L
+  }
+
+  test("PQ store stage 1 scans only the codes column, never the floats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqp").toString
+    PersistedIndex.buildPqIndex(spark, sf, dir)
+    val plan = PersistedIndex.probePqIndex(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    // two codes/ scans: stage 1 must project codes WITHOUT v (that is
+    // the compression's bandwidth claim), stage 2 reads v for candidates
+    val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(s => s.contains("codes") || s.contains("v:"))
+      .toList
+    def fields(s: String): Set[String] =
+      s.split(",").map(_.takeWhile(_ != ':')).toSet
+    withClue(s"no codes-only scan in: $scans ") {
+      scans.exists(s =>
+        fields(s).contains("codes") && !fields(s).contains("v")) shouldBe true
+    }
+  }
+
   test("persisted eval bloom probe equals the in-query bloom decontamination") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
