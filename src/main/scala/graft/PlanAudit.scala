@@ -418,6 +418,9 @@ object PlanAudit {
     "media_mp4_meta" -> 1,
     // stateless expression parse (ID3 skip + frame walk, one fold) + orderBy
     "media_mp3_meta" -> 1,
+    // stateless expression parses (ADTS / AVCC NAL walks) + orderBy
+    "media_aac_meta" -> 1,
+    "media_h264_meta" -> 1,
     // scan -> container-build expressions -> JDK WAV decode mapPartitions
     "media_wav_features" -> 1,
     "pivot_hourly" -> 3, "q10_returns" -> 1, "q14_promo" -> 1,

@@ -237,6 +237,14 @@ object SparkEntry {
     // table lookups, padding-aware lengths), all codegen'd expressions;
     // the oracle replays the construction law
     "media_mp3_meta" -> ((s, d) => MultimodalPipeline.mediaMp3Meta(s, d)),
+    // Round 12: REAL AAC metadata decode — ADTS frame-header walk (sync
+    // validation, sampling-frequency table, split 13-bit explicit frame
+    // lengths); the oracle replays the construction law
+    "media_aac_meta" -> ((s, d) => MultimodalPipeline.mediaAacMeta(s, d)),
+    // Round 12: REAL H.264 metadata decode — AVCC length-prefixed NAL
+    // walk (nal_unit_type census, SPS profile_idc/level_idc from the
+    // plain-byte prefix); the oracle replays the construction law
+    "media_h264_meta" -> ((s, d) => MultimodalPipeline.mediaH264Meta(s, d)),
     "media_frame_sample" -> ((s, d) => MultimodalPipeline.mediaFrameSample(s, d)),
     "media_resize" -> ((s, d) => MultimodalPipeline.mediaResize(s, d)),
     "media_dedup" -> ((s, d) => MultimodalPipeline.mediaDedup(s, d)),
@@ -2370,6 +2378,31 @@ SELECT media_id, first_frame_at,
   CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
   TRUE AS roundtrip_ok
 FROM m ORDER BY media_id""",
+    // the ADTS replay: audio-object/rate/channel law + 1024-sample frames
+    "media_aac_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+  CAST(1 + doc_id % 3 AS BIGINT) AS aot,
+  list_extract([96000,88200,64000,48000,44100,32000,24000,22050,16000,12000,11025,8000,7350],
+    CAST(3 + doc_id % 5 + 1 AS INT)) AS sr,
+  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+  CAST(1 + n_chars % 4 AS BIGINT) AS n_frames
+  FROM documents)
+SELECT media_id, aot,
+  CAST(sr AS BIGINT) AS sample_rate,
+  channels, n_frames,
+  CAST(n_frames * 1024 * 1000 // sr AS BIGINT) AS duration_ms,
+  TRUE AS roundtrip_ok
+FROM m ORDER BY media_id""",
+    // the AVCC replay: profile/level law + the NAL census (1 SPS, 1 PPS,
+    // 1 IDR + 0-3 non-IDR slices)
+    "media_h264_meta" ->
+      """SELECT doc_id AS media_id,
+  CAST(66 + (doc_id % 3) * 11 AS BIGINT) AS profile_idc,
+  CAST(10 + (doc_id % 5) * 10 AS BIGINT) AS level_idc,
+  CAST(1 AS BIGINT) AS n_sps, CAST(1 AS BIGINT) AS n_pps,
+  CAST(1 + n_chars % 4 AS BIGINT) AS n_frames,
+  TRUE AS roundtrip_ok
+FROM documents ORDER BY media_id""",
     // the sample-law replay: Spark's numbers come from PCM frames decoded
     // by the JDK's WAV reader; the oracle recomputes
     // s(i) = (d*17 + i*29) % 256 over the same index range

@@ -405,15 +405,19 @@ object MultimodalPipeline {
     * out (the JVM analogue of a vectorized batch UDF over media batches).
     *
     * ========================= STUB =========================
-    * AUDIO/VIDEO codecs are unavailable in this environment, so the
-    * decode below is a DETERMINISTIC FAKE for those kinds: "luma" is a
-    * byte-mean over the payload body, "frames" a fixed slicing — stable,
-    * testable stand-ins with the same shapes/types a real decoder
-    * (e.g. javacv/ffmpeg) would produce. Swap `fakeDecode` for a real
-    * decoder binding; everything else stays. IMAGES are no longer
-    * stubbed: [[mediaPngFeatures]] decodes REAL PNG pixels through the
-    * JDK codec, and [[mediaJpegMeta]] parses REAL JPEG structure — only
-    * formats needing native codecs keep the fake.
+    * Full AUDIO/VIDEO sample synthesis (MDCT/DCT decode) needs codecs
+    * the environment lacks, so the decode below is a DETERMINISTIC FAKE
+    * at that level only: "luma" is a byte-mean over the payload body,
+    * "frames" a fixed slicing — stable, testable stand-ins with the
+    * same shapes/types a real decoder (e.g. javacv/ffmpeg) would
+    * produce. Swap `fakeDecode` for a real decoder binding; everything
+    * else stays. Everything ABOVE the sample level is REAL:
+    * [[mediaPngFeatures]] decodes actual PNG pixels (JDK codec),
+    * [[mediaWavFeatures]] actual PCM samples (javax.sound),
+    * [[mediaJpegMeta]] walks real JPEG markers, [[mediaMp4Meta]] real
+    * BMFF boxes, [[mediaMp3Meta]] real MPEG-1 L3 frame headers,
+    * [[mediaAacMeta]] real ADTS frames, and [[mediaH264Meta]] real AVCC
+    * NAL units with SPS profile/level.
     * ========================================================
     */
   def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
@@ -859,6 +863,236 @@ object MultimodalPipeline {
     * pixel/sample-level decode of compressed audio (the DCT synthesis)
     * still needs a codec the JDK lacks.
     */
+  // ------------------------------- real AAC ADTS frame-header metadata --
+
+  /** MPEG-4 AAC sampling-frequency table by the 4-bit ADTS header index
+    * (ISO/IEC 14496-3; indexes 13-15 reserved — terminal for the walk).
+    */
+  private val AacSampleRates = Seq(96000L, 88200L, 64000L, 48000L, 44100L,
+    32000L, 24000L, 22050L, 16000L, 12000L, 11025L, 8000L, 7350L)
+  private val AacMaxFrames = 8
+
+  /** Synthesize structurally-real ADTS streams, one per document: 1-4
+    * frames, each with the 7-byte MPEG-4/no-CRC header (sync 0xFFF,
+    * audio-object profile, sampling-frequency index, channel config) and
+    * an EXPLICIT 13-bit frame length that varies per frame — unlike MP3
+    * the length is a header FIELD, so the walk must reassemble it from
+    * the 2+8+3 split bits. Hex-domain assembly, un-hexed once.
+    */
+  private[graft] def aacTable(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val d = col("doc_id").cast(LongType)
+    val profile = pmod(d, lit(3L)) // Main/LC/SSR, 2 header bits
+    val sfIdx = lit(3L) + pmod(d, lit(5L)) // 48k..22k05
+    val sr = element_at(array(AacSampleRates.map(lit): _*),
+      (sfIdx + 1L).cast(IntegerType))
+    val channels = lit(1L) + pmod(d, lit(2L)) // 1..2, fits 3 bits
+    val nFrames = lit(1L) + pmod(col("n_chars").cast(LongType), lit(4L))
+    def frameHex(f: org.apache.spark.sql.Column) = {
+      val flen = lit(7L) + lit(10L) + pmod(d + f * 3L, lit(17L)) // 17..33 B
+      val b2 = shiftleft(profile, 6) + shiftleft(sfIdx, 2) +
+        shiftright(channels, 2)
+      val b3 = shiftleft(channels.bitwiseAND(lit(3L)), 6) +
+        shiftright(flen, 11).bitwiseAND(lit(3L))
+      val b4 = shiftright(flen, 3).bitwiseAND(lit(255L))
+      val b5 = shiftleft(flen.bitwiseAND(lit(7L)), 5) + lit(31L) // fullness hi
+      concat(
+        lit("FFF1"), // sync + MPEG-4 + layer 00 + protection_absent
+        lpad(hex(b2), 2, "0"), lpad(hex(b3), 2, "0"),
+        lpad(hex(b4), 2, "0"), lpad(hex(b5), 2, "0"),
+        lit("FC"), // fullness lo + 0 raw blocks
+        repeat(lit("00"), (flen - 7L).cast(IntegerType)))
+    }
+    docs.select(
+      col("doc_id").as("media_id"),
+      unhex(concat_ws("",
+        transform(sequence(lit(0L), nFrames - 1L), frameHex(_))))
+        .as("payload"),
+      (profile + 1L).as("true_aot"), sr.as("true_rate"),
+      channels.as("true_channels"), nFrames.as("true_frames"))
+  }
+
+  /** The ADTS walk as ONE bounded fold: validate the 12-bit sync +
+    * MPEG-4/layer bits, reject reserved sampling indexes, reassemble the
+    * split 13-bit frame length, capture the FIRST frame's
+    * profile/rate/channels, step frame by frame.
+    */
+  private def aacWalk(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val limit = length(payload).cast(LongType) + 1L
+    val init = struct(lit(1L).as("pos"), lit(0L).as("n"),
+      lit(-1L).as("aot"), lit(-1L).as("sr"), lit(-1L).as("ch"))
+    aggregate(
+      sequence(lit(1), lit(AacMaxFrames)), init, (acc, _) => {
+        val pos = acc.getField("pos")
+        val b0 = beUint(payload, pos, 1)
+        val b1 = beUint(payload, pos + 1L, 1)
+        val b2 = beUint(payload, pos + 2L, 1)
+        val b3 = beUint(payload, pos + 3L, 1)
+        val b4 = beUint(payload, pos + 4L, 1)
+        val b5 = beUint(payload, pos + 5L, 1)
+        // sync FFF + MPEG-4 (ID=0) + layer 00; protection bit free
+        val syncOk = b0 === 255L && b1.bitwiseAND(lit(246L)) === 240L
+        val sfIdx = shiftright(b2, 2).bitwiseAND(lit(15L))
+        val ch = shiftleft(b2.bitwiseAND(lit(1L)), 2) + shiftright(b3, 6)
+        val flen = shiftleft(b3.bitwiseAND(lit(3L)), 11) +
+          shiftleft(b4, 3) + shiftright(b5, 5)
+        val valid = syncOk && sfIdx < 13L && flen >= 7L
+        val sr = element_at(array(AacSampleRates.map(lit): _*),
+          (sfIdx + 1L).cast(IntegerType))
+        when(pos >= limit || !valid, acc)
+          .otherwise(struct(
+            (pos + flen).as("pos"), (acc.getField("n") + 1L).as("n"),
+            when(acc.getField("n") === 0L, shiftright(b2, 6) + 1L)
+              .otherwise(acc.getField("aot")).as("aot"),
+            when(acc.getField("n") === 0L, sr)
+              .otherwise(acc.getField("sr")).as("sr"),
+            when(acc.getField("n") === 0L, ch)
+              .otherwise(acc.getField("ch")).as("ch")))
+      })
+  }
+
+  /** The parse over ANY (media_id, payload) frame of ADTS bytes. */
+  private[graft] def aacMetaFrom(media: DataFrame): DataFrame = {
+    val m = aacWalk(col("payload"))
+    media.withColumn("m", m)
+      .withColumn("aot", col("m").getField("aot"))
+      .withColumn("sample_rate", col("m").getField("sr"))
+      .withColumn("channels", col("m").getField("ch"))
+      .withColumn("n_frames", col("m").getField("n"))
+      // AAC: 1024 samples per frame
+      .withColumn("duration_ms",
+        when(col("m").getField("sr") > 0L,
+            (col("m").getField("n") * 1024000L / col("m").getField("sr"))
+              .cast(LongType))
+          .otherwise(lit(-1L)))
+      .drop("m", "payload")
+  }
+
+  /** REAL AAC metadata decode — ADTS frame-header walk (sync validation,
+    * sampling-frequency table, split 13-bit explicit frame lengths) as
+    * one codegen'd fold; the oracle replays the construction law. With
+    * this, compressed audio is real at the metadata level for BOTH
+    * container families (MP3 frame chain, AAC ADTS chain).
+    */
+  def mediaAacMeta(spark: SparkSession, sfDir: String): DataFrame =
+    aacMetaFrom(aacTable(spark, sfDir))
+      .select(col("media_id"), col("aot"), col("sample_rate"),
+        col("channels"), col("n_frames"), col("duration_ms"),
+        (col("aot") === col("true_aot") &&
+          col("sample_rate") === col("true_rate") &&
+          col("channels") === col("true_channels") &&
+          col("n_frames") === col("true_frames")).as("roundtrip_ok"))
+      .orderBy("media_id")
+
+  // ------------------------------ real H.264 AVCC NAL-unit metadata --
+
+  private val H264MaxNals = 12
+
+  /** Synthesize AVCC-framed H.264 elementary streams (the in-MP4 shape:
+    * each NAL prefixed by a 4-byte big-endian length): SPS (whose
+    * profile_idc / level_idc are PLAIN BYTES before any Exp-Golomb
+    * field), PPS, one IDR slice, then 0-3 non-IDR slices with varying
+    * lengths — NAL counts and positions vary per row, so the walk must
+    * follow the length prefixes.
+    */
+  private[graft] def h264Table(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val d = col("doc_id").cast(LongType)
+    val profile = lit(66L) + pmod(d, lit(3L)) * 11L // 66/77/88 = B/M/E
+    val level = lit(10L) + pmod(d, lit(5L)) * 10L // 10..50
+    val nSlices = pmod(col("n_chars").cast(LongType), lit(4L)) // non-IDR
+    def nal(headerHex: org.apache.spark.sql.Column,
+        bodyLen: org.apache.spark.sql.Column) =
+      concat(lpad(hex(bodyLen + 1L), 8, "0"), headerHex,
+        repeat(lit("00"), bodyLen.cast(IntegerType)))
+    // SPS body: profile_idc, constraint flags, level_idc, + 4 pad bytes
+    val sps = concat(lpad(hex(lit(7L)), 8, "0"), lit("67"),
+      lpad(hex(profile), 2, "0"), lit("00"), lpad(hex(level), 2, "0"),
+      repeat(lit("00"), 3))
+    val pps = nal(lit("68"), lit(2L) + pmod(d, lit(3L)))
+    val idr = nal(lit("65"), lit(8L) + pmod(d, lit(9L)))
+    val slices = concat_ws("",
+      transform(sequence(lit(1L), nSlices),
+        f => nal(lit("41"), lit(4L) + pmod(d + f, lit(7L)))))
+    docs.select(
+      col("doc_id").as("media_id"),
+      unhex(concat(sps, pps, idr,
+        when(nSlices > 0L, slices).otherwise(lit("")))).as("payload"),
+      profile.as("true_profile"), level.as("true_level"),
+      (nSlices + 1L).as("true_slices")) // IDR + non-IDR
+  }
+
+  /** The AVCC walk as ONE bounded fold: step 4-byte-length-prefixed NAL
+    * units, classify by the 5-bit nal_unit_type, read profile_idc /
+    * level_idc from the SPS's leading plain bytes. Zero-length units are
+    * terminal (the [[bmffCount]] malformed-size discipline).
+    */
+  private def h264Walk(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val limit = length(payload).cast(LongType) + 1L
+    val init = struct(lit(1L).as("pos"), lit(0L).as("n_sps"),
+      lit(0L).as("n_pps"), lit(0L).as("n_idr"), lit(0L).as("n_slice"),
+      lit(-1L).as("profile"), lit(-1L).as("level"))
+    aggregate(
+      sequence(lit(1), lit(H264MaxNals)), init, (acc, _) => {
+        val pos = acc.getField("pos")
+        val len = beUint(payload, pos, 4)
+        val typ = beUint(payload, pos + 4L, 1).bitwiseAND(lit(31L))
+        val isSps = typ === 7L
+        when(pos >= limit || len < 1L, acc) // end or malformed: terminal
+          .otherwise(struct(
+            (pos + 4L + len).as("pos"),
+            (acc.getField("n_sps") + when(isSps, 1L).otherwise(0L))
+              .as("n_sps"),
+            (acc.getField("n_pps") + when(typ === 8L, 1L).otherwise(0L))
+              .as("n_pps"),
+            (acc.getField("n_idr") + when(typ === 5L, 1L).otherwise(0L))
+              .as("n_idr"),
+            (acc.getField("n_slice") + when(typ === 1L, 1L).otherwise(0L))
+              .as("n_slice"),
+            when(isSps && acc.getField("profile") < 0L,
+                beUint(payload, pos + 5L, 1))
+              .otherwise(acc.getField("profile")).as("profile"),
+            when(isSps && acc.getField("level") < 0L,
+                beUint(payload, pos + 7L, 1))
+              .otherwise(acc.getField("level")).as("level")))
+      })
+  }
+
+  /** The parse over ANY (media_id, payload) frame of AVCC bytes. */
+  private[graft] def h264MetaFrom(media: DataFrame): DataFrame = {
+    val m = h264Walk(col("payload"))
+    media.withColumn("m", m)
+      .withColumn("profile_idc", col("m").getField("profile"))
+      .withColumn("level_idc", col("m").getField("level"))
+      .withColumn("n_sps", col("m").getField("n_sps"))
+      .withColumn("n_pps", col("m").getField("n_pps"))
+      .withColumn("n_frames",
+        col("m").getField("n_idr") + col("m").getField("n_slice"))
+      .drop("m", "payload")
+  }
+
+  /** REAL H.264 metadata decode — the AVCC length-prefixed NAL walk
+    * every MP4-resident video stream needs (nal_unit_type
+    * classification, SPS profile_idc/level_idc from the plain-byte
+    * prefix), one codegen'd fold; the oracle replays the construction
+    * law. Video is now real at container (BMFF) AND bitstream (NAL)
+    * metadata levels — the decode stub covers only full sample/pixel
+    * synthesis of compressed codecs.
+    */
+  def mediaH264Meta(spark: SparkSession, sfDir: String): DataFrame =
+    h264MetaFrom(h264Table(spark, sfDir))
+      .select(col("media_id"), col("profile_idc"), col("level_idc"),
+        col("n_sps"), col("n_pps"), col("n_frames"),
+        (col("profile_idc") === col("true_profile") &&
+          col("level_idc") === col("true_level") &&
+          col("n_sps") === 1L && col("n_pps") === 1L &&
+          col("n_frames") === col("true_slices")).as("roundtrip_ok"))
+      .orderBy("media_id")
+
   def mediaMp3Meta(spark: SparkSession, sfDir: String): DataFrame =
     mp3Parse(mp3Table(spark, sfDir)) // true_ cols ride along, no re-join
       .select(col("media_id"), col("first_frame_at"),

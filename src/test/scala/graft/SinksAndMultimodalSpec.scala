@@ -316,6 +316,73 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     all(out) shouldBe true
   }
 
+  test("AAC ADTS walk reassembles split frame lengths; reserved " +
+    "sampling index is terminal") {
+    // LC profile (1), 44.1 kHz (sf index 4), stereo, two frames with
+    // EXPLICIT lengths 16 and 23 — the 13-bit length splits 2+8+3
+    def adts(sfIdx: Int, flen: Int): Array[Byte] =
+      Array(0xff.toByte, 0xf1.toByte,
+        ((1 << 6) | (sfIdx << 2) | 0).toByte,
+        ((2 & 3) << 6 | ((flen >> 11) & 3)).toByte,
+        ((flen >> 3) & 0xff).toByte,
+        (((flen & 7) << 5) | 0x1f).toByte, 0xfc.toByte) ++
+        Array.fill[Byte](flen - 7)(0)
+    val good = adts(4, 16) ++ adts(4, 23)
+    val r = MultimodalPipeline.aacMetaFrom(
+      Seq((1L, good)).toDF("media_id", "payload")).head()
+    r.getAs[Long]("aot") shouldBe 2L // profile 1 -> object type 2 (LC)
+    r.getAs[Long]("sample_rate") shouldBe 44100L
+    r.getAs[Long]("channels") shouldBe 2L
+    r.getAs[Long]("n_frames") shouldBe 2L
+    r.getAs[Long]("duration_ms") shouldBe (2L * 1024000L / 44100L)
+
+    // a reserved sampling index (13) in the second header is terminal
+    val broken = adts(4, 16) ++ adts(13, 23)
+    MultimodalPipeline.aacMetaFrom(
+        Seq((2L, broken)).toDF("media_id", "payload"))
+      .head().getAs[Long]("n_frames") shouldBe 1L
+
+    // end-to-end over the synthesized corpus
+    val out = MultimodalPipeline.mediaAacMeta(spark, sf)
+      .select($"roundtrip_ok").as[Boolean].collect()
+    out should not be empty
+    all(out) shouldBe true
+  }
+
+  test("H.264 AVCC walk classifies NAL types and reads SPS profile/level; " +
+    "a zero-length NAL is terminal") {
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def nal(header: Int, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 1L) ++ Array(header.toByte) ++ body
+    // High profile (100), level 4.1 (41) — plain bytes before Exp-Golomb
+    val sps = nal(0x67, Array(100.toByte, 0x00, 41.toByte, 0, 0))
+    val pps = nal(0x68, Array[Byte](0x3c, 0x40.toByte))
+    val idr = nal(0x65, Array.fill[Byte](9)(0x11))
+    val slice = nal(0x41, Array.fill[Byte](5)(0x22))
+    val good = sps ++ pps ++ idr ++ slice ++ slice
+    val r = MultimodalPipeline.h264MetaFrom(
+      Seq((1L, good)).toDF("media_id", "payload")).head()
+    r.getAs[Long]("profile_idc") shouldBe 100L
+    r.getAs[Long]("level_idc") shouldBe 41L
+    r.getAs[Long]("n_sps") shouldBe 1L
+    r.getAs[Long]("n_pps") shouldBe 1L
+    r.getAs[Long]("n_frames") shouldBe 3L // 1 IDR + 2 slices
+
+    // a zero-length NAL mid-stream is terminal, never re-counted
+    val broken = sps ++ pps ++ idr ++ u32(0L) ++ slice
+    MultimodalPipeline.h264MetaFrom(
+        Seq((2L, broken)).toDF("media_id", "payload"))
+      .head().getAs[Long]("n_frames") shouldBe 1L
+
+    // end-to-end over the synthesized corpus
+    val out = MultimodalPipeline.mediaH264Meta(spark, sf)
+      .select($"roundtrip_ok").as[Boolean].collect()
+    out should not be empty
+    all(out) shouldBe true
+  }
+
   test("WAV decode is REAL: JDK codec walks chunks, PCM stats equal the sample law") {
     // the operator end-to-end: decoder-reported header fields and
     // decoded-frame stats equal the construction law
