@@ -9,13 +9,15 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payload
   * columns with typed metadata, processed batch-at-a-time.
   *
-  * The container has no media codecs, so the DECODE step is a deterministic
-  * STUB (clearly marked below); everything around it — the binary schema,
-  * header layout, expression-level metadata parsing, frame slicing, the
-  * partition-iterator batch shape — is real and oracle/test-covered. The
-  * payloads themselves are synthesized deterministically from `documents`
-  * (magic + kind + dimensions header, body = the UTF-8 text), which makes
-  * header parsing a genuine round-trip check.
+  * Real decode coverage (each a byte-level walk or JDK codec over
+  * structurally-valid synthesized containers, oracle-replayed): JPEG
+  * marker segments, PNG pixels, RIFF/WAVE PCM samples, ISO-BMFF boxes,
+  * MPEG-1 Layer III frame chains (ID3v2-tagged), AAC ADTS frame chains,
+  * and H.264 AVCC NAL units (SPS profile/level). Only full sample/pixel
+  * SYNTHESIS of compressed codecs (MDCT/DCT decode) remains a
+  * deterministic STUB (clearly marked below) — the environment ships no
+  * such codec. The payloads themselves are synthesized deterministically
+  * from `documents`, which makes every parse a genuine round-trip check.
   *
   * Scale notes: payload bytes never leave their partition — metadata parse,
   * frame slice, and feature extraction are all per-row expressions or
