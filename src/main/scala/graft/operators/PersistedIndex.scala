@@ -472,9 +472,20 @@ object PersistedIndex {
   def appendToDedupIndex(spark: SparkSession, delta: DataFrame,
       path: String): Unit = {
     val live = dedupLiveSegs(spark, path, -1L)
+    // replayed folds are no-ops (the LSH/IVF store discipline): ids the
+    // live segments already hold would otherwise double their band/set
+    // rows and inflate every later probe's n_near
+    val storedIds = spark.read.parquet(s"$path/digests")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("doc_id"))
+    val fresh = delta.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(storedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
     val token =
       s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
-    writeDedupSegment(spark, delta, path, token)
+    writeDedupSegment(spark, fresh, path, token)
     StoreVersioning.commitTokens(spark, s"$path/manifest",
       (live :+ token).map(("seg", _)))
   }

@@ -331,6 +331,14 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     d2(0).getBoolean(1) shouldBe true // dup_exact
     d2(0).getLong(2) should be >= 1L // n_near
     d2(0).getBoolean(3) shouldBe false // not novel
+    // replaying day 1's fold is a no-op: no new version, n_near stable
+    val v = graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest")
+    PersistedIndex.appendToDedupIndex(spark, day1, dir)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe v
+    PersistedIndex.dedupDeltaAgainstIndex(spark, day2, dir)
+      .collect()(0).getLong(2) shouldBe d2(0).getLong(2)
   }
 
   test("streaming embeddings are cluster-assigned identically to the batch kmeans assignment") {
