@@ -45,6 +45,17 @@ def main():
     print("\nslowest at sf0.1:")
     for s, q in slow:
         print(f"  {q}: {s:.2f} s")
+    # noise adjudication from the sf0.1 report's own requiesced pass:
+    # a suite reading that a quiesced end-of-sweep re-measure undercuts
+    # by >40% (with bytes unchanged by construction) is ambient wake,
+    # not a regression — do NOT burn an investigation on it
+    phantoms = [(k, v["s"], v["requiesced_s"])
+                for k, v in d3["queries"].items()
+                if v.get("requiesced_s") and v["requiesced_s"] < 0.6 * v["s"]]
+    if phantoms:
+        print("\nadjudicated-ambient at sf0.1 (requiesced << suite):")
+        for k, s, r in sorted(phantoms, key=lambda t: -t[1]):
+            print(f"  {k}: {s:.2f} s suite -> {r:.2f} s quiesced")
 
 
 if __name__ == "__main__":
