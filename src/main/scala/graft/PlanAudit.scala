@@ -38,6 +38,8 @@ object PlanAudit {
     "sim_topk_q8",
     // 1-row query-vector broadcast (codebooks ride as plan literals)
     "pq_topk", "pq_recall", "pq_store",
+    // 1-row query broadcast twice (probe decision + stage-1 scoring)
+    "sim_topk_ivfpq",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -135,6 +137,7 @@ object PlanAudit {
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
+    "sim_topk_ivfpq",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -329,6 +332,9 @@ object PlanAudit {
     "emb_neardup" -> 10,
     "sim_topk" -> 1, // TakeOrdered, no global sort
     "sim_topk_ivf" -> 4,
+    // centroid agg + probe TakeOrdered + pruned-scan TakeOrdered +
+    // k-row rerank + orderBy (codebooks trained eagerly, bounded)
+    "sim_topk_ivfpq" -> 5,
     // band-signature distinct + candidate semi-join + exact-set audit join
     "sim_topk_lsh" -> 4,
     // batch shape: candidate distinct + per-query rank windows (probe +

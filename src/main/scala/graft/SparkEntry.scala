@@ -259,6 +259,10 @@ object SparkEntry {
     // MMR diversity rerank of the top-20 pool (generated greedy oracle)
     "mmr_rerank" -> ((s, d) => SimilarityPipeline.mmrRerank(s, d)),
     "sim_topk_ivf" -> ((s, d) => SimilarityPipeline.simTopKIvf(s, d)),
+    // Round 12: IVF + PQ composite (IVFADC) — coarse-quantizer prune to
+    // 2 clusters, PQ-code scoring inside them only, exact rerank; the
+    // billion-scale recipe both parents only half-realize
+    "sim_topk_ivfpq" -> ((s, d) => SimilarityPipeline.simTopKIvfPq(s, d)),
     // Round 11: the LSH-bucketed ANN scale path — query probes only its
     // own 4 hyperplane band buckets; in_exact = recall audit vs brute
     "sim_topk_lsh" -> ((s, d) => SimilarityPipeline.simTopKLsh(s, d)),
@@ -2639,6 +2643,8 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // per-subspace Lloyd replay + codeword-concat reconstruction; the
     // recon-error row sums per-row micro-quantized d2 (order-invariant)
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
+    // probe decision + codebook replay + both stages, one generator
+    "sim_topk_ivfpq" -> SimilarityPipeline.ivfPqOracleSql,
     // the persisted store's decode-probe answers the same replay
     "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,

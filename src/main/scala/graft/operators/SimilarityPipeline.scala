@@ -1527,6 +1527,99 @@ ORDER BY pos"""
         (col("n_hits") * (10000L / PqTopK)).as("recall_bp"))
   }
 
+  /** IVF + PQ composite probe — the standard billion-scale ANN recipe
+    * (Jégou et al. TPAMI'11, the IVFADC index): the coarse quantizer
+    * ([[simTopKIvf]]'s per-label centroids) prunes the corpus to the
+    * best [[IvfProbe]] clusters, stage 1 scores ONLY the probed
+    * clusters' rows by PQ-reconstruction cosine (codebooks as plan
+    * literals — [[pqTopK]]'s encode), exact rerank of the top
+    * [[PqFetch]] emits top [[PqTopK]] with both scores.
+    *
+    * Scale shape — this is why the composite is THE production form:
+    * the inverted-list prune means stage 1 reads nprobe/nlist of the
+    * corpus (here 2/5; at 10⁹ vectors with 4096 lists, ~0.05%), and
+    * what it reads is codes, not floats. Neither single-stage parent
+    * reaches that: IVF-alone still scores floats inside the probed
+    * clusters, PQ-alone still scans every code. The plan is
+    * centroid-agg (bounded) → 1-row query broadcast × pruned scan →
+    * TakeOrdered(PqFetch) → k-row exact rerank — no corpus shuffle
+    * anywhere. The oracle replays probe + codebooks + both stages.
+    */
+  def simTopKIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqCodebooks(spark, sfDir)
+    val e0 = emb(spark, sfDir)
+    val e = e0.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val probed = centroidsByLabel(e0)
+      .crossJoin(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(IvfProbe)
+      .select(col("label"))
+    val recon = concat((0 until PqM).map { m =>
+      val cents = typedlit(cbs(m)._2.toSeq)
+      val nc = graft.expressions.VectorExpressions.nearestCentroidNative(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), cents)
+      element_at(cents, nc.getField("idx") + 1)
+    }: _*)
+    val cand = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("v"), col("q"),
+        cosine(recon, col("q")).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(PqFetch)
+    cand
+      .select(col("vec_id"), col("label"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(PqTopK)
+      // post-limit window: <= PqTopK rows (see the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("sim_pq"), 4).as("sim_pq"), round(col("sim"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  /** The DuckDB replay of [[simTopKIvfPq]] — the [[pqTopkOracleSql]]
+    * codebook CTEs plus the sim_topk_ivf probe decision, stage 1
+    * restricted to the probed labels before the LIMIT.
+    */
+  private[graft] def ivfPqOracleSql: String = {
+    val joins = (1 until PqM).map(m =>
+      s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
+      .mkString("\n    ")
+    val rv = (0 until PqM).map(m => s"a2_$m.cw").mkString(" || ")
+    s"""WITH
+$pqAllSubCtes,
+ivl AS (SELECT vec_id, label FROM embeddings),
+ivx AS (SELECT label, unnest(v) AS x, unnest(range(64)) AS pos
+  FROM ek JOIN ivl USING (vec_id)),
+ivc AS (SELECT label, list(a ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(x) AS a FROM ivx GROUP BY label, pos)
+  GROUP BY label),
+q AS (SELECT v AS qv FROM ek WHERE vec_id = 0),
+probe AS (SELECT label FROM ivc, q
+  ORDER BY ${cosSql("centroid", "qv")} DESC, label LIMIT $IvfProbe),
+rec AS (SELECT a2_0.vec_id, $rv AS rv
+  FROM a2_0 $joins
+  WHERE a2_0.rn = 1),
+s1 AS (SELECT rec.vec_id, ivl.label, ${cosSql("rv", "qv")} AS sim_pq
+  FROM rec JOIN ivl ON rec.vec_id = ivl.vec_id
+  JOIN probe ON ivl.label = probe.label, q
+  WHERE rec.vec_id <> 0 ORDER BY sim_pq DESC, rec.vec_id LIMIT $PqFetch),
+s2 AS (SELECT s1.vec_id, s1.label, s1.sim_pq, ${cosSql("ek.v", "qv")} AS sim
+  FROM s1 JOIN ek ON s1.vec_id = ek.vec_id, q),
+t AS (SELECT vec_id, label, sim_pq, sim,
+  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s2)
+SELECT rank, vec_id, label, round(sim_pq, 4) AS sim_pq, round(sim, 4) AS sim
+FROM t WHERE rank <= $PqTopK ORDER BY rank"""
+  }
+
   /** Matryoshka dims audited by [[mrlRecall]] — nested prefixes of the
     * 64-dim embedding (Kusupati'22: MRL-trained embeddings keep most of
     * their retrieval power in a short prefix; this row MEASURES whether

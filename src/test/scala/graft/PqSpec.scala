@@ -63,6 +63,45 @@ class PqSpec extends AnyFunSuite with Matchers with SparkTestBase {
     withClue(s"pq recall@10 = $recall: ") { recall should be >= 0.5 }
   }
 
+  test("sim_topk_ivfpq: results come only from the probed clusters; " +
+    "exact column is the true cosine; ranks dense") {
+    import spark.implicits._
+    val out = SimilarityPipeline.simTopKIvfPq(spark, sf)
+      .as[(Long, Long, Int, Double, Double)].collect()
+    out.map(_._1).toSeq shouldBe (1L to out.length)
+    out.length shouldBe 10
+
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v", "label")
+      .as[(Long, Seq[Double], Int)].collect()
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(0L)
+    // the coarse-quantizer decision, re-derived driver-side: per-label
+    // mean centroid, top-2 by cosine to the query — every emitted row's
+    // label must be one of the probed clusters (the inverted-list prune
+    // is real, not advisory)
+    val probed = rows.groupBy(_._3).map { case (label, g) =>
+      val n = g.length.toDouble
+      val c: Seq[Double] =
+        (0 until 64).map(i => g.map(_._2(i)).sum / n)
+      (label, cos(c, q))
+    }.toSeq.sortBy { case (l, c) => (-c, l) }.take(2).map(_._1).toSet
+    out.foreach { case (_, id, label, simPq, sim) =>
+      withClue(s"vec $id label $label outside probed $probed: ") {
+        probed should contain(label)
+      }
+      sim shouldBe (math.floor(cos(vecs(id), q) * 1e4 + 0.5) / 1e4 +- 1e-4)
+      simPq should (be >= -1.0001 and be <= 1.0001)
+    }
+  }
+
   test("pq_recon_error: every subspace encodes every vector; usage bounded by K") {
     import spark.implicits._
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
