@@ -49,6 +49,8 @@ object PlanAudit {
     "mmr_rerank",
     // 1-row total-token normalizer broadcast
     "lm_perplexity",
+    // the same 1-row corpus-total broadcast under the bottom-k% rank
+    "mink_contamination",
     // the same 1-row total-token broadcast inside the gate's ppl plan
     "perplexity_gate",
     // 8-row query-panel broadcasts (the simTopKBatch pattern) + the tiny
@@ -512,6 +514,11 @@ object PlanAudit {
     // orderBy (1-row total broadcasts) — the occurrence rows shuffle
     // once, never through a token-keyed window partition
     "lm_perplexity" -> 4,
+    // freq agg + occurrence join-back + doc-keyed rank window + the
+    // per-doc sizes agg/join + final agg + orderBy
+    "mink_contamination" -> 9,
+    // (doc,bucket) agg + id equi-join + per-doc agg + norm join + orderBy
+    "pair_alignment" -> 8,
     // 5 unrolled power-iteration rounds over checkpointed edge/degree
     // leaves; the edges leaf is pre-partitioned by src (AQE-off
     // checkpoint) so the contribution joins plan NO edge re-shuffle —

@@ -197,6 +197,10 @@ object SparkEntry {
     "corpus_diff" -> ((s, d) => TextPipeline.corpusDiff(s, d)),
     // feature-hashed 64-dim doc vectors (no-model text->vector bridge)
     "text_hash_embed" -> ((s, d) => TextPipeline.textHashEmbed(s, d)),
+    // Round 12: CLIP-score-shaped caption/pair alignment gate (the
+    // LAION/DataComp filter): hash-trick text vector vs stored embedding
+    // cosine per id-joined pair, low-alignment pairs flagged
+    "pair_alignment" -> ((s, d) => SimilarityPipeline.pairAlignment(s, d)),
     // per-doc fraction of 8-gram shingles unseen in any earlier doc
     "ngram_novelty" -> ((s, d) => TextPipeline.ngramNovelty(s, d)),
     // LSH banding tune grid: candidates/precision/recall per (bands, rows)
@@ -520,6 +524,11 @@ object SparkEntry {
     "sim_recall_tune" -> ((s, d) => SimilarityPipeline.simRecallTune(s, d)),
     "sim_topk_q8" -> ((s, d) => SimilarityPipeline.simTopKQ8(s, d)),
     "lm_perplexity" -> ((s, d) => TextPipeline.lmPerplexity(s, d)),
+    // Round 12: Min-K% prob membership-inference audit (Shi ICLR'24) —
+    // mean NLL of each doc's 20% least-probable tokens; integer-ranked
+    // bottom-k selection, micro-quantized order-invariant sums
+    "mink_contamination" -> ((s, d) =>
+      TextPipeline.minkContamination(s, d)),
     // CCNet head/middle/tail gate: per-lang perplexity terciles
     "perplexity_gate" -> ((s, d) => TextPipeline.perplexityGate(s, d)),
     "lm_bigram" -> ((s, d) => TextPipeline.lmBigram(s, d)),
@@ -3738,6 +3747,30 @@ s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
   FROM tf JOIN df USING (term), n GROUP BY doc_id)
 SELECT doc_id, n_terms_hit, score FROM s
 ORDER BY score DESC, doc_id LIMIT 10""",
+    // unigram freq rank (integer, monotone in lnp) picks the bottom 20%
+    // per doc; micro-quantized lnp integer sums — order-invariant
+    "mink_contamination" ->
+      """WITH tp AS (SELECT doc_id,
+  unnest(range(len(string_split(text, ' ')))) AS pos,
+  unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY token) AS freq FROM tp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tp),
+r AS (SELECT doc_id,
+  row_number() OVER (PARTITION BY doc_id ORDER BY freq, pos) AS rn,
+  CAST(floor(ln(CAST(freq AS DOUBLE) / n_total) * 1000000 + 0.5) AS BIGINT)
+    AS m
+  FROM f, tot),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST((count(*) + 4) // 5 AS BIGINT) AS n_mink
+  FROM r GROUP BY doc_id),
+d AS (SELECT r.doc_id, n_tokens, n_mink, CAST(sum(m) AS BIGINT) AS s
+  FROM r JOIN sz USING (doc_id) WHERE rn <= n_mink
+  GROUP BY r.doc_id, n_tokens, n_mink)
+SELECT doc_id, n_tokens, n_mink,
+  floor((-(CAST(s AS DOUBLE) / 1000000) / n_mink) * 10000 + 0.5) / 10000
+    AS mink_avg_nll
+FROM d ORDER BY doc_id""",
+    "pair_alignment" -> SimilarityPipeline.pairAlignmentOracleSql,
     "lm_perplexity" ->
       """WITH tp AS (SELECT doc_id,
   unnest(range(len(string_split(text, ' ')))) AS pos,

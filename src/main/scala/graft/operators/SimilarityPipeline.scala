@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
@@ -1526,6 +1526,98 @@ ORDER BY pos"""
       .select(lit(PqTopK.toLong).as("k"), col("n_hits"),
         (col("n_hits") * (10000L / PqTopK)).as("recall_bp"))
   }
+
+  /** Caption/pair alignment gate — the CLIP-score filtering shape of
+    * LAION-5B / DataComp (Schuhmann'22): each (text, vector) pair joined
+    * by id, scored by the cosine between a TEXT-side encoding and the
+    * stored embedding, low-alignment pairs flagged for the drop list.
+    * The text-side encoder here is the deterministic hashing trick
+    * ([[TextPipeline.textHashEmbed]]'s signed 64-bucket bag of words) —
+    * the plumbing (keyed join, per-pair cosine, threshold gate) is the
+    * production shape; a learned encoder would slot into the same plan.
+    *
+    * Determinism: the text vector is INTEGER signed counts; per-bucket
+    * dot terms are micro-quantized then integer-summed
+    * (order-invariant), the text norm is an exact integer sum of
+    * squares, and the embedding norm folds the array in storage order —
+    * both engines run the identical op sequence.
+    *
+    * Scale shape: sparse (doc, bucket, count) rows join the embedding
+    * table on id — corpus-keyed equi-joins and keyed aggs only, no
+    * windows, no broadcast of anything corpus-sized. At 10⁹ pairs this
+    * is two shuffles of occupancy-sized rows.
+    */
+  def pairAlignment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsDf = Tables.documents(spark, sfDir)
+    val h = md5(col("token"))
+    val bucket = pmod(conv(substring(h, 1, 4), 16, 10).cast(LongType),
+      lit(64L))
+    val sign = when(substring(h, 5, 1).isin(
+      "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+    val sparse = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), bucket.as("pos"), sign.as("sgn"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+    val ev = emb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val terms = sparse
+      .join(ev, sparse("doc_id") === ev("vec_id"))
+      .select(col("doc_id"),
+        floor(col("v").cast(DoubleType)
+          * element_at(col("e"), (col("pos") + 1L).cast("int"))
+          * 1000000d + 0.5d).cast(LongType).as("term"),
+        (col("v") * col("v")).as("v2"))
+    val d = terms.groupBy("doc_id")
+      .agg(sum(col("term")).as("dot_micro"),
+        sum(col("v2")).cast(LongType).as("n2t"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+    val en = ev.select(col("vec_id").as("doc_id"),
+      aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("n2e"))
+    d.join(en, "doc_id")
+      .withColumn("align",
+        round((col("dot_micro").cast(DoubleType) / 1000000d)
+          / (sqrt(col("n2t").cast(DoubleType)) * sqrt(col("n2e"))), 4)
+          + lit(0.0))
+      .select(col("doc_id"), col("n_terms"), col("align"),
+        (col("align") >= 0.0).as("aligned"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB replay of [[pairAlignment]] — the text_hash_embed CTEs
+    * through the sparse signed counts, the same micro-quantized dot.
+    */
+  private[graft] def pairAlignmentOracleSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+hb AS (SELECT doc_id,
+  CAST(list_sum(list_transform(range(4), dd ->
+    CAST(strpos('0123456789abcdef', md5(token)[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(3-dd))))) % 64 AS BIGINT) AS pos,
+  CASE WHEN strpos('01234567', md5(token)[5:5]) > 0 THEN 1 ELSE -1 END AS sgn
+  FROM t WHERE len(token) > 0),
+nz AS (SELECT doc_id, pos, CAST(sum(sgn) AS BIGINT) AS v
+  FROM hb GROUP BY doc_id, pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+terms AS (SELECT nz.doc_id,
+  CAST(floor(CAST(nz.v AS DOUBLE) * e[pos + 1] * 1000000 + 0.5) AS BIGINT)
+    AS term,
+  nz.v * nz.v AS v2
+  FROM nz JOIN ev ON nz.doc_id = ev.vec_id),
+d AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dot_micro,
+  CAST(sum(v2) AS BIGINT) AS n2t, CAST(count(*) AS BIGINT) AS n_terms
+  FROM terms GROUP BY doc_id),
+en AS (SELECT vec_id, list_sum(list_transform(e, x -> x * x)) AS n2e
+  FROM ev),
+a AS (SELECT d.doc_id, n_terms,
+  round((CAST(dot_micro AS DOUBLE) / 1000000)
+    / (sqrt(CAST(n2t AS DOUBLE)) * sqrt(n2e)), 4) + 0.0 AS align
+  FROM d JOIN en ON d.doc_id = en.vec_id)
+SELECT doc_id, n_terms, align, align >= 0.0 AS aligned
+FROM a ORDER BY doc_id"""
 
   /** IVF + PQ composite probe — the standard billion-scale ANN recipe
     * (Jégou et al. TPAMI'11, the IVFADC index): the coarse quantizer

@@ -2276,6 +2276,69 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .orderBy("doc_id")
   }
 
+  /** Min-K% prob membership/contamination score (Shi et al., ICLR'24
+    * "Detecting Pretraining Data from Large Language Models"): for each
+    * document, the mean NLL of its k%=20% LEAST-probable tokens under
+    * the corpus LM. The intuition: a document the model (here: the
+    * corpus statistics) has seen scores well even on its rarest tokens,
+    * so a LOW min-k NLL flags likely members/duplicates — the
+    * membership-inference test run as a batch contamination audit over
+    * an eval set before it is trusted.
+    *
+    * Determinism: token "probability" is the [[lmPerplexity]] unigram
+    * freq/N, so the bottom-k selection can rank by the INTEGER freq
+    * (monotone in lnp) with the position tie-break — no float ordering
+    * anywhere; selected lnps are micro-quantized per token and
+    * integer-summed (order-invariant, the UnigramTrainer discipline).
+    *
+    * Scale shape: one tokenize pass, token-type-sized freq agg joined
+    * back (AQE-skew-splittable keyed join, never a token-keyed window),
+    * a doc-keyed bounded rank window, two doc-keyed aggs. No
+    * corpus-sized sort, nothing driver-side.
+    */
+  def minkContamination(spark: SparkSession, sfDir: String): DataFrame =
+    minkContaminationFrom(spark, docs(spark, sfDir))
+
+  /** [[minkContamination]] over any (doc_id, text) frame. */
+  def minkContaminationFrom(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val toksPos = corpus
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val freqs = toksPos.groupBy("token")
+      .agg(count(lit(1)).cast(LongType).as("freq"))
+    val total = corpus
+      .agg(sum(size(tokens(col("text")))).cast(LongType).as("n_total"))
+    val ranked = toksPos.join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("freq").asc, col("pos").asc)))
+      .withColumn("m",
+        floor(log(col("freq").cast(DoubleType) / col("n_total"))
+          * 1000000d + 0.5d).cast(LongType))
+    // per-doc sizes straight off the corpus scan (NOT an agg over the
+    // ranked chain — that would re-execute tokenize+freq+window twice)
+    val sizes = corpus.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      // ceil(n/5) via integer arithmetic — Column `/` is DOUBLE division,
+      // so floor it back explicitly (exact for any corpus-sized n)
+      .withColumn("n_mink",
+        floor((col("n_tokens") + 4L) / 5L).cast(LongType))
+    ranked.join(sizes, "doc_id")
+      .filter(col("rn") <= col("n_mink"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_mink"))
+      .agg(sum(col("m")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_mink"),
+        // explicit half-up quantize, NOT round(,4): the mean lands on
+        // 4-decimal half-points (hit doc 648 at sf0.1) where Spark's
+        // BigDecimal round and DuckDB's disagree by 1 ulp of the digit;
+        // this is the same IEEE op sequence on both engines
+        (floor((-(col("s").cast(DoubleType) / 1000000d) / col("n_mink"))
+          * 10000d + 0.5d) / 10000d).as("mink_avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** The CCNet perplexity GATE (Wenzek'19 §4.3): each document bucketed
     * head/middle/tail by its [[lmPerplexity]] score WITHIN its language —
     * head = the lowest-perplexity (most in-distribution) third, the slice

@@ -33,4 +33,58 @@ object StreamingSimilarity {
       .select(col("vec_id"), col("v"),
         element_at(col("ids"), col("idx") + 1).as("cluster"), col("d2"))
   }
+
+  /** Streaming twin of
+    * [[graft.operators.SimilarityPipeline.pairAlignment]] — the
+    * ingest-side CLIP-score gate: each arriving (doc_id, text) document
+    * folds its own hash-trick vector IN-EXPRESSION (dense 64-long
+    * counts, the [[graft.operators.TextPipeline.textHashEmbedRowwise]]
+    * recipe), joins the STATIC embedding table on id, and scores the
+    * pair with the batch query's exact arithmetic: per-bucket dot terms
+    * micro-quantized then integer-summed (zero buckets contribute
+    * floor(0.5·10⁻⁶)=0, so summing all 64 equals the batch's
+    * nonzero-only sum), integer text norm, storage-order embedding-norm
+    * fold. Stateless stream-static equi-join — no watermark, no state,
+    * per-row cost independent of stream rate; batch/stream row equality
+    * is spec-proven.
+    */
+  def alignmentStream(docs: DataFrame, embStatic: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    def entry(t: org.apache.spark.sql.Column) = struct(
+      pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("long"), lit(64L))
+        .as("pos"),
+      when(substring(md5(t), 5, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+        .as("sgn"))
+    val dense = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("toks"), t => entry(t)),
+          array_repeat(lit(0L), 64),
+          (acc, e) => zip_with(acc,
+            sequence(lit(0L), lit(63L)),
+            (x, i) => when(i === e.getField("pos"),
+              x + e.getField("sgn")).otherwise(x))).as("dense"))
+    val ev = embStatic
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("e"))
+    dense.join(ev, "doc_id")
+      .select(col("doc_id"),
+        aggregate(col("dense"), lit(0L),
+          (a, x) => a + when(x =!= 0L, lit(1L)).otherwise(lit(0L)))
+          .as("n_terms"),
+        aggregate(zip_with(col("dense"), col("e"),
+          (v, e) => floor(v.cast("double") * e * 1000000d + 0.5d)
+            .cast("long")), lit(0L), (a, x) => a + x).as("dot_micro"),
+        aggregate(col("dense"), lit(0L), (a, x) => a + x * x).as("n2t"),
+        aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("n2e"))
+      .filter(col("n_terms") > 0L)
+      .withColumn("align",
+        round((col("dot_micro").cast("double") / 1000000d)
+          / (sqrt(col("n2t").cast("double")) * sqrt(col("n2e"))), 4)
+          + lit(0.0))
+      .select(col("doc_id"), col("n_terms"), col("align"),
+        (col("align") >= 0.0).as("aligned"))
+  }
 }

@@ -31,6 +31,25 @@ class LmIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromIndex.nonEmpty shouldBe true
   }
 
+  test("mink_contamination picks each doc's 20% rarest tokens, hand-checked") {
+    // crafted corpus: 'a' x9 + 'b' (doc 1: 10 tokens), 'a' x4 + 'z' (doc 2:
+    // 5 tokens). N = 15; freq(a)=13, freq(b)=1, freq(z)=1.
+    // doc 1: n_mink = ceil(10/5) = 2 -> rarest tokens are b (freq 1) then
+    // the first 'a' (freq 13, earliest pos): nll = -(ln(1/15)+ln(13/15))/2.
+    // doc 2: n_mink = 1 -> z alone: nll = -ln(1/15).
+    val crafted = Seq(
+      (1L, "a a a a b a a a a a"),
+      (2L, "a a z a a")).toDF("doc_id", "text")
+    val out = TextPipeline.minkContaminationFrom(spark, crafted)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def micro(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // the operator's explicit half-up quantize (same IEEE op sequence)
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val d1 = r4(-(micro(math.log(1.0 / 15)) + micro(math.log(13.0 / 15))) / 2)
+    val d2 = r4(-micro(math.log(1.0 / 15)) / 1)
+    out shouldBe Seq((1L, 10L, 2L, d1), (2L, 5L, 1L, d2))
+  }
+
   test("unseen bigrams score with the Laplace floor, not NaN") {
     val dir = java.nio.file.Files.createTempDirectory("lm-idx2").toString
     PersistedIndex.buildLmIndex(spark, corpus, dir)

@@ -86,6 +86,24 @@ class StreamingTextSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed.nonEmpty shouldBe true
   }
 
+  test("alignmentStream scores arriving pairs exactly like the batch pair_alignment") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val embStatic = spark.read.parquet(s"$sf/embeddings.parquet")
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    runStream(graft.streaming.StreamingSimilarity.alignmentStream(
+      input.toDF().toDF("doc_id", "text"), embStatic), "align_twin")
+    val streamed = spark.table("align_twin")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val batch = graft.operators.SimilarityPipeline.pairAlignment(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+
   test("mixtureSampleStream admits exactly the docs the batch mixtureSample admits") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
