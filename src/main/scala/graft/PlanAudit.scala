@@ -40,6 +40,8 @@ object PlanAudit {
     "pq_topk", "pq_recall", "pq_store",
     // 1-row query broadcast twice (probe decision + stage-1 scoring)
     "sim_topk_ivfpq",
+    // 8-row panel broadcast onto the tiny centroid frame (probe pairing)
+    "sim_topk_ivfpq_batch",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -337,6 +339,9 @@ object PlanAudit {
     // centroid agg + probe TakeOrdered + pruned-scan TakeOrdered +
     // k-row rerank + orderBy (codebooks trained eagerly, bounded)
     "sim_topk_ivfpq" -> 5,
+    // centroid agg + probe window + two q_id rank windows (the second
+    // reuses the first's partitioning) + orderBy
+    "sim_topk_ivfpq_batch" -> 8,
     // band-signature distinct + candidate semi-join + exact-set audit join
     "sim_topk_lsh" -> 4,
     // batch shape: candidate distinct + per-query rank windows (probe +

@@ -267,6 +267,10 @@ object SparkEntry {
     // 2 clusters, PQ-code scoring inside them only, exact rerank; the
     // billion-scale recipe both parents only half-realize
     "sim_topk_ivfpq" -> ((s, d) => SimilarityPipeline.simTopKIvfPq(s, d)),
+    // the composite's BATCH shape: 8-query panel served in one pass —
+    // probe table fan-out, per-query windows, no per-query job
+    "sim_topk_ivfpq_batch" -> ((s, d) =>
+      SimilarityPipeline.simTopKIvfPqBatch(s, d)),
     // Round 11: the LSH-bucketed ANN scale path — query probes only its
     // own 4 hyperplane band buckets; in_exact = recall audit vs brute
     "sim_topk_lsh" -> ((s, d) => SimilarityPipeline.simTopKLsh(s, d)),
@@ -2654,6 +2658,7 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,
     // probe decision + codebook replay + both stages, one generator
     "sim_topk_ivfpq" -> SimilarityPipeline.ivfPqOracleSql,
+    "sim_topk_ivfpq_batch" -> SimilarityPipeline.ivfPqBatchOracleSql(),
     // the persisted store's decode-probe answers the same replay
     "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,

@@ -1712,6 +1712,106 @@ SELECT rank, vec_id, label, round(sim_pq, 4) AS sim_pq, round(sim, 4) AS sim
 FROM t WHERE rank <= $PqTopK ORDER BY rank"""
   }
 
+  /** The BATCH shape of [[simTopKIvfPq]] — a panel of `nQueries` queries
+    * served by ONE pass (the [[simTopKBatch]] / lsh_store_batch
+    * discipline: no per-query job anywhere): the tiny centroid × panel
+    * pairing picks each query's [[IvfProbe]] clusters, the corpus joins
+    * the (q_id, label) probe table so a row fans out ONLY to the queries
+    * that probed its cluster, PQ codes score stage 1, per-query rank
+    * windows take [[PqFetch]] then exact-rerank to [[PqTopK]].
+    *
+    * Scale shape: stage 1 reads nprobe/nlist of the corpus per query as
+    * codes; the rank windows are q_id-keyed (panel-sized key space,
+    * per-key rows pruned by the probe join). At 10⁹ vectors this is the
+    * plan an online ANN service runs per request batch.
+    */
+  def simTopKIvfPqBatch(spark: SparkSession, sfDir: String,
+      nQueries: Int = 8): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqCodebooks(spark, sfDir)
+    val e0 = emb(spark, sfDir)
+    val e = e0.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("label"))
+    val probes = centroidsByLabel(e0)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("label"),
+        cosine(col("centroid"), col("q")).as("ccos"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= IvfProbe)
+      .select(col("q_id"), col("label"))
+    val recon = concat((0 until PqM).map { m =>
+      val cents = typedlit(cbs(m)._2.toSeq)
+      val nc = graft.expressions.VectorExpressions.nearestCentroidNative(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), cents)
+      element_at(cents, nc.getField("idx") + 1)
+    }: _*)
+    val w1 = Window.partitionBy("q_id")
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+    val s1 = e.filter(col("vec_id") >= nQueries)
+      .join(broadcast(probes), "label")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"), col("label"), col("v"), col("q"),
+        cosine(recon, col("q")).as("sim_pq"))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= PqFetch)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    s1.select(col("q_id"), col("vec_id"), col("label"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+        round(col("sim_pq"), 4).as("sim_pq"), round(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The DuckDB replay of [[simTopKIvfPqBatch]] — generated from the
+    * SAME nQueries default (the hardNegativesOracleSql rule).
+    */
+  private[graft] def ivfPqBatchOracleSql(nQueries: Int = 8): String = {
+    val joins = (1 until PqM).map(m =>
+      s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
+      .mkString("\n    ")
+    val rv = (0 until PqM).map(m => s"a2_$m.cw").mkString(" || ")
+    s"""WITH
+$pqAllSubCtes,
+ivl AS (SELECT vec_id, label FROM embeddings),
+ivx AS (SELECT label, unnest(v) AS x, unnest(range(64)) AS pos
+  FROM ek JOIN ivl USING (vec_id)),
+ivc AS (SELECT label, list(a ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(x) AS a FROM ivx GROUP BY label, pos)
+  GROUP BY label),
+qs AS (SELECT vec_id AS q_id, v AS qv FROM ek WHERE vec_id < $nQueries),
+pr AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+  ORDER BY ${cosSql("centroid", "qv")} DESC, label) AS crn FROM ivc, qs),
+probe AS (SELECT q_id, label FROM pr WHERE crn <= $IvfProbe),
+rec AS (SELECT a2_0.vec_id, $rv AS rv
+  FROM a2_0 $joins
+  WHERE a2_0.rn = 1),
+s1 AS (SELECT probe.q_id, rec.vec_id, ivl.label,
+  ${cosSql("rv", "qv")} AS sim_pq
+  FROM rec JOIN ivl ON rec.vec_id = ivl.vec_id
+  JOIN probe ON ivl.label = probe.label
+  JOIN qs ON qs.q_id = probe.q_id
+  WHERE rec.vec_id >= $nQueries),
+s1r AS (SELECT q_id, vec_id, label, sim_pq, row_number() OVER
+  (PARTITION BY q_id ORDER BY sim_pq DESC, vec_id) AS rn1 FROM s1),
+s2 AS (SELECT s1r.q_id, s1r.vec_id, s1r.label, s1r.sim_pq,
+  ${cosSql("ek.v", "qv")} AS sim
+  FROM s1r JOIN ek ON s1r.vec_id = ek.vec_id
+  JOIN qs ON qs.q_id = s1r.q_id
+  WHERE rn1 <= $PqFetch),
+t AS (SELECT q_id, vec_id, label, sim_pq, sim, row_number() OVER
+  (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s2)
+SELECT q_id, rank, vec_id, label,
+  round(sim_pq, 4) AS sim_pq, round(sim, 4) AS sim
+FROM t WHERE rank <= $PqTopK ORDER BY q_id, rank"""
+  }
+
   /** Matryoshka dims audited by [[mrlRecall]] — nested prefixes of the
     * 64-dim embedding (Kusupati'22: MRL-trained embeddings keep most of
     * their retrieval power in a short prefix; this row MEASURES whether
