@@ -42,6 +42,8 @@ object PlanAudit {
     "sim_topk_ivfpq",
     // 8-row panel broadcast onto the tiny centroid frame (probe pairing)
     "sim_topk_ivfpq_batch",
+    // 1-row query broadcast (stored-centroid probe + both stages)
+    "ivfpq_store",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -141,7 +143,7 @@ object PlanAudit {
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
-    "sim_topk_ivfpq",
+    "sim_topk_ivfpq", "ivfpq_store",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -342,6 +344,9 @@ object PlanAudit {
     // centroid agg + probe window + two q_id rank windows (the second
     // reuses the first's partitioning) + orderBy
     "sim_topk_ivfpq_batch" -> 8,
+    // stored-centroid probe TakeOrdered + pruned codes TakeOrdered +
+    // candidate rejoin + rerank + orderBy (build behind the session cache)
+    "ivfpq_store" -> 6,
     // band-signature distinct + candidate semi-join + exact-set audit join
     "sim_topk_lsh" -> 4,
     // batch shape: candidate distinct + per-query rank windows (probe +

@@ -360,6 +360,13 @@ object SparkEntry {
     // train -> persist -> decode-probe round-trips the in-query PQ
     "pq_store" -> ((s, d) =>
       graft.operators.PersistedIndex.pqTopKFromSessionStore(s, d)),
+    // Round 12: the PERSISTED IVF+PQ index (the FAISS IVFADC layout) —
+    // codes hive-partitioned by coarse cluster, stored-centroid probe,
+    // codes-only pruned stage 1, partition-pruned float rerank; same
+    // recompute oracle as sim_topk_ivfpq, so the green hash proves
+    // train -> persist -> pruned-decode-probe round-trips the composite
+    "ivfpq_store" -> ((s, d) =>
+      graft.operators.PersistedIndex.ivfPqTopKFromSessionStore(s, d)),
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // measured recall@k of the PQ stage vs brute force, exact integers
     "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
@@ -2659,6 +2666,8 @@ SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER B
     // probe decision + codebook replay + both stages, one generator
     "sim_topk_ivfpq" -> SimilarityPipeline.ivfPqOracleSql,
     "sim_topk_ivfpq_batch" -> SimilarityPipeline.ivfPqBatchOracleSql(),
+    // the persisted store's pruned decode-probe answers the same replay
+    "ivfpq_store" -> SimilarityPipeline.ivfPqOracleSql,
     // the persisted store's decode-probe answers the same replay
     "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,

@@ -362,6 +362,160 @@ object PersistedIndex {
     probePqIndex(spark, path)
   }
 
+
+  // --------------------------------------------- persisted IVF+PQ index --
+
+  /** Build the persisted IVF+PQ index at `path` — the FAISS IVFADC
+    * layout ([[SimilarityPipeline.simTopKIvfPq]]'s durable form, and the
+    * composite of [[buildIvfIndex]]'s partition pruning with
+    * [[buildPqIndex]]'s code-narrow scans):
+    *
+    *  - `codebooks/` — the frozen per-subspace PQ codewords (the
+    *    [[buildPqIndex]] shape);
+    *  - `centroids/` — the frozen coarse quantizer: one (label,
+    *    centroid) row per cluster (per-label mean at build time);
+    *  - `codes/ingest=<t>/label=L/` — (vec_id, codes, v) hive-partitioned
+    *    by coarse cluster, so a probe's stage 1 reads ONLY its nprobe
+    *    partitions' `codes` column;
+    *  - `manifest/version=N/` — [[StoreVersioning]] segments.
+    */
+  def buildIvfPqIndex(spark: SparkSession, sfDir: String,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = SimilarityPipeline.pqCodebooks(spark, sfDir)
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case ((_, vecs), m) =>
+      vecs.zipWithIndex.map { case (c, pos) => (m, pos, c) }
+    }.toDF("m", "pos", "c").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    SimilarityPipeline.centroidsByLabel(e)
+      .select(col("label"), col("centroid"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    writeIvfPqSegment(spark, e, path, "base")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", "base")))
+  }
+
+  private def writeIvfPqSegment(spark: SparkSession, vectors: DataFrame,
+      path: String, token: String): Unit = {
+    val cbs = pqStoredCodebooks(spark, path)
+    graft.sources.CorpusWriter.writePartitioned(
+      vectors.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("label"),
+          pqCodesCol(cbs, col("v")).as("codes"), col("v")),
+      s"$path/codes/ingest=$token", Seq("label"), "vec_id")
+  }
+
+  /** Fold new vectors in under the FROZEN codebooks and coarse clusters
+    * (delta rows carry their cluster label; codebooks ride from the
+    * store) — replayed folds are no-ops, pinned readers never tear.
+    * Centroid/codebook drift is the documented weekly-rebuild trade
+    * ([[appendToIvfIndex]]). */
+  def appendToIvfPqIndex(spark: SparkSession, delta: DataFrame,
+      path: String): Unit = {
+    graft.expressions.VectorExpressions.register(spark)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest")
+      .getOrElse("seg", Seq.empty)
+    val storedIds = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"))
+    val fresh = delta.select(col("vec_id"), col("label"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .join(storedIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val token =
+      s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    writeIvfPqSegment(spark, fresh, path, token)
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      (live :+ token).map(("seg", _)))
+  }
+
+  /** Probe the persisted IVF+PQ index — the [[probeIvfIndexQ8]] pruning
+    * discipline with PQ codes as the stage-1 payload: the stored coarse
+    * centroids pick nprobe clusters, stage 1 scans ONLY those label
+    * partitions' `codes` column (ADC from the frozen-codebook literals),
+    * stage 2 re-reads `v` through the same broadcast label join
+    * (partition-pruned) and exact-reranks. Output contract =
+    * [[SimilarityPipeline.simTopKIvfPq]] row-for-row (the driver's
+    * `ivfpq_store` oracle).
+    */
+  def probeIvfPqIndex(spark: SparkSession, sfDir: String, path: String,
+      queryId: Long = 0L, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqStoredCodebooks(spark, path)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(SimilarityPipeline.IvfProbe)
+      .select(col("label"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+    val recon = concat((0 until SimilarityPipeline.PqM).map { m =>
+      element_at(typedlit(cbs(m).toSeq),
+        element_at(col("codes"), m + 1) + 1)
+    }: _*)
+    val cand = codes
+      .select(col("vec_id"), col("label"), col("codes")) // stage 1: codes
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("q"),
+        cosine(recon, col("q")).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(SimilarityPipeline.PqFetch)
+    // stage 2 re-reads the float column THROUGH the broadcast label join
+    // so its scan is partition-pruned to the nprobe directories too
+    val stage2 = codes.join(broadcast(probed), "label")
+      .select(col("vec_id"), col("v"))
+    cand
+      .join(stage2, "vec_id")
+      .select(col("vec_id"), col("label"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(SimilarityPipeline.PqTopK)
+      // post-limit window: <= PqTopK rows (the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("sim_pq"), 4).as("sim_pq"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  private val ivfPqStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** The store as a driver surface: train + persist the whole snapshot
+    * once per (app, sfDir), probe from stored centroids + codes —
+    * answers the sim_topk_ivfpq recompute oracle, so the green hash
+    * proves train→persist→pruned-decode-probe equals the in-query
+    * composite exactly. */
+  def ivfPqTopKFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = ivfPqStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      ivfPqStoreCache.keySet.removeIf(_._1 != appId)
+      ivfPqStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-store").toString
+        buildIvfPqIndex(spark, sfDir, p)
+        p
+      })
+    }
+    probeIvfPqIndex(spark, sfDir, path)
+  }
+
   // -------------------------------------------------- decontamination --
 
   /** Persist the eval-side decontamination artifacts at `path` — built

@@ -32,7 +32,7 @@ import graft.sources.Tables
 object SimilarityPipeline {
 
   private val TopK = 20
-  private val IvfProbe = 2
+  private[operators] val IvfProbe = 2
   private val IvfTopK = 10
   private val NearDupThreshold = 0.4
 
@@ -225,7 +225,7 @@ FROM ($picks) ORDER BY rank"""
     * label, no row inflation (the 64x posexplode this replaces survives in
     * the oracle SQL as the engine-neutral formulation).
     */
-  private def centroidsByLabel(e: DataFrame): DataFrame =
+  private[operators] def centroidsByLabel(e: DataFrame): DataFrame =
     e.groupBy("label")
       .agg(graft.expressions.VecSumAgg
         .vecSum(col("embedding").cast("array<double>")).as("sums"),

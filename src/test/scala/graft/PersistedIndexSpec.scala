@@ -365,6 +365,58 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed shouldBe batchRows.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
   }
 
+
+  test("IVF+PQ store: pruned decode-probe equals the in-query composite; " +
+    "pinned reader survives the fold; both code scans are cluster-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    PersistedIndex.buildIvfPqIndex(spark, sf, dir)
+    val inQuery = SimilarityPipeline.simTopKIvfPq(spark, sf).collect()
+    PersistedIndex.probeIvfPqIndex(spark, sf, dir)
+      .collect().toSeq.map(_.toSeq) shouldBe inQuery.toSeq.map(_.toSeq)
+
+    // plan shape: stage 1 reads codes WITHOUT the float column, and every
+    // codes scan carries the runtime cluster partition filter (the
+    // probeIvfIndexQ8 discipline applied to PQ payloads)
+    val plan = PersistedIndex.probeIvfPqIndex(spark, sf, dir)
+      .queryExecution.explainString(FormattedMode)
+    val scanBlocks = """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+      .findAllIn(plan).toList
+    val codeScans = scanBlocks.filter(_.contains("/codes"))
+    codeScans.length should be >= 2 // stage 1 (codes) and stage 2 (v)
+    def fields(b: String): Set[String] =
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(b)
+        .map(_.group(1).split(",").map(_.trim.split(":")(0)).toSet)
+        .getOrElse(Set.empty)
+    withClue(s"no codes-only stage-1 scan in:\n${codeScans.mkString("\n")}\n") {
+      codeScans.exists(b =>
+        fields(b).contains("codes") && !fields(b).contains("v")) shouldBe true
+    }
+    codeScans.foreach { b =>
+      withClue(s"unpruned codes scan:\n$b\n") {
+        b should include("dynamicpruning")
+      }
+    }
+
+    // pin version 1, fold a clone of the query vector INTO a probed
+    // cluster (the top result's label), re-read pinned byte-identically
+    val pinned = PersistedIndex.probeIvfPqIndex(spark, sf, dir, version = 1L)
+    val before = pinned.collect().toSeq.map(_.toSeq)
+    val topLabel = inQuery.head.getAs[Int]("label")
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" === 0)
+      .select(lit(77777L).as("vec_id"), lit(topLabel).as("label"),
+        $"embedding")
+    PersistedIndex.appendToIvfPqIndex(spark, delta, dir) // -> version 2
+    pinned.collect().toSeq.map(_.toSeq) shouldBe before
+    // latest: the clone decodes AND reranks to rank 1, exact sim 1.0
+    val top = PersistedIndex.probeIvfPqIndex(spark, sf, dir).collect().head
+    top.getAs[Long]("vec_id") shouldBe 77777L
+    // replay: the same delta folds to a no-op
+    PersistedIndex.appendToIvfPqIndex(spark, delta, dir)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe 2L
+  }
+
   test("the delta probe plan never touches corpus text — only the day's shard and the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx2").toString
     val sep = java.nio.file.Files.createTempDirectory("graft-didx2-src").toString
