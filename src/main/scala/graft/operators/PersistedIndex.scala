@@ -114,6 +114,11 @@ object PersistedIndex {
       (live :+ token).map(("seg", _)))
   }
 
+  /** Drop IVF segments referenced by NO surviving manifest version —
+    * run after [[StoreVersioning.pruneVersions]]. */
+  def gcIvfSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcSegments(spark, path, Seq("vectors"))
+
   /** Probe a persisted IVF index: rank the k centroids by cosine to the
     * query vector (vec_id `queryId` of the original corpus — kept out of
     * the results like simTopK), take `nprobe`, and scan ONLY those cluster
@@ -294,6 +299,11 @@ object PersistedIndex {
       (live :+ token).map(("seg", _)))
   }
 
+  /** Drop PQ segments referenced by NO surviving manifest version —
+    * run after [[StoreVersioning.pruneVersions]]. */
+  def gcPqSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcSegments(spark, path, Seq("codes"))
+
   /** Probe the persisted PQ index: stage 1 ranks by the cosine of the
     * RECONSTRUCTION decoded from the STORED codes (the ADC sum — element
     * lookups into the frozen-codebook literals, `codes` is the only
@@ -433,6 +443,11 @@ object PersistedIndex {
     StoreVersioning.commitTokens(spark, s"$path/manifest",
       (live :+ token).map(("seg", _)))
   }
+
+  /** Drop IVF+PQ segments referenced by NO surviving manifest version —
+    * run after [[StoreVersioning.pruneVersions]]. */
+  def gcIvfPqSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcSegments(spark, path, Seq("codes"))
 
   /** Probe the persisted IVF+PQ index — the [[probeIvfIndexQ8]] pruning
     * discipline with PQ codes as the stage-1 payload: the stored coarse

@@ -121,6 +121,31 @@ object StoreVersioning {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
     }
 
+  /** Drop `ingest=<token>` segment directories referenced by NO
+    * surviving manifest version — the retention pass run after
+    * [[pruneVersions]] (which drops version dirs but must leave
+    * segments alone: older surviving versions may still reference
+    * them). Bounded: one manifest read per surviving version plus one
+    * directory listing per sub-store.
+    */
+  def gcSegments(spark: SparkSession, path: String, subDirs: Seq[String],
+      kind: String = "seg"): Unit = {
+    val dir = s"$path/manifest"
+    val referenced = listVersions(spark, dir)
+      .flatMap(v => liveTokens(spark, dir, v).getOrElse(kind, Seq.empty))
+      .toSet
+    val f = fs(spark, path)
+    subDirs.foreach { sub =>
+      val p = new Path(s"$path/$sub")
+      if (f.exists(p))
+        f.listStatus(p).map(_.getPath.getName).toSeq
+          .filter(_.startsWith("ingest="))
+          .map(_.stripPrefix("ingest="))
+          .filterNot(referenced)
+          .foreach(t => f.delete(new Path(s"$path/$sub/ingest=$t"), true))
+    }
+  }
+
   /** (kind → tokens) of `version` (latest when -1) — bounded driver-side
     * read, one row per segment. */
   def liveTokens(spark: SparkSession, manifestDir: String,

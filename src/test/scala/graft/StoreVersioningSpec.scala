@@ -103,4 +103,45 @@ class StoreVersioningSpec extends AnyFunSuite with Matchers
     spark.read.parquet(StoreVersioning.versionDir(dir, 1L))
       .as[Int].collect().toSeq shouldBe Seq(1)
   }
+
+  test("gcSegments drops only segments no surviving version references; " +
+    "the surviving store still probes") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    graft.operators.PersistedIndex.buildIvfPqIndex(spark, sf, dir)
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 1)
+      .select(org.apache.spark.sql.functions.lit(66666L).as("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+    graft.operators.PersistedIndex.appendToIvfPqIndex(spark, delta, dir)
+    val fs = StoreVersioning.fs(spark, dir)
+    def segs: Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+        .map(_.getPath.getName).toSet
+    segs shouldBe Set("ingest=base", "ingest=d2")
+    // while BOTH versions survive, gc drops nothing (v1 references base)
+    graft.operators.PersistedIndex.gcIvfPqSegments(spark, dir)
+    segs shouldBe Set("ingest=base", "ingest=d2")
+    // prune to the latest version only; base stays referenced by v2 too
+    // (appends accumulate tokens), so gc still keeps both — no dangling
+    StoreVersioning.pruneVersions(spark, s"$dir/manifest", keep = 1)
+    graft.operators.PersistedIndex.gcIvfPqSegments(spark, dir)
+    segs shouldBe Set("ingest=base", "ingest=d2")
+    // a retention re-commit that references d2 alone, pruned to it,
+    // finally strands base — gc removes exactly that segment
+    StoreVersioning.commitTokens(spark, s"$dir/manifest",
+      Seq(("seg", "d2")))
+    StoreVersioning.pruneVersions(spark, s"$dir/manifest", keep = 1)
+    graft.operators.PersistedIndex.gcIvfPqSegments(spark, dir)
+    segs shouldBe Set("ingest=d2")
+    // the surviving store holds exactly the appended segment's row, and
+    // a probe against it still executes without error (its result may be
+    // empty — the clone's cluster need not be among the probed ones)
+    spark.read.parquet(s"$dir/codes")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0)).toSet shouldBe Set(66666L)
+    noException should be thrownBy graft.operators.PersistedIndex
+      .probeIvfPqIndex(spark, sf, dir).collect()
+  }
 }
