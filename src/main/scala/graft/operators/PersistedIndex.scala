@@ -449,6 +449,46 @@ object PersistedIndex {
   def gcIvfPqSegments(spark: SparkSession, path: String): Unit =
     StoreVersioning.gcSegments(spark, path, Seq("codes"))
 
+  /** The streaming ingest twin of [[appendToIvfPqIndex]] — each arriving
+    * micro-batch of (vec_id, label, embedding) folds through the same
+    * frozen-codebook segment + manifest discipline (at-least-once
+    * replays are absorbed by the stored-id dedup). Start with
+    * `.start()`. */
+  def ivfPqIngestStream(vecs: DataFrame, path: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          appendToIvfPqIndex(batch.sparkSession, batch.toDF(), path)
+      }
+
+  /** Compact a delta-grown IVF+PQ index: fold every live segment into
+    * ONE new `ingest=c<v>` segment (re-partitioned by cluster) and
+    * publish it as the next manifest version — readers pinned to the old
+    * version keep their segments; [[gcIvfPqSegments]] is the retention
+    * pass. Codes are copied verbatim (the codebooks are frozen, so
+    * re-encoding is a no-op by construction — cheaper to not re-run it).
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest")
+      .getOrElse("seg", Seq.empty)
+    val all = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+      .select(col("vec_id"), col("label"), col("codes"), col("v"))
+      .localCheckpoint()
+    val token =
+      s"c${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    graft.sources.CorpusWriter.writePartitioned(
+      all, s"$path/codes/ingest=$token", Seq("label"), "vec_id")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", token)))
+  }
+
   /** Probe the persisted IVF+PQ index — the [[probeIvfIndexQ8]] pruning
     * discipline with PQ codes as the stage-1 payload: the stored coarse
     * centroids pick nprobe clusters, stage 1 scans ONLY those label

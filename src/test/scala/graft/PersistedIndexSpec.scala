@@ -778,6 +778,48 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
     filesRead should be < allFiles.toLong
   }
 
+  test("streaming IVF+PQ ingest equals batch appends; compaction folds " +
+    "live segments to one, probe unchanged") {
+    implicit val sqlCtxIp: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dirS = java.nio.file.Files.createTempDirectory("graft-ivfpqs").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivfpqb").toString
+    PersistedIndex.buildIvfPqIndex(spark, sf, dirS)
+    PersistedIndex.buildIvfPqIndex(spark, sf, dirB)
+    def clones(lo: Long, hi: Long) = e.filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select(($"vec_id" + 50000L).as("vec_id"), $"label", $"embedding")
+    PersistedIndex.appendToIvfPqIndex(spark, clones(0, 2), dirB)
+    PersistedIndex.appendToIvfPqIndex(spark, clones(2, 4), dirB)
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = PersistedIndex.ivfPqIngestStream(
+        input.toDF().toDF("vec_id", "label", "embedding"), dirS,
+        java.nio.file.Files.createTempDirectory("chk-ivfpq").toString)
+      .start()
+    try {
+      input.addData(clones(0, 2).as[(Long, Int, Seq[Float])].collect().toSeq)
+      q.processAllAvailable()
+      input.addData(clones(2, 4).as[(Long, Int, Seq[Float])].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def content(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select($"vec_id", $"label", $"codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toSeq)).sortBy(_._1).toSeq
+    content(dirS) shouldBe content(dirB)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dirS/manifest") shouldBe 3L
+    // compaction: one live segment, probe byte-identical, old segments
+    // untouched on disk (gc is the separate retention pass)
+    val before = PersistedIndex.probeIvfPqIndex(spark, sf, dirS)
+      .collect().toSeq.map(_.toSeq)
+    PersistedIndex.compactIvfPqIndex(spark, dirS)
+    graft.operators.StoreVersioning
+      .liveTokens(spark, s"$dirS/manifest")("seg") shouldBe Seq("c4")
+    PersistedIndex.probeIvfPqIndex(spark, sf, dirS)
+      .collect().toSeq.map(_.toSeq) shouldBe before
+  }
+
   test("streaming LSH ingest equals the batch fold") {
     implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
