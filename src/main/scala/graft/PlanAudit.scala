@@ -44,6 +44,8 @@ object PlanAudit {
     "sim_topk_ivfpq_batch",
     // 1-row query broadcast (stored-centroid probe + both stages)
     "ivfpq_store",
+    // 1-row total × 1-row CI frame pairing
+    "bootstrap_ci",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -140,6 +142,8 @@ object PlanAudit {
     "assign_ids", "curriculum",
     // <= #bins merged-sketch estimate windows
     "hist_quantiles",
+    // the 32-row post-agg resample-mean rank (the offsets-table class)
+    "bootstrap_ci",
     // <= k-row post-TakeOrdered rerank/numbering windows
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
@@ -732,6 +736,9 @@ object PlanAudit {
     "classifier_auc" -> 5,
     // classifier chain + heuristic projection join + per-lang agg + orderBy
     "gate_kappa" -> 10,
+    // 32-group weighted agg + the 32-row rank window + 1-row CI agg +
+    // the 1-row totals side
+    "bootstrap_ci" -> 5,
     "label_noise" -> 4,
     // post-fence (round 10): the lm_perplexity chain runs eagerly behind
     // the doc-sized leaf; the returned plan is the two-level rank +

@@ -173,6 +173,10 @@ object SparkEntry {
       graft.operators.DataQuality.classifierAuc(s, d)),
     // Cohen's kappa between the heuristic and model quality gates
     "gate_kappa" -> ((s, d) => graft.operators.DataQuality.gateKappa(s, d)),
+    // Round 12: Poisson-bootstrap CI (Chamandy'12) — 32 deterministic
+    // hash-weighted resamples, rank-2/31 percentile interval
+    "bootstrap_ci" -> ((s, d) =>
+      graft.operators.DataQuality.bootstrapCi(s, d)),
     // most-confidently-contradicted labels (confident-learning rank core)
     "label_noise" -> ((s, d) => graft.operators.DataQuality.labelNoise(s, d)),
     "quality_classifier" -> ((s, d) =>
@@ -1682,6 +1686,38 @@ nk AS (SELECT lang, doc_id, label, score_q6,
   FROM nd)
 SELECT lang, rnk, doc_id, label, score_q6 FROM nk WHERE rnk <= 20
 ORDER BY lang, rnk""",
+    // 32 Poisson(1)-weighted resamples from hash-uniform draws; integer
+    // weighted sums per resample, one division, rank-2/31 interval
+    "bootstrap_ci" ->
+      """WITH bb AS (SELECT unnest(range(32)) AS b),
+h AS (SELECT d.n_chars, bb.b,
+  CAST(list_sum(list_transform(range(8), dd ->
+    CAST(strpos('0123456789abcdef',
+      md5('boot:' || CAST(bb.b AS VARCHAR) || ':'
+        || CAST(d.doc_id AS VARCHAR))[dd+1:dd+1]) - 1 AS BIGINT)
+      * (1::BIGINT << (4*(7-dd))))) AS BIGINT) AS h32
+  FROM documents d, bb),
+p AS (SELECT b, n_chars,
+  CASE WHEN u < 0.36787944117144233 THEN 0
+       WHEN u < 0.7357588823428847 THEN 1
+       WHEN u < 0.9196986029286058 THEN 2
+       WHEN u < 0.9810118431238462 THEN 3
+       WHEN u < 0.9963401531726563 THEN 4
+       WHEN u < 0.9994058151824183 THEN 5
+       WHEN u < 0.9999167588507119 THEN 6
+       WHEN u < 0.9999897508033253 THEN 7
+       ELSE 8 END AS w
+  FROM (SELECT b, n_chars, CAST(h32 AS DOUBLE) / 4294967296.0 AS u FROM h)),
+m AS (SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS sx,
+  CAST(sum(w) AS BIGINT) AS sw FROM p GROUP BY b),
+mb AS (SELECT b, CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b FROM m),
+r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM mb),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
+SELECT n_docs, round(CAST(sx AS DOUBLE) / n_docs, 4) AS est,
+  round((SELECT mean_b FROM r WHERE rk = 2), 4) AS ci_lo,
+  round((SELECT mean_b FROM r WHERE rk = 31), 4) AS ci_hi
+FROM tot""",
     // confusion counts between the heuristic and classifier gates, kappa
     // from the integer moments as one shared IEEE expression
     "gate_kappa" ->

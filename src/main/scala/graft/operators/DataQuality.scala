@@ -264,6 +264,66 @@ object DataQuality {
     * here the per-row window is (lang, score-range-bucket)-bounded —
     * and a 50-row agg.
     */
+  /** Poisson-bootstrap confidence interval for the corpus mean document
+    * length — the bootstrap that works on a cluster (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    * instead of drawing n-of-n WITH replacement (global coordination),
+    * each row enters resample b with an independent Poisson(1) weight,
+    * which preserves the bootstrap distribution at any scale. B = 32
+    * DETERMINISTIC resamples: the weight is the Poisson(1) inverse CDF
+    * of a hash-uniform u(doc, b), so both engines draw identical
+    * resamples. Emits the point estimate and the rank-2 / rank-31 of
+    * the 32 resample means (the ~2.5/97.5 percentile CI) — the error
+    * bar an eval report should carry next to any corpus statistic.
+    *
+    * Scale shape: one scan fanned ×32 carrying only (b, w, n_chars),
+    * collapsed by a 32-group map-side-combined integer agg; the CI rank
+    * window runs on the 32-row frame. Nothing else moves.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val B = 32
+    val u = conv(substring(md5(concat(lit("boot:"),
+        col("b").cast(StringType), lit(":"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / 4294967296.0d
+    // Poisson(1) inverse CDF — cumulative e^-1/k! thresholds, capped at 8
+    // (P(w > 8) < 1e-6; the cap is part of the pinned contract)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9999167588507119, 6L)
+      .when(u < 0.9999897508033253, 7L)
+      .otherwise(8L)
+    val means = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("b"), w.as("w"), col("n_chars"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("n_chars")).as("sx"),
+        sum(col("w")).as("sw"))
+      .select(col("b"),
+        (col("sx").cast(DoubleType) / col("sw").cast(DoubleType))
+          .as("mean_b"))
+      // post-agg window: exactly B = 32 rows (the assign_ids offsets class)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_b").asc, col("b").asc)))
+    val tot = docs.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("n_chars")).cast(LongType).as("sx"))
+    val ci = means.agg(
+      min(when(col("rk") === 2, col("mean_b"))).as("lo"),
+      min(when(col("rk") === B - 1, col("mean_b"))).as("hi"))
+    tot.crossJoin(ci)
+      .select(col("n_docs"),
+        round(col("sx").cast(DoubleType) / col("n_docs"), 4).as("est"),
+        round(col("lo"), 4).as("ci_lo"),
+        round(col("hi"), 4).as("ci_hi"))
+  }
+
   def calibBins(spark: SparkSession, sfDir: String): DataFrame =
     calibBinsFrom(Tables.documents(spark, sfDir))
 
