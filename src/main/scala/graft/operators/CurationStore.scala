@@ -232,8 +232,18 @@ object CurationStore {
     all.repartition(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/ingest=base")
     val docsPath = new org.apache.hadoop.fs.Path(s"$path/docs")
-    fs.rename(docsPath, new org.apache.hadoop.fs.Path(retiring))
-    fs.rename(new org.apache.hadoop.fs.Path(staging), docsPath)
+    // BOTH renames must be checked: if the retire rename fails silently
+    // and execution continues, the second rename lands the staged tree
+    // INSIDE the still-existing docs/ (posix mv-into semantics) — the
+    // compaction is discarded with no error (the commitNextVersion
+    // publish-race lesson applied to this sibling swap)
+    require(fs.rename(docsPath, new org.apache.hadoop.fs.Path(retiring)),
+      s"compaction aborted: could not retire $docsPath (concurrent " +
+        "compaction or permission refusal); store untouched")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), docsPath),
+      s"compaction failed publishing $staging -> $docsPath; the " +
+        s"pre-compaction tree is at $retiring — restore it by renaming " +
+        "back before reading this store")
     fs.delete(new org.apache.hadoop.fs.Path(retiring), true)
   }
 

@@ -804,7 +804,12 @@ object MultimodalPipeline {
         // same floor-cast as the builder: `/` alone would type the fold
         // struct's pos as DOUBLE and fail analysis
         val flen = (lit(144000L) * kbps / sr).cast(LongType) + pad
-        when(pos >= limit || !valid, acc) // terminal: end or broken sync
+        // null-safe terminal: a payload truncated MID-HEADER makes
+        // beUint's substr read past the end, conv returns NULL, and a
+        // bare `!valid` turns the whole guard NULL — CaseWhen then falls
+        // to otherwise and poisons pos/n with NULL for every remaining
+        // iteration. coalesce(valid, false) makes truncation terminal.
+        when(pos >= limit || !coalesce(valid, lit(false)), acc)
           .otherwise(struct(
             (pos + flen).as("pos"), (acc.getField("n") + 1L).as("n"),
             when(acc.getField("n") === 0L, kbps)
@@ -943,7 +948,8 @@ object MultimodalPipeline {
         val valid = syncOk && sfIdx < 13L && flen >= 7L
         val sr = element_at(array(AacSampleRates.map(lit): _*),
           (sfIdx + 1L).cast(IntegerType))
-        when(pos >= limit || !valid, acc)
+        // null-safe terminal (the mp3Walk truncated-header discipline)
+        when(pos >= limit || !coalesce(valid, lit(false)), acc)
           .otherwise(struct(
             (pos + flen).as("pos"), (acc.getField("n") + 1L).as("n"),
             when(acc.getField("n") === 0L, shiftright(b2, 6) + 1L)
@@ -1044,7 +1050,9 @@ object MultimodalPipeline {
         val len = beUint(payload, pos, 4)
         val typ = beUint(payload, pos + 4L, 1).bitwiseAND(lit(31L))
         val isSps = typ === 7L
-        when(pos >= limit || len < 1L, acc) // end or malformed: terminal
+        // null-safe: a length prefix truncated mid-payload reads NULL —
+        // coalesce to 0 so it is terminal, not a NULL-poisoning fall-through
+        when(pos >= limit || coalesce(len, lit(0L)) < 1L, acc)
           .otherwise(struct(
             (pos + 4L + len).as("pos"),
             (acc.getField("n_sps") + when(isSps, 1L).otherwise(0L))

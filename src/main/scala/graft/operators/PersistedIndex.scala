@@ -979,7 +979,7 @@ FROM graft_shingle_bloom_build""")
   def buildTextIndex(spark: SparkSession, corpus: DataFrame,
       path: String): Unit = {
     writeTextIndexDelta(corpus, path, "base", SaveMode.Overwrite)
-    commitTextIndexManifest(spark, path, Seq("base"), Seq.empty)
+    commitTextIndexManifest(spark, path, Seq("base"), Seq.empty, Seq.empty)
   }
 
   /** Append a delta corpus's postings as a NEW immutable segment —
@@ -997,19 +997,37 @@ FROM graft_shingle_bloom_build""")
     val token =
       s"d${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
     writeTextIndexDelta(delta, path, token, SaveMode.Overwrite)
-    commitTextIndexManifest(spark, path, segs :+ token, tombs)
+    commitTextIndexManifest(spark, path, segs :+ token, tombs,
+      textIndexFolded(spark, path))
   }
 
   /** Manifest rows are (kind ∈ seg|tomb, token): which postings/meta/
     * doclens segments and which tombstone segments a version reads. */
   private def commitTextIndexManifest(spark: SparkSession, path: String,
-      segs: Seq[String], tombs: Seq[String]): Long =
+      segs: Seq[String], tombs: Seq[String],
+      folded: Seq[String]): Long =
     StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
       import spark.implicits._
-      (segs.map(("seg", _)) ++ tombs.map(("tomb", _)))
+      (segs.map(("seg", _)) ++ tombs.map(("tomb", _))
+        ++ folded.map(("folded", _)))
         .toDF("kind", "token").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(staging)
     }
+
+  /** Every streaming-batch token EVER folded into this store — carried
+    * through every manifest version (including compactions, which fold
+    * segments away but must not forget them): the replay guard for
+    * [[appendTextIndexBatch]] checks THIS ledger, not segment liveness,
+    * so a batch replayed AFTER a compaction absorbed it cannot re-commit
+    * its postings (which would double those docs' term frequencies). */
+  private def textIndexFolded(spark: SparkSession, path: String): Seq[String] = {
+    val dir = s"$path/manifest"
+    val v = StoreVersioning.latestVersion(spark, dir)
+    if (v == 0) return Seq.empty
+    spark.read.parquet(StoreVersioning.versionDir(dir, v))
+      .collect().filter(_.getString(0) == "folded")
+      .map(_.getString(1)).toSeq.sorted
+  }
 
   /** The (segment, tombstone) token lists of `version` (latest when -1)
     * — bounded driver-side read, one row per segment. A never-committed
@@ -1066,12 +1084,18 @@ FROM graft_shingle_bloom_build""")
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val token = s"b$batchId"
+    // replay guard against the FOLDED ledger, not segment liveness: a
+    // compaction can absorb b<id> into c<v> before the stream
+    // checkpoints the batch, and a liveness check would then re-commit
+    // the replayed segment NEXT TO the compacted copy, doubling those
+    // docs' term frequencies. The ledger remembers every folded token
+    // forever, so the replay is a complete no-op (no write either).
+    val folded = textIndexFolded(spark, path)
+    if (folded.contains(token)) return
     writeTextIndexDelta(batch, path, token, SaveMode.Overwrite)
-    // a REPLAYED batch rewrote its own segment byte-identically — only
-    // commit a manifest version the first time the token lands
     val (segs, tombs) = textIndexLive(spark, path, -1L)
-    if (!segs.contains(token))
-      commitTextIndexManifest(spark, path, segs :+ token, tombs)
+    commitTextIndexManifest(spark, path, segs :+ token, tombs,
+      folded :+ token)
   }
 
   /** The streaming ingest twin of [[appendToTextIndex]] — routes each
@@ -1112,7 +1136,8 @@ FROM graft_shingle_bloom_build""")
     ids.select(col("doc_id"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$path/tombstones/ingest=$token")
-    commitTextIndexManifest(spark, path, segs, tombs :+ token)
+    commitTextIndexManifest(spark, path, segs, tombs :+ token,
+      textIndexFolded(spark, path))
   }
 
   /** Anti-join `df` (must carry doc_id) against the pinned version's
@@ -1147,7 +1172,10 @@ FROM graft_shingle_bloom_build""")
   def compactTextIndex(spark: SparkSession, src: String,
       dst: String): Unit = {
     writeCompacted(spark, src, dst, "base")
-    commitTextIndexManifest(spark, dst, Seq("base"), Seq.empty)
+    // carry the SOURCE store's folded ledger: a stream redirected to the
+    // compacted store must still see its already-folded batch tokens
+    commitTextIndexManifest(spark, dst, Seq("base"), Seq.empty,
+      textIndexFolded(spark, src))
   }
 
   /** In-place compaction under the version discipline: the merged
@@ -1161,7 +1189,10 @@ FROM graft_shingle_bloom_build""")
     val token =
       s"c${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
     writeCompacted(spark, path, path, token)
-    commitTextIndexManifest(spark, path, Seq(token), Seq.empty)
+    // the folded ledger SURVIVES compaction — forgetting it would let a
+    // late replay of an absorbed batch double its postings
+    commitTextIndexManifest(spark, path, Seq(token), Seq.empty,
+      textIndexFolded(spark, path))
   }
 
   /** Drop segment directories referenced by NO surviving manifest
@@ -1174,17 +1205,8 @@ FROM graft_shingle_bloom_build""")
         val (s, t) = textIndexLive(spark, path, v)
         s ++ t
       }.toSet
-    val fs = StoreVersioning.fs(spark, path)
-    Seq("postings", "meta", "doclens", "tombstones").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (fs.exists(p))
-        fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("ingest="))
-          .map(_.stripPrefix("ingest="))
-          .filterNot(referenced)
-          .foreach(t => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$path/$sub/ingest=$t"), true))
-    }
+    StoreVersioning.gcUnreferenced(spark, path, referenced,
+      Seq("postings", "meta", "doclens", "tombstones"))
   }
 
   private def writeCompacted(spark: SparkSession, src: String,
@@ -1524,19 +1546,26 @@ FROM graft_shingle_bloom_build""")
       // the store's one-row-per-vector read contract (the stored-id
       // anti-join below only guards against ids already persisted)
       .dropDuplicates("vec_id")
-    val touched = assigned.select("cluster").distinct() // <= k rows
+    val touchedAll = assigned.select("cluster").distinct() // <= k rows
     // partition-column inference reads `cluster` back as int — normalize
     // to the assignment's long before the union
-    val storedTouched = spark.read.parquet(s"$path/nodes")
+    val storedAssigned = spark.read.parquet(s"$path/nodes")
       .filter(col("seg").isInCollection(nodeSegs)) // the PINNED snapshot
       .withColumn("cluster", col("cluster").cast("long"))
-      .join(broadcast(touched), Seq("cluster")) // DPP prunes the rest
+      .join(broadcast(touchedAll), Seq("cluster")) // DPP prunes the rest
       .select(col("vec_id"), col("cluster"), col("v"))
       .localCheckpoint()
     val fresh = assigned.join(
-        storedTouched.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        storedAssigned.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return // full replay — nothing to fold
+    // rebuild ONLY clusters that gained a FRESH node: a partially
+    // replayed batch lists its already-stored ids' clusters in
+    // touchedAll, and rebuilding those would rewrite identical edge
+    // rows into the new segment — pure wasted shuffle and storage
+    val touched = fresh.select("cluster").distinct()
+    val storedTouched = storedAssigned
+      .join(broadcast(touched), Seq("cluster"))
     val members = storedTouched.unionByName(fresh).localCheckpoint()
     val newEdges = members.as("n")
       .join(SimilarityPipeline.knnEdgesFrom(members).as("g"), Seq("vec_id"))
@@ -1567,9 +1596,11 @@ FROM graft_shingle_bloom_build""")
       version: Long = -1L): DataFrame = {
     val (_, edgeMap) = knnManifest(spark, path, version)
     val bySeg = edgeMap.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    // an empty edge map (store built from an empty frame) must read as
+    // an empty graph, not crash reduce on an empty predicate list
     val pred = bySeg.toSeq.sortBy(_._1).map { case (t, cs) =>
         col("seg") === t && col("cluster").isInCollection(cs)
-      }.reduce(_ || _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
     spark.read.parquet(s"$path/edges")
       .filter(pred)
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
@@ -1585,17 +1616,8 @@ FROM graft_shingle_bloom_build""")
         val (nodeSegs, edgeMap) = knnManifest(spark, path, v)
         nodeSegs ++ edgeMap.values
       }.toSet
-    val fs = StoreVersioning.fs(spark, path)
-    Seq("nodes", "edges").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (fs.exists(p))
-        fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("seg="))
-          .map(_.stripPrefix("seg="))
-          .filterNot(referenced)
-          .foreach(t => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$path/$sub/seg=$t"), true))
-    }
+    StoreVersioning.gcUnreferenced(spark, path, referenced,
+      Seq("nodes", "edges"), prefix = "seg=")
   }
 
   private val knnStoreCache =
@@ -1698,24 +1720,20 @@ FROM graft_shingle_bloom_build""")
       .parquet(s"$path/vectors/ingest=$token")
   }
 
+  // the LSH manifest speaks the SHARED (kind, token) dialect — a
+  // bespoke 1-column schema here once forced its own reader AND its own
+  // gc (StoreVersioning.gcSegments could not parse it)
   private def commitLshManifest(spark: SparkSession, path: String,
       tokens: Seq[String]): Long =
-    StoreVersioning.commitNextVersion(spark, s"$path/manifest") { staging =>
-      import spark.implicits._
-      tokens.toDF("token").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(staging)
-    }
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      tokens.map(("seg", _)))
 
   /** The live ingest tokens of `version` (latest when -1) — bounded
     * driver-side read, one row per segment. */
   private def lshLiveTokens(spark: SparkSession, path: String,
-      version: Long): Seq[String] = {
-    val dir = s"$path/manifest"
-    val v = if (version > 0) version else StoreVersioning.latestVersion(spark, dir)
-    StoreVersioning.requireVersion(spark, dir, v)
-    spark.read.parquet(StoreVersioning.versionDir(dir, v))
-      .collect().map(_.getString(0)).toSeq
-  }
+      version: Long): Seq[String] =
+    StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
 
   /** Fold a batch of new vectors in: sign against the FROZEN normals,
     * drop ids the live segments already hold (a replayed batch becomes a
@@ -1777,22 +1795,8 @@ FROM graft_shingle_bloom_build""")
 
   /** Drop segments referenced by NO surviving manifest version — run
     * after [[StoreVersioning.pruneVersions]] on `path`/manifest. */
-  def gcLshSegments(spark: SparkSession, path: String): Unit = {
-    val dir = s"$path/manifest"
-    val referenced = StoreVersioning.listVersions(spark, dir)
-      .flatMap(v => lshLiveTokens(spark, path, v)).toSet
-    val fs = StoreVersioning.fs(spark, path)
-    Seq("buckets", "vectors").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (fs.exists(p))
-        fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("ingest="))
-          .map(_.stripPrefix("ingest="))
-          .filterNot(referenced)
-          .foreach(t => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$path/$sub/ingest=$t"), true))
-    }
-  }
+  def gcLshSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcSegments(spark, path, Seq("buckets", "vectors"))
 
   /** Probe the persisted index with the stored query vector `qId`:
     * sign the query against the frozen normals (4 rows), collect its
@@ -1820,6 +1824,11 @@ FROM graft_shingle_bloom_build""")
       .select(col("band").cast("long"), col("pfx").cast("long"),
         col("bval").cast("long"))
       .collect() // bounded: one row per band (4)
+    // fail fast with a nameable error, not reduce's
+    // UnsupportedOperationException on the empty predicate list
+    require(qBuckets.nonEmpty,
+      s"query vec_id=$qId is not in the pinned version of the LSH " +
+        s"store at $path (absent id, or pruned segment)")
     val bucketPred = qBuckets.map { r =>
         col("band") === r.getLong(0) && col("pfx") === r.getLong(1) &&
           col("bval") === r.getLong(2)
@@ -1947,11 +1956,15 @@ FROM graft_shingle_bloom_build""")
         lshNormals(spark, path))
       .select(col("vec_id").as("q_id"), col("band").as("qband"),
         col("bval").as("qval"))
+    // NO vec_id =!= q_id exclusion here: query ids come from an
+    // EXTERNAL id space, so a coincidental collision with a corpus id
+    // must not mask that (possibly top-1) corpus vector — the
+    // store-resident panel probe (probeLshIndexBatch) is the one that
+    // excludes self-matches
     val cand = spark.read.parquet(s"$path/buckets")
       .filter(col("ingest").isInCollection(live))
       .join(broadcast(qBands),
-        col("band") === col("qband") && col("bval") === col("qval") &&
-          col("vec_id") =!= col("q_id"))
+        col("band") === col("qband") && col("bval") === col("qval"))
       .select(col("q_id"), col("vec_id")).distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -82,9 +82,15 @@ object StoreVersioning {
     // existence check matters because a local-filesystem rename onto an
     // existing directory silently moves the staging tree INSIDE it
     // (posix mv-into semantics) instead of refusing like HDFS.
-    require(!f.exists(dest),
-      s"failed to publish $dir version $next: a concurrent writer " +
-        "already committed it (re-read latestVersion and retry)")
+    if (f.exists(dest)) {
+      // lost the race — drop our staged tree before throwing, or the
+      // dot-prefixed copy (a full segment-sized tree) leaks forever:
+      // later commits compute next >= N+1 and only clear THEIR staging
+      f.delete(new Path(staging), true)
+      throw new IllegalArgumentException(
+        s"failed to publish $dir version $next: a concurrent writer " +
+          "already committed it (re-read latestVersion and retry)")
+    }
     require(f.rename(new Path(staging), dest),
       s"failed to publish $dir version $next (staging rename refused)")
     // post-rename sanity against the residual check-then-rename window:
@@ -134,15 +140,25 @@ object StoreVersioning {
     val referenced = listVersions(spark, dir)
       .flatMap(v => liveTokens(spark, dir, v).getOrElse(kind, Seq.empty))
       .toSet
+    gcUnreferenced(spark, path, referenced, subDirs)
+  }
+
+  /** The deletion half of [[gcSegments]] for stores whose referenced-token
+    * set needs a CUSTOM computation (multi-kind manifests, cluster→segment
+    * maps): drop every `<prefix><token>` directory under each sub-store
+    * whose token is not in `referenced`. One listing per sub-store. */
+  def gcUnreferenced(spark: SparkSession, path: String,
+      referenced: Set[String], subDirs: Seq[String],
+      prefix: String = "ingest="): Unit = {
     val f = fs(spark, path)
     subDirs.foreach { sub =>
       val p = new Path(s"$path/$sub")
       if (f.exists(p))
         f.listStatus(p).map(_.getPath.getName).toSeq
-          .filter(_.startsWith("ingest="))
-          .map(_.stripPrefix("ingest="))
+          .filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix))
           .filterNot(referenced)
-          .foreach(t => f.delete(new Path(s"$path/$sub/ingest=$t"), true))
+          .foreach(t => f.delete(new Path(s"$path/$sub/$prefix$t"), true))
     }
   }
 

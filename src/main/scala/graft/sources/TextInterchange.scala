@@ -113,7 +113,11 @@ object TextInterchange {
     // header-SHAPED line (same field-name set) that isn't the schema's
     // exact order fails the scan loudly instead — checked inside the
     // same filter, no extra pass.
-    val headerShaped = array_sort(
+    // cheap per-row prefilter before the split+sort: every header-shaped
+    // line must contain the first field name, so ordinary data lines
+    // short-circuit on one contains() instead of paying the array work
+    val headerShaped = col("value").contains(fields.head) &&
+      array_sort(
         org.apache.spark.sql.functions.split(col("value"), ",")) ===
       array(fields.sorted.map(lit): _*)
     val notHeader = when(headerShaped && col("value") =!= header,

@@ -843,6 +843,25 @@ class PersistedIndexSpec extends AnyFunSuite with Matchers with SparkTestBase {
       SimilarityPipeline.simTopKLsh(spark, sf).collect().toSeq.map(_.toSeq)
   }
 
+  test("serving-path LSH probe: an external query id colliding with a " +
+    "corpus id does not mask that corpus vector") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshc").toString
+    PersistedIndex.buildLshIndex(spark, e, dir)
+    // a query frame from an EXTERNAL id space whose id happens to equal
+    // corpus vec 7, carrying vec 7's own embedding: the true top-1 IS
+    // corpus vector 7 (cosine 1.0) — a self-exclusion keyed on the raw
+    // id would silently drop it
+    val queries = e.filter(col("vec_id") === 7L)
+    val out = PersistedIndex.probeLshBatchFrame(spark, dir, queries)
+      .collect()
+    out.head.getAs[Long]("q_id") shouldBe 7L
+    out.head.getAs[Long]("rank") shouldBe 1L
+    out.head.getAs[Long]("vec_id") shouldBe 7L
+    out.head.getAs[Double]("sim") shouldBe 1.0
+  }
+
   test("streaming LSH query probe answers each batch like the static " +
     "batch probe") {
     implicit val sqlCtx3: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -309,6 +309,15 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     bare.getAs[Long]("first_frame_at") shouldBe 1L
     bare.getAs[Long]("n_frames") shouldBe 1L
 
+    // a payload truncated MID-HEADER (frame 1 complete, then 2 bytes of
+    // a second header): beUint reads past the end return NULL, which
+    // must be TERMINAL — not poison the fold state into null n_frames
+    val truncated = frame(0, 288) ++ Array(0xff.toByte, 0xfb.toByte)
+    val rt = MultimodalPipeline.mp3MetaFrom(
+      Seq((4L, truncated)).toDF("media_id", "payload")).head()
+    rt.getAs[Long]("n_frames") shouldBe 1L
+    rt.getAs[Long]("bitrate_kbps") shouldBe 96L
+
     // end-to-end over the synthesized corpus: every parse round-trips
     val out = MultimodalPipeline.mediaMp3Meta(spark, sf)
       .select($"roundtrip_ok").as[Boolean].collect()

@@ -126,5 +126,30 @@ class StreamingTextIndexSpec extends AnyFunSuite with Matchers
     searchRows(dir) should not be first
   }
 
+  test("a batch replayed AFTER a compaction absorbed it is a no-op — " +
+    "the folded ledger survives compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tidx-rc").toString
+    PersistedIndex.buildTextIndex(spark, corpus.filter($"doc_id" % 2 === 0),
+      dir)
+    val delta = corpus.filter($"doc_id" % 2 === 1)
+    PersistedIndex.appendTextIndexBatch(delta, dir, 5L)
+    val first = searchRows(dir)
+    // the race the folded ledger closes: compaction folds b5 into c<v>
+    // BEFORE the stream checkpoints batch 5; the crash-replay then
+    // re-lands b5. A liveness-based guard would re-commit it NEXT TO the
+    // compacted copy and double those docs' term frequencies.
+    PersistedIndex.compactTextIndexInPlace(spark, dir)
+    searchRows(dir) shouldBe first
+    PersistedIndex.appendTextIndexBatch(delta, dir, 5L) // the replay
+    searchRows(dir) shouldBe first
+    // and the replay committed no new manifest version
+    val v = graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest")
+    PersistedIndex.appendTextIndexBatch(delta, dir, 5L)
+    graft.operators.StoreVersioning
+      .latestVersion(spark, s"$dir/manifest") shouldBe v
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
