@@ -1264,6 +1264,7 @@ FROM graft_shingle_bloom_build""")
       .head
     val n = m.getLong(0)
     val avgdl = m.getLong(1).toDouble / n
+    require(terms.nonEmpty, "search needs at least one query term")
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
     val postings = segScan(spark, path, "postings", segs)
@@ -1321,6 +1322,7 @@ FROM graft_shingle_bloom_build""")
       .head
     val n = m.getLong(0)
     val avgdl = m.getLong(1).toDouble / n
+    require(terms.nonEmpty, "search needs at least one query term")
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
     val postings = segScan(spark, path, "postings", segs)
@@ -1398,6 +1400,7 @@ FROM graft_shingle_bloom_build""")
     val (segs, tombs) = textIndexLive(spark, path, version)
     val n = segScan(spark, path, "meta", segs)
       .agg(sum(col("n_docs"))).head.getLong(0)
+    require(terms.nonEmpty, "search needs at least one query term")
     val bucketPred = terms.map(t => col("bucket") === termBucket(lit(t)))
       .reduce(_ || _)
     val postings = segScan(spark, path, "postings", segs)
