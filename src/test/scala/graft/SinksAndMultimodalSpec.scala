@@ -351,6 +351,16 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
         Seq((2L, broken)).toDF("media_id", "payload"))
       .head().getAs[Long]("n_frames") shouldBe 1L
 
+    // a payload truncated MID-HEADER (3 bytes of a second ADTS header):
+    // the out-of-range reads return NULL, which must be terminal — not
+    // null-poison n_frames (the mp3Walk discipline)
+    val truncated = adts(4, 16) ++ Array(0xff.toByte, 0xf1.toByte,
+      ((1 << 6) | (4 << 2) | 0).toByte)
+    val rt = MultimodalPipeline.aacMetaFrom(
+      Seq((3L, truncated)).toDF("media_id", "payload")).head()
+    rt.getAs[Long]("n_frames") shouldBe 1L
+    rt.getAs[Long]("sample_rate") shouldBe 44100L
+
     // end-to-end over the synthesized corpus
     val out = MultimodalPipeline.mediaAacMeta(spark, sf)
       .select($"roundtrip_ok").as[Boolean].collect()
@@ -384,6 +394,15 @@ class SinksAndMultimodalSpec extends AnyFunSuite with Matchers with SparkTestBas
     MultimodalPipeline.h264MetaFrom(
         Seq((2L, broken)).toDF("media_id", "payload"))
       .head().getAs[Long]("n_frames") shouldBe 1L
+
+    // a payload truncated MID-LENGTH-PREFIX (2 of the 4 length bytes):
+    // the out-of-range read returns NULL, which must be terminal — not
+    // null-poison the NAL counters (the mp3Walk discipline)
+    val truncated = sps ++ pps ++ idr ++ u32(5L).take(2)
+    val rt = MultimodalPipeline.h264MetaFrom(
+      Seq((3L, truncated)).toDF("media_id", "payload")).head()
+    rt.getAs[Long]("n_frames") shouldBe 1L
+    rt.getAs[Long]("n_sps") shouldBe 1L
 
     // end-to-end over the synthesized corpus
     val out = MultimodalPipeline.mediaH264Meta(spark, sf)

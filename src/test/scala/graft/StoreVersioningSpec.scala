@@ -104,6 +104,30 @@ class StoreVersioningSpec extends AnyFunSuite with Matchers
       .as[Int].collect().toSeq shouldBe Seq(1)
   }
 
+  test("a writer losing the publish race throws AND removes its staged " +
+    "tree — no dot-prefixed copy leaks") {
+    val dir = freshDir()
+    StoreVersioning.commitNextVersion(spark, dir) { st =>
+      Seq(1).toDF("x").write.parquet(st)
+    }
+    val fs = StoreVersioning.fs(spark, dir)
+    // simulate the race: version 2 lands between our latestVersion read
+    // and our publish — commitNextVersion's write callback runs FIRST,
+    // so publish version 2 from inside the callback
+    val ex = intercept[IllegalArgumentException] {
+      StoreVersioning.commitNextVersion(spark, dir) { st =>
+        Seq(2).toDF("x").write.parquet(st)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(
+          StoreVersioning.versionDir(dir, 2L)))
+      }
+    }
+    ex.getMessage should include("concurrent writer")
+    // the loser's staging tree is gone — later commits only ever clear
+    // THEIR OWN staging name, so a leak here would live forever
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/.staging-version-2")) shouldBe false
+  }
+
   test("gcSegments drops only segments no surviving version references; " +
     "the surviving store still probes") {
     val sf = "/root/testdata/sf0.001"
