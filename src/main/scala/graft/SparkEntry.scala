@@ -1710,13 +1710,15 @@ p AS (SELECT b, n_chars,
   FROM (SELECT b, n_chars, CAST(h32 AS DOUBLE) / 4294967296.0 AS u FROM h)),
 m AS (SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS sx,
   CAST(sum(w) AS BIGINT) AS sw FROM p GROUP BY b),
-mb AS (SELECT b, CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b FROM m),
+mb AS (SELECT b, CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b FROM m
+  WHERE sw <> 0),
 r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM mb),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sx FROM documents)
-SELECT n_docs, round(CAST(sx AS DOUBLE) / n_docs, 4) AS est,
-  round((SELECT mean_b FROM r WHERE rk = 2), 4) AS ci_lo,
-  round((SELECT mean_b FROM r WHERE rk = 31), 4) AS ci_hi
+SELECT n_docs,
+  floor(CAST(sx AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS est,
+  floor((SELECT mean_b FROM r WHERE rk = 2) * 10000 + 0.5) / 10000 AS ci_lo,
+  floor((SELECT mean_b FROM r WHERE rk = 31) * 10000 + 0.5) / 10000 AS ci_hi
 FROM tot""",
     // confusion counts between the heuristic and classifier gates, kappa
     // from the integer moments as one shared IEEE expression

@@ -299,6 +299,13 @@ object DataQuality {
       .when(u < 0.9999167588507119, 6L)
       .when(u < 0.9999897508033253, 7L)
       .otherwise(8L)
+    // quantize to 4 decimals via the explicit floor(x*1e4+0.5)/1e4 half-up
+    // form, NOT round(,4): mean_b is a ratio of exact integers that can
+    // land exactly on a 4-decimal half-point, where Spark's BigDecimal
+    // HALF_UP and DuckDB's round disagree by 1 ulp (the minkContamination
+    // doc-648 class). Both engines now run the same IEEE op sequence.
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000d + 0.5d) / 10000d
     val means = docs
       .select(col("doc_id"), col("n_chars"),
         explode(sequence(lit(0), lit(B - 1))).as("b"))
@@ -306,6 +313,11 @@ object DataQuality {
       .groupBy("b")
       .agg(sum(col("w") * col("n_chars")).as("sx"),
         sum(col("w")).as("sw"))
+      // a resample with total weight 0 has no mean: drop it BEFORE the
+      // rank window in both engines (P = e^-n per resample — unreachable
+      // for real corpora, but Spark orders NULLs first where DuckDB
+      // defaults NULLS LAST, so the degenerate contract must be pinned)
+      .filter(col("sw") =!= 0L)
       .select(col("b"),
         (col("sx").cast(DoubleType) / col("sw").cast(DoubleType))
           .as("mean_b"))
@@ -319,9 +331,9 @@ object DataQuality {
       min(when(col("rk") === B - 1, col("mean_b"))).as("hi"))
     tot.crossJoin(ci)
       .select(col("n_docs"),
-        round(col("sx").cast(DoubleType) / col("n_docs"), 4).as("est"),
-        round(col("lo"), 4).as("ci_lo"),
-        round(col("hi"), 4).as("ci_hi"))
+        q4(col("sx").cast(DoubleType) / col("n_docs")).as("est"),
+        q4(col("lo")).as("ci_lo"),
+        q4(col("hi")).as("ci_hi"))
   }
 
   def calibBins(spark: SparkSession, sfDir: String): DataFrame =

@@ -117,7 +117,7 @@ object PersistedIndex {
   /** Drop IVF segments referenced by NO surviving manifest version —
     * run after [[StoreVersioning.pruneVersions]]. */
   def gcIvfSegments(spark: SparkSession, path: String): Unit =
-    StoreVersioning.gcSegments(spark, path, Seq("vectors"))
+    StoreVersioning.gcLayout(spark, path, storeLayout("ivf"))
 
   /** Probe a persisted IVF index: rank the k centroids by cosine to the
     * query vector (vec_id `queryId` of the original corpus — kept out of
@@ -302,7 +302,7 @@ object PersistedIndex {
   /** Drop PQ segments referenced by NO surviving manifest version —
     * run after [[StoreVersioning.pruneVersions]]. */
   def gcPqSegments(spark: SparkSession, path: String): Unit =
-    StoreVersioning.gcSegments(spark, path, Seq("codes"))
+    StoreVersioning.gcLayout(spark, path, storeLayout("pq"))
 
   /** Probe the persisted PQ index: stage 1 ranks by the cosine of the
     * RECONSTRUCTION decoded from the STORED codes (the ADC sum — element
@@ -447,7 +447,7 @@ object PersistedIndex {
   /** Drop IVF+PQ segments referenced by NO surviving manifest version —
     * run after [[StoreVersioning.pruneVersions]]. */
   def gcIvfPqSegments(spark: SparkSession, path: String): Unit =
-    StoreVersioning.gcSegments(spark, path, Seq("codes"))
+    StoreVersioning.gcLayout(spark, path, storeLayout("ivfpq"))
 
   /** The streaming ingest twin of [[appendToIvfPqIndex]] — each arriving
     * micro-batch of (vec_id, label, embedding) folds through the same
@@ -1198,16 +1198,8 @@ FROM graft_shingle_bloom_build""")
   /** Drop segment directories referenced by NO surviving manifest
     * version — run after [[StoreVersioning.pruneVersions]] on
     * `path`/manifest. */
-  def gcTextIndexSegments(spark: SparkSession, path: String): Unit = {
-    val referenced = StoreVersioning
-      .listVersions(spark, s"$path/manifest")
-      .flatMap { v =>
-        val (s, t) = textIndexLive(spark, path, v)
-        s ++ t
-      }.toSet
-    StoreVersioning.gcUnreferenced(spark, path, referenced,
-      Seq("postings", "meta", "doclens", "tombstones"))
-  }
+  def gcTextIndexSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcLayout(spark, path, storeLayout("text"))
 
   private def writeCompacted(spark: SparkSession, src: String,
       dst: String, token: String): Unit = {
@@ -1612,16 +1604,8 @@ FROM graft_shingle_bloom_build""")
 
   /** Drop node/edge segments referenced by NO surviving manifest version
     * — run after [[StoreVersioning.pruneVersions]] on `path`/manifest. */
-  def gcKnnGraphSegments(spark: SparkSession, path: String): Unit = {
-    val referenced = StoreVersioning
-      .listVersions(spark, s"$path/manifest")
-      .flatMap { v =>
-        val (nodeSegs, edgeMap) = knnManifest(spark, path, v)
-        nodeSegs ++ edgeMap.values
-      }.toSet
-    StoreVersioning.gcUnreferenced(spark, path, referenced,
-      Seq("nodes", "edges"), prefix = "seg=")
-  }
+  def gcKnnGraphSegments(spark: SparkSession, path: String): Unit =
+    StoreVersioning.gcLayout(spark, path, storeLayout("knn"))
 
   private val knnStoreCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
@@ -1799,7 +1783,7 @@ FROM graft_shingle_bloom_build""")
   /** Drop segments referenced by NO surviving manifest version — run
     * after [[StoreVersioning.pruneVersions]] on `path`/manifest. */
   def gcLshSegments(spark: SparkSession, path: String): Unit =
-    StoreVersioning.gcSegments(spark, path, Seq("buckets", "vectors"))
+    StoreVersioning.gcLayout(spark, path, storeLayout("lsh"))
 
   /** Probe the persisted index with the stored query vector `qId`:
     * sign the query against the frozen normals (4 rows), collect its
@@ -2019,4 +2003,50 @@ FROM graft_shingle_bloom_build""")
   def lshBatchFromSessionStore(spark: SparkSession,
       sfDir: String): DataFrame =
     probeLshIndexBatch(spark, sessionLshStore(spark, sfDir))
+
+  /** Every persisted store's segment layout, keyed by store kind — the
+    * dispatch table behind [[retainStore]] (one retention policy across
+    * all stores) and the per-store `gcXxxSegments` entry points, which
+    * all delegate to [[StoreVersioning.gcLayout]] with these rows.
+    * `curation` has no segment sub-stores: its versions ARE the data,
+    * so retention is pure version pruning.
+    */
+  private[graft] def storeLayout(kind: String): StoreVersioning.StoreLayout = {
+    import StoreVersioning.{StoreLayout, SubStore, kindTokens}
+    def one(subDirs: Seq[String], prefix: String = "ingest=",
+        manifestKind: String = "seg") =
+      StoreLayout(Seq(SubStore(subDirs, prefix, kindTokens(manifestKind))))
+    kind match {
+      case "ivf" => one(Seq("vectors"))
+      case "pq" => one(Seq("codes"))
+      case "ivfpq" => one(Seq("codes"))
+      case "lsh" => one(Seq("buckets", "vectors"))
+      case "dedup" => one(Seq("digests", "bands", "sets"))
+      case "shingle" => StoreLayout(Seq(
+        SubStore(Seq("hashes"), "ingest=", kindTokens("seg")),
+        SubStore(Seq("bloom"), "token=", kindTokens("bloom"))))
+      case "text" => StoreLayout(Seq(SubStore(
+        Seq("postings", "meta", "doclens", "tombstones"), "ingest=",
+        (s, p, v) => { val (segs, tombs) = textIndexLive(s, p, v)
+          (segs ++ tombs).toSet })))
+      case "knn" => StoreLayout(Seq(SubStore(
+        Seq("nodes", "edges"), "seg=",
+        (s, p, v) => { val (nodeSegs, edgeMap) = knnManifest(s, p, v)
+          (nodeSegs ++ edgeMap.values).toSet })))
+      case "curation" => StoreLayout(Seq.empty)
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other'; known: ivf, pq, ivfpq, lsh, " +
+          "dedup, shingle, text, knn, curation")
+    }
+  }
+
+  /** ONE retention sweep for any persisted store — keep the `keep` most
+    * recent manifest versions, then drop segments no surviving version
+    * references ([[StoreVersioning.retain]] dispatched through
+    * [[storeLayout]]). A daily pipeline schedules this once per store
+    * instead of remembering five per-store gc entry points.
+    */
+  def retainStore(spark: SparkSession, kind: String, path: String,
+      keep: Int): Unit =
+    StoreVersioning.retain(spark, path, keep, storeLayout(kind))
 }

@@ -1576,11 +1576,15 @@ ORDER BY pos"""
         count(lit(1)).cast(LongType).as("n_terms"))
     val en = ev.select(col("vec_id").as("doc_id"),
       aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("n2e"))
+    // explicit floor(x*1e4+0.5)/1e4 half-up quantize, not round(,4): the
+    // cosine is a ratio that can land exactly on a 4-decimal half-point,
+    // where Spark's BigDecimal HALF_UP and DuckDB's round disagree by
+    // 1 ulp (the minkContamination doc-648 class)
     d.join(en, "doc_id")
       .withColumn("align",
-        round((col("dot_micro").cast(DoubleType) / 1000000d)
-          / (sqrt(col("n2t").cast(DoubleType)) * sqrt(col("n2e"))), 4)
-          + lit(0.0))
+        floor((col("dot_micro").cast(DoubleType) / 1000000d)
+          / (sqrt(col("n2t").cast(DoubleType)) * sqrt(col("n2e")))
+          * 10000d + 0.5d) / 10000d)
       .select(col("doc_id"), col("n_terms"), col("align"),
         (col("align") >= 0.0).as("aligned"))
       .orderBy("doc_id")
@@ -1613,8 +1617,8 @@ d AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dot_micro,
 en AS (SELECT vec_id, list_sum(list_transform(e, x -> x * x)) AS n2e
   FROM ev),
 a AS (SELECT d.doc_id, n_terms,
-  round((CAST(dot_micro AS DOUBLE) / 1000000)
-    / (sqrt(CAST(n2t AS DOUBLE)) * sqrt(n2e)), 4) + 0.0 AS align
+  floor((CAST(dot_micro AS DOUBLE) / 1000000)
+    / (sqrt(CAST(n2t AS DOUBLE)) * sqrt(n2e)) * 10000 + 0.5) / 10000 AS align
   FROM d JOIN en ON d.doc_id = en.vec_id)
 SELECT doc_id, n_terms, align, align >= 0.0 AS aligned
 FROM a ORDER BY doc_id"""

@@ -162,14 +162,69 @@ object StoreVersioning {
     }
   }
 
+  /** One sub-store family inside a persisted store's layout: which
+    * segment directories it owns (`<path>/<subDir>/<prefix><token>`) and
+    * how to compute the tokens a given manifest VERSION references —
+    * the shape [[retain]] needs to sweep any store under one policy. */
+  final case class SubStore(subDirs: Seq[String], prefix: String,
+      referenced: (SparkSession, String, Long) => Set[String])
+
+  /** A persisted store's full segment layout. Stores whose versions ARE
+    * the data (the curation manifest) have no sub-stores — retention is
+    * pure version pruning for them. */
+  final case class StoreLayout(subStores: Seq[SubStore])
+
+  /** The common referenced-token computation: one `kind`'s tokens from
+    * the shared (kind, token) manifest dialect. */
+  def kindTokens(kind: String): (SparkSession, String, Long) => Set[String] =
+    (spark, path, v) =>
+      liveTokens(spark, s"$path/manifest", v).getOrElse(kind, Seq.empty).toSet
+
+  /** The gc half of [[retain]]: drop segment directories referenced by
+    * NO surviving manifest version — the per-store `gcXxxSegments`
+    * entry points all delegate here with their store's layout. */
+  def gcLayout(spark: SparkSession, path: String,
+      layout: StoreLayout): Unit = {
+    val versions = listVersions(spark, s"$path/manifest")
+    layout.subStores.foreach { ss =>
+      val referenced =
+        versions.flatMap(v => ss.referenced(spark, path, v)).toSet
+      gcUnreferenced(spark, path, referenced, ss.subDirs, ss.prefix)
+    }
+  }
+
+  /** ONE retention policy for every persisted store (the round-13
+    * unification of gcTextIndexSegments / gcLshSegments / gcSegments /
+    * pruneManifestVersions): keep the `keep` most recent manifest
+    * versions, then drop every segment directory no surviving version
+    * references. The CURRENT version is never dropped; a pinned reader
+    * of a SURVIVING version keeps every segment it needs, because
+    * reference sets are computed across all survivors, not just the
+    * head. */
+  def retain(spark: SparkSession, path: String, keep: Int,
+      layout: StoreLayout): Unit = {
+    pruneVersions(spark, s"$path/manifest", keep)
+    gcLayout(spark, path, layout)
+  }
+
   /** (kind → tokens) of `version` (latest when -1) — bounded driver-side
     * read, one row per segment. */
   def liveTokens(spark: SparkSession, manifestDir: String,
       version: Long = -1L): Map[String, Seq[String]] = {
     val v = if (version > 0) version else latestVersion(spark, manifestDir)
     requireVersion(spark, manifestDir, v)
-    spark.read.parquet(versionDir(manifestDir, v))
-      .collect().toSeq
+    val df = spark.read.parquet(versionDir(manifestDir, v))
+    // loud dialect check: a manifest written by a pre-(kind, token) build
+    // (the LSH store's bespoke 1-column token schema before round 12)
+    // would otherwise be read positionally as kind=<token> rows and
+    // resolve to a silently-EMPTY live set — probes would scan zero
+    // segments instead of failing. Stores are session-temp today, but
+    // the failure mode is too quiet to leave unpinned.
+    require(df.columns.toSeq == Seq("kind", "token"),
+      s"manifest $manifestDir version $v has columns " +
+        s"${df.columns.mkString("(", ", ", ")")}; expected (kind, token) " +
+        "— a store persisted by a pre-(kind, token) build must be rebuilt")
+    df.collect().toSeq
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getString(1)).sorted).toMap
   }

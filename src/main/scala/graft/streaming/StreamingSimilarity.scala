@@ -80,10 +80,14 @@ object StreamingSimilarity {
         aggregate(col("dense"), lit(0L), (a, x) => a + x * x).as("n2t"),
         aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("n2e"))
       .filter(col("n_terms") > 0L)
+      // the batch operator's explicit floor(x*1e4+0.5)/1e4 half-up
+      // quantize (round(,4) can flip 1 ulp vs DuckDB on exact
+      // half-points) — twin equality is value equality, so the op
+      // sequence must match pairAlignment's exactly
       .withColumn("align",
-        round((col("dot_micro").cast("double") / 1000000d)
-          / (sqrt(col("n2t").cast("double")) * sqrt(col("n2e"))), 4)
-          + lit(0.0))
+        floor((col("dot_micro").cast("double") / 1000000d)
+          / (sqrt(col("n2t").cast("double")) * sqrt(col("n2e")))
+          * 10000d + 0.5d) / 10000d)
       .select(col("doc_id"), col("n_terms"), col("align"),
         (col("align") >= 0.0).as("aligned"))
   }
