@@ -27,11 +27,28 @@ import graft.sources.Tables
   *    run whose seconds are reported (the median run). A wall-seconds
   *    jump with flat cpu_ms and identical shuffle_bytes is ambient
   *    scheduler/GC wake, not the query;
-  *  - `requiesced_s`: every query whose median exceeds
-  *    [[Bench.RequiesceThresholdSecs]] is re-measured ONCE at the END of
-  *    the sweep, after a GC + listener quiesce, when no other query's
-  *    stragglers can land on it. requiesced_s << s with unchanged
-  *    shuffle_bytes ⇒ the suite-ambient artifact, adjudicated in-report.
+  *  - `requiesced_s` / `requiesced_gc_ms` / `ambient` (round 13; the
+  *    r12 single end-of-sweep re-measure ran in a JVM DIRTIER than
+  *    mid-sweep — 14/30 flagged lines re-measured ≥1.3x slower and the
+  *    verdict never fired): every query whose median exceeds
+  *    [[Bench.RequiesceThresholdSecs]] re-measures up to 3x (min kept,
+  *    early-stopped once the verdict is settled) — family lines inside
+  *    their family block while their shared artifact is warm, the rest
+  *    after an end-of-sweep deep clean (artifact caches released,
+  *    orphaned checkpoint blocks unpersisted, full GC + settle).
+  *    `ambient: true` = the quiesced best ran ≥1.3x faster than the
+  *    suite median on the same plan/volume ⇒ the median was
+  *    suite-ambient noise, adjudicated in-report; `ambient: false` on a
+  *    flagged line = the cost reproduced quiesced and is real.
+  *
+  * Memory hygiene (round 13): the sweep is family-grouped — each shared
+  * artifact (graph edges, dedup cluster labels, mutual-kNN edges) is
+  * built, consumed by its consecutive consumers, re-measured, and then
+  * RELEASED (cache entry dropped first, blocks unpersisted after); every
+  * other query's orphaned localCheckpoint blocks are dropped right after
+  * its timed runs. BENCH_r12's driver run carried 16-18 s of task GC on
+  * the graph lines (vs 0.6-2.7 s in the builder's identical-HEAD run)
+  * purely from blocks pinned by already-finished queries.
   *
   * Reading regressions: trust exchange count, shuffle_bytes, cpu_ms and
   * requiesced_s before the wall seconds. Case study (round 8→9):
@@ -57,7 +74,9 @@ object Bench {
 
   private case class Line(name: String, s: Double, err: Option[String],
       exch: Option[Int], bytes: Long, gcMs: Long, cpuMs: Long,
-      requiesced: Option[Double] = None)
+      requiesced: Option[Double] = None,
+      requiescedGc: Option[Long] = None,
+      ambient: Option[Boolean] = None)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +105,9 @@ object Bench {
     */
   def run(spark: SparkSession, sfDir: String,
       only: Option[Set[String]] = None,
-      requiesceThreshold: Double = RequiesceThresholdSecs)
+      requiesceThreshold: Double = RequiesceThresholdSecs,
+      queriesOverride: Option[Map[String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame]] = None)
       : (String, String) = {
     graft.expressions.VectorExpressions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
@@ -192,23 +213,11 @@ object Bench {
         after.gcMs - before.gcMs, after.cpuMs - before.cpuMs)
     }
 
-    val graphBuild = buildLine("graph_edge_build") {
-      graft.operators.Graph.warmSharedEdges(spark, sfDir)
-    }
-    // dedup_clusters and canonical_select measure warm-cache; the one-time
-    // dedup+CC chain is charged here (round-10 discipline).
-    val clusterBuild = buildLine("dedup_cluster_build") {
-      graft.operators.TextPipeline.warmSharedClusterLabels(spark, sfDir)
-    }
-    // knn_triangles/knn_kcore/quality_propagate measure warm-cache; the
-    // kmeans + kNN build is charged here.
-    val knnEdgeBuild = buildLine("knn_edge_build") {
-      graft.operators.SimilarityPipeline.warmMutualKnnEdges(spark, sfDir)
-    }
+    val queries = queriesOverride.getOrElse(SparkEntry.queries)
 
     // Three measured runs per query, keep the MEDIAN, with a GC quiesce
     // before each run: local[32] timings carry multi-second scheduler/GC/JIT
-    // noise across a 56-query JVM, and round 3's min-of-2 still let one
+    // noise across a 264-query JVM, and round 3's min-of-2 still let one
     // driver run report a 3x outlier (BENCH_r03 dedup_pipeline 4.90s vs
     // 1.65s on re-runs of identical code). The median of three quiesced runs
     // is robust to a single interference spike in either direction.
@@ -216,9 +225,8 @@ object Bench {
     // investigation re-measure one family in a fresh JVM without the
     // other 200 queries' block-manager/GC wake. The driver never sets
     // it, so the contract run always measures everything.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Line = {
       // plan-shape telemetry: shuffle-exchange count from the FORMATTED
       // explain (planning only, measured outside the timed runs). Written
       // next to seconds so a plan regression — a new shuffle — is visible in
@@ -272,39 +280,130 @@ object Bench {
       }
     }
 
-    // End-of-sweep quiesced re-measure: every query whose median wall
-    // exceeded the threshold gets ONE more run now, when no other
-    // query's stragglers/JIT/GC wake can land on it — the isolated
-    // re-measure the judge performed by hand in rounds 9-11, automated
-    // into the report. requiesced_s ~ s ⇒ the cost is real;
-    // requiesced_s << s with identical shuffle_bytes ⇒ suite-ambient
-    // noise, adjudicated without a second session.
-    val remeasured = results.map { l =>
+    // Quiesced re-measure with an explicit per-line verdict — the
+    // BENCH_r12 lesson: ONE end-of-sweep re-run cannot adjudicate,
+    // because the end-of-sweep JVM (264 queries of accumulated
+    // checkpoint blocks and broadcasts) is a WORSE environment than
+    // mid-sweep (14/30 flagged lines re-measured ≥1.3x SLOWER; zero
+    // ambient verdicts fired exactly when they were needed). Now:
+    // family lines re-measure INSIDE their family block (artifacts
+    // warm, JVM young), everything else after the end-of-sweep deep
+    // clean below; each flagged line re-runs up to 3x taking the MIN,
+    // stopping early once the verdict is settled (a collapsed run
+    // proves ambient — the min can only confirm it; two consistent
+    // non-collapsed runs prove the cost real). The report carries the
+    // min (`requiesced_s`), the min run's own `gc_ms`
+    // (`requiesced_gc_ms` — a dirty re-measure indicts itself), and
+    // the verdict: `ambient` = the quiesced best ran ≥1.3x faster than
+    // the suite median on the same plan and volume.
+    def requiesce(l: Line): Line = {
       if (l.err.isDefined || l.s < requiesceThreshold) l
       else {
-        val fn = SparkEntry.queries(l.name)
-        System.gc()
-        Thread.sleep(200)
-        stableSnapshot()
-        val t0 = System.nanoTime()
-        val req =
+        val fn = queries(l.name)
+        var runs = List.empty[(Double, Long)]
+        var done = false
+        while (!done) {
+          System.gc()
+          Thread.sleep(200)
+          val before = stableSnapshot()
+          val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
-        l.copy(requiesced = req)
+            val secs = (System.nanoTime() - t0) / 1e9
+            val after = stableSnapshot()
+            runs = (secs, after.gcMs - before.gcMs) :: runs
+          } catch { case _: Throwable => done = true }
+          val collapsed = runs.exists(_._1 <= l.s / 1.3)
+          val confirmed = runs.size >= 2 && !collapsed
+          if (collapsed || confirmed || runs.size >= 3) done = true
+        }
+        if (runs.isEmpty) l
+        else {
+          val best = runs.minBy(_._1)
+          l.copy(requiesced = Some(best._1), requiescedGc = Some(best._2),
+            ambient = Some(best._1 <= l.s / 1.3))
+        }
       }
     }
+
+    // Sweep order is FAMILY-GROUPED (round-13 discipline): each shared
+    // artifact's consumers run consecutively right after its build line,
+    // re-measure while the artifact is still warm, and then the artifact's
+    // cached blocks are RELEASED — the BENCH_r12 driver run showed
+    // 16-18 s of task GC on graph lines (vs 0.6-2.7 s in the builder's
+    // identical-HEAD run) from node-sized checkpointed frames pinned
+    // across the 250+ queries that never read them.
+    val selected = queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val clusterNames = Set("dedup_clusters", "canonical_select")
+    val knnNames = Set("knn_triangles", "knn_kcore", "quality_propagate")
+    def isGraph(n: String) = n.startsWith("graph_")
+    val rest = selected.filterNot { case (n, _) =>
+      isGraph(n) || clusterNames(n) || knnNames(n) }
+
+    val graphBuild = buildLine("graph_edge_build") {
+      graft.operators.Graph.warmSharedEdges(spark, sfDir)
+    }
+    val graphLines = selected.filter(q => isGraph(q._1))
+      .map { case (n, f) => requiesce(measure(n, f)) }
+    graft.operators.Graph.releaseSharedEdges(spark, sfDir)
+
+    // dedup_clusters and canonical_select measure warm-cache; the one-time
+    // dedup+CC chain is charged here (round-10 discipline).
+    val clusterBuild = buildLine("dedup_cluster_build") {
+      graft.operators.TextPipeline.warmSharedClusterLabels(spark, sfDir)
+    }
+    val clusterLines = selected.filter(q => clusterNames(q._1))
+      .map { case (n, f) => requiesce(measure(n, f)) }
+    graft.operators.TextPipeline.releaseSharedClusterLabels(spark, sfDir)
+
+    // knn_triangles/knn_kcore/quality_propagate measure warm-cache; the
+    // kmeans + kNN build is charged here.
+    val knnEdgeBuild = buildLine("knn_edge_build") {
+      graft.operators.SimilarityPipeline.warmMutualKnnEdges(spark, sfDir)
+    }
+    val knnLines = selected.filter(q => knnNames(q._1))
+      .map { case (n, f) => requiesce(measure(n, f)) }
+    graft.operators.SimilarityPipeline.releaseMutualKnnEdges(spark, sfDir)
+
+    // Non-family queries, alphabetical. After EACH query's timed runs,
+    // its orphaned localCheckpoint blocks are dropped (no query holds a
+    // DataFrame cache across calls — the only cross-query state in the
+    // engine is the three released artifacts plus path-keyed disk
+    // stores), so block-manager pressure stays flat across the sweep
+    // instead of compounding into the BENCH_r12 ambient-GC wall.
+    val restLines = rest.map { case (n, f) =>
+      val l = measure(n, f)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      l
+    }
+
+    // End-of-sweep deep clean, then the remaining flagged lines get
+    // their quiesced re-measure in a genuinely clean JVM: artifact
+    // caches already released, cached plans dropped, checkpoint blocks
+    // unpersisted, one full GC + settle (also nudges ContextCleaner's
+    // weak-ref broadcast cleanup).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    Thread.sleep(500)
+    val restDone = restLines.map(requiesce)
     spark.sparkContext.removeSparkListener(listener)
 
-    val all = graphBuild +: clusterBuild +: knnEdgeBuild +: remeasured
+    val remeasured = graphLines ++ clusterLines ++ knnLines ++ restDone
+    val all =
+      graphBuild +: clusterBuild +: knnEdgeBuild +: remeasured
     val qs = all.map {
-      case Line(k, _, Some(e), _, _, _, _, _) =>
+      case Line(k, _, Some(e), _, _, _, _, _, _, _) =>
         s""""$k":{"err":"${esc(e)}"}"""
-      case Line(k, v, None, exch, b, g, c, req) =>
+      case Line(k, v, None, exch, b, g, c, req, reqGc, amb) =>
         val x = exch.map(x => s""""exchanges":$x,""").getOrElse("")
         val r = req.map(r => s""""requiesced_s":$r,""").getOrElse("")
-        s""""$k":{"s":$v,$x$r"shuffle_bytes":$b,"gc_ms":$g,"cpu_ms":$c}"""
+        val rg = reqGc.map(g => s""""requiesced_gc_ms":$g,""").getOrElse("")
+        val a = amb.map(a => s""""ambient":$a,""").getOrElse("")
+        s""""$k":{"s":$v,$x$r$rg$a"shuffle_bytes":$b,"gc_ms":$g,"cpu_ms":$c}"""
     }.mkString("{", ",", "}")
     val total = all.collect { case l if l.err.isEmpty => l.s }.sum
     val nErr = all.count(_.err.isDefined)
@@ -319,11 +418,12 @@ object Bench {
       .map { l =>
         val req = l.requiesced
           .map(r => math.round(r * 100) / 100.0).getOrElse("null")
-        s""""${l.name}":{"s":${math.round(l.s * 100) / 100.0},"requiesced_s":$req}"""
+        val amb = l.ambient.map(_.toString).getOrElse("null")
+        s""""${l.name}":{"s":${math.round(l.s * 100) / 100.0},"requiesced_s":$req,"ambient":$amb}"""
       }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"${esc(sfDir)}","errors":$nErr,"n_queries":${remeasured.size},"queries_note":"top-5 slowest with their quiesced re-measure; full map in bench_out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"sf":"${esc(sfDir)}","errors":$nErr,"n_queries":${remeasured.size},"queries_note":"top-5 slowest with their quiesced re-measure and ambient verdict; full map in bench_out.json"}"""
     (line, summary)
   }
 }

@@ -74,13 +74,44 @@ object Graph {
     * toggle. Post-build lookups are a fast map hit under an uncontended
     * lock.
     */
+  private val artifactRddIds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[Int]]
+
   private def sharedEdges(spark: SparkSession,
       sfDir: String): EdgeArtifacts = artifactCache.synchronized {
     val appId = spark.sparkContext.applicationId
     artifactCache.keySet.removeIf(_._1 != appId)
-    artifactCache.computeIfAbsent(
-      (appId, sfDir), _ => buildEdgeArtifacts(spark, sfDir))
+    artifactRddIds.keySet.removeIf(_._1 != appId)
+    val key = (appId, sfDir)
+    if (!artifactCache.containsKey(key)) {
+      // capture the persistent-RDD ids the build registers (builds
+      // serialize under this lock, so the delta is exactly ours) —
+      // [[releaseSharedEdges]] needs them to free the blocks
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val built = buildEdgeArtifacts(spark, sfDir)
+      artifactRddIds.put(key,
+        (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+      artifactCache.put(key, built)
+    }
+    artifactCache.get(key)
   }
+
+  /** Free the shared edge leaves' cached blocks and forget the cache
+    * entry — `graft.Bench` calls this once the graph family's timed runs
+    * (and their quiesced re-measures) are done, so 250+ later queries
+    * don't GC-fight node×4 checkpointed frames they never read (the
+    * BENCH_r12 ambient-GC source). Safe at any time: the entry is
+    * removed BEFORE the blocks drop, so a later consumer rebuilds from
+    * scratch instead of touching a truncated-lineage RDD. */
+  def releaseSharedEdges(spark: SparkSession, sfDir: String): Unit =
+    artifactCache.synchronized {
+      val key = (spark.sparkContext.applicationId, sfDir)
+      artifactCache.remove(key)
+      Option(artifactRddIds.remove(key)).foreach(_.foreach { id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))
+      })
+    }
 
   /** Build the shared edge leaves NOW (a no-op when already cached) —
     * the explicit warm hook for harnesses that must keep the build out

@@ -2249,20 +2249,47 @@ FROM g ORDER BY label"""
   private val mutualEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
 
+  private val mutualEdgeRddIds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[Int]]
+
   private def mutualKnnEdges(spark: SparkSession,
       sfDir: String): DataFrame = mutualEdgeCache.synchronized {
     val appId = spark.sparkContext.applicationId
     mutualEdgeCache.keySet.removeIf(_._1 != appId)
-    mutualEdgeCache.computeIfAbsent((appId, sfDir), _ => {
+    mutualEdgeRddIds.keySet.removeIf(_._1 != appId)
+    val key = (appId, sfDir)
+    if (!mutualEdgeCache.containsKey(key)) {
+      // capture the build's persistent-RDD ids (builds serialize under
+      // this lock) so [[releaseMutualKnnEdges]] can free the blocks —
+      // this also catches the intermediate kNN checkpoint below
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
         col("nbr_id").as("b")).localCheckpoint()
-      d.as("f").join(d.as("g"),
+      val built = d.as("f").join(d.as("g"),
           col("f.a") === col("g.b") && col("f.b") === col("g.a"))
         .filter(col("f.a") < col("f.b"))
         .select(col("f.a").as("u"), col("f.b").as("v"))
         .localCheckpoint()
-    })
+      mutualEdgeRddIds.put(key,
+        (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+      mutualEdgeCache.put(key, built)
+    }
+    mutualEdgeCache.get(key)
   }
+
+  /** Free the shared mutual-kNN edge leaf's cached blocks and forget the
+    * cache entry — the [[Graph.releaseSharedEdges]] discipline for the
+    * kNN family; entry removal precedes the block drop, so a later
+    * consumer rebuilds instead of reading a truncated lineage. */
+  def releaseMutualKnnEdges(spark: SparkSession, sfDir: String): Unit =
+    mutualEdgeCache.synchronized {
+      val key = (spark.sparkContext.applicationId, sfDir)
+      mutualEdgeCache.remove(key)
+      Option(mutualEdgeRddIds.remove(key)).foreach(_.foreach { id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))
+      })
+    }
 
   /** Build the shared mutual-kNN edge leaf NOW (no-op when cached) —
     * the explicit warm hook for `graft.Bench`.

@@ -1510,18 +1510,44 @@ FROM agg, tot ORDER BY n_bands DESC"""
   private val clusterLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
 
+  private val clusterLabelRddIds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[Int]]
+
   private def sharedClusterLabels(spark: SparkSession,
       sfDir: String): DataFrame = clusterLabelCache.synchronized {
     val appId = spark.sparkContext.applicationId
     clusterLabelCache.keySet.removeIf(_._1 != appId)
-    clusterLabelCache.computeIfAbsent((appId, sfDir), _ => {
+    clusterLabelRddIds.keySet.removeIf(_._1 != appId)
+    val key = (appId, sfDir)
+    if (!clusterLabelCache.containsKey(key)) {
+      // capture the build's persistent-RDD ids (builds serialize under
+      // this lock) so [[releaseSharedClusterLabels]] can free the blocks
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val reliable = spark.sparkContext.getCheckpointDir.isDefined
       val cc = connectedComponents(
         dedupMinHash(spark, sfDir).select(col("doc_a"), col("doc_b")),
         DefaultCcIters)
-      if (reliable) cc.checkpoint() else cc.localCheckpoint()
-    })
+      val built = if (reliable) cc.checkpoint() else cc.localCheckpoint()
+      clusterLabelRddIds.put(key,
+        (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+      clusterLabelCache.put(key, built)
+    }
+    clusterLabelCache.get(key)
   }
+
+  /** Free the shared cluster-label leaf's cached blocks and forget the
+    * cache entry — the [[Graph.releaseSharedEdges]] discipline for the
+    * dedup-cluster family; entry removal precedes the block drop, so a
+    * later consumer rebuilds instead of reading a truncated lineage. */
+  def releaseSharedClusterLabels(spark: SparkSession, sfDir: String): Unit =
+    clusterLabelCache.synchronized {
+      val key = (spark.sparkContext.applicationId, sfDir)
+      clusterLabelCache.remove(key)
+      Option(clusterLabelRddIds.remove(key)).foreach(_.foreach { id =>
+        spark.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false))
+      })
+    }
 
   /** Build the shared cluster-label leaf NOW (a no-op when already
     * cached) — the explicit warm hook mirroring

@@ -85,6 +85,37 @@ class BenchTelemetrySpec extends AnyFunSuite with SparkTestBase
     summary should include(""""requiesced_s":""")
   }
 
+  test("a memory-pressure-inflated query is labelled ambient:true " +
+    "in-report; a consistently-slow one gets ambient:false") {
+    // simulate BENCH_r12's failure shape with injected queries: the
+    // "ambient" probe is slow ONLY during its three timed median runs
+    // (invocations 2-4; invocation 1 is the untimed exchange pre-pass)
+    // and fast when the quiesced re-measure re-runs it — the verdict
+    // must collapse the gap and say so; the "real" probe is slow on
+    // EVERY run, so its cost reproduces quiesced and must NOT be
+    // written off as noise
+    val calls = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]
+    def probe(name: String, slowOn: Long => Boolean)
+        : (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame = (s, _) => {
+      val n = calls.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
+      if (slowOn(n)) Thread.sleep(1500)
+      s.range(10).toDF("x")
+    }
+    val over = Map(
+      "zz_ambient_probe" -> probe("a", n => n >= 2 && n <= 4),
+      "zz_real_probe" -> probe("r", _ => true))
+    val (full, _) = Bench.run(spark, sf,
+      only = Some(over.keySet), requiesceThreshold = 0.5,
+      queriesOverride = Some(over))
+    val amb = full.split(""""zz_ambient_probe":\{""")(1).split("}")(0)
+    amb should include(""""ambient":true""")
+    amb should include(""""requiesced_s":""")
+    amb should include(""""requiesced_gc_ms":""")
+    val real = full.split(""""zz_real_probe":\{""")(1).split("}")(0)
+    real should include(""""ambient":false""")
+  }
+
   ceilings.foreach { case (name, ceiling) =>
     test(s"$name shuffles stay text-free-sized at sf0.001 (<= $ceiling B)") {
       // graph queries share cached edge artifacts per (app, sfDir): warm
