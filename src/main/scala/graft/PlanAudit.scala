@@ -44,6 +44,10 @@ object PlanAudit {
     "sim_topk_ivfpq_batch",
     // 1-row query broadcast (stored-centroid probe + both stages)
     "ivfpq_store",
+    // 1-row quantized-query + float-query broadcasts (filtered probe)
+    "sim_topk_filtered",
+    // 1-row query broadcast (filtered candidate verify + exact audit)
+    "lsh_store_filtered",
     // 1-row total × 1-row CI frame pairing
     "bootstrap_ci",
     // 1-row query broadcast per prefix-dim ranking branch
@@ -148,6 +152,7 @@ object PlanAudit {
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
     "sim_topk_ivfpq", "ivfpq_store",
+    "sim_topk_filtered", "lsh_store_filtered",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -366,6 +371,12 @@ object PlanAudit {
     // candidate join + exact-audit TakeOrdered join + orderBy;
     // build/append run behind the session cache
     "lsh_store" -> 4,
+    // filtered probe: same shape with the label predicate pushed into
+    // the verify + audit scans (no extra exchange for the filter)
+    "lsh_store_filtered" -> 4,
+    // filtered IVF probe: widened centroid TakeOrdered + pushed-filter
+    // stage-1 TakeOrdered + candidate rejoin + rerank + orderBy
+    "sim_topk_filtered" -> 6,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy

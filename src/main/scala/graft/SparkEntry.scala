@@ -298,6 +298,12 @@ object SparkEntry {
     // sim_topk_lsh_batch
     "lsh_store_batch" -> ((s, d) =>
       graft.operators.PersistedIndex.lshBatchFromSessionStore(s, d)),
+    // filtered ANN (round 13): metadata predicate pushed INSIDE the
+    // persisted-index probes — IVF code-column scan + LSH verify scan
+    "sim_topk_filtered" -> ((s, d) =>
+      graft.operators.PersistedIndex.ivfFilteredFromSessionStore(s, d)),
+    "lsh_store_filtered" -> ((s, d) =>
+      graft.operators.PersistedIndex.lshFilteredFromSessionStore(s, d)),
     "emb_neardup" -> ((s, d) => SimilarityPipeline.embNearDup(s, d)),
     "emb_centroid_stats" -> ((s, d) => SimilarityPipeline.embCentroidStats(s, d)),
     "emb_outliers" -> ((s, d) => SimilarityPipeline.embOutliers(s, d)),
@@ -2614,6 +2620,26 @@ t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS ra
 SELECT rank, vec_id, label, round(c, 4) AS sim,
   (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
 FROM t WHERE rank <= 10 ORDER BY rank""",
+    // the filtered LSH probe: same signature/bucket replay, the label
+    // predicate applied to BOTH the candidate verify and the exact audit
+    "lsh_store_filtered" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT band, val FROM bv WHERE vec_id = 0),
+cand AS (SELECT DISTINCT b.vec_id FROM bv b JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id <> 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (ORDER BY (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) DESC, vec_id) AS rank
+  FROM embeddings, q WHERE vec_id <> 0 AND label = 3) WHERE rank <= 10),
+s AS (SELECT e.vec_id, e.label, (list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))))) AS c
+  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q WHERE e.label = 3),
+t AS (SELECT vec_id, label, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT rank, vec_id, label, round(c, 4) AS sim,
+  (vec_id IN (SELECT vec_id FROM ex)) AS in_exact
+FROM t WHERE rank <= 10 ORDER BY rank""",
     // the batch replay: 8 query signatures joined to corpus buckets,
     // per-query candidate rank + per-query brute-force audit set
     "sim_topk_lsh_batch" ->
@@ -2698,6 +2724,33 @@ s AS (SELECT a2.vec_id, a2.cluster,
   WHERE a2.rn = 1 AND a2.vec_id <> 0),
 t AS (SELECT vec_id, cluster, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank FROM s)
 SELECT rank, vec_id, cluster, round(c, 4) AS sim FROM t WHERE rank <= 10 ORDER BY rank""",
+    // filtered IVF probe replay: kmeans rounds + q8 quantization + the
+    // WIDENED 4-cluster probe + label predicate in stage 1 + exact rerank
+    "sim_topk_filtered" ->
+      s"""WITH
+$kmeansCtes,
+nq AS (SELECT vec_id, label, list_transform(v, x -> x / (CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(v, y -> y*y))) END)) AS u FROM ek),
+s8 AS (SELECT vec_id, label, u, CASE WHEN list_max(list_transform(u, x -> abs(x))) = 0 THEN 0.0 ELSE 127.0 / list_max(list_transform(u, x -> abs(x))) END AS sc FROM nq),
+qt AS (SELECT vec_id, label, list_transform(u, x -> floor(x * sc + 0.5)) AS qv8 FROM s8),
+qq AS (SELECT qv8 AS qqv FROM qt WHERE vec_id = 0),
+q0 AS (SELECT v AS qv FROM ek WHERE vec_id = 0),
+probe AS (SELECT cluster FROM c1, q0
+  ORDER BY (list_sum(list_transform(range(64), i -> c[i+1] * qv[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> c[i+1] * c[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1]))))) DESC, cluster LIMIT 4),
+asg AS (SELECT a2.vec_id, a2.cluster FROM a2 JOIN probe ON a2.cluster = probe.cluster WHERE a2.rn = 1),
+st1 AS (SELECT qt.vec_id, asg.cluster,
+  CAST(list_sum(list_transform(range(64), i -> qt.qv8[i+1] * qqv[i+1])) AS BIGINT) AS q8_dot
+  FROM qt JOIN asg ON qt.vec_id = asg.vec_id, qq
+  WHERE qt.label = 3 AND qt.vec_id <> 0),
+c80 AS (SELECT vec_id, cluster, q8_dot,
+  row_number() OVER (ORDER BY q8_dot DESC, vec_id) AS q8r FROM st1),
+st2 AS (SELECT c80.vec_id, c80.cluster, c80.q8_dot,
+  (list_sum(list_transform(range(64), i -> ek.v[i+1] * qv[i+1])) / (sqrt(list_sum(list_transform(range(64), i -> ek.v[i+1] * ek.v[i+1]))) * sqrt(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1]))))) AS sim_raw
+  FROM c80 JOIN ek ON c80.vec_id = ek.vec_id, q0 WHERE c80.q8r <= 80),
+fr AS (SELECT vec_id, cluster, q8_dot, sim_raw,
+  row_number() OVER (ORDER BY sim_raw DESC, vec_id) AS rank FROM st2)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, cluster, q8_dot,
+  round(sim_raw, 4) AS sim
+FROM fr WHERE rank <= 10 ORDER BY rank""",
     // per-subspace Lloyd replay + codeword-concat reconstruction; the
     // recon-error row sums per-row micro-quantized d2 (order-invariant)
     "pq_topk" -> SimilarityPipeline.pqTopkOracleSql,

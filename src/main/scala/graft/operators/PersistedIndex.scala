@@ -208,6 +208,107 @@ object PersistedIndex {
       .orderBy("rank")
   }
 
+  /** Filtered ANN — the real retrieval workload ("nearest neighbors
+    * WHERE label = L") pushed INSIDE the persisted-index probe instead
+    * of filtering its result: stage 1 scans the probed clusters' int8
+    * `qv` column with the metadata predicate in the parquet scan's
+    * PushedFilters (plan-asserted in PersistedIndexSpec), so a selective
+    * filter shrinks the CANDIDATE scan, not the answer. Two
+    * compensations for selectivity (a ~10% filter leaves ~10% of each
+    * probed cluster eligible, so an unwidened probe would rank top-k
+    * from a thinned pool):
+    *
+    *  - over-probe: `nprobe` defaults to 2x the unfiltered probe (4 of
+    *    8 clusters) — matching neighbors excluded by the coarse prune
+    *    are the recall loss a filter amplifies;
+    *  - over-fetch: stage 1 keeps `fetch` = topK x 8 candidates (2x the
+    *    unfiltered 4x rule) before the exact rerank.
+    *
+    * At 10⁹ vectors the plan is unchanged: the predicate rides the
+    * pruned code-column scan (row-group statistics skip non-matching
+    * pages), candidates are TakeOrdered, stage 2 re-reads floats for
+    * candidates only. FilteredAnnSpec floors recall vs the FILTERED
+    * brute force across selectivities.
+    */
+  def probeIvfIndexFiltered(spark: SparkSession, sfDir: String,
+      path: String, filterLabel: Int, nprobe: Int = 4, topK: Int = 10,
+      fetch: Int = 80, queryId: Int = 0, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val qq = q.select(q8Codes(col("q")).cast("array<double>").as("qq"))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("cluster"), cosine(col("c"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+    val vectors = ivfVectors(spark, path, version)
+    val candidates = vectors
+      .select(col("vec_id"), col("cluster"), col("label"), col("qv"))
+      .filter(col("label") === filterLabel) // → parquet PushedFilters
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "cluster")
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"), col("cluster"),
+        graft.expressions.VectorExpressions
+          .dotNative(col("qv").cast("array<double>"), col("qq"))
+          .cast("long").as("q8_dot"))
+      .orderBy(col("q8_dot").desc, col("vec_id"))
+      .limit(fetch)
+    // stage 2 re-reads the float column through the same broadcast
+    // cluster join (partition-pruned); candidates are already filtered
+    val stage2Vectors = vectors
+      .join(broadcast(probed), "cluster")
+      .select(col("vec_id"), col("v"))
+    candidates
+      .join(stage2Vectors, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", cosine(col("v"), col("q")))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim_raw").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      // partition-column type inference reads `cluster` back as int;
+      // the oracle's kmeans replay carries BIGINT — pin the driver
+      // surface to long explicitly
+      .select(col("rank"), col("vec_id"),
+        col("cluster").cast("long").as("cluster"), col("q8_dot"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("rank")
+  }
+
+  private val ivfStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** Build-once IVF session store (the pq/ivfpq/lsh session-store
+    * discipline) backing the filtered-probe driver surface. */
+  private def sessionIvfStore(spark: SparkSession, sfDir: String): String =
+    ivfStoreCache.synchronized {
+      val appId = spark.sparkContext.applicationId
+      ivfStoreCache.keySet.removeIf(_._1 != appId)
+      ivfStoreCache.computeIfAbsent((appId, sfDir), _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-ivf-store").toString
+        buildIvfIndex(spark, sfDir, p)
+        p
+      })
+    }
+
+  /** The label used by the `sim_topk_filtered` driver query — ~10% of
+    * the corpus at every SF (the 10-label synthetic embedding table). */
+  val FilteredAnnLabel = 3
+
+  /** Filtered-probe driver surface: train+persist once per (app, sfDir),
+    * probe with the metadata predicate pushed into the code-column scan
+    * — answers the sim_topk_filtered recompute oracle (kmeans + q8 +
+    * widened probe + filter, both stages replayed). */
+  def ivfFilteredFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeIvfIndexFiltered(spark, sfDir, sessionIvfStore(spark, sfDir),
+      FilteredAnnLabel)
+
   // ------------------------------------------------- persisted PQ index --
 
   /** Build the persisted PQ index at `path` — the durable form of
@@ -1847,6 +1948,80 @@ FROM graft_shingle_bloom_build""")
         coalesce(col("in_ex"), lit(false)).as("in_exact"))
       .orderBy("rank")
   }
+
+  /** Filtered LSH probe — the [[probeIvfIndexFiltered]] workload through
+    * the bucket index: candidates still come from the query's 4 of 64
+    * bucket directories (the partition-pruned listing is untouched —
+    * the filter cannot shrink it further, signatures carry no
+    * metadata), and the metadata predicate lands in the candidate
+    * VERIFICATION scan's PushedFilters, so only matching candidates are
+    * cosine-scored and ranked. Selectivity compensation is structural
+    * here: the bucket candidate pool is unlimited (no stage-1 fetch cap
+    * to starve), so a selective filter thins the verify join, never the
+    * recall set — what a band collision surfaced stays surfaced.
+    * `in_exact` audits each hit against the FILTERED brute-force top-k
+    * over the same pinned version (the recall surface FilteredAnnSpec
+    * floors).
+    */
+  def probeLshIndexFiltered(spark: SparkSession, path: String,
+      filterLabel: Int, qId: Long = 0L, k: Int = LshTopK,
+      version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val live = lshLiveTokens(spark, path, version)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+    val q = vectors.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q"))
+    val qBuckets = SimilarityPipeline.lshSignatures(
+        vectors.filter(col("vec_id") === qId), lshNormals(spark, path))
+      .withColumn("pfx", pmod(col("bval"), lit(16L)))
+      .select(col("band").cast("long"), col("pfx").cast("long"),
+        col("bval").cast("long"))
+      .collect() // bounded: one row per band (4)
+    require(qBuckets.nonEmpty,
+      s"query vec_id=$qId is not in the pinned version of the LSH " +
+        s"store at $path (absent id, or pruned segment)")
+    val bucketPred = qBuckets.map { r =>
+        col("band") === r.getLong(0) && col("pfx") === r.getLong(1) &&
+          col("bval") === r.getLong(2)
+      }.reduce(_ || _)
+    val candIds = spark.read.parquet(s"$path/buckets")
+      .filter(col("ingest").isInCollection(live))
+      .filter(bucketPred)
+      .filter(col("vec_id") =!= qId)
+      .select(col("vec_id")).distinct()
+    val matching = vectors
+      .filter(col("label") === filterLabel) // → parquet PushedFilters
+      .filter(col("vec_id") =!= qId)
+    val exactIds = matching
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("exact_id"), lit(true).as("in_ex"))
+    matching.join(candIds, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      // post-limit window: <= k rows (the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .join(broadcast(exactIds), col("vec_id") === col("exact_id"), "left")
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("cos"), 4).as("sim"),
+        coalesce(col("in_ex"), lit(false)).as("in_exact"))
+      .orderBy("rank")
+  }
+
+  /** Filtered-probe driver surface over the session store — answers the
+    * lsh_store_filtered recompute oracle. */
+  def lshFilteredFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeLshIndexFiltered(spark, sessionLshStore(spark, sfDir),
+      FilteredAnnLabel)
 
   /** Batched probe over the persisted index —
     * [[SimilarityPipeline.simTopKLshBatch]]'s join shape with the corpus
