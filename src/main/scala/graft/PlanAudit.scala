@@ -50,6 +50,9 @@ object PlanAudit {
     "lsh_store_filtered",
     // 1-row total × 1-row CI frame pairing
     "bootstrap_ci",
+    // 4-row seed-norm / 1-row query-norm broadcasts (sparse-dot IVF) +
+    // the funnel's 1-row × 1-row candidate-count pairing
+    "retrieval_program", "retrieval_funnel",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -153,6 +156,9 @@ object PlanAudit {
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
     "sim_topk_ivfpq", "ivfpq_store",
     "sim_topk_filtered", "lsh_store_filtered",
+    // <= NSeeds / <= kEach / <= k post-limit rank windows of the
+    // composed RAG chain (seeds, both candidate sides, fused result)
+    "retrieval_program", "retrieval_funnel",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -377,6 +383,12 @@ object PlanAudit {
     // filtered IVF probe: widened centroid TakeOrdered + pushed-filter
     // stage-1 TakeOrdered + candidate rejoin + rerank + orderBy
     "sim_topk_filtered" -> 6,
+    // the composed RAG chain: every stage behind a fence, the probe
+    // result is a tiny-frame fusion (measured 1)
+    "retrieval_program" -> 4,
+    // funnel counts re-reference the fenced stage frames; each count is
+    // a bounded agg over a fence (measured 12)
+    "retrieval_funnel" -> 16,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy

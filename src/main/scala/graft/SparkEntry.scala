@@ -574,6 +574,12 @@ object SparkEntry {
     "ranker_agreement" -> ((s, d) => Retrieval.rankerAgreement(s, d)),
     // hybrid lexical+vector retrieval via Reciprocal Rank Fusion
     "hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // the composed RAG build promoted to one operator (round 13):
+    // chunks → hash-embed → seeded IVF → chunk BM25 index → hybrid probe
+    "retrieval_program" -> ((s, d) =>
+      graft.operators.RetrievalProgram.retrievalProgram(s, d)),
+    "retrieval_funnel" -> ((s, d) =>
+      graft.operators.RetrievalProgram.retrievalFunnel(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -2280,6 +2286,12 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     "bm25_store" -> Retrieval.bm25OracleSql(10),
     "ranker_agreement" -> Retrieval.rankerAgreementOracleSql(20),
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(10, 20),
+    // the composed RAG chain replayed stage-for-stage from ONE shared
+    // CTE generator (chunks, sparse embed, seeded IVF, BM25, fusion)
+    "retrieval_program" ->
+      graft.operators.RetrievalProgram.retrievalProgramOracleSql,
+    "retrieval_funnel" ->
+      graft.operators.RetrievalProgram.retrievalFunnelOracleSql,
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

@@ -1,0 +1,383 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** The composed RAG build promoted to one operator — the
+  * [[CurationProgram]] symmetry for retrieval (round 13):
+  *
+  *   sliding chunks → per-chunk hash embedding → seeded-IVF coarse
+  *   index → chunk inverted index → hybrid (BM25 + cosine) probe
+  *
+  * in ONE chained plan with a per-stage funnel
+  * ([[retrievalFunnel]]: chunks / vectors / postings / assignment /
+  * candidate / fused counts — the observability rows a RAG build logs).
+  *
+  * Scale shape: ONE text scan produces the chunk manifest
+  * (chunk_id, doc_id, chunk_idx, chunk tokens), which is CHECKPOINTED —
+  * the production materialization point (a RAG build persists its chunk
+  * table anyway); every later stage reads the fence, never the corpus.
+  * The embedding is the [[TextPipeline.textHashEmbed]] signed 64-bucket
+  * recipe folded IN-EXPRESSION per chunk (zero shuffles to embed), kept
+  * SPARSE — all similarity math is integer sparse-dot via keyed joins
+  * on the bucket position against BROADCAST seed/query vectors (the
+  * scalable plan for sparse vectors; nothing corpus-sized is ever
+  * densified or collected). The coarse quantizer is seeded
+  * nearest-neighbor assignment over the first [[NSeeds]] chunk vectors
+  * — Lloyd refinement is [[SimilarityPipeline.embKmeans]]'s axis; a
+  * production build trains the quantizer offline and freezes it, which
+  * is exactly what frozen seeds model. The text side is the REAL
+  * [[Retrieval.bm25TopKFrom]] over the chunk corpus (promoted code
+  * path, no hand-built scoring drift), the vector side ranks cosine
+  * inside the [[NProbe]] probed clusters only, and fusion is
+  * [[Retrieval.hybridRrf]]'s reciprocal-rank formula over two ≤ kEach
+  * frames.
+  *
+  * Determinism: chunk vectors and the query vector are INTEGER signed
+  * counts; every dot and norm is an exact integer until the one final
+  * division, so cosine ordering is bit-identical cross-engine (the
+  * pair_alignment discipline). The DuckDB oracle replays the WHOLE
+  * chain stage-for-stage from one shared CTE generator.
+  */
+object RetrievalProgram {
+
+  private[operators] val Win = 32
+  private[operators] val Stride = 24
+  private[operators] val NSeeds = 4
+  private[operators] val NProbe = 2
+  private[operators] val KEach = 20
+  private[operators] val TopK = 10
+  /** chunk_id = doc_id * IdBase + chunk_idx (chunk counts are bounded
+    * far below this at the generator's document lengths). */
+  private[operators] val IdBase = 1024L
+
+  private def fence(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  /** The signed-bucket entry for one token — md5 nibbles 1-4 pick the
+    * bucket, nibble 5 the sign (the [[TextPipeline.textHashEmbed]]
+    * recipe, identical to the oracle's strpos replay). */
+  private def hashEntry(t: Column): Column = struct(
+    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType), lit(64L))
+      .as("pos"),
+    when(substring(md5(t), 5, 1).isin(
+      "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+      .as("sgn"))
+
+  private case class Stages(chunks: DataFrame, sparse: DataFrame,
+      norms: DataFrame, qSparse: DataFrame, qNorm: DataFrame,
+      seeds: DataFrame, assigned: DataFrame, probe: DataFrame,
+      textTop: DataFrame, vecTop: DataFrame, fused: DataFrame)
+
+  private def run(spark: SparkSession, corpus: DataFrame): Stages = {
+    import spark.implicits._
+    // ---- stage 1: the ONE text scan → fenced chunk manifest ----------
+    val toks = col("toks")
+    val nc = when(size(toks) <= Win, lit(1L))
+      .otherwise(floor((size(toks) - lit(Win - Stride + 1))
+        .cast("double") / lit(Stride.toDouble)).cast(LongType) + 1L)
+    val chunks = fence(corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), nc.as("nc"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
+      .select((col("doc_id") * IdBase + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * Stride + 1L).cast("int"),
+          lit(Win)).as("ctoks")))
+    // ---- stage 2: per-chunk hash embedding, folded in-expression -----
+    val dense = chunks.select(col("chunk_id"),
+      aggregate(
+        transform(filter(col("ctoks"), t => length(t) > 0),
+          t => hashEntry(t)),
+        array_repeat(lit(0L), 64),
+        (acc, e) => zip_with(acc, sequence(lit(0L), lit(63L)),
+          (x, i) => when(i === e.getField("pos"), x + e.getField("sgn"))
+            .otherwise(x))).as("dense"))
+    val sparse = fence(dense
+      .select(col("chunk_id"), posexplode(col("dense")).as(Seq("pos", "v")))
+      .filter(col("v") =!= 0L)
+      .select(col("chunk_id"), col("pos").cast(LongType).as("pos"),
+        col("v")))
+    val norms = fence(sparse.groupBy("chunk_id")
+      .agg(sum(col("v") * col("v")).cast(LongType).as("n2")))
+    // the query vector: the SAME recipe over the fixed term list
+    val qSparse = Retrieval.QueryTerms.toDF("token")
+      .filter(length(col("token")) > 0)
+      .select(hashEntry(col("token")).as("e"))
+      .select(col("e.pos").as("pos"), col("e.sgn").as("sgn"))
+      .groupBy("pos").agg(sum(col("sgn")).as("qv"))
+      .filter(col("qv") =!= 0L)
+    val qNorm = qSparse.agg(sum(col("qv") * col("qv"))
+      .cast(LongType).as("n2q"))
+    // ---- stage 3: seeded-IVF coarse index ----------------------------
+    val seeds = sparse.select("chunk_id").distinct()
+      .orderBy("chunk_id").limit(NSeeds)
+      // post-limit window: <= NSeeds rows (the simTopK note)
+      .withColumn("seed_idx",
+        (row_number().over(Window.orderBy("chunk_id")) - 1).cast(LongType))
+    val seedVecs = seeds.join(sparse, "chunk_id")
+      .select(col("seed_idx"), col("pos"), col("v").as("sv"))
+    val seedNorms = seedVecs.groupBy("seed_idx")
+      .agg(sum(col("sv") * col("sv")).cast(LongType).as("n2s"))
+    // integer sparse dots against the BROADCAST seed entries (<= 256
+    // rows) — the corpus-sized side never shuffles for the assignment
+    val dots = sparse.join(broadcast(seedVecs), "pos")
+      .groupBy(col("chunk_id"), col("seed_idx"))
+      .agg(sum(col("v") * col("sv")).cast(LongType).as("d"))
+    val cosAsg = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2").cast("double")) * sqrt(col("n2s").cast("double"))))
+    val assigned = fence(norms.crossJoin(broadcast(seedNorms))
+      .join(dots, Seq("chunk_id", "seed_idx"), "left")
+      .withColumn("rn", row_number().over(Window.partitionBy("chunk_id")
+        .orderBy(cosAsg.desc, col("seed_idx"))))
+      .filter(col("rn") === 1)
+      .select(col("chunk_id"), col("seed_idx").as("cluster")))
+    // probe decision: the query's NProbe nearest seeds
+    val qSeedDots = qSparse.join(broadcast(seedVecs), "pos")
+      .groupBy("seed_idx").agg(sum(col("qv") * col("sv"))
+        .cast(LongType).as("d"))
+    val cosProbe = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2s").cast("double")) * sqrt(col("n2q").cast("double"))))
+    val probe = seedNorms.join(qSeedDots, Seq("seed_idx"), "left")
+      .crossJoin(broadcast(qNorm))
+      .orderBy(cosProbe.desc, col("seed_idx"))
+      .limit(NProbe)
+      .select(col("seed_idx").as("cluster"))
+    // ---- stage 4+5: the hybrid probe ---------------------------------
+    // text side: the REAL BM25 operator over the chunk corpus
+    val chunkCorpus = chunks.select(col("chunk_id").as("doc_id"),
+      concat_ws(" ", col("ctoks")).as("text"))
+    val textTop = fence(Retrieval
+      .bm25TopKFrom(spark, chunkCorpus, Retrieval.QueryTerms, KEach)
+      // post-limit window: <= KEach rows
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id").as("chunk_id"), col("text_rank")))
+    // vector side: cosine INSIDE the probed clusters only
+    val qDots = sparse.join(broadcast(qSparse), "pos")
+      .groupBy("chunk_id").agg(sum(col("v") * col("qv"))
+        .cast(LongType).as("d"))
+    val cosV = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2").cast("double")) * sqrt(col("n2q").cast("double"))))
+    val vecTop = fence(norms.join(assigned, "chunk_id")
+      .join(broadcast(probe), "cluster")
+      .join(qDots, Seq("chunk_id"), "left")
+      .crossJoin(broadcast(qNorm))
+      .select(col("chunk_id"), cosV.as("cosv"))
+      .orderBy(col("cosv").desc, col("chunk_id"))
+      .limit(KEach)
+      // post-limit window: <= KEach rows
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosv").desc, col("chunk_id"))).cast(LongType))
+      .select(col("chunk_id"), col("vec_rank")))
+    // fusion: hybridRrf's reciprocal-rank formula over two tiny frames
+    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+    val fused = fence(textTop.join(vecTop, Seq("chunk_id"), "full_outer")
+      .select(col("chunk_id"), col("text_rank"), col("vec_rank"),
+        round(rrf, 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("chunk_id"))
+      .limit(TopK))
+    Stages(chunks, sparse, norms, qSparse, qNorm, seeds, assigned, probe,
+      textTop, vecTop, fused)
+  }
+
+  /** The fused top-[[TopK]] chunks with both sides' ranks — the RAG
+    * probe result a serving stack would return. */
+  def retrievalProgram(spark: SparkSession, sfDir: String): DataFrame =
+    retrievalProgramFrom(spark, Tables.documents(spark, sfDir))
+
+  def retrievalProgramFrom(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val st = run(spark, corpus)
+    st.fused
+      // post-limit window: <= TopK rows
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("rrf_score").desc, col("chunk_id"))).cast(LongType))
+      .select(col("rank"), col("chunk_id"),
+        floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id"),
+        pmod(col("chunk_id"), lit(IdBase)).as("chunk_idx"),
+        col("text_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy("rank")
+  }
+
+  /** The per-stage funnel — (stage_no, stage, n_rows, n_keys) counts a
+    * RAG build logs: chunk manifest size, embedded-vector occupancy,
+    * full inverted-index postings, coarse-index assignment, per-side
+    * candidate counts, fused size. Every count reads a fenced or
+    * bounded frame. */
+  def retrievalFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    retrievalFunnelFrom(spark, Tables.documents(spark, sfDir))
+
+  def retrievalFunnelFrom(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val st = run(spark, corpus)
+    def stage(no: Int, name: String, rows: Column, keys: Column,
+        df: DataFrame): DataFrame =
+      df.agg(coalesce(rows, lit(0L)).cast(LongType).as("n_rows"),
+          coalesce(keys, lit(0L)).cast(LongType).as("n_keys"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_rows"), col("n_keys"))
+    val postings = st.chunks
+      .select(col("chunk_id"), explode(col("ctoks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("chunk_id"), col("term")).distinct()
+    stage(1, "chunks", count(lit(1)), countDistinct(col("doc_id")),
+        st.chunks)
+      .unionAll(stage(2, "vectors", count(lit(1)),
+        countDistinct(col("chunk_id")), st.sparse))
+      .unionAll(stage(3, "postings", count(lit(1)),
+        countDistinct(col("term")), postings))
+      .unionAll(stage(4, "ivf_assign", count(lit(1)),
+        countDistinct(col("cluster")), st.assigned))
+      // stage 5 pairs the two sides' candidate counts (1-row x 1-row)
+      .unionAll(st.textTop.agg(count(lit(1)).cast(LongType).as("n_rows"))
+        .crossJoin(st.vecTop.agg(count(lit(1)).cast(LongType)
+          .as("n_keys")))
+        .select(lit(5L).as("stage_no"), lit("candidates").as("stage"),
+          col("n_rows"), col("n_keys")))
+      .unionAll(stage(6, "fused", count(lit(1)),
+        sum(when(col("text_rank").isNotNull && col("vec_rank").isNotNull,
+          1L).otherwise(0L)), st.fused))
+      .orderBy("stage_no")
+  }
+
+  // ------------------------------- the DuckDB stage-for-stage replay --
+
+  /** The whole chain as shared CTEs — ONE generator feeds both oracles
+    * so the program and funnel replays cannot drift. Multiply-referenced
+    * corpus-sized CTEs are AS MATERIALIZED (the graph_hits lesson:
+    * DuckDB inlines multiply-referenced CTEs and re-evaluates). */
+  private def chainCtes: String = {
+    val terms = Retrieval.QueryTerms.map(t => s"'$t'").mkString(", ")
+    val bucket = "CAST(list_sum(list_transform(range(4), dd -> " +
+      "CAST(strpos('0123456789abcdef', md5(token)[dd+1:dd+1]) - 1 AS " +
+      "BIGINT) * (1::BIGINT << (4*(3-dd))))) % 64 AS BIGINT)"
+    val sign = "CASE WHEN strpos('01234567', md5(token)[5:5]) > 0 " +
+      "THEN 1 ELSE -1 END"
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ncs AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) <= $Win THEN 1
+    ELSE ((len(toks) - ${Win - Stride + 1}) // $Stride) + 1 END AS nc
+  FROM tk),
+chx AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_idx FROM ncs),
+ck AS MATERIALIZED (SELECT doc_id * $IdBase + chunk_idx AS chunk_id,
+  doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  toks[chunk_idx*$Stride+1:chunk_idx*$Stride+$Win] AS ctoks FROM chx),
+ct AS (SELECT chunk_id, unnest(ctoks) AS token FROM ck),
+hb AS (SELECT chunk_id, $bucket AS pos, $sign AS sgn
+  FROM ct WHERE len(token) > 0),
+sv AS MATERIALIZED (SELECT chunk_id, pos, CAST(sum(sgn) AS BIGINT) AS v
+  FROM hb GROUP BY chunk_id, pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+nn AS MATERIALIZED (SELECT chunk_id, CAST(sum(v*v) AS BIGINT) AS n2
+  FROM sv GROUP BY chunk_id),
+qts AS (SELECT unnest([$terms]) AS token),
+qhb AS (SELECT $bucket AS pos, $sign AS sgn FROM qts
+  WHERE len(token) > 0),
+qvv AS MATERIALIZED (SELECT pos, CAST(sum(sgn) AS BIGINT) AS qv
+  FROM qhb GROUP BY pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+qn AS (SELECT CAST(sum(qv*qv) AS BIGINT) AS n2q FROM qvv),
+sd AS (SELECT chunk_id AS seed_chunk,
+  CAST(row_number() OVER (ORDER BY chunk_id) - 1 AS BIGINT) AS seed_idx
+  FROM (SELECT DISTINCT chunk_id FROM sv ORDER BY chunk_id LIMIT $NSeeds)),
+sdv AS MATERIALIZED (SELECT sd.seed_idx, sv.pos, sv.v AS svv
+  FROM sd JOIN sv ON sv.chunk_id = sd.seed_chunk),
+sdn AS MATERIALIZED (SELECT seed_idx, CAST(sum(svv*svv) AS BIGINT) AS n2s
+  FROM sdv GROUP BY seed_idx),
+dts AS (SELECT sv.chunk_id, sdv.seed_idx,
+  CAST(sum(sv.v * sdv.svv) AS BIGINT) AS d
+  FROM sv JOIN sdv ON sv.pos = sdv.pos GROUP BY sv.chunk_id, sdv.seed_idx),
+asg AS MATERIALIZED (SELECT chunk_id, seed_idx AS cluster FROM (
+  SELECT nn.chunk_id, sdn.seed_idx,
+    row_number() OVER (PARTITION BY nn.chunk_id ORDER BY
+      (CAST(coalesce(dts.d, 0) AS DOUBLE) /
+        (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(sdn.n2s AS DOUBLE))))
+      DESC, sdn.seed_idx) AS rn
+  FROM nn CROSS JOIN sdn
+  LEFT JOIN dts ON dts.chunk_id = nn.chunk_id AND dts.seed_idx = sdn.seed_idx)
+  WHERE rn = 1),
+qsd AS (SELECT sdv.seed_idx, CAST(sum(qvv.qv * sdv.svv) AS BIGINT) AS d
+  FROM qvv JOIN sdv ON qvv.pos = sdv.pos GROUP BY sdv.seed_idx),
+prb AS (SELECT seed_idx AS cluster FROM sdn
+  LEFT JOIN qsd USING (seed_idx), qn
+  ORDER BY (CAST(coalesce(qsd.d, 0) AS DOUBLE) /
+    (sqrt(CAST(sdn.n2s AS DOUBLE)) * sqrt(CAST(qn.n2q AS DOUBLE))))
+    DESC, seed_idx LIMIT $NProbe),
+qdt AS (SELECT sv.chunk_id, CAST(sum(sv.v * qvv.qv) AS BIGINT) AS d
+  FROM sv JOIN qvv ON sv.pos = qvv.pos GROUP BY sv.chunk_id),
+vc AS (SELECT nn.chunk_id,
+  (CAST(coalesce(qdt.d, 0) AS DOUBLE) /
+    (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(qn.n2q AS DOUBLE)))) AS cosv
+  FROM nn JOIN asg ON nn.chunk_id = asg.chunk_id
+  JOIN prb ON asg.cluster = prb.cluster
+  LEFT JOIN qdt ON qdt.chunk_id = nn.chunk_id, qn),
+vr AS MATERIALIZED (SELECT chunk_id,
+  CAST(row_number() OVER (ORDER BY cosv DESC, chunk_id) AS BIGINT)
+    AS vec_rank
+  FROM (SELECT chunk_id, cosv FROM vc ORDER BY cosv DESC, chunk_id
+    LIMIT $KEach)),
+btk AS (SELECT chunk_id, CAST(len(ctoks) AS BIGINT) AS dl,
+  unnest(ctoks) AS term FROM ck),
+btf AS (SELECT chunk_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM btk WHERE term IN ($terms) GROUP BY chunk_id, dl, term),
+bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
+bst AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+  avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM ck),
+bs AS (SELECT chunk_id,
+  round(sum(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+    (CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
+    (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
+      ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl))), 4) AS score
+  FROM btf JOIN bdf USING (term), bst GROUP BY chunk_id),
+tr AS MATERIALIZED (SELECT chunk_id,
+  CAST(row_number() OVER (ORDER BY score DESC, chunk_id) AS BIGINT)
+    AS text_rank
+  FROM (SELECT chunk_id, score FROM bs ORDER BY score DESC, chunk_id
+    LIMIT $KEach)),
+fsd AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
+  FROM (SELECT coalesce(tr.chunk_id, vr.chunk_id) AS chunk_id,
+    text_rank, vec_rank,
+    round(coalesce(1.0 / (60.0 + text_rank), 0.0) +
+      coalesce(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf_score
+  FROM tr FULL OUTER JOIN vr ON tr.chunk_id = vr.chunk_id)
+  ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
+  }
+
+  private[graft] def retrievalProgramOracleSql: String =
+    s"""WITH
+$chainCtes
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, chunk_id)
+    AS BIGINT) AS rank,
+  chunk_id, chunk_id // $IdBase AS doc_id, chunk_id % $IdBase AS chunk_idx,
+  text_rank, vec_rank, rrf_score
+FROM fsd ORDER BY rank"""
+
+  private[graft] def retrievalFunnelOracleSql: String =
+    s"""WITH
+$chainCtes
+SELECT CAST(1 AS BIGINT) AS stage_no, 'chunks' AS stage,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys FROM ck
+UNION ALL SELECT CAST(2 AS BIGINT), 'vectors', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT chunk_id) AS BIGINT) FROM sv
+UNION ALL SELECT CAST(3 AS BIGINT), 'postings', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT term) AS BIGINT) FROM (
+    SELECT DISTINCT chunk_id, term FROM (
+      SELECT chunk_id, unnest(ctoks) AS term FROM ck) WHERE len(term) > 0)
+UNION ALL SELECT CAST(4 AS BIGINT), 'ivf_assign', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT cluster) AS BIGINT) FROM asg
+UNION ALL SELECT CAST(5 AS BIGINT), 'candidates',
+  (SELECT CAST(count(*) AS BIGINT) FROM tr),
+  (SELECT CAST(count(*) AS BIGINT) FROM vr)
+UNION ALL SELECT CAST(6 AS BIGINT), 'fused', CAST(count(*) AS BIGINT),
+  CAST(coalesce(sum(CASE WHEN text_rank IS NOT NULL AND
+    vec_rank IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM fsd
+ORDER BY stage_no"""
+}
