@@ -280,17 +280,29 @@ object DataQuality {
     * collapsed by a 32-group map-side-combined integer agg; the CI rank
     * window runs on the 32-row frame. Nothing else moves.
     */
-  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
-    val B = 32
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame =
+    bootstrapCiFrom(Tables.documents(spark, sfDir))
+
+  /** [[bootstrapCi]] over any frame with (doc_id, n_chars) — the batch
+    * path is [[bootstrapPartialsFrom]] + [[ciFromPartials]], EXACTLY the
+    * pieces the streaming twin
+    * ([[graft.streaming.StreamingSketches.ciPartialStream]]) emits and
+    * finishes, so stream-merged frames and the batch row cannot drift. */
+  def bootstrapCiFrom(docs: DataFrame): DataFrame =
+    ciFromPartials(bootstrapPartialsFrom(docs))
+
+  private[graft] val BootstrapB = 32
+
+  /** The deterministic Poisson(1) resample weight of (`b`, `doc_id`) —
+    * inverse CDF of a hash-uniform draw (cumulative e^-1/k! thresholds,
+    * capped at 8; P(w > 8) < 1e-6 — the cap is part of the pinned
+    * contract). Shared verbatim by the batch and streaming twins. */
+  private[graft] def poissonWeight: org.apache.spark.sql.Column = {
     val u = conv(substring(md5(concat(lit("boot:"),
         col("b").cast(StringType), lit(":"),
         col("doc_id").cast(StringType))), 1, 8), 16, 10)
       .cast(LongType).cast(DoubleType) / 4294967296.0d
-    // Poisson(1) inverse CDF — cumulative e^-1/k! thresholds, capped at 8
-    // (P(w > 8) < 1e-6; the cap is part of the pinned contract)
-    val w = when(u < 0.36787944117144233, 0L)
+    when(u < 0.36787944117144233, 0L)
       .when(u < 0.7357588823428847, 1L)
       .when(u < 0.9196986029286058, 2L)
       .when(u < 0.9810118431238462, 3L)
@@ -299,6 +311,33 @@ object DataQuality {
       .when(u < 0.9999167588507119, 6L)
       .when(u < 0.9999897508033253, 7L)
       .otherwise(8L)
+  }
+
+  /** The B addition-mergeable resample partials of a (doc_id, n_chars)
+    * frame: per resample `b`, the integer weighted sum `sx` = Σ w·x and
+    * weight `sw` = Σ w, plus the window's own totals (`n_docs`, `tx`) —
+    * every column sums across shards/windows (the CMS/hist merge-later
+    * discipline), so partial frames from ANY partition of the corpus
+    * fold by per-b addition into the whole-corpus partials. */
+  private[graft] def bootstrapPartialsFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .select(col("b"), poissonWeight.as("w"), col("n_chars"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("n_chars")).as("sx"),
+        sum(col("w")).as("sw"),
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("tx"))
+
+  /** Finish (b, sx, sw, n_docs, tx) partial rows — possibly many per b,
+    * from shards or stream windows — into the CI row: merge by per-b
+    * addition, drop zero-weight resamples, rank the resample means, emit
+    * (n_docs, est, ci_lo, ci_hi). Values are identical to running the
+    * batch bootstrap over the union of the partials' inputs. */
+  def ciFromPartials(partials: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = BootstrapB
     // quantize to 4 decimals via the explicit floor(x*1e4+0.5)/1e4 half-up
     // form, NOT round(,4): mean_b is a ratio of exact integers that can
     // land exactly on a 4-decimal half-point, where Spark's BigDecimal
@@ -306,13 +345,12 @@ object DataQuality {
     // doc-648 class). Both engines now run the same IEEE op sequence.
     def q4(c: org.apache.spark.sql.Column) =
       floor(c * 10000d + 0.5d) / 10000d
-    val means = docs
-      .select(col("doc_id"), col("n_chars"),
-        explode(sequence(lit(0), lit(B - 1))).as("b"))
-      .select(col("b"), w.as("w"), col("n_chars"))
-      .groupBy("b")
-      .agg(sum(col("w") * col("n_chars")).as("sx"),
-        sum(col("w")).as("sw"))
+    val merged = partials.groupBy("b")
+      .agg(sum(col("sx")).as("sx"), sum(col("sw")).as("sw"),
+        sum(col("n_docs")).cast(LongType).as("n_docs"),
+        sum(col("tx")).cast(LongType).as("tx"))
+      .localCheckpoint() // <= B rows; referenced by means AND totals
+    val means = merged
       // a resample with total weight 0 has no mean: drop it BEFORE the
       // rank window in both engines (P = e^-n per resample — unreachable
       // for real corpora, but Spark orders NULLs first where DuckDB
@@ -324,8 +362,10 @@ object DataQuality {
       // post-agg window: exactly B = 32 rows (the assign_ids offsets class)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("mean_b").asc, col("b").asc)))
-    val tot = docs.agg(count(lit(1)).cast(LongType).as("n_docs"),
-      sum(col("n_chars")).cast(LongType).as("sx"))
+    // every b's (n_docs, tx) is the same whole-corpus total (each doc
+    // contributes to every resample exactly once) — max picks it
+    val tot = merged.agg(max(col("n_docs")).as("n_docs"),
+      max(col("tx")).as("sx"))
     val ci = means.agg(
       min(when(col("rk") === 2, col("mean_b"))).as("lo"),
       min(when(col("rk") === B - 1, col("mean_b"))).as("hi"))

@@ -79,4 +79,36 @@ object StreamingSketches {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
         col("bin"), col("cnt"))
+
+  /** Streaming Poisson-bootstrap CI partials — the windowed error-bar
+    * monitor ([[graft.operators.DataQuality.bootstrapCi]]'s twin,
+    * round 13): per window, the B = 32 resample partials
+    * (b, sx = Σ w·n_chars, sw = Σ w) under the SAME deterministic
+    * hash-Poisson weights as the batch operator, plus the window's own
+    * totals (n_docs, tx) on every row. Every column merges by per-b
+    * ADDITION (the CMS/hist merge-later discipline): a reader sums any
+    * set of emitted windows and finishes with
+    * [[graft.operators.DataQuality.ciFromPartials]] to get the mean ±
+    * CI over exactly that span — spec-proven equal to the batch
+    * bootstrap over the same documents. State per in-flight window: 32
+    * counter rows, constant whatever the arrival rate — the defining
+    * bootstrap-at-scale property (Chamandy'12): no resample ever holds
+    * data, only sums.
+    */
+  def ciPartialStream(docs: DataFrame, eventTimeCol: String,
+      windowLen: String = "1 minute", delay: String = "10 minutes")
+      : DataFrame =
+    docs.withWatermark(eventTimeCol, delay)
+      .select(col(eventTimeCol), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0),
+          lit(graft.operators.DataQuality.BootstrapB - 1))).as("b"))
+      .select(col(eventTimeCol), col("b"),
+        graft.operators.DataQuality.poissonWeight.as("w"), col("n_chars"))
+      .groupBy(window(col(eventTimeCol), windowLen), col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sx"),
+        sum(col("w")).as("sw"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("tx"))
+      .select(col("window.start").as("window_start"), col("b"),
+        col("sx"), col("sw"), col("n_docs"), col("tx"))
 }

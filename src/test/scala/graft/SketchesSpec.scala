@@ -413,4 +413,48 @@ class SketchesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     doubled.map(_._1) shouldBe got.map(_._1)
     doubled.map(_._2) shouldBe got.map(_._2 * 2)
   }
+
+  test("ciPartialStream windows sum per-b to the batch bootstrap " +
+    "partials, and the merged finish equals the batch CI row") {
+    import graft.operators.DataQuality
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(60).select($"doc_id", $"n_chars")
+    val rows = corpus.as[(Long, Long)].collect().toSeq
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamingSketches.ciPartialStream(
+        input.toDF().toDF("ts", "doc_id", "n_chars"), "ts")
+      .writeStream.format("memory").queryName("ci_twin")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-ci").toString)
+      .outputMode("append").start()
+    try {
+      // ordered replay: two event-time windows, then watermark flushes
+      input.addData(rows.map { case (id, n) =>
+        (ts(if (id % 2 == 0) 10 else 11), id, n) })
+      q.processAllAvailable()
+      input.addData(Seq((ts(30), -1L, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(31), -2L, 0L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("ci_twin").filter($"window_start" < ts(20))
+    emitted.select(countDistinct($"window_start")).as[Long].head() shouldBe 2L
+    // per-b ADDITION across the two windows == the batch partials
+    val summed = emitted.groupBy("b")
+      .agg(sum($"sx").as("sx"), sum($"sw").as("sw"),
+        sum($"n_docs").as("n_docs"), sum($"tx").as("tx"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val batch = DataQuality.bootstrapPartialsFrom(corpus)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    summed shouldBe batch
+    // and finishing the emitted frames gives the batch CI row exactly
+    val streamCi = DataQuality.ciFromPartials(
+        emitted.select($"b", $"sx", $"sw", $"n_docs", $"tx"))
+      .as[(Long, Double, Double, Double)].head()
+    val batchCi = DataQuality.bootstrapCiFrom(corpus)
+      .as[(Long, Double, Double, Double)].head()
+    streamCi shouldBe batchCi
+  }
 }
