@@ -317,14 +317,41 @@ object Bench {
           val confirmed = runs.size >= 2 && !collapsed
           if (collapsed || confirmed || runs.size >= 3) done = true
         }
+        // the verdict needs evidence: ambient=true from ANY collapsed
+        // run (the min can only confirm it), ambient=false only from
+        // >= 2 consistent non-collapsed runs — a single clean re-run
+        // (e.g. the second threw) reports its requiesced_s but leaves
+        // the verdict ABSENT rather than calling a cost "real" from
+        // one unconfirmed measurement
         if (runs.isEmpty) l
         else {
           val best = runs.minBy(_._1)
+          val collapsed = best._1 <= l.s / 1.3
+          val verdict =
+            if (collapsed) Some(true)
+            else if (runs.size >= 2) Some(false)
+            else None
           l.copy(requiesced = Some(best._1), requiescedGc = Some(best._2),
-            ambient = Some(best._1 <= l.s / 1.3))
+            ambient = verdict)
         }
       }
     }
+
+    // Orphan-block hygiene (round-13 review finding): the sweep drops
+    // ONLY blocks it created — ids alive before the sweep's own work
+    // (a shared session's frames, e.g. when BenchTelemetrySpec drives
+    // run() inside the test JVM) are never unpersisted, because
+    // unpersisting a foreign localCheckpointed RDD truncates its
+    // lineage unrecoverably. Each family block protects its build's
+    // artifact ids too, so family lines get per-line orphan drops
+    // without losing the warm artifact.
+    def liveIds(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def dropOrphansExcept(protect: Set[Int]): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protect(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    val baseline = liveIds()
 
     // Sweep order is FAMILY-GROUPED (round-13 discipline): each shared
     // artifact's consumers run consecutively right after its build line,
@@ -344,8 +371,13 @@ object Bench {
     val graphBuild = buildLine("graph_edge_build") {
       graft.operators.Graph.warmSharedEdges(spark, sfDir)
     }
+    val protectGraph = liveIds() // baseline + the warm edge artifacts
     val graphLines = selected.filter(q => isGraph(q._1))
-      .map { case (n, f) => requiesce(measure(n, f)) }
+      .map { case (n, f) =>
+        val l = requiesce(measure(n, f))
+        dropOrphansExcept(protectGraph) // hits/kcore per-round leftovers
+        l
+      }
     graft.operators.Graph.releaseSharedEdges(spark, sfDir)
 
     // dedup_clusters and canonical_select measure warm-cache; the one-time
@@ -353,8 +385,13 @@ object Bench {
     val clusterBuild = buildLine("dedup_cluster_build") {
       graft.operators.TextPipeline.warmSharedClusterLabels(spark, sfDir)
     }
+    val protectCluster = liveIds()
     val clusterLines = selected.filter(q => clusterNames(q._1))
-      .map { case (n, f) => requiesce(measure(n, f)) }
+      .map { case (n, f) =>
+        val l = requiesce(measure(n, f))
+        dropOrphansExcept(protectCluster)
+        l
+      }
     graft.operators.TextPipeline.releaseSharedClusterLabels(spark, sfDir)
 
     // knn_triangles/knn_kcore/quality_propagate measure warm-cache; the
@@ -362,8 +399,13 @@ object Bench {
     val knnEdgeBuild = buildLine("knn_edge_build") {
       graft.operators.SimilarityPipeline.warmMutualKnnEdges(spark, sfDir)
     }
+    val protectKnn = liveIds()
     val knnLines = selected.filter(q => knnNames(q._1))
-      .map { case (n, f) => requiesce(measure(n, f)) }
+      .map { case (n, f) =>
+        val l = requiesce(measure(n, f))
+        dropOrphansExcept(protectKnn)
+        l
+      }
     graft.operators.SimilarityPipeline.releaseMutualKnnEdges(spark, sfDir)
 
     // Non-family queries, alphabetical. After EACH query's timed runs,
@@ -371,22 +413,21 @@ object Bench {
     // DataFrame cache across calls — the only cross-query state in the
     // engine is the three released artifacts plus path-keyed disk
     // stores), so block-manager pressure stays flat across the sweep
-    // instead of compounding into the BENCH_r12 ambient-GC wall.
+    // instead of compounding into the BENCH_r12 ambient-GC wall. The
+    // baseline set keeps a shared session's foreign frames alive.
     val restLines = rest.map { case (n, f) =>
       val l = measure(n, f)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      dropOrphansExcept(baseline)
       l
     }
 
     // End-of-sweep deep clean, then the remaining flagged lines get
     // their quiesced re-measure in a genuinely clean JVM: artifact
-    // caches already released, cached plans dropped, checkpoint blocks
-    // unpersisted, one full GC + settle (also nudges ContextCleaner's
-    // weak-ref broadcast cleanup).
+    // caches already released, cached plans dropped, Bench-created
+    // checkpoint blocks unpersisted, one full GC + settle (also nudges
+    // ContextCleaner's weak-ref broadcast cleanup).
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    dropOrphansExcept(baseline)
     System.gc()
     Thread.sleep(500)
     val restDone = restLines.map(requiesce)

@@ -363,8 +363,12 @@ object DataQuality {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("mean_b").asc, col("b").asc)))
     // every b's (n_docs, tx) is the same whole-corpus total (each doc
-    // contributes to every resample exactly once) — max picks it
-    val tot = merged.agg(max(col("n_docs")).as("n_docs"),
+    // contributes to every resample exactly once) — max picks it; the
+    // coalesce pins the EMPTY-input contract to n_docs = 0 (what the
+    // pre-refactor count(*) and the DuckDB oracle both return), not
+    // NULL; est/ci stay NULL through the NULL numerator either way
+    val tot = merged.agg(
+      coalesce(max(col("n_docs")), lit(0L)).as("n_docs"),
       max(col("tx")).as("sx"))
     val ci = means.agg(
       min(when(col("rk") === 2, col("mean_b"))).as("lo"),

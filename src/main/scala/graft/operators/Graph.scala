@@ -84,9 +84,13 @@ object Graph {
     artifactRddIds.keySet.removeIf(_._1 != appId)
     val key = (appId, sfDir)
     if (!artifactCache.containsKey(key)) {
-      // capture the persistent-RDD ids the build registers (builds
-      // serialize under this lock, so the delta is exactly ours) —
-      // [[releaseSharedEdges]] needs them to free the blocks
+      // capture the persistent-RDD ids the build registers —
+      // [[releaseSharedEdges]] needs them to free the blocks. Builds
+      // serialize under this lock; the delta additionally assumes no
+      // OTHER thread persists RDDs during the build (true for Bench's
+      // single-threaded sweep and the sequential test harness — a
+      // concurrent foreign localCheckpoint would be mis-attributed and
+      // released, so do NOT call release from a multi-threaded driver)
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val built = buildEdgeArtifacts(spark, sfDir)
       artifactRddIds.put(key,

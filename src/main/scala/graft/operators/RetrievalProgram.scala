@@ -60,15 +60,11 @@ object RetrievalProgram {
       df.checkpoint()
     else df.localCheckpoint()
 
-  /** The signed-bucket entry for one token — md5 nibbles 1-4 pick the
-    * bucket, nibble 5 the sign (the [[TextPipeline.textHashEmbed]]
-    * recipe, identical to the oracle's strpos replay). */
-  private def hashEntry(t: Column): Column = struct(
-    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType), lit(64L))
-      .as("pos"),
-    when(substring(md5(t), 5, 1).isin(
-      "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
-      .as("sgn"))
+  /** The signed-bucket entry for one token — the ONE shared
+    * [[TextPipeline.hashEmbedEntry]] recipe (identical to the oracle's
+    * strpos replay). */
+  private def hashEntry(t: Column): Column =
+    TextPipeline.hashEmbedEntry(t)
 
   private case class Stages(chunks: DataFrame, sparse: DataFrame,
       norms: DataFrame, qSparse: DataFrame, qNorm: DataFrame,
@@ -87,6 +83,19 @@ object RetrievalProgram {
       .select(col("doc_id"), col("toks"), nc.as("nc"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
+      // loud guard (round-13 review finding): a document long enough
+      // that chunk_idx reaches IdBase would silently collide with the
+      // NEXT doc's chunk 0 in every chunk_id-keyed stage — and the
+      // oracle replays the same collision, so verify would stay green
+      // over corrupted ids. Fail the scan instead.
+      .select(col("doc_id"),
+        when(col("chunk_idx") < IdBase, col("toks"))
+          .otherwise(raise_error(concat(
+            lit("retrieval_program: document "),
+            col("doc_id").cast("string"),
+            lit(s" has >= $IdBase chunks; chunk_id = doc_id*$IdBase+idx " +
+              "would collide — raise IdBase")))).as("toks"),
+        col("chunk_idx"))
       .select((col("doc_id") * IdBase + col("chunk_idx")).as("chunk_id"),
         col("doc_id"), col("chunk_idx"),
         slice(col("toks"), (col("chunk_idx") * Stride + 1L).cast("int"),

@@ -1549,15 +1549,12 @@ ORDER BY pos"""
     */
   def pairAlignment(spark: SparkSession, sfDir: String): DataFrame = {
     val docsDf = Tables.documents(spark, sfDir)
-    val h = md5(col("token"))
-    val bucket = pmod(conv(substring(h, 1, 4), 16, 10).cast(LongType),
-      lit(64L))
-    val sign = when(substring(h, 5, 1).isin(
-      "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
     val sparse = docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .select(col("doc_id"), bucket.as("pos"), sign.as("sgn"))
+      .select(col("doc_id"),
+        TextPipeline.hashEmbedBucket(col("token")).as("pos"),
+        TextPipeline.hashEmbedSign(col("token")).as("sgn"))
       .groupBy(col("doc_id"), col("pos"))
       .agg(sum(col("sgn")).as("v"))
       .filter(col("v") =!= 0)
@@ -2259,9 +2256,10 @@ FROM g ORDER BY label"""
     mutualEdgeRddIds.keySet.removeIf(_._1 != appId)
     val key = (appId, sfDir)
     if (!mutualEdgeCache.containsKey(key)) {
-      // capture the build's persistent-RDD ids (builds serialize under
-      // this lock) so [[releaseMutualKnnEdges]] can free the blocks —
-      // this also catches the intermediate kNN checkpoint below
+      // capture the build's persistent-RDD ids so
+      // [[releaseMutualKnnEdges]] can free the blocks (also catches the
+      // intermediate kNN checkpoint below) — same single-threaded-driver
+      // attribution assumption as [[Graph.sharedEdges]]
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val d = knnGraph(spark, sfDir).select(col("vec_id").as("a"),
         col("nbr_id").as("b")).localCheckpoint()

@@ -1041,17 +1041,35 @@ object TextPipeline {
     * norm window. Signed counts are integers, so the norm's sum of
     * squares is order-exact and both engines normalize identically.
     */
-  def textHashEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = md5(col("token"))
-    val bucket = pmod(conv(substring(h, 1, 4), 16, 10).cast(LongType),
-      lit(64L))
-    val sign = when(substring(h, 5, 1).isin(
+  /** The signed-64-bucket hashing-trick coordinates of ONE token —
+    * md5 nibbles 1-4 pick the bucket, nibble 5 the sign. THE single
+    * source for every hash-embed surface in the engine (batch + rowwise
+    * embed, pair alignment + its streaming twin, the retrieval
+    * program); the DuckDB oracles replay it via the shared strpos CTE.
+    * A recipe change here is a format change for all of them at once —
+    * which is the point (round-13 review finding: five hand-copies). */
+  private[graft] def hashEmbedBucket(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType), lit(64L))
+
+  private[graft] def hashEmbedSign(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(md5(t), 5, 1).isin(
       "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
+
+  /** (pos, sgn) struct form of the recipe — the shape in-expression
+    * folds consume. */
+  private[graft] def hashEmbedEntry(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(hashEmbedBucket(t).as("pos"), hashEmbedSign(t).as("sgn"))
+
+  def textHashEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
     docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-      .select(col("doc_id"), bucket.as("pos"), sign.as("sgn"))
+      .select(col("doc_id"), hashEmbedBucket(col("token")).as("pos"),
+        hashEmbedSign(col("token")).as("sgn"))
       .groupBy(col("doc_id"), col("pos"))
       .agg(sum(col("sgn")).as("v"))
       .filter(col("v") =!= 0)
@@ -1074,18 +1092,12 @@ object TextPipeline {
     */
   def textHashEmbedRowwise(docs: DataFrame): DataFrame = {
     val toks = filter(tokens(col("text")), t => length(t) > 0)
-    def entry(t: org.apache.spark.sql.Column) = struct(
-      pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType), lit(64L))
-        .as("pos"),
-      when(substring(md5(t), 5, 1).isin(
-        "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
-        .as("sgn"))
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         aggregate(
-          transform(col("toks"), t => entry(t)),
+          transform(col("toks"), t => hashEmbedEntry(t)),
           array_repeat(lit(0L), 64),
           (acc, e) => zip_with(acc,
             sequence(lit(0L), lit(63L)),
@@ -1520,8 +1532,10 @@ FROM agg, tot ORDER BY n_bands DESC"""
     clusterLabelRddIds.keySet.removeIf(_._1 != appId)
     val key = (appId, sfDir)
     if (!clusterLabelCache.containsKey(key)) {
-      // capture the build's persistent-RDD ids (builds serialize under
-      // this lock) so [[releaseSharedClusterLabels]] can free the blocks
+      // capture the build's persistent-RDD ids so
+      // [[releaseSharedClusterLabels]] can free the blocks — same
+      // single-threaded-driver attribution assumption as
+      // [[Graph.sharedEdges]]
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val reliable = spark.sparkContext.getCheckpointDir.isDefined
       val cc = connectedComponents(

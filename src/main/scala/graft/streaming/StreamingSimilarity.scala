@@ -50,17 +50,12 @@ object StreamingSimilarity {
     */
   def alignmentStream(docs: DataFrame, embStatic: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    def entry(t: org.apache.spark.sql.Column) = struct(
-      pmod(conv(substring(md5(t), 1, 4), 16, 10).cast("long"), lit(64L))
-        .as("pos"),
-      when(substring(md5(t), 5, 1).isin(
-        "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
-        .as("sgn"))
     val dense = docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         aggregate(
-          transform(col("toks"), t => entry(t)),
+          transform(col("toks"),
+            t => graft.operators.TextPipeline.hashEmbedEntry(t)),
           array_repeat(lit(0L), 64),
           (acc, e) => zip_with(acc,
             sequence(lit(0L), lit(63L)),
