@@ -46,6 +46,8 @@ object PlanAudit {
     "ivfpq_store",
     // 1-row quantized-query + float-query broadcasts (filtered probe)
     "sim_topk_filtered",
+    // 1-row query broadcast (range-filtered stored-centroid probe)
+    "ivfpq_store_filtered",
     // 1-row query broadcast (filtered candidate verify + exact audit)
     "lsh_store_filtered",
     // 1-row total × 1-row CI frame pairing
@@ -155,7 +157,7 @@ object PlanAudit {
     "sim_topk", "sim_topk_ivf", "sim_topk_lsh", "sim_topk_kmeans",
     "sim_topk_q8", "pq_topk", "pq_recall", "lsh_store", "pq_store",
     "sim_topk_ivfpq", "ivfpq_store",
-    "sim_topk_filtered", "lsh_store_filtered",
+    "sim_topk_filtered", "lsh_store_filtered", "ivfpq_store_filtered",
     // <= NSeeds / <= kEach / <= k post-limit rank windows of the
     // composed RAG chain (seeds, both candidate sides, fused result)
     "retrieval_program", "retrieval_funnel",
@@ -362,6 +364,8 @@ object PlanAudit {
     // stored-centroid probe TakeOrdered + pruned codes TakeOrdered +
     // candidate rejoin + rerank + orderBy (build behind the session cache)
     "ivfpq_store" -> 6,
+    // same probe shape with the pushed range predicate (no new exchange)
+    "ivfpq_store_filtered" -> 6,
     // band-signature distinct + candidate semi-join + exact-set audit join
     "sim_topk_lsh" -> 4,
     // batch shape: candidate distinct + per-query rank windows (probe +

@@ -377,6 +377,10 @@ object SparkEntry {
     // train -> persist -> pruned-decode-probe round-trips the composite
     "ivfpq_store" -> ((s, d) =>
       graft.operators.PersistedIndex.ivfPqTopKFromSessionStore(s, d)),
+    // RANGE-filtered probe (vec_id ∈ [100, 400) — the recency window),
+    // completing the equality/range filtered-ANN pair
+    "ivfpq_store_filtered" -> ((s, d) =>
+      graft.operators.PersistedIndex.ivfPqFilteredFromSessionStore(s, d)),
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // measured recall@k of the PQ stage vs brute force, exact integers
     "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
@@ -2771,6 +2775,9 @@ FROM fr WHERE rank <= 10 ORDER BY rank""",
     "sim_topk_ivfpq_batch" -> SimilarityPipeline.ivfPqBatchOracleSql(),
     // the persisted store's pruned decode-probe answers the same replay
     "ivfpq_store" -> SimilarityPipeline.ivfPqOracleSql,
+    // same generator with the stage-1 range predicate + widened
+    // probe/fetch compensations
+    "ivfpq_store_filtered" -> SimilarityPipeline.ivfPqFilteredOracleSql,
     // the persisted store's decode-probe answers the same replay
     "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,

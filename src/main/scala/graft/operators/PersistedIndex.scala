@@ -657,9 +657,9 @@ object PersistedIndex {
     * answers the sim_topk_ivfpq recompute oracle, so the green hash
     * proves train→persist→pruned-decode-probe equals the in-query
     * composite exactly. */
-  def ivfPqTopKFromSessionStore(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val path = ivfPqStoreCache.synchronized {
+  private def sessionIvfPqStore(spark: SparkSession,
+      sfDir: String): String =
+    ivfPqStoreCache.synchronized {
       val appId = spark.sparkContext.applicationId
       ivfPqStoreCache.keySet.removeIf(_._1 != appId)
       ivfPqStoreCache.computeIfAbsent((appId, sfDir), _ => {
@@ -669,8 +669,82 @@ object PersistedIndex {
         p
       })
     }
-    probeIvfPqIndex(spark, sfDir, path)
+
+  def ivfPqTopKFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeIvfPqIndex(spark, sfDir, sessionIvfPqStore(spark, sfDir))
+
+  /** RANGE-filtered IVF+PQ probe — the recency-window retrieval shape
+    * ("nearest neighbors among vec_id ∈ [lo, hi)", the time-slice filter
+    * of an append-ordered id space), completing [[probeIvfIndexFiltered]]
+    * (equality) and [[probeLshIndexFiltered]] with the third predicate
+    * class: the range lands in the stage-1 CODES scan's parquet
+    * PushedFilters (row-group min/max stats skip non-matching pages — on
+    * an append-ordered store the range prunes almost perfectly), inside
+    * the same probed-partition pruning. Selectivity compensation:
+    * over-probe ([[SimilarityPipeline.IvfProbe]]+1 coarse cells) and 2x
+    * over-fetch before the exact rerank.
+    */
+  def probeIvfPqIndexFiltered(spark: SparkSession, sfDir: String,
+      path: String, minId: Long, maxId: Long,
+      nprobe: Int = SimilarityPipeline.IvfProbe + 1,
+      fetch: Int = SimilarityPipeline.PqFetch * 2,
+      queryId: Long = 0L, version: Long = -1L): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
+    val cbs = pqStoredCodebooks(spark, path)
+    val live = StoreVersioning.liveTokens(spark, s"$path/manifest", version)
+      .getOrElse("seg", Seq.empty)
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val probed = spark.read.parquet(s"$path/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("q")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("ingest").isInCollection(live))
+    val recon = concat((0 until SimilarityPipeline.PqM).map { m =>
+      element_at(typedlit(cbs(m).toSeq),
+        element_at(col("codes"), m + 1) + 1)
+    }: _*)
+    val cand = codes
+      .select(col("vec_id"), col("label"), col("codes")) // stage 1: codes
+      .filter(col("vec_id") >= minId && col("vec_id") < maxId) // pushed
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("q"),
+        cosine(recon, col("q")).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(fetch)
+    // stage 2 re-reads the float column THROUGH the broadcast label join
+    // so its scan is partition-pruned to the nprobe directories too
+    val stage2 = codes.join(broadcast(probed), "label")
+      .select(col("vec_id"), col("v"))
+    cand
+      .join(stage2, "vec_id")
+      .select(col("vec_id"), col("label"), col("sim_pq"),
+        cosine(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(SimilarityPipeline.PqTopK)
+      // post-limit window: <= PqTopK rows (the simTopK note)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("sim_pq"), 4).as("sim_pq"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("rank")
   }
+
+  /** Range-filtered probe driver surface over the session store —
+    * answers the ivfpq_store_filtered recompute oracle. */
+  def ivfPqFilteredFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeIvfPqIndexFiltered(spark, sfDir, sessionIvfPqStore(spark, sfDir),
+      SimilarityPipeline.FilteredRangeLo, SimilarityPipeline.FilteredRangeHi)
 
   // -------------------------------------------------- decontamination --
 

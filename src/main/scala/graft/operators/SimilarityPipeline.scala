@@ -1682,7 +1682,27 @@ FROM a ORDER BY doc_id"""
     * codebook CTEs plus the sim_topk_ivf probe decision, stage 1
     * restricted to the probed labels before the LIMIT.
     */
-  private[graft] def ivfPqOracleSql: String = {
+  private[graft] def ivfPqOracleSql: String =
+    ivfPqOracleCore("", IvfProbe, PqFetch)
+
+  /** The range-filtered driver query's window — the "recent slice" of an
+    * append-ordered id space; present at every SF (ids are dense). */
+  private[graft] val FilteredRangeLo = 100L
+  private[graft] val FilteredRangeHi = 400L
+
+  /** [[ivfPqOracleSql]] with the stage-1 range predicate and the widened
+    * probe/fetch compensations — replays
+    * [[PersistedIndex.probeIvfPqIndexFiltered]]. */
+  private[graft] def ivfPqFilteredOracleSql: String =
+    ivfPqOracleCore(
+      s" AND rec.vec_id >= $FilteredRangeLo AND rec.vec_id < $FilteredRangeHi",
+      IvfProbe + 1, PqFetch * 2)
+
+  /** One generator for the plain and filtered IVF+PQ replays — `pred` is
+    * appended to stage 1's WHERE (empty for the unfiltered probe, so the
+    * two queries cannot drift). */
+  private def ivfPqOracleCore(pred: String, nprobe: Int,
+      fetch: Int): String = {
     val joins = (1 until PqM).map(m =>
       s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
       .mkString("\n    ")
@@ -1697,14 +1717,14 @@ ivc AS (SELECT label, list(a ORDER BY pos) AS centroid
   GROUP BY label),
 q AS (SELECT v AS qv FROM ek WHERE vec_id = 0),
 probe AS (SELECT label FROM ivc, q
-  ORDER BY ${cosSql("centroid", "qv")} DESC, label LIMIT $IvfProbe),
+  ORDER BY ${cosSql("centroid", "qv")} DESC, label LIMIT $nprobe),
 rec AS (SELECT a2_0.vec_id, $rv AS rv
   FROM a2_0 $joins
   WHERE a2_0.rn = 1),
 s1 AS (SELECT rec.vec_id, ivl.label, ${cosSql("rv", "qv")} AS sim_pq
   FROM rec JOIN ivl ON rec.vec_id = ivl.vec_id
   JOIN probe ON ivl.label = probe.label, q
-  WHERE rec.vec_id <> 0 ORDER BY sim_pq DESC, rec.vec_id LIMIT $PqFetch),
+  WHERE rec.vec_id <> 0$pred ORDER BY sim_pq DESC, rec.vec_id LIMIT $fetch),
 s2 AS (SELECT s1.vec_id, s1.label, s1.sim_pq, ${cosSql("ek.v", "qv")} AS sim
   FROM s1 JOIN ek ON s1.vec_id = ek.vec_id, q),
 t AS (SELECT vec_id, label, sim_pq, sim,

@@ -154,6 +154,64 @@ class FilteredAnnSpec extends AnyFunSuite with Matchers with SparkTestBase {
     recalls.min should be >= 0.15
   }
 
+  private lazy val ivfPqDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-fivfpq").toString
+    PersistedIndex.buildIvfPqIndex(spark, sf, d)
+    d
+  }
+
+  test("range-filtered IVF+PQ probe: the vec_id range reaches the " +
+    "stage-1 codes scan's PushedFilters under the probed-label pruning") {
+    val plan = PersistedIndex
+      .probeIvfPqIndexFiltered(spark, sf, ivfPqDir, 100L, 400L)
+      .queryExecution.explainString(FormattedMode)
+    val scanBlocks = """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+      .findAllIn(plan).toList
+    val stage1 = scanBlocks.filter(b =>
+      b.contains("/codes") && b.contains("codes:"))
+    stage1 should not be empty
+    stage1.foreach { b =>
+      withClue(s"stage-1 codes scan without the pushed range:\n$b\n") {
+        b should include("GreaterThanOrEqual(vec_id,100)")
+        b should include("LessThan(vec_id,400)")
+      }
+    }
+  }
+
+  test("range-filtered IVF+PQ probe returns only in-range ids and " +
+    "recalls the range-filtered brute force above the floor") {
+    graft.expressions.VectorExpressions.register(spark)
+    val got = PersistedIndex
+      .probeIvfPqIndexFiltered(spark, sf, ivfPqDir, 100L, 400L).collect()
+    got.foreach { r =>
+      r.getLong(1) should be >= 100L
+      r.getLong(1) should be < 400L
+    }
+    // range-filtered brute force over the same corpus
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+    val exact = e
+      .filter(col("vec_id") >= 100L && col("vec_id") < 400L &&
+        col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (graft.expressions.VectorExpressions.dotNative(col("v"), col("q"))
+          / (sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("v"), col("v")))
+            * sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("q"), col("q"))))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_.getLong(1)).toSet.intersect(exact).size.toDouble /
+      exact.size
+    // 3-of-10 probed labels + PQ-approximate stage 1: the floor pins the
+    // two compensations keep the range slice retrievable
+    recall should be >= 0.5
+  }
+
   test("filtered probe == filter-after-probe NEVER holds structurally: " +
     "post-filtering the unfiltered top-k loses matches the pushed " +
     "predicate keeps") {
