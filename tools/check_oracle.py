@@ -42,6 +42,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # the sandbox caps per-process RSS (~10 GB): without a memory_limit
+    # and a spill directory DuckDB dies with std::bad_alloc on heavy
+    # oracles (knn_triangles' wedge enumeration at sf0.1) instead of
+    # spilling — cap below the RSS ceiling and let blocks go to disk
+    con.execute("SET memory_limit='7GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -80,9 +86,35 @@ def main():
             o_cols = [d[0] for d in o.description]
             o_rows = o.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
-            n_fail += 1
-            continue
+            # DuckDB join/agg operator state scales with thread count;
+            # the heaviest oracles (knn_triangles' cluster-blocked
+            # pairwise cosine at sf0.1) exceed the sandbox's per-process
+            # memory at the default parallelism but complete at 2
+            # threads (~13 min). Retry OOM failures once, slow but low-
+            # memory, on a fresh connection.
+            if "Out of Memory" not in str(e):
+                print(f"FAIL {name}: exec error: {e}")
+                n_fail += 1
+                continue
+            try:
+                con2 = duckdb.connect()
+                con2.execute("SET memory_limit='7GB'")
+                con2.execute("SET temp_directory='/tmp/duck_spill'")
+                con2.execute("SET threads=2")
+                for t in TABLES:
+                    p = f"{sf_dir}/{t}.parquet"
+                    if os.path.exists(p):
+                        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                                     f"read_parquet('{p}')")
+                o = con2.execute(oracle[name])
+                o_cols = [d[0] for d in o.description]
+                o_rows = o.fetchall()
+                con2.close()
+            except Exception as e2:
+                print(f"FAIL {name}: exec error (after low-memory "
+                      f"retry): {e2}")
+                n_fail += 1
+                continue
         problems = []
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
