@@ -362,9 +362,14 @@ object Bench {
     // across the 250+ queries that never read them.
     val selected = queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val clusterNames = Set("dedup_clusters", "canonical_select")
-    val knnNames = Set("knn_triangles", "knn_kcore", "quality_propagate")
-    def isGraph(n: String) = n.startsWith("graph_")
+    // family membership comes from registries NEXT TO the shared-artifact
+    // caches (Graph / TextPipeline / SimilarityPipeline) — round-13
+    // ADVICE: a consumer added to SparkEntry but missing from its family
+    // set would have its shared leaf dropped by the per-query orphan
+    // pass below and read a truncated lineage mid-sweep
+    val clusterNames = graft.operators.TextPipeline.benchFamilyQueries
+    val knnNames = graft.operators.SimilarityPipeline.benchFamilyQueries
+    def isGraph(n: String) = graft.operators.Graph.isBenchFamilyQuery(n)
     val rest = selected.filterNot { case (n, _) =>
       isGraph(n) || clusterNames(n) || knnNames(n) }
 

@@ -55,6 +55,13 @@ object PlanAudit {
     // 4-row seed-norm / 1-row query-norm broadcasts (sparse-dot IVF) +
     // the funnel's 1-row × 1-row candidate-count pairing
     "retrieval_program", "retrieval_funnel",
+    // the persisted chain probe carries the same seed-norm/query-norm/
+    // 1-row stats broadcasts
+    "retrieval_store",
+    // 1-row n_corpus normalizer broadcast (the indexTopKBatch shape)
+    "retrieval_ndcg",
+    // 8-row panel broadcasts (probe pairing / query fan-out)
+    "sim_topk_filtered_batch", "lsh_store_filtered_batch",
     // 1-row query broadcast per prefix-dim ranking branch
     "mrl_recall",
     // 1-row corpus-total broadcast (the global-LM denominator)
@@ -161,6 +168,8 @@ object PlanAudit {
     // <= NSeeds / <= kEach / <= k post-limit rank windows of the
     // composed RAG chain (seeds, both candidate sides, fused result)
     "retrieval_program", "retrieval_funnel",
+    // the persisted chain probe numbers the same post-limit frames
+    "retrieval_store",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -393,6 +402,17 @@ object PlanAudit {
     // funnel counts re-reference the fenced stage frames; each count is
     // a bounded agg over a fence (measured 12)
     "retrieval_funnel" -> 16,
+    // persisted-chain probe: pruned postings/chunkmeta scans feed the
+    // text rank, probed-partition vector scans feed the cosine rank,
+    // tiny-frame fusion; store build/append run behind the session cache
+    "retrieval_store" -> 10,
+    // scorecard: one union-term tf shuffle behind the fenced scored
+    // frame + the two-phase rank windows + three per-query joins
+    "retrieval_ndcg" -> 12,
+    // batched filtered probes: panel broadcasts + per-query rank
+    // windows (q_id-keyed) + the stage-2 rejoin + orderBy
+    "sim_topk_filtered_batch" -> 8,
+    "lsh_store_filtered_batch" -> 8,
     "emb_centroid_stats" -> 2,
     // tf shuffle + the df keyed-agg branch (re-derives tf's stage; AQE
     // stage reuse dedups at runtime) + the token join + orderBy

@@ -381,6 +381,17 @@ object SparkEntry {
     // completing the equality/range filtered-ANN pair
     "ivfpq_store_filtered" -> ((s, d) =>
       graft.operators.PersistedIndex.ivfPqFilteredFromSessionStore(s, d)),
+    // Round 14: batched AND filtered ANN — 8 queries each with its own
+    // vec_id range through the persisted IVF+PQ store in ONE pass; the
+    // panel-union range rides the shared stage-1 codes scan
+    "sim_topk_filtered_batch" -> ((s, d) =>
+      graft.operators.PersistedIndex
+        .ivfPqFilteredBatchFromSessionStore(s, d)),
+    // Round 14: the LSH side of the batched filtered workload — 8
+    // queries each with its own label, the union IN-list prefiltering
+    // the shared verify scan, per-query filtered brute-force audit
+    "lsh_store_filtered_batch" -> ((s, d) =>
+      graft.operators.PersistedIndex.lshFilteredBatchFromSessionStore(s, d)),
     "pq_recon_error" -> ((s, d) => SimilarityPipeline.pqReconError(s, d)),
     // measured recall@k of the PQ stage vs brute force, exact integers
     "pq_recall" -> ((s, d) => SimilarityPipeline.pqRecall(s, d)),
@@ -584,6 +595,19 @@ object SparkEntry {
       graft.operators.RetrievalProgram.retrievalProgram(s, d)),
     "retrieval_funnel" -> ((s, d) =>
       graft.operators.RetrievalProgram.retrievalFunnel(s, d)),
+    // Round 14: the composed RAG chain as a PERSISTED store — chunk
+    // manifest, sparse vectors (cluster-partitioned), chunk postings,
+    // frozen seed quantizer, built once + delta-appended; the probe
+    // reads zero corpus text and answers the SAME chain oracle as
+    // retrieval_program, so the green hash proves build + append + probe
+    "retrieval_store" -> ((s, d) =>
+      graft.operators.RetrievalStore.retrievalFromSessionStore(s, d)),
+    // Round 14: retrieval-quality scorecard — NDCG@5 / MRR / recall@5
+    // of the batched TF-IDF ranking against corpus-derived graded qrels
+    // (grade = matched-term count, relevant = grade >= 2); integer gains
+    // x embedded discount literals, one floor-quantized division each
+    "retrieval_ndcg" -> ((s, d) =>
+      graft.operators.Retrieval.retrievalEval(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -2296,6 +2320,13 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
       graft.operators.RetrievalProgram.retrievalProgramOracleSql,
     "retrieval_funnel" ->
       graft.operators.RetrievalProgram.retrievalFunnelOracleSql,
+    // the persisted store's probe answers the SAME chain replay — the
+    // green hash proves build + append + probe == in-query composition
+    "retrieval_store" ->
+      graft.operators.RetrievalProgram.retrievalProgramOracleSql,
+    // the scorecard replay: indexTopKBatch scoring CTEs graded by
+    // n_terms_hit, the SAME embedded gain/discount/reciprocal literals
+    "retrieval_ndcg" -> Retrieval.retrievalEvalOracleSql,
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
@@ -2702,6 +2733,30 @@ t AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DE
 SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS sim,
   EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
 FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
+    // the batched FILTERED store probe: same signature/bucket replay,
+    // each query's label predicate on BOTH the verify and the audit side
+    "lsh_store_filtered_batch" ->
+      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS MATERIALIZED (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT vec_id AS q_id, band, val FROM bv WHERE vec_id < 8),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id FROM bv b
+  JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id >= 8),
+qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id < 8),
+s AS (SELECT cand.q_id, e.vec_id, e.label,
+  (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) AS c
+  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id
+  WHERE e.label = (cand.q_id * 3) % 10),
+ex AS (SELECT q_id, vec_id FROM (SELECT qv.q_id, e.vec_id,
+    row_number() OVER (PARTITION BY qv.q_id ORDER BY (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) DESC, e.vec_id) AS r
+  FROM embeddings e, qv WHERE e.vec_id >= 8 AND e.label = (qv.q_id * 3) % 10) WHERE r <= 5),
+t AS (SELECT q_id, vec_id, label, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, round(c, 4) AS sim,
+  EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
+FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
     "emb_kmeans" ->
       s"""WITH
 $kmeansCtes
@@ -2778,6 +2833,10 @@ FROM fr WHERE rank <= 10 ORDER BY rank""",
     // same generator with the stage-1 range predicate + widened
     // probe/fetch compensations
     "ivfpq_store_filtered" -> SimilarityPipeline.ivfPqFilteredOracleSql,
+    // the batched filtered replay: per-query ranges + widened
+    // probe/fetch through the shared batch core generator
+    "sim_topk_filtered_batch" ->
+      SimilarityPipeline.ivfPqFilteredBatchOracleSql(),
     // the persisted store's decode-probe answers the same replay
     "pq_store" -> SimilarityPipeline.pqTopkOracleSql,
     "pq_recon_error" -> SimilarityPipeline.pqReconErrorOracleSql,

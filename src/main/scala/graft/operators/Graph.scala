@@ -117,6 +117,14 @@ object Graph {
       })
     }
 
+  /** Membership rule for the driver queries that CONSUME
+    * [[sharedEdges]] — every `graph_*` query reads the warm edge
+    * leaves. `graft.Bench` groups the family with this predicate (next
+    * to the cache, so consumers and the registry move together —
+    * round-13 ADVICE). */
+  private[graft] def isBenchFamilyQuery(name: String): Boolean =
+    name.startsWith("graph_")
+
   /** Build the shared edge leaves NOW (a no-op when already cached) —
     * the explicit warm hook for harnesses that must keep the build out
     * of (or charge it to) a specific measurement window; `graft.Bench`

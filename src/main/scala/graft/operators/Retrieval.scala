@@ -207,6 +207,22 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
     bm25TopKFrom(spark, docs(spark, sfDir), QueryTerms, k)
 
+  /** The BM25 per-(doc, term) weight — Lucene idf × saturated tf —
+    * over columns (tf, dl, df, n_corpus, avgdl). THE single scoring
+    * formula for every BM25 surface in the engine ([[bm25TopKFrom]]
+    * and the retrieval chain's nano-quantized ranking,
+    * [[RetrievalProgram.textRankQ9]]); the DuckDB oracles replay the
+    * same expression text. */
+  private[operators] def bm25Weight: org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) +
+      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val sat = tfD * (lit(K1) + 1.0) /
+      (tfD + lit(K1) * (lit(1.0 - B) +
+        lit(B) * col("dl").cast(DoubleType) / col("avgdl")))
+    idf * sat
+  }
+
   /** [[bm25TopK]] over any (doc_id, text) frame and term set. */
   def bm25TopKFrom(spark: SparkSession, corpus: DataFrame,
       terms: Seq[String], k: Int): DataFrame = {
@@ -220,15 +236,9 @@ object Retrieval {
     val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_corpus"),
       avg(size(toks).cast(DoubleType)).as("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfD = col("tf").cast(DoubleType)
-    val sat = tfD * (lit(K1) + 1.0) /
-      (tfD + lit(K1) * (lit(1.0 - B) +
-        lit(B) * col("dl").cast(DoubleType) / col("avgdl")))
     tf.join(broadcast(dfTerm), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("w", idf * sat)
+      .withColumn("w", bm25Weight)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_terms_hit"),
         round(sum(col("w")), 4).as("score"))
@@ -538,5 +548,191 @@ cm AS (SELECT CASE greatest(tr.ra, br.rb) $cases END AS wq
 SELECT CAST(count(*) AS BIGINT) AS n_common,
   CAST(floor(CAST(coalesce(sum(wq), 0) AS DOUBLE) / 1000.0 + 0.5) AS BIGINT) AS rbo_q6
 FROM cm"""
+  }
+
+  /** Cutoff for the ranking-quality metrics. */
+  private[graft] val EvalK = 5
+
+  /** 1/log2(rank+1) DCG discount weights, nano-quantized in Scala and
+    * embedded as the SAME BIGINT literals in the Spark plan and the
+    * oracle SQL (the [[RboWeightsQ9]] discipline — no float parsing or
+    * transcendental drift on either side). */
+  private[graft] val DcgWeightsQ9: Seq[Long] = (1 to EvalK).map { r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong
+  }
+
+  /** Reciprocal-rank micro-units for ranks 1..[[EvalK]] — same
+    * embedded-literal discipline. */
+  private[graft] val MrrWeightsQ6: Seq[Long] =
+    (1 to EvalK).map(r => math.floor(1e6 / r + 0.5).toLong)
+
+  /** Retrieval-quality scorecard — NDCG@k / MRR / recall@k of the
+    * batched TF-IDF ranking ([[indexTopKBatch]]) against a
+    * DETERMINISTIC graded qrels derived from the corpus itself:
+    * grade(query, doc) = how many of the query's terms the doc
+    * contains (the n_terms_hit column the scorer already computes),
+    * "relevant" = grade ≥ 2. This is the eval loop every RAG build
+    * runs after an index or ranker change; the metrics are exact
+    * integers (gains × embedded discount literals summed as BIGINT;
+    * ONE final division per ratio, floor-quantized), so the DuckDB
+    * replay is bit-identical.
+    *
+    * Scale shape: one corpus scan filtered to the panel's term union
+    * feeds everything; the ideal ranking uses the same two-phase
+    * (query, shard) window as the retrieval ranking — no corpus-sized
+    * single-key window; every per-query aggregate is over ≤ k rows or
+    * a map-side-combinable sum.
+    */
+  def retrievalEval(spark: SparkSession, sfDir: String): DataFrame =
+    retrievalEvalFrom(spark, docs(spark, sfDir), QueryPanel, EvalK)
+
+  /** [[retrievalEval]] over any corpus and query panel. */
+  def retrievalEvalFrom(spark: SparkSession, corpus: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    import spark.implicits._
+    require(k <= EvalK, s"k=$k exceeds the embedded weight tables ($EvalK)")
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = corpus
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    // (query_id, doc_id, grade, score) for EVERY matching doc — the
+    // shared base of the ranking, the relevance counts, and the ideal
+    // ranking; fenced because three branches re-read it
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast(DoubleType) *
+        log(col("n_corpus").cast(DoubleType) / col("df")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("grade"),
+        round(sum(col("w")), 4).as("score"))
+      .localCheckpoint()
+    val byScore = Seq(col("score").desc, col("doc_id"))
+    val byGrade = Seq(col("grade").desc, col("doc_id"))
+    def topK(order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val shardW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), pmod(col("doc_id"), lit(NShards)))
+        .orderBy(order: _*)
+      val queryW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(order: _*)
+      scored
+        .withColumn("srk", row_number().over(shardW))
+        .filter(col("srk") <= k)
+        .withColumn("rank", row_number().over(queryW).cast(LongType))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("grade"))
+    }
+    val gain = when(col("grade") === 1L, 1L)
+      .when(col("grade") === 2L, 3L)
+      .when(col("grade") === 3L, 7L).otherwise(15L)
+    val wq = DcgWeightsQ9.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (w, i)) =>
+        when(col("rank") === (i + 1).toLong, lit(w)).otherwise(acc)
+    }
+    val retrieved = topK(byScore)
+      .groupBy("query_id")
+      .agg(sum(gain * wq).cast(LongType).as("dcg_q9"),
+        sum(when(col("grade") >= 2L, 1L).otherwise(0L))
+          .cast(LongType).as("n_hits_rel"),
+        min(when(col("grade") >= 2L, col("rank"))).as("first_rel_rank"))
+    val ideal = topK(byGrade)
+      .groupBy("query_id")
+      .agg(sum(gain * wq).cast(LongType).as("idcg_q9"))
+    val rel = scored.groupBy("query_id")
+      .agg(sum(when(col("grade") >= 2L, 1L).otherwise(0L))
+        .cast(LongType).as("n_rel"))
+    val mrr = MrrWeightsQ6.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (w, i)) =>
+        when(col("first_rel_rank") === (i + 1).toLong, lit(w)).otherwise(acc)
+    }
+    retrieved.join(ideal, "query_id").join(rel, "query_id")
+      .select(col("query_id"),
+        col("n_rel"), col("n_hits_rel"),
+        when(col("n_rel") > 0L,
+          floor(col("n_hits_rel").cast(DoubleType)
+            / col("n_rel").cast(DoubleType) * 1000000d + 0.5d)
+            .cast(LongType)).as("recall_q6"),
+        when(col("first_rel_rank").isNotNull, mrr).otherwise(lit(0L))
+          .as("mrr_q6"),
+        col("dcg_q9"), col("idcg_q9"),
+        when(col("idcg_q9") > 0L,
+          floor(col("dcg_q9").cast(DoubleType)
+            / col("idcg_q9").cast(DoubleType) * 1000000d + 0.5d)
+            .cast(LongType)).as("ndcg_q6"))
+      .orderBy("query_id")
+  }
+
+  /** The DuckDB replay of [[retrievalEval]] — the [[indexTopKBatch]]
+    * scoring CTEs, graded by the same n_terms_hit, ranked single-phase
+    * (equivalent: phase 1 only drops rows that cannot reach the global
+    * top k), with the SAME embedded gain/discount/reciprocal literals.
+    */
+  private[graft] def retrievalEvalOracleSql: String = {
+    val k = EvalK
+    val values = QueryPanel.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val terms = QueryPanel.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val wCases = DcgWeightsQ9.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN CAST($w AS BIGINT)"
+    }.mkString(" ")
+    val mrrCases = MrrWeightsQ6.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN CAST($w AS BIGINT)"
+    }.mkString(" ")
+    val gain = "CASE grade WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 " +
+      "ELSE 15 END"
+    s"""WITH q AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+  FROM (VALUES $values) v(q, t)),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+  WHERE term IN ($terms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+s AS MATERIALIZED (SELECT query_id, doc_id,
+  CAST(count(*) AS BIGINT) AS grade,
+  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_corpus AS DOUBLE) / df)), 4)
+    AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term), n
+  GROUP BY query_id, doc_id),
+rk AS (SELECT query_id, rank, doc_id, grade FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM s)
+  WHERE rank <= $k),
+ik AS (SELECT query_id, rank, grade FROM (
+  SELECT query_id, grade, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY grade DESC, doc_id) AS BIGINT) AS rank FROM s)
+  WHERE rank <= $k),
+ret AS (SELECT query_id,
+  CAST(sum(($gain) * (CASE rank $wCases END)) AS BIGINT) AS dcg_q9,
+  CAST(sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hits_rel,
+  min(CASE WHEN grade >= 2 THEN rank END) AS first_rel_rank
+  FROM rk GROUP BY query_id),
+idl AS (SELECT query_id,
+  CAST(sum(($gain) * (CASE rank $wCases END)) AS BIGINT) AS idcg_q9
+  FROM ik GROUP BY query_id),
+rel AS (SELECT query_id,
+  CAST(sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM s GROUP BY query_id)
+SELECT ret.query_id, n_rel, n_hits_rel,
+  CASE WHEN n_rel > 0 THEN CAST(floor(CAST(n_hits_rel AS DOUBLE)
+    / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS recall_q6,
+  CASE WHEN first_rel_rank IS NOT NULL
+    THEN (CASE first_rel_rank $mrrCases END)
+    ELSE CAST(0 AS BIGINT) END AS mrr_q6,
+  dcg_q9, idcg_q9,
+  CASE WHEN idcg_q9 > 0 THEN CAST(floor(CAST(dcg_q9 AS DOUBLE)
+    / CAST(idcg_q9 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS ndcg_q6
+FROM ret JOIN idl USING (query_id) JOIN rel USING (query_id)
+ORDER BY query_id"""
   }
 }

@@ -30,18 +30,24 @@ import graft.sources.Tables
   * nearest-neighbor assignment over the first [[NSeeds]] chunk vectors
   * — Lloyd refinement is [[SimilarityPipeline.embKmeans]]'s axis; a
   * production build trains the quantizer offline and freezes it, which
-  * is exactly what frozen seeds model. The text side is the REAL
-  * [[Retrieval.bm25TopKFrom]] over the chunk corpus (promoted code
-  * path, no hand-built scoring drift), the vector side ranks cosine
-  * inside the [[NProbe]] probed clusters only, and fusion is
+  * is exactly what frozen seeds model. The text side scores the chunk
+  * corpus with the shared [[Retrieval.bm25Weight]] formula (one scoring
+  * implementation engine-wide), the vector side ranks cosine inside the
+  * [[NProbe]] probed clusters only, and fusion is
   * [[Retrieval.hybridRrf]]'s reciprocal-rank formula over two ≤ kEach
   * frames.
   *
-  * Determinism: chunk vectors and the query vector are INTEGER signed
-  * counts; every dot and norm is an exact integer until the one final
-  * division, so cosine ordering is bit-identical cross-engine (the
-  * pair_alignment discipline). The DuckDB oracle replays the WHOLE
-  * chain stage-for-stage from one shared CTE generator.
+  * Determinism (round 14, the persisted-store hardening): chunk vectors
+  * and the query vector are INTEGER signed counts, so every dot and
+  * norm is exact; the BM25 side quantizes each per-term weight to
+  * nano-units BEFORE summing (`floor(w·10⁹ + ½)` as BIGINT), making the
+  * per-chunk text score an order-independent INTEGER — the in-query
+  * program, the [[RetrievalStore]] probe (a different physical plan
+  * over persisted postings), and the DuckDB replay produce bit-equal
+  * rankings regardless of aggregation order. The RRF score is
+  * floor-quantized (`floor(x·10⁶ + ½)/10⁶`), not round(), per the
+  * pairAlignment half-point discipline. The DuckDB oracle replays the
+  * WHOLE chain stage-for-stage from one shared CTE generator.
   */
 object RetrievalProgram {
 
@@ -66,19 +72,20 @@ object RetrievalProgram {
   private def hashEntry(t: Column): Column =
     TextPipeline.hashEmbedEntry(t)
 
-  private case class Stages(chunks: DataFrame, sparse: DataFrame,
-      norms: DataFrame, qSparse: DataFrame, qNorm: DataFrame,
-      seeds: DataFrame, assigned: DataFrame, probe: DataFrame,
-      textTop: DataFrame, vecTop: DataFrame, fused: DataFrame)
+  private[operators] case class Stages(chunks: DataFrame, sparse: DataFrame,
+      assigned: DataFrame, textTop: DataFrame, vecTop: DataFrame,
+      fused: DataFrame)
 
-  private def run(spark: SparkSession, corpus: DataFrame): Stages = {
-    import spark.implicits._
-    // ---- stage 1: the ONE text scan → fenced chunk manifest ----------
+  // ------------------- the chain's stages, shared with RetrievalStore --
+
+  /** Stage 1: the ONE text scan → fenced chunk manifest
+    * (chunk_id, doc_id, chunk_idx, ctoks). */
+  private[operators] def chunkStage(corpus: DataFrame): DataFrame = {
     val toks = col("toks")
     val nc = when(size(toks) <= Win, lit(1L))
       .otherwise(floor((size(toks) - lit(Win - Stride + 1))
         .cast("double") / lit(Stride.toDouble)).cast(LongType) + 1L)
-    val chunks = fence(corpus
+    fence(corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), nc.as("nc"))
       .select(col("doc_id"), col("toks"),
@@ -100,7 +107,12 @@ object RetrievalProgram {
         col("doc_id"), col("chunk_idx"),
         slice(col("toks"), (col("chunk_idx") * Stride + 1L).cast("int"),
           lit(Win)).as("ctoks")))
-    // ---- stage 2: per-chunk hash embedding, folded in-expression -----
+  }
+
+  /** Stage 2: per-chunk hash embedding folded in-expression — fenced
+    * sparse (chunk_id, pos, v) entries and (chunk_id, n2) norms. */
+  private[operators] def embedStages(
+      chunks: DataFrame): (DataFrame, DataFrame) = {
     val dense = chunks.select(col("chunk_id"),
       aggregate(
         transform(filter(col("ctoks"), t => length(t) > 0),
@@ -116,7 +128,14 @@ object RetrievalProgram {
         col("v")))
     val norms = fence(sparse.groupBy("chunk_id")
       .agg(sum(col("v") * col("v")).cast(LongType).as("n2")))
-    // the query vector: the SAME recipe over the fixed term list
+    (sparse, norms)
+  }
+
+  /** The query vector: the SAME embed recipe over the fixed term list —
+    * (pos, qv) sparse entries and the 1-row n2q norm. */
+  private[operators] def queryVec(
+      spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val qSparse = Retrieval.QueryTerms.toDF("token")
       .filter(length(col("token")) > 0)
       .select(hashEntry(col("token")).as("e"))
@@ -125,7 +144,13 @@ object RetrievalProgram {
       .filter(col("qv") =!= 0L)
     val qNorm = qSparse.agg(sum(col("qv") * col("qv"))
       .cast(LongType).as("n2q"))
-    // ---- stage 3: seeded-IVF coarse index ----------------------------
+    (qSparse, qNorm)
+  }
+
+  /** Stage 3a: the frozen coarse quantizer — the first [[NSeeds]] chunk
+    * vectors as (seed_idx, pos, sv) entries plus their norms. */
+  private[operators] def seedStage(
+      sparse: DataFrame): (DataFrame, DataFrame) = {
     val seeds = sparse.select("chunk_id").distinct()
       .orderBy("chunk_id").limit(NSeeds)
       // post-limit window: <= NSeeds rows (the simTopK note)
@@ -135,78 +160,108 @@ object RetrievalProgram {
       .select(col("seed_idx"), col("pos"), col("v").as("sv"))
     val seedNorms = seedVecs.groupBy("seed_idx")
       .agg(sum(col("sv") * col("sv")).cast(LongType).as("n2s"))
-    // integer sparse dots against the BROADCAST seed entries (<= 256
-    // rows) — the corpus-sized side never shuffles for the assignment
+    (seedVecs, seedNorms)
+  }
+
+  /** Stage 3b: nearest-seed assignment — integer sparse dots against
+    * the BROADCAST seed entries (≤ 256 rows; the corpus-sized side
+    * never shuffles for the assignment), fenced (chunk_id, cluster). */
+  private[operators] def assignToSeeds(sparse: DataFrame, norms: DataFrame,
+      seedVecs: DataFrame, seedNorms: DataFrame): DataFrame = {
     val dots = sparse.join(broadcast(seedVecs), "pos")
       .groupBy(col("chunk_id"), col("seed_idx"))
       .agg(sum(col("v") * col("sv")).cast(LongType).as("d"))
     val cosAsg = (coalesce(col("d"), lit(0L)).cast("double")
       / (sqrt(col("n2").cast("double")) * sqrt(col("n2s").cast("double"))))
-    val assigned = fence(norms.crossJoin(broadcast(seedNorms))
+    fence(norms.crossJoin(broadcast(seedNorms))
       .join(dots, Seq("chunk_id", "seed_idx"), "left")
       .withColumn("rn", row_number().over(Window.partitionBy("chunk_id")
         .orderBy(cosAsg.desc, col("seed_idx"))))
       .filter(col("rn") === 1)
       .select(col("chunk_id"), col("seed_idx").as("cluster")))
-    // probe decision: the query's NProbe nearest seeds
+  }
+
+  /** Probe decision: the query's [[NProbe]] nearest seeds (bounded —
+    * seed-count rows). */
+  private[operators] def probeSeeds(qSparse: DataFrame, qNorm: DataFrame,
+      seedVecs: DataFrame, seedNorms: DataFrame): DataFrame = {
     val qSeedDots = qSparse.join(broadcast(seedVecs), "pos")
       .groupBy("seed_idx").agg(sum(col("qv") * col("sv"))
         .cast(LongType).as("d"))
     val cosProbe = (coalesce(col("d"), lit(0L)).cast("double")
       / (sqrt(col("n2s").cast("double")) * sqrt(col("n2q").cast("double"))))
-    val probe = seedNorms.join(qSeedDots, Seq("seed_idx"), "left")
+    seedNorms.join(qSeedDots, Seq("seed_idx"), "left")
       .crossJoin(broadcast(qNorm))
       .orderBy(cosProbe.desc, col("seed_idx"))
       .limit(NProbe)
       .select(col("seed_idx").as("cluster"))
-    // ---- stage 4+5: the hybrid probe ---------------------------------
-    // text side: the REAL BM25 operator over the chunk corpus
-    val chunkCorpus = chunks.select(col("chunk_id").as("doc_id"),
-      concat_ws(" ", col("ctoks")).as("text"))
-    val textTop = fence(Retrieval
-      .bm25TopKFrom(spark, chunkCorpus, Retrieval.QueryTerms, KEach)
+  }
+
+  /** The chunk corpus' (chunk_id, dl, term, tf) rows for the QUERY
+    * terms — the text side's scoring input ([[RetrievalStore]] reads
+    * the same rows from persisted postings). */
+  private[operators] def chunkTf(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col("chunk_id"), size(col("ctoks")).cast(LongType).as("dl"),
+        explode(col("ctoks")).as("term"))
+      .filter(col("term").isin(Retrieval.QueryTerms: _*))
+      .groupBy(col("chunk_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Stage 4 text side: BM25 over (chunk_id, dl, term, tf) rows with
+    * the per-term weight quantized to nano-units BEFORE the sum — the
+    * per-chunk score is an exact BIGINT, so the ranking is identical
+    * across the program's plan, the store probe's plan, and the oracle
+    * (aggregation order cannot move it). Emits the fenced top-[[KEach]]
+    * (chunk_id, text_rank).
+    */
+  private[operators] def textRankQ9(tf: DataFrame, dfTerm: DataFrame,
+      stats: DataFrame): DataFrame =
+    fence(tf.join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("wq9",
+        floor(Retrieval.bm25Weight * lit(1000000000d) + lit(0.5d))
+          .cast(LongType))
+      .groupBy(col("chunk_id"))
+      .agg(sum(col("wq9")).cast(LongType).as("sq9"))
+      .orderBy(col("sq9").desc, col("chunk_id"))
+      .limit(KEach)
       // post-limit window: <= KEach rows
       .withColumn("text_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
-      .select(col("doc_id").as("chunk_id"), col("text_rank")))
-    // vector side: cosine INSIDE the probed clusters only
-    val qDots = sparse.join(broadcast(qSparse), "pos")
-      .groupBy("chunk_id").agg(sum(col("v") * col("qv"))
-        .cast(LongType).as("d"))
-    val cosV = (coalesce(col("d"), lit(0L)).cast("double")
-      / (sqrt(col("n2").cast("double")) * sqrt(col("n2q").cast("double"))))
-    val vecTop = fence(norms.join(assigned, "chunk_id")
-      .join(broadcast(probe), "cluster")
-      .join(qDots, Seq("chunk_id"), "left")
-      .crossJoin(broadcast(qNorm))
-      .select(col("chunk_id"), cosV.as("cosv"))
+        Window.orderBy(col("sq9").desc, col("chunk_id"))).cast(LongType))
+      .select(col("chunk_id"), col("text_rank")))
+
+  /** Stage 4 vector side: rank a (chunk_id, cosv) frame to the fenced
+    * top-[[KEach]] (chunk_id, vec_rank). */
+  private[operators] def vecRank(scored: DataFrame): DataFrame =
+    fence(scored
       .orderBy(col("cosv").desc, col("chunk_id"))
       .limit(KEach)
       // post-limit window: <= KEach rows
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("cosv").desc, col("chunk_id"))).cast(LongType))
       .select(col("chunk_id"), col("vec_rank")))
-    // fusion: hybridRrf's reciprocal-rank formula over two tiny frames
+
+  /** Stage 5: RRF fusion of the two ≤ [[KEach]]-row sides — the
+    * [[Retrieval.hybridRrf]] formula, floor-quantized to 10⁻⁶ (the
+    * explicit half-up form; round()'s BigDecimal half-points diverge
+    * from DuckDB by 1 ulp — the pairAlignment class). */
+  private[operators] def fuse(textTop: DataFrame,
+      vecTop: DataFrame): DataFrame = {
     val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
-    val fused = fence(textTop.join(vecTop, Seq("chunk_id"), "full_outer")
+    fence(textTop.join(vecTop, Seq("chunk_id"), "full_outer")
       .select(col("chunk_id"), col("text_rank"), col("vec_rank"),
-        round(rrf, 6).as("rrf_score"))
+        (floor(rrf * lit(1000000d) + lit(0.5d)) / lit(1000000d))
+          .as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("chunk_id"))
       .limit(TopK))
-    Stages(chunks, sparse, norms, qSparse, qNorm, seeds, assigned, probe,
-      textTop, vecTop, fused)
   }
 
-  /** The fused top-[[TopK]] chunks with both sides' ranks — the RAG
-    * probe result a serving stack would return. */
-  def retrievalProgram(spark: SparkSession, sfDir: String): DataFrame =
-    retrievalProgramFrom(spark, Tables.documents(spark, sfDir))
-
-  def retrievalProgramFrom(spark: SparkSession,
-      corpus: DataFrame): DataFrame = {
-    val st = run(spark, corpus)
-    st.fused
+  /** The fused frame's driver projection — rank + the doc/chunk id
+    * decomposition. */
+  private[operators] def finalProjection(fused: DataFrame): DataFrame =
+    fused
       // post-limit window: <= TopK rows
       .withColumn("rank", row_number().over(Window
         .orderBy(col("rrf_score").desc, col("chunk_id"))).cast(LongType))
@@ -215,7 +270,44 @@ object RetrievalProgram {
         pmod(col("chunk_id"), lit(IdBase)).as("chunk_idx"),
         col("text_rank"), col("vec_rank"), col("rrf_score"))
       .orderBy("rank")
+
+  private[operators] def run(spark: SparkSession,
+      corpus: DataFrame): Stages = {
+    val chunks = chunkStage(corpus)
+    val (sparse, norms) = embedStages(chunks)
+    val (qSparse, qNorm) = queryVec(spark)
+    val (seedVecs, seedNorms) = seedStage(sparse)
+    val assigned = assignToSeeds(sparse, norms, seedVecs, seedNorms)
+    val probe = probeSeeds(qSparse, qNorm, seedVecs, seedNorms)
+    // ---- stage 4+5: the hybrid probe ---------------------------------
+    val tf = chunkTf(chunks)
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = chunks.agg(count(lit(1)).as("n_corpus"),
+      avg(size(col("ctoks")).cast("double")).as("avgdl"))
+    val textTop = textRankQ9(tf, dfTerm, stats)
+    // vector side: cosine INSIDE the probed clusters only
+    val qDots = sparse.join(broadcast(qSparse), "pos")
+      .groupBy("chunk_id").agg(sum(col("v") * col("qv"))
+        .cast(LongType).as("d"))
+    val cosV = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2").cast("double")) * sqrt(col("n2q").cast("double"))))
+    val vecTop = vecRank(norms.join(assigned, "chunk_id")
+      .join(broadcast(probe), "cluster")
+      .join(qDots, Seq("chunk_id"), "left")
+      .crossJoin(broadcast(qNorm))
+      .select(col("chunk_id"), cosV.as("cosv")))
+    val fused = fuse(textTop, vecTop)
+    Stages(chunks, sparse, assigned, textTop, vecTop, fused)
   }
+
+  /** The fused top-[[TopK]] chunks with both sides' ranks — the RAG
+    * probe result a serving stack would return. */
+  def retrievalProgram(spark: SparkSession, sfDir: String): DataFrame =
+    retrievalProgramFrom(spark, Tables.documents(spark, sfDir))
+
+  def retrievalProgramFrom(spark: SparkSession,
+      corpus: DataFrame): DataFrame =
+    finalProjection(run(spark, corpus).fused)
 
   /** The per-stage funnel — (stage_no, stage, n_rows, n_keys) counts a
     * RAG build logs: chunk manifest size, embedded-vector occupancy,
@@ -260,10 +352,12 @@ object RetrievalProgram {
 
   // ------------------------------- the DuckDB stage-for-stage replay --
 
-  /** The whole chain as shared CTEs — ONE generator feeds both oracles
-    * so the program and funnel replays cannot drift. Multiply-referenced
-    * corpus-sized CTEs are AS MATERIALIZED (the graph_hits lesson:
-    * DuckDB inlines multiply-referenced CTEs and re-evaluates). */
+  /** The whole chain as shared CTEs — ONE generator feeds the program,
+    * funnel, AND persisted-store oracles so the replays cannot drift.
+    * Multiply-referenced corpus-sized CTEs are AS MATERIALIZED (the
+    * graph_hits lesson: DuckDB inlines multiply-referenced CTEs and
+    * re-evaluates). The text score is the same nano-quantized BIGINT
+    * sum as [[textRankQ9]]; rrf_score the same floor-quantize. */
   private def chainCtes: String = {
     val terms = Retrieval.QueryTerms.map(t => s"'$t'").mkString(", ")
     val bucket = "CAST(list_sum(list_transform(range(4), dd -> " +
@@ -340,21 +434,23 @@ bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
 bst AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
   avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM ck),
 bs AS (SELECT chunk_id,
-  round(sum(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+  CAST(sum(CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
     (CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
     (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
-      ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl))), 4) AS score
+      ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl))
+    * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq9
   FROM btf JOIN bdf USING (term), bst GROUP BY chunk_id),
 tr AS MATERIALIZED (SELECT chunk_id,
-  CAST(row_number() OVER (ORDER BY score DESC, chunk_id) AS BIGINT)
+  CAST(row_number() OVER (ORDER BY sq9 DESC, chunk_id) AS BIGINT)
     AS text_rank
-  FROM (SELECT chunk_id, score FROM bs ORDER BY score DESC, chunk_id
+  FROM (SELECT chunk_id, sq9 FROM bs ORDER BY sq9 DESC, chunk_id
     LIMIT $KEach)),
 fsd AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
   FROM (SELECT coalesce(tr.chunk_id, vr.chunk_id) AS chunk_id,
     text_rank, vec_rank,
-    round(coalesce(1.0 / (60.0 + text_rank), 0.0) +
-      coalesce(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf_score
+    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
+      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
+      / 1000000 AS rrf_score
   FROM tr FULL OUTER JOIN vr ON tr.chunk_id = vr.chunk_id)
   ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
   }

@@ -1793,7 +1793,24 @@ FROM t WHERE rank <= $PqTopK ORDER BY rank"""
   /** The DuckDB replay of [[simTopKIvfPqBatch]] — generated from the
     * SAME nQueries default (the hardNegativesOracleSql rule).
     */
-  private[graft] def ivfPqBatchOracleSql(nQueries: Int = 8): String = {
+  private[graft] def ivfPqBatchOracleSql(nQueries: Int = 8): String =
+    ivfPqBatchOracleCore(nQueries, IvfProbe, PqFetch,
+      s"rec.vec_id >= $nQueries")
+
+  /** [[ivfPqBatchOracleSql]] with per-query range predicates and the
+    * widened probe/fetch compensations — replays
+    * [[PersistedIndex.probeIvfPqIndexFilteredBatch]]'s panel (query q
+    * filters to vec_id ∈ [60+30q, 240+30q)). */
+  private[graft] def ivfPqFilteredBatchOracleSql(nQueries: Int = 8): String =
+    ivfPqBatchOracleCore(nQueries, IvfProbe + 3, PqFetch * 2,
+      "rec.vec_id >= 60 + 30 * probe.q_id AND " +
+        "rec.vec_id < 240 + 30 * probe.q_id")
+
+  /** One generator for the plain and filtered BATCH replays — `pred` is
+    * stage 1's WHERE clause (panel self-exclusion for the plain probe,
+    * the per-query range for the filtered one). */
+  private def ivfPqBatchOracleCore(nQueries: Int, nprobe: Int,
+      fetch: Int, pred: String): String = {
     val joins = (1 until PqM).map(m =>
       s"JOIN a2_$m ON a2_0.vec_id = a2_$m.vec_id AND a2_$m.rn = 1")
       .mkString("\n    ")
@@ -1809,7 +1826,7 @@ ivc AS (SELECT label, list(a ORDER BY pos) AS centroid
 qs AS (SELECT vec_id AS q_id, v AS qv FROM ek WHERE vec_id < $nQueries),
 pr AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
   ORDER BY ${cosSql("centroid", "qv")} DESC, label) AS crn FROM ivc, qs),
-probe AS (SELECT q_id, label FROM pr WHERE crn <= $IvfProbe),
+probe AS (SELECT q_id, label FROM pr WHERE crn <= $nprobe),
 rec AS (SELECT a2_0.vec_id, $rv AS rv
   FROM a2_0 $joins
   WHERE a2_0.rn = 1),
@@ -1818,14 +1835,14 @@ s1 AS (SELECT probe.q_id, rec.vec_id, ivl.label,
   FROM rec JOIN ivl ON rec.vec_id = ivl.vec_id
   JOIN probe ON ivl.label = probe.label
   JOIN qs ON qs.q_id = probe.q_id
-  WHERE rec.vec_id >= $nQueries),
+  WHERE $pred),
 s1r AS (SELECT q_id, vec_id, label, sim_pq, row_number() OVER
   (PARTITION BY q_id ORDER BY sim_pq DESC, vec_id) AS rn1 FROM s1),
 s2 AS (SELECT s1r.q_id, s1r.vec_id, s1r.label, s1r.sim_pq,
   ${cosSql("ek.v", "qv")} AS sim
   FROM s1r JOIN ek ON s1r.vec_id = ek.vec_id
   JOIN qs ON qs.q_id = s1r.q_id
-  WHERE rn1 <= $PqFetch),
+  WHERE rn1 <= $fetch),
 t AS (SELECT q_id, vec_id, label, sim_pq, sim, row_number() OVER
   (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank FROM s2)
 SELECT q_id, rank, vec_id, label,
@@ -2308,6 +2325,14 @@ FROM g ORDER BY label"""
           .foreach(_.unpersist(blocking = false))
       })
     }
+
+  /** The driver queries that CONSUME [[mutualKnnEdges]] — the registry
+    * `graft.Bench` groups into the kNN family (warm, run consecutively,
+    * release). Next to the cache so consumer and registry move together
+    * (round-13 ADVICE: a consumer missing here reads a truncated
+    * lineage after the sweep's orphan pass). */
+  private[graft] val benchFamilyQueries: Set[String] =
+    Set("knn_triangles", "knn_kcore", "quality_propagate")
 
   /** Build the shared mutual-kNN edge leaf NOW (no-op when cached) —
     * the explicit warm hook for `graft.Bench`.

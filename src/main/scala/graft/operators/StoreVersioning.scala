@@ -220,11 +220,17 @@ object StoreVersioning {
     // resolve to a silently-EMPTY live set — probes would scan zero
     // segments instead of failing. Stores are session-temp today, but
     // the failure mode is too quiet to leave unpinned.
-    require(df.columns.toSeq == Seq("kind", "token"),
+    // column SET check (order-insensitive): a manifest written with the
+    // columns in another order is semantically valid — the positional
+    // reads below go through a by-name select. The loud dialect check
+    // stays for genuinely foreign schemas (the pre-(kind, token) LSH
+    // store's 1-column layout would otherwise resolve to a silently
+    // EMPTY live set and probes would scan zero segments).
+    require(df.columns.toSet == Set("kind", "token"),
       s"manifest $manifestDir version $v has columns " +
         s"${df.columns.mkString("(", ", ", ")")}; expected (kind, token) " +
         "— a store persisted by a pre-(kind, token) build must be rebuilt")
-    df.collect().toSeq
+    df.select("kind", "token").collect().toSeq
       .groupBy(_.getString(0))
       .view.mapValues(_.map(_.getString(1)).sorted).toMap
   }

@@ -1563,6 +1563,16 @@ FROM agg, tot ORDER BY n_bands DESC"""
       })
     }
 
+  /** The driver queries that CONSUME [[sharedClusterLabels]] — the
+    * registry `graft.Bench` groups into the dedup family (warm the
+    * artifact, run these consecutively, release). Lives NEXT TO the
+    * cache so adding a consumer updates both in one place; a consumer
+    * missing from this set would have its cached leaf dropped by the
+    * sweep's per-query orphan pass and read a truncated lineage
+    * (round-13 ADVICE). */
+  private[graft] val benchFamilyQueries: Set[String] =
+    Set("dedup_clusters", "canonical_select")
+
   /** Build the shared cluster-label leaf NOW (a no-op when already
     * cached) — the explicit warm hook mirroring
     * [[Graph.warmSharedEdges]]; `graft.Bench` warms and reports the

@@ -212,6 +212,139 @@ class FilteredAnnSpec extends AnyFunSuite with Matchers with SparkTestBase {
     recall should be >= 0.5
   }
 
+  test("audit-free LSH serving probe: exactly ONE corpus-sized vectors " +
+    "scan, rows equal the audited probe minus in_exact") {
+    val audited = PersistedIndex.probeLshIndex(spark, lshDir)
+    val serving = PersistedIndex.probeLshIndex(spark, lshDir,
+      audit = false)
+    serving.columns.toSeq shouldBe Seq("rank", "vec_id", "label", "sim")
+    serving.collect().map(_.toSeq).toSeq shouldBe
+      audited.drop("in_exact").collect().map(_.toSeq).toSeq
+    // corpus-sized vectors scans (no POSITIVE vec_id equality pushed —
+    // the verify scan legitimately carries an inferred
+    // Not(EqualTo(vec_id, q)) from the candidate join): the audited
+    // probe pays one for the brute-force audit and one for the
+    // candidate verify; the serving probe pays ONLY the verify
+    def corpusScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.explainString(FormattedMode)
+      """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+        .findAllIn(plan).toList
+        .count(b => b.contains("/vectors") &&
+          !b.replace("Not(EqualTo(vec_id", "")
+            .contains("EqualTo(vec_id"))
+    }
+    corpusScans(serving) shouldBe 1
+    corpusScans(audited) shouldBe 2
+  }
+
+  test("audit-free FILTERED LSH probe matches the audited one minus " +
+    "the audit column and scan") {
+    val audited = PersistedIndex.probeLshIndexFiltered(spark, lshDir,
+      filterLabel = 3)
+    val serving = PersistedIndex.probeLshIndexFiltered(spark, lshDir,
+      filterLabel = 3, audit = false)
+    serving.columns.toSeq shouldBe Seq("rank", "vec_id", "label", "sim")
+    serving.collect().map(_.toSeq).toSeq shouldBe
+      audited.drop("in_exact").collect().map(_.toSeq).toSeq
+  }
+
+  /** Brute-force filtered-range top-k for query vec q — the per-query
+    * ground truth of the batched filtered probe. */
+  private def exactRangeIds(q: Long, lo: Long, hi: Long,
+      k: Int): Set[Long] = {
+    graft.expressions.VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val qv = e.filter(col("vec_id") === q).select(col("v").as("q"))
+    e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (graft.expressions.VectorExpressions.dotNative(col("v"), col("q"))
+          / (sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("v"), col("v")))
+            * sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("q"), col("q"))))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("batched filtered IVF+PQ probe: the panel-union range rides the " +
+    "shared stage-1 codes scan and each query honors its own range") {
+    val out = PersistedIndex.probeIvfPqIndexFilteredBatch(spark, sf,
+      ivfPqDir)
+    val plan = out.queryExecution.explainString(FormattedMode)
+    val scanBlocks = """\(\d+\) Scan parquet[\s\S]*?ReadSchema: [^\n]*""".r
+      .findAllIn(plan).toList
+    val stage1 = scanBlocks.filter(b =>
+      b.contains("/codes") && b.contains("codes:"))
+    stage1 should not be empty
+    withClue(s"no scan carries the union range:\n" +
+      s"${stage1.mkString("\n")}\n") {
+      stage1.exists(b => b.contains("GreaterThanOrEqual(vec_id,60)") &&
+        b.contains("LessThan(vec_id,450)")) shouldBe true
+    }
+    val rows = out.collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val v = r.getAs[Long]("vec_id")
+      v should be >= (60L + 30L * q)
+      v should be < (240L + 30L * q)
+    }
+    // per-query recall vs the per-query FILTERED brute force: the
+    // range-restricted IVFADC envelope (coarse cells + PQ error) is
+    // 0.2-0.7 per query / ~0.5 average at sf0.001 — pin it like the
+    // LSH bucket-collision floor so a prune/encode regression is caught
+    val recalls = (0 until 8).map { q =>
+      val got = rows.filter(_.getAs[Long]("q_id") == q)
+        .map(_.getAs[Long]("vec_id")).toSet
+      val exact = exactRangeIds(q, 60L + 30 * q, 240L + 30 * q, 10)
+      val recall = exact.count(got).toDouble / exact.size
+      withClue(s"q=$q got=$got exact=$exact") {
+        recall should be >= 0.2
+      }
+      recall
+    }
+    (recalls.sum / recalls.size) should be >= 0.45
+  }
+
+  test("batched filtered LSH probe: the panel's label union rides the " +
+    "verify scan's PushedFilters; each hit carries its query's label " +
+    "and in_exact audits the per-query filtered brute force") {
+    val out = PersistedIndex.probeLshIndexFilteredBatch(spark, lshDir)
+    val plan = out.queryExecution.explainString(FormattedMode)
+    plan should include("In(label, [")
+    val rows = out.collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Int]("label").toLong shouldBe
+        (r.getAs[Long]("q_id") * 3) % 10
+    }
+    // spot-audit one query's in_exact flags against the filtered brute
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q0 = e.filter(col("vec_id") === 0L).select(col("v").as("q"))
+    val exact0 = e
+      .filter(col("label") === 0 && col("vec_id") >= 8L)
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (graft.expressions.VectorExpressions.dotNative(col("v"), col("q"))
+          / (sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("v"), col("v")))
+            * sqrt(graft.expressions.VectorExpressions
+              .dotNative(col("q"), col("q"))))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+      .collect().map(_.getLong(0)).toSet
+    rows.filter(_.getAs[Long]("q_id") == 0L).foreach { r =>
+      r.getAs[Boolean]("in_exact") shouldBe
+        exact0.contains(r.getAs[Long]("vec_id"))
+    }
+  }
+
   test("filtered probe == filter-after-probe NEVER holds structurally: " +
     "post-filtering the unfiltered top-k loses matches the pushed " +
     "predicate keeps") {

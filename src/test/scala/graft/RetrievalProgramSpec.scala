@@ -61,15 +61,36 @@ class RetrievalProgramSpec extends AnyFunSuite with Matchers
     val chunks = chunksIndependent().localCheckpoint()
     val sparse = sparseIndependent(chunks).localCheckpoint()
 
-    // --- standalone text side: the REAL bm25 operator over the corpus
-    val corpus = chunks.select(col("chunk_id").as("doc_id"),
-      concat_ws(" ", col("ctoks")).as("text"))
-    val textRank = Retrieval
-      .bm25TopKFrom(spark, corpus, Retrieval.QueryTerms, 20)
-      .withColumn("text_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id").as("chunk_id"), col("text_rank"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // --- standalone text side: BM25 recomputed DRIVER-SIDE in Scala
+    // (independent of the program's plan AND of Retrieval's Column
+    // expressions), with the same nano-quantized per-term weights the
+    // chain sums — floor(w * 1e9 + 0.5) as Long, so the per-chunk score
+    // is an exact integer whatever the summation order
+    val terms = Retrieval.QueryTerms.toSet
+    val chunkToks = chunks
+      .select(col("chunk_id"), col("ctoks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val nCorpus = chunkToks.size.toLong
+    val avgdl = chunkToks.values.map(_.size.toLong).sum.toDouble / nCorpus
+    val tfRows = chunkToks.toSeq.flatMap { case (id, toks) =>
+      toks.filter(terms).groupBy(identity).map { case (t, occ) =>
+        (id, toks.size.toLong, t, occ.size.toLong)
+      }
+    }
+    val dfTerm = tfRows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    def wq9(tf: Long, dl: Long, df: Long): Long = {
+      val idf = math.log(1.0 + (nCorpus - df + 0.5) / (df + 0.5))
+      val sat = tf.toDouble * (1.2 + 1.0) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))
+      math.floor(idf * sat * 1000000000d + 0.5d).toLong
+    }
+    val scores = tfRows.groupBy(_._1).view.mapValues(_.map {
+      case (_, dl, t, tf) => wq9(tf, dl, dfTerm(t))
+    }.sum).toMap
+    val textRank = scores.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }
+      .toMap
 
     // --- standalone vec side: seeds, assignment, probe, cosine rank
     val q = Retrieval.QueryTerms.toDF("token")

@@ -114,3 +114,65 @@ class RankerAgreementSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.flatMap(_._3).sorted shouldBe (1L to rows.count(_._3.isDefined))
   }
 }
+
+/** The retrieval-quality scorecard's exact-math contract (round 14):
+  * ideal-ranking ties break by doc_id, the grade >= 2 relevance
+  * plumbing feeds MRR/recall, and an all-equal-grade ranking scores a
+  * perfect NDCG.
+  */
+class RetrievalEvalSpec extends AnyFunSuite with Matchers
+    with SparkTestBase {
+  import spark.implicits._
+
+  test("ideal-ranking ties break by doc_id; all-equal grades score a " +
+    "perfect NDCG; one-term queries have no grade-2 relevant set") {
+    // four docs tie at grade 1 for a one-term query; the score ranking
+    // and the ideal ranking carry the SAME grades in every position, so
+    // ndcg == 1e6 exactly, and n_rel (grade >= 2) is structurally 0
+    val corpus = Seq(
+      (1L, "spark alpha"), (2L, "spark beta"), (3L, "spark gamma"),
+      (4L, "spark delta"), (5L, "nothing here")).toDF("doc_id", "text")
+    val out = Retrieval
+      .retrievalEvalFrom(spark, corpus, Seq(1L -> Seq("spark")), 5)
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("n_rel") shouldBe 0L
+    r.getAs[Long]("mrr_q6") shouldBe 0L
+    assert(r.isNullAt(r.fieldIndex("recall_q6")))
+    r.getAs[Long]("ndcg_q6") shouldBe 1000000L
+  }
+
+  test("grade >= 2 relevance feeds MRR and recall; the bi-term doc " +
+    "outranks single-term docs and takes reciprocal rank 1") {
+    val corpus = Seq(
+      (6L, "spark join spark join"), (7L, "spark alpha"),
+      (8L, "join beta"), (9L, "nothing")).toDF("doc_id", "text")
+    val out = Retrieval
+      .retrievalEvalFrom(spark, corpus, Seq(1L -> Seq("spark", "join")), 5)
+      .collect().head
+    out.getAs[Long]("n_rel") shouldBe 1L
+    out.getAs[Long]("n_hits_rel") shouldBe 1L
+    out.getAs[Long]("recall_q6") shouldBe 1000000L
+    out.getAs[Long]("mrr_q6") shouldBe 1000000L
+    // DCG: doc6(grade2, rank1) + doc7/8 (grade1, ranks 2-3 by doc_id);
+    // ideal is the same multiset of grades in the same order → perfect
+    out.getAs[Long]("ndcg_q6") shouldBe 1000000L
+  }
+
+  test("a relevant doc ranked below an irrelevant one degrades NDCG " +
+    "below 1 and MRR to the matching reciprocal") {
+    // doc 11 matches both terms once (grade 2); doc 10 stuffs 'spark'
+    // so TF-IDF ranks it first (grade 1) — the eval must notice
+    val corpus = Seq(
+      (10L, "spark spark spark spark spark spark"),
+      (11L, "spark join"), (12L, "filler words only"),
+      (13L, "more filler")).toDF("doc_id", "text")
+    val out = Retrieval
+      .retrievalEvalFrom(spark, corpus, Seq(1L -> Seq("spark", "join")), 5)
+      .collect().head
+    out.getAs[Long]("n_rel") shouldBe 1L
+    out.getAs[Long]("ndcg_q6") should be < 1000000L
+    out.getAs[Long]("mrr_q6") shouldBe 500000L // first grade-2 at rank 2
+  }
+}

@@ -92,27 +92,46 @@ def main():
             # memory at the default parallelism but complete at 2
             # threads (~13 min). Retry OOM failures once, slow but low-
             # memory, on a fresh connection.
-            if "Out of Memory" not in str(e):
+            # memory-class failures come in several spellings: the buffer
+            # manager's "Out of Memory", an allocation outside it
+            # (std::bad_alloc), or a Python-side MemoryError — all retry
+            # once at 2 threads (ADVICE round 13)
+            mem_markers = ("Out of Memory", "bad_alloc", "MemoryError",
+                           "std::bad_alloc")
+            is_mem = isinstance(e, MemoryError) or \
+                any(m in str(e) for m in mem_markers)
+            if not is_mem:
                 print(f"FAIL {name}: exec error: {e}")
                 n_fail += 1
                 continue
-            try:
-                con2 = duckdb.connect()
-                con2.execute("SET memory_limit='7GB'")
-                con2.execute("SET temp_directory='/tmp/duck_spill'")
-                con2.execute("SET threads=2")
-                for t in TABLES:
-                    p = f"{sf_dir}/{t}.parquet"
-                    if os.path.exists(p):
-                        con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                                     f"read_parquet('{p}')")
-                o = con2.execute(oracle[name])
-                o_cols = [d[0] for d in o.description]
-                o_rows = o.fetchall()
-                con2.close()
-            except Exception as e2:
+            # escalating retry ladder: some operator state is PINNED
+            # (unspillable) — lowering threads shrinks per-thread join
+            # state (the knn_triangles class), raising the limit toward
+            # the ~10 GB RSS ceiling absorbs pinned-state peaks
+            # (bpe_merges at sf0.01 needs ~8 GB at any thread count)
+            retried = False
+            for threads, mem in ((2, "7GB"), (2, "8GB"), (1, "8GB")):
+                try:
+                    con2 = duckdb.connect()
+                    con2.execute(f"SET memory_limit='{mem}'")
+                    con2.execute("SET temp_directory='/tmp/duck_spill'")
+                    con2.execute(f"SET threads={threads}")
+                    for t in TABLES:
+                        p = f"{sf_dir}/{t}.parquet"
+                        if os.path.exists(p):
+                            con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                                         f"read_parquet('{p}')")
+                    o = con2.execute(oracle[name])
+                    o_cols = [d[0] for d in o.description]
+                    o_rows = o.fetchall()
+                    con2.close()
+                    retried = True
+                    break
+                except Exception as e2:
+                    last_err = e2
+            if not retried:
                 print(f"FAIL {name}: exec error (after low-memory "
-                      f"retry): {e2}")
+                      f"retries): {last_err}")
                 n_fail += 1
                 continue
         problems = []
