@@ -2733,30 +2733,11 @@ t AS (SELECT q_id, vec_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DE
 SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS sim,
   EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
 FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
-    // the batched FILTERED store probe: same signature/bucket replay,
-    // each query's label predicate on BOTH the verify and the audit side
+    // the batched FILTERED store probe: the lsh_store_batch replay with
+    // per-query label predicates (generated — one label recipe shared
+    // with the Spark probe)
     "lsh_store_filtered_batch" ->
-      """WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
-bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
-    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
-      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
-  FROM embeddings e, hyper h),
-bv AS MATERIALIZED (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
-qb AS (SELECT vec_id AS q_id, band, val FROM bv WHERE vec_id < 8),
-cand AS (SELECT DISTINCT qb.q_id, b.vec_id FROM bv b
-  JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id >= 8),
-qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id < 8),
-s AS (SELECT cand.q_id, e.vec_id, e.label,
-  (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) AS c
-  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id
-  WHERE e.label = (cand.q_id * 3) % 10),
-ex AS (SELECT q_id, vec_id FROM (SELECT qv.q_id, e.vec_id,
-    row_number() OVER (PARTITION BY qv.q_id ORDER BY (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) DESC, e.vec_id) AS r
-  FROM embeddings e, qv WHERE e.vec_id >= 8 AND e.label = (qv.q_id * 3) % 10) WHERE r <= 5),
-t AS (SELECT q_id, vec_id, label, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
-SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, round(c, 4) AS sim,
-  EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
-FROM t WHERE rank <= 5 ORDER BY q_id, rank""",
+      graft.operators.PersistedIndex.lshFilteredBatchOracleSql(),
     "emb_kmeans" ->
       s"""WITH
 $kmeansCtes

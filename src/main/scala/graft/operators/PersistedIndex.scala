@@ -1537,15 +1537,15 @@ FROM graft_shingle_bloom_build""")
       .agg(sum(col("n_docs")).as("df"))
     val doclens = segScan(spark, path, "doclens", segs)
       .select(col("doc_id"), col("dl"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfD = col("tf").cast("double")
-    val sat = tfD * lit(Retrieval.K1 + 1.0) /
-      (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
-        lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
+    // the ONE shared scoring formula (Retrieval.bm25Weight) with the
+    // index's summed statistics riding as literal columns — constant
+    // folding makes this the exact expression the hand-rolled copy
+    // built, so bm25_store's scores are unchanged
     tfLive.join(broadcast(dfTerm), "term")
       .join(doclens, "doc_id")
-      .withColumn("w", idf * sat)
+      .withColumn("n_corpus", lit(n.toDouble))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("w", Retrieval.bm25Weight)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_terms_hit"),
         round(sum(col("w")), 4).as("score"))
@@ -1595,16 +1595,14 @@ FROM graft_shingle_bloom_build""")
       .agg(sum(col("n_docs")).as("df"))
     val doclens = segScan(spark, path, "doclens", segs)
       .select(col("doc_id"), col("dl"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfD = col("tf").cast("double")
-    val sat = tfD * lit(Retrieval.K1 + 1.0) /
-      (tfD + lit(Retrieval.K1) * (lit(1.0 - Retrieval.B) +
-        lit(Retrieval.B) * col("dl").cast("double") / lit(avgdl)))
+    // the ONE shared scoring formula, statistics as literal columns
+    // (see searchTextIndexBm25) — scores unchanged
     val scored = tfLive.join(broadcast(dfTerm), "term")
       .join(broadcast(panel), "term")
       .join(doclens, "doc_id")
-      .withColumn("w", idf * sat)
+      .withColumn("n_corpus", lit(n.toDouble))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("w", Retrieval.bm25Weight)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_terms_hit"),
         round(sum(col("w")), 4).as("score"))
@@ -2442,6 +2440,40 @@ FROM graft_shingle_bloom_build""")
   def lshFilteredBatchFromSessionStore(spark: SparkSession,
       sfDir: String): DataFrame =
     probeLshIndexFilteredBatch(spark, sessionLshStore(spark, sfDir))
+
+  /** SQL form of [[lshBatchLabel]] — the ONE label recipe string the
+    * generated oracle interpolates, so the Spark probe and the replay
+    * cannot drift (the hardNegativesOracleSql rule). */
+  private[graft] def lshBatchLabelSql(qid: String): String =
+    s"($qid * 3) % 10"
+
+  /** The DuckDB replay of [[probeLshIndexFilteredBatch]] — the
+    * lsh_store_batch signature/bucket recompute with each query's label
+    * predicate (from [[lshBatchLabelSql]]) applied to BOTH the verify
+    * and the exact-audit side. */
+  private[graft] def lshFilteredBatchOracleSql(nQueries: Int = 8,
+      k: Int = 5): String =
+    s"""WITH hyper AS (SELECT vec_id AS h_idx, embedding AS h FROM embeddings WHERE vec_id < 16),
+bits AS (SELECT e.vec_id, CAST(h_idx // 4 AS INTEGER) AS band,
+    CASE WHEN list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(h.h[i+1] AS DOUBLE))) > 0 THEN 1 ELSE 0 END
+      * CAST(2 ** (h_idx % 4) AS INTEGER) AS bit
+  FROM embeddings e, hyper h),
+bv AS MATERIALIZED (SELECT vec_id, band, sum(bit) AS val FROM bits GROUP BY vec_id, band),
+qb AS (SELECT vec_id AS q_id, band, val FROM bv WHERE vec_id < $nQueries),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id FROM bv b
+  JOIN qb ON b.band = qb.band AND b.val = qb.val WHERE b.vec_id >= $nQueries),
+qv AS (SELECT vec_id AS q_id, embedding AS q FROM embeddings WHERE vec_id < $nQueries),
+s AS (SELECT cand.q_id, e.vec_id, e.label,
+  (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) AS c
+  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id
+  WHERE e.label = ${lshBatchLabelSql("cand.q_id")}),
+ex AS (SELECT q_id, vec_id FROM (SELECT qv.q_id, e.vec_id,
+    row_number() OVER (PARTITION BY qv.q_id ORDER BY (list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE))) / (sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(64), i -> CAST(qv.q[i+1] AS DOUBLE) * CAST(qv.q[i+1] AS DOUBLE)))))) DESC, e.vec_id) AS r
+  FROM embeddings e, qv WHERE e.vec_id >= $nQueries AND e.label = ${lshBatchLabelSql("qv.q_id")}) WHERE r <= $k),
+t AS (SELECT q_id, vec_id, label, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM s)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, label, round(c, 4) AS sim,
+  EXISTS(SELECT 1 FROM ex WHERE ex.q_id = t.q_id AND ex.vec_id = t.vec_id) AS in_exact
+FROM t WHERE rank <= $k ORDER BY q_id, rank"""
 
   /** Every persisted store's segment layout, keyed by store kind — the
     * dispatch table behind [[retainStore]] (one retention policy across

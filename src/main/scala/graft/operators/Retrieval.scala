@@ -151,9 +151,15 @@ object Retrieval {
       k: Int = 5): DataFrame =
     indexTopKBatchFrom(spark, docs(spark, sfDir), QueryPanel, k)
 
-  /** [[indexTopKBatch]] over any (doc_id, text) corpus and query table. */
-  def indexTopKBatchFrom(spark: SparkSession, corpus: DataFrame,
-      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+  /** The batched TF-IDF scoring core — (query_id, doc_id, n_terms_hit,
+    * score) for EVERY matching doc of a query panel, in one corpus pass
+    * (union-term filtered scan, broadcast query↔term mapping and df/N
+    * statistics). THE single panel scorer: [[indexTopKBatchFrom]] ranks
+    * it, [[retrievalEvalFrom]] grades it — one implementation, so the
+    * scorecard always evaluates exactly the ranking the batch query
+    * serves. */
+  private[operators] def panelScoredFrom(spark: SparkSession,
+      corpus: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
     import spark.implicits._
     val qterms = queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
@@ -166,7 +172,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = corpus.agg(count(lit(1)).as("n_corpus"))
-    val scored = tf.join(broadcast(qterms), "term")
+    tf.join(broadcast(qterms), "term")
       .join(broadcast(dfTerm), "term")
       .crossJoin(broadcast(n))
       .withColumn("w", col("tf").cast(DoubleType) *
@@ -174,6 +180,12 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).cast(LongType).as("n_terms_hit"),
         round(sum(col("w")), 4).as("score"))
+  }
+
+  /** [[indexTopKBatch]] over any (doc_id, text) corpus and query table. */
+  def indexTopKBatchFrom(spark: SparkSession, corpus: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val scored = panelScoredFrom(spark, corpus, queries)
     val byScore = Seq(col("score").desc, col("doc_id"))
     val shardW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), pmod(col("doc_id"), lit(NShards)))
@@ -589,30 +601,13 @@ FROM cm"""
   /** [[retrievalEval]] over any corpus and query panel. */
   def retrievalEvalFrom(spark: SparkSession, corpus: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
-    import spark.implicits._
     require(k <= EvalK, s"k=$k exceeds the embedded weight tables ($EvalK)")
-    val qterms = queries
-      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
-    val allTerms = queries.flatMap(_._2).distinct
-    val tf = corpus
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = corpus.agg(count(lit(1)).as("n_corpus"))
-    // (query_id, doc_id, grade, score) for EVERY matching doc — the
-    // shared base of the ranking, the relevance counts, and the ideal
-    // ranking; fenced because three branches re-read it
-    val scored = tf.join(broadcast(qterms), "term")
-      .join(broadcast(dfTerm), "term")
-      .crossJoin(broadcast(n))
-      .withColumn("w", col("tf").cast(DoubleType) *
-        log(col("n_corpus").cast(DoubleType) / col("df")))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("grade"),
-        round(sum(col("w")), 4).as("score"))
+    // (query_id, doc_id, grade, score) for EVERY matching doc — the ONE
+    // shared panel scorer ([[panelScoredFrom]] — exactly the ranking
+    // indexTopKBatch serves), graded by its n_terms_hit; fenced because
+    // three branches (ranking, relevance counts, ideal) re-read it
+    val scored = panelScoredFrom(spark, corpus, queries)
+      .withColumnRenamed("n_terms_hit", "grade")
       .localCheckpoint()
     val byScore = Seq(col("score").desc, col("doc_id"))
     val byGrade = Seq(col("grade").desc, col("doc_id"))

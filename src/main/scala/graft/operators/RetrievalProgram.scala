@@ -44,7 +44,13 @@ import graft.sources.Tables
   * per-chunk text score an order-independent INTEGER — the in-query
   * program, the [[RetrievalStore]] probe (a different physical plan
   * over persisted postings), and the DuckDB replay produce bit-equal
-  * rankings regardless of aggregation order. The RRF score is
+  * rankings regardless of aggregation order. (The per-term weight
+  * itself must be the same IEEE evaluation on both engines: the oracle
+  * CTE parenthesizes the saturation term to match [[Retrieval
+  * .bm25Weight]]'s `idf * sat` association exactly, and ln agreement
+  * between the JVM and DuckDB is pinned empirically by the three-SF
+  * verify — the same dependency every ln-based oracle in the engine
+  * carries.) The RRF score is
   * floor-quantized (`floor(x·10⁶ + ½)/10⁶`), not round(), per the
   * pairAlignment half-point discipline. The DuckDB oracle replays the
   * WHOLE chain stage-for-stage from one shared CTE generator.
@@ -435,9 +441,9 @@ bst AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
   avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM ck),
 bs AS (SELECT chunk_id,
   CAST(sum(CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
-    (CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
-    (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
-      ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl))
+    ((CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
+     (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
+       ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl)))
     * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq9
   FROM btf JOIN bdf USING (term), bst GROUP BY chunk_id),
 tr AS MATERIALIZED (SELECT chunk_id,

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.LongType
   */
 object RetrievalStore {
 
-  import RetrievalProgram.{IdBase, KEach, NProbe}
+  import RetrievalProgram.IdBase
 
   private def segs(spark: SparkSession, path: String,
       version: Long): Seq[String] =
@@ -52,6 +52,15 @@ object RetrievalStore {
   private def writeSegment(spark: SparkSession, chunks: DataFrame,
       path: String, token: String): Unit = {
     val (sparse, norms) = RetrievalProgram.embedStages(chunks)
+    writeSegmentFrom(spark, chunks, sparse, norms, path, token)
+  }
+
+  /** [[writeSegment]] with the embed stages precomputed — the build
+    * path already fenced them for seed selection, so re-embedding the
+    * whole corpus here would double the build's heaviest pass. */
+  private def writeSegmentFrom(spark: SparkSession, chunks: DataFrame,
+      sparse: DataFrame, norms: DataFrame, path: String,
+      token: String): Unit = {
     val seedVecs = spark.read.parquet(s"$path/seeds")
     val seedNorms = spark.read.parquet(s"$path/seednorms")
     val assigned = RetrievalProgram.assignToSeeds(sparse, norms,
@@ -82,13 +91,13 @@ object RetrievalStore {
   def buildRetrievalStore(spark: SparkSession, corpus: DataFrame,
       path: String): Unit = {
     val chunks = RetrievalProgram.chunkStage(corpus)
-    val (sparse, _) = RetrievalProgram.embedStages(chunks)
+    val (sparse, norms) = RetrievalProgram.embedStages(chunks)
     val (seedVecs, seedNorms) = RetrievalProgram.seedStage(sparse)
     seedVecs.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/seeds")
     seedNorms.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/seednorms")
-    writeSegment(spark, chunks, path, "base")
+    writeSegmentFrom(spark, chunks, sparse, norms, path, "base")
     StoreVersioning.commitTokens(spark, s"$path/manifest",
       Seq(("seg", "base")))
   }

@@ -1801,10 +1801,14 @@ FROM t WHERE rank <= $PqTopK ORDER BY rank"""
     * widened probe/fetch compensations — replays
     * [[PersistedIndex.probeIvfPqIndexFilteredBatch]]'s panel (query q
     * filters to vec_id ∈ [60+30q, 240+30q)). */
-  private[graft] def ivfPqFilteredBatchOracleSql(nQueries: Int = 8): String =
+  private[graft] def ivfPqFilteredBatchOracleSql(nQueries: Int = 8): String = {
+    val lo = PersistedIndex.FilteredBatchLoBase
+    val step = PersistedIndex.FilteredBatchStep
+    val width = PersistedIndex.FilteredBatchWidth
     ivfPqBatchOracleCore(nQueries, IvfProbe + 3, PqFetch * 2,
-      "rec.vec_id >= 60 + 30 * probe.q_id AND " +
-        "rec.vec_id < 240 + 30 * probe.q_id")
+      s"rec.vec_id >= $lo + $step * probe.q_id AND " +
+        s"rec.vec_id < ${lo + width} + $step * probe.q_id")
+  }
 
   /** One generator for the plain and filtered BATCH replays — `pred` is
     * stage 1's WHERE clause (panel self-exclusion for the plain probe,

@@ -10,13 +10,16 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.operators.{Retrieval, RetrievalProgram, TextPipeline}
 
-/** The composed RAG program's contract (round 13): its probe must equal
-  * composing the STANDALONE operators — the spec rebuilds the chunk
-  * corpus independently (its own slicing code, not the program's),
-  * runs the real [[Retrieval.bm25TopKFrom]] and an independently-written
-  * probed-cluster cosine ranking over it, fuses with the RRF formula,
-  * and requires row-for-row agreement with [[RetrievalProgram]]'s
-  * output. The DuckDB oracle is the third independent replay.
+/** The composed RAG program's contract: its probe must equal composing
+  * the STANDALONE pieces — the spec rebuilds the chunk corpus
+  * independently (its own slicing code, not the program's), recomputes
+  * the nano-quantized BM25 ranking DRIVER-SIDE in plain Scala (round
+  * 14: the chain ranks by exact integer weight sums, so the replay
+  * does too — independent of both the program's plan and Retrieval's
+  * Column expressions), derives an independently-written
+  * probed-cluster cosine ranking, fuses with the RRF formula, and
+  * requires row-for-row agreement with [[RetrievalProgram]]'s output.
+  * The DuckDB oracle is the third independent replay.
   */
 class RetrievalProgramSpec extends AnyFunSuite with Matchers
     with SparkTestBase {

@@ -96,8 +96,7 @@ def main():
             # manager's "Out of Memory", an allocation outside it
             # (std::bad_alloc), or a Python-side MemoryError — all retry
             # once at 2 threads (ADVICE round 13)
-            mem_markers = ("Out of Memory", "bad_alloc", "MemoryError",
-                           "std::bad_alloc")
+            mem_markers = ("Out of Memory", "bad_alloc", "MemoryError")
             is_mem = isinstance(e, MemoryError) or \
                 any(m in str(e) for m in mem_markers)
             if not is_mem:
