@@ -126,6 +126,36 @@ object RetrievalStore {
       (live :+ token).map(("seg", _)))
   }
 
+  /** Compact a delta-grown store: fold every live segment's rows into
+    * ONE new `ingest=c<v>` segment and publish it as the next manifest
+    * version — readers pinned to the old version keep their segments
+    * (nothing is deleted here; [[PersistedIndex.retainStore]] is the
+    * retention pass). Rows are copied verbatim: the seeds are frozen,
+    * so re-chunking/re-embedding/re-assigning is a no-op by
+    * construction — cheaper not to re-run it (the
+    * [[PersistedIndex.compactIvfPqIndex]] discipline).
+    */
+  def compactRetrievalStore(spark: SparkSession, path: String): Unit = {
+    val live = segs(spark, path, -1L)
+    val token =
+      s"c${StoreVersioning.latestVersion(spark, s"$path/manifest") + 1}"
+    def liveRows(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("ingest").isInCollection(live))
+        .drop("ingest")
+        .localCheckpoint() // materialize BEFORE writing into the same tree
+    graft.sources.CorpusWriter.writePartitioned(liveRows("vectors"),
+      s"$path/vectors/ingest=$token", Seq("cluster"), "chunk_id")
+    graft.sources.CorpusWriter.writePartitioned(liveRows("norms"),
+      s"$path/norms/ingest=$token", Seq("cluster"), "chunk_id")
+    liveRows("postings").write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/postings/ingest=$token")
+    liveRows("chunkmeta").write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/chunkmeta/ingest=$token")
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      Seq(("seg", token)))
+  }
+
   /** The streaming ingest twin — each arriving micro-batch of
     * (doc_id, text) documents folds through the same segment + manifest
     * discipline (at-least-once replays are absorbed by the stored-doc

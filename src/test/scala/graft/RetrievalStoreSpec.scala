@@ -166,4 +166,34 @@ class RetrievalStoreSpec extends AnyFunSuite with Matchers
     spark.read.parquet(s"$dirS/chunkmeta").count() shouldBe
       spark.read.parquet(s"$dirB/chunkmeta").count()
   }
+
+  test("compactRetrievalStore folds live segments into ONE; the probe " +
+    "is byte-identical and retention then drops the folded segments") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-rstore-compact").toString
+    RetrievalStore.buildRetrievalStore(spark,
+      docs.filter(col("doc_id") < 300), d)
+    RetrievalStore.appendToRetrievalStore(spark,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), d)
+    val before = RetrievalStore.probeRetrievalStore(spark, d)
+      .collect().map(_.toSeq).toSeq
+    RetrievalStore.compactRetrievalStore(spark, d)
+    StoreVersioning.liveTokens(spark, s"$d/manifest")("seg") shouldBe
+      Seq("c3")
+    RetrievalStore.probeRetrievalStore(spark, d)
+      .collect().map(_.toSeq).toSeq shouldBe before
+    // a pinned pre-compaction reader still answers from its segments
+    RetrievalStore.probeRetrievalStore(spark, d, 2L)
+      .collect().map(_.toSeq).toSeq shouldBe before
+    // retention: only the compacted segment survives a keep=1 sweep
+    PersistedIndex.retainStore(spark, "retrieval", d, keep = 1)
+    val fs = StoreVersioning.fs(spark, d)
+    Seq("chunkmeta", "vectors", "norms", "postings").foreach { sub =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("ingest=")).toSeq
+        .shouldBe(Seq("ingest=c3"))
+    }
+    RetrievalStore.probeRetrievalStore(spark, d)
+      .collect().map(_.toSeq).toSeq shouldBe before
+  }
 }
