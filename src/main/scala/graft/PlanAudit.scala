@@ -409,6 +409,8 @@ object PlanAudit {
     // scorecard: one union-term tf shuffle behind the fenced scored
     // frame + the two-phase rank windows + three per-query joins
     "retrieval_ndcg" -> 12,
+    // five per-artifact aggs over pruned store scans + the union/orderBy
+    "retrieval_store_stats" -> 14,
     // batched filtered probes: panel broadcasts + per-query rank
     // windows (q_id-keyed) + the stage-2 rejoin + orderBy
     "sim_topk_filtered_batch" -> 8,

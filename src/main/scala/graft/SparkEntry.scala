@@ -608,6 +608,13 @@ object SparkEntry {
     // x embedded discount literals, one floor-quantized division each
     "retrieval_ndcg" -> ((s, d) =>
       graft.operators.Retrieval.retrievalEval(s, d)),
+    // Round 14: full-content integrity scorecard of the persisted store
+    // — exact integer checksums over EVERY artifact (vectors, norms,
+    // postings, chunk manifest, assignment), replayed by the same chain
+    // CTE generator: widens the verified surface from the probe's top-k
+    // rows to all store content
+    "retrieval_store_stats" -> ((s, d) =>
+      graft.operators.RetrievalStore.statsFromSessionStore(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -2327,6 +2334,9 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     // the scorecard replay: indexTopKBatch scoring CTEs graded by
     // n_terms_hit, the SAME embedded gain/discount/reciprocal literals
     "retrieval_ndcg" -> Retrieval.retrievalEvalOracleSql,
+    // per-artifact checksums replayed from the shared chain CTEs
+    "retrieval_store_stats" ->
+      graft.operators.RetrievalProgram.retrievalStoreStatsOracleSql,
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

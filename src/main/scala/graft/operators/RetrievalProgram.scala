@@ -470,6 +470,42 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, chunk_id)
   text_rank, vec_rank, rrf_score
 FROM fsd ORDER BY rank"""
 
+
+  /** The [[RetrievalStore.storeStats]] replay — the same chain CTEs
+    * compute each artifact's row count, key count, and exact integer
+    * checksum (store contents ≡ the chain's stage artifacts, summed):
+    * chunkmeta ≙ ck (sum dl), vectors/norms ≙ sv/nn (sum v², sum n2),
+    * postings ≙ the non-empty (chunk, term, tf) groups (sum tf = the
+    * non-empty token count), assignment ≙ asg (sum chunk·(cluster+1)).
+    */
+  private[graft] def retrievalStoreStatsOracleSql: String =
+    s"""WITH
+$chainCtes,
+pst AS (SELECT chunk_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM ct WHERE len(token) > 0 GROUP BY chunk_id, token)
+SELECT 'assign' AS artifact,
+  (SELECT CAST(count(*) AS BIGINT) FROM asg) AS n_rows,
+  (SELECT CAST(count(DISTINCT cluster) AS BIGINT) FROM asg) AS n_keys,
+  (SELECT CAST(coalesce(sum(chunk_id * (cluster + 1)), 0) AS BIGINT)
+    FROM asg) AS checksum
+UNION ALL SELECT 'chunkmeta',
+  (SELECT CAST(count(*) AS BIGINT) FROM ck),
+  (SELECT CAST(count(DISTINCT chunk_id) AS BIGINT) FROM ck),
+  (SELECT CAST(coalesce(sum(len(ctoks)), 0) AS BIGINT) FROM ck)
+UNION ALL SELECT 'norms',
+  (SELECT CAST(count(*) AS BIGINT) FROM nn),
+  (SELECT CAST(count(DISTINCT chunk_id) AS BIGINT) FROM nn),
+  (SELECT CAST(coalesce(sum(n2), 0) AS BIGINT) FROM nn)
+UNION ALL SELECT 'postings',
+  (SELECT CAST(count(*) AS BIGINT) FROM pst),
+  (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM pst),
+  (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) FROM pst)
+UNION ALL SELECT 'vectors',
+  (SELECT CAST(count(*) AS BIGINT) FROM sv),
+  (SELECT CAST(count(DISTINCT chunk_id) AS BIGINT) FROM sv),
+  (SELECT CAST(coalesce(sum(v * v), 0) AS BIGINT) FROM sv)
+ORDER BY artifact"""
+
   private[graft] def retrievalFunnelOracleSql: String =
     s"""WITH
 $chainCtes

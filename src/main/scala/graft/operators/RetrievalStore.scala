@@ -268,6 +268,46 @@ object RetrievalStore {
       })
     }
 
+
+  /** Full-content integrity scorecard of the store — one row per
+    * persisted artifact with its row count, key count, and an EXACT
+    * integer checksum over the ENTIRE content (sum(dl), sum(v·v),
+    * sum(n2), sum(tf), sum(chunk_id·(cluster+1))): order-independent
+    * BIGINT sums, so any value drift anywhere in the store flips a
+    * cell. The driver oracle replays the sums from the SAME chain CTE
+    * generator as the probe oracle — this widens the verified surface
+    * from the probe's top-k rows to every byte of store content.
+    */
+  def storeStats(spark: SparkSession, path: String,
+      version: Long = -1L): DataFrame = {
+    val live = segs(spark, path, version)
+    def scan(sub: String): DataFrame = spark.read.parquet(s"$path/$sub")
+      .filter(col("ingest").isInCollection(live))
+    def row(name: String, df: DataFrame, keys: org.apache.spark.sql.Column,
+        checksum: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("n_rows"),
+          keys.cast(LongType).as("n_keys"),
+          coalesce(checksum, lit(0L)).cast(LongType).as("checksum"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("n_keys"),
+          col("checksum"))
+    row("assign", scan("norms"), countDistinct(col("cluster")),
+        sum(col("chunk_id") * (col("cluster") + 1L)))
+      .unionAll(row("chunkmeta", scan("chunkmeta"),
+        countDistinct(col("chunk_id")), sum(col("dl"))))
+      .unionAll(row("norms", scan("norms"),
+        countDistinct(col("chunk_id")), sum(col("n2"))))
+      .unionAll(row("postings", scan("postings"),
+        countDistinct(col("term")), sum(col("tf"))))
+      .unionAll(row("vectors", scan("vectors"),
+        countDistinct(col("chunk_id")), sum(col("v") * col("v"))))
+      .orderBy("artifact")
+  }
+
+  /** Driver surface — answers the chain-replayed checksum oracle. */
+  def statsFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    storeStats(spark, sessionStore(spark, sfDir))
+
   /** Driver surface — answers the retrieval_program chain oracle. */
   def retrievalFromSessionStore(spark: SparkSession,
       sfDir: String): DataFrame =
