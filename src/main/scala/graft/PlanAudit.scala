@@ -58,6 +58,16 @@ object PlanAudit {
     // the persisted chain probe carries the same seed-norm/query-norm/
     // 1-row stats broadcasts
     "retrieval_store",
+    // the batched panel probe: 4-row seed-norm × 8-row panel-norm
+    // pairing + the same 1-row stats broadcast
+    "retrieval_store_batch",
+    // the scorecard: per-(doc, query) pairing against the 4-row panel
+    // norm frames (hybrid cosine + qrels grading) + the store probe's
+    // panel broadcasts + the text index's 1-row stats
+    "retrieval_ndcg_rankers",
+    // the filtered probe: same seed-norm/query-norm/1-row stats
+    // broadcasts as retrieval_store
+    "retrieval_store_filtered",
     // 1-row n_corpus normalizer broadcast (the indexTopKBatch shape)
     "retrieval_ndcg",
     // 8-row panel broadcasts (probe pairing / query fan-out)
@@ -170,6 +180,9 @@ object PlanAudit {
     "retrieval_program", "retrieval_funnel",
     // the persisted chain probe numbers the same post-limit frames
     "retrieval_store",
+    // the filtered probe numbers the same single-query post-limit
+    // frames (textRankQ9 / vecRank / finalProjection)
+    "retrieval_store_filtered",
     // <= kEach-row post-TakeOrdered rank windows on both RRF sides
     "hybrid_rrf",
     // <= k-row post-TakeOrdered rank numbering on both ranker sides
@@ -411,6 +424,19 @@ object PlanAudit {
     "retrieval_ndcg" -> 12,
     // five per-artifact aggs over pruned store scans + the union/orderBy
     "retrieval_store_stats" -> 14,
+    // batched panel probe: union-pruned postings tf shuffle + df branch
+    // + the per-(query,chunk) text agg, probed-partition vector scans +
+    // the per-(query,chunk) dot agg, two-phase windows, tiny fusion
+    "retrieval_store_batch" -> 14,
+    // four ranker top-k plans (panel tf shuffles, store probe, index
+    // probe) + the fenced qrels + the scoring joins — measured, then
+    // pinned with headroom
+    "retrieval_ndcg_rankers" -> 30,
+    // filtered probe: the retrieval_store shape with range-pushed scans
+    "retrieval_store_filtered" -> 10,
+    // drift gate: two release-segment scans joined + orderBy (the
+    // scorecards were persisted at session-store build time)
+    "scorecard_drift" -> 4,
     // batched filtered probes: panel broadcasts + per-query rank
     // windows (q_id-keyed) + the stage-2 rejoin + orderBy
     "sim_topk_filtered_batch" -> 8,

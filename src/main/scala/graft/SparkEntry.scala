@@ -615,6 +615,32 @@ object SparkEntry {
     // rows to all store content
     "retrieval_store_stats" -> ((s, d) =>
       graft.operators.RetrievalStore.statsFromSessionStore(s, d)),
+    // Round 15: the batched serving shape — an 8-query panel probed in
+    // ONE pass over the persisted store (postings pruned to the union
+    // of the panel's terms, vector side pruned to the union of probed
+    // clusters, per-query two-phase ranking windows + per-query RRF)
+    "retrieval_store_batch" -> ((s, d) =>
+      graft.operators.RetrievalStore.retrievalBatchFromSessionStore(s, d)),
+    // Round 15: production-ranker scorecard — NDCG@5/MRR/recall@5 of
+    // FOUR rankers (TF-IDF panel, persisted-index BM25 batch, hybrid
+    // RRF, retrieval-store batch probe) against ONE shared qrels whose
+    // grade is INDEPENDENT of every ranker's scoring signal (seed-B
+    // hash-embedding cosine buckets, exact integer threshold compares)
+    "retrieval_ndcg_rankers" -> ((s, d) =>
+      graft.operators.RankerEval.rankerScorecard(s, d)),
+    // Round 15: the filtered serving shape — the store probe under a
+    // doc-id recency window pushed into BOTH probe sides' parquet scans
+    // (postings AND cluster-pruned vectors/norms), over-probed +1
+    // cluster to compensate for predicate-removed candidates
+    "retrieval_store_filtered" -> ((s, d) =>
+      graft.operators.RetrievalStore.retrievalFilteredFromSessionStore(s, d)),
+    // Round 15: scorecard regression gate — quality scorecards persist
+    // under StoreVersioning (one immutable segment per release) and the
+    // gate diffs the latest two releases per (component, metric); the
+    // session store publishes the true TF-IDF scorecard then a DEGRADED
+    // second release, so the flagged rows ARE the detected regression
+    "scorecard_drift" -> ((s, d) =>
+      graft.operators.RankerEval.driftFromSessionStore(s, d)),
     "rep_stats" -> ((s, d) => TextPipeline.repetitionStats(s, d)),
     "bpe_stats" -> ((s, d) => TextPipeline.bpeStats(s, d)),
     "pii_scrub" -> ((s, d) => TextPipeline.piiScrub(s, d)),
@@ -2337,6 +2363,22 @@ GROUP BY c.event_id, c.user_id, c.t ORDER BY c.event_id""",
     // per-artifact checksums replayed from the shared chain CTEs
     "retrieval_store_stats" ->
       graft.operators.RetrievalProgram.retrievalStoreStatsOracleSql,
+    // the batched panel probe replayed from the SAME corpus CTEs +
+    // per-query panel stages (one generator, the batch cannot drift)
+    "retrieval_store_batch" ->
+      graft.operators.RetrievalProgram.retrievalStoreBatchOracleSql,
+    // the four-ranker scorecard replay: seed-B qrels + each ranker's
+    // top-k CTEs (the store side from the SAME panel chain generator)
+    "retrieval_ndcg_rankers" ->
+      graft.operators.RankerEval.rankerScorecardOracleSql,
+    // the filtered probe replayed from the SAME chain CTEs + f-stages
+    // (global stats, range-restricted candidates, widened probe)
+    "retrieval_store_filtered" ->
+      graft.operators.RetrievalProgram.retrievalStoreFilteredOracleSql,
+    // both releases' scorecards replayed from the shared qrels/TF-IDF
+    // CTEs (descending + ascending rankings), unpivoted and diffed
+    "scorecard_drift" ->
+      graft.operators.RankerEval.scorecardDriftOracleSql,
     "sessionize" ->
       """WITH f AS (SELECT user_id, ts, event_id, value,
     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

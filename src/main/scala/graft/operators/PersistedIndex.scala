@@ -1689,8 +1689,16 @@ FROM graft_shingle_bloom_build""")
     * the bm25_topk oracle), proving build + append + segment-merged
     * search. Cached per (app, sfDir) — the build-once/probe-many shape.
     */
-  def bm25FromSessionStore(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = textStoreCache.synchronized {
+  def bm25FromSessionStore(spark: SparkSession, sfDir: String): DataFrame =
+    searchTextIndexBm25(spark, sessionTextIndex(spark, sfDir),
+      Retrieval.QueryTerms)
+
+  /** The cached session text index's path — shared with the ranker
+    * scorecard ([[RankerEval]]), which grades the SAME persisted index
+    * the `bm25_store` query serves. */
+  private[operators] def sessionTextIndex(spark: SparkSession,
+      sfDir: String): String =
+    textStoreCache.synchronized {
       val appId = spark.sparkContext.applicationId
       textStoreCache.keySet.removeIf(_._1 != appId)
       textStoreCache.computeIfAbsent((appId, sfDir), _ => {
@@ -1703,8 +1711,6 @@ FROM graft_shingle_bloom_build""")
         p
       })
     }
-    searchTextIndexBm25(spark, path, Retrieval.QueryTerms)
-  }
 
   // ------------------------------------------------ persisted kNN graph --
 
@@ -2370,12 +2376,23 @@ FROM graft_shingle_bloom_build""")
     probeIvfPqIndexFilteredBatch(spark, sfDir,
       sessionIvfPqStore(spark, sfDir))
 
-  /** Per-query label for the batched filtered LSH probe — query `q`
-    * filters to label (3q mod 10); 8 queries cover 8 distinct labels,
-    * whose IN-union prefilters the shared verify scan. */
+  /** The ONE per-query label recipe for the batched filtered LSH probe
+    * — query `q` filters to label (q·[[LshLabelMul]] mod [[LshLabelMod]]).
+    * [[lshBatchLabelOf]] (driver-side union prefilter), [[lshBatchLabel]]
+    * (the per-row Column), and [[lshBatchLabelSql]] (the oracle replay)
+    * ALL derive from these two constants, so changing the recipe in one
+    * place moves all three together (round-15 ADVICE: an inline copy in
+    * the union prefilter would silently stop covering the per-query
+    * labels if the recipe drifted). */
+  private val LshLabelMul = 3L
+  private val LshLabelMod = 10L
+
+  private[graft] def lshBatchLabelOf(q: Int): Int =
+    ((q * LshLabelMul) % LshLabelMod).toInt
+
   private[graft] def lshBatchLabel(qId: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    pmod(qId * 3L, lit(10L)).cast("int")
+    pmod(qId * LshLabelMul, lit(LshLabelMod)).cast("int")
 
   /** Batched AND filtered LSH probe — [[probeLshIndexBatch]] with a
     * per-query label predicate: the UNION of the panel's labels rides
@@ -2392,7 +2409,7 @@ FROM graft_shingle_bloom_build""")
     val live = lshLiveTokens(spark, path, version)
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("ingest").isInCollection(live))
-    val unionLabels = (0 until nQueries).map(q => (q * 3) % 10).distinct
+    val unionLabels = (0 until nQueries).map(lshBatchLabelOf).distinct
     val matching = vectors
       .filter(col("label").isInCollection(unionLabels)) // → PushedFilters
       .filter(col("vec_id") >= nQueries)
@@ -2441,11 +2458,12 @@ FROM graft_shingle_bloom_build""")
       sfDir: String): DataFrame =
     probeLshIndexFilteredBatch(spark, sessionLshStore(spark, sfDir))
 
-  /** SQL form of [[lshBatchLabel]] — the ONE label recipe string the
-    * generated oracle interpolates, so the Spark probe and the replay
-    * cannot drift (the hardNegativesOracleSql rule). */
+  /** SQL form of [[lshBatchLabel]] — interpolates the SAME
+    * [[LshLabelMul]]/[[LshLabelMod]] constants into the generated oracle,
+    * so the Spark probe and the replay cannot drift (the
+    * hardNegativesOracleSql rule). */
   private[graft] def lshBatchLabelSql(qid: String): String =
-    s"($qid * 3) % 10"
+    s"($qid * $LshLabelMul) % $LshLabelMod"
 
   /** The DuckDB replay of [[probeLshIndexFilteredBatch]] — the
     * lsh_store_batch signature/bucket recompute with each query's label

@@ -137,6 +137,126 @@ object RetrievalProgram {
     (sparse, norms)
   }
 
+  /** The batched probe's query panel (round 15) — 8 queries: ids 1–4
+    * are EXACTLY [[Retrieval.QueryPanel]] (derived, not copied — the
+    * ranker scorecard grades those four), 5–8 widen the serving panel.
+    * Query 1's terms are [[Retrieval.QueryTerms]], so the batch probe's
+    * query_id=1 rows must equal the single probe (spec-pinned). Shared
+    * with the generated oracle via [[panelValuesSql]]. */
+  private[graft] val StorePanel: Seq[(Long, Seq[String])] =
+    Retrieval.QueryPanel ++ Seq(
+      5L -> Seq("table", "scan"),
+      6L -> Seq("group", "agg", "order"),
+      7L -> Seq("key", "value", "column"),
+      8L -> Seq("data", "row"))
+
+  /** Chunk-shard fan for the batched two-phase ranking windows — the
+    * [[Retrieval]] NShards discipline applied to chunk ids. */
+  private[operators] val NShardsC = 8
+
+  /** The panel's query vectors — the SAME embed recipe per query:
+    * (query_id, pos, qv) sparse entries + (query_id, n2q) norms, both
+    * ≤ 64·|panel| rows (always broadcast). */
+  private[operators] def panelVecs(spark: SparkSession,
+      panel: Seq[(Long, Seq[String])]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val qSparse = panel
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+      .filter(length(col("token")) > 0)
+      .select(col("query_id"), hashEntry(col("token")).as("e"))
+      .select(col("query_id"), col("e.pos").as("pos"),
+        col("e.sgn").as("sgn"))
+      .groupBy("query_id", "pos").agg(sum(col("sgn")).as("qv"))
+      .filter(col("qv") =!= 0L)
+    val qNorm = qSparse.groupBy("query_id")
+      .agg(sum(col("qv") * col("qv")).cast(LongType).as("n2q"))
+    (qSparse, qNorm)
+  }
+
+  /** Per-query probe decision — [[probeSeeds]] batched: each query's
+    * `nProbe` nearest seeds by exact integer cosine (|panel|·NSeeds
+    * candidate rows; the window partitions are seed-count-bounded). */
+  private[operators] def probeSeedsBatch(qSparse: DataFrame,
+      qNorm: DataFrame, seedVecs: DataFrame, seedNorms: DataFrame,
+      nProbe: Int): DataFrame = {
+    val qSeedDots = qSparse.join(broadcast(seedVecs), "pos")
+      .groupBy("query_id", "seed_idx")
+      .agg(sum(col("qv") * col("sv")).cast(LongType).as("d"))
+    val cosProbe = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2s").cast("double")) * sqrt(col("n2q").cast("double"))))
+    qNorm.crossJoin(broadcast(seedNorms))
+      .join(qSeedDots, Seq("query_id", "seed_idx"), "left")
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(cosProbe.desc, col("seed_idx"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("seed_idx").as("cluster"))
+  }
+
+  /** [[textRankQ9]] batched: per-(query, chunk) nano-quantized BIGINT
+    * BM25 sums ranked by the two-phase (query, shard) → (query) windows
+    * — every window partition stays bounded at any corpus size. Emits
+    * the fenced per-query top-`kEach` (query_id, chunk_id, text_rank).
+    */
+  private[operators] def textRankQ9Batch(tf: DataFrame, qterms: DataFrame,
+      dfTerm: DataFrame, stats: DataFrame, kEach: Int): DataFrame =
+    fence(tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("wq9",
+        floor(Retrieval.bm25Weight * lit(1000000000d) + lit(0.5d))
+          .cast(LongType))
+      .groupBy(col("query_id"), col("chunk_id"))
+      .agg(sum(col("wq9")).cast(LongType).as("sq9"))
+      .withColumn("srk", row_number().over(Window
+        .partitionBy(col("query_id"), pmod(col("chunk_id"), lit(NShardsC)))
+        .orderBy(col("sq9").desc, col("chunk_id"))))
+      .filter(col("srk") <= kEach)
+      .withColumn("text_rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("sq9").desc, col("chunk_id"))).cast(LongType))
+      .filter(col("text_rank") <= kEach)
+      .select(col("query_id"), col("chunk_id"), col("text_rank")))
+
+  /** [[vecRank]] batched over (query_id, chunk_id, cosv) — same
+    * two-phase window discipline. */
+  private[operators] def vecRankBatch(scored: DataFrame,
+      kEach: Int): DataFrame =
+    fence(scored
+      .withColumn("srk", row_number().over(Window
+        .partitionBy(col("query_id"), pmod(col("chunk_id"), lit(NShardsC)))
+        .orderBy(col("cosv").desc, col("chunk_id"))))
+      .filter(col("srk") <= kEach)
+      .withColumn("vec_rank", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("cosv").desc, col("chunk_id"))).cast(LongType))
+      .filter(col("vec_rank") <= kEach)
+      .select(col("query_id"), col("chunk_id"), col("vec_rank")))
+
+  /** [[fuse]] batched: per-query RRF over the two ≤ kEach sides (the
+    * post-fuse window partitions by query over ≤ 2·kEach rows). */
+  private[operators] def fuseBatch(textTop: DataFrame, vecTop: DataFrame,
+      topK: Int): DataFrame = {
+    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
+    fence(textTop.join(vecTop, Seq("query_id", "chunk_id"), "full_outer")
+      .select(col("query_id"), col("chunk_id"), col("text_rank"),
+        col("vec_rank"),
+        (floor(rrf * lit(1000000d) + lit(0.5d)) / lit(1000000d))
+          .as("rrf_score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("chunk_id"))).cast(LongType))
+      .filter(col("rank") <= topK))
+  }
+
+  /** The batched fused frame's driver projection. */
+  private[operators] def finalProjectionBatch(fused: DataFrame): DataFrame =
+    fused.select(col("query_id"), col("rank"), col("chunk_id"),
+        floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id"),
+        pmod(col("chunk_id"), lit(IdBase)).as("chunk_idx"),
+        col("text_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy("query_id", "rank")
+
   /** The query vector: the SAME embed recipe over the fixed term list —
     * (pos, qv) sparse entries and the 1-row n2q norm. */
   private[operators] def queryVec(
@@ -153,15 +273,23 @@ object RetrievalProgram {
     (qSparse, qNorm)
   }
 
-  /** Stage 3a: the frozen coarse quantizer — the first [[NSeeds]] chunk
-    * vectors as (seed_idx, pos, sv) entries plus their norms. */
-  private[operators] def seedStage(
-      sparse: DataFrame): (DataFrame, DataFrame) = {
-    val seeds = sparse.select("chunk_id").distinct()
+  /** The (seed_idx, chunk_id) identity of the frozen quantizer's
+    * training chunks — the first [[NSeeds]] nonzero-vector chunks by
+    * chunk_id. Persisted by [[RetrievalStore]] as `seedmeta` (the forget
+    * guard and the session-store seed/delta invariant read it). */
+  private[operators] def seedMap(sparse: DataFrame): DataFrame =
+    sparse.select("chunk_id").distinct()
       .orderBy("chunk_id").limit(NSeeds)
       // post-limit window: <= NSeeds rows (the simTopK note)
       .withColumn("seed_idx",
         (row_number().over(Window.orderBy("chunk_id")) - 1).cast(LongType))
+      .select(col("seed_idx"), col("chunk_id"))
+
+  /** Stage 3a: the frozen coarse quantizer — the first [[NSeeds]] chunk
+    * vectors as (seed_idx, pos, sv) entries plus their norms. */
+  private[operators] def seedStage(
+      sparse: DataFrame): (DataFrame, DataFrame) = {
+    val seeds = seedMap(sparse)
     val seedVecs = seeds.join(sparse, "chunk_id")
       .select(col("seed_idx"), col("pos"), col("v").as("sv"))
     val seedNorms = seedVecs.groupBy("seed_idx")
@@ -187,10 +315,12 @@ object RetrievalProgram {
       .select(col("chunk_id"), col("seed_idx").as("cluster")))
   }
 
-  /** Probe decision: the query's [[NProbe]] nearest seeds (bounded —
-    * seed-count rows). */
+  /** Probe decision: the query's `nProbe` nearest seeds (bounded —
+    * seed-count rows). Default [[NProbe]]; the filtered store probe
+    * over-probes +1 to compensate for predicate-removed candidates. */
   private[operators] def probeSeeds(qSparse: DataFrame, qNorm: DataFrame,
-      seedVecs: DataFrame, seedNorms: DataFrame): DataFrame = {
+      seedVecs: DataFrame, seedNorms: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
     val qSeedDots = qSparse.join(broadcast(seedVecs), "pos")
       .groupBy("seed_idx").agg(sum(col("qv") * col("sv"))
         .cast(LongType).as("d"))
@@ -199,7 +329,7 @@ object RetrievalProgram {
     seedNorms.join(qSeedDots, Seq("seed_idx"), "left")
       .crossJoin(broadcast(qNorm))
       .orderBy(cosProbe.desc, col("seed_idx"))
-      .limit(NProbe)
+      .limit(nProbe)
       .select(col("seed_idx").as("cluster"))
   }
 
@@ -358,19 +488,33 @@ object RetrievalProgram {
 
   // ------------------------------- the DuckDB stage-for-stage replay --
 
-  /** The whole chain as shared CTEs — ONE generator feeds the program,
-    * funnel, AND persisted-store oracles so the replays cannot drift.
-    * Multiply-referenced corpus-sized CTEs are AS MATERIALIZED (the
-    * graph_hits lesson: DuckDB inlines multiply-referenced CTEs and
-    * re-evaluates). The text score is the same nano-quantized BIGINT
-    * sum as [[textRankQ9]]; rrf_score the same floor-quantize. */
-  private def chainCtes: String = {
-    val terms = Retrieval.QueryTerms.map(t => s"'$t'").mkString(", ")
-    val bucket = "CAST(list_sum(list_transform(range(4), dd -> " +
+  /** The md5-digit bucket/sign recipes — the strpos replay of
+    * [[TextPipeline.hashEmbedEntry]]. */
+  private[operators] val BucketSql =
+    "CAST(list_sum(list_transform(range(4), dd -> " +
       "CAST(strpos('0123456789abcdef', md5(token)[dd+1:dd+1]) - 1 AS " +
       "BIGINT) * (1::BIGINT << (4*(3-dd))))) % 64 AS BIGINT)"
-    val sign = "CASE WHEN strpos('01234567', md5(token)[5:5]) > 0 " +
+  private[operators] val SignSql =
+    "CASE WHEN strpos('01234567', md5(token)[5:5]) > 0 " +
       "THEN 1 ELSE -1 END"
+
+  /** The nano-quantized per-(row) BM25 sum — [[textRankQ9]]'s SQL form
+    * over (tf, dl) rows against (df, n_corpus, avgdl) columns. */
+  private[operators] def bm25Sq9Sql: String =
+    s"""CAST(sum(CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
+    ((CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
+     (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
+       ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl)))
+    * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)"""
+
+  /** The corpus stages as shared CTEs — chunking, embedding, frozen
+    * seeds, coarse assignment, plus the text side's token/stat bases.
+    * ONE generator feeds the program, funnel, persisted-store, batch,
+    * and filtered oracles so the replays cannot drift.
+    * Multiply-referenced corpus-sized CTEs are AS MATERIALIZED (the
+    * graph_hits lesson: DuckDB inlines multiply-referenced CTEs and
+    * re-evaluates). */
+  private def corpusCtes: String =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ncs AS (SELECT doc_id, toks,
   CASE WHEN len(toks) <= $Win THEN 1
@@ -381,18 +525,12 @@ ck AS MATERIALIZED (SELECT doc_id * $IdBase + chunk_idx AS chunk_id,
   doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
   toks[chunk_idx*$Stride+1:chunk_idx*$Stride+$Win] AS ctoks FROM chx),
 ct AS (SELECT chunk_id, unnest(ctoks) AS token FROM ck),
-hb AS (SELECT chunk_id, $bucket AS pos, $sign AS sgn
+hb AS (SELECT chunk_id, $BucketSql AS pos, $SignSql AS sgn
   FROM ct WHERE len(token) > 0),
 sv AS MATERIALIZED (SELECT chunk_id, pos, CAST(sum(sgn) AS BIGINT) AS v
   FROM hb GROUP BY chunk_id, pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
 nn AS MATERIALIZED (SELECT chunk_id, CAST(sum(v*v) AS BIGINT) AS n2
   FROM sv GROUP BY chunk_id),
-qts AS (SELECT unnest([$terms]) AS token),
-qhb AS (SELECT $bucket AS pos, $sign AS sgn FROM qts
-  WHERE len(token) > 0),
-qvv AS MATERIALIZED (SELECT pos, CAST(sum(sgn) AS BIGINT) AS qv
-  FROM qhb GROUP BY pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
-qn AS (SELECT CAST(sum(qv*qv) AS BIGINT) AS n2q FROM qvv),
 sd AS (SELECT chunk_id AS seed_chunk,
   CAST(row_number() OVER (ORDER BY chunk_id) - 1 AS BIGINT) AS seed_idx
   FROM (SELECT DISTINCT chunk_id FROM sv ORDER BY chunk_id LIMIT $NSeeds)),
@@ -412,6 +550,22 @@ asg AS MATERIALIZED (SELECT chunk_id, seed_idx AS cluster FROM (
   FROM nn CROSS JOIN sdn
   LEFT JOIN dts ON dts.chunk_id = nn.chunk_id AND dts.seed_idx = sdn.seed_idx)
   WHERE rn = 1),
+btk AS (SELECT chunk_id, CAST(len(ctoks) AS BIGINT) AS dl,
+  unnest(ctoks) AS term FROM ck),
+bst AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+  avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM ck)"""
+
+  /** The single-query probe stages over [[corpusCtes]] — the
+    * [[Retrieval.QueryTerms]] query's embed, probe decision, both
+    * ranked sides, and the fused top-[[TopK]]. */
+  private def singleQueryCtes: String = {
+    val terms = Retrieval.QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""qts AS (SELECT unnest([$terms]) AS token),
+qhb AS (SELECT $BucketSql AS pos, $SignSql AS sgn FROM qts
+  WHERE len(token) > 0),
+qvv AS MATERIALIZED (SELECT pos, CAST(sum(sgn) AS BIGINT) AS qv
+  FROM qhb GROUP BY pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+qn AS (SELECT CAST(sum(qv*qv) AS BIGINT) AS n2q FROM qvv),
 qsd AS (SELECT sdv.seed_idx, CAST(sum(qvv.qv * sdv.svv) AS BIGINT) AS d
   FROM qvv JOIN sdv ON qvv.pos = sdv.pos GROUP BY sdv.seed_idx),
 prb AS (SELECT seed_idx AS cluster FROM sdn
@@ -432,19 +586,10 @@ vr AS MATERIALIZED (SELECT chunk_id,
     AS vec_rank
   FROM (SELECT chunk_id, cosv FROM vc ORDER BY cosv DESC, chunk_id
     LIMIT $KEach)),
-btk AS (SELECT chunk_id, CAST(len(ctoks) AS BIGINT) AS dl,
-  unnest(ctoks) AS term FROM ck),
 btf AS (SELECT chunk_id, dl, term, CAST(count(*) AS BIGINT) AS tf
   FROM btk WHERE term IN ($terms) GROUP BY chunk_id, dl, term),
 bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
-bst AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
-  avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM ck),
-bs AS (SELECT chunk_id,
-  CAST(sum(CAST(floor(ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5)) *
-    ((CAST(tf AS DOUBLE) * ${Retrieval.K1 + 1.0}) /
-     (CAST(tf AS DOUBLE) + ${Retrieval.K1} * (${1.0 - Retrieval.B} +
-       ${Retrieval.B} * CAST(dl AS DOUBLE) / avgdl)))
-    * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq9
+bs AS (SELECT chunk_id, $bm25Sq9Sql AS sq9
   FROM btf JOIN bdf USING (term), bst GROUP BY chunk_id),
 tr AS MATERIALIZED (SELECT chunk_id,
   CAST(row_number() OVER (ORDER BY sq9 DESC, chunk_id) AS BIGINT)
@@ -460,6 +605,175 @@ fsd AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
   FROM tr FULL OUTER JOIN vr ON tr.chunk_id = vr.chunk_id)
   ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
   }
+
+  /** The whole single-query chain — [[corpusCtes]] + the query stages
+    * (the pre-round-15 chainCtes, reassembled from the shared parts). */
+  private def chainCtes: String =
+    corpusCtes + ",\n" + singleQueryCtes
+
+  /** The panel's VALUES rows — shared between every panel oracle. */
+  private[operators] def panelValuesSql(
+      panel: Seq[(Long, Seq[String])]): String =
+    panel.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+
+  /** The BATCHED probe stages over [[corpusCtes]] — per-query twins of
+    * [[singleQueryCtes]] (p-prefixed): panel embed, per-query probe
+    * decision (row_number ≤ nProbe per query), per-query ranked sides
+    * (PARTITION BY query_id windows — the oracle's single-phase form of
+    * the two-phase Spark windows, equivalent because phase 1 only drops
+    * rows that cannot reach a query's top kEach), per-query RRF fuse.
+    */
+  private def panelCtes(panel: Seq[(Long, Seq[String])],
+      nProbe: Int): String = {
+    val values = panelValuesSql(panel)
+    val unionTerms = panel.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""pq AS (SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS token
+  FROM (VALUES $values) v(q, t)),
+pqh AS (SELECT query_id, $BucketSql AS pos, $SignSql AS sgn FROM pq
+  WHERE len(token) > 0),
+pqv AS MATERIALIZED (SELECT query_id, pos, CAST(sum(sgn) AS BIGINT) AS qv
+  FROM pqh GROUP BY query_id, pos HAVING CAST(sum(sgn) AS BIGINT) <> 0),
+pqn AS MATERIALIZED (SELECT query_id, CAST(sum(qv*qv) AS BIGINT) AS n2q
+  FROM pqv GROUP BY query_id),
+pqsd AS (SELECT pqv.query_id, sdv.seed_idx,
+  CAST(sum(pqv.qv * sdv.svv) AS BIGINT) AS d
+  FROM pqv JOIN sdv ON pqv.pos = sdv.pos
+  GROUP BY pqv.query_id, sdv.seed_idx),
+pprb AS MATERIALIZED (SELECT query_id, seed_idx AS cluster FROM (
+  SELECT pqn.query_id, sdn.seed_idx,
+    row_number() OVER (PARTITION BY pqn.query_id ORDER BY
+      (CAST(coalesce(pqsd.d, 0) AS DOUBLE) /
+        (sqrt(CAST(sdn.n2s AS DOUBLE)) * sqrt(CAST(pqn.n2q AS DOUBLE))))
+      DESC, sdn.seed_idx) AS rn
+  FROM pqn CROSS JOIN sdn
+  LEFT JOIN pqsd ON pqsd.query_id = pqn.query_id
+    AND pqsd.seed_idx = sdn.seed_idx)
+  WHERE rn <= $nProbe),
+pqdt AS (SELECT pqv.query_id, sv.chunk_id,
+  CAST(sum(sv.v * pqv.qv) AS BIGINT) AS d
+  FROM sv JOIN pqv ON sv.pos = pqv.pos GROUP BY pqv.query_id, sv.chunk_id),
+pvc AS (SELECT pprb.query_id, nn.chunk_id,
+  (CAST(coalesce(pqdt.d, 0) AS DOUBLE) /
+    (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(pqn.n2q AS DOUBLE)))) AS cosv
+  FROM nn JOIN asg ON nn.chunk_id = asg.chunk_id
+  JOIN pprb ON asg.cluster = pprb.cluster
+  LEFT JOIN pqdt ON pqdt.chunk_id = nn.chunk_id
+    AND pqdt.query_id = pprb.query_id
+  JOIN pqn ON pqn.query_id = pprb.query_id),
+pvr AS MATERIALIZED (SELECT query_id, chunk_id, rk AS vec_rank FROM (
+  SELECT query_id, chunk_id, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cosv DESC, chunk_id) AS BIGINT) AS rk FROM pvc)
+  WHERE rk <= $KEach),
+pbtf AS (SELECT chunk_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM btk WHERE term IN ($unionTerms) GROUP BY chunk_id, dl, term),
+pbdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM pbtf GROUP BY term),
+pbs AS (SELECT pq.query_id, pbtf.chunk_id, $bm25Sq9Sql AS sq9
+  FROM pbtf JOIN pq ON pbtf.term = pq.token
+  JOIN pbdf ON pbtf.term = pbdf.term, bst
+  GROUP BY pq.query_id, pbtf.chunk_id),
+ptr AS MATERIALIZED (SELECT query_id, chunk_id, rk AS text_rank FROM (
+  SELECT query_id, chunk_id, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY sq9 DESC, chunk_id) AS BIGINT) AS rk FROM pbs)
+  WHERE rk <= $KEach),
+pfs AS MATERIALIZED (SELECT query_id, chunk_id, text_rank, vec_rank,
+  rrf_score, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_score DESC, chunk_id) AS BIGINT) AS rank FROM (
+  SELECT coalesce(ptr.query_id, pvr.query_id) AS query_id,
+    coalesce(ptr.chunk_id, pvr.chunk_id) AS chunk_id,
+    text_rank, vec_rank,
+    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
+      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
+      / 1000000 AS rrf_score
+  FROM ptr FULL OUTER JOIN pvr ON ptr.query_id = pvr.query_id
+    AND ptr.chunk_id = pvr.chunk_id)),
+pfsk AS (SELECT * FROM pfs WHERE rank <= $TopK)"""
+  }
+
+  /** Filtered-probe constants (round 15) — the recency window is docs
+    * [[FilterLoDoc]]..[[FilterHiDoc]]) (present at every SF), and the
+    * probe widens to [[NProbeFiltered]] clusters to compensate for
+    * predicate-removed candidates (the sim_topk_filtered discipline). */
+  private[operators] val FilterLoDoc = 40L
+  private[operators] val FilterHiDoc = 240L
+  private[operators] val NProbeFiltered = NProbe + 1
+
+  /** The FILTERED single-query probe stages over [[corpusCtes]] +
+    * [[singleQueryCtes]] (f-prefixed) — the recency-window probe:
+    * GLOBAL df/avgdl statistics (the store serves filtered probes
+    * without recomputing index statistics — fbs restricts the already
+    * globally-scored bs rows), candidates restricted to the chunk
+    * range on BOTH sides, probe widened to `nProbe`. */
+  private def filteredCtes(loDoc: Long, hiDoc: Long,
+      nProbe: Int): String = {
+    val lo = loDoc * IdBase
+    val hi = hiDoc * IdBase
+    s"""fprb AS (SELECT seed_idx AS cluster FROM sdn
+  LEFT JOIN qsd USING (seed_idx), qn
+  ORDER BY (CAST(coalesce(qsd.d, 0) AS DOUBLE) /
+    (sqrt(CAST(sdn.n2s AS DOUBLE)) * sqrt(CAST(qn.n2q AS DOUBLE))))
+    DESC, seed_idx LIMIT $nProbe),
+fvc AS (SELECT nn.chunk_id,
+  (CAST(coalesce(qdt.d, 0) AS DOUBLE) /
+    (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(qn.n2q AS DOUBLE)))) AS cosv
+  FROM nn JOIN asg ON nn.chunk_id = asg.chunk_id
+  JOIN fprb ON asg.cluster = fprb.cluster
+  LEFT JOIN qdt ON qdt.chunk_id = nn.chunk_id, qn
+  WHERE nn.chunk_id >= $lo AND nn.chunk_id < $hi),
+fvr AS MATERIALIZED (SELECT chunk_id,
+  CAST(row_number() OVER (ORDER BY cosv DESC, chunk_id) AS BIGINT)
+    AS vec_rank
+  FROM (SELECT chunk_id, cosv FROM fvc ORDER BY cosv DESC, chunk_id
+    LIMIT $KEach)),
+fbs AS (SELECT chunk_id, sq9 FROM bs
+  WHERE chunk_id >= $lo AND chunk_id < $hi),
+ftr AS MATERIALIZED (SELECT chunk_id,
+  CAST(row_number() OVER (ORDER BY sq9 DESC, chunk_id) AS BIGINT)
+    AS text_rank
+  FROM (SELECT chunk_id, sq9 FROM fbs ORDER BY sq9 DESC, chunk_id
+    LIMIT $KEach)),
+ffs AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
+  FROM (SELECT coalesce(ftr.chunk_id, fvr.chunk_id) AS chunk_id,
+    text_rank, vec_rank,
+    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
+      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
+      / 1000000 AS rrf_score
+  FROM ftr FULL OUTER JOIN fvr ON ftr.chunk_id = fvr.chunk_id)
+  ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
+  }
+
+  /** The DuckDB replay of the FILTERED store probe
+    * ([[RetrievalStore.probeRetrievalStoreFiltered]]). */
+  private[graft] def retrievalStoreFilteredOracleSql: String =
+    s"""WITH
+$corpusCtes,
+$singleQueryCtes,
+${filteredCtes(FilterLoDoc, FilterHiDoc, NProbeFiltered)}
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, chunk_id)
+    AS BIGINT) AS rank,
+  chunk_id, chunk_id // $IdBase AS doc_id, chunk_id % $IdBase AS chunk_idx,
+  text_rank, vec_rank, rrf_score
+FROM ffs ORDER BY rank"""
+
+  /** The chain + panel CTEs the ranker scorecard's store side replays
+    * ([[RankerEval.rankerScorecardOracleSql]]) — the SAME generator as
+    * [[retrievalStoreBatchOracleSql]], so the scorecard grades exactly
+    * the ranking the batch probe serves. */
+  private[operators] def scorecardStoreCtes: String =
+    corpusCtes + ",\n" + panelCtes(StorePanel, NProbe)
+
+  /** The DuckDB replay of the BATCHED store probe
+    * ([[RetrievalStore.probeRetrievalStoreBatch]]) — [[corpusCtes]] +
+    * [[panelCtes]] over [[StorePanel]]. */
+  private[graft] def retrievalStoreBatchOracleSql: String =
+    s"""WITH
+$corpusCtes,
+${panelCtes(StorePanel, NProbe)}
+SELECT query_id, rank, chunk_id, chunk_id // $IdBase AS doc_id,
+  chunk_id % $IdBase AS chunk_idx, text_rank, vec_rank, rrf_score
+FROM pfsk ORDER BY query_id, rank"""
 
   private[graft] def retrievalProgramOracleSql: String =
     s"""WITH

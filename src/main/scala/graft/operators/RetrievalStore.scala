@@ -55,6 +55,14 @@ object RetrievalStore {
     writeSegmentFrom(spark, chunks, sparse, norms, path, token)
   }
 
+  /** Exact per-chunk content checksum persisted in `chunkmeta` — the
+    * append path's divergence detector reads ONLY this (never corpus
+    * text): a replayed doc_id with IDENTICAL text reproduces the same
+    * (chunk set, csum) rows; a doc_id carrying UPDATED text cannot. */
+  private def chunkChecksum(ctoks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    xxhash64(array_join(ctoks, " "))
+
   /** [[writeSegment]] with the embed stages precomputed — the build
     * path already fenced them for seed selection, so re-embedding the
     * whole corpus here would double the build's heaviest pass. */
@@ -81,7 +89,8 @@ object RetrievalStore {
       .agg(count(lit(1)).as("tf"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/postings/ingest=$token")
     chunks
-      .select(col("chunk_id"), size(col("ctoks")).cast(LongType).as("dl"))
+      .select(col("chunk_id"), size(col("ctoks")).cast(LongType).as("dl"),
+        chunkChecksum(col("ctoks")).as("csum"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/chunkmeta/ingest=$token")
   }
 
@@ -97,26 +106,58 @@ object RetrievalStore {
       .parquet(s"$path/seeds")
     seedNorms.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/seednorms")
+    // which CHUNKS the frozen quantizer was trained on — ≤ NSeeds rows.
+    // Read by the forget guard (a seed doc cannot be forgotten without a
+    // rebuild) and by the session-store seed/delta invariant check.
+    RetrievalProgram.seedMap(sparse).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/seedmeta")
     writeSegmentFrom(spark, chunks, sparse, norms, path, "base")
     StoreVersioning.commitTokens(spark, s"$path/manifest",
       Seq(("seg", "base")))
   }
 
-  /** Fold a batch of new documents in: drop doc_ids the live segments
-    * already hold (a replayed batch is a no-op — the ingest-stream
-    * idempotence contract), chunk + embed + assign the survivors
-    * against the FROZEN seeds, land an immutable segment, publish a
-    * version. Pinned readers of the old version never see it. */
+  /** Fold a batch of new documents in: doc_ids the live segments already
+    * hold are checked for CONTENT divergence (round-15 ADVICE — a batch
+    * carrying UPDATED text for a stored doc_id must fail LOUDLY, never
+    * be silently dropped as a replay) and then skipped (an identical
+    * replayed batch is a no-op — the ingest-stream idempotence
+    * contract); the fresh survivors are chunked + embedded + assigned
+    * against the FROZEN seeds and land as an immutable segment under a
+    * new manifest version. Pinned readers of the old version never see
+    * it. The divergence check reads only `chunkmeta` (chunk set + exact
+    * content checksum per chunk) joined doc-keyed against the
+    * re-chunked INTERSECTING docs — replay-sized, never corpus-sized.
+    */
   def appendToRetrievalStore(spark: SparkSession, docBatch: DataFrame,
       path: String): Unit = {
     val live = segs(spark, path, -1L)
-    val storedDocs = spark.read.parquet(s"$path/chunkmeta")
+    val storedMeta = spark.read.parquet(s"$path/chunkmeta")
       .filter(col("ingest").isInCollection(live))
+    val storedDocs = storedMeta
       .select(floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id"))
       .distinct()
-    val fresh = docBatch.select(col("doc_id"), col("text"))
+    val batch = docBatch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
-      .join(storedDocs, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val replayed = batch.join(storedDocs, Seq("doc_id"), "left_semi")
+    val divergent = RetrievalProgram.chunkStage(replayed)
+      .select(col("chunk_id"), chunkChecksum(col("ctoks")).as("csum"))
+      .join(storedMeta
+          .withColumn("doc_id",
+            floor(col("chunk_id") / IdBase).cast(LongType))
+          .join(replayed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("chunk_id"), col("csum").as("stored_csum")),
+        Seq("chunk_id"), "full_outer")
+      .filter(col("csum").isNull || col("stored_csum").isNull ||
+        col("csum") =!= col("stored_csum"))
+      .select(floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id"))
+      .limit(1).collect()
+    require(divergent.isEmpty,
+      s"appendToRetrievalStore($path): doc_id ${divergent.head.getLong(0)} " +
+        "is already stored with DIFFERENT content — the store is " +
+        "append-only by id (a replay must carry identical text); update " +
+        "via forgetFromRetrievalStore + append, or rebuild")
+    val fresh = batch.join(storedDocs, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return // full replay — nothing to fold
     val token =
@@ -124,6 +165,74 @@ object RetrievalStore {
     writeSegment(spark, RetrievalProgram.chunkStage(fresh), path, token)
     StoreVersioning.commitTokens(spark, s"$path/manifest",
       (live :+ token).map(("seg", _)))
+  }
+
+  /** Copy-on-write FORGET (round 15 — the GDPR-shaped maintenance op):
+    * physically remove every chunk of `ids` from the live segments.
+    * Only segments that HOLD a forgotten doc are rewritten (their rows
+    * re-land under a fresh `ingest=f<v>_<t>` token minus the forgotten
+    * docs); untouched segments keep their files and tokens — the
+    * copy-on-write granularity [[RetrievalStoreSpec]] asserts. A new
+    * manifest version publishes the surviving + rewritten tokens;
+    * pinned readers of older versions still see the rows until
+    * [[PersistedIndex.retainStore]] drops their segments (retention is
+    * the physical deletion point, as for every store).
+    *
+    * forget ≡ recompute: because the seeds are frozen and every
+    * artifact row is per-chunk, the post-forget store is row-identical
+    * to a fresh build on (corpus minus ids) — BM25 df/stats read from
+    * the physically-reduced postings/chunkmeta, so even scores match
+    * (spec-proven via [[storeStats]] + probe equality). The one
+    * exception is guarded LOUDLY: a doc the frozen quantizer was
+    * trained on ([[buildRetrievalStore]]'s `seedmeta`) cannot be
+    * forgotten without a rebuild — its seed vector IS derived content.
+    *
+    * Scale shape: the affected-segment discovery is one chunkmeta scan
+    * semi-joined against the (checkpointed, delete-sized) id set; the
+    * rewrite reads only affected segments' rows anti-joined doc-keyed.
+    */
+  def forgetFromRetrievalStore(spark: SparkSession, ids: DataFrame,
+      path: String): Unit = {
+    val drop = ids.select(col("doc_id")).dropDuplicates("doc_id")
+      .localCheckpoint()
+    val seedHit = spark.read.parquet(s"$path/seedmeta")
+      .select(floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id"))
+      .join(drop, Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(seedHit.isEmpty,
+      s"forgetFromRetrievalStore($path): doc_id " +
+        s"${seedHit.headOption.map(_.getLong(0)).getOrElse(-1L)} is a " +
+        "frozen-quantizer seed doc — its seed vector is derived content; " +
+        "rebuild the store to forget it")
+    val live = segs(spark, path, -1L)
+    val docOf = floor(col("chunk_id") / IdBase).cast(LongType).as("doc_id")
+    val affected = spark.read.parquet(s"$path/chunkmeta")
+      .filter(col("ingest").isInCollection(live))
+      .withColumn("doc_id", docOf)
+      .join(drop, Seq("doc_id"), "left_semi")
+      .select("ingest").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: #live segments
+    if (affected.isEmpty) return // ids not stored — idempotent no-op
+    val v = StoreVersioning.latestVersion(spark, s"$path/manifest") + 1
+    val renamed = affected.map(t => t -> s"f${v}_$t").toMap
+    affected.foreach { t =>
+      def survivors(sub: String): DataFrame =
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("ingest") === t).drop("ingest")
+          .withColumn("doc_id", docOf)
+          .join(drop, Seq("doc_id"), "left_anti")
+          .drop("doc_id")
+      graft.sources.CorpusWriter.writePartitioned(survivors("vectors"),
+        s"$path/vectors/ingest=${renamed(t)}", Seq("cluster"), "chunk_id")
+      graft.sources.CorpusWriter.writePartitioned(survivors("norms"),
+        s"$path/norms/ingest=${renamed(t)}", Seq("cluster"), "chunk_id")
+      survivors("postings").write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/postings/ingest=${renamed(t)}")
+      survivors("chunkmeta").write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/chunkmeta/ingest=${renamed(t)}")
+    }
+    StoreVersioning.commitTokens(spark, s"$path/manifest",
+      live.map(t => ("seg", renamed.getOrElse(t, t))))
   }
 
   /** Compact a delta-grown store: fold every live segment's rows into
@@ -242,6 +351,142 @@ object RetrievalStore {
       .select(col("chunk_id"), cosV.as("cosv"))
   }
 
+  /** Batched probe (round 15) — a query panel served in ONE pass over
+    * the persisted artifacts: the postings scan prunes to the UNION of
+    * the panel's terms (PushedFilters, plan-asserted via
+    * [[probeTfBatch]]), the vector side scans only the union of every
+    * query's probed cluster partitions, and the per-query two-phase
+    * ranking windows + per-query RRF fuse replay
+    * [[RetrievalProgram.textRankQ9Batch]]/[[RetrievalProgram.vecRankBatch]]/
+    * [[RetrievalProgram.fuseBatch]]. Panel query 1 is exactly
+    * [[Retrieval.QueryTerms]], so its rows must equal the single
+    * [[probeRetrievalStore]] (spec-pinned — the batch replay cannot
+    * drift from the serving probe). */
+  def probeRetrievalStoreBatch(spark: SparkSession, path: String,
+      panel: Seq[(Long, Seq[String])] = RetrievalProgram.StorePanel,
+      version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val qterms = panel.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tf = probeTfBatch(spark, path, panel, version)
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val textTop = RetrievalProgram.textRankQ9Batch(tf, qterms, dfTerm,
+      probeStats(spark, path, version), RetrievalProgram.KEach)
+    val vecTop = RetrievalProgram.vecRankBatch(
+      probeVectorScoredBatch(spark, path, panel, version),
+      RetrievalProgram.KEach)
+    RetrievalProgram.finalProjectionBatch(
+      RetrievalProgram.fuseBatch(textTop, vecTop, RetrievalProgram.TopK))
+  }
+
+  /** The batch probe's text-side tf scan — postings pruned to the
+    * panel's term UNION (exposed unfenced for the PushedFilters spec,
+    * the [[probeTf]] pattern). */
+  private[graft] def probeTfBatch(spark: SparkSession, path: String,
+      panel: Seq[(Long, Seq[String])], version: Long = -1L): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .filter(col("ingest").isInCollection(segs(spark, path, version)))
+      .filter(col("term").isin(panel.flatMap(_._2).distinct: _*))
+      .select(col("chunk_id"), col("dl"), col("term"), col("tf"))
+
+  /** The batch probe's vector side — (query_id, chunk_id, cosv) over
+    * ONLY the union of the panel's probed cluster partitions; each
+    * chunk scores against exactly the queries that probed its cluster
+    * (unfenced — the spec-assertable plan). */
+  private[graft] def probeVectorScoredBatch(spark: SparkSession,
+      path: String, panel: Seq[(Long, Seq[String])],
+      version: Long = -1L): DataFrame = {
+    val live = segs(spark, path, version)
+    val seedVecs = spark.read.parquet(s"$path/seeds")
+    val seedNorms = spark.read.parquet(s"$path/seednorms")
+    val (qSparse, qNorm) = RetrievalProgram.panelVecs(spark, panel)
+    val probe = RetrievalProgram.probeSeedsBatch(qSparse, qNorm,
+      seedVecs, seedNorms, RetrievalProgram.NProbe)
+    val norms = spark.read.parquet(s"$path/norms")
+      .filter(col("ingest").isInCollection(live))
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+    val qDots = vectors
+      .join(broadcast(probe), "cluster") // partition-pruned scan
+      .join(broadcast(qSparse), Seq("query_id", "pos"))
+      .groupBy("query_id", "chunk_id")
+      .agg(sum(col("v") * col("qv")).cast(LongType).as("d"))
+    val cosV = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2").cast("double")) * sqrt(col("n2q").cast("double"))))
+    norms.join(broadcast(probe), "cluster")
+      .join(qDots, Seq("query_id", "chunk_id"), "left")
+      .join(broadcast(qNorm), "query_id")
+      .select(col("query_id"), col("chunk_id"), cosV.as("cosv"))
+  }
+
+  /** Filtered probe (round 15) — the single-query probe under a doc-id
+    * recency window, the metadata predicate pushed into BOTH probe
+    * sides: the postings scan AND the cluster-pruned vectors/norms
+    * scans carry `chunk_id ∈ [loDoc·IdBase, hiDoc·IdBase)` in their
+    * parquet PushedFilters (chunk_id is monotone in doc_id, so the doc
+    * window IS a chunk range — row-group min/max skips apply). The
+    * probe decision over-probes to [[RetrievalProgram.NProbeFiltered]]
+    * clusters (predicate-removed candidates compensation — the
+    * sim_topk_filtered discipline); BM25 keeps the GLOBAL df/avgdl
+    * statistics (a store serves filtered probes without recomputing
+    * index statistics), so an in-range chunk's text score is identical
+    * to its unfiltered score. Recall vs the filtered exact scan is
+    * floored by [[RetrievalStoreSpec]]. */
+  def probeRetrievalStoreFiltered(spark: SparkSession, path: String,
+      loDoc: Long = RetrievalProgram.FilterLoDoc,
+      hiDoc: Long = RetrievalProgram.FilterHiDoc,
+      version: Long = -1L): DataFrame = {
+    val textTop = RetrievalProgram.textRankQ9(
+      probeTfFiltered(spark, path, loDoc, hiDoc, version),
+      probeDf(spark, path, version), probeStats(spark, path, version))
+    val vecTop = RetrievalProgram.vecRank(
+      probeVectorScoredFiltered(spark, path, loDoc, hiDoc, version))
+    RetrievalProgram.finalProjection(
+      RetrievalProgram.fuse(textTop, vecTop))
+  }
+
+  /** The filtered probe's text-side tf scan — [[probeTf]] with the
+    * chunk-range predicate (exposed unfenced for the PushedFilters
+    * spec). */
+  private[graft] def probeTfFiltered(spark: SparkSession, path: String,
+      loDoc: Long, hiDoc: Long, version: Long = -1L): DataFrame =
+    probeTf(spark, path, version)
+      .filter(col("chunk_id") >= loDoc * IdBase &&
+        col("chunk_id") < hiDoc * IdBase)
+
+  /** The filtered probe's vector side — probed-cluster partitions with
+    * the chunk-range predicate on both the vectors and norms scans,
+    * over-probed (unfenced — the spec-assertable plan). */
+  private[graft] def probeVectorScoredFiltered(spark: SparkSession,
+      path: String, loDoc: Long, hiDoc: Long,
+      version: Long = -1L): DataFrame = {
+    val live = segs(spark, path, version)
+    val lo = loDoc * IdBase
+    val hi = hiDoc * IdBase
+    val seedVecs = spark.read.parquet(s"$path/seeds")
+    val seedNorms = spark.read.parquet(s"$path/seednorms")
+    val (qSparse, qNorm) = RetrievalProgram.queryVec(spark)
+    val probe = RetrievalProgram.probeSeeds(qSparse, qNorm,
+      seedVecs, seedNorms, RetrievalProgram.NProbeFiltered)
+    val norms = spark.read.parquet(s"$path/norms")
+      .filter(col("ingest").isInCollection(live))
+      .filter(col("chunk_id") >= lo && col("chunk_id") < hi)
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("ingest").isInCollection(live))
+      .filter(col("chunk_id") >= lo && col("chunk_id") < hi)
+    val qDots = vectors
+      .join(broadcast(probe), "cluster") // partition-pruned scan
+      .join(broadcast(qSparse), "pos")
+      .groupBy("chunk_id").agg(sum(col("v") * col("qv"))
+        .cast(LongType).as("d"))
+    val cosV = (coalesce(col("d"), lit(0L)).cast("double")
+      / (sqrt(col("n2").cast("double")) * sqrt(col("n2q").cast("double"))))
+    norms.join(broadcast(probe), "cluster")
+      .join(qDots, Seq("chunk_id"), "left")
+      .crossJoin(broadcast(qNorm))
+      .select(col("chunk_id"), cosV.as("cosv"))
+  }
+
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
@@ -253,7 +498,8 @@ object RetrievalStore {
     * (the driver's oracle replays exactly that), proving
     * build + append + probe under frozen seeds. Cached per (app, sfDir).
     */
-  private def sessionStore(spark: SparkSession, sfDir: String): String =
+  private[operators] def sessionStore(spark: SparkSession,
+      sfDir: String): String =
     storeCache.synchronized {
       val appId = spark.sparkContext.applicationId
       storeCache.keySet.removeIf(_._1 != appId)
@@ -263,6 +509,24 @@ object RetrievalStore {
         val d = graft.sources.Tables.documents(spark, sfDir)
         val isDelta = pmod(col("doc_id"), lit(100)) === 77
         buildRetrievalStore(spark, d.filter(!isDelta), p)
+        // the build-on-residue + append-delta == whole-corpus-program
+        // equality relies on the base build's frozen seeds BEING the
+        // full corpus's first-NSeeds chunks — true iff every seed doc
+        // sorts below the first delta doc. Assert it LOUDLY at build
+        // time (round-15 ADVICE: raising NSeeds or changing the delta
+        // residue would otherwise break the retrieval_store oracle far
+        // from the cause). Both sides are 1-row driver reads.
+        val maxSeedDoc = spark.read.parquet(s"$p/seedmeta")
+          .agg(max(floor(col("chunk_id") / IdBase).cast(LongType)))
+          .head.getLong(0)
+        val minDeltaDoc = d.filter(isDelta)
+          .agg(min(col("doc_id"))).head.getLong(0)
+        require(minDeltaDoc > maxSeedDoc,
+          s"retrieval session store: delta residue starts at doc " +
+            s"$minDeltaDoc but the frozen seeds reach doc $maxSeedDoc — " +
+            "the base build's seeds would differ from the full-corpus " +
+            "program's and the chain oracle would break; pick a delta " +
+            "residue above the seed docs or lower NSeeds")
         appendToRetrievalStore(spark, d.filter(isDelta), p)
         p
       })
@@ -312,4 +576,14 @@ object RetrievalStore {
   def retrievalFromSessionStore(spark: SparkSession,
       sfDir: String): DataFrame =
     probeRetrievalStore(spark, sessionStore(spark, sfDir))
+
+  /** Driver surface — answers the batched panel chain oracle. */
+  def retrievalBatchFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeRetrievalStoreBatch(spark, sessionStore(spark, sfDir))
+
+  /** Driver surface — answers the filtered chain oracle. */
+  def retrievalFilteredFromSessionStore(spark: SparkSession,
+      sfDir: String): DataFrame =
+    probeRetrievalStoreFiltered(spark, sessionStore(spark, sfDir))
 }

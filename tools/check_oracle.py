@@ -110,6 +110,11 @@ def main():
             # (bpe_merges at sf0.01 needs ~8 GB at any thread count)
             retried = False
             for threads, mem in ((2, "7GB"), (2, "8GB"), (1, "8GB")):
+                # a failed lower-rung connection must release its memory
+                # BEFORE the next rung allocates (round-15 ADVICE: a dead
+                # 7GB-limit connection still holding blocks partially
+                # defeats the 8GB escalation), hence the finally-close
+                con2 = None
                 try:
                     con2 = duckdb.connect()
                     con2.execute(f"SET memory_limit='{mem}'")
@@ -123,11 +128,14 @@ def main():
                     o = con2.execute(oracle[name])
                     o_cols = [d[0] for d in o.description]
                     o_rows = o.fetchall()
-                    con2.close()
                     retried = True
-                    break
                 except Exception as e2:
                     last_err = e2
+                finally:
+                    if con2 is not None:
+                        con2.close()
+                if retried:
+                    break
             if not retried:
                 print(f"FAIL {name}: exec error (after low-memory "
                       f"retries): {last_err}")
