@@ -436,6 +436,48 @@ object Bench {
     System.gc()
     Thread.sleep(500)
     val restDone = restLines.map(requiesce)
+
+    // ---- store-serving latency block (round 15 directive #4) --------
+    // The persisted stores' raison d'être is probe latency, but the
+    // sweep measures each probe query only among 274 lines. Re-probe
+    // each store N more times in the serving steady state (session
+    // store warm on disk, JVM warm) and report p50/p95 NEXT TO the
+    // in-query twin's sweep median — the store-vs-rebuild ratio is the
+    // store's value proposition, now measured per round. The twin's
+    // seconds are reused from its own sweep line (re-running the
+    // in-query rebuilds here would double-charge the sweep).
+    val servingPairs = Seq(
+      "bm25_store" -> "bm25_topk",
+      "lsh_store" -> "sim_topk_lsh",
+      "pq_store" -> "pq_topk",
+      "ivfpq_store" -> "sim_topk_ivfpq",
+      "retrieval_store" -> "retrieval_program",
+      "retrieval_store_batch" -> "retrieval_program")
+    val measuredByName =
+      (graphLines ++ clusterLines ++ knnLines ++ restDone)
+        .map(l => l.name -> l).toMap
+    val servingEntries = servingPairs.flatMap { case (storeQ, twinQ) =>
+      (measuredByName.get(storeQ), measuredByName.get(twinQ)) match {
+        case (Some(sl), Some(tl))
+            if sl.err.isEmpty && tl.err.isEmpty =>
+          val fn = queries(storeQ)
+          val times = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          dropOrphansExcept(baseline)
+          val p50 = times(times.size / 2)
+          val p95 = times.last
+          val ratio = math.round(p50 / tl.s * 1000) / 1000.0
+          Some(s""""$storeQ":{"p50_s":$p50,"p95_s":$p95,""" +
+            s""""n":${times.size},"inquery":"$twinQ",""" +
+            s""""inquery_s":${tl.s},"ratio":$ratio}""")
+        case _ => None // pair not in this run's selection, or errored
+      }
+    }
+    val servingJson = servingEntries.mkString("{", ",", "}")
+
     spark.sparkContext.removeSparkListener(listener)
 
     val remeasured = graphLines ++ clusterLines ++ knnLines ++ restDone
@@ -454,7 +496,7 @@ object Bench {
     val total = all.collect { case l if l.err.isEmpty => l.s }.sum
     val nErr = all.count(_.err.isDefined)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","errors":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"store_serving":$servingJson,"sf":"${esc(sfDir)}","errors":$nErr}"""
     // The full per-query map outgrew the driver's bounded stdout tail at
     // 134 queries (BENCH_r05/r06 "parsed": null) — the LAST printed line
     // must be a compact (~300 B) summary that always fits the tail; the

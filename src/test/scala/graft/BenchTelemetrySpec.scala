@@ -116,6 +116,26 @@ class BenchTelemetrySpec extends AnyFunSuite with SparkTestBase
     real should include(""""ambient":false""")
   }
 
+  test("the store_serving block reports p50/p95 of repeated store " +
+    "probes next to the in-query twin's sweep median (round 15)") {
+    // the bm25_store/bm25_topk pair is the cheapest store+twin — the
+    // session text index builds once at sf0.001 and the probes re-read it
+    val (full, _) = Bench.run(spark, sf,
+      only = Some(Set("bm25_store", "bm25_topk")))
+    full should include(""""store_serving":{"bm25_store":{"p50_s":""")
+    val entry = full.split(""""store_serving":\{"bm25_store":\{""")(1)
+      .split("}")(0)
+    entry should include(""""p95_s":""")
+    entry should include(""""n":5""")
+    entry should include(""""inquery":"bm25_topk"""")
+    entry should include(""""inquery_s":""")
+    entry should include(""""ratio":""")
+    // a selection without a complete pair reports an EMPTY block (the
+    // driver's full sweep always carries every pair)
+    val (none, _) = Bench.run(spark, sf, only = Some(Set("q1_agg")))
+    none should include(""""store_serving":{}""")
+  }
+
   ceilings.foreach { case (name, ceiling) =>
     test(s"$name shuffles stay text-free-sized at sf0.001 (<= $ceiling B)") {
       // graph queries share cached edge artifacts per (app, sfDir): warm
