@@ -427,16 +427,16 @@ object PlanAudit {
     // batched panel probe: union-pruned postings tf shuffle + df branch
     // + the per-(query,chunk) text agg, probed-partition vector scans +
     // the per-(query,chunk) dot agg, two-phase windows, tiny fusion
-    "retrieval_store_batch" -> 14,
+    "retrieval_store_batch" -> 6, // measured 1 (fenced stages)
     // four ranker top-k plans (panel tf shuffles, store probe, index
     // probe) + the fenced qrels + the scoring joins — measured, then
     // pinned with headroom
-    "retrieval_ndcg_rankers" -> 30,
+    "retrieval_ndcg_rankers" -> 26, // measured 22
     // filtered probe: the retrieval_store shape with range-pushed scans
-    "retrieval_store_filtered" -> 10,
+    "retrieval_store_filtered" -> 6, // measured 1 (fenced stages)
     // drift gate: two release-segment scans joined + orderBy (the
     // scorecards were persisted at session-store build time)
-    "scorecard_drift" -> 4,
+    "scorecard_drift" -> 4, // measured 3
     // batched filtered probes: panel broadcasts + per-query rank
     // windows (q_id-keyed) + the stage-2 rejoin + orderBy
     "sim_topk_filtered_batch" -> 8,
