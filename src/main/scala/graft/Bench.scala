@@ -460,19 +460,40 @@ object Bench {
       (measuredByName.get(storeQ), measuredByName.get(twinQ)) match {
         case (Some(sl), Some(tl))
             if sl.err.isEmpty && tl.err.isEmpty =>
+          // a failed re-probe must cost ONLY its own block entry, never
+          // the sweep's ~300 s of already-collected measurements (the
+          // measure()/requiesce() error discipline applied here too);
+          // orphan blocks drop INSIDE the loop so each probe is timed
+          // from the same clean block-manager state, not on top of the
+          // previous runs' localCheckpoint leftovers
           val fn = queries(storeQ)
-          val times = (1 to 5).map { _ =>
+          val runs = (1 to 5).map { _ =>
             val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          dropOrphansExcept(baseline)
-          val p50 = times(times.size / 2)
-          val p95 = times.last
-          val ratio = math.round(p50 / tl.s * 1000) / 1000.0
-          Some(s""""$storeQ":{"p50_s":$p50,"p95_s":$p95,""" +
-            s""""n":${times.size},"inquery":"$twinQ",""" +
-            s""""inquery_s":${tl.s},"ratio":$ratio}""")
+            val err =
+              try {
+                fn(spark, sfDir).write.format("noop").mode("overwrite")
+                  .save()
+                None
+              } catch { case e: Throwable =>
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .take(200))
+              }
+            val secs = (System.nanoTime() - t0) / 1e9
+            dropOrphansExcept(baseline)
+            (secs, err)
+          }
+          runs.collectFirst { case (_, Some(e)) => e } match {
+            case Some(e) =>
+              Some(s""""$storeQ":{"err":"${esc(e)}"}""")
+            case None =>
+              val times = runs.map(_._1).sorted
+              val p50 = times(times.size / 2)
+              val p95 = times.last
+              val ratio = math.round(p50 / tl.s * 1000) / 1000.0
+              Some(s""""$storeQ":{"p50_s":$p50,"p95_s":$p95,""" +
+                s""""n":${times.size},"inquery":"$twinQ",""" +
+                s""""inquery_s":${tl.s},"ratio":$ratio}""")
+          }
         case _ => None // pair not in this run's selection, or errored
       }
     }

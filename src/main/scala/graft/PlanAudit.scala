@@ -431,7 +431,7 @@ object PlanAudit {
     // four ranker top-k plans (panel tf shuffles, store probe, index
     // probe) + the fenced qrels + the scoring joins — measured, then
     // pinned with headroom
-    "retrieval_ndcg_rankers" -> 26, // measured 22
+    "retrieval_ndcg_rankers" -> 10, // measured 7 (fenced rankings leaf)
     // filtered probe: the retrieval_store shape with range-pushed scans
     "retrieval_store_filtered" -> 6, // measured 1 (fenced stages)
     // drift gate: two release-segment scans joined + orderBy (the

@@ -166,11 +166,9 @@ object RankerEval {
         .partitionBy("query_id").orderBy(byCos: _*)).cast(LongType))
       .filter(col("vec_rank") <= kEach)
       .select(col("query_id"), col("doc_id"), col("vec_rank")))
-    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
     fence(textTop).join(vecTop, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        (floor(rrf * lit(1000000d) + lit(0.5d)) / lit(1000000d))
+        RetrievalProgram.rrfScore(col("text_rank"), col("vec_rank"))
           .as("rrf_score"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("rrf_score").desc, col("doc_id"))).cast(LongType))
@@ -238,7 +236,12 @@ object RankerEval {
       case (acc, (w, i)) =>
         when(col("rank") === (i + 1).toLong, lit(w)).otherwise(acc)
     }
-    val graded = rankings.join(qrels, Seq("query_id", "doc_id"), "left")
+    // fence: the rankings frame is ≤ #rankers·#queries·k rows and has
+    // TWO consumers (the grading join and the ranker grid) — unfenced,
+    // the grid's distinct would re-plan every ranker's whole subtree
+    // (measured: 22 → 41 exchanges)
+    val rks = fence(rankings)
+    val graded = rks.join(qrels, Seq("query_id", "doc_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0L)))
     val retrieved = graded.groupBy("ranker", "query_id")
       .agg(sum(gain * wq).cast(LongType).as("dcg_q9"),
@@ -264,7 +267,17 @@ object RankerEval {
       case (acc, (w, i)) =>
         when(col("first_rel_rank") === (i + 1).toLong, lit(w)).otherwise(acc)
     }
-    retrieved.join(ideal, "query_id").join(rel, "query_id")
+    // full (ranker, query) grid — every ranker in `rankings` × every
+    // query with a qrels row: a ranker that retrieves NOTHING for a
+    // query must score an explicit 0, not vanish from the scorecard
+    // (round-15 review finding — empty results are the worst-case
+    // regression, exactly the one the scorecard must show as zero).
+    // Both frames are panel-bounded; the pairing is #rankers × #queries.
+    val grid = rks.select(col("ranker")).distinct().crossJoin(rel)
+    grid.join(retrieved, Seq("ranker", "query_id"), "left")
+      .withColumn("dcg_q9", coalesce(col("dcg_q9"), lit(0L)))
+      .withColumn("n_hits_rel", coalesce(col("n_hits_rel"), lit(0L)))
+      .join(ideal, "query_id")
       .select(col("ranker"), col("query_id"),
         col("n_rel"), col("n_hits_rel"),
         when(col("n_rel") > 0L,
@@ -443,9 +456,7 @@ rh AS (SELECT query_id, rank, doc_id FROM (
     ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM (
     SELECT coalesce(rt.query_id, hvr.query_id) AS query_id,
       coalesce(rt.doc_id, hvr.doc_id) AS doc_id,
-      floor((coalesce(1.0 / (60.0 + rt.rank), 0.0) +
-        coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
-        / 1000000 AS rrf_score
+      ${RetrievalProgram.rrfSql("rt.rank", "vec_rank")} AS rrf_score
     FROM rt FULL OUTER JOIN hvr ON rt.query_id = hvr.query_id
       AND rt.doc_id = hvr.doc_id))
   WHERE rank <= $k),
@@ -479,19 +490,25 @@ idl AS (SELECT query_id,
   FROM ik GROUP BY query_id),
 rel AS (SELECT query_id,
   CAST(sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
-  FROM qr GROUP BY query_id)
-SELECT ranker, ret.query_id, n_rel, n_hits_rel,
-  CASE WHEN n_rel > 0 THEN CAST(floor(CAST(n_hits_rel AS DOUBLE)
+  FROM qr GROUP BY query_id),
+rkr AS (SELECT DISTINCT ranker FROM rks),
+grd AS (SELECT ranker, query_id, n_rel FROM rkr CROSS JOIN rel)
+SELECT grd.ranker AS ranker, grd.query_id AS query_id, n_rel,
+  coalesce(n_hits_rel, CAST(0 AS BIGINT)) AS n_hits_rel,
+  CASE WHEN n_rel > 0 THEN CAST(floor(
+    CAST(coalesce(n_hits_rel, CAST(0 AS BIGINT)) AS DOUBLE)
     / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS recall_q6,
   CASE WHEN first_rel_rank IS NOT NULL
     THEN (CASE first_rel_rank $mrrCases END)
     ELSE CAST(0 AS BIGINT) END AS mrr_q6,
-  dcg_q9, idcg_q9,
-  CASE WHEN idcg_q9 > 0 THEN CAST(floor(CAST(dcg_q9 AS DOUBLE)
+  coalesce(dcg_q9, CAST(0 AS BIGINT)) AS dcg_q9, idcg_q9,
+  CASE WHEN idcg_q9 > 0 THEN CAST(floor(
+    CAST(coalesce(dcg_q9, CAST(0 AS BIGINT)) AS DOUBLE)
     / CAST(idcg_q9 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS ndcg_q6
-FROM ret JOIN idl ON ret.query_id = idl.query_id
-JOIN rel ON ret.query_id = rel.query_id
-ORDER BY ranker, ret.query_id"""
+FROM grd LEFT JOIN ret
+  ON grd.ranker = ret.ranker AND grd.query_id = ret.query_id
+JOIN idl ON grd.query_id = idl.query_id
+ORDER BY ranker, query_id"""
   }
 
   // ------------------------------- the drift gate (round 15, #5) -------
@@ -608,16 +625,23 @@ ret$sfx AS (SELECT ranker, query_id,
     AS n_hits_rel,
   min(CASE WHEN grade >= 2 THEN rank END) AS first_rel_rank
   FROM gr$sfx GROUP BY ranker, query_id),
-mp$sfx AS (SELECT ranker, ret$sfx.query_id AS query_id,
-  CASE WHEN n_rel > 0 THEN CAST(floor(CAST(n_hits_rel AS DOUBLE)
+grd$sfx AS (SELECT ranker, query_id, n_rel
+  FROM (SELECT DISTINCT ranker FROM $src) CROSS JOIN rel),
+mp$sfx AS (SELECT grd$sfx.ranker AS ranker,
+  grd$sfx.query_id AS query_id,
+  CASE WHEN n_rel > 0 THEN CAST(floor(
+    CAST(coalesce(n_hits_rel, CAST(0 AS BIGINT)) AS DOUBLE)
     / CAST(n_rel AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS recall_q6,
   CASE WHEN first_rel_rank IS NOT NULL
     THEN (CASE first_rel_rank $mrrCases END)
     ELSE CAST(0 AS BIGINT) END AS mrr_q6,
-  CASE WHEN idcg_q9 > 0 THEN CAST(floor(CAST(dcg_q9 AS DOUBLE)
+  CASE WHEN idcg_q9 > 0 THEN CAST(floor(
+    CAST(coalesce(dcg_q9, CAST(0 AS BIGINT)) AS DOUBLE)
     / CAST(idcg_q9 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) END AS ndcg_q6
-  FROM ret$sfx JOIN idl ON ret$sfx.query_id = idl.query_id
-  JOIN rel ON ret$sfx.query_id = rel.query_id),
+  FROM grd$sfx LEFT JOIN ret$sfx
+    ON grd$sfx.ranker = ret$sfx.ranker
+    AND grd$sfx.query_id = ret$sfx.query_id
+  JOIN idl ON grd$sfx.query_id = idl.query_id),
 sc$sfx AS (SELECT component, metric, value FROM (
   SELECT ranker || '/q' || CAST(query_id AS VARCHAR) AS component,
     'ndcg_q6' AS metric, ndcg_q6 AS value FROM mp$sfx

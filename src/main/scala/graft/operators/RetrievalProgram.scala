@@ -72,6 +72,28 @@ object RetrievalProgram {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** THE floor-quantized RRF fuse recipe — reciprocal ranks at k=60
+    * summed, floor-quantized to 10⁻⁶ (the pairAlignment half-point
+    * discipline). ONE definition behind [[fuse]], [[fuseBatch]],
+    * [[RankerEval.hybridRanking]], and (via [[rrfSql]]) every oracle
+    * replay — round-15 review: the constant + quantization lived
+    * inline at four Scala and four SQL sites, so a recipe change
+    * would silently diverge the rankers the scorecard compares. */
+  private[operators] val RrfK = 60.0
+  private[operators] def rrfScore(textRank: Column,
+      vecRank: Column): Column = {
+    val raw = coalesce(lit(1.0) / (lit(RrfK) + textRank), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + vecRank), lit(0.0))
+    floor(raw * lit(1000000d) + lit(0.5d)) / lit(1000000d)
+  }
+
+  /** The SQL form of [[rrfScore]] over two rank expressions — the ONE
+    * text every oracle interpolates. */
+  private[operators] def rrfSql(textRank: String, vecRank: String): String =
+    s"""floor((coalesce(1.0 / ($RrfK + $textRank), 0.0) +
+      coalesce(1.0 / ($RrfK + $vecRank), 0.0)) * 1000000 + 0.5)
+      / 1000000"""
+
   /** The signed-bucket entry for one token — the ONE shared
     * [[TextPipeline.hashEmbedEntry]] recipe (identical to the oracle's
     * strpos replay). */
@@ -237,13 +259,10 @@ object RetrievalProgram {
     * post-fuse window partitions by query over ≤ 2·kEach rows). */
   private[operators] def fuseBatch(textTop: DataFrame, vecTop: DataFrame,
       topK: Int): DataFrame = {
-    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
     fence(textTop.join(vecTop, Seq("query_id", "chunk_id"), "full_outer")
       .select(col("query_id"), col("chunk_id"), col("text_rank"),
         col("vec_rank"),
-        (floor(rrf * lit(1000000d) + lit(0.5d)) / lit(1000000d))
-          .as("rrf_score"))
+        rrfScore(col("text_rank"), col("vec_rank")).as("rrf_score"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("rrf_score").desc, col("chunk_id"))).cast(LongType))
       .filter(col("rank") <= topK))
@@ -384,12 +403,9 @@ object RetrievalProgram {
     * from DuckDB by 1 ulp — the pairAlignment class). */
   private[operators] def fuse(textTop: DataFrame,
       vecTop: DataFrame): DataFrame = {
-    val rrf = coalesce(lit(1.0) / (lit(60.0) + col("text_rank")), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0))
     fence(textTop.join(vecTop, Seq("chunk_id"), "full_outer")
       .select(col("chunk_id"), col("text_rank"), col("vec_rank"),
-        (floor(rrf * lit(1000000d) + lit(0.5d)) / lit(1000000d))
-          .as("rrf_score"))
+        rrfScore(col("text_rank"), col("vec_rank")).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("chunk_id"))
       .limit(TopK))
   }
@@ -599,9 +615,7 @@ tr AS MATERIALIZED (SELECT chunk_id,
 fsd AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
   FROM (SELECT coalesce(tr.chunk_id, vr.chunk_id) AS chunk_id,
     text_rank, vec_rank,
-    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
-      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
-      / 1000000 AS rrf_score
+    ${rrfSql("text_rank", "vec_rank")} AS rrf_score
   FROM tr FULL OUTER JOIN vr ON tr.chunk_id = vr.chunk_id)
   ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
   }
@@ -684,9 +698,7 @@ pfs AS MATERIALIZED (SELECT query_id, chunk_id, text_rank, vec_rank,
   SELECT coalesce(ptr.query_id, pvr.query_id) AS query_id,
     coalesce(ptr.chunk_id, pvr.chunk_id) AS chunk_id,
     text_rank, vec_rank,
-    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
-      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
-      / 1000000 AS rrf_score
+    ${rrfSql("text_rank", "vec_rank")} AS rrf_score
   FROM ptr FULL OUTER JOIN pvr ON ptr.query_id = pvr.query_id
     AND ptr.chunk_id = pvr.chunk_id)),
 pfsk AS (SELECT * FROM pfs WHERE rank <= $TopK)"""
@@ -737,9 +749,7 @@ ftr AS MATERIALIZED (SELECT chunk_id,
 ffs AS MATERIALIZED (SELECT chunk_id, text_rank, vec_rank, rrf_score
   FROM (SELECT coalesce(ftr.chunk_id, fvr.chunk_id) AS chunk_id,
     text_rank, vec_rank,
-    floor((coalesce(1.0 / (60.0 + text_rank), 0.0) +
-      coalesce(1.0 / (60.0 + vec_rank), 0.0)) * 1000000 + 0.5)
-      / 1000000 AS rrf_score
+    ${rrfSql("text_rank", "vec_rank")} AS rrf_score
   FROM ftr FULL OUTER JOIN fvr ON ftr.chunk_id = fvr.chunk_id)
   ORDER BY rrf_score DESC, chunk_id LIMIT $TopK)"""
   }

@@ -519,15 +519,21 @@ object RetrievalStore {
         val maxSeedDoc = spark.read.parquet(s"$p/seedmeta")
           .agg(max(floor(col("chunk_id") / IdBase).cast(LongType)))
           .head.getLong(0)
-        val minDeltaDoc = d.filter(isDelta)
-          .agg(min(col("doc_id"))).head.getLong(0)
-        require(minDeltaDoc > maxSeedDoc,
-          s"retrieval session store: delta residue starts at doc " +
-            s"$minDeltaDoc but the frozen seeds reach doc $maxSeedDoc — " +
-            "the base build's seeds would differ from the full-corpus " +
-            "program's and the chain oracle would break; pick a delta " +
-            "residue above the seed docs or lower NSeeds")
-        appendToRetrievalStore(spark, d.filter(isDelta), p)
+        val minRow = d.filter(isDelta).agg(min(col("doc_id"))).head
+        // an empty delta residue (corpus without a doc ≡ 77 mod 100)
+        // yields a NULL min — there is nothing to append and the
+        // invariant holds trivially; reading getLong would NPE instead
+        // of reaching the loud message below (round-15 review finding)
+        if (!minRow.isNullAt(0)) {
+          val minDeltaDoc = minRow.getLong(0)
+          require(minDeltaDoc > maxSeedDoc,
+            s"retrieval session store: delta residue starts at doc " +
+              s"$minDeltaDoc but the frozen seeds reach doc $maxSeedDoc — " +
+              "the base build's seeds would differ from the full-corpus " +
+              "program's and the chain oracle would break; pick a delta " +
+              "residue above the seed docs or lower NSeeds")
+          appendToRetrievalStore(spark, d.filter(isDelta), p)
+        }
         p
       })
     }

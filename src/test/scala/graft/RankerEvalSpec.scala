@@ -72,6 +72,25 @@ class RankerEvalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("a ranker that retrieves NOTHING for a query scores an explicit " +
+    "0 row — empty results are a regression the scorecard must show") {
+    val truth = Retrieval
+      .indexTopKBatchFrom(spark, corpus, Retrieval.QueryPanel, 5)
+      .select(lit("tfidf").as("ranker"), col("query_id"), col("rank"),
+        col("doc_id"))
+    // simulate a ranker erroring-to-empty on query 2
+    val partial = truth.filter(col("query_id") =!= 2L)
+    val sc = RankerEval.scoreRankings(partial, qrels, 5).collect()
+    sc.length shouldBe Retrieval.QueryPanel.length // q2 row still there
+    val q2 = sc.find(_.getAs[Long]("query_id") == 2L).get
+    q2.getAs[Long]("ndcg_q6") shouldBe 0L
+    q2.getAs[Long]("dcg_q9") shouldBe 0L
+    q2.getAs[Long]("n_hits_rel") shouldBe 0L
+    q2.getAs[Long]("mrr_q6") shouldBe 0L
+    q2.getAs[Long]("recall_q6") shouldBe 0L
+    q2.getAs[Long]("n_rel") should be > 0L
+  }
+
   test("scorecard drift gate: an identical second release flags " +
     "NOTHING, a degraded release flags rows, and a pinned reader " +
     "still sees the clean comparison") {
