@@ -2524,10 +2524,13 @@ FROM t WHERE rank <= $k ORDER BY q_id, rank"""
           (nodeSegs ++ edgeMap.values).toSet })))
       case "retrieval" =>
         one(Seq("chunkmeta", "vectors", "norms", "postings"))
+      // the quality-history store: one release segment per append
+      // (kind "rel"); retention bounds how much history drift keeps
+      case "scorecard" => one(Seq("releases"), manifestKind = "rel")
       case "curation" => StoreLayout(Seq.empty)
       case other => throw new IllegalArgumentException(
         s"unknown store kind '$other'; known: ivf, pq, ivfpq, lsh, " +
-          "dedup, shingle, text, knn, curation, retrieval")
+          "dedup, shingle, text, knn, curation, retrieval, scorecard")
     }
   }
 

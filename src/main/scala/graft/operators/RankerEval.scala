@@ -528,11 +528,18 @@ ORDER BY ranker, query_id"""
   }
 
   /** Persist one release's scorecard under [[StoreVersioning]] — an
-    * immutable row-bounded segment per release (kind "rel"), every
-    * prior release kept live (the quality HISTORY is the store's
-    * content). Returns the published version. */
+    * immutable row-bounded segment per release (kind "rel"). By default
+    * every prior release stays live (the quality HISTORY is the store's
+    * content); `historyKeep` bounds the window — the new version
+    * references only the latest `historyKeep` releases, so a later
+    * [[PersistedIndex.retainStore]]("scorecard") sweep can physically
+    * drop segments no surviving version references. Returns the
+    * published version. */
   def appendScorecard(spark: SparkSession, scorecard: DataFrame,
-      path: String): Long = {
+      path: String, historyKeep: Int = Int.MaxValue): Long = {
+    require(historyKeep >= 2,
+      s"appendScorecard: historyKeep=$historyKeep < 2 would leave the " +
+        "drift gate without a previous release to diff against")
     val prev = StoreVersioning.latestVersion(spark, s"$path/manifest")
     val live = // the first release starts an empty history
       if (prev == 0L) Seq.empty[String]
@@ -543,7 +550,7 @@ ORDER BY ranker, query_id"""
     scorecard.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/releases/ingest=$token")
     StoreVersioning.commitTokens(spark, s"$path/manifest",
-      (live :+ token).map(("rel", _)))
+      (live :+ token).takeRight(historyKeep).map(("rel", _)))
     v
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.operators.{RankerEval, Retrieval}
+import graft.operators.{RankerEval, Retrieval, StoreVersioning}
 
 /** The production-ranker scorecard (round 15): the seed-B relevance
   * grade must be INDEPENDENT enough of every ranker's scoring signal to
@@ -124,6 +124,40 @@ class RankerEvalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // version 2 pinned: still the clean r1-vs-r2 comparison
     RankerEval.scorecardDrift(spark, p, 2L).collect()
       .count(_.getAs[Boolean]("flagged")) shouldBe 0
+  }
+
+  test("scorecard-store retention bounds the quality history: a " +
+    "historyKeep window + retainStore physically drops old releases, " +
+    "the drift gate still answers from the survivors") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-scorecard-retain").toString
+    val truth = Retrieval
+      .indexTopKBatchFrom(spark, corpus, Retrieval.QueryPanel, 5)
+      .select(lit("tfidf").as("ranker"), col("query_id"), col("rank"),
+        col("doc_id"))
+    val sc = RankerEval.scorecardLong(
+      RankerEval.scoreRankings(truth, qrels, 5))
+    (1 to 3).foreach(_ =>
+      RankerEval.appendScorecard(spark, sc, p, historyKeep = 2))
+    // version 3 references only r0002/r0003 (the window)
+    StoreVersioning.liveTokens(spark, s"$p/manifest")("rel") shouldBe
+      Seq("r0002", "r0003")
+    val before = RankerEval.scorecardDrift(spark, p).collect()
+    graft.operators.PersistedIndex.retainStore(spark, "scorecard", p,
+      keep = 1)
+    // only version 3 survives; the r0001 segment is physically gone
+    StoreVersioning.listVersions(spark, s"$p/manifest") shouldBe Seq(3L)
+    val fs = StoreVersioning.fs(spark, p)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/releases"))
+      .map(_.getPath.getName).sorted.toSeq shouldBe
+      Seq("ingest=r0002", "ingest=r0003")
+    // the drift gate still answers from the surviving history
+    RankerEval.scorecardDrift(spark, p).collect()
+      .map(_.toSeq).toSeq shouldBe before.map(_.toSeq).toSeq
+    // a 1-release window would starve the drift gate — refused loudly
+    intercept[IllegalArgumentException] {
+      RankerEval.appendScorecard(spark, sc, p, historyKeep = 1)
+    }.getMessage should include("historyKeep")
   }
 
   test("the seed-B grade recipe is a distinct projection from the " +
