@@ -83,6 +83,13 @@ class BenchTelemetrySpec extends AnyFunSuite with SparkTestBase
     build should include(""""cpu_ms":""")
     // and the stdout summary surfaces requiesced_s for the top lines
     summary should include(""""requiesced_s":""")
+    // round 16 (VERDICT r15 Next #2): the summary line carries the FULL
+    // per-query map as seconds-only numbers — the driver's per-query and
+    // scaling comparisons read THIS line, not bench_out.json
+    summary should include(""""top5":{""")
+    Seq("q1_agg", "dedup_exact").foreach { q =>
+      summary should include regex s""""$q":\\d+\\.?\\d*"""
+    }
   }
 
   test("a memory-pressure-inflated query is labelled ambient:true " +
