@@ -104,15 +104,22 @@ object BpeTrainer {
     */
   private[graft] def bpeOracleSql(nMerges: Int = 10): String = {
     val sep = "chr(1)"
+    // every round CTE is AS MATERIALIZED: v{i-1} is referenced TWICE per
+    // round (by p{i} and v{i}), and DuckDB 1.x inlines multiply-referenced
+    // CTEs — unmaterialized, each round re-evaluates its whole ancestry,
+    // a 2^rounds blowup (the graph_hits round-7 lesson). Measured at
+    // sf0.001: n=4/6/8 rounds ran 0.09/0.23/2.12 s unmaterialized vs a
+    // flat 0.05-0.07 s materialized, identical rows; the driver's sf0.01
+    // oracle pass charged bpe_merges 39.4 s (44% of the whole budget).
     val rounds = (1 to nMerges).map { i =>
-      s"""p$i AS (SELECT syms[j + 1] AS sym_a, syms[j + 2] AS sym_b, freq
+      s"""p$i AS MATERIALIZED (SELECT syms[j + 1] AS sym_a, syms[j + 2] AS sym_b, freq
   FROM v${i - 1}, unnest(range(len(syms) - 1)) AS u(j)
   WHERE len(syms) >= 2),
-b$i AS (SELECT CAST($i AS BIGINT) AS round, sym_a, sym_b,
+b$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS round, sym_a, sym_b,
   sym_a || sym_b AS merged, CAST(sum(freq) AS BIGINT) AS pair_count
   FROM p$i GROUP BY sym_a, sym_b
   ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-v$i AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
+v$i AS MATERIALIZED (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
     WHEN (acc = b.sym_a OR ends_with(acc, $sep || b.sym_a)) AND x = b.sym_b
     THEN left(acc, len(acc) - len(b.sym_a)) || b.merged
     ELSE acc || $sep || x END), $sep) AS syms
@@ -121,7 +128,7 @@ v$i AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE
     s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
 vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
   WHERE len(word) > 0 GROUP BY word),
-v0 AS (SELECT freq, string_split(word, '') AS syms FROM vocab),
+v0 AS MATERIALIZED (SELECT freq, string_split(word, '') AS syms FROM vocab),
 $rounds
 ${(1 to nMerges).map(i => s"SELECT * FROM b$i").mkString("\nUNION ALL ")}
 ORDER BY round"""
