@@ -91,6 +91,79 @@ object Shingles {
   }
 }
 
+/** `shingle_hashes(toks, len)`: md5 hex of every length-`len` sliding
+  * token window, position-indexed (element i hashes toks[i..i+len)) —
+  * the [[graft.operators.SubstringDedup]] shingle key, replacing the
+  * interpreted `transform(sequence, md5(concat_ws(slice)))` chain that
+  * allocated a slice array, a joined string, and a hex string per
+  * window. The digest streams the window's token bytes and the
+  * separator straight into one thread-local MessageDigest — no joined
+  * string exists at all; md5 is defined over the byte stream, so the
+  * hex result is bit-identical (spec-pinned). Inputs shorter than `len`
+  * yield an empty array (callers filter `size(toks) >= len` first).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects (array<string>, int), got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(toks: Any, len: Any): Any =
+    ShingleHashes.compute(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      len.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.expressions.ShingleHashes$$.MODULE$$.compute($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  private val Space = Array[Byte](' ')
+
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      len: Int): GenericArrayData = {
+    val n = toks.numElements()
+    if (n < len) return new GenericArrayData(Array.empty[Any])
+    // token byte arrays materialized once, reused by every window
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      bytes(i) = if (t == null) Array.empty[Byte] else t.getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tmp = new Array[Byte](16)
+    val out = new Array[Any](n - len + 1)
+    i = 0
+    while (i <= n - len) {
+      var j = 0
+      while (j < len) {
+        if (j > 0) md.update(Space)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      md.digest(tmp, 0, 16)
+      out(i) = UTF8String.fromString(Md5Util.hex(tmp))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object ShingleSet {
   private val K = 3
 

@@ -171,7 +171,11 @@ object VectorExpressions {
     "graft_winnow" -> { args => WinnowFingerprints(args(0)) },
     "graft_hyperplane_bands" -> { args => HyperplaneBands(args(0), args(1)) },
     "graft_minhash1" -> { args => MinHashOne(args(0), args(1)) },
+    "graft_minhash_all" -> { args => MinHashAll(args(0), args(1)) },
+    "graft_hash_embed64" -> { args =>
+      HashEmbed64(args(0), args(1), args(2)) },
     "graft_shingles" -> { args => Shingles(args(0), args(1)) },
+    "graft_shingle_hashes" -> { args => ShingleHashes(args(0), args(1)) },
     "graft_sliding_chunks" -> { args => SlidingChunks(args(0), args(1), args(2)) },
     "graft_lang_id" -> { args => LangIdBest(args(0)) },
     "graft_rep_stats" -> { args => RepStats(args(0)) },
@@ -253,9 +257,27 @@ object VectorExpressions {
   def minHash1Native(shingleSet: Column, seed: Int): Column =
     call_function("graft_minhash1", shingleSet,
       org.apache.spark.sql.functions.lit(seed))
+  def minHashAllNative(shingleSet: Column, nHashes: Int): Column =
+    call_function("graft_minhash_all", shingleSet,
+      org.apache.spark.sql.functions.lit(nHashes))
+  /** Seed-A hash embed (the engine-wide hashEmbedEntry recipe:
+    * md5 nibbles 1-4 → bucket, nibble 5 → sign). */
+  def hashEmbed64Native(tokens: Column): Column =
+    hashEmbed64NativeAt(tokens, 1, 5)
+  /** Parameterized-recipe hash embed — 1-based md5-hex offsets (the
+    * `substring` convention); the ranker scorecard's seed-B grade is
+    * (6, 10). */
+  def hashEmbed64NativeAt(tokens: Column, bucketStart: Int,
+      signPos: Int): Column =
+    call_function("graft_hash_embed64", tokens,
+      org.apache.spark.sql.functions.lit(bucketStart),
+      org.apache.spark.sql.functions.lit(signPos))
   def shinglesNative(text: Column, k: Int): Column =
     call_function("graft_shingles", text,
       org.apache.spark.sql.functions.lit(k))
+  def shingleHashesNative(toks: Column, len: Int): Column =
+    call_function("graft_shingle_hashes", toks,
+      org.apache.spark.sql.functions.lit(len))
   def slidingChunksNative(text: Column, win: Int, stride: Int): Column =
     call_function("graft_sliding_chunks", text,
       org.apache.spark.sql.functions.lit(win),
@@ -292,9 +314,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash1"),
       new ExpressionInfo(classOf[MinHashOne].getName, "graft_minhash1"),
       (args: Seq[Expression]) => MinHashOne(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_all"),
+      new ExpressionInfo(classOf[MinHashAll].getName, "graft_minhash_all"),
+      (args: Seq[Expression]) => MinHashAll(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hash_embed64"),
+      new ExpressionInfo(classOf[HashEmbed64].getName, "graft_hash_embed64"),
+      (args: Seq[Expression]) => HashEmbed64(args(0), args(1), args(2))))
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => Shingles(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_sliding_chunks"),
       new ExpressionInfo(classOf[SlidingChunks].getName, "graft_sliding_chunks"),
       (args: Seq[Expression]) => SlidingChunks(args(0), args(1), args(2))))

@@ -75,18 +75,25 @@ object RankerEval {
     when(substring(md5(t), 10, 1).isin(
       "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L))
 
-  /** Per-doc sparse signed embedding under a (bucket, sign) recipe —
-    * (doc_id, pos, v) + (doc_id, n2), both fenced (two consumers each).
-    */
-  private def docVecs(corpus: DataFrame, bucket: Column => Column,
-      sign: Column => Column): (DataFrame, DataFrame) = {
+  /** Per-doc sparse signed embedding under a 1-based md5-hex recipe
+    * offset pair — (doc_id, pos, v) + (doc_id, n2), both fenced (two
+    * consumers each). Round 16: each doc's dense 64-vector folds
+    * IN-EXPRESSION via the native [[graft.expressions.HashEmbed64]]
+    * (one md5 per token, one accumulator) and re-sparsifies in the same
+    * projection — the previous explode + (doc, pos)-keyed aggregation
+    * shuffled every token's bucket row and computed md5 twice per
+    * token. Row set identical (spec-pinned recipe). */
+  private def docVecs(corpus: DataFrame, bucketStart: Int,
+      signPos: Int): (DataFrame, DataFrame) = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val vecs = fence(corpus
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"), bucket(col("token")).as("pos"),
-        sign(col("token")).as("sgn"))
-      .groupBy("doc_id", "pos").agg(sum(col("sgn")).as("v"))
-      .filter(col("v") =!= 0L))
+      .select(col("doc_id"), graft.expressions.VectorExpressions
+        .hashEmbed64NativeAt(tokens(col("text")), bucketStart, signPos)
+        .as("dense"))
+      .select(col("doc_id"), posexplode(col("dense")).as(Seq("pos", "v")))
+      .filter(col("v") =!= 0L)
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("v")))
     val norms = vecs.groupBy("doc_id")
       .agg(sum(col("v") * col("v")).cast(LongType).as("n2"))
     (vecs, norms)
@@ -116,7 +123,7 @@ object RankerEval {
     * consumers. */
   private[graft] def qrelsFrom(spark: SparkSession, corpus: DataFrame,
       panel: Seq[(Long, Seq[String])]): DataFrame = {
-    val (dVec, dN) = docVecs(corpus, gradeBucket, gradeSign)
+    val (dVec, dN) = docVecs(corpus, 6, 10) // seed B: hex digits 6-9, 10
     val (qVec, qN) = panelVecsUnder(spark, panel, gradeBucket, gradeSign)
     val dots = dVec.join(broadcast(qVec), "pos")
       .groupBy("query_id", "doc_id")
@@ -140,12 +147,25 @@ object RankerEval {
     * `kEach`) — the [[RetrievalProgram.fuse]] formula at doc level. */
   private[operators] def hybridRanking(spark: SparkSession,
       corpus: DataFrame, panel: Seq[(Long, Seq[String])], kEach: Int,
-      k: Int): DataFrame = {
-    val textTop = Retrieval.indexTopKBatchFrom(spark, corpus, panel, kEach)
+      k: Int): DataFrame =
+    hybridRankingFromText(spark, corpus, panel,
+      fence(Retrieval.indexTopKBatchFrom(spark, corpus, panel, kEach)
+        .select(col("query_id"), col("rank"), col("doc_id"))), kEach, k)
+
+  /** [[hybridRanking]] over an ALREADY-FENCED text top-kEach frame of
+    * (query_id, rank, doc_id) — the [[rankings]] seam (round 16): the
+    * TF-IDF panel ranking is computed ONCE and serves both the `tfidf`
+    * ranker (filter rank ≤ k; the two-phase windows assign identical
+    * ranks at any k, so the top-k rows of the top-kEach frame ARE the
+    * top-k ranking) and the hybrid's text side — previously two full
+    * term-filtered corpus scoring subtrees. */
+  private[operators] def hybridRankingFromText(spark: SparkSession,
+      corpus: DataFrame, panel: Seq[(Long, Seq[String])],
+      textTopFenced: DataFrame, kEach: Int, k: Int): DataFrame = {
+    val textTop = textTopFenced
       .select(col("query_id"), col("doc_id"),
         col("rank").as("text_rank"))
-    val (dVec, dN) = docVecs(corpus,
-      TextPipeline.hashEmbedBucket, TextPipeline.hashEmbedSign)
+    val (dVec, dN) = docVecs(corpus, 1, 5) // seed A: the engine recipe
     val (qVec, qN) = panelVecsUnder(spark, panel,
       TextPipeline.hashEmbedBucket, TextPipeline.hashEmbedSign)
     val dots = dVec.join(broadcast(qVec), "pos")
@@ -166,7 +186,7 @@ object RankerEval {
         .partitionBy("query_id").orderBy(byCos: _*)).cast(LongType))
       .filter(col("vec_rank") <= kEach)
       .select(col("query_id"), col("doc_id"), col("vec_rank")))
-    fence(textTop).join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+    textTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         RetrievalProgram.rrfScore(col("text_rank"), col("vec_rank"))
           .as("rrf_score"))
@@ -198,7 +218,15 @@ object RankerEval {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val corpus = Tables.documents(spark, sfDir)
-    val tfidf = Retrieval.indexTopKBatch(spark, sfDir, EvalK)
+    // ONE TF-IDF panel scoring pass (round 16): the fenced top-KEach
+    // frame serves the `tfidf` ranker (rank ≤ EvalK — identical rows to
+    // a direct top-EvalK run, see hybridRankingFromText) AND the
+    // hybrid's text side; previously each built its own term-filtered
+    // corpus scoring subtree.
+    val textTop20 = fence(Retrieval.indexTopKBatchFrom(spark, corpus,
+        QueryPanel, RetrievalProgram.KEach)
+      .select(col("query_id"), col("rank"), col("doc_id")))
+    val tfidf = textTop20.filter(col("rank") <= EvalK)
       .select(lit("tfidf").as("ranker"), col("query_id"), col("rank"),
         col("doc_id"))
     val panelDf = QueryPanel
@@ -208,8 +236,8 @@ object RankerEval {
         PersistedIndex.sessionTextIndex(spark, sfDir), panelDf, EvalK)
       .select(lit("bm25_index").as("ranker"), col("query_id"), col("rank"),
         col("doc_id"))
-    val hybrid = hybridRanking(spark, corpus, QueryPanel,
-        RetrievalProgram.KEach, EvalK)
+    val hybrid = hybridRankingFromText(spark, corpus, QueryPanel,
+        textTop20, RetrievalProgram.KEach, EvalK)
       .select(lit("hybrid").as("ranker"), col("query_id"), col("rank"),
         col("doc_id"))
     val store = storeRanking(

@@ -137,18 +137,20 @@ object RetrievalProgram {
           lit(Win)).as("ctoks")))
   }
 
-  /** Stage 2: per-chunk hash embedding folded in-expression — fenced
-    * sparse (chunk_id, pos, v) entries and (chunk_id, n2) norms. */
+  /** Stage 2: per-chunk hash embedding in ONE native pass — fenced
+    * sparse (chunk_id, pos, v) entries and (chunk_id, n2) norms.
+    * Round 16: the interpreted HOF fold (`aggregate(transform(...))`
+    * with a zip_with bump) allocated a fresh 64-element array + index
+    * sequence and computed md5 TWICE per token — the chain's hottest
+    * expression; [[graft.expressions.HashEmbed64]] hashes each token
+    * once into a single long[64] accumulator, element-identical
+    * (spec-pinned in TextVectorFunctionsSpec). */
   private[operators] def embedStages(
       chunks: DataFrame): (DataFrame, DataFrame) = {
+    graft.expressions.VectorExpressions.register(chunks.sparkSession)
     val dense = chunks.select(col("chunk_id"),
-      aggregate(
-        transform(filter(col("ctoks"), t => length(t) > 0),
-          t => hashEntry(t)),
-        array_repeat(lit(0L), 64),
-        (acc, e) => zip_with(acc, sequence(lit(0L), lit(63L)),
-          (x, i) => when(i === e.getField("pos"), x + e.getField("sgn"))
-            .otherwise(x))).as("dense"))
+      graft.expressions.VectorExpressions
+        .hashEmbed64Native(col("ctoks")).as("dense"))
     val sparse = fence(dense
       .select(col("chunk_id"), posexplode(col("dense")).as(Seq("pos", "v")))
       .filter(col("v") =!= 0L)

@@ -60,17 +60,22 @@ object SubstringDedup {
     * parity).
     */
   private[operators] def shingleOccurrences(corpus: DataFrame, len: Int)
-      : DataFrame =
+      : DataFrame = {
+    // round 16 (§1.2 per-task work): the interpreted
+    // transform(sequence, md5(concat_ws(slice))) chain allocated a slice
+    // array + joined string + hex per window; the native
+    // graft_shingle_hashes streams each window's token bytes straight
+    // into one digest — bit-identical hashes (spec-pinned), position =
+    // array index (the previous sequence start)
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= len)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0L), (size(col("toks")) - len).cast("long")),
-        i => struct(i.as("start"),
-          md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(len))))
-            .as("h"))))
-        .as("sh"))
-      .select(col("doc_id"), col("sh.start").as("start"), col("sh.h").as("h"))
+      .select(col("doc_id"), posexplode(graft.expressions.VectorExpressions
+        .shingleHashesNative(col("toks"), len)).as(Seq("start", "h")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        col("h"))
+  }
 
   /** Maximal cross-document duplicated spans per document:
     * (doc_id, span_start, span_end, span_len), span_end exclusive,

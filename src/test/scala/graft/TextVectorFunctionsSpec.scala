@@ -153,6 +153,68 @@ class TextVectorFunctionsSpec extends AnyFunSuite with Matchers with SparkTestBa
     out.foreach { case (n, h) => n shouldBe h }
   }
 
+  test("native MinHashAll matches 16 independent MinHashOne calls exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val texts = (0 until 30).map(i =>
+      (0 to 10 + i).map(j => s"w${(i * 3 + j) % 19}").mkString(" ")) :+
+      "solo" :+ ""
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions
+        .minHashAllNative(shingleSet($"text"), 16).as("n"),
+        array((0 until 16).map(k => graft.expressions.VectorExpressions
+          .minHash1Native(shingleSet($"text"), k)): _*).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
+  test("native HashEmbed64 matches the HOF hash-embed fold exactly " +
+      "(seed A and seed B offsets)") {
+    graft.expressions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate, _}
+    def hofDense(bStart: Int, sPos: Int) = hofAggregate(
+      transform(filter(split($"text", " "),
+        t => org.apache.spark.sql.functions.length(t) > 0),
+        t => struct(
+          pmod(conv(substring(md5(t), bStart, 4), 16, 10).cast("long"),
+            lit(64L)).as("pos"),
+          when(substring(md5(t), sPos, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+            .otherwise(lit(-1L)).as("sgn"))),
+      array_repeat(lit(0L), 64),
+      (acc, e) => zip_with(acc, sequence(lit(0L), lit(63L)),
+        (x, i) => when(i === e.getField("pos"), x + e.getField("sgn"))
+          .otherwise(x)))
+    val texts = (0 until 40).map(i =>
+      (0 to i).map(j => s"w${(i * 11 + j) % 23}").mkString(" ")) :+
+      "" :+ "solo" :+ "a  b" // double space -> empty token, must be skipped
+    Seq((1, 5), (6, 10)).foreach { case (b, s) =>
+      val out = texts.toDF("text")
+        .select(graft.expressions.VectorExpressions
+          .hashEmbed64NativeAt(split($"text", " "), b, s).as("n"),
+          hofDense(b, s).as("h"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out.foreach { case (n, h) => n shouldBe h }
+    }
+  }
+
+  test("native ShingleHashes matches the HOF sliding-md5 chain exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val len = 8
+    def toks = split($"text", " ")
+    val sz = org.apache.spark.sql.functions.size _
+    val hof = transform(
+      sequence(lit(0L), (sz(toks) - len).cast("long")),
+      i => md5(concat_ws(" ", slice(toks, (i + lit(1)).cast("int"), lit(len)))))
+    val texts = (0 until 30).map(i =>
+      (0 to 7 + i).map(j => s"w${(i * 3 + j) % 13}").mkString(" ")) :+
+      "a  b c d e f g h i" // double space -> empty token kept in the join
+    val out = texts.toDF("text")
+      .select(graft.expressions.VectorExpressions
+        .shingleHashesNative(toks, len).as("n"), hof.as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    out.foreach { case (n, h) => n shouldBe h }
+  }
+
   test("native WinnowFingerprints matches the HOF sliding-min formulation exactly") {
     graft.expressions.VectorExpressions.register(spark)
     val w = 4
