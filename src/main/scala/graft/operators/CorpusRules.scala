@@ -299,11 +299,18 @@ FROM wx ORDER BY source"""
 
   /** [[sourceOverlap]] over any (source, text) frame. */
   def sourceOverlapFrom(corpus: DataFrame): DataFrame = {
-    val sh = corpus
+    // round 16 (§2): sh has THREE consumers (sizes, both self-join
+    // sides) — unfenced, each re-planned the corpus scan + shingle
+    // explode + distinct; the fence runs that pass once
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sh = fence(corpus
       .select(col("source"),
         explode(graft.expressions.VectorExpressions
           .shingleSetNative(col("text"))).as("g"))
-      .distinct()
+      .distinct())
     val sizes = sh.groupBy("source")
       .agg(count(lit(1)).cast(LongType).as("n_sh"))
     val pairs = sh.as("a")
@@ -386,7 +393,15 @@ ORDER BY sp.source, sp.source_b"""
         .shingleSetNative(col("text"))).as("g"))
     val minCols = (0 until SketchHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("g")))).as(s"mh$k"))
-    val sig = grams.groupBy("source").agg(minCols.head, minCols.tail: _*)
+    // round 16 (§2): sig is self-joined (sig × bSide) — unfenced, the
+    // broadcast side re-planned the whole gram + 16-min corpus pass;
+    // the fence is #sources × 16 hex strings
+    val reliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sig = fence(grams.groupBy("source").agg(minCols.head,
+      minCols.tail: _*))
     val bSide = sig.columns.foldLeft(sig)((df, c) =>
       df.withColumnRenamed(c, c + "_b"))
     val nMatch = (0 until SketchHashes).map(k =>

@@ -660,12 +660,18 @@ object DataQuality {
     val clf = TextPipeline.qualityClassifierFrom(d)
       .select(col("doc_id"),
         floor(col("score") * 1000000d + 0.5d).cast(LongType).as("q_clf"))
+    // round 16 (§2): t had three consumers (total, gf, nll) — unfenced,
+    // each re-planned the corpus scan + tokenize + explode; the fence
+    // tokenizes once, and n_total derives as sum(gfreq) from the
+    // vocab-sized frame (every occurrence lands in exactly one token
+    // group — identical count, one fewer occurrence pass)
     val t = d.select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-    val total = t.agg(count(lit(1)).cast(LongType).as("n_total"))
+      .localCheckpoint()
     val gf = t.groupBy("token")
       .agg(count(lit(1)).cast(LongType).as("gfreq"))
+    val total = gf.agg(sum(col("gfreq")).cast(LongType).as("n_total"))
     val nll = t
       .join(gf, "token")
       .crossJoin(broadcast(total))

@@ -147,10 +147,17 @@ object Graph {
       .select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"))
+    // round 16 (§2.3 shuffle narrower types): the distinct dedups the
+    // INTEGER (custkey, suppkey) pair — two fixed 8-byte longs — and the
+    // "c"/"s" node strings (variable-length, ~40% more exchange bytes
+    // plus string hashing/compares) are built only from the deduped
+    // pairs. The mapping int-pair → string-pair is injective, so the
+    // distinct sets are identical.
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
       .select(concat(lit("c"), col("o_custkey")).as("cnode"),
         concat(lit("s"), col("l_suppkey")).as("snode"))
-      .distinct()
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()

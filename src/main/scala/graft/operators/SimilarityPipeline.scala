@@ -2542,10 +2542,14 @@ FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
           .localCheckpoint()
         (u, d)
       } finally spark0.conf.set(aqeKey, aqeWas)
-    // round 0: split the degree frame into survivors and removals
-    var degAlive = deg0.filter(col("deg") >= KCoreK).localCheckpoint()
+    // round 0: split the degree frame into survivors and removals.
+    // Round 16 (§5): ONE fence per round — only `updated` is
+    // checkpointed; `removed`/`degAlive` are trivial filters over that
+    // fenced leaf (re-evaluating a filter on a LogicalRDD costs nothing,
+    // while their previous per-round localCheckpoints each ran a
+    // separate job: 3 jobs/round → 1, ~30 fewer jobs per query).
+    var degAlive = deg0.filter(col("deg") >= KCoreK)
     var removed = deg0.filter(col("deg") < KCoreK).select("node")
-      .localCheckpoint()
     for (_ <- 1 to KCoreRounds) {
       // edges whose b endpoint was just removed, per surviving a:
       // removal-sized probe, never a full-edge shuffle
@@ -2559,8 +2563,7 @@ FROM dr JOIN nr ON dr.source = nr.source ORDER BY dr.source"""
           (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
         .localCheckpoint()
       removed = updated.filter(col("deg") < KCoreK).select("node")
-        .localCheckpoint()
-      degAlive = updated.filter(col("deg") >= KCoreK).localCheckpoint()
+      degAlive = updated.filter(col("deg") >= KCoreK)
     }
     // core_deg counts within the FINAL survivor set: one more delta
     // decrement for the last round's removals (a no-op when converged)

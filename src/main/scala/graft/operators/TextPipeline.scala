@@ -1126,15 +1126,18 @@ object TextPipeline {
     */
   def ngramNovelty(spark: SparkSession, sfDir: String,
       len: Int = 8): DataFrame = {
+    graft.expressions.VectorExpressions.register(spark)
     val toks = tokens(col("text"))
+    // round 16: native sliding-window md5 (graft_shingle_hashes) replaces
+    // the interpreted transform(sequence, md5(concat_ws(slice))) chain —
+    // bit-identical hashes in the same position order, so array_distinct
+    // keeps the same first-occurrence set
     val grams = docs(spark, sfDir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= len)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0L), (size(col("toks")) - len).cast(LongType)),
-          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(len))))
-        ))).as("h"))
+        explode(array_distinct(graft.expressions.VectorExpressions
+          .shingleHashesNative(col("toks"), len))).as("h"))
     val firstSeen = grams.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstSeen, "h")
@@ -1236,36 +1239,63 @@ object TextPipeline {
     val sig = fence(docs(spark, sfDir)
       .select(col("doc_id"), graft.expressions.VectorExpressions
         .shingleSetNative(col("text")).as("s"))
-      .select(col("doc_id"), col("s"),
-        array((0 until 16).map(k => graft.expressions.VectorExpressions
-          .minHash1Native(col("s"), k)): _*).as("mh")))
-    val tagged = BandGrid.map { case (b, r) =>
-      val bandCols = (0 until b).map(i =>
-        concat_ws("|", slice(col("mh"), i * r + 1, r)))
-      // singleton-bucket prune: a (band, digest) bucket of size 1 yields
-      // no candidate pair, and at corpus scale MOST buckets are
-      // singletons (the non-duplicate mass), so dropping them shrinks the
-      // self-join input by exactly that mass. The bucket-size count is a
-      // window over the bucket key and rides the repartition — no extra
-      // shuffle. Answer-neutral by construction; the oracle stays
-      // UNPRUNED, so the hash compare re-proves neutrality every run.
-      val bands = sig
-        .select(col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("band", "digest")))
-        .repartition(col("band"), col("digest"))
-        .withColumn("__bc", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("digest"))))
-        .filter(col("__bc") >= 2).drop("__bc")
-      bands.hint("shuffle_hash").as("a")
-        .join(bands.hint("shuffle_hash").as("b"),
+      // one-pass 16-seed signature (round 16): the previous
+      // array(minhash1(s,0)..minhash1(s,15)) built 16 independent
+      // expressions that each re-read and re-stringified every shingle;
+      // minhash_all materializes each shingle once for all 16 seeded
+      // digests — bit-identical per element (spec-pinned)
+      .select(col("doc_id"), col("s"), graft.expressions.VectorExpressions
+        .minHashAllNative(col("s"), 16).as("mh")))
+    // ONE banding pass for the whole grid (round 16): the per-config
+    // subtrees each paid their own explode + repartition + window +
+    // self-join + distinct over the same fenced signature (4× each, and
+    // 4 extra jobs' scheduling). Putting the config in the bucket key —
+    // (n_bands, band, digest); n_bands determines rows_per_band in
+    // BandGrid, so buckets stay exactly per-config — collapses the grid
+    // to one explode (30 tagged band rows/doc: 16+8+4+2), one exchange,
+    // one window, one self-join, one distinct. Candidate sets per config
+    // are unchanged; the oracle replays the grid per-config and stays
+    // UNPRUNED, so the hash compare re-proves equivalence every run.
+    //
+    // singleton-bucket prune (unchanged in spirit): a bucket of size 1
+    // yields no candidate pair, and at corpus scale MOST buckets are
+    // singletons (the non-duplicate mass), so dropping them shrinks the
+    // self-join input by exactly that mass. The bucket-size count is a
+    // window over the bucket key and rides the repartition — no extra
+    // shuffle. Answer-neutral by construction.
+    // the exploded band row carries only (int n_bands, int band, digest)
+    // — rows_per_band is determined by n_bands in BandGrid and the output
+    // longs re-derive after the distinct, so the exchange moves no
+    // redundant config bytes
+    val bandRows = BandGrid.flatMap { case (b, r) =>
+      (0 until b).map { i =>
+        struct(lit(b).as("n_bands"), lit(i).as("band"),
+          concat_ws("|", slice(col("mh"), i * r + 1, r)).as("digest"))
+      }
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandRows: _*)).as("c"))
+      .select(col("doc_id"), col("c.n_bands").as("n_bands"),
+        col("c.band").as("band"), col("c.digest").as("digest"))
+      .repartition(col("n_bands"), col("band"), col("digest"))
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("n_bands"), col("band"), col("digest"))))
+      .filter(col("__bc") >= 2).drop("__bc")
+    val rpb = BandGrid.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (b, r)) =>
+        when(col("n_bands") === b, lit(r.toLong)).otherwise(acc)
+    }
+    val tagged = bands.hint("shuffle_hash").as("a")
+      .join(bands.hint("shuffle_hash").as("b"),
+        col("a.n_bands") === col("b.n_bands") &&
           col("a.band") === col("b.band") &&
-            col("a.digest") === col("b.digest") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _)
+          col("a.digest") === col("b.digest") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.n_bands").as("n_bands"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .select(col("n_bands").cast(LongType).as("n_bands"),
+        rpb.as("rows_per_band"), col("doc_a"), col("doc_b"))
     val cands = fence(tagged)
     val verified = cands.select(col("doc_a"), col("doc_b")).distinct()
       .join(sig.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -2589,15 +2619,28 @@ FROM agg, tot ORDER BY n_bands DESC"""
     * than three tokens have no trigrams and are absent from the output.
     */
   def lmTrigramFrom(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    // round 16 (§2 remove shuffles outright): tri is referenced twice
+    // (the join-back and the scoring rows) and cTri FIVE times (itself +
+    // the four lower-order re-aggregations) — unfenced, each reference
+    // re-planned the tokenize + double-lead-window + trigram-count
+    // subtree, 19 exchanges total. Fencing both runs the tokenization
+    // once and the trigram count once; the four lower-order
+    // re-aggregations become type-sized passes over the fenced leaf.
+    // n_tri is derived as sum(c_tri) from the type frame (≡ count of
+    // occurrence rows, exactly — every occurrence lands in one type
+    // group), which drops the third pass over the occurrence rows.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def fence(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val tri = corpus
+    val tri = fence(corpus
       .select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("pos", "w1")))
       .withColumn("w2", lead(col("w1"), 1).over(byDoc))
       .withColumn("w3", lead(col("w1"), 2).over(byDoc))
-      .filter(col("w3").isNotNull)
-    val cTri = tri.groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).cast(LongType).as("c_tri"))
+      .filter(col("w3").isNotNull))
+    val cTri = fence(tri.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).cast(LongType).as("c_tri")))
     val cB12 = cTri.groupBy("w1", "w2")
       .agg(sum(col("c_tri")).cast(LongType).as("c_b12"))
     val cB23 = cTri.groupBy("w2", "w3")
@@ -2615,7 +2658,7 @@ FROM agg, tot ORDER BY n_bands DESC"""
       .join(cB2, Seq("w2"))
       .join(cU3, Seq("w3"))
     val withC = tri.join(cAll, Seq("w1", "w2", "w3"))
-    val total = tri.agg(count(lit(1)).cast(LongType).as("n_tri"))
+    val total = cTri.agg(sum(col("c_tri")).cast(LongType).as("n_tri"))
     withC.crossJoin(broadcast(total))
       .withColumn("lnp", log(
         lit(0.6) * col("c_tri").cast(DoubleType) /
