@@ -200,6 +200,47 @@ object PlanAudit {
     // budget_waterfill class); eval_sample plans the same subtree
     "eval_alloc", "eval_sample")
 
+  /** Documented input-row ceiling for EVERY whitelisted partition-less
+    * window query (round 16, VERDICT r15 #8): the bound on the LARGEST
+    * partition-less window input in its plan, volume-independent by
+    * construction — a post-limit top-k constant, a #shards/#bins/#cells
+    * offsets table, or a calendar spine; NEVER a corpus-sized frame.
+    * PlanAuditSpec enforces (a) this map and the whitelist stay in sync
+    * and (b) at runtime, every partition-less WindowExec's measured row
+    * count stays under the ceiling — so each "Moving all data to a
+    * single partition" warning at entry is attributable to a named,
+    * proven-bounded frame.
+    */
+  val unpartitionedWindowBounds: Map[String, Long] = Map(
+    // #shards-row offsets prefix-sum tables (two-level sharded cumsum)
+    "assign_ids" -> 4096L, "curriculum" -> 4096L,
+    // <= #bins merged-sketch estimate windows
+    "hist_quantiles" -> 512L,
+    // 32-row post-agg resample-mean rank
+    "bootstrap_ci" -> 64L,
+    // <= k-row post-TakeOrdered rerank/numbering (k = 10..20)
+    "sim_topk" -> 64L, "sim_topk_ivf" -> 64L, "sim_topk_lsh" -> 64L,
+    "sim_topk_kmeans" -> 64L, "sim_topk_q8" -> 64L, "pq_topk" -> 64L,
+    "pq_recall" -> 64L, "lsh_store" -> 64L, "pq_store" -> 64L,
+    "sim_topk_ivfpq" -> 64L, "ivfpq_store" -> 64L,
+    "sim_topk_filtered" -> 64L, "lsh_store_filtered" -> 64L,
+    "ivfpq_store_filtered" -> 64L,
+    // RAG chain: seeds (<= NSeeds=4), candidate sides (<= KEach=20),
+    // fused (<= 2*KEach)
+    "retrieval_program" -> 64L, "retrieval_funnel" -> 64L,
+    "retrieval_store" -> 64L, "retrieval_store_filtered" -> 64L,
+    // <= 2k-row fused / paired ranker frames
+    "hybrid_rrf" -> 64L, "ranker_agreement" -> 64L, "rbo_overlap" -> 64L,
+    // ZipfTopN = 256 post-TakeOrdered numbering
+    "zipf_fit" -> 512L,
+    // calendar spine: rows = distinct users x span days of the fixture
+    // window (volume changes add events per day, not days)
+    "resample_daily" -> 16384L,
+    // #sources-row supply frame
+    "budget_waterfill" -> 1024L,
+    // #(lang, source)-cells frames
+    "eval_alloc" -> 4096L, "eval_sample" -> 4096L)
+
   /** Count of window specs PARTITIONED on a token/gram-like column — the
     * skew-unbounded funnel pattern of round 9's systemic finding: a window
     * partitioned by a token-ish key over exploded occurrence rows sends
@@ -642,9 +683,10 @@ object PlanAudit {
     "lm_kneser_ney" -> 17,
     // lm_bigram one order up: two doc lead windows + ONE trigram-types
     // agg with all four lower orders derived from it (re-planned
-    // branches, runtime-deduped), type-sized enrich joins, the single
-    // (w1,w2,w3) occurrence join-back, 1-row N broadcast, per-doc fold
-    "lm_trigram" -> 19,
+    // round 16: occurrence + trigram-type frames fenced (were re-planned
+    // 3x/5x — 19 exchanges); now the 4 type-sized re-aggs, the enrich
+    // joins, the one occurrence join-back, and the per-doc fold
+    "lm_trigram" -> 8,
     // mergeable histogram: per-source shard agg (map-side combined) +
     // the bin merge agg + the sketch-sized estimate windows/orderBy
     "hist_quantiles" -> 3,
@@ -899,11 +941,12 @@ object PlanAudit {
     // 6 axes x (keyed count + 1-row rollup) + union orderBy — every
     // exchange moves key-cardinality-sized count rows, never fact rows
     "skew_report" -> 12,
-    // 5 axes x (2 keyed counts + count-frame join + 1-row rollup +
-    // 1-row side counts) + union orderBy
-    "join_cardinality" -> 25,
+    // round 16: n_left/n_right derived from the keyed counts via one
+    // full-outer join (were 2 extra scans + 2 exchanges per axis, 25
+    // total); now 5 axes x (2 keyed counts + 1-row rollup) + union sort
+    "join_cardinality" -> 16,
     // the join_cardinality tree + the stateless rule projection
-    "plan_advisor" -> 25,
+    "plan_advisor" -> 16,
     // one map-side-combined split agg + orderBy; pure integer verdicts
     "layout_advisor" -> 2,
     // four doc-sized presence left-joins on fenced stage leaves +
