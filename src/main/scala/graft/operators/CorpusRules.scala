@@ -297,20 +297,18 @@ FROM wx ORDER BY source"""
     sourceOverlapFrom(Tables.documents(spark, sfDir))
   }
 
-  /** [[sourceOverlap]] over any (source, text) frame. */
+  /** [[sourceOverlap]] over any (source, text) frame. sh is referenced
+    * three times (sizes + both self-join sides) but deliberately NOT
+    * fenced: all three consumers sit on the SAME Exchange((source, g))
+    * under the distinct, which ReuseExchange already shares — a round-16
+    * fence experiment measured SLOWER (the materialization cost of the
+    * gram strings bought nothing). */
   def sourceOverlapFrom(corpus: DataFrame): DataFrame = {
-    // round 16 (§2): sh has THREE consumers (sizes, both self-join
-    // sides) — unfenced, each re-planned the corpus scan + shingle
-    // explode + distinct; the fence runs that pass once
-    val reliable =
-      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def fence(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    val sh = fence(corpus
+    val sh = corpus
       .select(col("source"),
         explode(graft.expressions.VectorExpressions
           .shingleSetNative(col("text"))).as("g"))
-      .distinct())
+      .distinct()
     val sizes = sh.groupBy("source")
       .agg(count(lit(1)).cast(LongType).as("n_sh"))
     val pairs = sh.as("a")
